@@ -1,13 +1,37 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextOps}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Query inventory (SURVEY.md §2 generalized + training-data-pipeline
+  * extensions):
+  *  - q01..q12: relational operator inventory (scan/filter/project, agg,
+  *    shuffle/broadcast/multi joins, top-k, window, distinct, semi/anti,
+  *    rollup, events windowed agg, sessionize).
+  *  - t01..t06: text query library (grep, wordcount, token counting,
+  *    quality scoring, language-ID, fingerprinting).
+  *  - d01..d05: dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard,
+  *    embedding-cosine).
+  *  - s01..s03: similarity search (brute-force ANN, LSH-bucketed ANN,
+  *    per-label centroid stats).
+  *  - m01..m02: multimodal binary-column plumbing (metadata, stub-decode
+  *    features).
+  */
 object SparkEntry {
+  val inventory: Seq[Q] =
+    Relational.all ++ TextOps.all ++ Dedup.all ++ Similarity.all ++ Multimodal.all
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q05.fn(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Registry.queries(inventory)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] = Registry.oracles(inventory)
 }

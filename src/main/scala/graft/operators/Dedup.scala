@@ -1,0 +1,259 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.functions.TextFns._
+import graft.functions.VectorFns
+import graft.sources.Tables
+
+/** Deduplication operators for a training-data pipeline, each designed as a
+  * shuffle-bounded distributed plan:
+  *
+  *  - exact: hash-groupBy on a fingerprint — one shuffle keyed by md5.
+  *  - MinHash + LSH: shingle → 64-perm signature → band buckets →
+  *    within-bucket candidate join → exact-Jaccard verify. The only joins
+  *    are per-band self-joins on (band, hash) buckets, which at 100 TB is
+  *    the standard near-dup architecture (candidates ≪ n²).
+  *  - SimHash: 64-bit signature by per-bit majority over token hashes;
+  *    near-dups found by banding the signature into 4 × 16-bit chunks
+  *    (any duplicate pair within Hamming distance 3 shares ≥1 exact chunk
+  *    by pigeonhole) and verifying with bit_count(xor) ≤ 3.
+  *  - n-gram Jaccard: exact pairwise similarity via shingle-explode +
+  *    equi-join on shingle (co-group), never a cross join.
+  *  - embedding cosine: near-dup pairs over `array<float>` vectors.
+  *
+  * All hashing is deterministic (xxhash64 with fixed seed behavior /
+  * arithmetic over fixed constants) so results are stable across runs and
+  * cluster sizes.
+  */
+object Dedup {
+
+  /** Exact dedup groups: representative (min doc_id) + multiplicity per
+    * normalized-text fingerprint. */
+  val exact = Q(
+    "d01_dedup_exact",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), md5(normText(col("text"))).as("fp"))
+        .groupBy("fp")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+        .orderBy("keep_id"),
+    Some("""SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+            min(doc_id) AS keep_id, count(*) AS n_dups
+            FROM documents
+            GROUP BY 1 ORDER BY keep_id"""))
+
+  // ---------------------------------------------------------------- MinHash
+  val NumPerms = 64
+  val Bands = 16
+  val RowsPerBand: Int = NumPerms / Bands // 4
+  private val MersennePrime = 2147483647L // 2^31 - 1
+  /** Deterministic LCG-derived permutation coefficients. */
+  private def permA(i: Int): Long = (1103515245L * (i + 1) + 12345L) % MersennePrime match {
+    case 0 => 1L; case a => a
+  }
+  private def permB(i: Int): Long = (69069L * (i + 7) + 362437L) % MersennePrime
+
+  /** doc_id, shingle (distinct word-3-gram shingles per document). */
+  def shingleSets(docs: DataFrame, n: Int = 3): DataFrame =
+    docs
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), n)).as("shingle"))
+      .distinct()
+
+  /** doc_id, sig: array<long> of NumPerms min-hash values. */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val base = pmod(xxhash64(col("shingle")), lit(MersennePrime)).as("h")
+    val mins = (0 until NumPerms).map(i =>
+      min(pmod(lit(permA(i)) * col("h") + lit(permB(i)), lit(MersennePrime))).as(s"m$i"))
+    shingleSets(docs)
+      .select(col("doc_id"), base)
+      .groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until NumPerms).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** Candidate pairs (a < b) sharing at least one LSH band bucket. */
+  def lshCandidates(sigs: DataFrame): DataFrame = {
+    val bucketArr = array((0 until Bands).map(b =>
+      xxhash64(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand), lit(b))): _*)
+    val banded = sigs.select(
+      col("doc_id"),
+      posexplode(bucketArr).as(Seq("band", "bucket")))
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline; emits verified pairs with exact
+    * Jaccard ≥ threshold. No SQL oracle (hash-permutation pipeline); the
+    * driver records a rows-only check. */
+  def minhashPairs(spark: SparkSession, d: String, threshold: Double): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val sh = shingleSets(docs).cache()
+    val cands = lshCandidates(minhashSignatures(docs))
+    val shA = sh.select(col("doc_id").as("a"), col("shingle"))
+    val shB = sh.select(col("doc_id").as("b"), col("shingle"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cands.join(shA, "a").join(shB, Seq("b", "shingle"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("n_a")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("n_b")), "b")
+      .select(
+        col("a"), col("b"),
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("a", "b")
+  }
+
+  val minhash = Q(
+    "d02_dedup_minhash_lsh",
+    (s, d) => minhashPairs(s, d, 0.5),
+    None)
+
+  // ---------------------------------------------------------------- SimHash
+  /** doc_id, simhash: 64-bit signature, bitwise majority of token hashes. */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums = (0 until 64).map(b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"b$b"))
+    val assembled = (0 until 64)
+      .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
+      .reduce((x, y) => x.bitwiseOR(y))
+    tok.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), assembled.as("simhash"))
+  }
+
+  /** Near-dup pairs with Hamming distance ≤ maxDist, banding the 64-bit
+    * signature into 4 16-bit chunks (pigeonhole ⇒ recall 1.0 for d ≤ 3). */
+  def simhashPairs(spark: SparkSession, d: String, maxDist: Int): DataFrame = {
+    val sigs = simhashSignatures(Tables.documents(spark, d)).cache()
+    val chunkArr = array((0 until 4).map(c =>
+      shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)
+    val chunked = sigs.select(
+      col("doc_id"), col("simhash"),
+      posexplode(chunkArr).as(Seq("chunk", "ck")))
+    chunked.as("x")
+      .join(chunked.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.ck") === col("y.ck") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(
+        col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+      .orderBy("a", "b")
+  }
+
+  val simhash = Q(
+    "d03_dedup_simhash",
+    (s, d) => simhashPairs(s, d, 3),
+    None)
+
+  // ---------------------------------------------------- n-gram Jaccard (exact)
+  /** Exact n-gram Jaccard pairs ≥ threshold via shingle equi-join — fully
+    * SQL-expressible, so this one carries a DuckDB oracle. */
+  val ngramJaccard = Q(
+    "d04_ngram_jaccard",
+    (s, d) => {
+      val sh = shingleSets(Tables.documents(s, d)).cache()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.select(col("doc_id").as("a"), col("shingle"))
+        .join(sh.select(col("doc_id").as("b"), col("shingle")), "shingle")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+      inter
+        .join(sizes.select(col("doc_id").as("a"), col("n").as("n_a")), "a")
+        .join(sizes.select(col("doc_id").as("b"), col("n").as("n_b")), "b")
+        .select(
+          col("a"), col("b"),
+          round(col("n_common").cast("double") /
+            (col("n_a") + col("n_b") - col("n_common")).cast("double"), 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.12)
+        .orderBy("a", "b")
+    },
+    Some("""WITH sh AS (
+              SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                  ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+                FROM (
+                  SELECT doc_id,
+                    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                t -> t <> '') AS ts
+                  FROM documents),
+                UNNEST(range(1, len(ts) - 1)) AS r(i))),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+              FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+              GROUP BY 1, 2)
+            SELECT a, b,
+              round(CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE round(CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE), 4) >= 0.12
+            ORDER BY a, b"""))
+
+  // ------------------------------------------------------- embedding cosine
+  /** Embedding near-dup pairs: cosine ≥ threshold.
+    *
+    * Exact all-pairs is O(n²) by definition, so the kernel matters: the
+    * corpus (small here; at scale this would be one LSH/IVF bucket, see
+    * Similarity.lshTopK) is broadcast once and each partition scores its
+    * vectors against it with a primitive double loop — ~100× faster than
+    * the interpreted higher-order-function fold, with identical
+    * left-fold double arithmetic, so results still match the DuckDB
+    * oracle bit-for-bit.
+    */
+  def embeddingPairs(spark: SparkSession, d: String, threshold: Double): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    def dotd(x: Array[Double], y: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < x.length) { s += x(i) * y(i); i += 1 }
+      s
+    }
+    // Same rounding as Spark/DuckDB round(x, 6): HALF_UP on the shortest
+    // decimal representation (BigDecimal.valueOf uses Double.toString).
+    def round6(v: Double): Double =
+      java.math.BigDecimal.valueOf(v).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val corpus = e.collect().map { case (id, arr) =>
+      val dv = arr.map(_.toDouble)
+      (id, dv, math.sqrt(dotd(dv, dv)))
+    }
+    val bc = spark.sparkContext.broadcast(corpus)
+    e.mapPartitions { it =>
+      it.flatMap { case (a, ea) =>
+        val da = ea.map(_.toDouble)
+        val na = math.sqrt(dotd(da, da))
+        bc.value.iterator
+          .filter(_._1 > a)
+          .map { case (b, db, nb) => (a, b, round6(dotd(da, db) / (na * nb))) }
+          .filter(_._3 >= threshold)
+      }
+    }.toDF("a", "b", "cos_sim").orderBy("a", "b")
+  }
+
+  val embedding = Q(
+    "d05_dedup_embedding",
+    (s, d) => embeddingPairs(s, d, 0.35),
+    Some("""SELECT a.vec_id AS a, b.vec_id AS b,
+            round(list_cosine_similarity(
+              CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(
+              CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+            ORDER BY a, b"""))
+
+  val all: Seq[Q] = Seq(exact, minhash, simhash, ngramJaccard, embedding)
+}

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.sources.Tables
+
+/** Multimodal-column plumbing: media (image/audio/video) modeled as opaque
+  * `binary` payload columns with typed metadata alongside.
+  *
+  * The container has no codec libraries, so the *decode* step is a clearly
+  * marked deterministic stub ([[StubCodec.decodeImage]]); everything
+  * Spark-side — schema, batched `mapPartitions` execution, partition sizing,
+  * feature schema — is real and is what would carry a true decoder at scale
+  * (decode runs per-partition, so one task holds one codec context and I/O
+  * batches amortize).
+  */
+object Multimodal {
+
+  /** Typed media record (payload + metadata), the multimodal row model. */
+  final case class MediaRecord(doc_id: Long, media_type: String, payload: Array[Byte])
+
+  /** Extracted features for one media payload. */
+  final case class MediaFeatures(
+      doc_id: Long,
+      media_type: String,
+      n_bytes: Long,
+      width: Int,
+      height: Int,
+      mean_intensity: Double)
+
+  /** Deterministic fake decoder — STUB standing in for a real codec
+    * (e.g. JPEG decode). Derives "pixels" from payload bytes so results are
+    * stable and testable without image libraries.
+    */
+  object StubCodec {
+    def decodeImage(payload: Array[Byte]): (Int, Int, Double) = {
+      val n = payload.length
+      val width = math.max(1, n % 64)
+      val height = math.max(1, (n / 64) % 64)
+      val mean =
+        if (n == 0) 0.0
+        else payload.iterator.map(b => (b & 0xff).toDouble).sum / n
+      (width, height, mean)
+    }
+  }
+
+  /** documents.text re-cast as a binary payload column — the multimodal
+    * ingest shape (real pipelines read the bytes from parquet/object store
+    * exactly like this). */
+  def mediaTable(spark: SparkSession, d: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .select(
+        col("doc_id"),
+        lit("image/stub").as("media_type"),
+        col("text").cast("binary").as("payload"))
+      .as[MediaRecord]
+  }
+
+  /** Batched per-partition decode + feature extraction (the `mapInPandas`
+    * shape in Scala: one iterator pass per partition, no per-row codec
+    * setup). */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition: a real impl would open one codec context here
+      it.map { r =>
+        val (w, h, mean) = StubCodec.decodeImage(r.payload)
+        MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong, w, h, mean)
+      }
+    }
+  }
+
+  /** Oracle-checkable projection of the multimodal pipeline: byte length and
+    * payload md5 are computable by DuckDB directly; width/height come from
+    * the stub's pure byte-length arithmetic so they are SQL-expressible too.
+    */
+  val mediaMeta = Q(
+    "m01_media_metadata",
+    (s, d) =>
+      mediaTable(s, d).toDF()
+        .select(
+          col("doc_id"),
+          col("media_type"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          md5(col("payload")).as("payload_md5"),
+          expr("CAST(greatest(1, octet_length(payload) % 64) AS BIGINT)").as("width"),
+          expr("CAST(greatest(1, (octet_length(payload) div 64) % 64) AS BIGINT)").as("height"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, 'image/stub' AS media_type,
+            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+            md5(text) AS payload_md5,
+            CAST(greatest(1, octet_length(encode(text)) % 64) AS BIGINT) AS width,
+            CAST(greatest(1, (octet_length(encode(text)) // 64) % 64) AS BIGINT) AS height
+            FROM documents ORDER BY doc_id"""))
+
+  /** Full stub-decode feature aggregation (mapPartitions path), rows-only:
+    * mean intensity per media_type bucket. */
+  val mediaFeatures = Q(
+    "m02_media_features",
+    (s, d) =>
+      extractFeatures(mediaTable(s, d)).toDF()
+        .groupBy("media_type")
+        .agg(
+          count(lit(1)).as("n_media"),
+          round(avg("mean_intensity"), 4).as("avg_intensity"),
+          round(avg("n_bytes"), 4).as("avg_bytes"))
+        .orderBy("media_type"),
+    None)
+
+  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures)
+}

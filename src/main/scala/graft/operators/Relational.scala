@@ -1,0 +1,304 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.sources.Tables
+
+/** Generalized relational operator inventory (SURVEY.md §2 ops 1–23 lifted
+  * to the TPC-H-ish testdata), declarative DataFrame plans so Catalyst keeps
+  * pushdown/pruning and AQE picks physical strategies.
+  *
+  * Scale notes per query are inline — the stated plan is the one `.explain`
+  * shows and the one we want at 100 TB.
+  */
+object Relational {
+
+  /** Scan + filter + project (ops 1/22/23 generalized).
+    * Filter and the 4-column projection both reach the parquet reader
+    * (PushedFilters + ReadSchema) — at 100 TB this is an I/O-bound scan of
+    * 4 columns, not 11.
+    */
+  val q01 = Q(
+    "q01_scan_filter_project",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp"))
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          // No round(): both engines do the identical IEEE double multiply,
+          // so raw values match bit-for-bit, while round() semantics differ
+          // (Spark rounds the shortest decimal repr, DuckDB the raw binary).
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_price"))
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber,
+            l_extendedprice * (1.0 - l_discount) AS net_price
+            FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+            ORDER BY l_orderkey, l_linenumber"""))
+
+  /** Group-by aggregate, TPC-H Q1 style (ops 20/21 generalized: sum/count by
+    * key with map-side partial aggregation — Spark's HashAggregate does the
+    * reference's combiner role automatically). Low-cardinality keys ⇒ the
+    * shuffle moves only num_groups × num_partitions rows.
+    */
+  val q02 = Q(
+    "q02_agg_pricing_summary",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT l_returnflag, l_linestatus,
+            round(sum(l_quantity), 2) AS sum_qty,
+            round(sum(l_extendedprice), 2) AS sum_base_price,
+            round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+            round(avg(l_quantity), 4) AS avg_qty,
+            round(avg(l_discount), 4) AS avg_disc,
+            count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus"""))
+
+  /** Shuffle (sort-merge/hash) equi-join + aggregate. Both sides hash-
+    * partition on the join key — the §2-op-4 boundary; at scale AQE converts
+    * to broadcast if the filtered build side fits.
+    */
+  val q03 = Q(
+    "q03_join_orders_customer",
+    (s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy("c_mktsegment"),
+    Some("""SELECT c_mktsegment, count(*) AS n_orders,
+            round(sum(o_totalprice), 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** Broadcast join: `part` is a small dimension — broadcast it explicitly
+    * so the 100 TB fact side never shuffles (map-side hash join).
+    */
+  val q04 = Q(
+    "q04_broadcast_join_part",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .join(
+          broadcast(Tables.part(s, d).filter(col("p_size") <= lit(10))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+          count(lit(1)).as("n_items"),
+          round(sum("l_quantity"), 2).as("total_qty"))
+        .orderBy("p_brand"),
+    Some("""SELECT p_brand, count(*) AS n_items,
+            round(sum(l_quantity), 2) AS total_qty
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_size <= 10
+            GROUP BY p_brand ORDER BY p_brand"""))
+
+  /** Multi-way join (TPC-H Q5 shape): fact table joins one shuffle join to
+    * orders, everything else broadcast; Catalyst reorders and pushes the
+    * region/date filters below the joins.
+    */
+  val q05 = Q(
+    "q05_local_supplier_revenue",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val c = Tables.customer(s, d)
+      val su = Tables.supplier(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d).filter(col("r_name") === "EUROPE")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some("""SELECT n_name,
+            round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name ORDER BY revenue DESC, n_name"""))
+
+  /** Top-k: aggregate then `orderBy().limit(k)` — Spark plans TakeOrderedAndProject,
+    * a per-partition heap + driver-side merge of k rows, never a global sort.
+    */
+  val q06 = Q(
+    "q06_topk_customers",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(
+          round(sum("o_totalprice"), 2).as("total_spent"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("total_spent").desc, col("o_custkey"))
+        .limit(10),
+    Some("""SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spent,
+            count(*) AS n_orders
+            FROM orders GROUP BY o_custkey
+            ORDER BY total_spent DESC, o_custkey LIMIT 10"""))
+
+  /** Window function: rank within partition — single hash-partition by
+    * o_custkey + in-partition sort; no global sort.
+    */
+  val q07 = Q(
+    "q07_window_top_orders",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders)
+            WHERE rn <= 3 ORDER BY o_custkey, rn"""))
+
+  /** Distinct aggregation (count distinct expands to a two-phase aggregate;
+    * partial distinct on the map side bounds the shuffle).
+    */
+  val q08 = Q(
+    "q08_distinct_parts_per_flag",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct("l_partkey").as("n_parts"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+            CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+            count(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Semi/anti join: customers with ≥1 urgent order and customers with none.
+    * Left-semi/anti avoid materializing the probe side's payload.
+    */
+  val q09 = Q(
+    "q09_semi_anti_join",
+    (s, d) => {
+      val urgent = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      val c = Tables.customer(s, d)
+      val withUrgent = c.join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_mktsegment"), lit("has_urgent").as("bucket"))
+      val without = c.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_mktsegment"), lit("no_urgent").as("bucket"))
+      withUrgent.unionAll(without)
+        .groupBy("c_mktsegment", "bucket")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment", "bucket")
+    },
+    Some("""WITH u AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+            SELECT c_mktsegment, bucket, count(*) AS n_customers FROM (
+              SELECT c_mktsegment, 'has_urgent' AS bucket FROM customer
+              WHERE c_custkey IN (SELECT o_custkey FROM u)
+              UNION ALL
+              SELECT c_mktsegment, 'no_urgent' AS bucket FROM customer
+              WHERE c_custkey NOT IN (SELECT o_custkey FROM u))
+            GROUP BY c_mktsegment, bucket ORDER BY c_mktsegment, bucket"""))
+
+  /** Grouping sets / rollup: one pass computes every level (Spark Expand). */
+  val q10 = Q(
+    "q10_rollup_order_status",
+    (s, d) =>
+      Tables.orders(s, d)
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy(
+          col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first),
+    Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+            round(sum(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+            ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""))
+
+  /** Events: tumbling-window (hourly) aggregation — the batch shape of the
+    * Structured Streaming query in graft.streaming.EventStreams.
+    */
+  val q11 = Q(
+    "q11_events_hourly",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(
+          date_trunc("hour", col("ts")).as("hour"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("total_value"))
+        .orderBy("hour", "event_type"),
+    Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
+            count(*) AS n_events, round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""))
+
+  /** Sessionization via window lag: a >30 min gap starts a new session.
+    * One shuffle on user_id, in-partition sort by ts — the classic
+    * log-sessionize plan that scales linearly with events per user.
+    */
+  val q12 = Q(
+    "q12_sessionize",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag("ts", 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum("new_session").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("session_value"))
+        .orderBy("user_id", "session_id")
+    },
+    Some("""WITH g AS (
+              SELECT user_id, ts, event_id, value,
+                CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                     THEN 1 ELSE 0 END AS new_session
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            se AS (
+              SELECT user_id, value,
+                CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+              FROM g)
+            SELECT user_id, session_id, count(*) AS n_events,
+              round(sum(value), 2) AS session_value
+            FROM se GROUP BY user_id, session_id ORDER BY user_id, session_id"""))
+
+  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12)
+}

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.functions.VectorFns._
+import graft.sources.Tables
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  *  - Brute-force baseline: broadcast the (small) query set, stream once
+  *    over the corpus, per-query top-k via window rank. At 100 TB the plan
+  *    is a single map-side broadcast-nested-loop pass + a k-row-per-query
+  *    shuffle — no corpus self-join ever happens.
+  *  - LSH-bucketed variant (scale path): random-hyperplane signatures
+  *    (SimHash for cosine) bucket the corpus; queries probe only their
+  *    bucket, trading recall for a ~2^bits fan-in reduction.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors for each query vector (qid < nQueries). */
+  def bruteForceTopK(spark: SparkSession, d: String, nQueries: Int, k: Int): DataFrame = {
+    val e = Tables.embeddings(spark, d)
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val corpus = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+    val sims = corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qe"), col("ne")).as("c"))
+    val w = Window.partitionBy("query_id").orderBy(col("c").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("c"), 6).as("cos_sim"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  val annBruteForce = Q(
+    "s01_ann_cosine_topk",
+    (s, d) => bruteForceTopK(s, d, 10, 5),
+    Some("""WITH sims AS (
+              SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                       CAST(n.embedding AS DOUBLE[])) AS c
+              FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+              WHERE q.vec_id < 10)
+            SELECT query_id, neighbor_id, round(c, 6) AS cos_sim, rank FROM (
+              SELECT query_id, neighbor_id, c,
+                CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY c DESC, neighbor_id) AS BIGINT) AS rank
+              FROM sims)
+            WHERE rank <= 5 ORDER BY query_id, rank"""))
+
+  /** Random-hyperplane LSH: sign-bit signature of `bits` fixed pseudo-random
+    * hyperplanes (deterministic per dimension/bit via xxhash64-derived
+    * coefficients materialized as literal arrays — no RNG at runtime).
+    */
+  def hyperplaneSignature(dim: Int, bits: Int)(vec: org.apache.spark.sql.Column) = {
+    // Deterministic ±1 hyperplane coefficients from a fixed LCG.
+    def coeff(b: Int, i: Int): Double = {
+      val x = (b.toLong * 1315423911L + i.toLong * 2654435761L + 97531L) % 1000003L
+      if ((x & 1L) == 0L) 1.0 else -1.0
+    }
+    (0 until bits).map { b =>
+      val plane = array((0 until dim).map(i => lit(coeff(b, i))): _*)
+      when(dot(vec, plane) >= 0, lit(1L << b)).otherwise(0L)
+    }.reduce((x, y) => x.bitwiseOR(y))
+  }
+
+  /** ANN via LSH buckets: queries probe only their signature bucket.
+    * Rows-only check (approximate by construction, still deterministic).
+    */
+  def lshTopK(spark: SparkSession, d: String, nQueries: Int, k: Int, bits: Int): DataFrame = {
+    val dim = 64 // embeddings table vector dimension (TESTDATA.md)
+    val sig = hyperplaneSignature(dim, bits) _
+    val e = Tables.embeddings(spark, d).withColumn("bucket", sig(col("embedding")))
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
+    val corpus = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("bucket"))
+    val sims = corpus.join(broadcast(queries), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qe"), col("ne")).as("c"))
+    val w = Window.partitionBy("query_id").orderBy(col("c").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("c"), 6).as("cos_sim"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  val annLsh = Q(
+    "s02_ann_lsh_bucketed",
+    (s, d) => lshTopK(s, d, 10, 5, 4),
+    None)
+
+  /** Per-label centroid + distance stats: the "clustering readout" shape
+    * (classic IVF coarse-quantizer step). Element-wise array aggregation
+    * via zip_with-style reduce in one pass.
+    */
+  val centroids = Q(
+    "s03_label_centroid_stats",
+    (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label").cast("long").as("label"), col("embedding"))
+        .groupBy("label")
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          round(avg(sqrt(dot(col("embedding"), col("embedding")))), 6).as("avg_norm"),
+          round(min(sqrt(dot(col("embedding"), col("embedding")))), 6).as("min_norm"),
+          round(max(sqrt(dot(col("embedding"), col("embedding")))), 6).as("max_norm"))
+        .orderBy("label"),
+    Some("""SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vecs,
+            round(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 6) AS avg_norm,
+            round(min(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 6) AS min_norm,
+            round(max(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 6) AS max_norm
+            FROM embeddings GROUP BY label ORDER BY label"""))
+
+  val all: Seq[Q] = Seq(annBruteForce, annLsh, centroids)
+}

@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.functions.TextFns._
+import graft.sources.Tables
+
+/** Text-analysis operators over the `documents` table — the generalized
+  * query library of the reference (SURVEY.md §2b ops 18–23) plus the
+  * training-data-pipeline text metrics (language-ID, quality scoring, token
+  * counting, fingerprinting).
+  *
+  * Everything is pure column expressions (codegen'd, no UDFs); per-document
+  * work is embarrassingly parallel — no shuffle except the final aggregates.
+  */
+object TextOps {
+
+  /** Grep: case-insensitive substring selection + projection
+    * (reference `tests/testdata/exec/grep_map.py:14-28` +
+    * `grep_reduce.py:14-27`). The filter is a codegen'd Contains over the
+    * scanned column; at scale this is a pure scan-side row filter.
+    */
+  val grep = Q(
+    "t01_grep",
+    (s, d) =>
+      Tables.documents(s, d)
+        .filter(lower(col("text")).contains("spark"))
+        .select("doc_id", "text")
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, text FROM documents
+            WHERE contains(lower(text), 'spark') ORDER BY doc_id"""))
+
+  /** Word count — the reference's flagship query
+    * (`tests/testdata/exec/wc_map.sh` + `wc_reduce.py`): tokenize, explode,
+    * count by word. Map-side partial aggregation plays the reference's
+    * combiner; the shuffle carries only (word, partial_count).
+    */
+  val wordcount = Q(
+    "t02_wordcount",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("word"),
+    Some("""SELECT w AS word, count(*) AS cnt FROM (
+              SELECT unnest(list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                t -> t <> '')) AS w
+              FROM documents)
+            GROUP BY w ORDER BY word"""))
+
+  /** Token counting: whitespace tokens and a BPE-ish sub-word proxy
+    * (alphanumeric runs + standalone punctuation marks), per document. */
+  val tokenCount = Q(
+    "t03_token_count",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(filter(split(col("text"), "\\s+"), t => t =!= lit(""))).cast("long").as("ws_tokens"),
+          size(tokens(col("text"))).cast("long").as("word_tokens"),
+          charClassCount(col("text"), "[^a-zA-Z0-9\\s]").cast("long").as("punct_marks"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+            CAST(len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS BIGINT) AS ws_tokens,
+            CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS BIGINT) AS word_tokens,
+            CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS BIGINT) AS punct_marks
+            FROM documents ORDER BY doc_id"""))
+
+  /** Quality scoring: character-class ratios + mean token length — the
+    * standard cheap filters of a pretraining-data pipeline. */
+  val quality = Q(
+    "t04_quality_score",
+    (s, d) => {
+      val toks = tokens(col("text"))
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_m"),
+          charClassCount(lower(col("text")), "[a-z]").cast("long").as("n_alpha"),
+          charClassCount(col("text"), "[0-9]").cast("long").as("n_digit"),
+          charClassCount(col("text"), "\\s").cast("long").as("n_space"),
+          size(toks).cast("long").as("n_tokens"),
+          round(
+            charClassCount(lower(col("text")), "[a-z]").cast("double") /
+              length(col("text")).cast("double"), 4).as("alpha_ratio"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, n_chars_m, n_alpha, n_digit, n_space, n_tokens,
+              round(CAST(n_alpha AS DOUBLE) / CAST(n_chars_m AS DOUBLE), 4) AS alpha_ratio
+            FROM (
+              SELECT doc_id,
+              CAST(length(text) AS BIGINT) AS n_chars_m,
+              CAST(length(text) - length(regexp_replace(lower(text), '[a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+              CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+              CAST(length(text) - length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_space,
+              CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS BIGINT) AS n_tokens
+              FROM documents)
+            ORDER BY doc_id"""))
+
+  /** Language-ID by stopword-hit scoring (n-gram/stopword heuristic —
+    * deterministic argmax with fixed priority en>de>es>fr). Per-row column
+    * math only; the stopword lists would be broadcast literals at scale. */
+  val langid = Q(
+    "t05_langid",
+    (s, d) => {
+      val toks = tokens(col("text"))
+      val hit = stopwords.map { case (l, ws) => l -> stopwordHits(toks, ws) }
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          hit("en").cast("long").as("score_en"),
+          hit("de").cast("long").as("score_de"),
+          hit("es").cast("long").as("score_es"),
+          hit("fr").cast("long").as("score_fr"),
+          when(hit("en") >= hit("de") && hit("en") >= hit("es") && hit("en") >= hit("fr"), "en")
+            .when(hit("de") >= hit("es") && hit("de") >= hit("fr"), "de")
+            .when(hit("es") >= hit("fr"), "es")
+            .otherwise("fr").as("pred_lang"))
+        .orderBy("doc_id")
+    },
+    Some {
+      def hits(set: Seq[String]) = {
+        val in = set.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> ''), t -> t IN ($in)))"
+      }
+      val en = hits(stopwords("en")); val de = hits(stopwords("de"))
+      val es = hits(stopwords("es")); val fr = hits(stopwords("fr"))
+      s"""SELECT doc_id,
+          CAST($en AS BIGINT) AS score_en,
+          CAST($de AS BIGINT) AS score_de,
+          CAST($es AS BIGINT) AS score_es,
+          CAST($fr AS BIGINT) AS score_fr,
+          CASE WHEN $en >= $de AND $en >= $es AND $en >= $fr THEN 'en'
+               WHEN $de >= $es AND $de >= $fr THEN 'de'
+               WHEN $es >= $fr THEN 'es'
+               ELSE 'fr' END AS pred_lang
+          FROM documents ORDER BY doc_id"""
+    })
+
+  /** Document fingerprinting: md5 over the whitespace-normalized text (the
+    * exact-dedup key) plus a 16-bit bucket prefix usable as a shard key. */
+  val fingerprint = Q(
+    "t06_fingerprint",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          md5(normText(col("text"))).as("fp"),
+          substring(md5(normText(col("text"))), 1, 4).as("fp_bucket"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+            md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+            substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 4) AS fp_bucket
+            FROM documents ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(grep, wordcount, tokenCount, quality, langid, fingerprint)
+}

