@@ -66,19 +66,37 @@ object Similarity {
     }.reduce((x, y) => x.bitwiseOR(y))
   }
 
-  /** ANN via LSH buckets: queries probe only their signature bucket.
-    * Rows-only check (approximate by construction, still deterministic).
+  /** ANN via multi-table hyperplane LSH: `tables` independent hash tables of
+    * `bits` hyperplane sign-bits each. A (query, neighbor) pair is a
+    * candidate iff it collides in ≥1 table — recall 1-(1-p^bits)^tables
+    * where p = 1-θ/π, while each query scores only its buckets' union
+    * instead of the full corpus. Rows-only check (approximate by
+    * construction, still deterministic).
     */
-  def lshTopK(spark: SparkSession, d: String, nQueries: Int, k: Int, bits: Int): DataFrame = {
+  def lshTopK(spark: SparkSession, d: String, nQueries: Int, k: Int,
+      bits: Int = 4, tables: Int = 8): DataFrame = {
     val dim = 64 // embeddings table vector dimension (TESTDATA.md)
-    val sig = hyperplaneSignature(dim, bits) _
-    val e = Tables.embeddings(spark, d).withColumn("bucket", sig(col("embedding")))
-    val queries = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
-    val corpus = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("bucket"))
-    val sims = corpus.join(broadcast(queries), Seq("bucket"))
+    // One signature of bits*tables hyperplane sign-bits, banded per table.
+    val allBits = hyperplaneSignature(dim, bits * tables) _
+    val bandCodes = (0 until tables).map { t =>
+      shiftrightunsigned(col("sig"), t * bits).bitwiseAND(lit((1L << bits) - 1))
+    }
+    def banded(df: DataFrame, idCol: String, vecCol: String) =
+      df.withColumn("sig", allBits(col(vecCol)))
+        .select(col(idCol), col(vecCol), posexplode(array(bandCodes: _*)).as(Seq("band", "code")))
+    val e = Tables.embeddings(spark, d)
+    val queries = banded(
+      e.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe")),
+      "query_id", "qe")
+    val corpus = banded(
+      e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")),
+      "neighbor_id", "ne")
+    val cands = corpus.join(broadcast(queries), Seq("band", "code"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("qe"), col("ne")).as("c"))
+      .select("query_id", "qe", "neighbor_id", "ne")
+      .dropDuplicates("query_id", "neighbor_id")
+    val sims = cands.select(col("query_id"), col("neighbor_id"), cosine(col("qe"), col("ne")).as("c"))
     val w = Window.partitionBy("query_id").orderBy(col("c").desc, col("neighbor_id"))
     sims.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -88,7 +106,7 @@ object Similarity {
 
   val annLsh = Q(
     "s02_ann_lsh_bucketed",
-    (s, d) => lshTopK(s, d, 10, 5, 4),
+    (s, d) => lshTopK(s, d, 10, 5),
     None)
 
   /** Per-label centroid + distance stats: the "clustering readout" shape

@@ -18,13 +18,32 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
-  /** Events as a file stream (schema pinned from the batch table). */
+  /** Events as a file stream (schema pinned from the batch table).
+    *
+    * FileStreamSource requires a directory; the testdata table is a single
+    * parquet file, so it is staged into a temp dir (in production the source
+    * would be a landing directory or Kafka topic already). The nanos-long
+    * `ts` (see Tables.events) is converted to a µs timestamp for
+    * watermarking.
+    */
   def readEventStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    spark.readStream
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = Paths.get(s"$sfDir/events.parquet")
+    val dir =
+      if (Files.isDirectory(src)) src
+      else {
+        val d = Files.createTempDirectory("graft-events-stream")
+        Files.copy(src, d.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+        d
+      }
+    val schema = spark.read.parquet(src.toString).schema
+    val raw = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(s"$sfDir/events.parquet")
+      .parquet(dir.toString)
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
   }
 
   /** Watermarked 1-hour tumbling window counts per event_type. */

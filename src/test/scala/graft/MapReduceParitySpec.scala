@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.functions.Md5Mod
+import graft.operators.MapReduceJob
+import graft.operators.MapReduceJob.JobSpec
+
+/** Reference-parity golden tests: the observable contract of the reference's
+  * word-count and grep jobs (SURVEY.md §2b, §5 tier 2/3), reproduced on
+  * fixtures with the reference's exact semantics — including the empty-key
+  * token from blank lines and md5-mod shuffle routing.
+  */
+class MapReduceParitySpec extends SparkSpec {
+
+  private def writeCorpus(lines: Map[String, String]): String = {
+    val dir = Files.createTempDirectory("graft-corpus").toFile
+    lines.foreach { case (name, content) =>
+      Files.write(new java.io.File(dir, name).toPath, content.getBytes("UTF-8"))
+    }
+    dir.getAbsolutePath
+  }
+
+  // Reference tests/testdata/input/file01 + file02 content
+  // (FIXTURES.md §1), plus a trailing blank line => empty-key token.
+  private lazy val corpus = writeCorpus(Map(
+    "file01" -> "Hello World Bye World\n",
+    "file02" -> "Hello Hadoop Goodbye Hadoop\n"))
+
+  test("md5 routing parity: reference test_worker_08 key assignment") {
+    // reference tests/test_worker_08.py:226-243 — md5 mod 2 must send
+    // "", bye, hello -> partition 0 and world, goodbye, hadoop -> 1.
+    assert(Seq("", "bye", "hello").forall(Md5Mod.partitionOf(_, 2) == 0))
+    assert(Seq("world", "goodbye", "hadoop").forall(Md5Mod.partitionOf(_, 2) == 1))
+  }
+
+  test("word count golden: counts, partition routing, in-partition sort") {
+    val out = MapReduceJob.run(
+      spark, JobSpec(corpus, MapReduceJob.wcMapper, MapReduceJob.wcReducer, 2))
+
+    // Golden counts (reference word_count_correct.txt semantics on file01/02:
+    // wc_map.sh lowercases and splits; wc_reduce sums).
+    val expected = Map("hello" -> 2, "world" -> 2, "bye" -> 1, "hadoop" -> 2, "goodbye" -> 1)
+    val got = out.collect().map { line =>
+      val Array(k, v) = line.split("\t", 2); k -> v.toInt
+    }.toMap
+    assert(got == expected)
+
+    // Per-partition: md5-routed and key-sorted (reference test_worker_08.py:246-257).
+    val parts = out.rdd.glom().collect()
+    assert(parts.length == 2)
+    parts.zipWithIndex.foreach { case (lines, pid) =>
+      val keys = lines.map(_.split("\t", 2)(0)).toSeq
+      assert(keys == keys.sorted, s"partition $pid not key-sorted: ${keys.mkString(",")}")
+      keys.foreach(k => assert(Md5Mod.partitionOf(k, 2) == pid, s"key $k misrouted"))
+    }
+  }
+
+  test("word count empty-key semantics: blank line counts under empty key") {
+    // reference wc_map.sh emits "\t1" for blank lines; golden output's first
+    // row is the empty key (word_count_correct.txt line 1: "\t9").
+    val dir = writeCorpus(Map("file01" -> "Hello\n\nWorld\n"))
+    val out = MapReduceJob.run(
+      spark, JobSpec(dir, MapReduceJob.wcMapper, MapReduceJob.wcReducer, 1))
+    val got = out.collect().map { l => val Array(k, v) = l.split("\t", 2); k -> v.toInt }.toMap
+    assert(got == Map("" -> 1, "hello" -> 1, "world" -> 1))
+  }
+
+  test("grep job golden: case-insensitive substring, line projection") {
+    // reference grep_map.py / grep_reduce.py semantics.
+    val out = MapReduceJob.run(
+      spark,
+      JobSpec(corpus, MapReduceJob.grepMapper("hadoop"), MapReduceJob.grepReducer, 1))
+    assert(out.collect().toSeq == Seq("Hello Hadoop Goodbye Hadoop"))
+  }
+
+  test("pipe: external executable map stage (Hadoop-streaming compat)") {
+    val out = MapReduceJob.pipeMap(spark, corpus, Seq("tr", "a-z", "A-Z"))
+    val lines = out.collect().toSet
+    assert(lines == Set("HELLO WORLD BYE WORLD", "HELLO HADOOP GOODBYE HADOOP"))
+  }
+
+  test("md5_mod registered SQL function matches the partitioner") {
+    Md5Mod.register(spark)
+    val r = spark.sql("SELECT md5_mod('hello', 2) AS p, md5_mod('world', 2) AS q").collect()(0)
+    assert(r.getInt(0) == 0 && r.getInt(1) == 1)
+  }
+}

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextOps}
+import graft.sources.Tables
+
+/** Per-operator sanity on sf0.001 (semantics the oracle can't see: plan
+  * shape, internal invariants, approximate-op quality). The value-exact gate
+  * is the DuckDB oracle via Verify — these specs cover what it can't.
+  */
+class OperatorSpec extends SparkSpec {
+
+  test("all inventory queries execute and return schema-stable results") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty, s"$name has no columns")
+      assert(df.count() >= 0, s"$name failed to execute")
+    }
+  }
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracle SQL declared for every SQL-expressible query") {
+    val rowsOnly = Set(
+      "d02_dedup_minhash_lsh", "d03_dedup_simhash",
+      "s02_ann_lsh_bucketed", "m02_media_features")
+    assert(SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet) == rowsOnly)
+  }
+
+  test("q01 plan pushes filter and prunes columns at the parquet scan") {
+    val plan = Relational.q01.fn(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$plan")
+    // Projection pruning: scan schema must not include unused columns.
+    assert(!plan.contains("l_comment") && !plan.contains("l_tax"), "columns not pruned")
+  }
+
+  test("q04 plan broadcasts the part dimension") {
+    val plan = Relational.q04.fn(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("q06 top-k plans as TakeOrderedAndProject (no global sort)") {
+    val plan = Relational.q06.fn(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$plan")
+  }
+
+  test("wordcount uses partial aggregation (map-side combine)") {
+    val plan = TextOps.wordcount.fn(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"no partial aggregate:\n$plan")
+  }
+
+  test("minhash LSH finds planted near-duplicates and estimates Jaccard") {
+    import spark.implicits._
+    // Plant: doc B = doc A with one token changed; doc C unrelated.
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = ((1 to 59).map(i => s"tok$i") :+ "changed").mkString(" ")
+    val other = (100 to 160).map(i => s"w$i").mkString(" ")
+    val docs = Seq((0L, base), (1L, nearDup), (2L, other)).toDF("doc_id", "text")
+    val sh = Dedup.shingleSets(docs).cache()
+    val cands = Dedup.lshCandidates(Dedup.minhashSignatures(docs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((0L, 1L)), s"near-dup pair not a candidate: $cands")
+    assert(!cands.contains((0L, 2L)) && !cands.contains((1L, 2L)),
+      "unrelated docs should not share a band")
+  }
+
+  test("simhash: identical docs collide, unrelated docs are distant") {
+    import spark.implicits._
+    val a = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val b = (200 to 250).map(i => s"q$i").mkString(" ")
+    val docs = Seq((0L, a), (1L, a), (2L, b)).toDF("doc_id", "text")
+    val sigs = Dedup.simhashSignatures(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(0L) == sigs(1L), "identical docs must have identical simhash")
+    assert(java.lang.Long.bitCount(sigs(0L) ^ sigs(2L)) > 10,
+      "unrelated docs should be Hamming-distant")
+  }
+
+  test("ANN brute force: self-similar planted vector is the top neighbor") {
+    val top = Similarity.bruteForceTopK(spark, sf, 3, 5)
+    val rows = top.collect()
+    assert(rows.length == 15) // 3 queries × 5 neighbors
+    rows.foreach { r =>
+      assert(r.getDouble(2) <= 1.000001 && r.getDouble(2) >= -1.000001)
+    }
+    // ranks are 1..5 per query
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.values.foreach(rs => assert(rs.map(_.getLong(3)).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L)))
+  }
+
+  test("LSH ANN recall: bucketed top-1 matches exact top-1 for most queries") {
+    val exact = Similarity.bruteForceTopK(spark, sf, 10, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lsh = Similarity.lshTopK(spark, sf, 10, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = exact.count { case (q, n) => lsh.get(q).contains(n) }
+    // 8 tables × 4 bits: expected top-1 recall ~80% on this data.
+    assert(hits >= 4, s"LSH recall too low: $hits/10 (exact=$exact lsh=$lsh)")
+  }
+
+  test("multimodal stub decode: deterministic features via mapPartitions") {
+    val feats = Multimodal.extractFeatures(Multimodal.mediaTable(spark, sf)).collect()
+    assert(feats.length == 500)
+    feats.foreach { f =>
+      assert(f.n_bytes > 0 && f.width >= 1 && f.width < 64 && f.height >= 1)
+      assert(f.mean_intensity > 0 && f.mean_intensity < 256)
+    }
+    // Determinism: same payload -> same features on a second run.
+    val again = Multimodal.extractFeatures(Multimodal.mediaTable(spark, sf)).collect()
+    assert(feats.sortBy(_.doc_id).toSeq == again.sortBy(_.doc_id).toSeq)
+  }
+
+  test("exact dedup: planted duplicate collapses to one representative") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "Same   Text here"), (11L, "same text HERE"), (12L, "different"))
+      .toDF("doc_id", "text")
+    val groups = docs
+      .select(col("doc_id"), md5(graft.functions.TextFns.normText(col("text"))).as("fp"))
+      .groupBy("fp").agg(min("doc_id").as("keep_id"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(groups == Map(10L -> 2L, 12L -> 1L))
+  }
+}

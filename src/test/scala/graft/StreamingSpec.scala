@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.operators.Relational
+import graft.streaming.EventStreams
+
+/** Structured Streaming specs: the streaming queries must agree with their
+  * batch twins on the same (finite) events data.
+  */
+class StreamingSpec extends SparkSpec {
+
+  test("streaming hourly counts == batch q11 aggregate") {
+    val stream = EventStreams.readEventStream(spark, sf)
+    val q = EventStreams.runToMemory(
+      EventStreams.hourlyCounts(stream), "hourly_out", OutputMode.Append)
+    try {
+      // Append mode only emits windows the watermark has closed; compare the
+      // emitted subset against the batch result — every emitted row must
+      // match batch exactly.
+      val streamed = spark.table("hourly_out")
+        .select(col("hour"), col("event_type"), col("n_events"), col("total_value"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val batch = Relational.q11.fn(spark, sf)
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(streamed.nonEmpty, "watermarked stream emitted no closed windows")
+      assert(streamed.subsetOf(batch),
+        s"streamed rows disagree with batch: ${streamed.diff(batch).take(3)}")
+    } finally q.stop()
+  }
+
+  test("stateful sessionization emits closed sessions consistent with batch") {
+    val stream = EventStreams.readEventStream(spark, sf)
+    val sess = EventStreams.sessionize(spark, stream)
+    val q = EventStreams.runToMemory(sess, "sessions_out", OutputMode.Append)
+    try {
+      val streamed = spark.table("sessions_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = Relational.q12.fn(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1) - 1, r.getLong(2))).toSet
+      // Streaming emits only *closed* sessions (the final open session per
+      // user stays in state); batch session_id starts at 1, streaming at 0.
+      assert(streamed.nonEmpty, "no sessions closed")
+      assert(streamed.subsetOf(batch),
+        s"streamed sessions disagree with batch: ${streamed.diff(batch).take(3)}")
+    } finally q.stop()
+  }
+}
