@@ -55,31 +55,37 @@ object Dedup {
   }
   private def permB(i: Int): Long = (69069L * (i + 7) + 362437L) % MersennePrime
 
-  /** doc_id, shingle (distinct word-3-gram shingles per document). */
+  /** doc_id, shingle (distinct word-3-gram shingles per document).
+    * Tokens are materialized in their own projection first: expressions
+    * inside `transform` lambdas are not common-subexpression-eliminated, so
+    * inlining `tokens()` would re-run the regex split per array element.
+    */
   def shingleSets(docs: DataFrame, n: Int = 3): DataFrame =
     docs
-      .select(col("doc_id"), explode(shingles(tokens(col("text")), n)).as("shingle"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(shingles(col("toks"), n)).as("shingle"))
       .distinct()
 
-  /** doc_id, sig: array<long> of NumPerms min-hash values. */
+  /** doc_id, sig: array<long> of NumPerms min-hash values, computed by the
+    * native [[graft.functions.SignatureAggs.MinHashSig]] aggregate (one
+    * 64-lane buffer per group instead of 64 aggregate columns). */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val base = pmod(xxhash64(col("shingle")), lit(MersennePrime)).as("h")
-    val mins = (0 until NumPerms).map(i =>
-      min(pmod(lit(permA(i)) * col("h") + lit(permB(i)), lit(MersennePrime))).as(s"m$i"))
+    graft.functions.SignatureAggs.register(docs.sparkSession)
     shingleSets(docs)
-      .select(col("doc_id"), base)
+      .select(col("doc_id"), pmod(xxhash64(col("shingle")), lit(MersennePrime)).as("h"))
       .groupBy("doc_id")
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), array((0 until NumPerms).map(i => col(s"m$i")): _*).as("sig"))
+      .agg(expr("minhash_sig(h)").as("sig"))
   }
 
   /** Candidate pairs (a < b) sharing at least one LSH band bucket. */
   def lshCandidates(sigs: DataFrame): DataFrame = {
     val bucketArr = array((0 until Bands).map(b =>
       xxhash64(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand), lit(b))): _*)
+    // Cache: the self-join below would otherwise recompute the whole
+    // signature aggregation for both sides (n rows × Bands — tiny).
     val banded = sigs.select(
       col("doc_id"),
-      posexplode(bucketArr).as(Seq("band", "bucket")))
+      posexplode(bucketArr).as(Seq("band", "bucket"))).cache()
     banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
@@ -117,18 +123,14 @@ object Dedup {
     None)
 
   // ---------------------------------------------------------------- SimHash
-  /** doc_id, simhash: 64-bit signature, bitwise majority of token hashes. */
+  /** doc_id, simhash: 64-bit signature, bitwise majority of token hashes,
+    * via the native [[graft.functions.SignatureAggs.SimHashSig]] aggregate. */
   def simhashSignatures(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val bitSums = (0 until 64).map(b =>
-      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"b$b"))
-    val assembled = (0 until 64)
-      .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
-      .reduce((x, y) => x.bitwiseOR(y))
-    tok.groupBy("doc_id")
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), assembled.as("simhash"))
+    graft.functions.SignatureAggs.register(docs.sparkSession)
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+      .groupBy("doc_id")
+      .agg(expr("simhash_sig(h)").as("simhash"))
   }
 
   /** Near-dup pairs with Hamming distance ≤ maxDist, banding the 64-bit

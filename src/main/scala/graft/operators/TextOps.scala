@@ -105,18 +105,23 @@ object TextOps {
   val langid = Q(
     "t05_langid",
     (s, d) => {
-      val toks = tokens(col("text"))
-      val hit = stopwords.map { case (l, ws) => l -> stopwordHits(toks, ws) }
+      // Tokens, then scores, each materialized in their own projection so
+      // the split and the stopword scans run once per row, not per use.
+      val hit = stopwords.map { case (l, ws) => l -> stopwordHits(col("toks"), ws) }
       Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
         .select(
           col("doc_id"),
           hit("en").cast("long").as("score_en"),
           hit("de").cast("long").as("score_de"),
           hit("es").cast("long").as("score_es"),
-          hit("fr").cast("long").as("score_fr"),
-          when(hit("en") >= hit("de") && hit("en") >= hit("es") && hit("en") >= hit("fr"), "en")
-            .when(hit("de") >= hit("es") && hit("de") >= hit("fr"), "de")
-            .when(hit("es") >= hit("fr"), "es")
+          hit("fr").cast("long").as("score_fr"))
+        .select(
+          col("doc_id"), col("score_en"), col("score_de"), col("score_es"), col("score_fr"),
+          when(col("score_en") >= col("score_de") && col("score_en") >= col("score_es") &&
+            col("score_en") >= col("score_fr"), "en")
+            .when(col("score_de") >= col("score_es") && col("score_de") >= col("score_fr"), "de")
+            .when(col("score_es") >= col("score_fr"), "es")
             .otherwise("fr").as("pred_lang"))
         .orderBy("doc_id")
     },
