@@ -160,5 +160,19 @@ object TextOps {
             substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 4) AS fp_bucket
             FROM documents ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(grep, wordcount, tokenCount, quality, langid, fingerprint)
+  /** Winnowing fingerprint via the native codegen'd Rabin–Karp rolling-hash
+    * expression (graft.functions.RollingMinHash). Rows-only check: the
+    * wrapping 64-bit polynomial arithmetic is not expressible in DuckDB
+    * (BIGINT overflow errors instead of wrapping). */
+  val winnow = Q(
+    "t07_winnow_fingerprint",
+    (s, d) => {
+      graft.functions.RollingMinHash.register(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"), expr("rolling_min_hash(text, 32)").as("winnow_fp"))
+        .orderBy("doc_id")
+    },
+    None)
+
+  val all: Seq[Q] = Seq(grep, wordcount, tokenCount, quality, langid, fingerprint, winnow)
 }

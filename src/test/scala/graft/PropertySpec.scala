@@ -1,0 +1,60 @@
+package graft
+
+import org.scalacheck.Gen
+import graft.functions.{Md5Mod, RollingMinHash}
+
+/** Property tests (beyond the reference's example-based suite — SURVEY.md §5
+  * notes it has none): algebraic invariants of the routing, hashing and
+  * fingerprint primitives over ScalaCheck-generated inputs. (Raw Gen
+  * sampling — the scalatest/scalacheck bridge artifact is not on the
+  * offline classpath.)
+  */
+class PropertySpec extends SparkSpec {
+
+  private val keyGen: Gen[String] = Gen.asciiPrintableStr.map(_.take(40))
+  private def samples[T](g: Gen[T], n: Int = 100): Seq[T] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(i.toLong)))
+
+  test("md5 routing: always in [0, n) and deterministic") {
+    for (k <- samples(keyGen); n <- Seq(1, 2, 3, 7, 32)) {
+      val p = Md5Mod.partitionOf(k, n)
+      assert(p >= 0 && p < n)
+      assert(p == Md5Mod.partitionOf(k, n))
+    }
+  }
+
+  test("md5 routing: n=1 sends everything to partition 0") {
+    samples(keyGen).foreach(k => assert(Md5Mod.partitionOf(k, 1) == 0))
+  }
+
+  test("rolling min hash: deterministic, monotone under append, total on short/empty") {
+    assert(RollingMinHash.minWindowHash(Array.emptyByteArray, 32) == 0L)
+    for (s <- samples(Gen.alphaNumStr, 200)) {
+      val b = s.getBytes("UTF-8")
+      val h = RollingMinHash.minWindowHash(b, 32)
+      assert(h == RollingMinHash.minWindowHash(b, 32))
+      // Appending only adds windows: the min can only stay or decrease.
+      assert(RollingMinHash.minWindowHash((s + "zzz").getBytes("UTF-8"), 32) <= h
+        || b.length < 32) // short inputs hash whole content, append changes it
+    }
+  }
+
+  test("mapreduce pipeline == reference groupBy-sum semantics for arbitrary inputs") {
+    import graft.operators.MapReduceJob
+    // SURVEY.md §5: partition-routing ∘ sort ∘ merge ∘ group must equal a
+    // global groupBy for arbitrary inputs. One Spark run over generated data.
+    val words = samples(Gen.oneOf("a", "b", "cc", "ddd", "e f", "Z"), 200)
+    val dir = java.nio.file.Files.createTempDirectory("graft-prop").toFile
+    java.nio.file.Files.write(
+      new java.io.File(dir, "f1").toPath,
+      words.mkString("\n").getBytes("UTF-8"))
+    val out = MapReduceJob.run(
+      spark,
+      MapReduceJob.JobSpec(dir.getAbsolutePath, MapReduceJob.wcMapper, MapReduceJob.wcReducer, 3))
+    val got = out.collect().map { l => val Array(k, v) = l.split("\t", 2); k -> v.toInt }.toMap
+    val expected = words
+      .flatMap(_.toLowerCase.split("[ \t]", -1))
+      .groupBy(identity).map { case (k, vs) => k -> vs.size }
+    assert(got == expected)
+  }
+}
