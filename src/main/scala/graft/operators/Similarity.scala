@@ -131,5 +131,57 @@ object Similarity {
             round(max(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 6) AS max_norm
             FROM embeddings GROUP BY label ORDER BY label"""))
 
-  val all: Seq[Q] = Seq(annBruteForce, annLsh, centroids)
+  /** ANN via IVF (inverted-file) coarse quantization: a deterministic
+    * codebook (the `nCells` lowest vec_ids, unit-normalized) partitions the
+    * corpus into cells; queries score only their `nProbe` nearest cells.
+    * This is the classic IVF-Flat layout: at 100 TB the corpus is written
+    * partitioned by cell id, so a probe reads nProbe/nCells of the data.
+    * Rows-only check (approximate by construction, still deterministic).
+    */
+  def ivfTopK(spark: SparkSession, d: String, nQueries: Int, k: Int,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+    def dotd(x: Array[Double], y: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < x.length) { s += x(i) * y(i); i += 1 }
+      s
+    }
+    def unit(a: Array[Float]): Array[Double] = {
+      val dv = a.map(_.toDouble)
+      val n = math.sqrt(dotd(dv, dv))
+      if (n == 0) dv else dv.map(_ / n)
+    }
+    // Deterministic codebook: lowest vec_ids as seed centroids. (A k-means
+    // refinement would slot in here; seeds keep it rerun-stable.)
+    val codebook = e.as[(Long, Array[Float])]
+      .filter(_._1 < nCells).collect().sortBy(_._1).map { case (id, v) => (id.toInt, unit(v)) }
+    val bc = spark.sparkContext.broadcast(codebook)
+    def nearestCells(v: Array[Float], n: Int): Seq[Int] =
+      bc.value.map { case (cid, c) => (cid, dotd(unit(v), c)) }
+        .sortBy { case (cid, s) => (-s, cid) }.take(n).map(_._1).toSeq
+    val corpus = e.as[(Long, Array[Float])]
+      .map { case (id, v) => (nearestCells(v, 1).head, id, v) }
+      .toDF("cell", "neighbor_id", "ne")
+    val queries = e.as[(Long, Array[Float])]
+      .filter(_._1 < nQueries)
+      .flatMap { case (id, v) => nearestCells(v, nProbe).map(c => (c, id, v)) }
+      .toDF("cell", "query_id", "qe")
+    val sims = corpus.join(broadcast(queries), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qe"), col("ne")).as("c"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id").orderBy(col("c").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("c"), 6).as("cos_sim"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  val annIvf = Q(
+    "s04_ann_ivf",
+    (s, d) => ivfTopK(s, d, 10, 5),
+    None)
+
+  val all: Seq[Q] = Seq(annBruteForce, annLsh, centroids, annIvf)
 }
