@@ -95,8 +95,11 @@ object Multimodal {
             CAST(greatest(1, (octet_length(encode(text)) // 64) % 64) AS BIGINT) AS height
             FROM documents ORDER BY doc_id"""))
 
-  /** Full stub-decode feature aggregation (mapPartitions path), rows-only:
-    * mean intensity per media_type bucket. */
+  /** Full stub-decode feature aggregation (mapPartitions path): mean byte
+    * intensity per media_type bucket. Oracle-checkable because the stub's
+    * "pixels" are the payload bytes themselves — DuckDB recomputes the mean
+    * via ord(substr(..)) over ASCII text (sums of <2^53 integers are exact
+    * in double on both sides). */
   val mediaFeatures = Q(
     "m02_media_features",
     (s, d) =>
@@ -107,7 +110,19 @@ object Multimodal {
           round(avg("mean_intensity"), 4).as("avg_intensity"),
           round(avg("n_bytes"), 4).as("avg_bytes"))
         .orderBy("media_type"),
-    None)
+    Some("""WITH chars AS (
+              SELECT doc_id, ord(substr(text, CAST(i AS INT), 1)) AS b
+              FROM documents, UNNEST(range(1, length(text) + 1)) AS r(i)),
+            per AS (
+              SELECT d.doc_id,
+                CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+                CAST(sum(c.b) AS DOUBLE) / octet_length(encode(d.text)) AS mean_intensity
+              FROM documents d JOIN chars c ON d.doc_id = c.doc_id
+              GROUP BY d.doc_id, d.text)
+            SELECT 'image/stub' AS media_type, count(*) AS n_media,
+              round(avg(mean_intensity), 4) AS avg_intensity,
+              round(avg(n_bytes), 4) AS avg_bytes
+            FROM per GROUP BY 1 ORDER BY media_type"""))
 
   val all: Seq[Q] = Seq(mediaMeta, mediaFeatures)
 }

@@ -300,5 +300,49 @@ object Relational {
               round(sum(value), 2) AS session_value
             FROM se GROUP BY user_id, session_id ORDER BY user_id, session_id"""))
 
-  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12)
+  /** Daily active users: date truncation + exact distinct per day. The
+    * two-phase distinct aggregate keeps the shuffle at (day, user) grain. */
+  val q13 = Q(
+    "q13_daily_active_users",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(
+          countDistinct("user_id").as("n_users"),
+          count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("total_value"))
+        .orderBy("day"),
+    Some("""SELECT date_trunc('day', ts) AS day,
+            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+            count(*) AS n_events, round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1 ORDER BY day"""))
+
+  /** Semi-structured extraction: events.props is a JSON string; extract a
+    * typed field and aggregate. get_json_object is codegen'd — at scale this
+    * is a pure scan-side projection, no shuffle beyond the final agg. */
+  val q14 = Q(
+    "q14_json_props",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(
+          col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+        .filter(col("k_val").isNotNull)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          round(avg("k_val"), 4).as("avg_k"),
+          min("k_val").as("min_k"),
+          max("k_val").as("max_k"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type, count(*) AS n,
+            round(avg(k_val), 4) AS avg_k,
+            min(k_val) AS min_k, max(k_val) AS max_k
+            FROM (SELECT event_type,
+                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+                  FROM events)
+            WHERE k_val IS NOT NULL
+            GROUP BY event_type ORDER BY event_type"""))
+
+  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14)
 }

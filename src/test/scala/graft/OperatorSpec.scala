@@ -25,8 +25,7 @@ class OperatorSpec extends SparkSpec {
   test("oracle SQL declared for every SQL-expressible query") {
     val rowsOnly = Set(
       "d02_dedup_minhash_lsh", "d03_dedup_simhash",
-      "s02_ann_lsh_bucketed", "s04_ann_ivf", "m02_media_features",
-      "t07_winnow_fingerprint")
+      "s02_ann_lsh_bucketed", "s04_ann_ivf", "t07_winnow_fingerprint")
     assert(SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet) == rowsOnly)
   }
 
