@@ -271,5 +271,53 @@ object Dedup {
               CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
             ORDER BY a, b"""))
 
-  val all: Seq[Q] = Seq(exact, minhash, simhash, ngramJaccard, embedding)
+  // ------------------------------------------------- dedup cluster assembly
+  /** Connected components over the near-dup pair graph by iterative
+    * min-label propagation (the simple form of the large-star/small-star
+    * map-reduce CC algorithm): each doc starts labeled with its own id;
+    * every round each doc takes the min label among itself and its
+    * neighbors. Converges in O(diameter) rounds — near-dup components are
+    * tiny, so `maxIters` rounds with an early-exit change count is plenty.
+    * Output: one row per document in a multi-doc cluster, with its cluster
+    * representative (min doc_id). Rows-only check (iterative, not SQL).
+    */
+  def dedupClusters(spark: SparkSession, d: String, threshold: Double,
+      maxIters: Int = 5): DataFrame = {
+    val pairs = minhashPairs(spark, d, threshold).select(col("a"), col("b"))
+    // Undirected edge list, both directions.
+    val edges = pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b"))).cache()
+    val members = edges.select(col("a").as("doc_id")).distinct()
+    var labels = members.select(col("doc_id"), col("doc_id").as("label")).cache()
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      // Candidate label per doc: min over neighbors' labels and its own.
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("doc_id", "b"), "b")
+        .select(col("a").as("doc_id"), col("label"))
+      val next = labels.unionAll(viaNeighbors)
+        .groupBy("doc_id").agg(min("label").as("label")).cache()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+      .groupBy("label").agg(collect_list("doc_id").as("ids"), count(lit(1)).as("cluster_size"))
+      .filter(col("cluster_size") > 1)
+      .select(
+        col("label").as("cluster_rep"),
+        explode(col("ids")).as("doc_id"),
+        col("cluster_size"))
+      .orderBy("cluster_rep", "doc_id")
+  }
+
+  val clusters = Q(
+    "d06_dedup_clusters",
+    (s, d) => dedupClusters(s, d, 0.5),
+    None)
+
+  val all: Seq[Q] = Seq(exact, minhash, simhash, ngramJaccard, embedding, clusters)
 }

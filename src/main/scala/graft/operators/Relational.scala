@@ -344,5 +344,22 @@ object Relational {
             WHERE k_val IS NOT NULL
             GROUP BY event_type ORDER BY event_type"""))
 
-  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14)
+  /** Sketch-based distinct: HyperLogLog approx_count_distinct next to the
+    * exact value. Rows-only check (HLL implementations differ between
+    * engines); the accuracy bound is asserted in OperatorSpec. At 100 TB
+    * the approx column is the one you can afford: fixed-size sketch,
+    * mergeable map-side, no (key, value)-grain shuffle. */
+  val q15 = Q(
+    "q15_approx_distinct",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct("l_partkey", 0.02).as("approx_parts"),
+          countDistinct("l_partkey").as("exact_parts"))
+        .orderBy("l_returnflag"),
+    None)
+
+  val all: Seq[Q] =
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15)
 }
