@@ -16,6 +16,7 @@ object GraftSession {
   def builder(appName: String, parallelism: Int = cpus): SparkSession.Builder =
     SparkSession
       .builder()
+      .withExtensions(new graft.plans.GraftExtensions)
       .appName(appName)
       .master(s"local[$parallelism]")
       .config("spark.sql.shuffle.partitions", parallelism.toString)

@@ -31,6 +31,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup: no duplicate signatures within the watermark horizon") {
+    val stream = EventStreams.readEventStream(spark, sf)
+    val q = EventStreams.runToMemory(
+      EventStreams.dedupStream(stream), "dedup_out", OutputMode.Append)
+    try {
+      val out = spark.table("dedup_out")
+        .select(col("user_id"), col("event_type"), col("value"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      assert(out.nonEmpty)
+      // Emitted rows must be unique on the dedup signature.
+      assert(out.length == out.distinct.length,
+        "duplicates survived dropDuplicatesWithinWatermark")
+      // And never more rows than the batch input has.
+      val batchTotal = graft.sources.Tables.events(spark, sf).count()
+      assert(out.length <= batchTotal)
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions consistent with batch") {
     val stream = EventStreams.readEventStream(spark, sf)
     val sess = EventStreams.sessionize(spark, stream)
