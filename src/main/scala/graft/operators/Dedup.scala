@@ -108,18 +108,27 @@ object Dedup {
       .distinct()
   }
 
-  /** Full MinHash-LSH near-dup pipeline; emits verified pairs with exact
-    * Jaccard ≥ threshold. No SQL oracle (hash-permutation pipeline); the
-    * driver records a rows-only check. */
-  def minhashPairs(spark: SparkSession, d: String, threshold: Double): DataFrame = {
-    val docs = Tables.documents(spark, d)
-    val sh = shingleSets(docs).cache()
-    val cands = lshCandidates(minhashSignatures(docs))
-    val shA = sh.select(col("doc_id").as("a"), col("shingle"))
-    val shB = sh.select(col("doc_id").as("b"), col("shingle"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cands.join(shA, "a").join(shB, Seq("b", "shingle"))
-      .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+  /** doc_id, sh_h: shingles as 64-bit hashes — all downstream equi-joins
+    * run on longs instead of strings (≈3× smaller shuffle rows, cheaper
+    * compares; xxhash64 collision odds over ~10^5 distinct shingles are
+    * ~1e-11, far below any practical concern). */
+  def hashedShingles(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
+
+  /** Exact pairwise Jaccard (pairs with ≥1 common shingle) from a hashed
+    * shingle set: co-group join on the shingle hash, count intersections,
+    * attach set sizes. */
+  def jaccardPairs(sh: DataFrame, candidates: Option[DataFrame]): DataFrame = {
+    val hs = hashedShingles(sh).cache()
+    val shA = hs.select(col("doc_id").as("a"), col("sh_h"))
+    val shB = hs.select(col("doc_id").as("b"), col("sh_h"))
+    val sizes = hs.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = candidates match {
+      case Some(c) => c.join(shA, "a").join(shB, Seq("b", "sh_h"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+      case None => shA.join(shB, "sh_h").filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+    }
     inter
       .join(sizes.select(col("doc_id").as("a"), col("n").as("n_a")), "a")
       .join(sizes.select(col("doc_id").as("b"), col("n").as("n_b")), "b")
@@ -127,6 +136,16 @@ object Dedup {
         col("a"), col("b"),
         round(col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")).cast("double"), 4).as("jaccard"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline; emits verified pairs with exact
+    * Jaccard ≥ threshold. No SQL oracle (hash-permutation pipeline); the
+    * driver records a rows-only check. */
+  def minhashPairs(spark: SparkSession, d: String, threshold: Double): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val sh = shingleSets(docs).cache()
+    val cands = lshCandidates(minhashSignatures(docs))
+    jaccardPairs(sh, Some(cands))
       .filter(col("jaccard") >= threshold)
       .orderBy("a", "b")
   }
@@ -179,19 +198,7 @@ object Dedup {
   val ngramJaccard = Q(
     "d04_ngram_jaccard",
     (s, d) => {
-      val sh = shingleSets(Tables.documents(s, d)).cache()
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = sh.select(col("doc_id").as("a"), col("shingle"))
-        .join(sh.select(col("doc_id").as("b"), col("shingle")), "shingle")
-        .filter(col("a") < col("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
-      inter
-        .join(sizes.select(col("doc_id").as("a"), col("n").as("n_a")), "a")
-        .join(sizes.select(col("doc_id").as("b"), col("n").as("n_b")), "b")
-        .select(
-          col("a"), col("b"),
-          round(col("n_common").cast("double") /
-            (col("n_a") + col("n_b") - col("n_common")).cast("double"), 4).as("jaccard"))
+      jaccardPairs(shingleSets(Tables.documents(s, d)), None)
         .filter(col("jaccard") >= 0.12)
         .orderBy("a", "b")
     },
