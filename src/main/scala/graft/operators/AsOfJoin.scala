@@ -32,6 +32,15 @@ object AsOfJoin {
       leftKey: String, rightKey: String, leftTime: String, rightTime: String,
       rightTiebreak: String, rightPayload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // Partition on the NATIVE key type — a silent cast (e.g. string→long)
+    // would null every key and merge unrelated groups. Union-side type
+    // equality is validated up front so incompatible keys fail fast.
+    val lkType = left.schema(leftKey).dataType
+    val rkType = right.schema(rightKey).dataType
+    require(lkType == rkType,
+      s"asOf: key dtype mismatch — left `$leftKey`: $lkType vs right `$rightKey`: $rkType; " +
+        "cast one side explicitly before joining")
+    val tbType = right.schema(rightTiebreak).dataType
     val rightStructType =
       right.select(struct(rightPayload.map(col): _*).as("s")).schema("s").dataType
     val leftStructType =
@@ -39,13 +48,13 @@ object AsOfJoin {
     // Tagged union: side 0 = right (candidates), side 1 = left (probes), so
     // at equal time the sort places right rows before the probes reading them.
     val l = left.select(
-      col(leftKey).cast("long").as("__key"), col(leftTime).as("__t"), lit(1).as("__side"),
-      lit(null).cast("long").as("__tb"),
+      col(leftKey).as("__key"), col(leftTime).as("__t"), lit(1).as("__side"),
+      lit(null).cast(tbType).as("__tb"),
       lit(null).cast(rightStructType).as("__payload"),
       struct(leftCols.map(col): _*).as("__leftrow"))
     val r = right.select(
-      col(rightKey).cast("long").as("__key"), col(rightTime).as("__t"), lit(0).as("__side"),
-      col(rightTiebreak).cast("long").as("__tb"),
+      col(rightKey).as("__key"), col(rightTime).as("__t"), lit(0).as("__side"),
+      col(rightTiebreak).as("__tb"),
       struct(rightPayload.map(col): _*).as("__payload"),
       lit(null).cast(leftStructType).as("__leftrow"))
     val unioned = l.unionByName(r)

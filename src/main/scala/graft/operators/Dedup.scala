@@ -283,34 +283,51 @@ object Dedup {
     * min-label propagation (the simple form of the large-star/small-star
     * map-reduce CC algorithm): each doc starts labeled with its own id;
     * every round each doc takes the min label among itself and its
-    * neighbors. Converges in O(diameter) rounds — near-dup components are
-    * tiny, so `maxIters` rounds with an early-exit change count is plenty.
+    * neighbors. Converges in O(diameter) rounds; the loop runs **until the
+    * change count hits zero** (bounded by `maxIters` purely as a runaway
+    * guard — exceeding it throws rather than silently returning split
+    * components).
+    *
+    * Each round's result is `localCheckpoint`ed: truncating the lineage is
+    * what makes the iteration scale — without it round k re-analyzes (and
+    * under recomputation re-executes) the whole LSH pipeline plus k-1
+    * rounds of joins. The old label rides through the group-by so the
+    * convergence check costs no extra join. At cluster scale the same loop
+    * runs with reliable checkpointing; the shape is identical.
     * Output: one row per document in a multi-doc cluster, with its cluster
     * representative (min doc_id). Rows-only check (iterative, not SQL).
     */
   def dedupClusters(spark: SparkSession, d: String, threshold: Double,
-      maxIters: Int = 5): DataFrame = {
+      maxIters: Int = 50): DataFrame = {
     val pairs = minhashPairs(spark, d, threshold).select(col("a"), col("b"))
-    // Undirected edge list, both directions.
-    val edges = pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b"))).cache()
-    val members = edges.select(col("a").as("doc_id")).distinct()
-    var labels = members.select(col("doc_id"), col("doc_id").as("label")).cache()
+    val idType = pairs.schema("a").dataType
+    // Undirected edge list, both directions; materialized once, lineage cut.
+    val edges = pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint()
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
       // Candidate label per doc: min over neighbors' labels and its own.
+      // `old` (the doc's current label, null on neighbor rows) survives the
+      // aggregate via max(), giving the change count from the same pass.
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("doc_id", "b"), "b")
-        .select(col("a").as("doc_id"), col("label"))
-      val next = labels.unionAll(viaNeighbors)
-        .groupBy("doc_id").agg(min("label").as("label")).cache()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+        .select(col("a").as("doc_id"), col("label"), lit(null).cast(idType).as("old"))
+      val self = labels.select(col("doc_id"), col("label"), col("label").as("old"))
+      val agg = self.unionAll(viaNeighbors)
+        .groupBy("doc_id").agg(min("label").as("label"), max("old").as("old"))
+        .localCheckpoint()
+      val changed = agg.filter(col("label") =!= col("old")).count()
+      labels = agg.select("doc_id", "label")
       converged = changed == 0
       iter += 1
     }
+    require(converged,
+      s"dedupClusters: label propagation did not converge in $maxIters rounds " +
+        "(component diameter exceeds the bound); raise maxIters")
     labels
       .groupBy("label").agg(collect_list("doc_id").as("ids"), count(lit(1)).as("cluster_size"))
       .filter(col("cluster_size") > 1)

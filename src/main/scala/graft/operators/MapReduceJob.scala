@@ -31,19 +31,24 @@ object MapReduceJob {
       numReducers: Int)
 
   /** Word-count mapper/reducer (reference `tests/testdata/exec/wc_map.sh:12`,
-    * `wc_reduce.sh:14`): split on space/tab, lowercase, keep empty tokens
-    * (blank lines count under the empty key). */
+    * `wc_reduce.sh:14`): split on space/tab AND literal brackets — the
+    * reference's `tr '[ \t]' '\n'` treats SET1 as the four literal chars
+    * `[`, space, tab, `]`, so brackets are token separators too. Empty
+    * tokens are kept (blank lines count under the empty key). */
   val wcMapper: String => IterableOnce[(String, String)] =
-    line => line.toLowerCase.split("[ \t]", -1).map(w => (w, "1"))
+    line => line.toLowerCase.split("[ \t\\[\\]]", -1).map(w => (w, "1"))
   val wcReducer: (String, Iterator[String]) => IterableOnce[String] =
     (key, vals) => Iterator.single(s"$key\t${vals.map(_.toInt).sum}")
 
   /** Grep mapper/reducer (reference `tests/testdata/exec/grep_map.py:14-28`,
-    * `grep_reduce.py:14-27`): emit matching lines under constant key "1". */
+    * `grep_reduce.py:14-27`): emit matching lines under constant key "1".
+    * Only the LINE is lowercased for the match — the reference does
+    * `query in line.lower()` without lowering the query, so an uppercase
+    * query matches nothing (reproduced here for parity). */
   def grepMapper(query: String): String => IterableOnce[(String, String)] =
     line => {
       val t = line.strip()
-      if (t.nonEmpty && t.toLowerCase.contains(query.toLowerCase)) Iterator.single(("1", t))
+      if (t.nonEmpty && t.toLowerCase.contains(query)) Iterator.single(("1", t))
       else Iterator.empty
     }
   val grepReducer: (String, Iterator[String]) => IterableOnce[String] =
@@ -75,6 +80,11 @@ object MapReduceJob {
               def next(): String = buf.next()._1._2
             }
             out = spec.reducer(key, vals).iterator.toList.iterator
+            // A reducer need not consume all its values (the reference
+            // pipes the whole group regardless); drain the remainder so
+            // the next loop iteration starts at the next key instead of
+            // re-reducing this one (or spinning forever).
+            while (vals.hasNext) vals.next()
           }
         }
         def hasNext: Boolean = { advance(); out.hasNext }

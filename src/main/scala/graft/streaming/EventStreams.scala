@@ -97,11 +97,16 @@ object EventStreams {
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
-          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.value))
+          // Full microsecond precision (getTime is millis-truncated;
+          // getNanos carries the sub-second part) so the 30-min gap compare
+          // matches batch q12's unix_micros exactly on sub-ms timestamps.
+          def micros(ts: java.sql.Timestamp): Long =
+            math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.value))
           var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0.0))
           val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
           sorted.foreach { e =>
-            val tsMicros = e.ts.getTime * 1000L
+            val tsMicros = micros(e.ts)
             if (st.n > 0L && tsMicros - st.lastTsMicros > gapMicros) {
               closed += SessionOut(userId, st.sessionId, st.n, st.value)
               st = SessionState(st.sessionId + 1, tsMicros, 1L, e.value)

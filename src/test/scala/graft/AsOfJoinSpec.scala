@@ -51,6 +51,31 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got.length == 1 && got(0).getLong(got(0).fieldIndex("o_orderkey")) == 9L)
   }
 
+  test("string keys join on native type (no silent long cast)") {
+    import spark.implicits._
+    val probes = Seq((1L, "alpha", ts("2024-01-01 10:00:00")),
+                     (2L, "beta", ts("2024-01-01 10:00:00")))
+      .toDF("event_id", "k", "ts")
+    val rights = Seq((100L, "alpha", ts("2024-01-01 09:00:00")),
+                     (200L, "beta", ts("2024-01-01 09:30:00")))
+      .toDF("rid", "k", "rt")
+    val got = AsOfJoin.asOf(probes, rights, "k", "k", "ts", "rt", "rid", Seq("rid"))
+      .select("event_id", "rid")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // A long-cast key would null both keys and merge the groups; native
+    // string partitioning must keep alpha/beta separate.
+    assert(got == Map(1L -> 100L, 2L -> 200L))
+  }
+
+  test("incompatible key dtypes fail fast instead of silently nulling") {
+    import spark.implicits._
+    val l = Seq((1L, "x", ts("2024-01-01 00:00:00"))).toDF("event_id", "k", "ts")
+    val r = Seq((9L, 5L, ts("2024-01-01 00:00:00"))).toDF("rid", "k", "rt")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(l, r, "k", "k", "ts", "rt", "rid", Seq("rid"))
+    }
+  }
+
   test("plan shape: one shuffle on the key, no join explosion") {
     val df = AsOfJoin.q16.fn(spark, sf)
     val plan = df.queryExecution.executedPlan.toString

@@ -66,6 +66,36 @@ class MapReduceParitySpec extends SparkSpec {
     assert(got == Map("" -> 1, "hello" -> 1, "world" -> 1))
   }
 
+  test("wc tokenizer parity: brackets are separators (tr SET1 is literal [ \\t])") {
+    // reference wc_map.sh:12 — tr '[ \t]' '\n' translates the four literal
+    // chars '[', ' ', '\t', ']' to newlines, so "[tag] x" yields tokens
+    // "", "tag", "", "x".
+    val dir = writeCorpus(Map("file01" -> "[Tag] Word\n"))
+    val out = MapReduceJob.run(
+      spark, JobSpec(dir, MapReduceJob.wcMapper, MapReduceJob.wcReducer, 1))
+    val got = out.collect().map { l => val Array(k, v) = l.split("\t", 2); k -> v.toInt }.toMap
+    assert(got == Map("" -> 2, "tag" -> 1, "word" -> 1))
+  }
+
+  test("grep parity: query is NOT lowercased (reference grep_map.py:28)") {
+    // `query in line.lower()` — an uppercase query can never match.
+    val out = MapReduceJob.run(
+      spark,
+      JobSpec(corpus, MapReduceJob.grepMapper("Hadoop"), MapReduceJob.grepReducer, 1))
+    assert(out.collect().isEmpty)
+  }
+
+  test("streaming reducer drain: non-consuming reducer sees each key once") {
+    // A reducer that ignores its values must not cause re-reduction of the
+    // same key (or an infinite loop): the runner drains leftover values.
+    val dir = writeCorpus(Map("file01" -> "a a b\n"))
+    val keyOnly: (String, Iterator[String]) => IterableOnce[String] =
+      (k, _) => Iterator.single(k)
+    val out = MapReduceJob.run(
+      spark, JobSpec(dir, MapReduceJob.wcMapper, keyOnly, 1))
+    assert(out.collect().toSeq.sorted == Seq("a", "b"))
+  }
+
   test("grep job golden: case-insensitive substring, line projection") {
     // reference grep_map.py / grep_reduce.py semantics.
     val out = MapReduceJob.run(

@@ -53,7 +53,7 @@ class PropertySpec extends SparkSpec {
       MapReduceJob.JobSpec(dir.getAbsolutePath, MapReduceJob.wcMapper, MapReduceJob.wcReducer, 3))
     val got = out.collect().map { l => val Array(k, v) = l.split("\t", 2); k -> v.toInt }.toMap
     val expected = words
-      .flatMap(_.toLowerCase.split("[ \t]", -1))
+      .flatMap(_.toLowerCase.split("[ \t\\[\\]]", -1))
       .groupBy(identity).map { case (k, vs) => k -> vs.size }
     assert(got == expected)
   }

@@ -68,7 +68,7 @@ class ScaleOpsSpec extends SparkSpec {
   }
 
   test("dedup clusters operator runs end-to-end on testdata") {
-    val out = Dedup.dedupClusters(spark, sf, threshold = 0.3, maxIters = 3)
+    val out = Dedup.dedupClusters(spark, sf, threshold = 0.3)
     val rows = out.collect()
     // Clusters, if any, must be well-formed: rep = min member, size = count.
     val byRep = rows.groupBy(_.getLong(0))
