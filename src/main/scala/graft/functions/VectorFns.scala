@@ -3,22 +3,20 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Embedding-vector column functions over `array<float>` columns.
+/** Embedding-vector column functions over `array<float|double>` columns.
   *
-  * Pure `functions._` compositions (`zip_with` + `aggregate`) so the dot
-  * product is evaluated inside codegen with no serialization; arithmetic is
-  * carried out in double to match the DuckDB oracle's
-  * `list_cosine_similarity` (which also accumulates in double, in element
-  * order — same left-fold, so results are bit-identical).
+  * The dot-product kernel is the native codegen'd [[DotProduct]] expression
+  * (injected as `vec_dot` by GraftExtensions): Spark's higher-order-function
+  * composition (`zip_with`+`aggregate`) evaluates interpreted and allocates
+  * an intermediate array per row, while the native expression is a fused
+  * multiply-accumulate loop inside whole-stage codegen. Arithmetic is a
+  * double-precision left-fold in element order — bit-identical to the DuckDB
+  * oracle's `list_cosine_similarity`/`list_dot_product` accumulation.
   */
 object VectorFns {
 
-  /** Sequential left-fold dot product in double precision. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+  /** Sequential left-fold dot product in double precision (codegen'd). */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -360,6 +360,113 @@ object Relational {
         .orderBy("l_returnflag"),
     None)
 
+  /** Set operations (INTERSECT / EXCEPT — distinct set semantics). Both
+    * compile to aggregate-based plans (hash-partition on the full row),
+    * never a product; at scale each is one shuffle of the key column only.
+    */
+  val q18 = Q(
+    "q18_set_ops",
+    (s, d) => {
+      val custKeys = Tables.customer(s, d).select(col("c_custkey").as("k"))
+      val activeBuyers = custKeys
+        .intersect(Tables.orders(s, d).select(col("o_custkey").as("k")))
+        .select(lit("active_buyer").as("tag"), col("k"))
+      val noEvents = custKeys
+        .except(Tables.events(s, d).select(col("user_id").as("k")))
+        .select(lit("no_events").as("tag"), col("k"))
+      activeBuyers.unionAll(noEvents).orderBy("tag", "k")
+    },
+    Some("""SELECT 'active_buyer' AS tag, k FROM
+              (SELECT c_custkey AS k FROM customer
+               INTERSECT
+               SELECT o_custkey FROM orders)
+            UNION ALL
+            SELECT 'no_events' AS tag, k FROM
+              (SELECT c_custkey AS k FROM customer
+               EXCEPT
+               SELECT user_id FROM events)
+            ORDER BY tag, k"""))
+
+  /** CUBE over two dimensions with grouping_id — all 4 grouping sets in one
+    * pass (Spark expands the cube map-side; one shuffle keyed by the padded
+    * grouping key). Keys are coalesced to 'ALL' so the output needs no
+    * NULL-ordering contract with the oracle.
+    */
+  val q19 = Q(
+    "q19_cube",
+    (s, d) =>
+      Tables.orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+          grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("total_price"))
+        .select(
+          col("gid"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"), col("total_price"))
+        .orderBy("gid", "status", "priority"),
+    Some("""SELECT CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+                   coalesce(o_orderstatus, 'ALL') AS status,
+                   coalesce(o_orderpriority, 'ALL') AS priority,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+            ORDER BY gid, status, priority"""))
+
+  /** Exact interpolated percentiles per group (Spark `percentile` ==
+    * DuckDB `quantile_cont`, both linear interpolation). Exact percentile
+    * is a per-group sort; the 100 TB path swaps in `percentile_approx`
+    * (one-pass sketch, fixed memory) — same query shape, see q15 for the
+    * sketch-accuracy pattern.
+    */
+  val q20 = Q(
+    "q20_percentiles",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.9D))").as("ps"))
+        .select(
+          col("l_returnflag"),
+          round(element_at(col("ps"), 1), 4).as("p25"),
+          round(element_at(col("ps"), 2), 4).as("p50"),
+          round(element_at(col("ps"), 3), 4).as("p90"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+                   round(qs[1], 4) AS p25, round(qs[2], 4) AS p50, round(qs[3], 4) AS p90
+            FROM (SELECT l_returnflag,
+                         quantile_cont(l_quantity, [0.25, 0.5, 0.9]) AS qs
+                  FROM lineitem GROUP BY l_returnflag)
+            ORDER BY l_returnflag"""))
+
+  /** Pivot (dynamic columns from a categorical) with an explicit value list
+    * — the list keeps the schema static so the plan is a single groupBy
+    * with conditional aggregates (no extra pass to discover values, which
+    * at 100 TB would be a full scan before the real one).
+    */
+  val q21 = Q(
+    "q21_pivot",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(
+          col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority,
+                   count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+                   count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+                   count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+            FROM orders GROUP BY o_orderpriority
+            ORDER BY o_orderpriority"""))
+
   val all: Seq[Q] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
+      q18, q19, q20, q21)
 }

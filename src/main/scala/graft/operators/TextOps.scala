@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Q
 import graft.functions.TextFns._
@@ -99,50 +101,118 @@ object TextOps {
               FROM documents)
             ORDER BY doc_id"""))
 
+  /** Stopword-hit language scores + argmax prediction over a `toks` column
+    * (deterministic priority en>de>es>fr). Shared by t05 and t09. */
+  private def withLangScores(toksDf: DataFrame): DataFrame = {
+    val hit = stopwords.map { case (l, ws) => l -> stopwordHits(col("toks"), ws) }
+    toksDf
+      .withColumn("score_en", hit("en").cast("long"))
+      .withColumn("score_de", hit("de").cast("long"))
+      .withColumn("score_es", hit("es").cast("long"))
+      .withColumn("score_fr", hit("fr").cast("long"))
+      .withColumn("pred_lang",
+        when(col("score_en") >= col("score_de") && col("score_en") >= col("score_es") &&
+          col("score_en") >= col("score_fr"), "en")
+          .when(col("score_de") >= col("score_es") && col("score_de") >= col("score_fr"), "de")
+          .when(col("score_es") >= col("score_fr"), "es")
+          .otherwise("fr"))
+  }
+
+  /** SQL twins of [[withLangScores]] for the DuckDB oracles. */
+  private def hitsSql(set: Seq[String]): String = {
+    val in = set.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> ''), t -> t IN ($in)))"
+  }
+  private def predLangSql: String = {
+    val en = hitsSql(stopwords("en")); val de = hitsSql(stopwords("de"))
+    val es = hitsSql(stopwords("es")); val fr = hitsSql(stopwords("fr"))
+    s"""CASE WHEN $en >= $de AND $en >= $es AND $en >= $fr THEN 'en'
+             WHEN $de >= $es AND $de >= $fr THEN 'de'
+             WHEN $es >= $fr THEN 'es'
+             ELSE 'fr' END"""
+  }
+
   /** Language-ID by stopword-hit scoring (n-gram/stopword heuristic —
     * deterministic argmax with fixed priority en>de>es>fr). Per-row column
     * math only; the stopword lists would be broadcast literals at scale. */
   val langid = Q(
     "t05_langid",
-    (s, d) => {
-      // Tokens, then scores, each materialized in their own projection so
-      // the split and the stopword scans run once per row, not per use.
-      val hit = stopwords.map { case (l, ws) => l -> stopwordHits(col("toks"), ws) }
-      Tables.documents(s, d)
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .select(
-          col("doc_id"),
-          hit("en").cast("long").as("score_en"),
-          hit("de").cast("long").as("score_de"),
-          hit("es").cast("long").as("score_es"),
-          hit("fr").cast("long").as("score_fr"))
-        .select(
-          col("doc_id"), col("score_en"), col("score_de"), col("score_es"), col("score_fr"),
-          when(col("score_en") >= col("score_de") && col("score_en") >= col("score_es") &&
-            col("score_en") >= col("score_fr"), "en")
-            .when(col("score_de") >= col("score_es") && col("score_de") >= col("score_fr"), "de")
-            .when(col("score_es") >= col("score_fr"), "es")
-            .otherwise("fr").as("pred_lang"))
-        .orderBy("doc_id")
-    },
+    (s, d) =>
+      withLangScores(Tables.documents(s, d).select(col("doc_id"), tokens(col("text")).as("toks")))
+        .select("doc_id", "score_en", "score_de", "score_es", "score_fr", "pred_lang")
+        .orderBy("doc_id"),
     Some {
-      def hits(set: Seq[String]) = {
-        val in = set.map(w => s"'$w'").mkString(", ")
-        s"len(list_filter(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> ''), t -> t IN ($in)))"
-      }
-      val en = hits(stopwords("en")); val de = hits(stopwords("de"))
-      val es = hits(stopwords("es")); val fr = hits(stopwords("fr"))
+      val en = hitsSql(stopwords("en")); val de = hitsSql(stopwords("de"))
+      val es = hitsSql(stopwords("es")); val fr = hitsSql(stopwords("fr"))
       s"""SELECT doc_id,
           CAST($en AS BIGINT) AS score_en,
           CAST($de AS BIGINT) AS score_de,
           CAST($es AS BIGINT) AS score_es,
           CAST($fr AS BIGINT) AS score_fr,
-          CASE WHEN $en >= $de AND $en >= $es AND $en >= $fr THEN 'en'
-               WHEN $de >= $es AND $de >= $fr THEN 'de'
-               WHEN $es >= $fr THEN 'es'
-               ELSE 'fr' END AS pred_lang
+          $predLangSql AS pred_lang
           FROM documents ORDER BY doc_id"""
     })
+
+  /** TF-IDF top terms per document — the canonical "what is this document
+    * about" readout of a corpus pipeline. tf is a (doc, term) aggregate,
+    * document frequency a term aggregate joined back on the term (at scale:
+    * vocabulary-sized, co-partitioned with tf by term), corpus size a
+    * 1-row broadcast; per-doc top-3 via window rank. Ranking happens on the
+    * quantized score (round 6) so the order contract is robust to last-ulp
+    * `ln` differences across engines.
+    */
+  val tfidf = Q(
+    "t08_tfidf_topterms",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val dfq = toks.distinct().groupBy("w").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).cast("double").as("n"))
+      val scored = tf.join(dfq, "w").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("w"),
+          round(col("tf") * log(col("n") / col("df")), 6).as("score"))
+      val rankW = Window.partitionBy("doc_id").orderBy(col("score").desc, col("w"))
+      scored.withColumn("rank", row_number().over(rankW).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("w").as("term"), col("rank"), col("score").as("tfidf"))
+        .orderBy("doc_id", "rank")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, unnest(list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS w
+              FROM documents),
+            tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
+            dfq AS (SELECT w, count(*) AS df
+                    FROM (SELECT DISTINCT doc_id, w FROM toks) GROUP BY w),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+            scored AS (
+              SELECT doc_id, w, round(tf * ln(n / df), 6) AS score
+              FROM tf JOIN dfq USING (w) CROSS JOIN n),
+            ranked AS (
+              SELECT doc_id, w, score,
+                CAST(row_number() OVER (PARTITION BY doc_id
+                  ORDER BY score DESC, w) AS BIGINT) AS rank
+              FROM scored)
+            SELECT doc_id, w AS term, rank, score AS tfidf
+            FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank"""))
+
+  /** Language-ID evaluation against the ground-truth `lang` column: the
+    * confusion matrix (actual × predicted). `zh` documents exist in the
+    * data but not in the classifier's label set — the eval shape is exactly
+    * how a pipeline measures that gap.
+    */
+  val langidEval = Q(
+    "t09_langid_eval",
+    (s, d) =>
+      withLangScores(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"), tokens(col("text")).as("toks")))
+        .groupBy("lang", "pred_lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "pred_lang"),
+    Some(s"""SELECT lang, $predLangSql AS pred_lang, count(*) AS n_docs
+             FROM documents
+             GROUP BY 1, 2 ORDER BY lang, pred_lang"""))
 
   /** Document fingerprinting: md5 over the whitespace-normalized text (the
     * exact-dedup key) plus a 16-bit bucket prefix usable as a shard key. */
@@ -174,5 +244,6 @@ object TextOps {
     },
     None)
 
-  val all: Seq[Q] = Seq(grep, wordcount, tokenCount, quality, langid, fingerprint, winnow)
+  val all: Seq[Q] =
+    Seq(grep, wordcount, tokenCount, quality, langid, fingerprint, winnow, tfidf, langidEval)
 }

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{Md5Mod, RollingMinHash, SignatureAggs}
+import graft.functions.{DotProduct, Md5Mod, RollingMinHash, SignatureAggs}
 
 /** SparkSessionExtensions wiring for the engine's custom Catalyst pieces.
   *
@@ -37,6 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(h) - 64-lane MinHash signature aggregate"),
       (exprs: Seq[Expression]) => SignatureAggs.MinHashSig(exprs.head).toAggregateExpression()))
+    e.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - codegen'd double-precision dot product over array<float|double>"),
+      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
     e.injectFunction((
       FunctionIdentifier("simhash_sig"),
       info("simhash_sig", "simhash_sig(h) - 64-bit SimHash signature aggregate"),
