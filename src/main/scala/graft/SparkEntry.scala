@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOfJoin, Dedup, Multimodal, RangeJoin, Relational, Similarity, TextOps}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, RangeJoin, Relational, Sampling, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +22,7 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, RangeJoin, Relational, Simi
 object SparkEntry {
   val inventory: Seq[Q] =
     Relational.all ++ TextOps.all ++ Dedup.all ++ Similarity.all ++
-      Multimodal.all ++ Seq(AsOfJoin.q16, RangeJoin.q17)
+      Multimodal.all ++ Sampling.all ++ Seq(AsOfJoin.q16, RangeJoin.q17)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -466,7 +466,32 @@ object Relational {
             FROM orders GROUP BY o_orderpriority
             ORDER BY o_orderpriority"""))
 
+  /** Fact-stream enrichment: events joined to the customer→nation dimension
+    * chain, aggregated per nation × event_type. Both dims are broadcast
+    * (customer/nation are KB–GB while events is the 100 TB fact side), so
+    * the plan is scan → 2 broadcast hash joins → partial agg → one shuffle
+    * of num_nations × num_types rows. The streaming twin is
+    * [[graft.streaming.EventStreams.enriched]] — same join, same agg, over
+    * `readStream`.
+    */
+  val q22 = Q(
+    "q22_events_enriched",
+    (s, d) =>
+      Tables.events(s, d)
+        .join(broadcast(Tables.customer(s, d)), col("user_id") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name", "event_type")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+        .orderBy("n_name", "event_type"),
+    Some("""SELECT n_name, event_type, count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM events
+            JOIN customer ON user_id = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name, event_type
+            ORDER BY n_name, event_type"""))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
-      q18, q19, q20, q21)
+      q18, q19, q20, q21, q22)
 }

@@ -244,6 +244,34 @@ object TextOps {
     },
     None)
 
+  /** Context chunking: split each document into fixed-width character
+    * windows (200 chars, 50-char overlap ⇒ stride 150) — the chunking step
+    * before tokenization/embedding in a training or RAG pipeline. The
+    * window starts come from `explode(sequence(...))` so it's a pure
+    * per-row flatMap (op 3's shape): no shuffle, output rows ≈ input_bytes
+    * / stride regardless of document skew, and a 100 GB document can't OOM
+    * a task the way a per-doc array-collect would.
+    */
+  val chunk = Q(
+    "t10_chunk",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          explode(sequence(
+            lit(1), greatest(length(col("text")) - lit(50), lit(1)), lit(150))).as("start"),
+          col("text"))
+        .select(
+          col("doc_id"), col("start"),
+          col("text").substr(col("start"), lit(200)).as("chunk"))
+        .orderBy("doc_id", "start"),
+    Some("""SELECT doc_id, start, substr(text, start, 200) AS chunk
+            FROM (SELECT doc_id, text,
+                         unnest(range(1, greatest(length(text) - 50, 1) + 1, 150)) AS start
+                  FROM documents)
+            ORDER BY doc_id, start"""))
+
   val all: Seq[Q] =
-    Seq(grep, wordcount, tokenCount, quality, langid, fingerprint, winnow, tfidf, langidEval)
+    Seq(grep, wordcount, tokenCount, quality, langid, fingerprint, winnow, tfidf,
+      langidEval, chunk)
 }

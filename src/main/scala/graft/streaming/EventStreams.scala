@@ -79,6 +79,44 @@ object EventStreams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type", "value")
 
+  /** Stream–static enrichment: the event stream joined to the (batch)
+    * customer→nation dimension chain, then aggregated per watermarked
+    * 1-hour window × nation. The static side is broadcast to every task —
+    * no stream-side shuffle for the join, and dimension refresh is just
+    * re-reading the batch table per micro-batch (Spark re-plans static
+    * sides each trigger). This is the streaming twin of batch q22.
+    */
+  def enriched(spark: SparkSession, events: DataFrame, sfDir: String): DataFrame = {
+    import graft.sources.Tables
+    val dims = broadcast(
+      Tables.customer(spark, sfDir)
+        .join(broadcast(Tables.nation(spark, sfDir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name")))
+    events
+      .withWatermark("ts", "2 hours")
+      .join(dims, col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour"), col("n_name"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .select(
+        col("window.start").as("hour"),
+        col("n_name"), col("n_events"), col("total_value"))
+  }
+
+  /** Batch form of [[enriched]] (same hourly window × nation aggregate over
+    * the static table) — the equivalence target for the streaming spec. */
+  def enrichedBatchTwin(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.Tables
+    Tables.events(spark, sfDir)
+      .join(broadcast(Tables.customer(spark, sfDir)), col("user_id") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(window(col("ts"), "1 hour"), col("n_name"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .select(
+        col("window.start").as("hour"),
+        col("n_name"), col("n_events"), col("total_value"))
+  }
+
   // ----------------------------------------------------- stateful sessions
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(sessionId: Long, lastTsMicros: Long, n: Long, value: Double)

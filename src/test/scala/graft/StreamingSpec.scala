@@ -49,6 +49,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment == batch windowed join-aggregate") {
+    val stream = EventStreams.readEventStream(spark, sf)
+    val q = EventStreams.runToMemory(
+      EventStreams.enriched(spark, stream, sf), "enriched_out", OutputMode.Append)
+    try {
+      val streamed = spark.table("enriched_out")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      // Batch twin: same hourly-window × nation aggregate over the static table.
+      val batch = EventStreams.enrichedBatchTwin(spark, sf)
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(streamed.nonEmpty, "watermarked enrichment emitted no closed windows")
+      assert(streamed.subsetOf(batch),
+        s"streamed enriched rows disagree with batch: ${streamed.diff(batch).take(3)}")
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions consistent with batch") {
     val stream = EventStreams.readEventStream(spark, sf)
     val sess = EventStreams.sessionize(spark, stream)
