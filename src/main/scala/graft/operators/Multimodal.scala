@@ -124,5 +124,34 @@ object Multimodal {
               round(avg(n_bytes), 4) AS avg_bytes
             FROM per GROUP BY 1 ORDER BY media_type"""))
 
-  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures)
+  /** Frame sampling: treat each payload as a "video" of fixed 64-char
+    * frames and keep every 4th frame — the uniform-stride frame-sample step
+    * of a video pipeline (a real one samples decoded frames; the stub
+    * samples payload windows, but the dataflow — flatMap row → sampled
+    * frames, no full-payload materialization per output row — is the real
+    * shape). Output size is input/stride regardless of per-doc skew.
+    */
+  val frameSample = Q(
+    "m03_frame_sample",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          explode(sequence(
+            lit(0),
+            floor((length(col("text")) - lit(1)) / lit(64)).cast("int"),
+            lit(4))).as("frame_idx"),
+          col("text"))
+        .select(
+          col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          md5(col("text").substr(col("frame_idx") * lit(64) + lit(1), lit(64))).as("frame_md5"))
+        .orderBy("doc_id", "frame_idx"),
+    Some("""SELECT doc_id, frame_idx,
+                   md5(substr(text, CAST(frame_idx * 64 + 1 AS INT), 64)) AS frame_md5
+            FROM (SELECT doc_id, text,
+                         unnest(range(0, (length(text) - 1) // 64 + 1, 4)) AS frame_idx
+                  FROM documents)
+            ORDER BY doc_id, frame_idx"""))
+
+  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample)
 }

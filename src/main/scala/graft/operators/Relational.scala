@@ -491,7 +491,65 @@ object Relational {
             GROUP BY n_name, event_type
             ORDER BY n_name, event_type"""))
 
+  /** Latest-record compaction (SCD-1 / upsert-materialization): one row per
+    * (user_id, event_type) carrying the most recent event. `max_by` keeps
+    * this a single hash-aggregate with map-side partials — at 100 TB that
+    * beats the window-function form (row_number over a sort) by an entire
+    * per-partition sort; the shuffle carries one row per key per map
+    * partition. ts is a safe order key: (user_id, event_type, ts) is unique
+    * in the data (checked), so no tie-break column is needed.
+    */
+  val q25 = Q(
+    "q25_latest_snapshot",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id", "event_type")
+        .agg(
+          max_by(col("event_id"), col("ts")).as("last_event_id"),
+          max(col("ts")).as("last_ts"),
+          max_by(col("value"), col("ts")).as("last_value"))
+        .orderBy("user_id", "event_type"),
+    Some("""SELECT user_id, event_type,
+                   arg_max(event_id, ts) AS last_event_id,
+                   max(ts) AS last_ts,
+                   arg_max(value, ts) AS last_value
+            FROM events
+            GROUP BY user_id, event_type
+            ORDER BY user_id, event_type"""))
+
+  /** Full outer join: per-customer event activity including customers with
+    * no events (the coverage/completeness audit shape). Events are
+    * pre-aggregated to one row per user BEFORE the join, so the outer join
+    * is dim-sized on both sides — never full-outer-join a raw 100 TB fact
+    * table when an aggregate-then-join gives the same answer.
+    */
+  val q26 = Q(
+    "q26_activity_coverage",
+    (s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      Tables.customer(s, d)
+        .join(perUser, col("c_custkey") === col("user_id"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("user_id")).as("cust"),
+          when(col("user_id").isNull, lit("no_events"))
+            .when(col("c_custkey").isNull, lit("unknown_user"))
+            .otherwise(lit("active")).as("status"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
+        .orderBy("cust")
+    },
+    Some("""SELECT coalesce(c_custkey, user_id) AS cust,
+                   CASE WHEN user_id IS NULL THEN 'no_events'
+                        WHEN c_custkey IS NULL THEN 'unknown_user'
+                        ELSE 'active' END AS status,
+                   coalesce(n_events, 0) AS n_events
+            FROM customer
+            FULL OUTER JOIN (SELECT user_id, count(*) AS n_events
+                             FROM events GROUP BY user_id) e
+              ON c_custkey = e.user_id
+            ORDER BY cust"""))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
-      q18, q19, q20, q21, q22)
+      q18, q19, q20, q21, q22, q25, q26)
 }

@@ -103,6 +103,22 @@ object EventStreams {
         col("n_name"), col("n_events"), col("total_value"))
   }
 
+  /** Run a streaming query to completion into a parquet directory with a
+    * checkpoint — the production sink shape: the checkpoint's write-ahead
+    * log makes the file sink exactly-once (a re-run resumes from the last
+    * committed batch instead of duplicating output). Returns the output dir.
+    */
+  def runToParquet(df: DataFrame, outDir: String, checkpointDir: String): Unit = {
+    val q = df.writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Batch form of [[enriched]] (same hourly window × nation aggregate over
     * the static table) — the equivalence target for the streaming spec. */
   def enrichedBatchTwin(spark: SparkSession, sfDir: String): DataFrame = {

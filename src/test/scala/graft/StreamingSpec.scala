@@ -67,6 +67,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("parquet sink with checkpoint: files hold exactly the emitted rows, re-run adds nothing") {
+    import java.nio.file.Files
+    val out = Files.createTempDirectory("graft-sink-out").toString
+    val ckpt = Files.createTempDirectory("graft-sink-ckpt").toString
+    // One stream plan reused for both runs: readEventStream stages the
+    // source into a fresh temp dir per call, and a new dir would look like
+    // new files to the second run regardless of the checkpoint.
+    val counts = EventStreams.hourlyCounts(EventStreams.readEventStream(spark, sf))
+    def run(): Unit = EventStreams.runToParquet(counts, out, ckpt)
+    run()
+    val first = spark.read.parquet(out)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(first.nonEmpty, "file sink wrote nothing")
+    assert(first.length == first.distinct.length, "duplicate rows in file sink")
+    // Same checkpoint, same (already-consumed) source: exactly-once means a
+    // restart commits no new rows.
+    run()
+    assert(spark.read.parquet(out).count() == first.length,
+      "re-run with the same checkpoint duplicated sink rows")
+  }
+
   test("stateful sessionization emits closed sessions consistent with batch") {
     val stream = EventStreams.readEventStream(spark, sf)
     val sess = EventStreams.sessionize(spark, stream)
