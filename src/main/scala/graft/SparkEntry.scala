@@ -7,17 +7,23 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, RangeJoin, Relational, Samp
   *
   * Query inventory (SURVEY.md §2 generalized + training-data-pipeline
   * extensions):
-  *  - q01..q12: relational operator inventory (scan/filter/project, agg,
+  *  - q01..q15: relational operator inventory (scan/filter/project, agg,
   *    shuffle/broadcast/multi joins, top-k, window, distinct, semi/anti,
-  *    rollup, events windowed agg, sessionize).
-  *  - t01..t06: text query library (grep, wordcount, token counting,
-  *    quality scoring, language-ID, fingerprinting).
-  *  - d01..d05: dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard,
-  *    embedding-cosine).
-  *  - s01..s03: similarity search (brute-force ANN, LSH-bucketed ANN,
-  *    per-label centroid stats).
-  *  - m01..m02: multimodal binary-column plumbing (metadata, stub-decode
-  *    features).
+  *    rollup, events windowed agg, sessionize, DAU, JSON props, HLL).
+  *  - q16/q17: as-of join, binned range (time-proximity) join.
+  *  - q18..q21: set ops, cube/grouping_id, percentiles, pivot.
+  *  - q22: stream-static enrichment (batch twin of EventStreams.enriched).
+  *  - q23/q24: deterministic md5-bucket sampling (uniform, stratified).
+  *  - q25/q26: latest-record compaction (max_by), full-outer coverage join.
+  *  - t01..t10: text query library (grep, wordcount, token counting,
+  *    quality scoring, language-ID, fingerprinting, winnowing, TF-IDF,
+  *    langid eval, context chunking).
+  *  - d01..d06: dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard,
+  *    embedding-cosine, connected-component clusters).
+  *  - s01..s04: similarity search (brute-force ANN, LSH-bucketed ANN,
+  *    per-label centroid stats, IVF ANN).
+  *  - m01..m03: multimodal binary-column plumbing (metadata, stub-decode
+  *    features, frame sampling; binaryFile ingest in Multimodal).
   */
 object SparkEntry {
   val inventory: Seq[Q] =

@@ -45,6 +45,26 @@ object Multimodal {
     }
   }
 
+  /** Media ingest from raw files: Spark's `binaryFile` source reads each
+    * file as one row (path, modificationTime, length, content) — the way a
+    * real pipeline lands image/audio blobs from an object store before
+    * compacting them into parquet payload columns. `pathGlobFilter` keeps
+    * non-media files out at the listing stage (no bytes read for them).
+    */
+  def readBinaryFiles(spark: SparkSession, dir: String, glob: String = "*"): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        // Stable id from the file name digits (ingest assigns real ids
+        // downstream; tests name files `<doc_id>.bin`).
+        regexp_extract(col("path"), "(\\d+)\\.[^.]*$", 1).cast("long").as("doc_id"),
+        lit("image/stub").as("media_type"),
+        col("content").as("payload"))
+      .as[MediaRecord]
+  }
+
   /** documents.text re-cast as a binary payload column — the multimodal
     * ingest shape (real pipelines read the bytes from parquet/object store
     * exactly like this). */

@@ -40,4 +40,13 @@ object Tables {
   }
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
+
+  /** Register every table as a temp view so the whole corpus is queryable
+    * as SQL text (`spark.sql("SELECT ... FROM lineitem ...")`) — same
+    * Catalyst plans as the DataFrame surface, same pushdown/pruning. */
+  def registerViews(spark: SparkSession, sfDir: String): Unit =
+    all.foreach { t =>
+      val df = if (t == "events") events(spark, sfDir) else load(spark, sfDir, t)
+      df.createOrReplaceTempView(t)
+    }
 }

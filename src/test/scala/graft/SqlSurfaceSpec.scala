@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Multimodal, Relational}
+import graft.sources.Tables
+
+/** SQL-text API surface: every table registered as a view, `spark.sql`
+  * plans identical to the DataFrame surface; plus the binaryFile media
+  * ingest round-trip.
+  */
+class SqlSurfaceSpec extends SparkSpec {
+
+  test("spark.sql over registered views matches the DataFrame surface") {
+    Tables.registerViews(spark, sf)
+    val viaSql = spark.sql(
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
+    val viaDf = Relational.q02.fn(spark, sf)
+      .select("l_returnflag", "l_linestatus", "sum_qty")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(viaSql == viaDf)
+  }
+
+  test("SQL joins across views plan with pushdown intact") {
+    Tables.registerViews(spark, sf)
+    val df = spark.sql(
+      """SELECT n_name, count(*) AS n
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > 0 GROUP BY n_name ORDER BY n_name""".stripMargin)
+    assert(df.collect().length > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(c_acctbal), GreaterThan(c_acctbal,0.0)")
+      || plan.contains("GreaterThan(c_acctbal"), s"filter not pushed to scan:\n$plan")
+  }
+
+  test("binaryFile ingest: staged media files round-trip through feature extraction") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-media")
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").orderBy("doc_id").limit(5)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    docs.foreach { case (id, text) =>
+      Files.write(dir.resolve(s"$id.bin"), text.getBytes("UTF-8"))
+      Files.write(dir.resolve(s"ignore_$id.txt"), Array[Byte](1, 2, 3))
+    }
+    val media = Multimodal.readBinaryFiles(spark, dir.toString, "*.bin")
+    val feats = Multimodal.extractFeatures(media)
+      .collect().map(f => f.doc_id -> f.n_bytes).toMap
+    assert(feats.keySet == docs.map(_._1).toSet, "glob filter or id parse wrong")
+    docs.foreach { case (id, text) =>
+      assert(feats(id) == text.getBytes("UTF-8").length.toLong)
+    }
+  }
+}
