@@ -110,6 +110,34 @@ class MapReduceParitySpec extends SparkSpec {
     assert(lines == Set("HELLO WORLD BYE WORLD", "HELLO HADOOP GOODBYE HADOOP"))
   }
 
+  // ---- reference golden-corpus integration parity (the reference's own
+  // end-to-end tests: tests/test_integration_00.py / _01.py run wc and grep
+  // over tests/testdata/input and diff against tests/testdata/correct/*).
+  private val refData = "/root/reference/tests/testdata"
+
+  private def goldenLines(name: String): Seq[String] = {
+    val src = scala.io.Source.fromFile(s"$refData/correct/$name")("UTF-8")
+    try src.getLines().toList finally src.close()
+  }
+
+  test("reference golden: word count over the 8-file corpus == word_count_correct.txt") {
+    assume(new java.io.File(s"$refData/input").isDirectory)
+    val out = MapReduceJob.run(
+      spark, JobSpec(s"$refData/input", MapReduceJob.wcMapper, MapReduceJob.wcReducer, 1))
+    // reference test_integration_01.py:36-40 compares sorted lines.
+    assert(out.collect().toSeq.sorted == goldenLines("word_count_correct.txt").sorted)
+  }
+
+  test("reference golden: grep 'product' over the 8-file corpus == grep_correct.txt exactly") {
+    assume(new java.io.File(s"$refData/input").isDirectory)
+    val out = MapReduceJob.run(
+      spark,
+      JobSpec(s"$refData/input", MapReduceJob.grepMapper("product"), MapReduceJob.grepReducer, 1))
+    // reference test_integration_00.py:33-38 is a byte-exact filecmp —
+    // order included (the framework sorts even pure projections).
+    assert(out.collect().toSeq == goldenLines("grep_correct.txt"))
+  }
+
   test("md5_mod registered SQL function matches the partitioner") {
     Md5Mod.register(spark)
     val r = spark.sql("SELECT md5_mod('hello', 2) AS p, md5_mod('world', 2) AS q").collect()(0)
