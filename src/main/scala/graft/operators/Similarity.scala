@@ -131,31 +131,79 @@ object Similarity {
             round(max(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 6) AS max_norm
             FROM embeddings GROUP BY label ORDER BY label"""))
 
+  private def dotd(x: Array[Double], y: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < x.length) { s += x(i) * y(i); i += 1 }
+    s
+  }
+  private def unit(a: Array[Float]): Array[Double] = {
+    val dv = a.map(_.toDouble)
+    val n = math.sqrt(dotd(dv, dv))
+    if (n == 0) dv else dv.map(_ / n)
+  }
+  private def unitD(a: Array[Double]): Array[Double] = {
+    val n = math.sqrt(dotd(a, a))
+    if (n == 0) a else a.map(_ / n)
+  }
+
+  /** Spherical k-means refinement of an IVF codebook (Lloyd iterations with
+    * unit-normalized centroids — the right geometry for cosine similarity).
+    * Seeded deterministically by the caller; no RNG. Each iteration is one
+    * corpus pass: per-partition partial (sum, count) accumulators keyed by
+    * cell, combined with `reduceByKey` — the map-side-combine shape that
+    * keeps the shuffle at O(nCells × dim × partitions) bytes regardless of
+    * corpus size, so the loop costs `iters` scans at 100 TB, not `iters`
+    * sorts.
+    */
+  def refineCodebook(
+      spark: SparkSession,
+      vecs: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+      seeds: Array[(Int, Array[Double])],
+      iters: Int): Array[(Int, Array[Double])] = {
+    var cb = seeds
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(cb)
+      val partials = vecs.rdd.mapPartitions { it =>
+        val acc = scala.collection.mutable.Map.empty[Int, (Array[Double], Long)]
+        it.foreach { case (_, v) =>
+          val uv = unit(v)
+          val cell = bc.value
+            .map { case (cid, c) => (cid, dotd(uv, c)) }
+            .maxBy { case (cid, s) => (s, -cid) }._1
+          val (sum, n) = acc.getOrElseUpdate(cell, (new Array[Double](uv.length), 0L))
+          var i = 0; while (i < uv.length) { sum(i) += uv(i); i += 1 }
+          acc(cell) = (sum, n + 1)
+        }
+        acc.iterator
+      }.reduceByKey { (a: (Array[Double], Long), b: (Array[Double], Long)) =>
+        val (s1, n1) = a; val (s2, n2) = b
+        var i = 0; while (i < s1.length) { s1(i) += s2(i); i += 1 }
+        (s1, n1 + n2)
+      }.collect()
+      // Empty cells keep their previous centroid (standard k-means fallback).
+      val updated = partials.map { case (cell, (sum, n)) =>
+        cell -> unitD(sum.map(_ / n))
+      }.toMap
+      cb = cb.map { case (cid, c) => (cid, updated.getOrElse(cid, c)) }
+    }
+    cb
+  }
+
   /** ANN via IVF (inverted-file) coarse quantization: a deterministic
-    * codebook (the `nCells` lowest vec_ids, unit-normalized) partitions the
-    * corpus into cells; queries score only their `nProbe` nearest cells.
+    * codebook (the `nCells` lowest vec_ids as seeds, refined by
+    * [[refineCodebook]] spherical k-means) partitions the corpus into
+    * cells; queries score only their `nProbe` nearest cells.
     * This is the classic IVF-Flat layout: at 100 TB the corpus is written
     * partitioned by cell id, so a probe reads nProbe/nCells of the data.
     * Rows-only check (approximate by construction, still deterministic).
     */
   def ivfTopK(spark: SparkSession, d: String, nQueries: Int, k: Int,
-      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+      nCells: Int = 16, nProbe: Int = 4, kmeansIters: Int = 3): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
-    def dotd(x: Array[Double], y: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < x.length) { s += x(i) * y(i); i += 1 }
-      s
-    }
-    def unit(a: Array[Float]): Array[Double] = {
-      val dv = a.map(_.toDouble)
-      val n = math.sqrt(dotd(dv, dv))
-      if (n == 0) dv else dv.map(_ / n)
-    }
-    // Deterministic codebook: lowest vec_ids as seed centroids. (A k-means
-    // refinement would slot in here; seeds keep it rerun-stable.)
-    val codebook = e.as[(Long, Array[Float])]
+    val seeds = e.as[(Long, Array[Float])]
       .filter(_._1 < nCells).collect().sortBy(_._1).map { case (id, v) => (id.toInt, unit(v)) }
+    val codebook = refineCodebook(spark, e.as[(Long, Array[Float])], seeds, kmeansIters)
     val bc = spark.sparkContext.broadcast(codebook)
     def nearestCells(v: Array[Float], n: Int): Seq[Int] =
       bc.value.map { case (cid, c) => (cid, dotd(unit(v), c)) }
