@@ -1,24 +1,23 @@
 package graft
 
-import graft.operators.Dedup
-import graft.sources.Tables
-
-/** Throwaway profiling main (dev only). */
+/** Throwaway profiling main (dev only): time named inventory queries twice
+  * each (warm second run) without the full bench. */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("d02_dedup_minhash_lsh", "d03_dedup_simhash", "d04_ngram_jaccard", "d06_dedup_clusters")
     val spark = GraftSession.get("graft-scratch")
-    def time[T](name: String)(f: => T): T = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"[scratch] $name: ${(System.nanoTime() - t0) / 1e9}%.3f s")
-      r
+    SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    names.foreach { n =>
+      val fn = SparkEntry.queries(n)
+      (1 to 2).foreach { i =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        fn(spark, d).write.format("noop").mode("overwrite").save()
+        println(f"[scratch] $n run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
     }
-    val docs = Tables.documents(spark, d)
-    time("shingleSets.count") { println(Dedup.shingleSets(docs).count()) }
-    val sigs = time("signatures") { val s = Dedup.minhashSignatures(docs).cache(); println(s.count()); s }
-    time("lshCandidates.count") { println(Dedup.lshCandidates(sigs).count()) }
-    time("full minhashPairs") { println(Dedup.minhashPairs(spark, d, 0.5).count()) }
     spark.stop()
   }
 }

@@ -26,6 +26,24 @@ import graft.sources.Tables
   * All hashing is deterministic (xxhash64 with fixed seed behavior /
   * arithmetic over fixed constants) so results are stable across runs and
   * cluster sizes.
+  *
+  * Two execution rules shared by every pipeline here, both of which matter
+  * as much at 100 TB as they do locally:
+  *
+  *  1. **Spread the corpus before per-document CPU work.** A small table
+  *     arrives as few scan tasks (here: one parquet file → one task);
+  *     tokenizing/shingling behind that scan would run nearly serial. One
+  *     round-robin repartition of (doc_id, text) costs a shuffle of the raw
+  *     text and buys full-cluster parallelism for everything downstream.
+  *  2. **Materialize shared subtrees eagerly (localCheckpoint), never rely
+  *     on lazy `cache()` under a multi-branch plan.** The shingle set feeds
+  *     three consumers (signature agg, set sizes, intersection join); AQE
+  *     launches those subqueries concurrently, and a lazily-cached partition
+  *     is then computed redundantly by every branch that arrives before the
+  *     first one finishes materializing it (observed as racing "Block
+  *     already exists" warnings and N× the work). An eager checkpoint runs
+  *     the producing stage exactly once; on a cluster the same call runs
+  *     with reliable checkpointing.
   */
 object Dedup {
 
@@ -44,16 +62,28 @@ object Dedup {
             FROM documents
             GROUP BY 1 ORDER BY keep_id"""))
 
+  /** Round-robin-spread (doc_id, text) — execution rule 1 above. */
+  private def spread(docs: DataFrame): DataFrame = {
+    val p = docs.sparkSession.sparkContext.defaultParallelism
+    docs.select(col("doc_id"), col("text")).repartition(p)
+  }
+
+  /** Unpersist every checkpointed RDD referenced by `df`'s plan — the
+    * cleanup half of execution rule 2: once a downstream checkpoint is
+    * materialized, its inputs' blocks are dead weight in the block manager
+    * (they would otherwise live until GC-triggered ContextCleaner passes).
+    */
+  private def unpersistCheckpoints(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
+
   // ---------------------------------------------------------------- MinHash
   val NumPerms = 64
   val Bands = 16
   val RowsPerBand: Int = NumPerms / Bands // 4
   private val MersennePrime = 2147483647L // 2^31 - 1
-  /** Deterministic LCG-derived permutation coefficients. */
-  private def permA(i: Int): Long = (1103515245L * (i + 1) + 12345L) % MersennePrime match {
-    case 0 => 1L; case a => a
-  }
-  private def permB(i: Int): Long = (69069L * (i + 7) + 362437L) % MersennePrime
 
   /** doc_id, shingle (distinct word-3-gram shingles per document).
     *
@@ -67,7 +97,7 @@ object Dedup {
     */
   def shingleSets(docs: DataFrame, n: Int = 3): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    spread(docs).as[(Long, String)]
       .flatMap { case (id, text) =>
         val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
         if (toks.length < n) Iterator.empty
@@ -80,26 +110,45 @@ object Dedup {
       .toDF("doc_id", "shingle")
   }
 
-  /** doc_id, sig: array<long> of NumPerms min-hash values, computed by the
-    * native [[graft.functions.SignatureAggs.MinHashSig]] aggregate (one
-    * 64-lane buffer per group instead of 64 aggregate columns). */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    graft.functions.SignatureAggs.register(docs.sparkSession)
-    shingleSets(docs)
-      .select(col("doc_id"), pmod(xxhash64(col("shingle")), lit(MersennePrime)).as("h"))
+  /** doc_id, sh_h: shingles as 64-bit hashes — all downstream equi-joins
+    * and aggregates run on longs instead of strings (≈3× smaller shuffle
+    * rows, cheaper compares; xxhash64 collision odds over ~10^5 distinct
+    * shingles are ~1e-11, far below any practical concern). */
+  def hashedShingles(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
+
+  /** The corpus's hashed shingle sets computed in ONE pass and eagerly
+    * materialized — the shared input of signatures, set sizes, and the
+    * intersection join (execution rule 2). */
+  def materializedShingleHashes(docs: DataFrame): DataFrame =
+    hashedShingles(shingleSets(docs)).localCheckpoint()
+
+  /** doc_id, sig: array<long> of NumPerms min-hash values over hashed
+    * shingles, computed by the native
+    * [[graft.functions.SignatureAggs.MinHashSig]] aggregate (one 64-lane
+    * buffer per group instead of 64 aggregate columns). */
+  def signaturesFromHashes(hs: DataFrame): DataFrame = {
+    graft.functions.SignatureAggs.register(hs.sparkSession)
+    hs.select(col("doc_id"), pmod(col("sh_h"), lit(MersennePrime)).as("h"))
       .groupBy("doc_id")
       .agg(expr("minhash_sig(h)").as("sig"))
   }
+
+  /** doc_id, sig — from raw documents (one-shot form; pipelines that also
+    * need the shingles should build [[materializedShingleHashes]] once and
+    * call [[signaturesFromHashes]]). */
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    signaturesFromHashes(hashedShingles(shingleSets(docs)))
 
   /** Candidate pairs (a < b) sharing at least one LSH band bucket. */
   def lshCandidates(sigs: DataFrame): DataFrame = {
     val bucketArr = array((0 until Bands).map(b =>
       xxhash64(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand), lit(b))): _*)
-    // Cache: the self-join below would otherwise recompute the whole
-    // signature aggregation for both sides (n rows × Bands — tiny).
+    // Eagerly materialized: the self-join's two sides would otherwise each
+    // recompute the whole signature aggregation (execution rule 2).
     val banded = sigs.select(
       col("doc_id"),
-      posexplode(bucketArr).as(Seq("band", "bucket"))).cache()
+      posexplode(bucketArr).as(Seq("band", "bucket"))).localCheckpoint()
     banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
@@ -108,18 +157,10 @@ object Dedup {
       .distinct()
   }
 
-  /** doc_id, sh_h: shingles as 64-bit hashes — all downstream equi-joins
-    * run on longs instead of strings (≈3× smaller shuffle rows, cheaper
-    * compares; xxhash64 collision odds over ~10^5 distinct shingles are
-    * ~1e-11, far below any practical concern). */
-  def hashedShingles(sh: DataFrame): DataFrame =
-    sh.select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
-
-  /** Exact pairwise Jaccard (pairs with ≥1 common shingle) from a hashed
-    * shingle set: co-group join on the shingle hash, count intersections,
-    * attach set sizes. */
-  def jaccardPairs(sh: DataFrame, candidates: Option[DataFrame]): DataFrame = {
-    val hs = hashedShingles(sh).cache()
+  /** Exact pairwise Jaccard (pairs with ≥1 common shingle) over an
+    * already-materialized hashed shingle set: co-group join on the shingle
+    * hash, count intersections, attach set sizes. */
+  def jaccardPairsHashed(hs: DataFrame, candidates: Option[DataFrame]): DataFrame = {
     val shA = hs.select(col("doc_id").as("a"), col("sh_h"))
     val shB = hs.select(col("doc_id").as("b"), col("sh_h"))
     val sizes = hs.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -138,14 +179,18 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_common")).cast("double"), 4).as("jaccard"))
   }
 
+  /** Exact pairwise Jaccard from raw (doc_id, shingle) rows. */
+  def jaccardPairs(sh: DataFrame, candidates: Option[DataFrame]): DataFrame =
+    jaccardPairsHashed(hashedShingles(sh).localCheckpoint(), candidates)
+
   /** Full MinHash-LSH near-dup pipeline; emits verified pairs with exact
-    * Jaccard ≥ threshold. No SQL oracle (hash-permutation pipeline); the
-    * driver records a rows-only check. */
+    * Jaccard ≥ threshold. One tokenize+shingle pass feeds signatures,
+    * candidate generation, and verification. No SQL oracle
+    * (hash-permutation pipeline); the driver records a rows-only check. */
   def minhashPairs(spark: SparkSession, d: String, threshold: Double): DataFrame = {
-    val docs = Tables.documents(spark, d)
-    val sh = shingleSets(docs).cache()
-    val cands = lshCandidates(minhashSignatures(docs))
-    jaccardPairs(sh, Some(cands))
+    val hs = materializedShingleHashes(Tables.documents(spark, d))
+    val cands = lshCandidates(signaturesFromHashes(hs))
+    jaccardPairsHashed(hs, Some(cands))
       .filter(col("jaccard") >= threshold)
       .orderBy("a", "b")
   }
@@ -160,7 +205,7 @@ object Dedup {
     * via the native [[graft.functions.SignatureAggs.SimHashSig]] aggregate. */
   def simhashSignatures(docs: DataFrame): DataFrame = {
     graft.functions.SignatureAggs.register(docs.sparkSession)
-    docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    spread(docs).select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       .select(col("doc_id"), xxhash64(col("t")).as("h"))
       .groupBy("doc_id")
       .agg(expr("simhash_sig(h)").as("simhash"))
@@ -169,12 +214,13 @@ object Dedup {
   /** Near-dup pairs with Hamming distance ≤ maxDist, banding the 64-bit
     * signature into 4 16-bit chunks (pigeonhole ⇒ recall 1.0 for d ≤ 3). */
   def simhashPairs(spark: SparkSession, d: String, maxDist: Int): DataFrame = {
-    val sigs = simhashSignatures(Tables.documents(spark, d)).cache()
+    val sigs = simhashSignatures(Tables.documents(spark, d))
     val chunkArr = array((0 until 4).map(c =>
       shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)
+    // Eagerly materialized for the self-join (execution rule 2).
     val chunked = sigs.select(
       col("doc_id"), col("simhash"),
-      posexplode(chunkArr).as(Seq("chunk", "ck")))
+      posexplode(chunkArr).as(Seq("chunk", "ck"))).localCheckpoint()
     chunked.as("x")
       .join(chunked.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.ck") === col("y.ck") &&
@@ -234,7 +280,8 @@ object Dedup {
     * vectors against it with a primitive double loop — ~100× faster than
     * the interpreted higher-order-function fold, with identical
     * left-fold double arithmetic, so results still match the DuckDB
-    * oracle bit-for-bit.
+    * oracle bit-for-bit. The probe side is repartitioned so the scoring
+    * loop uses every core (the embeddings table is a single-file scan).
     */
   def embeddingPairs(spark: SparkSession, d: String, threshold: Double): DataFrame = {
     import spark.implicits._
@@ -255,7 +302,7 @@ object Dedup {
       (id, dv, math.sqrt(dotd(dv, dv)))
     }
     val bc = spark.sparkContext.broadcast(corpus)
-    e.mapPartitions { it =>
+    e.repartition(spark.sparkContext.defaultParallelism).mapPartitions { it =>
       it.flatMap { case (a, ea) =>
         val da = ea.map(_.toDouble)
         val na = math.sqrt(dotd(da, da))
@@ -279,31 +326,40 @@ object Dedup {
             ORDER BY a, b"""))
 
   // ------------------------------------------------- dedup cluster assembly
-  /** Connected components over the near-dup pair graph by iterative
-    * min-label propagation (the simple form of the large-star/small-star
-    * map-reduce CC algorithm): each doc starts labeled with its own id;
-    * every round each doc takes the min label among itself and its
-    * neighbors. Converges in O(diameter) rounds; the loop runs **until the
-    * change count hits zero** (bounded by `maxIters` purely as a runaway
-    * guard — exceeding it throws rather than silently returning split
-    * components).
+  /** Connected components over the near-dup pair graph by min-label
+    * propagation with **path halving**: each round every doc takes the min
+    * label among itself and its neighbors (one hop), then jumps to its
+    * label's own label (label(label(v)) — a second hop along the pointer
+    * forest for free). The jump makes label trees collapse geometrically,
+    * so the loop converges in O(log diameter) rounds instead of
+    * O(diameter) — on a chain of 2^k near-dups that is k rounds, not 2^k.
+    * The loop runs **until the change count hits zero** (bounded by
+    * `maxIters` purely as a runaway guard — exceeding it throws rather
+    * than silently returning split components).
     *
     * Each round's result is `localCheckpoint`ed: truncating the lineage is
     * what makes the iteration scale — without it round k re-analyzes (and
     * under recomputation re-executes) the whole LSH pipeline plus k-1
-    * rounds of joins. The old label rides through the group-by so the
-    * convergence check costs no extra join. At cluster scale the same loop
-    * runs with reliable checkpointing; the shape is identical.
+    * rounds of joins. Once round k is materialized, round k-1's checkpoint
+    * blocks are explicitly unpersisted (they would otherwise accumulate in
+    * the block manager for the life of the job). The old label rides
+    * through the group-by so the convergence check costs no extra join. At
+    * cluster scale the same loop runs with reliable checkpointing; the
+    * shape is identical.
     * Output: one row per document in a multi-doc cluster, with its cluster
     * representative (min doc_id). Rows-only check (iterative, not SQL).
     */
   def dedupClusters(spark: SparkSession, d: String, threshold: Double,
       maxIters: Int = 50): DataFrame = {
-    val pairs = minhashPairs(spark, d, threshold).select(col("a"), col("b"))
+    val rawPairs = minhashPairs(spark, d, threshold).select(col("a"), col("b"))
+    val pairs = rawPairs.localCheckpoint()
+    // The LSH pipeline's own checkpoints (shingle hashes, banded sigs) are
+    // dead once the pair list is materialized.
+    unpersistCheckpoints(rawPairs)
     val idType = pairs.schema("a").dataType
-    // Undirected edge list, both directions; materialized once, lineage cut.
+    // Undirected edge list, both directions — two projections of the
+    // materialized pair RDD, no separate checkpoint needed.
     val edges = pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
     var labels = edges.select(col("a").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("label"))
       .localCheckpoint()
@@ -317,17 +373,31 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "b"), "b")
         .select(col("a").as("doc_id"), col("label"), lit(null).cast(idType).as("old"))
       val self = labels.select(col("doc_id"), col("label"), col("label").as("old"))
-      val agg = self.unionAll(viaNeighbors)
+      // Materialized before the jump join reads it twice (both sides).
+      val oneHop = self.unionAll(viaNeighbors)
         .groupBy("doc_id").agg(min("label").as("label"), max("old").as("old"))
         .localCheckpoint()
-      val changed = agg.filter(col("label") =!= col("old")).count()
-      labels = agg.select("doc_id", "label")
+      // Path halving: follow the label pointer one more step. labels form a
+      // forest rooted at component minima (label(v) ≤ v), so the parent row
+      // always exists; `least` + left join keep the step safe regardless.
+      val parents = oneHop.select(col("doc_id").as("__p"), col("label").as("__plabel"))
+      val jumped = oneHop.join(parents, col("label") === col("__p"), "left")
+        .select(
+          col("doc_id"),
+          least(col("label"), coalesce(col("__plabel"), col("label"))).as("label"),
+          col("old"))
+        .localCheckpoint()
+      val changed = jumped.filter(col("label") =!= col("old")).count()
+      unpersistCheckpoints(labels)  // round k-1's blocks, dead now that k is live
+      unpersistCheckpoints(oneHop)  // intermediate, consumed by the jump join
+      labels = jumped.select("doc_id", "label")
       converged = changed == 0
       iter += 1
     }
     require(converged,
       s"dedupClusters: label propagation did not converge in $maxIters rounds " +
-        "(component diameter exceeds the bound); raise maxIters")
+        "(runaway guard; with path halving this bounds components of diameter ~2^$maxIters)")
+    unpersistCheckpoints(pairs) // edge list: consumed by the loop above
     labels
       .groupBy("label").agg(collect_list("doc_id").as("ids"), count(lit(1)).as("cluster_size"))
       .filter(col("cluster_size") > 1)

@@ -150,11 +150,17 @@ object Multimodal {
     * samples payload windows, but the dataflow — flatMap row → sampled
     * frames, no full-payload materialization per output row — is the real
     * shape). Output size is input/stride regardless of per-doc skew.
+    *
+    * Empty payloads are filtered before the explode: sequence(0, -1, 4)
+    * throws ILLEGAL_SEQUENCE_BOUNDARIES, while the oracle's range() yields
+    * zero rows for them — the filter gives both sides the same no-frames
+    * answer.
     */
   val frameSample = Q(
     "m03_frame_sample",
     (s, d) =>
       Tables.documents(s, d)
+        .filter(length(col("text")) > 0)
         .select(
           col("doc_id"),
           explode(sequence(

@@ -59,6 +59,15 @@ object RangeJoin {
       points: DataFrame, pointCols: Seq[String], tsCol: String,
       intervals: DataFrame, intervalCols: Seq[String], loCol: String, hiCol: String,
       binWidthMicros: Long): DataFrame = {
+    require(binWidthMicros > 0, s"binWidthMicros must be positive, got $binWidthMicros")
+    val dup = pointCols.intersect(intervalCols)
+    require(dup.isEmpty,
+      s"pointCols and intervalCols must be disjoint (the joined output keeps both " +
+        s"sides' projections); shared: ${dup.mkString(", ")} — alias one side first")
+    val reserved = (pointCols ++ intervalCols).filter(_.startsWith("__"))
+    require(reserved.isEmpty,
+      s"column names starting with '__' are reserved for the join's internal keys " +
+        s"(__bin/__t/__lo/__hi); rename: ${reserved.mkString(", ")}")
     val w = s"${binWidthMicros}L"
     val p = points.select(
       (pointCols.map(col) :+ unix_micros(col(tsCol)).as("__t") :+

@@ -496,8 +496,11 @@ object Relational {
     * this a single hash-aggregate with map-side partials — at 100 TB that
     * beats the window-function form (row_number over a sort) by an entire
     * per-partition sort; the shuffle carries one row per key per map
-    * partition. ts is a safe order key: (user_id, event_type, ts) is unique
-    * in the data (checked), so no tie-break column is needed.
+    * partition. The order key is struct(ts, event_id) — a ts tie (possible
+    * in any real event stream) breaks deterministically on event_id instead
+    * of on partition arrival order, so results are stable across runs and
+    * cluster layouts. The oracle's row_number form spells out the same
+    * tie-break (DuckDB's arg_max cannot take a composite key).
     */
   val q25 = Q(
     "q25_latest_snapshot",
@@ -505,16 +508,16 @@ object Relational {
       Tables.events(s, d)
         .groupBy("user_id", "event_type")
         .agg(
-          max_by(col("event_id"), col("ts")).as("last_event_id"),
+          max_by(col("event_id"), struct(col("ts"), col("event_id"))).as("last_event_id"),
           max(col("ts")).as("last_ts"),
-          max_by(col("value"), col("ts")).as("last_value"))
+          max_by(col("value"), struct(col("ts"), col("event_id"))).as("last_value"))
         .orderBy("user_id", "event_type"),
     Some("""SELECT user_id, event_type,
-                   arg_max(event_id, ts) AS last_event_id,
-                   max(ts) AS last_ts,
-                   arg_max(value, ts) AS last_value
-            FROM events
-            GROUP BY user_id, event_type
+                   event_id AS last_event_id, ts AS last_ts, value AS last_value
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                               ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1
             ORDER BY user_id, event_type"""))
 
   /** Full outer join: per-customer event activity including customers with
