@@ -110,12 +110,22 @@ object Dedup {
       .toDF("doc_id", "shingle")
   }
 
-  /** doc_id, sh_h: shingles as 64-bit hashes — all downstream equi-joins
+  /** A 60-bit deterministic hash both engines can compute: the first 15 hex
+    * chars of md5, read base-16. Chosen over xxhash64 so the MinHash/SimHash
+    * pipelines are *oracle-checkable* — DuckDB reproduces it as
+    * `('0x' || substr(md5(x), 1, 15))::BIGINT` — while staying a plain
+    * codegen'd column expression here. Always non-negative (< 2^60), so
+    * `%` and bit-shifts agree across engines with no sign headaches.
+    * Collision odds over ~10^5 distinct inputs are ~1e-8 — irrelevant for
+    * set-intersection counting. */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** doc_id, sh_h: shingles as 60-bit hashes — all downstream equi-joins
     * and aggregates run on longs instead of strings (≈3× smaller shuffle
-    * rows, cheaper compares; xxhash64 collision odds over ~10^5 distinct
-    * shingles are ~1e-11, far below any practical concern). */
+    * rows, cheaper compares). */
   def hashedShingles(sh: DataFrame): DataFrame =
-    sh.select(col("doc_id"), xxhash64(col("shingle")).as("sh_h"))
+    sh.select(col("doc_id"), md5Hash60(col("shingle")).as("sh_h"))
 
   /** The corpus's hashed shingle sets computed in ONE pass and eagerly
     * materialized — the shared input of signatures, set sizes, and the
@@ -185,8 +195,10 @@ object Dedup {
 
   /** Full MinHash-LSH near-dup pipeline; emits verified pairs with exact
     * Jaccard ≥ threshold. One tokenize+shingle pass feeds signatures,
-    * candidate generation, and verification. No SQL oracle
-    * (hash-permutation pipeline); the driver records a rows-only check. */
+    * candidate generation, and verification. Fully oracle-checked: the
+    * md5-based base hash and LCG lane constants are reproduced verbatim in
+    * DuckDB SQL, so signatures — and therefore the candidate set and the
+    * verified output — match exactly. */
   def minhashPairs(spark: SparkSession, d: String, threshold: Double): DataFrame = {
     val hs = materializedShingleHashes(Tables.documents(spark, d))
     val cands = lshCandidates(signaturesFromHashes(hs))
@@ -195,10 +207,52 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** DuckDB re-implementation of the MinHash-LSH pipeline, shared by the
+    * d02 and d06 oracles: shingles → 60-bit md5 hash → 64 LCG-permuted
+    * lane minima → 16 bands joined on exact 4-lane signature equality →
+    * exact-Jaccard verification. Everything is arithmetic both engines
+    * define identically (BIGINT ops stay < 2^62). */
+  private val minhashOracleCtes =
+    """sh AS (
+         SELECT DISTINCT doc_id, shingle FROM (
+           SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+           FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               t -> t <> '') AS ts
+                 FROM documents),
+           UNNEST(range(1, len(ts) - 1)) AS r(i))),
+       hs AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS sh_h FROM sh),
+       base AS (SELECT doc_id, sh_h % 2147483647 AS h FROM hs),
+       lanes AS (SELECT i,
+           CASE WHEN (1103515245 * (i + 1) + 12345) % 2147483647 = 0 THEN 1
+                ELSE (1103515245 * (i + 1) + 12345) % 2147483647 END AS la,
+           (69069 * (i + 7) + 362437) % 2147483647 AS lb
+         FROM range(0, 64) r(i)),
+       sig AS (SELECT doc_id, i, min((la * h + lb) % 2147483647) AS m
+               FROM base CROSS JOIN lanes GROUP BY doc_id, i),
+       bands AS (SELECT doc_id, i // 4 AS band, list(m ORDER BY i) AS bsig
+                 FROM sig GROUP BY doc_id, i // 4),
+       cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                FROM bands x JOIN bands y
+                  ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       inter AS (SELECT c.a, c.b, count(*) AS n_common
+                 FROM cand c
+                 JOIN hs x ON x.doc_id = c.a
+                 JOIN hs y ON y.doc_id = c.b AND y.sh_h = x.sh_h
+                 GROUP BY c.a, c.b)"""
+
   val minhash = Q(
     "d02_dedup_minhash_lsh",
     (s, d) => minhashPairs(s, d, 0.5),
-    None)
+    Some(s"""WITH $minhashOracleCtes
+            SELECT a, b,
+              round(CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE round(CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE), 4) >= 0.5
+            ORDER BY a, b"""))
 
   // ---------------------------------------------------------------- SimHash
   /** doc_id, simhash: 64-bit signature, bitwise majority of token hashes,
@@ -206,7 +260,7 @@ object Dedup {
   def simhashSignatures(docs: DataFrame): DataFrame = {
     graft.functions.SignatureAggs.register(docs.sparkSession)
     spread(docs).select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+      .select(col("doc_id"), md5Hash60(col("t")).as("h"))
       .groupBy("doc_id")
       .agg(expr("simhash_sig(h)").as("simhash"))
   }
@@ -236,7 +290,23 @@ object Dedup {
   val simhash = Q(
     "d03_dedup_simhash",
     (s, d) => simhashPairs(s, d, 3),
-    None)
+    Some("""WITH toks AS (
+              SELECT doc_id, unnest(list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS t
+              FROM documents),
+            th AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM toks),
+            bitsums AS (
+              SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM th CROSS JOIN range(0, 64) r(b) GROUP BY doc_id, b),
+            sig AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+                    FROM bitsums GROUP BY doc_id),
+            chunks AS (SELECT doc_id, simhash, c, (simhash >> (c * 16)) & 65535 AS ck
+                       FROM sig CROSS JOIN range(0, 4) r(c)),
+            pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                             CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+                      FROM chunks x JOIN chunks y
+                        ON x.c = y.c AND x.ck = y.ck AND x.doc_id < y.doc_id)
+            SELECT a, b, hamming FROM pairs WHERE hamming <= 3 ORDER BY a, b"""))
 
   // ---------------------------------------------------- n-gram Jaccard (exact)
   /** Exact n-gram Jaccard pairs ≥ threshold via shingle equi-join — fully
@@ -408,10 +478,32 @@ object Dedup {
       .orderBy("cluster_rep", "doc_id")
   }
 
+  /** d06 oracle: the d02 pipeline's verified pairs, closed transitively by
+    * a recursive CTE (DuckDB's answer to the distributed label-propagation
+    * loop — fine at oracle scale, not a 100 TB strategy). */
   val clusters = Q(
     "d06_dedup_clusters",
     (s, d) => dedupClusters(s, d, 0.5),
-    None)
+    Some(s"""WITH RECURSIVE $minhashOracleCtes,
+            pairs AS (
+              SELECT a, b
+              FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+              WHERE round(CAST(n_common AS DOUBLE) /
+                          CAST(sa.n + sb.n - n_common AS DOUBLE), 4) >= 0.5),
+            edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+            reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+            labels AS (
+              SELECT a AS doc_id, min(b) AS label
+              FROM (SELECT a, b FROM reach UNION ALL SELECT DISTINCT a, a FROM edges)
+              GROUP BY a),
+            clusters AS (SELECT label, CAST(count(*) AS BIGINT) AS cluster_size
+                         FROM labels GROUP BY label HAVING count(*) > 1)
+            SELECT l.label AS cluster_rep, l.doc_id, c.cluster_size
+            FROM labels l JOIN clusters c USING (label)
+            ORDER BY cluster_rep, doc_id"""))
 
   val all: Seq[Q] = Seq(exact, minhash, simhash, ngramJaccard, embedding, clusters)
 }

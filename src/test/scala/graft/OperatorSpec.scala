@@ -24,7 +24,6 @@ class OperatorSpec extends SparkSpec {
 
   test("oracle SQL declared for every SQL-expressible query") {
     val rowsOnly = Set(
-      "d02_dedup_minhash_lsh", "d03_dedup_simhash", "d06_dedup_clusters",
       "s02_ann_lsh_bucketed", "s04_ann_ivf", "t07_winnow_fingerprint",
       "q15_approx_distinct")
     assert(SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet) == rowsOnly)
