@@ -505,5 +505,78 @@ object Dedup {
             FROM labels l JOIN clusters c USING (label)
             ORDER BY cluster_rep, doc_id"""))
 
-  val all: Seq[Q] = Seq(exact, minhash, simhash, ngramJaccard, embedding, clusters)
+  // ------------------------------------------------------ keep-list capstone
+  /** The pipeline's final dedup *decision*: one row per document with the
+    * keep/drop verdict and why — exact duplicates (same normalized text,
+    * non-minimal doc_id) drop first, then near-duplicate cluster members
+    * that are not their cluster's representative. This is the list a
+    * training run actually consumes; everything upstream (d01–d06) exists
+    * to produce it. Plan shape: the full corpus left-joins two *small*
+    * derived tables (drop sets are ≪ corpus), so at 100 TB both joins
+    * broadcast and the corpus never shuffles.
+    */
+  def keepList(spark: SparkSession, d: String, threshold: Double): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val fp = docs.select(col("doc_id"), md5(normText(col("text"))).as("fp"))
+    val exactDrop = fp
+      .withColumn("keep_id", min("doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"), lit(true).as("is_exact_dup"))
+    val nearDrop = dedupClusters(spark, d, threshold)
+      .filter(col("doc_id") =!= col("cluster_rep"))
+      .select(col("doc_id"), lit(true).as("is_near_dup"))
+    docs.select(col("doc_id"))
+      .join(broadcast(exactDrop), Seq("doc_id"), "left")
+      .join(broadcast(nearDrop), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        when(coalesce(col("is_exact_dup"), lit(false)), lit("exact_dup"))
+          .when(coalesce(col("is_near_dup"), lit(false)), lit("near_dup"))
+          .otherwise(lit("keep")).as("reason"))
+      .select(
+        col("doc_id"),
+        (col("reason") === "keep").as("keep"),
+        col("reason"))
+      .orderBy("doc_id")
+  }
+
+  val keep = Q(
+    "d07_dedup_keep_list",
+    (s, d) => keepList(s, d, 0.5),
+    Some(s"""WITH RECURSIVE $minhashOracleCtes,
+            pairs AS (
+              SELECT a, b
+              FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+              WHERE round(CAST(n_common AS DOUBLE) /
+                          CAST(sa.n + sb.n - n_common AS DOUBLE), 4) >= 0.5),
+            edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+            reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+            labels AS (
+              SELECT a AS doc_id, min(b) AS label
+              FROM (SELECT a, b FROM reach UNION ALL SELECT DISTINCT a, a FROM edges)
+              GROUP BY a),
+            fp AS (
+              SELECT doc_id,
+                md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+              FROM documents),
+            exact_drop AS (
+              SELECT doc_id FROM (
+                SELECT doc_id, min(doc_id) OVER (PARTITION BY f) AS keep_id FROM fp)
+              WHERE doc_id <> keep_id),
+            near_drop AS (SELECT doc_id FROM labels WHERE doc_id <> label)
+            SELECT d.doc_id,
+              (e.doc_id IS NULL AND n.doc_id IS NULL) AS keep,
+              CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                   WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                   ELSE 'keep' END AS reason
+            FROM documents d
+            LEFT JOIN exact_drop e ON e.doc_id = d.doc_id
+            LEFT JOIN near_drop n ON n.doc_id = d.doc_id
+            ORDER BY d.doc_id"""))
+
+  val all: Seq[Q] = Seq(exact, minhash, simhash, ngramJaccard, embedding, clusters, keep)
 }

@@ -231,5 +231,38 @@ object Similarity {
     (s, d) => ivfTopK(s, d, 10, 5),
     None)
 
-  val all: Seq[Q] = Seq(annBruteForce, annLsh, centroids, annIvf)
+  /** Recall@k evaluation of the approximate indexes against the exact
+    * brute-force baseline — the measurement loop every ANN deployment
+    * needs before trading recall for speed. Ground truth is small
+    * (queries × k), so it broadcasts; per-query recall is a left join +
+    * flag-sum, aggregated to (mean, min) per method. Rows-only check: the
+    * approximate sides are not SQL-expressible (that's the point of s02/
+    * s04), but the output is deterministic.
+    */
+  def recallEval(spark: SparkSession, d: String, nQueries: Int, k: Int): DataFrame = {
+    val exact = bruteForceTopK(spark, d, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    def recallOf(method: String, approx: DataFrame): DataFrame = {
+      val hits = exact.join(
+        approx.select(col("query_id"), col("neighbor_id"), lit(1L).as("hit")),
+        Seq("query_id", "neighbor_id"), "left")
+      hits.groupBy("query_id")
+        .agg((sum(coalesce(col("hit"), lit(0L))) / lit(k.toDouble)).as("recall"))
+        .agg(
+          round(avg("recall"), 4).as("mean_recall"),
+          round(min("recall"), 4).as("min_recall"),
+          count(lit(1)).as("n_queries"))
+        .select(lit(method).as("method"), col("mean_recall"), col("min_recall"), col("n_queries"))
+    }
+    recallOf("ivf", ivfTopK(spark, d, nQueries, k))
+      .unionAll(recallOf("lsh", lshTopK(spark, d, nQueries, k)))
+      .orderBy("method")
+  }
+
+  val annRecall = Q(
+    "s05_ann_recall",
+    (s, d) => recallEval(s, d, 10, 5),
+    None)
+
+  val all: Seq[Q] = Seq(annBruteForce, annLsh, centroids, annIvf, annRecall)
 }

@@ -231,9 +231,13 @@ object TextOps {
             FROM documents ORDER BY doc_id"""))
 
   /** Winnowing fingerprint via the native codegen'd Rabin–Karp rolling-hash
-    * expression (graft.functions.RollingMinHash). Rows-only check: the
-    * wrapping 64-bit polynomial arithmetic is not expressible in DuckDB
-    * (BIGINT overflow errors instead of wrapping). */
+    * expression (graft.functions.RollingMinHash). The oracle reproduces the
+    * wrapping 64-bit polynomial arithmetic in DuckDB with HUGEINT mod 2^64
+    * (closed form per window: sum of byte × Base^k terms — the rolling
+    * update is just that polynomial evaluated incrementally) and re-signs
+    * the result, since the engine's min is over *signed* longs. Texts are
+    * ASCII in this corpus, so ord(substr()) equals the UTF-8 byte the
+    * engine hashes (asserted: length == octet_length in m02's oracle). */
   val winnow = Q(
     "t07_winnow_fingerprint",
     (s, d) => {
@@ -242,7 +246,34 @@ object TextOps {
         .select(col("doc_id"), expr("rolling_min_hash(text, 32)").as("winnow_fp"))
         .orderBy("doc_id")
     },
-    None)
+    Some("""WITH RECURSIVE pows(k, p) AS (
+              SELECT 0, 1::HUGEINT
+              UNION ALL
+              SELECT k + 1, (p * 1000003) % 18446744073709551616::HUGEINT
+              FROM pows WHERE k < 31
+            ),
+            chars AS (
+              SELECT doc_id, i, ord(substr(text, i::INT, 1))::HUGEINT AS b
+              FROM documents, UNNEST(range(1, length(text) + 1)) r(i)),
+            docs2 AS (SELECT doc_id, least(32, length(text)) AS win,
+                             length(text) AS n FROM documents),
+            starts AS (SELECT doc_id, win,
+                              unnest(range(1, n - win + 2)) AS start FROM docs2),
+            winh AS (
+              SELECT s.doc_id, s.start,
+                     sum(c.b * p.p) % 18446744073709551616::HUGEINT AS hu
+              FROM starts s
+              JOIN chars c ON c.doc_id = s.doc_id
+                          AND c.i >= s.start AND c.i < s.start + s.win
+              JOIN pows p ON p.k = s.win - 1 - (c.i - s.start)
+              GROUP BY s.doc_id, s.start),
+            signedh AS (
+              SELECT doc_id,
+                (CASE WHEN hu >= 9223372036854775808::HUGEINT
+                      THEN hu - 18446744073709551616::HUGEINT ELSE hu END)::BIGINT AS h
+              FROM winh)
+            SELECT doc_id, min(h) AS winnow_fp
+            FROM signedh GROUP BY doc_id ORDER BY doc_id"""))
 
   /** Context chunking: split each document into fixed-width character
     * windows (200 chars, 50-char overlap ⇒ stride 150) — the chunking step
@@ -271,7 +302,103 @@ object TextOps {
                   FROM documents)
             ORDER BY doc_id, start"""))
 
+  /** Token co-occurrence with pointwise mutual information — the canonical
+    * corpus-statistics MapReduce job after word count ("pairs" pattern).
+    * Per-document distinct tokens come from `array_distinct` (no shuffle),
+    * and the pair generation is two chained explodes over the same array —
+    * a pure flatMap, so the only shuffles are the two tiny aggregates
+    * (pair counts, document frequencies) and the broadcast joins that
+    * attach them. At 100 TB the pair stream is the big side and never
+    * shuffles raw; the vocabulary-sized count tables broadcast.
+    *
+    * PMI arithmetic is ordered identically in both engines
+    * (double-divide then ln then round) for bit parity.
+    */
+  val cooccur = Q(
+    "t11_cooccur_pmi",
+    (s, d) => {
+      val docToks = Tables.documents(s, d)
+        .select(col("doc_id"), array_distinct(tokens(col("text"))).as("ts"))
+      val pairs = docToks
+        .select(col("doc_id"), explode(col("ts")).as("t1"), col("ts"))
+        .select(col("doc_id"), col("t1"), explode(col("ts")).as("t2"))
+        .filter(col("t1") < col("t2"))
+      val pairCounts = pairs.groupBy("t1", "t2").agg(count(lit(1)).as("n_ab"))
+      val docFreq = docToks
+        .select(explode(col("ts")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("df"))
+      val total = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      pairCounts
+        .join(broadcast(docFreq.select(col("t").as("t1"), col("df").as("df1"))), "t1")
+        .join(broadcast(docFreq.select(col("t").as("t2"), col("df").as("df2"))), "t2")
+        .crossJoin(broadcast(total))
+        .select(
+          col("t1"), col("t2"), col("n_ab"),
+          round(log(
+            (col("n_ab") * col("n_docs")).cast("double") /
+              (col("df1") * col("df2")).cast("double")), 6).as("pmi"))
+        .filter(col("n_ab") >= 10)
+        .orderBy("t1", "t2")
+    },
+    Some("""WITH doctoks AS (
+              SELECT doc_id, unnest(list_distinct(list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> ''))) AS t
+              FROM documents),
+            pairc AS (
+              SELECT x.t AS t1, y.t AS t2, count(*) AS n_ab
+              FROM doctoks x JOIN doctoks y
+                ON x.doc_id = y.doc_id AND x.t < y.t
+              GROUP BY 1, 2),
+            df AS (SELECT t, count(*) AS df FROM doctoks GROUP BY t),
+            total AS (SELECT count(*) AS n_docs FROM documents)
+            SELECT t1, t2, n_ab,
+              round(ln(CAST(n_ab * n_docs AS DOUBLE) / CAST(d1.df * d2.df AS DOUBLE)), 6) AS pmi
+            FROM pairc, total
+            JOIN df d1 ON d1.t = t1
+            JOIN df d2 ON d2.t = t2
+            WHERE n_ab >= 10
+            ORDER BY t1, t2"""))
+
+  /** Bigram language-model counts: consecutive token pairs with their MLE
+    * conditional probability p(w2 | w1) = c(w1,w2) / c(w1 as bigram head).
+    * The pair stream is `explode(arrays_zip(slice, slice))` — a per-row
+    * flatMap over the token array, no joins until the vocabulary-sized
+    * aggregate. The head-count table rides a broadcast join. */
+  val bigrams = Q(
+    "t12_bigram_lm",
+    (s, d) => {
+      val ts = tokens(col("text"))
+      val bg = Tables.documents(s, d)
+        .select(ts.as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(explode(arrays_zip(
+          slice(col("ts"), lit(1), size(col("ts")) - 1),
+          slice(col("ts"), lit(2), size(col("ts")) - 1))).as("bg"))
+        .select(col("bg.0").as("w1"), col("bg.1").as("w2"))
+      val counts = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val heads = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+      counts.join(broadcast(heads), "w1")
+        .select(
+          col("w1"), col("w2"), col("c12"),
+          round(col("c12").cast("double") / col("c1").cast("double"), 6).as("cond_p"))
+        .orderBy("w1", "w2")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
+              FROM documents),
+            bg AS (
+              SELECT ts[i] AS w1, ts[i+1] AS w2
+              FROM toks, UNNEST(range(1, len(ts))) r(i)
+              WHERE len(ts) >= 2),
+            counts AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+            heads AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1)
+            SELECT c.w1, c.w2, c.c12,
+              round(CAST(c.c12 AS DOUBLE) / CAST(h.c1 AS DOUBLE), 6) AS cond_p
+            FROM counts c JOIN heads h ON h.w1 = c.w1
+            ORDER BY 1, 2"""))
+
   val all: Seq[Q] =
     Seq(grep, wordcount, tokenCount, quality, langid, fingerprint, winnow, tfidf,
-      langidEval, chunk)
+      langidEval, chunk, cooccur, bigrams)
 }
