@@ -1,0 +1,124 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.SignatureAggs
+
+/** Streaming twins of the document-dedup surface (Dedup d01/d02): documents
+  * as an arriving stream, fingerprinted and signature-stamped *at ingest*.
+  *
+  * The key design point: a MinHash signature is a fold over one document's
+  * own shingles, so on a stream it is a **stateless per-row map** — no
+  * aggregation state, Append mode, unbounded throughput. Only the
+  * *decisions* need state:
+  *  - exact dedup keeps a seen-fingerprint set, bounded by the watermark
+  *    horizon (`dropDuplicatesWithinWatermark`);
+  *  - near-dup detection joins the arriving band buckets against a static
+  *    (periodically rebuilt) index of the existing corpus — a stream-static
+  *    broadcast join, the "dedup against yesterday's corpus" production
+  *    shape. Candidates stream out; exact verification happens downstream
+  *    in batch (same as d02's verify stage).
+  */
+object DocStreams {
+
+  /** Per-document MinHash signature computed in one pass over the text —
+    * scalar Scala mirror of the batch pipeline (shingleSets →
+    * md5Hash60 → minhash_sig aggregate). Must stay bit-identical to the
+    * expression path; DocStreamsSpec asserts equality against
+    * [[graft.operators.Dedup.minhashSignatures]]. */
+  def signature(text: String, n: Int = 3): Option[Array[Long]] = {
+    val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    if (toks.length < n) None
+    else {
+      val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+      toks.sliding(n).foreach(w => seen += w.mkString(" "))
+      val sig = Array.fill(SignatureAggs.Lanes)(Long.MaxValue)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      seen.foreach { s =>
+        val hex = md.digest(s.getBytes("UTF-8")).take(8)
+          .map(b => f"${b & 0xff}%02x").mkString.take(15)
+        val h = java.lang.Long.parseLong(hex, 16) % SignatureAggs.MersennePrime
+        var i = 0
+        while (i < SignatureAggs.Lanes) {
+          val x = (SignatureAggs.permA(i) * h + SignatureAggs.permB(i)) % SignatureAggs.MersennePrime
+          if (x < sig(i)) sig(i) = x
+          i += 1
+        }
+        md.reset()
+      }
+      Some(sig)
+    }
+  }
+
+  /** Documents as a file stream (single-file table staged into a directory,
+    * as EventStreams.readEventStream does for events). */
+  def readDocumentStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = Paths.get(s"$sfDir/documents.parquet")
+    val dir =
+      if (Files.isDirectory(src)) src
+      else {
+        val d = Files.createTempDirectory("graft-docs-stream")
+        Files.copy(src, d.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+        d
+      }
+    val schema = spark.read.parquet(src.toString).schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+  }
+
+  /** Ingest stamping: arrival time, exact fingerprint, MinHash signature —
+    * all stateless per-row work (Append-mode safe, no shuffle). */
+  def fingerprinted(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val sigUdf = udf((text: String) => signature(text))
+    docs
+      .withColumn("arrival_ts", current_timestamp())
+      .withColumn("fp", md5(graft.functions.TextFns.normText(col("text"))))
+      .withColumn("sig", sigUdf(col("text")))
+  }
+
+  /** Exact-dedup the stream: first arrival per fingerprint within the
+    * watermark horizon survives. State is O(rate × horizon), evicted by the
+    * watermark — the property that keeps 100 TB/day feasible. */
+  def dedupedStream(fingerprinted: DataFrame, horizon: String = "1 hour"): DataFrame =
+    fingerprinted
+      .withWatermark("arrival_ts", horizon)
+      .dropDuplicatesWithinWatermark("fp")
+
+  /** Static LSH band index of an existing corpus: (band, bucket, doc_id),
+    * built from the batch signature pipeline. Rebuilt periodically (per
+    * micro-batch Spark re-reads static sides); small enough to broadcast —
+    * it is 16 longs per corpus doc. */
+  def bandIndex(sigs: DataFrame): DataFrame = {
+    val bucketArr = array((0 until graft.operators.Dedup.Bands).map(b =>
+      xxhash64(slice(col("sig"), b * graft.operators.Dedup.RowsPerBand + 1,
+        graft.operators.Dedup.RowsPerBand), lit(b))): _*)
+    sigs.select(col("doc_id"), posexplode(bucketArr).as(Seq("band", "bucket")))
+  }
+
+  /** Near-dup candidates at ingest: each arriving doc's band buckets probe
+    * the static corpus index. Emits (arriving doc, existing doc) candidate
+    * pairs in Append mode — stream-side stateless except the pair dedup,
+    * whose state is bounded by the stream's watermark (a doc colliding in
+    * several bands must not emit the pair once per band). The input stream
+    * must carry a watermarked `arrival_ts` (see [[dedupedStream]]). */
+  def nearDupCandidates(spark: SparkSession, stream: DataFrame, corpusIndex: DataFrame): DataFrame = {
+    val bucketArr = array((0 until graft.operators.Dedup.Bands).map(b =>
+      xxhash64(slice(col("sig"), b * graft.operators.Dedup.RowsPerBand + 1,
+        graft.operators.Dedup.RowsPerBand), lit(b))): _*)
+    val streamBands = stream
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id"), col("arrival_ts"), posexplode(bucketArr).as(Seq("band", "bucket")))
+    streamBands
+      .join(broadcast(corpusIndex.withColumnRenamed("doc_id", "corpus_doc_id")),
+        Seq("band", "bucket"))
+      .filter(col("doc_id") =!= col("corpus_doc_id"))
+      .select(col("doc_id").as("arriving_id"), col("corpus_doc_id").as("existing_id"),
+        col("arrival_ts"))
+      .dropDuplicatesWithinWatermark("arriving_id", "existing_id")
+      .select("arriving_id", "existing_id")
+  }
+}

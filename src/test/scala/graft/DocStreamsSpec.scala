@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.operators.Dedup
+import graft.sources.Tables
+import graft.streaming.{DocStreams, EventStreams}
+
+/** Streaming document-dedup surface: the per-row signature map must be
+  * bit-identical to the batch expression pipeline, the streamed exact dedup
+  * must keep the batch keep-set, and at-ingest candidate probing must find
+  * the batch LSH candidate pairs.
+  */
+class DocStreamsSpec extends SparkSpec {
+
+  test("scalar signature matches the batch minhash_sig pipeline bit-for-bit") {
+    val batch = Dedup.minhashSignatures(Tables.documents(spark, sf))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    var checked = 0
+    docs.foreach { case (id, text) =>
+      val scalar = DocStreams.signature(text)
+      (scalar, batch.get(id)) match {
+        case (Some(s), Some(b)) =>
+          assert(s.sameElements(b), s"signature mismatch for doc $id")
+          checked += 1
+        case (None, None) => // too few tokens on both paths
+        case (s, b) => fail(s"presence mismatch for doc $id: scalar=$s batch=$b")
+      }
+    }
+    assert(checked > 0, "no signatures compared")
+  }
+
+  test("streamed exact dedup keeps the batch keep-set") {
+    val stream = DocStreams.dedupedStream(
+      DocStreams.fingerprinted(spark, DocStreams.readDocumentStream(spark, sf)))
+    val q = EventStreams.runToMemory(
+      stream.select("doc_id", "fp"), "doc_dedup_stream", OutputMode.Append)
+    try {
+      val streamed = spark.table("doc_dedup_stream")
+        .collect().map(_.getString(1)).toSet
+      // Streamed: one survivor per fingerprint (arrival order, not min id —
+      // the stream contract). The surviving fingerprint SET must equal the
+      // batch groups.
+      val batchFps = Tables.documents(spark, sf)
+        .select(md5(graft.functions.TextFns.normText(col("text"))).as("fp"))
+        .distinct().collect().map(_.getString(0)).toSet
+      assert(streamed == batchFps)
+      assert(spark.table("doc_dedup_stream").count() == batchFps.size)
+    } finally q.stop()
+  }
+
+  test("at-ingest candidate probe finds the batch LSH candidate pairs") {
+    val corpusIndex = DocStreams.bandIndex(
+      Dedup.minhashSignatures(Tables.documents(spark, sf)))
+    val stream = DocStreams.dedupedStream(
+      DocStreams.fingerprinted(spark, DocStreams.readDocumentStream(spark, sf)))
+    val cands = DocStreams.nearDupCandidates(spark, stream, corpusIndex)
+    val q = EventStreams.runToMemory(cands, "doc_cand_stream", OutputMode.Append)
+    try {
+      val streamed = spark.table("doc_cand_stream").collect()
+        .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1))))
+        .toSet
+      val batch = Dedup.lshCandidates(Dedup.minhashSignatures(Tables.documents(spark, sf)))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch.subsetOf(streamed),
+        s"batch candidates missing from stream probe: ${batch.diff(streamed)}")
+      // The probe may additionally surface exact-dup collisions the batch
+      // self-join also has; nothing outside the corpus bands can appear.
+      assert(streamed == batch,
+        s"unexpected extra stream candidates: ${streamed.diff(batch)}")
+    } finally q.stop()
+  }
+}
