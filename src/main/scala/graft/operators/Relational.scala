@@ -552,7 +552,29 @@ object Relational {
               ON c_custkey = e.user_id
             ORDER BY cust"""))
 
+  /** Sketch-based percentiles next to q20's exact form — the q15 accuracy
+    * pattern applied to quantiles. `percentile_approx` is a one-pass,
+    * fixed-memory, mergeable sketch: map-side partials shuffle a sketch per
+    * group instead of every value, which is the only affordable shape at
+    * 100 TB (q20's exact interpolation needs the full per-group sort).
+    * Rows-only check (sketch internals are engine-specific); the error
+    * vs the exact percentiles is asserted in spec. */
+  val q27 = Q(
+    "q27_percentile_sketch",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(expr(
+          "percentile_approx(l_quantity, array(0.25D, 0.5D, 0.9D), 10000)").as("ps"))
+        .select(
+          col("l_returnflag"),
+          element_at(col("ps"), 1).as("p25"),
+          element_at(col("ps"), 2).as("p50"),
+          element_at(col("ps"), 3).as("p90"))
+        .orderBy("l_returnflag"),
+    None)
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
-      q18, q19, q20, q21, q22, q25, q26)
+      q18, q19, q20, q21, q22, q25, q26, q27)
 }

@@ -240,8 +240,10 @@ object Similarity {
     * s04), but the output is deterministic.
     */
   def recallEval(spark: SparkSession, d: String, nQueries: Int, k: Int): DataFrame = {
+    // Materialized once: both methods' joins consume the ground truth.
     val exact = bruteForceTopK(spark, d, nQueries, k)
       .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
     def recallOf(method: String, approx: DataFrame): DataFrame = {
       val hits = exact.join(
         approx.select(col("query_id"), col("neighbor_id"), lit(1L).as("hit")),

@@ -317,8 +317,12 @@ object TextOps {
   val cooccur = Q(
     "t11_cooccur_pmi",
     (s, d) => {
+      // Tokenized once, eagerly materialized: both the pair stream and the
+      // document frequencies consume it (the tokenized intermediate every
+      // corpus pipeline persists — far smaller than the raw text).
       val docToks = Tables.documents(s, d)
         .select(col("doc_id"), array_distinct(tokens(col("text"))).as("ts"))
+        .localCheckpoint()
       val pairs = docToks
         .select(col("doc_id"), explode(col("ts")).as("t1"), col("ts"))
         .select(col("doc_id"), col("t1"), explode(col("ts")).as("t2"))
@@ -376,7 +380,9 @@ object TextOps {
           slice(col("ts"), lit(2), size(col("ts")) - 1))).as("bg"))
         .select(col("bg.0").as("w1"), col("bg.1").as("w2"))
       val counts = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      val heads = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+      // Head counts derive from the (vocabulary²-sized) pair counts — one
+      // corpus pass total, instead of tokenizing the corpus a second time.
+      val heads = counts.groupBy("w1").agg(sum("c12").as("c1"))
       counts.join(broadcast(heads), "w1")
         .select(
           col("w1"), col("w2"), col("c12"),

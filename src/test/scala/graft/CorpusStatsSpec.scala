@@ -53,6 +53,29 @@ class CorpusStatsSpec extends SparkSpec {
     assert(rows.exists(_.getBoolean(1)), "keep list cannot be empty")
   }
 
+  test("q27 sketch percentiles are within tolerance of q20's exact percentiles") {
+    val exact = graft.operators.Relational.q20.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val approx = graft.operators.Relational.q27.fn(spark, sf).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val (p25, p50, p90) = exact(r.getString(0))
+      // accuracy 10000 ⇒ rank error ≤ 1/10000; quantity range is ~1..50,
+      // so a loose absolute tolerance of 1.0 (one discrete value) is ample.
+      assert(math.abs(r.getDouble(1) - p25) <= 1.0, s"p25 off: $r vs $p25")
+      assert(math.abs(r.getDouble(2) - p50) <= 1.0, s"p50 off: $r vs $p50")
+      assert(math.abs(r.getDouble(3) - p90) <= 1.0, s"p90 off: $r vs $p90")
+    }
+  }
+
+  test("t11/d07 plans broadcast their small sides (no large-table shuffle joins)") {
+    val t11Plan = TextOps.cooccur.fn(spark, sf).queryExecution.executedPlan.toString
+    assert(t11Plan.contains("BroadcastHashJoin"), s"t11 df joins should broadcast:\n$t11Plan")
+    assert(!t11Plan.contains("SortMergeJoin"), s"t11 should not sort-merge vocabulary joins:\n$t11Plan")
+    val d07Plan = Dedup.keepList(spark, sf, 0.5).queryExecution.executedPlan.toString
+    assert(d07Plan.contains("BroadcastHashJoin"), s"d07 drop sets should broadcast:\n$d07Plan")
+  }
+
   test("s05 recall eval: recall of the exact result against itself is 1") {
     import spark.implicits._
     val exact = Similarity.bruteForceTopK(spark, sf, 5, 3)
