@@ -179,5 +179,57 @@ object Multimodal {
                   FROM documents)
             ORDER BY doc_id, frame_idx"""))
 
-  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample)
+  /** Resized media record (payload downsampled, dims updated). */
+  final case class MediaResized(
+      doc_id: Long,
+      media_type: String,
+      orig_bytes: Long,
+      resized_bytes: Long,
+      resized_md5: String)
+
+  /** Batched per-partition resize — the stub analog of image downsampling
+    * (a real impl decodes, scales, re-encodes inside the same
+    * mapPartitions; the stub keeps every `stride`-th payload byte). Same
+    * execution contract as [[extractFeatures]]: one codec context per
+    * partition, no per-row setup, output carries provenance (orig size)
+    * plus the new payload's digest for integrity checks downstream. */
+  def resizeStride(media: Dataset[MediaRecord], stride: Int): Dataset[MediaResized] = {
+    require(stride > 0, s"stride must be positive, got $stride")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        val resized = Array.tabulate((r.payload.length + stride - 1) / stride)(i =>
+          r.payload(i * stride))
+        md.reset()
+        val hex = md.digest(resized).map(b => f"${b & 0xff}%02x").mkString
+        MediaResized(r.doc_id, r.media_type, r.payload.length.toLong,
+          resized.length.toLong, hex)
+      }
+    }
+  }
+
+  /** Stride-4 resize over the documents-as-media table; oracle rebuilds the
+    * strided byte string in SQL (ASCII corpus ⇒ chars are bytes, as m02
+    * relies on) and md5s it. */
+  val mediaResize = Q(
+    "m04_media_resize",
+    (s, d) =>
+      resizeStride(mediaTable(s, d), 4).toDF()
+        .orderBy("doc_id"),
+    Some("""WITH chars AS (
+              SELECT doc_id, i, substr(text, CAST(i AS INT), 1) AS c
+              FROM documents, UNNEST(range(1, length(text) + 1)) r(i)
+              WHERE (i - 1) % 4 = 0),
+            resized AS (
+              SELECT doc_id, string_agg(c, '' ORDER BY i) AS s
+              FROM chars GROUP BY doc_id)
+            SELECT d.doc_id, 'image/stub' AS media_type,
+                   CAST(octet_length(encode(d.text)) AS BIGINT) AS orig_bytes,
+                   CAST(length(r.s) AS BIGINT) AS resized_bytes,
+                   md5(r.s) AS resized_md5
+            FROM documents d JOIN resized r USING (doc_id)
+            ORDER BY d.doc_id"""))
+
+  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, mediaResize)
 }

@@ -35,6 +35,7 @@ object RangeJoin {
     */
   def proximityPairs(
       df: DataFrame, idCol: String, tsCol: String, radiusMicros: Long): DataFrame = {
+    require(radiusMicros > 0, s"radiusMicros must be positive, got $radiusMicros")
     val t = unix_micros(col(tsCol))
     val bin = expr(s"unix_micros($tsCol) div ${radiusMicros}L")
     val probes = df
