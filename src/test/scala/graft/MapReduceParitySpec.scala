@@ -143,4 +143,37 @@ class MapReduceParitySpec extends SparkSpec {
     val r = spark.sql("SELECT md5_mod('hello', 2) AS p, md5_mod('world', 2) AS q").collect()(0)
     assert(r.getInt(0) == 0 && r.getInt(1) == 1)
   }
+
+  test("throughput budget: full wc job over a ~5 MB corpus inside the reference's 10 s map budget") {
+    // BASELINE.md (reference tests/test_worker_11.py:149-150): a map-ONLY
+    // pass over 4 files / ~5.1 MB must finish < 10 s. We run the complete
+    // job — map, md5-routed shuffle, in-partition sort, streaming reduce —
+    // over a deterministically generated corpus of the same size and hold
+    // the whole pipeline to the budget the reference grants its map stage.
+    val words = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val files = (1 to 4).map { f =>
+      val sb = new StringBuilder(1400000)
+      var i = 0
+      while (sb.length < 1300000) { // ~1.3 MB per file, 4 files ≈ 5.2 MB
+        sb.append(words((i * 7 + f) % words.length)).append(' ')
+        if (i % 12 == 11) sb.append('\n')
+        i += 1
+      }
+      f"file$f%02d" -> sb.append('\n').toString
+    }.toMap
+    val dir = writeCorpus(files)
+    val t0 = System.nanoTime()
+    val out = MapReduceJob.run(
+      spark, JobSpec(dir, MapReduceJob.wcMapper, MapReduceJob.wcReducer, 2))
+    val counts = out.collect().map { l =>
+      val Array(k, v) = l.split("\t", 2); k -> v.toLong
+    }.toMap
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    // Every word must be counted (plus the per-line empty-key tokens from
+    // the trailing newline handling of wc_map semantics).
+    assert(words.forall(w => counts.getOrElse(w, 0L) > 10000L),
+      s"unexpected counts: ${counts.view.filterKeys(words.contains).toMap}")
+    assert(wallSec < 10.0, f"full job took $wallSec%.1f s — over the reference's 10 s map budget")
+  }
 }
