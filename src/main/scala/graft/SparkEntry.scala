@@ -15,15 +15,17 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, RangeJoin, Relational, Samp
   *  - q22: stream-static enrichment (batch twin of EventStreams.enriched).
   *  - q23/q24: deterministic md5-bucket sampling (uniform, stratified).
   *  - q25/q26: latest-record compaction (max_by), full-outer coverage join.
-  *  - t01..t10: text query library (grep, wordcount, token counting,
+  *  - q27: sketch percentiles (percentile_approx next to q20's exact).
+  *  - t01..t12: text query library (grep, wordcount, token counting,
   *    quality scoring, language-ID, fingerprinting, winnowing, TF-IDF,
-  *    langid eval, context chunking).
-  *  - d01..d06: dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard,
-  *    embedding-cosine, connected-component clusters).
-  *  - s01..s04: similarity search (brute-force ANN, LSH-bucketed ANN,
-  *    per-label centroid stats, IVF ANN).
-  *  - m01..m03: multimodal binary-column plumbing (metadata, stub-decode
-  *    features, frame sampling; binaryFile ingest in Multimodal).
+  *    langid eval, context chunking, co-occurrence PMI, bigram LM).
+  *  - d01..d07: dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard,
+  *    embedding-cosine, connected-component clusters, keep-list).
+  *  - s01..s05: similarity search (brute-force ANN, LSH-bucketed ANN,
+  *    per-label centroid stats, IVF ANN, recall@k evaluation).
+  *  - m01..m04: multimodal binary-column plumbing (metadata, stub-decode
+  *    features, frame sampling, strided resize; binaryFile ingest in
+  *    Multimodal).
   */
 object SparkEntry {
   val inventory: Seq[Q] =

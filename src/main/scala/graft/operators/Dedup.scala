@@ -396,36 +396,13 @@ object Dedup {
             ORDER BY a, b"""))
 
   // ------------------------------------------------- dedup cluster assembly
-  /** Connected components over the near-dup pair graph by min-label
-    * propagation with **path halving**: each round every doc takes the min
-    * label among itself and its neighbors (one hop), then jumps to its
-    * label's own label (label(label(v)) — a second hop along the pointer
-    * forest for free). The jump makes label trees collapse geometrically,
-    * so the loop converges in O(log diameter) rounds instead of
-    * O(diameter) — on a chain of 2^k near-dups that is k rounds, not 2^k.
-    * The loop runs **until the change count hits zero** (bounded by
-    * `maxIters` purely as a runaway guard — exceeding it throws rather
-    * than silently returning split components).
-    *
-    * Each round's result is `localCheckpoint`ed: truncating the lineage is
-    * what makes the iteration scale — without it round k re-analyzes (and
-    * under recomputation re-executes) the whole LSH pipeline plus k-1
-    * rounds of joins. Once round k is materialized, round k-1's checkpoint
-    * blocks are explicitly unpersisted (they would otherwise accumulate in
-    * the block manager for the life of the job). The old label rides
-    * through the group-by so the convergence check costs no extra join. At
-    * cluster scale the same loop runs with reliable checkpointing; the
-    * shape is identical.
-    * Output: one row per document in a multi-doc cluster, with its cluster
-    * representative (min doc_id). Rows-only check (iterative, not SQL).
-    */
-  def dedupClusters(spark: SparkSession, d: String, threshold: Double,
-      maxIters: Int = 50): DataFrame = {
-    val rawPairs = minhashPairs(spark, d, threshold).select(col("a"), col("b"))
-    val pairs = rawPairs.localCheckpoint()
-    // The LSH pipeline's own checkpoints (shingle hashes, banded sigs) are
-    // dead once the pair list is materialized.
-    unpersistCheckpoints(rawPairs)
+  /** Distributed connected components over an undirected edge list
+    * `(a, b)` — one row per vertex with its component label (the component
+    * minimum). Min-label propagation with path halving; see
+    * [[dedupClusters]] for the algorithmic notes. `pairs` should be
+    * materialized (checkpointed) by the caller — every round joins it.
+    * Property-tested against in-memory union-find on random graphs. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     val idType = pairs.schema("a").dataType
     // Undirected edge list, both directions — two projections of the
     // materialized pair RDD, no separate checkpoint needed.
@@ -465,8 +442,42 @@ object Dedup {
       iter += 1
     }
     require(converged,
-      s"dedupClusters: label propagation did not converge in $maxIters rounds " +
+      s"connectedComponents: label propagation did not converge in $maxIters rounds " +
         "(runaway guard; with path halving this bounds components of diameter ~2^$maxIters)")
+    labels
+  }
+
+  /** Connected components over the near-dup pair graph by min-label
+    * propagation with **path halving**: each round every doc takes the min
+    * label among itself and its neighbors (one hop), then jumps to its
+    * label's own label (label(label(v)) — a second hop along the pointer
+    * forest for free). The jump makes label trees collapse geometrically,
+    * so the loop converges in O(log diameter) rounds instead of
+    * O(diameter) — on a chain of 2^k near-dups that is k rounds, not 2^k.
+    * The loop runs **until the change count hits zero** (bounded by
+    * `maxIters` purely as a runaway guard — exceeding it throws rather
+    * than silently returning split components).
+    *
+    * Each round's result is `localCheckpoint`ed: truncating the lineage is
+    * what makes the iteration scale — without it round k re-analyzes (and
+    * under recomputation re-executes) the whole LSH pipeline plus k-1
+    * rounds of joins. Once round k is materialized, round k-1's checkpoint
+    * blocks are explicitly unpersisted (they would otherwise accumulate in
+    * the block manager for the life of the job). The old label rides
+    * through the group-by so the convergence check costs no extra join. At
+    * cluster scale the same loop runs with reliable checkpointing; the
+    * shape is identical.
+    * Output: one row per document in a multi-doc cluster, with its cluster
+    * representative (min doc_id). Rows-only check (iterative, not SQL).
+    */
+  def dedupClusters(spark: SparkSession, d: String, threshold: Double,
+      maxIters: Int = 50): DataFrame = {
+    val rawPairs = minhashPairs(spark, d, threshold).select(col("a"), col("b"))
+    val pairs = rawPairs.localCheckpoint()
+    // The LSH pipeline's own checkpoints (shingle hashes, banded sigs) are
+    // dead once the pair list is materialized.
+    unpersistCheckpoints(rawPairs)
+    val labels = connectedComponents(pairs, maxIters)
     unpersistCheckpoints(pairs) // edge list: consumed by the loop above
     labels
       .groupBy("label").agg(collect_list("doc_id").as("ids"), count(lit(1)).as("cluster_size"))

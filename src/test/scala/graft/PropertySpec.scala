@@ -39,6 +39,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents == union-find on random graphs (incl. chains and stars)") {
+    import spark.implicits._
+    // In-memory union-find ground truth.
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      nodes.map(v => v -> find(v)).toMap
+    }
+    val edgeGen = for {
+      n <- Gen.choose(2, 30)
+      m <- Gen.choose(1, 40)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong - 1)
+        b <- Gen.choose(0L, n.toLong - 1) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield es.distinct
+    // A long chain (worst case for plain propagation — exercises the
+    // path-halving log-round convergence) and a star, plus random graphs.
+    val chain = (0L until 20L).sliding(2).map(s => (s(0), s(1))).toList
+    val star = (1L to 15L).map(i => (0L, i)).toList
+    (samples(edgeGen, 12).filter(_.nonEmpty) ++ Seq(chain, star)).foreach { edges =>
+      val pairs = edges.toDF("a", "b").localCheckpoint()
+      val got = graft.operators.Dedup.connectedComponents(pairs, maxIters = 20)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == unionFind(0, edges), s"CC mismatch on edges $edges")
+    }
+  }
+
   test("mapreduce pipeline == reference groupBy-sum semantics for arbitrary inputs") {
     import graft.operators.MapReduceJob
     // SURVEY.md §5: partition-routing ∘ sort ∘ merge ∘ group must equal a
