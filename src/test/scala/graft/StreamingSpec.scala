@@ -88,6 +88,47 @@ class StreamingSpec extends SparkSpec {
       "re-run with the same checkpoint duplicated sink rows")
   }
 
+  test("streaming latest-snapshot across multiple micro-batches == batch q25") {
+    import java.nio.file.Files
+    // Stage events as FOUR files so maxFilesPerTrigger=1 yields four
+    // micro-batches — the state genuinely evolves across batches instead of
+    // being decided in one pass (the single-file staging of
+    // readEventStream can't exercise that).
+    val dir = Files.createTempDirectory("graft-events-multibatch").toString
+    graft.sources.Tables.events(spark, sf).repartition(4)
+      .write.mode("overwrite").parquet(dir)
+    val schema = graft.sources.Tables.events(spark, sf).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val snap = EventStreams.latestSnapshot(spark, stream)
+    val q = snap.writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("snapshot_out").start()
+    q.processAllAvailable()
+    try {
+      // Newest emission per key = the row with the highest state version.
+      val streamed = spark.table("snapshot_out").collect()
+        .map(r => ((r.getLong(0), r.getString(1)), (r.getLong(5), r.getLong(2), r.getLong(3), r.getDouble(4))))
+        .groupBy(_._1)
+        .map { case (k, rows) => k -> {
+          val (_, eid, tsm, v) = rows.map(_._2).maxBy(_._1)
+          (eid, tsm, v)
+        } }
+      val batch = Relational.q25.fn(spark, sf).collect()
+        .map { r =>
+          val ts = r.getTimestamp(3)
+          val micros = math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+          ((r.getLong(0), r.getString(1)), (r.getLong(2), micros, r.getDouble(4)))
+        }.toMap
+      assert(streamed.nonEmpty)
+      assert(streamed == batch,
+        s"snapshot disagrees with batch q25 on ${streamed.toSet.diff(batch.toSet).take(3)}")
+      // Multi-batch reality check: at least one key must have been revised
+      // (version > 1) — otherwise the staging collapsed to a single batch.
+      val versions = spark.table("snapshot_out").collect().map(_.getLong(5))
+      assert(versions.max > 1L, "state never revised — staging produced one batch")
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions consistent with batch") {
     val stream = EventStreams.readEventStream(spark, sf)
     val sess = EventStreams.sessionize(spark, stream)
