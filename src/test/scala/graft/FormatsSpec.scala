@@ -26,4 +26,36 @@ class FormatsSpec extends SparkSpec {
     val back = spark.read.schema(src.schema).json(out)
     assert(back.collect().map(_.toSeq).toSet == src.collect().map(_.toSeq).toSet)
   }
+
+  test("JsonLines: gzip'd corpus round trip preserves every document") {
+    import graft.sources.JsonLines
+    val out = Files.createTempDirectory("graft-fmt").toFile.getAbsolutePath + "/jsonl-gz"
+    val src = Tables.documents(spark, sf)
+    JsonLines.write(src, out, codec = Some("gzip"))
+    assert(new java.io.File(out).listFiles().exists(_.getName.endsWith(".json.gz")),
+      "expected gzip'd part files")
+    val back = JsonLines.readValid(spark, out, src.schema)
+    assert(back.schema == src.schema)
+    assert(back.collect().map(_.toSeq).toSet == src.collect().map(_.toSeq).toSet)
+  }
+
+  test("JsonLines: malformed lines are quarantined, not dropped or fatal") {
+    import graft.sources.JsonLines
+    val dir = Files.createTempDirectory("graft-fmt-corrupt").toFile
+    Files.write(new java.io.File(dir, "part-00000.json").toPath,
+      """{"doc_id": 1, "text": "good"}
+        |this is not json at all
+        |{"doc_id": 2, "text": "also good"}
+        |{"doc_id": oops}
+        |""".stripMargin.getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val valid = JsonLines.readValid(spark, dir.getAbsolutePath, schema)
+    assert(valid.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    val corrupt = JsonLines.readCorrupt(spark, dir.getAbsolutePath, schema)
+      .collect().map(_.getAs[String](JsonLines.CorruptCol))
+    assert(corrupt.length == 2, s"expected 2 quarantined lines, got ${corrupt.toSeq}")
+    assert(corrupt.contains("this is not json at all"), "corrupt line not verbatim")
+  }
 }
