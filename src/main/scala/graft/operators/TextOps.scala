@@ -404,7 +404,59 @@ object TextOps {
             FROM counts c JOIN heads h ON h.w1 = c.w1
             ORDER BY 1, 2"""))
 
+  /** Perplexity-style quality scoring: each document's mean negative log
+    * probability of its own bigrams under the corpus bigram LM — the
+    * standard perplexity filter of a pretraining pipeline (here self-scored
+    * against the corpus model; in production the model table comes from a
+    * held-out reference corpus and lands as a broadcast join exactly like
+    * this one). One tokenize pass: the doc-attributed bigram stream is
+    * materialized once and feeds both the model aggregate and the per-doc
+    * scoring join; the model is vocabulary²-sized and broadcasts.
+    */
+  val perplexity = Q(
+    "t13_bigram_perplexity",
+    (s, d) => {
+      val ts = tokens(col("text"))
+      val bgDoc = Tables.documents(s, d)
+        .select(col("doc_id"), ts.as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(col("doc_id"), explode(arrays_zip(
+          slice(col("ts"), lit(1), size(col("ts")) - 1),
+          slice(col("ts"), lit(2), size(col("ts")) - 1))).as("bg"))
+        .select(col("doc_id"), col("bg.0").as("w1"), col("bg.1").as("w2"))
+        .localCheckpoint()
+      val counts = bgDoc.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val heads = counts.groupBy("w1").agg(sum("c12").as("c1"))
+      val model = counts.join(broadcast(heads), "w1")
+        .select(col("w1"), col("w2"),
+          (col("c12").cast("double") / col("c1").cast("double")).as("p"))
+      bgDoc.join(broadcast(model), Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_bigrams"),
+          round(avg(-log(col("p"))), 6).as("avg_neg_logp"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
+              FROM documents),
+            bg AS (
+              SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+              FROM toks, UNNEST(range(1, len(ts))) r(i)
+              WHERE len(ts) >= 2),
+            counts AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+            heads AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+            model AS (
+              SELECT c.w1, c.w2, CAST(c.c12 AS DOUBLE) / CAST(h.c1 AS DOUBLE) AS p
+              FROM counts c JOIN heads h ON h.w1 = c.w1)
+            SELECT b.doc_id, count(*) AS n_bigrams,
+                   round(avg(-ln(m.p)), 6) AS avg_neg_logp
+            FROM bg b JOIN model m ON m.w1 = b.w1 AND m.w2 = b.w2
+            GROUP BY b.doc_id
+            ORDER BY b.doc_id"""))
+
   val all: Seq[Q] =
     Seq(grep, wordcount, tokenCount, quality, langid, fingerprint, winnow, tfidf,
-      langidEval, chunk, cooccur, bigrams)
+      langidEval, chunk, cooccur, bigrams, perplexity)
 }
