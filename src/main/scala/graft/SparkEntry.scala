@@ -16,6 +16,7 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, RangeJoin, Relational, Samp
   *  - q23/q24: deterministic md5-bucket sampling (uniform, stratified).
   *  - q25/q26: latest-record compaction (max_by), full-outer coverage join.
   *  - q27: sketch percentiles (percentile_approx next to q20's exact).
+  *  - q28: weighted corpus mixing (deterministic fractional replication).
   *  - t01..t13: text query library (grep, wordcount, token counting,
   *    quality scoring, language-ID, fingerprinting, winnowing, TF-IDF,
   *    langid eval, context chunking, co-occurrence PMI, bigram LM,

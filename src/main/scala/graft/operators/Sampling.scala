@@ -64,5 +64,68 @@ object Sampling {
              GROUP BY lang
              ORDER BY lang"""))
 
-  val all: Seq[Q] = Seq(hashSample, stratifiedSample)
+  /** Weighted corpus mixing — the "data mix" step before pretraining:
+    * per-domain target weights both above and below 1 (upsample src0 2.5×,
+    * downsample src1 to 0.3×, keep the rest). A doc with weight w emits
+    * floor(w) full copies plus one more iff its hash bucket falls under the
+    * fractional part — deterministic replication, no RNG, map-only
+    * (`explode(sequence(...))` is a per-row flatMap; no shuffle until the
+    * audit aggregate). `copy_id` makes replicas first-class rows — exactly
+    * what a downstream shuffle/tokenize stage consumes.
+    *
+    * Output here is the per-source audit (emitted rows vs originals); the
+    * row-level stream is the same plan minus the final aggregate.
+    */
+  val weightedMix = Q(
+    "q28_weighted_mix",
+    (s, d) => {
+      // Weights expressed as (whole copies, fractional percent) integer
+      // pairs — src0 ⇒ 2.5×, src1 ⇒ 0.3×, rest 1.0× — so the fractional
+      // keep decision compares integers on both engines (a double
+      // `(w - floor(w)) * 100` would put 0.3 at 30.000000000000004 here
+      // and exactly 30.0 in DuckDB's DECIMAL — off-by-one at the bucket
+      // boundary).
+      val whole = when(col("source") === "src0", lit(2))
+        .when(col("source") === "src1", lit(0))
+        .otherwise(lit(1))
+      val fracPct = when(col("source") === "src0", lit(50))
+        .when(col("source") === "src1", lit(30))
+        .otherwise(lit(0))
+      val copies = whole +
+        when(hashBucket(col("doc_id")) < fracPct, lit(1)).otherwise(lit(0))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), copies.cast("int").as("n_copies"))
+        .filter(col("n_copies") > 0)
+        .select(col("doc_id"), col("source"),
+          explode(sequence(lit(0), col("n_copies") - 1)).as("copy_id"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_emitted"),
+          count_distinct(col("doc_id")).as("n_docs"))
+        .orderBy("source")
+    },
+    Some(s"""WITH weighted AS (
+              SELECT doc_id, source,
+                CASE WHEN source = 'src0' THEN 2
+                     WHEN source = 'src1' THEN 0
+                     ELSE 1 END AS whole,
+                CASE WHEN source = 'src0' THEN 50
+                     WHEN source = 'src1' THEN 30
+                     ELSE 0 END AS frac_pct,
+                $bucketSql AS bucket
+              FROM documents),
+            copies AS (
+              SELECT doc_id, source,
+                whole + CASE WHEN bucket < frac_pct THEN 1 ELSE 0 END AS n_copies
+              FROM weighted),
+            emitted AS (
+              SELECT doc_id, source, unnest(range(0, n_copies)) AS copy_id
+              FROM copies WHERE n_copies > 0)
+            SELECT source, count(*) AS n_emitted,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM emitted
+            GROUP BY source
+            ORDER BY source"""))
+
+  val all: Seq[Q] = Seq(hashSample, stratifiedSample, weightedMix)
 }
