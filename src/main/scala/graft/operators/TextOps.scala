@@ -456,7 +456,45 @@ object TextOps {
             GROUP BY b.doc_id
             ORDER BY b.doc_id"""))
 
+  /** Vocabulary growth (Heaps-law readout): cumulative distinct-token count
+    * in doc_id order — the corpus-curation curve that shows whether new
+    * data still adds new vocabulary. Formulated scalably: each token's
+    * FIRST document (one aggregate over the token stream), then new-token
+    * counts per doc, then a running sum — the window runs over doc-count-
+    * sized data, not the token stream. (At billions of docs the final
+    * prefix sum becomes a two-phase range-partitioned scan; the aggregates
+    * before it are unchanged.)
+    */
+  val vocabGrowth = Q(
+    "t14_vocab_growth",
+    (s, d) => {
+      val firstDoc = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        .groupBy("t").agg(min("doc_id").as("first_doc"))
+      val newPerDoc = firstDoc.groupBy("first_doc").agg(count(lit(1)).as("n_new"))
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(newPerDoc.withColumnRenamed("first_doc", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_new"), lit(0L)).as("n_new_tokens"))
+        .withColumn("vocab_size",
+          sum("n_new_tokens").over(Window.orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, unnest(list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS t
+              FROM documents),
+            first_doc AS (SELECT t, min(doc_id) AS first_doc FROM toks GROUP BY t),
+            new_per_doc AS (
+              SELECT first_doc AS doc_id, count(*) AS n_new FROM first_doc GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(n.n_new, 0) AS n_new_tokens,
+                   sum(coalesce(n.n_new, 0)) OVER (ORDER BY d.doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vocab_size
+            FROM documents d LEFT JOIN new_per_doc n ON n.doc_id = d.doc_id
+            ORDER BY d.doc_id"""))
+
   val all: Seq[Q] =
     Seq(grep, wordcount, tokenCount, quality, langid, fingerprint, winnow, tfidf,
-      langidEval, chunk, cooccur, bigrams, perplexity)
+      langidEval, chunk, cooccur, bigrams, perplexity, vocabGrowth)
 }
