@@ -39,6 +39,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("simhash banding pigeonhole: any pair within Hamming distance 3 shares a 16-bit chunk") {
+    // The recall-1.0 claim of d03's candidate generation: 4 chunks, ≤3
+    // differing bits ⇒ ≥1 chunk untouched. Verified over random signatures
+    // with planted 0..3-bit flips at random positions.
+    def chunks(x: Long): Seq[Long] = (0 until 4).map(c => (x >>> (c * 16)) & 0xFFFFL)
+    val cases = for {
+      seed <- 1 to 300
+      rng = new scala.util.Random(seed)
+      base = rng.nextLong()
+      nFlips = rng.nextInt(4) // 0..3
+      flipped = (1 to nFlips).foldLeft(base)((v, _) => v ^ (1L << rng.nextInt(64)))
+    } yield (base, flipped)
+    cases.foreach { case (a, b) =>
+      assert(java.lang.Long.bitCount(a ^ b) <= 3)
+      assert(chunks(a).zip(chunks(b)).exists(p => p._1 == p._2),
+        f"pair within distance 3 shares no chunk: $a%x vs $b%x")
+    }
+    // And the converse direction is honestly loose: a 4-bit spread across
+    // all chunks CAN miss — banding is recall-complete only to distance 3.
+    val spread = 0L ^ (1L << 0) ^ (1L << 16) ^ (1L << 32) ^ (1L << 48)
+    assert(!chunks(0L).zip(chunks(spread)).exists(p => p._1 == p._2))
+  }
+
   test("connectedComponents == union-find on random graphs (incl. chains and stars)") {
     import spark.implicits._
     // In-memory union-find ground truth.
