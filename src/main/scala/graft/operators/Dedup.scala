@@ -589,5 +589,41 @@ object Dedup {
             LEFT JOIN near_drop n ON n.doc_id = d.doc_id
             ORDER BY d.doc_id"""))
 
-  val all: Seq[Q] = Seq(exact, minhash, simhash, ngramJaccard, embedding, clusters, keep)
+  // ------------------------------------------------------- graph analytics
+  /** Triangles in the near-dup graph — three documents pairwise similar,
+    * the signature of a densely-duplicated template (boilerplate, mirrored
+    * pages) rather than a one-off copy. Edge list is oriented (a < b), so
+    * each triangle x<y<z matches exactly once via two equi-joins — the
+    * standard distributed triangle enumeration; no DISTINCT pass, and the
+    * edge list (already LSH+Jaccard-gated, tiny vs the corpus) is
+    * materialized once and reused by all three join legs.
+    */
+  def nearDupTriangles(spark: SparkSession, d: String, threshold: Double): DataFrame = {
+    val rawPairs = minhashPairs(spark, d, threshold).select(col("a"), col("b"))
+    val e = rawPairs.localCheckpoint()
+    unpersistCheckpoints(rawPairs)
+    e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+      .orderBy("x", "y", "z")
+  }
+
+  val triangles = Q(
+    "d08_neardup_triangles",
+    (s, d) => nearDupTriangles(s, d, 0.5),
+    Some(s"""WITH $minhashOracleCtes,
+            pairs AS (
+              SELECT a, b
+              FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+              WHERE round(CAST(n_common AS DOUBLE) /
+                          CAST(sa.n + sb.n - n_common AS DOUBLE), 4) >= 0.5)
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM pairs e1
+            JOIN pairs e2 ON e2.a = e1.b
+            JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+            ORDER BY x, y, z"""))
+
+  val all: Seq[Q] = Seq(exact, minhash, simhash, ngramJaccard, embedding, clusters, keep, triangles)
 }
