@@ -36,7 +36,22 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Persist the metric to a file FIRST — the one artifact the driver
+    // grades must survive whatever the JVM prints at shutdown.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_out.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] write bench_out.json: $e") }
+    // Stop Spark BEFORE printing the metric line: `spark.stop()` can race
+    // still-in-flight noop-write/AQE futures into a RejectedExecutionException
+    // stack trace on stderr/stdout; printing last keeps the JSON line as the
+    // tail of stdout, where the driver's parser looks for it. The brief pause
+    // lets the last noop write's async cleanup futures drain first.
+    Thread.sleep(2000)
+    try spark.stop()
+    catch { case e: Throwable => System.err.println(s"[bench] spark.stop: $e") }
+    System.out.println(line)
+    System.out.flush()
   }
 }

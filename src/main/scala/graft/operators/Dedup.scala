@@ -342,46 +342,82 @@ object Dedup {
             ORDER BY a, b"""))
 
   // ------------------------------------------------------- embedding cosine
-  /** Embedding near-dup pairs: cosine ≥ threshold.
+  /** Embedding near-dup pairs: cosine ≥ threshold — **exact**, via IVF
+    * cells + spherical triangle-inequality cell-pair pruning. The corpus
+    * never reaches the driver.
     *
-    * Exact all-pairs is O(n²) by definition, so the kernel matters: the
-    * corpus (small here; at scale this would be one LSH/IVF bucket, see
-    * Similarity.lshTopK) is broadcast once and each partition scores its
-    * vectors against it with a primitive double loop — ~100× faster than
-    * the interpreted higher-order-function fold, with identical
-    * left-fold double arithmetic, so results still match the DuckDB
-    * oracle bit-for-bit. The probe side is repartitioned so the scoring
-    * loop uses every core (the embeddings table is a single-file scan).
+    * Algorithm (all corpus-sized work stays distributed):
+    *  1. Build an `nCells` codebook with [[Similarity.refineCodebook]]
+    *     (spherical k-means; the only collects are codebook-sized —
+    *     nCells vectors — never the corpus).
+    *  2. Assign every vector to its nearest cell and record its angle to
+    *     the centroid; per-cell radius r_i = max angle (a tiny
+    *     nCells-row aggregate).
+    *  3. Candidate cell pairs: by the triangle inequality on the unit
+    *     sphere, θ(a,b) ≥ θ(c_i,c_j) − θ(a,c_i) − θ(b,c_j), so any pair
+    *     with θ(a,b) ≤ θ_t must live in cells with
+    *     θ(c_i,c_j) ≤ θ_t + r_i + r_j. Cell pairs failing that bound are
+    *     pruned with **zero recall loss** — this is exact for ANY data
+    *     distribution, unlike probabilistic LSH banding. (Slack is added
+    *     for the round-to-6 boundary and acos rounding; slack only ever
+    *     ADDS candidate cells.)
+    *  4. Exact cosine verify on the surviving cell-pair blocks (same
+    *     codegen'd `vec_dot` arithmetic as s01, which hash-matches the
+    *     same DuckDB oracle formulation).
+    *
+    * At 100 TB: the corpus shuffles once keyed by cell; the verify join
+    * is cell-pair-blocked, so compute ∝ Σ |cell_i|·|cell_j| over pairs
+    * that survive the bound — near-linear on clustered embeddings (tight
+    * radii prune almost everything), degrading gracefully toward blocked
+    * all-pairs on adversarially uniform data while never losing a pair.
     */
-  def embeddingPairs(spark: SparkSession, d: String, threshold: Double): DataFrame = {
+  def embeddingPairs(spark: SparkSession, d: String, threshold: Double,
+      nCells: Int = 16, kmeansIters: Int = 3): DataFrame = {
     import spark.implicits._
-    val e = Tables.embeddings(spark, d)
+    import Similarity.{dotd, unit}
+    val ev = Tables.embeddings(spark, d)
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
-    def dotd(x: Array[Double], y: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < x.length) { s += x(i) * y(i); i += 1 }
-      s
-    }
-    // Same rounding as Spark/DuckDB round(x, 6): HALF_UP on the shortest
-    // decimal representation (BigDecimal.valueOf uses Double.toString).
-    def round6(v: Double): Double =
-      java.math.BigDecimal.valueOf(v).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-    val corpus = e.collect().map { case (id, arr) =>
-      val dv = arr.map(_.toDouble)
-      (id, dv, math.sqrt(dotd(dv, dv)))
-    }
-    val bc = spark.sparkContext.broadcast(corpus)
-    e.repartition(spark.sparkContext.defaultParallelism).mapPartitions { it =>
-      it.flatMap { case (a, ea) =>
-        val da = ea.map(_.toDouble)
-        val na = math.sqrt(dotd(da, da))
-        bc.value.iterator
-          .filter(_._1 > a)
-          .map { case (b, db, nb) => (a, b, round6(dotd(da, db) / (na * nb))) }
-          .filter(_._3 >= threshold)
-      }
-    }.toDF("a", "b", "cos_sim").orderBy("a", "b")
+    val seeds = ev.filter(_._1 < nCells).collect() // codebook-sized, not corpus
+      .sortBy(_._1).map { case (id, v) => (id.toInt, unit(v)) }
+    val codebook = Similarity.refineCodebook(spark, ev, seeds, kmeansIters)
+    val bc = spark.sparkContext.broadcast(codebook)
+    def clampAcos(x: Double): Double = math.acos(math.max(-1.0, math.min(1.0, x)))
+    // Cell assignment (same nearest-centroid tie-break as s04) + angle to
+    // the assigned centroid. Materialized once: read by the radius agg and
+    // both sides of the verify join.
+    val celled = ev.map { case (id, v) =>
+      val uv = unit(v)
+      val (cell, sim) = bc.value
+        .map { case (cid, c) => (cid, dotd(uv, c)) }
+        .maxBy { case (cid, s) => (s, -cid) }
+      (cell, id, v, clampAcos(sim))
+    }.toDF("cell", "vec_id", "embedding", "theta_c")
+      .localCheckpoint()
+    val radii = celled.groupBy("cell").agg(max("theta_c").as("r"))
+      .as[(Int, Double)].collect().toMap // nCells rows — codebook-sized
+    // θ_t with slack: round6(cos) ≥ t admits raw cos down to t − 5e-7, and
+    // acos on doubles carries rounding error near ±1 — both slacks only
+    // widen the candidate set, never narrow it.
+    val thetaT = clampAcos(threshold - 1e-6)
+    val cellPairs = for {
+      (ci, vi) <- codebook.toSeq
+      (cj, vj) <- codebook.toSeq
+      if clampAcos(dotd(vi, vj)) <=
+        thetaT + radii.getOrElse(ci, 0.0) + radii.getOrElse(cj, 0.0) + 1e-6
+    } yield (ci, cj)
+    // All ordered (cell_a, cell_b) pairs (incl. i==j) + the a<b filter give
+    // each qualifying doc pair exactly once.
+    val cp = cellPairs.toDF("cell_a", "cell_b")
+    val a = celled.select(col("cell").as("cell_a"), col("vec_id").as("a"), col("embedding").as("ea"))
+    val b = celled.select(col("cell").as("cell_b"), col("vec_id").as("b"), col("embedding").as("eb"))
+    a.join(broadcast(cp), Seq("cell_a"))
+      .join(b, Seq("cell_b"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(VectorFns.cosine(col("ea"), col("eb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .orderBy("a", "b")
   }
 
   val embedding = Q(

@@ -131,12 +131,12 @@ object Similarity {
             round(max(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 6) AS max_norm
             FROM embeddings GROUP BY label ORDER BY label"""))
 
-  private def dotd(x: Array[Double], y: Array[Double]): Double = {
+  private[operators] def dotd(x: Array[Double], y: Array[Double]): Double = {
     var s = 0.0; var i = 0
     while (i < x.length) { s += x(i) * y(i); i += 1 }
     s
   }
-  private def unit(a: Array[Float]): Array[Double] = {
+  private[operators] def unit(a: Array[Float]): Array[Double] = {
     val dv = a.map(_.toDouble)
     val n = math.sqrt(dotd(dv, dv))
     if (n == 0) dv else dv.map(_ / n)

@@ -489,8 +489,8 @@ object TextOps {
               SELECT first_doc AS doc_id, count(*) AS n_new FROM first_doc GROUP BY 1)
             SELECT d.doc_id,
                    coalesce(n.n_new, 0) AS n_new_tokens,
-                   sum(coalesce(n.n_new, 0)) OVER (ORDER BY d.doc_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vocab_size
+                   CAST(sum(coalesce(n.n_new, 0)) OVER (ORDER BY d.doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_size
             FROM documents d LEFT JOIN new_per_doc n ON n.doc_id = d.doc_id
             ORDER BY d.doc_id"""))
 
