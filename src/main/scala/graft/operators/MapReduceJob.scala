@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.hadoop.fs.Path
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Dataset, SparkSession}
 import graft.functions.{Md5Mod, Md5Partitioner}
 
@@ -23,12 +25,59 @@ import graft.functions.{Md5Mod, Md5Partitioner}
 object MapReduceJob {
 
   /** Job descriptor, mirroring the reference's JSON job
-    * (input/output/mapper/reducer/parallelism). */
+    * (input/output/mapper/reducer/parallelism — reference
+    * `submit.py:80-88` carries BOTH `num_mappers` and `num_reducers`).
+    * `numMappers = 0` (default) lets Spark pick map parallelism from the
+    * input splits; > 0 reproduces the reference's exact round-robin
+    * file→task assignment (see [[mapInput]]). */
   final case class JobSpec(
       inputDir: String,
       mapper: String => IterableOnce[(String, String)],
       reducer: (String, Iterator[String]) => IterableOnce[String],
-      numReducers: Int)
+      numReducers: Int,
+      numMappers: Int = 0)
+
+  /** Input scan honoring `numMappers` (SURVEY §2 ops 1–2): list regular
+    * files, sorted by name (reference `manager/__main__.py:320-327`), and
+    * assign file i to map task `i % numMappers` (reference
+    * `manager/__main__.py:330-334`) — exactly the reference's split
+    * layout, one RDD partition per map task. Files are read executor-side
+    * through the Hadoop FileSystem API, so the same code path works on
+    * local disk and on a distributed store. With `numMappers <= 0` the
+    * scan is Spark's own split packing (better at scale: splits sized by
+    * bytes, not file count).
+    */
+  def mapInput(spark: SparkSession, inputDir: String, numMappers: Int): RDD[String] =
+    if (numMappers <= 0) spark.read.textFile(inputDir).rdd
+    else {
+      val dir = new Path(inputDir)
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val sortedFiles = fs.listStatus(dir).filter(_.isFile)
+        .map(_.getPath.toString).sorted.toSeq
+      val tasks = (0 until numMappers)
+        .map(t => sortedFiles.zipWithIndex.collect { case (f, i) if i % numMappers == t => f })
+      spark.sparkContext.parallelize(tasks, numMappers).flatMap { files =>
+        files.iterator.flatMap { f =>
+          val p = new Path(f)
+          // Executor-side open via the path's own FileSystem (scheme from
+          // the URI — default Hadoop config covers local + HDFS paths).
+          val in = p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+          val reader = new java.io.BufferedReader(
+            new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+          new Iterator[String] {
+            private var line = reader.readLine()
+            if (line == null) reader.close()
+            def hasNext: Boolean = line != null
+            def next(): String = {
+              val l = line
+              line = reader.readLine()
+              if (line == null) reader.close()
+              l
+            }
+          }
+        }
+      }
+    }
 
   /** Word-count mapper/reducer (reference `tests/testdata/exec/wc_map.sh:12`,
     * `wc_reduce.sh:14`): split on space/tab AND literal brackets — the
@@ -59,8 +108,7 @@ object MapReduceJob {
     * form of the reference's `part-{p:05d}` files. */
   def run(spark: SparkSession, spec: JobSpec): Dataset[String] = {
     import spark.implicits._
-    val lines = spark.read.textFile(spec.inputDir)
-    val mapped = lines.rdd.flatMap(spec.mapper)
+    val mapped = mapInput(spark, spec.inputDir, spec.numMappers).flatMap(spec.mapper)
     // Key by (key, value) so repartitionAndSortWithinPartitions gives the
     // reference's whole-line sort; the partitioner routes on key only.
     val routed = mapped
@@ -96,15 +144,75 @@ object MapReduceJob {
 
   /** Write job output as the reference does: overwrite-mode text files, one
     * per reduce partition (reference `worker/__main__.py:237-250`,
-    * `manager/__main__.py:344-355`). */
-  def runToDir(spark: SparkSession, spec: JobSpec, outputDir: String): Unit =
-    run(spark, spec).write.mode("overwrite").text(outputDir)
+    * `manager/__main__.py:344-355`). With `exactPartNames = true` the
+    * output directory is byte-identical to the reference's layout: exactly
+    * `numReducers` files named `part-{NNNNN}` (reference
+    * `worker/__main__.py:237-238`), existing output deleted first
+    * (reference `manager/__main__.py:345-355`), no `_SUCCESS`/checksum
+    * droppings. */
+  def runToDir(spark: SparkSession, spec: JobSpec, outputDir: String,
+      exactPartNames: Boolean = false): Unit =
+    if (!exactPartNames) run(spark, spec).write.mode("overwrite").text(outputDir)
+    else writeExact(spark, run(spark, spec), outputDir, spec.numReducers)
+
+  /** Commit a per-partition line dataset to `outputDir` with the
+    * reference's exact `part-{NNNNN}` names. `saveAsTextFile` already
+    * emits Hadoop's `part-NNNNN` (no UUID suffix) one per partition —
+    * including empty partitions, matching the reference's always-R-files
+    * contract — so the cleanup is just the `_SUCCESS` marker + CRCs. */
+  def writeExact(spark: SparkSession, out: Dataset[String], outputDir: String,
+      numReducers: Int): Unit = {
+    val dir = new Path(outputDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // LocalFileSystem writes hidden .part-NNNNN.crc siblings (and hides
+    // them from listStatus); turn checksums off so the directory holds
+    // exactly what the reference's would.
+    fs.setWriteChecksum(false)
+    if (fs.exists(dir)) fs.delete(dir, true)
+    out.rdd.saveAsTextFile(outputDir)
+    fs.listStatus(dir).map(_.getPath)
+      .filter(p => p.getName == "_SUCCESS" || p.getName.endsWith(".crc"))
+      .foreach(p => fs.delete(p, false))
+    require(fs.listStatus(dir).count(_.getPath.getName.startsWith("part-")) == numReducers,
+      s"writeExact: expected $numReducers part files in $outputDir")
+  }
 
   /** External-executable map stage (Hadoop-streaming compatibility,
     * reference `worker/__main__.py:167-186`): stream partition lines through
     * `command` via RDD.pipe. */
-  def pipeMap(spark: SparkSession, inputDir: String, command: Seq[String]): Dataset[String] = {
+  def pipeMap(spark: SparkSession, inputDir: String, command: Seq[String],
+      numMappers: Int = 0): Dataset[String] = {
     import spark.implicits._
-    spark.createDataset(spark.read.textFile(inputDir).rdd.pipe(command))
+    spark.createDataset(mapInput(spark, inputDir, numMappers).pipe(command))
   }
+
+  /** External-executable reduce stage (reference
+    * `worker/__main__.py:241-249`): md5-route each tab-KV line on its key
+    * (everything before the first tab, reference `worker/__main__.py:182`),
+    * whole-line-sort within each reduce partition (the reference `sort`s
+    * every intermediate file, `worker/__main__.py:195-198`, and
+    * `heapq.merge`s them), then stream each partition's merged run through
+    * `command` once via RDD.pipe — one reducer process per partition,
+    * exactly the reference's layout. Lines are kept verbatim (a line with
+    * no tab reduces under itself as key, like the reference). */
+  def pipeReduce(spark: SparkSession, mapped: Dataset[String], command: Seq[String],
+      numReducers: Int): Dataset[String] = {
+    import spark.implicits._
+    val routed = mapped.rdd
+      .map { line =>
+        val i = line.indexOf('\t')
+        val k = if (i >= 0) line.substring(0, i) else line
+        ((k, line), ())
+      }
+      .repartitionAndSortWithinPartitions(new Md5Partitioner(numReducers))
+    spark.createDataset(routed.map(_._1._2).pipe(command))
+  }
+
+  /** Full Hadoop-streaming job with EXTERNAL mapper and reducer — the
+    * reference's complete user contract (`submit.py` job descriptor run
+    * end-to-end): map executable over round-robin file splits, md5
+    * shuffle, in-partition sort, reduce executable per partition. */
+  def pipeJob(spark: SparkSession, inputDir: String, mapCmd: Seq[String],
+      reduceCmd: Seq[String], numReducers: Int, numMappers: Int = 0): Dataset[String] =
+    pipeReduce(spark, pipeMap(spark, inputDir, mapCmd, numMappers), reduceCmd, numReducers)
 }

@@ -138,6 +138,70 @@ class MapReduceParitySpec extends SparkSpec {
     assert(out.collect().toSeq == goldenLines("grep_correct.txt"))
   }
 
+  test("reference golden: EXTERNAL mapper+reducer (wc_map.sh | wc_reduce.sh) == word_count_correct.txt") {
+    assume(new java.io.File(s"$refData/input").isDirectory)
+    // The reference's real executables, run verbatim through the full
+    // piped job (RDD.pipe map → md5 shuffle → in-partition sort →
+    // RDD.pipe reduce): reference worker/__main__.py:167-186 (map) and
+    // :241-249 (reduce). Same sorted-lines compare as the reference's
+    // own integration test.
+    val out = MapReduceJob.pipeJob(
+      spark, s"$refData/input",
+      Seq(s"$refData/exec/wc_map.sh"), Seq(s"$refData/exec/wc_reduce.sh"),
+      numReducers = 2, numMappers = 2)
+    assert(out.collect().toSeq.sorted == goldenLines("word_count_correct.txt").sorted)
+    // And the per-partition contract: md5-routed, key-sorted.
+    val parts = out.rdd.glom().collect()
+    assert(parts.length == 2)
+    parts.zipWithIndex.foreach { case (lines, pid) =>
+      val keys = lines.map(_.split("\t", 2)(0)).toSeq
+      assert(keys == keys.sorted, s"partition $pid not key-sorted")
+      keys.foreach(k => assert(Md5Mod.partitionOf(k, 2) == pid, s"key $k misrouted"))
+    }
+  }
+
+  test("reference golden: EXTERNAL grep executables == grep_correct.txt") {
+    assume(new java.io.File(s"$refData/input").isDirectory)
+    val out = MapReduceJob.pipeJob(
+      spark, s"$refData/input",
+      Seq(s"$refData/exec/grep_map.py"), Seq(s"$refData/exec/grep_reduce.py"),
+      numReducers = 1, numMappers = 2)
+    assert(out.collect().toSeq == goldenLines("grep_correct.txt"))
+  }
+
+  test("numMappers: round-robin sorted-file split assignment (manager:330-334)") {
+    val dir = writeCorpus(Map(
+      "a.txt" -> "1\n", "b.txt" -> "2\n", "c.txt" -> "3\n",
+      "d.txt" -> "4\n", "e.txt" -> "5\n"))
+    val rdd = MapReduceJob.mapInput(spark, dir, 3)
+    val parts = rdd.glom().collect().map(_.toSeq)
+    // task i gets sorted files i, i+3, ... → lines (1,4), (2,5), (3)
+    assert(parts.length == 3)
+    assert(parts(0) == Seq("1", "4") && parts(1) == Seq("2", "5") && parts(2) == Seq("3"))
+  }
+
+  test("Submit CLI golden: defaults + exact part-{NNNNN} output layout") {
+    assume(new java.io.File(s"$refData/input").isDirectory)
+    // Defaults mirror submit.py:22-60 exactly.
+    val defaults = Submit.parse(Array.empty)
+    assert(defaults == Submit.Opts("localhost", 6000, "tests/testdata/input",
+      "output", "tests/testdata/exec/wc_map.sh", "tests/testdata/exec/wc_reduce.sh", 2, 2, false))
+    // A submitted job writes the reference's exact output layout
+    // (worker/__main__.py:237-238: files named part-{NNNNN}, nothing else).
+    val outDir = Files.createTempDirectory("graft-submit-out").toFile.getAbsolutePath
+    Submit.execute(spark, Submit.parse(Array(
+      "-i", s"$refData/input", "-o", outDir,
+      "-m", s"$refData/exec/wc_map.sh", "-r", s"$refData/exec/wc_reduce.sh",
+      "--nmappers", "2", "--nreducers", "2")))
+    val listing = new java.io.File(outDir).listFiles().map(_.getName).toSeq.sorted
+    assert(listing == Seq("part-00000", "part-00001"))
+    val lines = listing.flatMap { f =>
+      val src = scala.io.Source.fromFile(s"$outDir/$f")("UTF-8")
+      try src.getLines().toList finally src.close()
+    }
+    assert(lines.sorted == goldenLines("word_count_correct.txt").sorted)
+  }
+
   test("md5_mod registered SQL function matches the partitioner") {
     Md5Mod.register(spark)
     val r = spark.sql("SELECT md5_mod('hello', 2) AS p, md5_mod('world', 2) AS q").collect()(0)
