@@ -393,6 +393,10 @@ object Dedup {
         .maxBy { case (cid, s) => (s, -cid) }
       (cell, id, v, clampAcos(sim))
     }.toDF("cell", "vec_id", "embedding", "theta_c")
+      // The embeddings table can be a single file (it is in testdata) —
+      // spread the checkpointed blocks so the verify join's probe side
+      // runs on every core instead of one.
+      .repartition(spark.sparkContext.defaultParallelism)
       .localCheckpoint()
     val radii = celled.groupBy("cell").agg(max("theta_c").as("r"))
       .as[(Int, Double)].collect().toMap // nCells rows — codebook-sized
@@ -409,13 +413,18 @@ object Dedup {
     // All ordered (cell_a, cell_b) pairs (incl. i==j) + the a<b filter give
     // each qualifying doc pair exactly once.
     val cp = cellPairs.toDF("cell_a", "cell_b")
-    val a = celled.select(col("cell").as("cell_a"), col("vec_id").as("a"), col("embedding").as("ea"))
-    val b = celled.select(col("cell").as("cell_b"), col("vec_id").as("b"), col("embedding").as("eb"))
+    // Norms precomputed once per side (n rows each) so the O(candidates)
+    // hot loop does ONE vec_dot per pair instead of three — dot/(na·nb)
+    // is the same double arithmetic as cosine(), bit-identical results.
+    val a = celled.select(col("cell").as("cell_a"), col("vec_id").as("a"),
+      col("embedding").as("ea"), VectorFns.norm(col("embedding")).as("na"))
+    val b = celled.select(col("cell").as("cell_b"), col("vec_id").as("b"),
+      col("embedding").as("eb"), VectorFns.norm(col("embedding")).as("nb"))
     a.join(broadcast(cp), Seq("cell_a"))
       .join(b, Seq("cell_b"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"),
-        round(VectorFns.cosine(col("ea"), col("eb")), 6).as("cos_sim"))
+        round(VectorFns.dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
       .orderBy("a", "b")
   }

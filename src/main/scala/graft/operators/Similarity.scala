@@ -197,13 +197,86 @@ object Similarity {
     * partitioned by cell id, so a probe reads nProbe/nCells of the data.
     * Rows-only check (approximate by construction, still deterministic).
     */
-  def ivfTopK(spark: SparkSession, d: String, nQueries: Int, k: Int,
-      nCells: Int = 16, nProbe: Int = 4, kmeansIters: Int = 3): DataFrame = {
+  /** Train the IVF codebook for table `d` (deterministic seeds: the
+    * `nCells` lowest vec_ids, refined by spherical k-means). Only
+    * codebook-sized data reaches the driver. */
+  def ivfCodebook(spark: SparkSession, d: String,
+      nCells: Int, kmeansIters: Int): Array[(Int, Array[Double])] = {
     import spark.implicits._
     val e = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
     val seeds = e.as[(Long, Array[Float])]
       .filter(_._1 < nCells).collect().sortBy(_._1).map { case (id, v) => (id.toInt, unit(v)) }
-    val codebook = refineCodebook(spark, e.as[(Long, Array[Float])], seeds, kmeansIters)
+    refineCodebook(spark, e.as[(Long, Array[Float])], seeds, kmeansIters)
+  }
+
+  /** The IVF-Flat index layout made literal: assign every corpus vector to
+    * its cell and write the corpus `partitionBy("cell")`, one parquet
+    * directory per cell (the codebook rides along at `<path>_codebook`).
+    * At 100 TB this is THE reason IVF scales: a probe's `cell IN (...)`
+    * filter becomes partition pruning at the scan, so each query reads
+    * nProbe/nCells of the data instead of all of it —
+    * [[PartitionPruningSpec]] asserts the pruned file count. */
+  def ivfWriteIndex(spark: SparkSession, d: String, indexPath: String,
+      nCells: Int = 16, kmeansIters: Int = 3): Unit = {
+    import spark.implicits._
+    val codebook = ivfCodebook(spark, d, nCells, kmeansIters)
+    val bc = spark.sparkContext.broadcast(codebook)
+    val e = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+    e.as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val uv = unit(v)
+        (bc.value.map { case (cid, c) => (cid, dotd(uv, c)) }
+          .maxBy { case (cid, s) => (s, -cid) }._1, id, v)
+      }
+      .toDF("cell", "neighbor_id", "ne")
+      // One shuffle keyed by cell → each cell's rows land in one task →
+      // exactly one file per cell directory.
+      .repartition(nCells, col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(indexPath)
+    codebook.map { case (cid, c) => (cid, c) }.toSeq.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(indexPath + "_codebook")
+  }
+
+  /** Probe a written IVF index: per query, find its `nProbe` nearest cells
+    * from the persisted codebook, then scan ONLY those cell partitions
+    * (`cell IN (literal cells)` — static partition pruning) and score.
+    * Results are identical to [[ivfTopK]] with the same geometry; the
+    * difference is what gets READ. */
+  def ivfProbeIndex(spark: SparkSession, d: String, indexPath: String,
+      nQueries: Int, k: Int, nProbe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val codebook = spark.read.parquet(indexPath + "_codebook")
+      .as[(Int, Array[Double])].collect().sortBy(_._1) // codebook-sized
+    val bc = spark.sparkContext.broadcast(codebook)
+    def nearestCells(v: Array[Float], n: Int): Seq[Int] =
+      bc.value.map { case (cid, c) => (cid, dotd(unit(v), c)) }
+        .sortBy { case (cid, s) => (-s, cid) }.take(n).map(_._1).toSeq
+    val queries = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .filter(_._1 < nQueries)
+      .flatMap { case (id, v) => nearestCells(v, nProbe).map(c => (c, id, v)) }
+      .toDF("cell", "query_id", "qe")
+    // The probe cell set is queries×nProbe ints — collecting it makes the
+    // IN literal, which is what lets the scan prune partitions statically.
+    val probeCells = queries.select("cell").distinct().as[Int].collect().toSeq.sorted
+    val corpus = spark.read.parquet(indexPath)
+      .filter(col("cell").isin(probeCells: _*))
+    val sims = corpus.join(broadcast(queries), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qe"), col("ne")).as("c"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id").orderBy(col("c").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("c"), 6).as("cos_sim"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  def ivfTopK(spark: SparkSession, d: String, nQueries: Int, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, kmeansIters: Int = 3): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+    val codebook = ivfCodebook(spark, d, nCells, kmeansIters)
     val bc = spark.sparkContext.broadcast(codebook)
     def nearestCells(v: Array[Float], n: Int): Seq[Int] =
       bc.value.map { case (cid, c) => (cid, dotd(unit(v), c)) }

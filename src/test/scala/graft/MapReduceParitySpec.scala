@@ -202,6 +202,60 @@ class MapReduceParitySpec extends SparkSpec {
     assert(lines.sorted == goldenLines("word_count_correct.txt").sorted)
   }
 
+  test("reference corpus golden: winnow fingerprint + chunking over the 8-file corpus") {
+    // Close the loop between the literal MapReduce surface and the
+    // generalized text operators: run t07's rolling_min_hash and t10's
+    // chunking over the reference's own input files and check every value
+    // against a naive independent recompute (per-window polynomial sum /
+    // direct substring arithmetic).
+    assume(new java.io.File(s"$refData/input").isDirectory)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val files = new java.io.File(s"$refData/input").listFiles().filter(_.isFile)
+      .sortBy(_.getName)
+    val docs = files.map { f =>
+      (f.getName, new String(Files.readAllBytes(f.toPath), "UTF-8"))
+    }.toSeq
+    assert(docs.nonEmpty && docs.forall(_._2.forall(_ < 128)), "corpus must be ASCII")
+    val df = docs.toDF("doc_id", "text")
+
+    // t07 winnow fingerprint — engine expression vs naive O(n·w) recompute.
+    graft.functions.RollingMinHash.register(spark)
+    val gotFp = df.select(col("doc_id"), expr("rolling_min_hash(text, 32)").as("fp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def naiveMinHash(text: String, w: Int): Long = {
+      val bytes = text.getBytes("UTF-8")
+      if (bytes.isEmpty) return 0L
+      val win = math.min(w, bytes.length)
+      (0 to bytes.length - win).map { s =>
+        var h = 0L
+        var i = 0
+        while (i < win) { h = h * 1000003L + (bytes(s + i) & 0xff); i += 1 }
+        h
+      }.min
+    }
+    docs.foreach { case (id, text) =>
+      assert(gotFp(id) == naiveMinHash(text, 32), s"winnow mismatch for $id")
+    }
+
+    // t10 chunking — engine sequence/substr vs direct stride arithmetic.
+    val gotChunks = df.select(
+        col("doc_id"),
+        explode(sequence(
+          lit(1), greatest(length(col("text")) - lit(50), lit(1)), lit(150))).as("start"),
+        col("text"))
+      .select(col("doc_id"), col("start"), col("text").substr(col("start"), lit(200)).as("chunk"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getString(2)).toMap
+    docs.foreach { case (id, text) =>
+      val starts = 1 to math.max(text.length - 50, 1) by 150
+      val expected = starts.map(s => (id, s) -> text.substring(s - 1, math.min(s - 1 + 200, text.length)))
+      expected.foreach { case (k, v) =>
+        assert(gotChunks.get(k).contains(v), s"chunk mismatch at $k")
+      }
+      assert(gotChunks.count(_._1._1 == id) == starts.size, s"chunk count mismatch for $id")
+    }
+  }
+
   test("md5_mod registered SQL function matches the partitioner") {
     Md5Mod.register(spark)
     val r = spark.sql("SELECT md5_mod('hello', 2) AS p, md5_mod('world', 2) AS q").collect()(0)

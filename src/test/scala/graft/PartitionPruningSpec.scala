@@ -27,4 +27,55 @@ class PartitionPruningSpec extends SparkSpec {
     assert(pruned.count() == expected)
     assert(expected > 0, "test date not present in events — pick another day")
   }
+
+  test("IVF index probe reads only nProbe cells' partitions (s04's scale claim, checked)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import graft.operators.Similarity
+
+    val nCells = 8
+    val idx = Files.createTempDirectory("graft-ivf").toFile.getAbsolutePath + "/index"
+    Similarity.ivfWriteIndex(spark, sf, idx, nCells = nCells, kmeansIters = 2)
+    // One file per cell directory (repartition-by-cell before partitionBy).
+    val cellDirs = new java.io.File(idx).listFiles().filter(_.getName.startsWith("cell="))
+    assert(cellDirs.length == nCells, s"expected $nCells cell dirs, got ${cellDirs.length}")
+    assert(cellDirs.forall(_.listFiles().count(_.getName.endsWith(".parquet")) == 1))
+
+    val probe = Similarity.ivfProbeIndex(spark, sf, idx, nQueries = 2, k = 3, nProbe = 2)
+    val rows = probe.collect()
+    assert(rows.length == 2 * 3)
+
+    // The executed index scan must have read ≤ nQueries×nProbe of the
+    // nCells partition files — partition pruning, not a full scan. AQE
+    // buries executed scans inside materialized query stages, so collect
+    // recursively through them.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] =
+      p.collect {
+        case f: FileSourceScanExec => Seq(f)
+        case q: QueryStageExec => scans(q.plan)
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      }.flatten
+    val executed = probe.queryExecution.executedPlan
+    val indexScans = scans(executed)
+      .filter(_.metadata.get("Location").exists(_.contains("index")))
+    assert(indexScans.nonEmpty, s"no index FileSourceScan found:\n$executed")
+    val filesRead = indexScans.map(_.metrics("numFiles").value).sum
+    assert(filesRead <= 2 * 2 && filesRead < nCells,
+      s"probe read $filesRead files — partition pruning did not engage")
+    assert(executed.toString.contains("PartitionFilters"),
+      "expected PartitionFilters on the index scan")
+
+    // The index holds the whole corpus (pruning is at READ time, not a
+    // lossy write) …
+    assert(spark.read.parquet(idx).select("neighbor_id").distinct().count() ==
+      Tables.embeddings(spark, sf).count())
+    // … and the pruned probe returns exactly what the in-memory IVF path
+    // computes with the same deterministic geometry (same seeds, same
+    // k-means iterations) — pruning changed what was READ, not the answer.
+    val inMemory = Similarity.ivfTopK(spark, sf, nQueries = 2, k = 3,
+      nCells = nCells, nProbe = 2, kmeansIters = 2).collect()
+    assert(rows.map(_.toString).toSeq == inMemory.map(_.toString).toSeq)
+  }
 }
