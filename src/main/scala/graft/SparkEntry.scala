@@ -17,12 +17,14 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, RangeJoin, Relational, Samp
   *  - q25/q26: latest-record compaction (max_by), full-outer coverage join.
   *  - q27: sketch percentiles (percentile_approx next to q20's exact).
   *  - q28: weighted corpus mixing (deterministic fractional replication).
-  *  - t01..t14: text query library (grep, wordcount, token counting,
+  *  - t01..t15: text query library (grep, wordcount, token counting,
   *    quality scoring, language-ID, fingerprinting, winnowing, TF-IDF,
   *    langid eval, context chunking, co-occurrence PMI, bigram LM,
-  *    bigram perplexity quality filter, vocabulary growth).
-  *  - d01..d07: dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard,
-  *    embedding-cosine, connected-component clusters, keep-list).
+  *    bigram perplexity quality filter, vocabulary growth, Gopher-style
+  *    repetition filter).
+  *  - d01..d09: dedup & corpus hygiene (exact, MinHash-LSH, SimHash,
+  *    n-gram Jaccard, embedding-cosine, connected-component clusters,
+  *    keep-list, near-dup triangles, benchmark decontamination).
   *  - s01..s05: similarity search (brute-force ANN, LSH-bucketed ANN,
   *    per-label centroid stats, IVF ANN, recall@k evaluation).
   *  - m01..m04: multimodal binary-column plumbing (metadata, stub-decode

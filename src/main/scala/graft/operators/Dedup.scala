@@ -670,5 +670,58 @@ object Dedup {
             JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
             ORDER BY x, y, z"""))
 
-  val all: Seq[Q] = Seq(exact, minhash, simhash, ngramJaccard, embedding, clusters, keep, triangles)
+  // ------------------------------------------------------- decontamination
+  /** Benchmark decontamination: find training-corpus documents sharing any
+    * word-5-gram with the held-out eval split — the standard pre-training
+    * hygiene check (eval contamination inflates benchmark scores). The
+    * eval split here is the deterministic `doc_id % 19 == 0` slice; in
+    * production it is the benchmark suite itself.
+    *
+    * Scale shape: both sides shingle in one per-doc flatMap (no shuffle);
+    * the eval side is benchmark-sized (thousands of docs, ≪ corpus), so
+    * its hashed shingle set BROADCASTS and the probe is one map-side
+    * semi-join pass over the corpus shingles + one aggregate keyed by
+    * doc_id. The corpus is never shuffled on shingle, and nothing here is
+    * quadratic: cost = corpus shingle volume, same as a tokenizing scan.
+    * 5-grams (vs the classic 13-gram rule) suit this corpus's short docs;
+    * the n is a parameter.
+    */
+  def decontaminate(spark: SparkSession, d: String, n: Int): DataFrame =
+    decontaminate(Tables.documents(spark, d), n)
+
+  def decontaminate(docs: DataFrame, n: Int): DataFrame = {
+    val sh = hashedShingles(shingleSets(docs, n))
+    val eval_ = sh.filter(col("doc_id") % 19 === 0)
+      .select(col("doc_id").as("eval_doc"), col("sh_h"))
+    val corpus = sh.filter(col("doc_id") % 19 =!= 0)
+    corpus.join(broadcast(eval_), Seq("sh_h"))
+      .groupBy("doc_id")
+      .agg(
+        countDistinct(col("eval_doc")).as("n_eval_docs"),
+        count(lit(1)).as("n_shared_ngrams"))
+      .orderBy("doc_id")
+  }
+
+  val decontam = Q(
+    "d09_decontaminate",
+    (s, d) => decontaminate(s, d, 5),
+    Some("""WITH toks AS (
+              SELECT doc_id, list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                ('0x' || substr(md5(list_aggregate(ts[i:i+4], 'string_agg', ' ')), 1, 15))::BIGINT AS sh_h
+              FROM toks, UNNEST(range(1, len(ts) - 3)) r(i)
+              WHERE len(ts) >= 5),
+            eval AS (SELECT doc_id AS eval_doc, sh_h FROM sh WHERE doc_id % 19 = 0),
+            corpus AS (SELECT * FROM sh WHERE doc_id % 19 <> 0)
+            SELECT c.doc_id,
+                   count(DISTINCT e.eval_doc) AS n_eval_docs,
+                   count(*) AS n_shared_ngrams
+            FROM corpus c JOIN eval e ON c.sh_h = e.sh_h
+            GROUP BY c.doc_id ORDER BY c.doc_id"""))
+
+  val all: Seq[Q] =
+    Seq(exact, minhash, simhash, ngramJaccard, embedding, clusters, keep, triangles, decontam)
 }

@@ -494,7 +494,63 @@ object TextOps {
             FROM documents d LEFT JOIN new_per_doc n ON n.doc_id = d.doc_id
             ORDER BY d.doc_id"""))
 
+  /** Gopher-style repetition filter (Rae et al. 2021, MassiveText rules):
+    * per-document fraction of bigram occurrences claimed by the single most
+    * frequent bigram and by all repeated bigrams — high values mark
+    * boilerplate/templated text that perplexity filters miss. Emits the raw
+    * double ratios (no per-row rounding — both engines compute the same
+    * IEEE quotient; see README oracle-parity rules) plus the keep verdict.
+    *
+    * Scale shape: one tokenize pass; counts shuffle keyed
+    * (doc_id, bigram) with map-side partial aggregation, then a doc-keyed
+    * aggregate — no joins, no broadcast, linear in corpus bigram volume,
+    * per-doc state never materializes the token array beyond its own row.
+    */
+  def repetitionMetrics(docs: DataFrame,
+      topFracMax: Double = 0.08, dupFracMax: Double = 0.2): DataFrame = {
+    val ts = tokens(col("text"))
+    val bg = docs
+      .select(col("doc_id"), ts.as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("ts"), lit(1), size(col("ts")) - 1),
+        slice(col("ts"), lit(2), size(col("ts")) - 1))).as("bg"))
+      .select(col("doc_id"), concat_ws(" ", col("bg.0"), col("bg.1")).as("bigram"))
+    val counts = bg.groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+    counts.groupBy("doc_id")
+      .agg(
+        sum("c").as("n_bigrams"),
+        (max("c").cast("double") / sum("c").cast("double")).as("top_bigram_frac"),
+        (sum(when(col("c") >= 2, col("c")).otherwise(0L)).cast("double") /
+          sum("c").cast("double")).as("dup_bigram_frac"))
+      .withColumn("keep",
+        col("top_bigram_frac") <= topFracMax && col("dup_bigram_frac") <= dupFracMax)
+      .orderBy("doc_id")
+  }
+
+  val repetition = Q(
+    "t15_repetition_filter",
+    (s, d) => repetitionMetrics(Tables.documents(s, d)),
+    Some("""WITH toks AS (
+              SELECT doc_id, list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
+              FROM documents),
+            bg AS (
+              SELECT doc_id, ts[i] || ' ' || ts[i+1] AS bigram
+              FROM toks, UNNEST(range(1, len(ts))) r(i)
+              WHERE len(ts) >= 2),
+            cnt AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2)
+            SELECT doc_id,
+              CAST(sum(c) AS BIGINT) AS n_bigrams,
+              CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_bigram_frac,
+              CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
+                / CAST(sum(c) AS DOUBLE) AS dup_bigram_frac,
+              (CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) <= 0.08
+               AND CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
+                / CAST(sum(c) AS DOUBLE) <= 0.2) AS keep
+            FROM cnt GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(grep, wordcount, tokenCount, quality, langid, fingerprint, winnow, tfidf,
-      langidEval, chunk, cooccur, bigrams, perplexity, vocabGrowth)
+      langidEval, chunk, cooccur, bigrams, perplexity, vocabGrowth, repetition)
 }

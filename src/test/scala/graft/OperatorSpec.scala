@@ -114,6 +114,37 @@ class OperatorSpec extends SparkSpec {
     assert(feats.sortBy(_.doc_id).toSeq == again.sortBy(_.doc_id).toSeq)
   }
 
+  test("decontamination: planted eval 5-gram overlap is caught, clean docs pass") {
+    import spark.implicits._
+    // doc 0 (eval: 0 % 19 == 0) and doc 3 share a 5-token run; doc 4 is
+    // clean; doc 19 (also eval) shares nothing with the corpus.
+    val run = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (0L, s"eval prefix $run eval suffix tail"),
+      (19L, "totally separate held out content here"),
+      (3L, s"train text around $run and more words"),
+      (4L, "unrelated training document with fresh tokens only"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.decontaminate(docs, 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(hits.keySet == Set(3L), s"expected only doc 3 contaminated, got $hits")
+    assert(hits(3L) >= 1L)
+  }
+
+  test("repetition filter: templated doc fails, diverse doc passes") {
+    import spark.implicits._
+    val templated = Array.fill(30)("buy now").mkString(" ") // one bigram dominates
+    val diverse = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, templated), (2L, diverse)).toDF("doc_id", "text")
+    val rows = TextOps.repetitionMetrics(docs).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3), r.getBoolean(4))).toMap
+    val (topT, dupT, keepT) = rows(1L)
+    assert(!keepT && topT > 0.4 && dupT > 0.9,
+      s"templated doc should fail: top=$topT dup=$dupT")
+    val (topD, dupD, keepD) = rows(2L)
+    assert(keepD && dupD == 0.0, s"diverse doc should pass: top=$topD dup=$dupD")
+  }
+
   test("exact dedup: planted duplicate collapses to one representative") {
     import spark.implicits._
     val docs = Seq(
