@@ -88,6 +88,52 @@ object DocStreams {
       .withWatermark("arrival_ts", horizon)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Per-document repetition metrics (the t15 boilerplate gate) as a
+    * scalar — a doc's bigram fractions depend only on its own tokens, so
+    * on a stream this is stateless per-row work, exactly like
+    * [[signature]]. Must stay value-identical to the batch
+    * [[graft.operators.TextOps.repetitionMetrics]] aggregation (same
+    * integer counts, same IEEE double quotients); DocStreamsSpec asserts
+    * it. Returns None for docs with < 2 tokens (no bigrams — the batch
+    * pipeline drops them too). */
+  def repetitionMetrics(text: String): Option[(Long, Double, Double)] = {
+    val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    if (toks.length < 2) None
+    else {
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      var i = 0
+      while (i < toks.length - 1) {
+        val bg = toks(i) + " " + toks(i + 1)
+        counts.update(bg, counts.getOrElse(bg, 0L) + 1L)
+        i += 1
+      }
+      val n = toks.length.toLong - 1L
+      val top = counts.valuesIterator.max
+      val dup = counts.valuesIterator.filter(_ >= 2L).sum
+      Some((n, top.toDouble / n.toDouble, dup.toDouble / n.toDouble))
+    }
+  }
+
+  /** Quality-gate the stream at ingest: stamp every arriving doc with its
+    * repetition metrics and keep verdict (thresholds = the batch t15
+    * gate). Stateless per-row map — Append mode, no shuffle, no state; the
+    * same hygiene decision the batch pipeline makes lands before the doc
+    * is ever persisted. Docs without bigrams pass (nothing to measure). */
+  def qualityGated(spark: SparkSession, docs: DataFrame,
+      topFracMax: Double = 0.08, dupFracMax: Double = 0.2): DataFrame = {
+    import spark.implicits._
+    val metricsUdf = udf((text: String) => repetitionMetrics(text))
+    docs
+      .withColumn("rep", metricsUdf(col("text")))
+      .withColumn("n_bigrams", col("rep._1"))
+      .withColumn("top_bigram_frac", col("rep._2"))
+      .withColumn("dup_bigram_frac", col("rep._3"))
+      .withColumn("keep",
+        col("rep").isNull ||
+          (col("top_bigram_frac") <= topFracMax && col("dup_bigram_frac") <= dupFracMax))
+      .drop("rep")
+  }
+
   /** Static LSH band index of an existing corpus: (band, bucket, doc_id),
     * built from the batch signature pipeline. Rebuilt periodically (per
     * micro-batch Spark re-reads static sides); small enough to broadcast —

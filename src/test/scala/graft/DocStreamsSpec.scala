@@ -51,6 +51,34 @@ class DocStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("at-ingest quality gate matches the batch t15 repetition filter") {
+    import graft.operators.TextOps
+    val batch = TextOps.repetitionMetrics(Tables.documents(spark, sf))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4))).toMap
+    val gated = DocStreams.qualityGated(spark, DocStreams.readDocumentStream(spark, sf))
+      .select("doc_id", "n_bigrams", "top_bigram_frac", "dup_bigram_frac", "keep")
+    val q = EventStreams.runToMemory(gated, "doc_quality_stream", OutputMode.Append)
+    try {
+      val streamed = spark.table("doc_quality_stream").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+          else Some((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))))
+        .toMap
+      assert(streamed.nonEmpty)
+      var compared = 0
+      streamed.foreach {
+        case (id, Some(m)) =>
+          assert(batch.get(id).contains(m), s"metrics mismatch for doc $id: " +
+            s"stream=$m batch=${batch.get(id)}")
+          compared += 1
+        case (id, None) =>
+          // no bigrams: absent from the batch aggregate, passes the gate
+          assert(!batch.contains(id), s"doc $id has batch metrics but streamed None")
+      }
+      assert(compared > 0, "no metrics compared")
+    } finally q.stop()
+  }
+
   test("at-ingest candidate probe finds the batch LSH candidate pairs") {
     val corpusIndex = DocStreams.bandIndex(
       Dedup.minhashSignatures(Tables.documents(spark, sf)))

@@ -126,6 +126,14 @@ class MapReduceParitySpec extends SparkSpec {
       spark, JobSpec(s"$refData/input", MapReduceJob.wcMapper, MapReduceJob.wcReducer, 1))
     // reference test_integration_01.py:36-40 compares sorted lines.
     assert(out.collect().toSeq.sorted == goldenLines("word_count_correct.txt").sorted)
+    // Same golden at the reference's other integration geometry (4 mappers /
+    // 2 reducers, test_integration_02.py): parallelism must not change the
+    // sorted union.
+    val out42 = MapReduceJob.run(
+      spark, JobSpec(s"$refData/input", MapReduceJob.wcMapper, MapReduceJob.wcReducer,
+        numReducers = 2, numMappers = 4))
+    assert(out42.collect().toSeq.sorted == goldenLines("word_count_correct.txt").sorted)
+    assert(out42.rdd.getNumPartitions == 2)
   }
 
   test("reference golden: grep 'product' over the 8-file corpus == grep_correct.txt exactly") {
