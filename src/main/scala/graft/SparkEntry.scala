@@ -25,8 +25,9 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, RangeJoin, Relational, Samp
   *  - d01..d09: dedup & corpus hygiene (exact, MinHash-LSH, SimHash,
   *    n-gram Jaccard, embedding-cosine, connected-component clusters,
   *    keep-list, near-dup triangles, benchmark decontamination).
-  *  - s01..s05: similarity search (brute-force ANN, LSH-bucketed ANN,
-  *    per-label centroid stats, IVF ANN, recall@k evaluation).
+  *  - s01..s06: similarity search (brute-force ANN, LSH-bucketed ANN,
+  *    per-label centroid stats, IVF ANN, recall@k evaluation, int8
+  *    quantization error audit).
   *  - m01..m04: multimodal binary-column plumbing (metadata, stub-decode
   *    features, frame sampling, strided resize; binaryFile ingest in
   *    Multimodal).

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
@@ -82,4 +82,76 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
     copy(left = l, right = r)
   override def prettyName: String = "vec_dot"
+}
+
+/** Symmetric int8 (scalar) quantization round-trip error of one embedding:
+  * `[mae, rmse]` of `x − dequant(quant(x))` with per-vector scale
+  * `max|x| / 127` — the storage-compression readout every vector index
+  * makes before switching to int8 (4× smaller, how much recall risk).
+  *
+  * One codegen'd pass per vector (same static-helper pattern as
+  * [[RollingMinHash]]); portable arithmetic only (`floor(x/s + 0.5)` is
+  * round-half-up in every engine — no Java-vs-C round() divergence), so the
+  * DuckDB oracle reproduces it bit-for-bit with list lambdas. NULL for
+  * empty/zero vectors (nothing to quantize — the oracle filters the same).
+  */
+case class Sq8Error(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"sq8_err requires ARRAY<FLOAT|DOUBLE>, got $t")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    Sq8Error.compute(v.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val res = ctx.freshName("sq8")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |org.apache.spark.sql.catalyst.util.ArrayData $res =
+      |  graft.functions.Sq8Error.compute($c, $isFloat);
+      |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res; }
+    """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Sq8Error = copy(child = c)
+  override def prettyName: String = "sq8_err"
+}
+
+object Sq8Error {
+  /** Returns `[mae, rmse]`, or null for empty / all-zero / null-element
+    * vectors. Static so generated code can call it. */
+  def compute(a: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = a.numElements()
+    if (n == 0) return null
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val ax = math.abs(x)
+      if (ax > maxAbs) maxAbs = ax
+      i += 1
+    }
+    val scale = maxAbs / 127.0
+    if (scale == 0.0) return null
+    var sumAbs = 0.0
+    var sumSq = 0.0
+    i = 0
+    while (i < n) {
+      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val r = x - math.floor(x / scale + 0.5) * scale
+      sumAbs += math.abs(r)
+      sumSq += r * r
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(sumAbs / n, math.sqrt(sumSq / n)))
+  }
 }

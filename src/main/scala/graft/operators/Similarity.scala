@@ -339,5 +339,47 @@ object Similarity {
     (s, d) => recallEval(s, d, 10, 5),
     None)
 
-  val all: Seq[Q] = Seq(annBruteForce, annLsh, centroids, annIvf, annRecall)
+  /** Int8 quantization audit: per-label round-trip error of storing the
+    * embeddings scalar-quantized (4× smaller) — the readout before an index
+    * switches to int8 storage. One codegen'd pass over the corpus
+    * (`sq8_err` native expression, no shuffle before the label-keyed agg
+    * with map-side partials); at 100 TB this is a scan, nothing more.
+    * Aggregates rounded to 6 (fp-noise rule); per-row values never rounded.
+    */
+  val quantError = Q(
+    "s06_quantization_error",
+    (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label").cast("long").as("label"),
+          expr("sq8_err(embedding)").as("err"))
+        .filter(col("err").isNotNull)
+        .select(col("label"), col("err")(0).as("mae"), col("err")(1).as("rmse"))
+        .groupBy("label")
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          round(avg("mae"), 6).as("avg_mae"),
+          round(max("mae"), 6).as("max_mae"),
+          round(max("rmse"), 6).as("max_rmse"))
+        .orderBy("label"),
+    Some("""WITH s AS (
+              SELECT CAST(label AS BIGINT) AS label,
+                     CAST(embedding AS DOUBLE[]) AS e,
+                     list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> abs(x))) / 127.0 AS scale
+              FROM embeddings),
+            err AS (
+              SELECT label,
+                list_sum(list_transform(e,
+                  x -> abs(x - floor(x / scale + 0.5) * scale))) / len(e) AS mae,
+                sqrt(list_sum(list_transform(e,
+                  x -> (x - floor(x / scale + 0.5) * scale)
+                     * (x - floor(x / scale + 0.5) * scale))) / len(e)) AS rmse
+              FROM s WHERE len(e) > 0 AND scale > 0)
+            SELECT label, count(*) AS n_vecs,
+                   round(avg(mae), 6) AS avg_mae,
+                   round(max(mae), 6) AS max_mae,
+                   round(max(rmse), 6) AS max_rmse
+            FROM err GROUP BY label ORDER BY label"""))
+
+  val all: Seq[Q] = Seq(annBruteForce, annLsh, centroids, annIvf, annRecall, quantError)
 }
