@@ -374,10 +374,45 @@ object Dedup {
   def embeddingPairs(spark: SparkSession, d: String, threshold: Double,
       nCells: Int = 16, kmeansIters: Int = 3): DataFrame = {
     import spark.implicits._
-    import Similarity.{dotd, unit}
     val ev = Tables.embeddings(spark, d)
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
+    embeddingPairsFrom(ev, threshold, nCells, kmeansIters)._1
+  }
+
+  /** The triangle-inequality candidate test, as pure driver-side math over
+    * codebook-sized inputs: ordered cell pairs (i, j) that can possibly
+    * hold a doc pair with cosine ≥ threshold (see [[embeddingPairsFrom]]).
+    * Exposed for the pruning spec — on clustered data this list is far
+    * shorter than nCells². */
+  def candidateCellPairs(
+      codebook: Array[(Int, Array[Double])],
+      radii: Map[Int, Double],
+      threshold: Double): Seq[(Int, Int)] = {
+    import Similarity.dotd
+    def clampAcos(x: Double): Double = math.acos(math.max(-1.0, math.min(1.0, x)))
+    // θ_t with slack: round6(cos) ≥ t admits raw cos down to t − 5e-7, and
+    // acos on doubles carries rounding error near ±1 — both slacks only
+    // widen the candidate set, never narrow it.
+    val thetaT = clampAcos(threshold - 1e-6)
+    for {
+      (ci, vi) <- codebook.toSeq
+      (cj, vj) <- codebook.toSeq
+      if clampAcos(dotd(vi, vj)) <=
+        thetaT + radii.getOrElse(ci, 0.0) + radii.getOrElse(cj, 0.0) + 1e-6
+    } yield (ci, cj)
+  }
+
+  /** Core of d05 over an arbitrary (id, vector) dataset; returns the result
+    * plus the surviving candidate cell-pair count (pruning evidence —
+    * OperatorSpec plants tight clusters and asserts the count collapses
+    * while the output stays exactly the brute-force pair set). */
+  def embeddingPairsFrom(
+      ev: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+      threshold: Double, nCells: Int, kmeansIters: Int): (DataFrame, Int) = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    import Similarity.{dotd, unit}
     val seeds = ev.filter(_._1 < nCells).collect() // codebook-sized, not corpus
       .sortBy(_._1).map { case (id, v) => (id.toInt, unit(v)) }
     val codebook = Similarity.refineCodebook(spark, ev, seeds, kmeansIters)
@@ -400,16 +435,7 @@ object Dedup {
       .localCheckpoint()
     val radii = celled.groupBy("cell").agg(max("theta_c").as("r"))
       .as[(Int, Double)].collect().toMap // nCells rows — codebook-sized
-    // θ_t with slack: round6(cos) ≥ t admits raw cos down to t − 5e-7, and
-    // acos on doubles carries rounding error near ±1 — both slacks only
-    // widen the candidate set, never narrow it.
-    val thetaT = clampAcos(threshold - 1e-6)
-    val cellPairs = for {
-      (ci, vi) <- codebook.toSeq
-      (cj, vj) <- codebook.toSeq
-      if clampAcos(dotd(vi, vj)) <=
-        thetaT + radii.getOrElse(ci, 0.0) + radii.getOrElse(cj, 0.0) + 1e-6
-    } yield (ci, cj)
+    val cellPairs = candidateCellPairs(codebook, radii, threshold)
     // All ordered (cell_a, cell_b) pairs (incl. i==j) + the a<b filter give
     // each qualifying doc pair exactly once.
     val cp = cellPairs.toDF("cell_a", "cell_b")
@@ -420,13 +446,14 @@ object Dedup {
       col("embedding").as("ea"), VectorFns.norm(col("embedding")).as("na"))
     val b = celled.select(col("cell").as("cell_b"), col("vec_id").as("b"),
       col("embedding").as("eb"), VectorFns.norm(col("embedding")).as("nb"))
-    a.join(broadcast(cp), Seq("cell_a"))
+    val result = a.join(broadcast(cp), Seq("cell_a"))
       .join(b, Seq("cell_b"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"),
         round(VectorFns.dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
       .orderBy("a", "b")
+    (result, cellPairs.size)
   }
 
   val embedding = Q(

@@ -114,6 +114,45 @@ class OperatorSpec extends SparkSpec {
     assert(feats.sortBy(_.doc_id).toSeq == again.sortBy(_.doc_id).toSeq)
   }
 
+  test("d05 cell pruning engages on clustered embeddings and stays exact") {
+    import spark.implicits._
+    // Three tight clusters near orthogonal axes (deterministic LCG noise).
+    // Cross-cluster cosines ≈ 0 ≪ 0.9, within-cluster ≈ 1: the triangle-
+    // inequality bound must prune cross-cluster cell pairs while the
+    // output still equals the brute-force exact pair set.
+    val dim = 8
+    def lcg(seed: Long): Double = {
+      val x = (seed * 6364136223846793005L + 1442695040888963407L) >>> 33
+      (x % 1000L).toDouble / 1000000.0 // noise in [0, 1e-3)
+    }
+    val vecs = (0 until 90).map { i =>
+      val cluster = i % 3 // ids interleave clusters → seeds span clusters
+      val v = Array.tabulate(dim)(j =>
+        (if (j == cluster) 1.0f else 0.0f) + lcg(i.toLong * dim + j).toFloat)
+      (i.toLong, v)
+    }
+    val ev = vecs.toDS()
+    val nCells = 6
+    val (resultDf, nCellPairs) = Dedup.embeddingPairsFrom(ev, 0.9, nCells, 3)
+    val result = resultDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Brute-force ground truth (driver-side, 90 vectors).
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      dot(a, b) / math.sqrt(dot(a, a) * dot(b, b))
+    }
+    val expected = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs if ia < ib
+      if BigDecimal(cos(va, vb)).setScale(6, BigDecimal.RoundingMode.HALF_UP) >= 0.9
+    } yield (ia, ib)).toSet
+    assert(result == expected,
+      s"exactness broke: missing=${expected.diff(result).take(5)} extra=${result.diff(expected).take(5)}")
+    assert(expected.nonEmpty, "planted clusters produced no pairs — fixture broken")
+    // Pruning evidence: candidate cell pairs ≪ all nCells² ordered pairs.
+    assert(nCellPairs <= nCells * nCells / 2,
+      s"pruning did not engage: $nCellPairs of ${nCells * nCells} cell pairs survived")
+  }
+
   test("decontamination: planted eval 5-gram overlap is caught, clean docs pass") {
     import spark.implicits._
     // doc 0 (eval: 0 % 19 == 0) and doc 3 share a 5-token run; doc 4 is
