@@ -134,6 +134,39 @@ object DocStreams {
       .drop("rep")
   }
 
+  /** Static hashed-shingle index of the eval/benchmark split (the d09
+    * decontamination reference set): `(sh_h, eval_doc)`. Benchmark-sized →
+    * broadcasts. */
+  def evalShingleIndex(docs: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      n: Int = 5): DataFrame =
+    graft.operators.Dedup.hashedShingles(
+      graft.operators.Dedup.shingleSets(docs.filter(col("doc_id") % 19 === 0).toDF(), n))
+      .withColumnRenamed("doc_id", "eval_doc")
+
+  /** Decontamination at ingest (streaming twin of d09): each arriving
+    * doc's word-n-gram hashes probe the broadcast eval index; contaminated
+    * (arriving, eval) pairs stream out in Append mode. The shingle explode
+    * is a stateless per-row expression chain (no UDF: `transform` +
+    * `slice` + the same md5-60 hash as batch); the only state is the pair
+    * dedup, watermark-bounded. The input must carry a watermarked
+    * `arrival_ts` (see [[dedupedStream]]). */
+  def contaminationProbe(stream: DataFrame, evalIndex: DataFrame, n: Int = 5): DataFrame = {
+    val toks = graft.functions.TextFns.tokens(col("text"))
+    stream
+      .filter(col("doc_id") % 19 =!= 0) // the eval split is not "arriving"
+      .withColumn("toks", toks)
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), col("arrival_ts"),
+        explode(transform(
+          sequence(lit(1), size(col("toks")) - (n - 1)),
+          i => concat_ws(" ", slice(col("toks"), i, lit(n))))).as("shingle"))
+      .select(col("doc_id"), col("arrival_ts"),
+        graft.operators.Dedup.md5Hash60(col("shingle")).as("sh_h"))
+      .join(broadcast(evalIndex), Seq("sh_h"))
+      .dropDuplicatesWithinWatermark("doc_id", "eval_doc")
+      .select(col("doc_id").as("arriving_id"), col("eval_doc"))
+  }
+
   /** Static LSH band index of an existing corpus: (band, bucket, doc_id),
     * built from the batch signature pipeline. Rebuilt periodically (per
     * micro-batch Spark re-reads static sides); small enough to broadcast —

@@ -79,6 +79,22 @@ class DocStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("at-ingest contamination probe finds the batch d09 contaminated set") {
+    val evalIndex = DocStreams.evalShingleIndex(Tables.documents(spark, sf))
+    val stream = DocStreams.dedupedStream(
+      DocStreams.fingerprinted(spark, DocStreams.readDocumentStream(spark, sf)))
+    val probe = DocStreams.contaminationProbe(stream, evalIndex)
+    val q = EventStreams.runToMemory(probe, "doc_contam_stream", OutputMode.Append)
+    try {
+      val streamedDocs = spark.table("doc_contam_stream")
+        .collect().map(_.getLong(0)).toSet
+      val batchDocs = Dedup.decontaminate(Tables.documents(spark, sf), 5)
+        .collect().map(_.getLong(0)).toSet
+      assert(streamedDocs == batchDocs,
+        s"missing=${batchDocs.diff(streamedDocs)} extra=${streamedDocs.diff(batchDocs)}")
+    } finally q.stop()
+  }
+
   test("at-ingest candidate probe finds the batch LSH candidate pairs") {
     val corpusIndex = DocStreams.bandIndex(
       Dedup.minhashSignatures(Tables.documents(spark, sf)))
