@@ -210,6 +210,26 @@ class MapReduceParitySpec extends SparkSpec {
     assert(lines.sorted == goldenLines("word_count_correct.txt").sorted)
   }
 
+  test("reference golden: input_small word count == correct.txt; py variant == actual.txt") {
+    assume(new java.io.File(s"$refData/input_small").isDirectory)
+    def fileLines(p: String): Seq[String] = {
+      val src = scala.io.Source.fromFile(p)("UTF-8")
+      try src.getLines().toList finally src.close()
+    }
+    // correct.txt: tab-separated wc (wc_reduce.sh semantics) over input_small.
+    val sh = MapReduceJob.run(
+      spark, JobSpec(s"$refData/input_small", MapReduceJob.wcMapper, MapReduceJob.wcReducer, 1))
+    assert(sh.collect().toSeq.sorted == fileLines("/root/reference/correct.txt").sorted)
+    // actual.txt: the py executables' space-separated output (wc_map.py
+    // splits on any whitespace without lowercasing; wc_reduce.py prints
+    // "key count"). Run the reference's own executables end-to-end.
+    val py = MapReduceJob.pipeJob(
+      spark, s"$refData/input_small",
+      Seq(s"$refData/exec/wc_map.py"), Seq(s"$refData/exec/wc_reduce.py"),
+      numReducers = 1, numMappers = 2)
+    assert(py.collect().toSeq.sorted == fileLines("/root/reference/actual.txt").sorted)
+  }
+
   test("reference corpus golden: winnow fingerprint + chunking over the 8-file corpus") {
     // Close the loop between the literal MapReduce surface and the
     // generalized text operators: run t07's rolling_min_hash and t10's
