@@ -98,6 +98,59 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("decontamination == brute-force n-gram intersection on random corpora") {
+    import spark.implicits._
+    // Random docs over a small vocabulary (5-grams collide often — the
+    // interesting regime); the distributed probe must equal a driver-side
+    // set-intersection check exactly.
+    val vocab = Vector("a", "b", "c", "d", "e")
+    for (seed <- 1 to 5) {
+      val rng = new scala.util.Random(seed)
+      val docs = (0L until 40L).map { id =>
+        (id, (1 to (5 + rng.nextInt(20))).map(_ => vocab(rng.nextInt(vocab.size))).mkString(" "))
+      }
+      val n = 5
+      def grams(text: String): Set[Seq[String]] = {
+        val t = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+        if (t.length < n) Set.empty else t.sliding(n).map(_.toSeq).toSet
+      }
+      val evalGrams = docs.filter(_._1 % 19 == 0).map { case (id, t) => id -> grams(t) }
+      val expected = docs.filter(_._1 % 19 != 0).flatMap { case (id, t) =>
+        val g = grams(t)
+        val hitDocs = evalGrams.filter { case (_, eg) => eg.intersect(g).nonEmpty }
+        if (hitDocs.isEmpty) None
+        else Some(id -> hitDocs.size.toLong)
+      }.toMap
+      val got = graft.operators.Dedup.decontaminate(docs.toDF("doc_id", "text"), n)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"seed $seed: got $got want $expected")
+    }
+  }
+
+  test("sq8_err == naive reimplementation on random vectors (incl. negatives)") {
+    for (seed <- 1 to 50) {
+      val rng = new scala.util.Random(seed)
+      val n = 1 + rng.nextInt(16)
+      val v = Array.fill(n)((rng.nextDouble() * 2 - 1).toFloat)
+      val got = graft.functions.Sq8Error.compute(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(v.map(_.toDouble)),
+        isFloat = false)
+      val d = v.map(_.toDouble)
+      val maxAbs = d.map(math.abs).max
+      if (maxAbs == 0.0) assert(got == null)
+      else {
+        val scale = maxAbs / 127.0
+        val resid = d.map(x => x - math.floor(x / scale + 0.5) * scale)
+        val mae = resid.map(math.abs).sum / n
+        val rmse = math.sqrt(resid.map(x => x * x).sum / n)
+        val arr = got.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+        assert(arr.toSeq == Seq(mae, rmse), s"seed $seed: ${arr.toSeq} vs ${Seq(mae, rmse)}")
+        // quantized values stay inside int8: |round(x/scale)| ≤ 127
+        d.foreach(x => assert(math.abs(math.floor(x / scale + 0.5)) <= 127.0))
+      }
+    }
+  }
+
   test("mapreduce pipeline == reference groupBy-sum semantics for arbitrary inputs") {
     import graft.operators.MapReduceJob
     // SURVEY.md §5: partition-routing ∘ sort ∘ merge ∘ group must equal a
