@@ -37,6 +37,32 @@ class SqlSurfaceSpec extends SparkSpec {
       || plan.contains("GreaterThan(c_acctbal"), s"filter not pushed to scan:\n$plan")
   }
 
+  test("every custom function is reachable from SQL text (extension-injected)") {
+    Tables.registerViews(spark, sf)
+    graft.functions.RollingMinHash.register(spark)
+    graft.functions.SignatureAggs.register(spark)
+    // One statement exercising the whole custom-function surface the way a
+    // SQL-only user would: shuffle routing, winnowing, vec math,
+    // quantization audit, and both signature aggregates.
+    val r = spark.sql(
+      """SELECT
+        |  md5_mod('hello', 2) AS route,
+        |  rolling_min_hash('hello world', 5) AS winnow,
+        |  vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dot,
+        |  sq8_err(array(1.0d, -0.5d))[0] AS mae,
+        |  (SELECT minhash_sig(CAST(h AS BIGINT))[0]
+        |     FROM (VALUES (1), (2), (3)) AS t(h)) AS mh0,
+        |  (SELECT simhash_sig(CAST(h AS BIGINT))
+        |     FROM (VALUES (1), (2), (3)) AS t(h)) AS sh
+        |""".stripMargin).collect()(0)
+    assert(r.getInt(0) == 0)
+    assert(r.getLong(1) == graft.functions.RollingMinHash.minWindowHash(
+      "hello world".getBytes("UTF-8"), 5))
+    assert(r.getDouble(2) == 11.0)
+    assert(!r.isNullAt(3) && r.getDouble(3) >= 0.0)
+    assert(!r.isNullAt(4) && !r.isNullAt(5))
+  }
+
   test("binaryFile ingest: staged media files round-trip through feature extraction") {
     import java.nio.file.{Files, Paths}
     val dir = Files.createTempDirectory("graft-media")
