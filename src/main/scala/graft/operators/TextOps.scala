@@ -460,11 +460,42 @@ object TextOps {
     * in doc_id order — the corpus-curation curve that shows whether new
     * data still adds new vocabulary. Formulated scalably: each token's
     * FIRST document (one aggregate over the token stream), then new-token
-    * counts per doc, then a running sum — the window runs over doc-count-
-    * sized data, not the token stream. (At billions of docs the final
-    * prefix sum becomes a two-phase range-partitioned scan; the aggregates
-    * before it are unchanged.)
+    * counts per doc, then a running sum computed as a TWO-PHASE
+    * range-partitioned prefix scan — NOT a global unpartitioned window
+    * (which moves every row to one task): range-partition by doc_id,
+    * accumulate a local prefix per partition, collect only the
+    * partition totals (one long per partition), broadcast the cumulative
+    * offsets back. Long addition is associative, so the result is exactly
+    * the global running sum at any partition count.
     */
+  def prefixSummed(perDoc: DataFrame): DataFrame = {
+    val spark = perDoc.sparkSession
+    import spark.implicits._
+    val nParts = spark.sparkContext.defaultParallelism
+    val withLocal = perDoc
+      .repartitionByRange(nParts, col("doc_id")) // pid order == doc_id order
+      .sortWithinPartitions("doc_id")
+      .select(col("doc_id"), col("n_new_tokens"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var run = 0L
+        it.map { case (id, n) => run += n; (pid, id, n, run) }
+      }
+      .toDF("pid", "doc_id", "n_new_tokens", "local_prefix")
+      .localCheckpoint() // read twice: partition totals + final projection
+    val totals = withLocal.groupBy("pid").agg(max("local_prefix").as("total"))
+      .as[(Int, Long)].collect().toMap // one long per partition
+    val offsets = (0 until nParts).map { p =>
+      p -> (0 until p).map(q => totals.getOrElse(q, 0L)).sum
+    }.toMap
+    val offsetCol = element_at(
+      typedLit(offsets), col("pid"))
+    withLocal.select(
+      col("doc_id"), col("n_new_tokens"),
+      (col("local_prefix") + offsetCol).as("vocab_size"))
+  }
+
   val vocabGrowth = Q(
     "t14_vocab_growth",
     (s, d) => {
@@ -472,13 +503,10 @@ object TextOps {
         .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
         .groupBy("t").agg(min("doc_id").as("first_doc"))
       val newPerDoc = firstDoc.groupBy("first_doc").agg(count(lit(1)).as("n_new"))
-      Tables.documents(s, d).select(col("doc_id"))
+      val perDoc = Tables.documents(s, d).select(col("doc_id"))
         .join(newPerDoc.withColumnRenamed("first_doc", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("n_new"), lit(0L)).as("n_new_tokens"))
-        .withColumn("vocab_size",
-          sum("n_new_tokens").over(Window.orderBy("doc_id")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .orderBy("doc_id")
+      prefixSummed(perDoc).orderBy("doc_id")
     },
     Some("""WITH toks AS (
               SELECT doc_id, unnest(list_filter(

@@ -151,6 +151,22 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("two-phase prefix scan == sequential running sum on random inputs") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val rng = new scala.util.Random(seed)
+      val rows = (0L until (50 + rng.nextInt(200)).toLong)
+        .map(id => (id, rng.nextInt(100).toLong))
+      val got = graft.operators.TextOps.prefixSummed(
+          rows.toDF("doc_id", "n_new_tokens"))
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+      val expected = rows.sortBy(_._1)
+        .scanLeft((-1L, 0L)) { case ((_, acc), (id, n)) => (id, acc + n) }.drop(1)
+      assert(got.toSeq == expected, s"seed $seed prefix mismatch")
+    }
+  }
+
   test("mapreduce pipeline == reference groupBy-sum semantics for arbitrary inputs") {
     import graft.operators.MapReduceJob
     // SURVEY.md §5: partition-routing ∘ sort ∘ merge ∘ group must equal a
