@@ -27,6 +27,19 @@ class FormatsSpec extends SparkSpec {
     assert(back.collect().map(_.toSeq).toSet == src.collect().map(_.toSeq).toSet)
   }
 
+  test("orc round trip preserves values and types (columnar alternative to parquet)") {
+    val out = Files.createTempDirectory("graft-fmt").toFile.getAbsolutePath + "/orc"
+    val src = Tables.customer(spark, sf)
+    src.write.mode("overwrite").orc(out)
+    val back = spark.read.orc(out)
+    assert(back.schema == src.schema)
+    assert(back.collect().map(_.toSeq).toSet == src.collect().map(_.toSeq).toSet)
+    // Predicate pushdown works on the ORC scan too.
+    val plan = back.filter(col("c_acctbal") > 0).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("c_acctbal"),
+      s"no pushdown on ORC scan:\n$plan")
+  }
+
   test("JsonLines: gzip'd corpus round trip preserves every document") {
     import graft.sources.JsonLines
     val out = Files.createTempDirectory("graft-fmt").toFile.getAbsolutePath + "/jsonl-gz"
