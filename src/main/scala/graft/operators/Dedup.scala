@@ -474,8 +474,40 @@ object Dedup {
     * [[dedupClusters]] for the algorithmic notes. `pairs` should be
     * materialized (checkpointed) by the caller — every round joins it.
     * Property-tested against in-memory union-find on random graphs. */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50,
+      driverThreshold: Long = 200000L): DataFrame = {
     val idType = pairs.schema("a").dataType
+    // Size-adaptive: the edge list is the LSH+verify-gated near-dup pair
+    // set — tiny relative to the corpus in healthy data, corpus-scale only
+    // when duplication is rampant. Below `driverThreshold` edges (a
+    // BOUNDED collect, ~3 MB at the default) a driver union-find solves
+    // the graph exactly in one pass instead of O(log d) shuffle rounds ×
+    // 3 jobs each; above it, the distributed loop runs. Labels are
+    // identical either way: union-by-min-root + path compression yields
+    // the component minimum, the same label the propagation converges to.
+    if (pairs.count() <= driverThreshold) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val edges = pairs
+        .select(col("a").cast("long"), col("b").cast("long"))
+        .as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val ra = find(a)
+        val rb = find(b)
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      return parent.keys.toSeq.sorted.map(v => (v, find(v)))
+        .toDF("doc_id", "label")
+        .select(col("doc_id").cast(idType).as("doc_id"), col("label").cast(idType).as("label"))
+    }
     // Undirected edge list, both directions — two projections of the
     // materialized pair RDD, no separate checkpoint needed.
     val edges = pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b")))

@@ -92,9 +92,16 @@ class PropertySpec extends SparkSpec {
     val star = (1L to 15L).map(i => (0L, i)).toList
     (samples(edgeGen, 12).filter(_.nonEmpty) ++ Seq(chain, star)).foreach { edges =>
       val pairs = edges.toDF("a", "b").localCheckpoint()
+      // Small-graph driver path (default threshold) …
       val got = graft.operators.Dedup.connectedComponents(pairs, maxIters = 20)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == unionFind(0, edges), s"CC mismatch on edges $edges")
+      // … and the distributed propagation loop, forced via threshold 0 —
+      // both paths must produce identical component-minimum labels.
+      val gotDist = graft.operators.Dedup
+        .connectedComponents(pairs, maxIters = 20, driverThreshold = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotDist == unionFind(0, edges), s"distributed CC mismatch on edges $edges")
     }
   }
 
