@@ -54,6 +54,14 @@ object TextOps {
 
   /** Token counting: whitespace tokens and a BPE-ish sub-word proxy
     * (alphanumeric runs + standalone punctuation marks), per document. */
+  /** GPT-2-style pre-tokenizer pattern (contractions | space-prefixed
+    * letter runs | digit runs | punct runs | whitespace), lookahead-free so
+    * Java (Spark) and RE2 (DuckDB) count identical non-overlapping,
+    * leftmost-first matches. A real BPE merges within these pieces, so the
+    * match count is the standard cheap upper-bound proxy for "how many
+    * tokens will the tokenizer emit". */
+  val BpeIshPattern = """'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+|\s+"""
+
   val tokenCount = Q(
     "t03_token_count",
     (s, d) =>
@@ -62,11 +70,14 @@ object TextOps {
           col("doc_id"),
           size(filter(split(col("text"), "\\s+"), t => t =!= lit(""))).cast("long").as("ws_tokens"),
           size(tokens(col("text"))).cast("long").as("word_tokens"),
+          regexp_count(lower(col("text")), lit(BpeIshPattern)).cast("long").as("bpe_ish_tokens"),
           charClassCount(col("text"), "[^a-zA-Z0-9\\s]").cast("long").as("punct_marks"))
         .orderBy("doc_id"),
     Some("""SELECT doc_id,
             CAST(len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS BIGINT) AS ws_tokens,
             CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS BIGINT) AS word_tokens,
+            CAST(len(regexp_extract_all(lower(text),
+              '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+|\s+')) AS BIGINT) AS bpe_ish_tokens,
             CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS BIGINT) AS punct_marks
             FROM documents ORDER BY doc_id"""))
 

@@ -170,6 +170,18 @@ class OperatorSpec extends SparkSpec {
     assert(hits(3L) >= 1L)
   }
 
+  test("BPE-ish pretokenizer count: contractions, space-prefix runs, punct") {
+    import spark.implicits._
+    val got = Seq("Don't stop!", "a  b", "3.14 ok")
+      .toDF("text")
+      .select(regexp_count(lower(col("text")), lit(TextOps.BpeIshPattern)).as("n"))
+      .collect().map(_.getInt(0)).toSeq
+    // "don't stop!": [don]['t][ stop][!] = 4
+    // "a  b":        [a][ ][ b] = 3 (double space: one ws token + space-prefixed run)
+    // "3.14 ok":     [3][.][14][ ok] = 4
+    assert(got == Seq(4, 3, 4), s"got $got")
+  }
+
   test("repetition filter: templated doc fails, diverse doc passes") {
     import spark.implicits._
     val templated = Array.fill(30)("buy now").mkString(" ") // one bigram dominates
