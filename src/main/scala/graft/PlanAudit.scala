@@ -30,9 +30,11 @@ object PlanAudit {
       broadcastHashJoins: Int,
       cartesian: Boolean,
       bnlj: Boolean,
+      globalWindow: Boolean,
       error: Option[String]) {
     def line: String = {
-      val flags = (if (cartesian) " CARTESIAN!" else "") + (if (bnlj) " BNLJ" else "")
+      val flags = (if (cartesian) " CARTESIAN!" else "") +
+        (if (bnlj) " BNLJ" else "") + (if (globalWindow) " GLOBAL-WINDOW!" else "")
       error match {
         case Some(e) => f"[audit] $name%-28s FAILED: ${e.take(100)}"
         case None =>
@@ -44,13 +46,22 @@ object PlanAudit {
   def auditOne(spark: SparkSession, sfDir: String, name: String,
       fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Audit =
     try {
-      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      val qe = fn(spark, sfDir).queryExecution
+      val plan = qe.executedPlan.toString
+      // An unpartitioned window moves every row to one task (t14's old
+      // prefix-sum bug class) — detect on the logical plan, where the
+      // partition spec is explicit and AQE wrapping can't hide it.
+      val globalWindow = qe.optimizedPlan.collectFirst {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }.nonEmpty
       def n(s: String) = s.r.findAllIn(plan).length
       Audit(name, n("Exchange"), n("SortMergeJoin"), n("BroadcastHashJoin"),
-        plan.contains("CartesianProduct"), plan.contains("BroadcastNestedLoopJoin"), None)
+        plan.contains("CartesianProduct"), plan.contains("BroadcastNestedLoopJoin"),
+        globalWindow, None)
     } catch {
       case e: Throwable => Audit(name, 0, 0, 0, cartesian = false, bnlj = false,
-        error = Some(String.valueOf(e.getMessage)))
+        globalWindow = false, error = Some(String.valueOf(e.getMessage)))
     }
 
   def auditAll(spark: SparkSession, sfDir: String): Seq[Audit] =
@@ -67,6 +78,8 @@ object PlanAudit {
       case a if a.cartesian => s"${a.name}: CartesianProduct in plan"
       case a if a.bnlj && !bnljAllowlist(a.name) =>
         s"${a.name}: BroadcastNestedLoopJoin not in allowlist"
+      case a if a.globalWindow =>
+        s"${a.name}: unpartitioned Window (all rows to one task)"
     } ++
       bnljAllowlist.toSeq.sorted.collect {
         case n if !audits.exists(a => a.name == n && a.bnlj) =>
