@@ -60,4 +60,34 @@ class SamplingSpec extends SparkSpec {
       math.min(50, c.length)))
     assert(rebuilt == text, "chunk overlap-merge must reproduce the document")
   }
+
+  test("partitioning invariance: samples, signatures, and CC labels don't depend on layout") {
+    import graft.operators.{Dedup, Sampling}
+    // The determinism promise that matters on a cluster: results must be
+    // identical whether the input arrives as 1 partition or 7 (≈ retries,
+    // AQE re-splits, different executor counts).
+    val docs = Tables.documents(spark, sf)
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq.sorted
+
+    // md5-bucket sample (q23 shape)
+    def sample(d: org.apache.spark.sql.DataFrame) =
+      d.withColumn("bucket", Sampling.hashBucket(col("doc_id")))
+        .filter(col("bucket") < 10).select("doc_id")
+    assert(canon(sample(docs.repartition(1))) == canon(sample(docs.repartition(7))))
+
+    // MinHash signatures (d02's foundation)
+    assert(canon(Dedup.minhashSignatures(docs.repartition(1))) ==
+      canon(Dedup.minhashSignatures(docs.repartition(7))))
+
+    // Connected-component labels over the same pair graph, different layout.
+    // Forced distributed path (threshold 0) — the driver path is trivially
+    // layout-independent.
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 8L), (8L, 9L), (9L, 1L))
+    val p1 = edges.toDF("a", "b").repartition(1).localCheckpoint()
+    val p7 = edges.toDF("a", "b").repartition(7).localCheckpoint()
+    assert(canon(Dedup.connectedComponents(p1, driverThreshold = 0L)) ==
+      canon(Dedup.connectedComponents(p7, driverThreshold = 0L)))
+  }
 }
