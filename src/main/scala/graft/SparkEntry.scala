@@ -22,9 +22,10 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, RangeJoin, Relational, Samp
   *    langid eval, context chunking, co-occurrence PMI, bigram LM,
   *    bigram perplexity quality filter, vocabulary growth, Gopher-style
   *    repetition filter).
-  *  - d01..d09: dedup & corpus hygiene (exact, MinHash-LSH, SimHash,
+  *  - d01..d10: dedup & corpus hygiene (exact, MinHash-LSH, SimHash,
   *    n-gram Jaccard, embedding-cosine, connected-component clusters,
-  *    keep-list, near-dup triangles, benchmark decontamination).
+  *    keep-list, near-dup triangles, benchmark decontamination,
+  *    incremental delta dedup).
   *  - s01..s06: similarity search (brute-force ANN, LSH-bucketed ANN,
   *    per-label centroid stats, IVF ANN, recall@k evaluation, int8
   *    quantization error audit).

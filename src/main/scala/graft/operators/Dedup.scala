@@ -199,8 +199,11 @@ object Dedup {
     * md5-based base hash and LCG lane constants are reproduced verbatim in
     * DuckDB SQL, so signatures — and therefore the candidate set and the
     * verified output — match exactly. */
-  def minhashPairs(spark: SparkSession, d: String, threshold: Double): DataFrame = {
-    val hs = materializedShingleHashes(Tables.documents(spark, d))
+  def minhashPairs(spark: SparkSession, d: String, threshold: Double): DataFrame =
+    minhashPairsFrom(Tables.documents(spark, d), threshold)
+
+  def minhashPairsFrom(docs: DataFrame, threshold: Double): DataFrame = {
+    val hs = materializedShingleHashes(docs)
     val cands = lshCandidates(signaturesFromHashes(hs))
     jaccardPairsHashed(hs, Some(cands))
       .filter(col("jaccard") >= threshold)
@@ -575,8 +578,12 @@ object Dedup {
     * representative (min doc_id). Rows-only check (iterative, not SQL).
     */
   def dedupClusters(spark: SparkSession, d: String, threshold: Double,
+      maxIters: Int = 50): DataFrame =
+    dedupClustersFrom(Tables.documents(spark, d), threshold, maxIters)
+
+  def dedupClustersFrom(docs: DataFrame, threshold: Double,
       maxIters: Int = 50): DataFrame = {
-    val rawPairs = minhashPairs(spark, d, threshold).select(col("a"), col("b"))
+    val rawPairs = minhashPairsFrom(docs, threshold).select(col("a"), col("b"))
     val pairs = rawPairs.localCheckpoint()
     // The LSH pipeline's own checkpoints (shingle hashes, banded sigs) are
     // dead once the pair list is materialized.
@@ -630,15 +637,17 @@ object Dedup {
     * derived tables (drop sets are ≪ corpus), so at 100 TB both joins
     * broadcast and the corpus never shuffles.
     */
-  def keepList(spark: SparkSession, d: String, threshold: Double): DataFrame = {
-    val docs = Tables.documents(spark, d)
+  def keepList(spark: SparkSession, d: String, threshold: Double): DataFrame =
+    keepListFrom(Tables.documents(spark, d), threshold)
+
+  def keepListFrom(docs: DataFrame, threshold: Double): DataFrame = {
     val fp = docs.select(col("doc_id"), md5(normText(col("text"))).as("fp"))
     val exactDrop = fp
       .withColumn("keep_id", min("doc_id").over(
         org.apache.spark.sql.expressions.Window.partitionBy("fp")))
       .filter(col("doc_id") =!= col("keep_id"))
       .select(col("doc_id"), lit(true).as("is_exact_dup"))
-    val nearDrop = dedupClusters(spark, d, threshold)
+    val nearDrop = dedupClustersFrom(docs, threshold)
       .filter(col("doc_id") =!= col("cluster_rep"))
       .select(col("doc_id"), lit(true).as("is_near_dup"))
     docs.select(col("doc_id"))
@@ -729,6 +738,146 @@ object Dedup {
             JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
             ORDER BY x, y, z"""))
 
+  // --------------------------------------------------- incremental delta dedup
+  /** Incremental dedup: classify a DELTA of new documents against an
+    * existing corpus **without recomputing the corpus** — the production
+    * daily-ingest shape ("yesterday's corpus is immutable, today's batch
+    * gets keep/drop verdicts").
+    *
+    * Scale design: the delta is small relative to the corpus, so every
+    * delta-derived table (fingerprints, band buckets, candidate doc ids)
+    * BROADCASTS; the corpus contributes one fingerprint scan and one
+    * shingle/signature pass probed map-side (in production the corpus band
+    * index and shingle store are persisted artifacts, so even that pass
+    * amortizes away — the cost model is O(delta) + probes). Corpus shingles
+    * enter the verify join only for docs that banded with the delta
+    * (semi-join first), so the verify shuffle is candidate-sized. The
+    * near-dup decision runs connected components over the delta-adjacent
+    * pair graph only — with "existing corpus wins" semantics: a delta doc
+    * drops if its component touches any corpus doc, else the min-id delta
+    * doc of the component keeps.
+    *
+    * When every corpus doc_id precedes every delta doc_id (the natural
+    * append ordering), the verdicts are EXACTLY `keepListFrom(corpus ∪
+    * delta)` restricted to the delta — the d10 oracle and OperatorSpec
+    * assert that equivalence.
+    */
+  def incrementalKeepList(corpus: DataFrame, delta: DataFrame,
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // ---- exact stage: delta fp vs corpus fps (corpus never shuffles —
+    // semi-join against the broadcast delta fp set), plus delta-internal
+    // min-id-wins window over the (small) delta.
+    val cFp = corpus.select(md5(normText(col("text"))).as("fp"))
+    val dFp = delta.select(col("doc_id"), md5(normText(col("text"))).as("fp"))
+      .localCheckpoint()
+    val dupFps = cFp
+      .join(broadcast(dFp.select("fp").distinct()), Seq("fp"), "leftsemi")
+      .distinct()
+    val exactDrop = dFp.join(broadcast(dupFps), Seq("fp")).select("doc_id")
+      .unionAll(
+        dFp.withColumn("keep_id", min("doc_id").over(Window.partitionBy("fp")))
+          .filter(col("doc_id") =!= col("keep_id")).select("doc_id"))
+      .distinct()
+    // ---- near stage: delta bands probe the corpus band index + delta-delta
+    // LSH; exact-Jaccard verify on candidate docs' shingles only.
+    def bands(sigs: DataFrame): DataFrame = {
+      val bucketArr = array((0 until Bands).map(b =>
+        xxhash64(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand), lit(b))): _*)
+      sigs.select(col("doc_id"), posexplode(bucketArr).as(Seq("band", "bucket")))
+    }
+    val cHs = materializedShingleHashes(corpus)
+    val dHs = materializedShingleHashes(delta)
+    val dSigs = signaturesFromHashes(dHs).localCheckpoint()
+    val crossCands = bands(signaturesFromHashes(cHs))
+      .join(broadcast(bands(dSigs)
+        .select(col("band"), col("bucket"), col("doc_id").as("b"))), Seq("band", "bucket"))
+      .select(col("doc_id").as("a"), col("b"))
+      .distinct()
+    val cands = crossCands.unionAll(lshCandidates(dSigs)).distinct().localCheckpoint()
+    val candCorpusDocs = cands
+      .join(broadcast(dFp.select(col("doc_id").as("a"))), Seq("a"), "leftanti")
+      .select(col("a").as("doc_id")).distinct().localCheckpoint()
+    val hsScore = cHs.join(broadcast(candCorpusDocs), Seq("doc_id"))
+      .unionAll(dHs).localCheckpoint()
+    val nearPairs = jaccardPairsHashed(hsScore, Some(cands))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b")).localCheckpoint()
+    // ---- decide: components of the delta-adjacent graph; corpus wins.
+    val labels = connectedComponents(nearPairs)
+    val corpusLabels = labels
+      .join(broadcast(candCorpusDocs), Seq("doc_id"))
+      .select(col("label")).distinct()
+    val deltaLabels = labels
+      .join(broadcast(dFp.select("doc_id")), Seq("doc_id"))
+      .localCheckpoint()
+    val deltaReps = deltaLabels.groupBy("label").agg(min("doc_id").as("rep"))
+    val nearDrop = deltaLabels
+      .join(broadcast(deltaReps), Seq("label"))
+      .join(broadcast(corpusLabels.withColumnRenamed("label", "l")),
+        col("label") === col("l"), "left")
+      .filter(col("l").isNotNull || col("doc_id") =!= col("rep"))
+      .select("doc_id").distinct()
+    delta.select(col("doc_id"))
+      .join(broadcast(exactDrop.withColumn("is_exact", lit(true))), Seq("doc_id"), "left")
+      .join(broadcast(nearDrop.withColumn("is_near", lit(true))), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        (col("is_exact").isNull && col("is_near").isNull).as("keep"),
+        when(col("is_exact").isNotNull, lit("exact_dup"))
+          .when(col("is_near").isNotNull, lit("near_dup"))
+          .otherwise(lit("keep")).as("reason"))
+      .orderBy("doc_id")
+  }
+
+  val incremental = Q(
+    "d10_incremental_keep",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      // Deterministic append split: the newest fifth of doc ids is "today's
+      // delta", everything before it the immutable corpus.
+      val split = docs.agg(max("doc_id")).head().getLong(0) * 4 / 5
+      incrementalKeepList(
+        docs.filter(col("doc_id") < split),
+        docs.filter(col("doc_id") >= split), 0.5)
+    },
+    // The oracle IS the equivalence claim: full-corpus keep-list semantics
+    // (d07's SQL) restricted to the delta slice.
+    Some(s"""WITH RECURSIVE $minhashOracleCtes,
+            pairs AS (
+              SELECT a, b
+              FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+              WHERE round(CAST(n_common AS DOUBLE) /
+                          CAST(sa.n + sb.n - n_common AS DOUBLE), 4) >= 0.5),
+            edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+            reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+            labels AS (
+              SELECT a AS doc_id, min(b) AS label
+              FROM (SELECT a, b FROM reach UNION ALL SELECT DISTINCT a, a FROM edges)
+              GROUP BY a),
+            fp AS (
+              SELECT doc_id,
+                md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+              FROM documents),
+            exact_drop AS (
+              SELECT doc_id FROM (
+                SELECT doc_id, min(doc_id) OVER (PARTITION BY f) AS keep_id FROM fp)
+              WHERE doc_id <> keep_id),
+            near_drop AS (SELECT doc_id FROM labels WHERE doc_id <> label)
+            SELECT d.doc_id,
+              (e.doc_id IS NULL AND n.doc_id IS NULL) AS keep,
+              CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                   WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                   ELSE 'keep' END AS reason
+            FROM documents d
+            LEFT JOIN exact_drop e ON e.doc_id = d.doc_id
+            LEFT JOIN near_drop n ON n.doc_id = d.doc_id
+            WHERE d.doc_id >= (SELECT max(doc_id) * 4 // 5 FROM documents)
+            ORDER BY d.doc_id"""))
+
   // ------------------------------------------------------- decontamination
   /** Benchmark decontamination: find training-corpus documents sharing any
     * word-5-gram with the held-out eval split — the standard pre-training
@@ -782,5 +931,6 @@ object Dedup {
             GROUP BY c.doc_id ORDER BY c.doc_id"""))
 
   val all: Seq[Q] =
-    Seq(exact, minhash, simhash, ngramJaccard, embedding, clusters, keep, triangles, decontam)
+    Seq(exact, minhash, simhash, ngramJaccard, embedding, clusters, keep, triangles,
+      decontam, incremental)
 }

@@ -196,6 +196,42 @@ class OperatorSpec extends SparkSpec {
     assert(keepD && dupD == 0.0, s"diverse doc should pass: top=$topD dup=$dupD")
   }
 
+  test("incremental keep-list == batch keep-list on the delta (incl. transitive chains)") {
+    import spark.implicits._
+    def doc(tokens: Seq[String]) = tokens.mkString(" ")
+    val base = (1 to 40).map(i => s"w$i")
+    val other = (100 to 140).map(i => s"x$i")
+    val corpus = Seq(
+      (3L, doc(base)),                                // exact-dup target
+      (5L, doc(base.drop(5) ++ Seq("tail", "bit"))),  // near-dup target
+      (7L, doc(other)))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (100L, doc(base.drop(5) ++ Seq("tail", "chunk"))), // near corpus 5 → drop
+      // near 100 but NOT near any corpus doc — transitively reaches corpus
+      // through 100, so the batch semantics drop it; the incremental
+      // decision must see the chain, not just direct corpus hits.
+      (101L, doc(base.drop(8) ++ Seq("tail", "chunk", "extra", "words"))),
+      (102L, doc(base)),                                 // exact dup of corpus 3
+      (103L, doc((200 to 240).map(i => s"z$i"))),        // clean → keep
+      (104L, doc((300 to 340).map(i => s"y$i") :+ "a")), // delta-only pair rep → keep
+      (105L, doc((300 to 340).map(i => s"y$i") :+ "b"))) // its near-dup → drop
+      .toDF("doc_id", "text")
+    val threshold = 0.5
+    val got = Dedup.incrementalKeepList(corpus, delta, threshold)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    val expected = Dedup.keepListFrom(corpus.unionAll(delta), threshold)
+      .filter(col("doc_id") >= 100L)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    assert(got == expected, s"incremental != batch-restricted:\n$got\nvs\n$expected")
+    // And the verdicts themselves are the planted ones.
+    assert(got(102L) == (false, "exact_dup"))
+    assert(got(100L) == (false, "near_dup"))
+    assert(got(101L) == (false, "near_dup"), "transitive chain through 100 must drop 101")
+    assert(got(103L) == (true, "keep"))
+    assert(got(104L) == (true, "keep") && got(105L) == (false, "near_dup"))
+  }
+
   test("exact dedup: planted duplicate collapses to one representative") {
     import spark.implicits._
     val docs = Seq(
