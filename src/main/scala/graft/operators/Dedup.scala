@@ -764,11 +764,58 @@ object Dedup {
     */
   def incrementalKeepList(corpus: DataFrame, delta: DataFrame,
       threshold: Double): DataFrame = {
+    val cHs = materializedShingleHashes(corpus)
+    incrementalKeepListFrom(
+      corpus.select(md5(normText(col("text"))).as("fp")),
+      cHs,
+      bandBuckets(signaturesFromHashes(cHs)),
+      delta, threshold)
+  }
+
+  /** (doc_id, band, bucket) LSH band buckets of a signature table — the
+    * probe-able form of the index. */
+  def bandBuckets(sigs: DataFrame): DataFrame = {
+    val bucketArr = array((0 until Bands).map(b =>
+      xxhash64(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand), lit(b))): _*)
+    sigs.select(col("doc_id"), posexplode(bucketArr).as(Seq("band", "bucket")))
+  }
+
+  /** Persist a corpus's dedup index — fingerprints, hashed shingles, LSH
+    * band buckets — as parquet the incremental path can probe WITHOUT
+    * touching the corpus text again. This is the production steady state:
+    * the index is written once per corpus build (one tokenize pass,
+    * amortized), and every day's delta probes it from disk. */
+  def writeDedupIndex(corpus: DataFrame, path: String): Unit = {
+    val cHs = materializedShingleHashes(corpus)
+    corpus.select(md5(normText(col("text"))).as("fp"))
+      .write.mode("overwrite").parquet(s"$path/fp")
+    cHs.write.mode("overwrite").parquet(s"$path/shingles")
+    bandBuckets(signaturesFromHashes(cHs))
+      .write.mode("overwrite").parquet(s"$path/bands")
+    unpersistCheckpoints(cHs)
+  }
+
+  /** Incremental keep-list probing a PERSISTED index (see
+    * [[writeDedupIndex]]): the corpus contributes three parquet scans —
+    * fingerprints (semi-joined against the broadcast delta fps), band
+    * buckets (probed by the broadcast delta buckets), and shingles
+    * (semi-joined down to banded candidates before the verify join). The
+    * corpus text is never read. Asserted ≡ the recompute path in
+    * OperatorSpec. */
+  def incrementalKeepListIndexed(spark: SparkSession, indexPath: String,
+      delta: DataFrame, threshold: Double): DataFrame =
+    incrementalKeepListFrom(
+      spark.read.parquet(s"$indexPath/fp"),
+      spark.read.parquet(s"$indexPath/shingles"),
+      spark.read.parquet(s"$indexPath/bands"),
+      delta, threshold)
+
+  private def incrementalKeepListFrom(cFp: DataFrame, cHs: DataFrame,
+      cBands: DataFrame, delta: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // ---- exact stage: delta fp vs corpus fps (corpus never shuffles —
     // semi-join against the broadcast delta fp set), plus delta-internal
     // min-id-wins window over the (small) delta.
-    val cFp = corpus.select(md5(normText(col("text"))).as("fp"))
     val dFp = delta.select(col("doc_id"), md5(normText(col("text"))).as("fp"))
       .localCheckpoint()
     val dupFps = cFp
@@ -781,16 +828,10 @@ object Dedup {
       .distinct()
     // ---- near stage: delta bands probe the corpus band index + delta-delta
     // LSH; exact-Jaccard verify on candidate docs' shingles only.
-    def bands(sigs: DataFrame): DataFrame = {
-      val bucketArr = array((0 until Bands).map(b =>
-        xxhash64(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand), lit(b))): _*)
-      sigs.select(col("doc_id"), posexplode(bucketArr).as(Seq("band", "bucket")))
-    }
-    val cHs = materializedShingleHashes(corpus)
     val dHs = materializedShingleHashes(delta)
     val dSigs = signaturesFromHashes(dHs).localCheckpoint()
-    val crossCands = bands(signaturesFromHashes(cHs))
-      .join(broadcast(bands(dSigs)
+    val crossCands = cBands
+      .join(broadcast(bandBuckets(dSigs)
         .select(col("band"), col("bucket"), col("doc_id").as("b"))), Seq("band", "bucket"))
       .select(col("doc_id").as("a"), col("b"))
       .distinct()

@@ -232,6 +232,27 @@ class OperatorSpec extends SparkSpec {
     assert(got(104L) == (true, "keep") && got(105L) == (false, "near_dup"))
   }
 
+  test("indexed incremental dedup: probing the persisted index == recompute path") {
+    import spark.implicits._
+    val corpus = Tables.documents(spark, sf).filter(col("doc_id") < 80)
+    val delta = Tables.documents(spark, sf)
+      .filter(col("doc_id") >= 80 && col("doc_id") < 120)
+    val idx = java.nio.file.Files.createTempDirectory("graft-dedup-idx")
+      .toFile.getAbsolutePath + "/index"
+    Dedup.writeDedupIndex(corpus, idx)
+    // The index holds everything the probe needs…
+    assert(new java.io.File(s"$idx/fp").exists()
+      && new java.io.File(s"$idx/shingles").exists()
+      && new java.io.File(s"$idx/bands").exists())
+    // …and the disk probe gives verdicts identical to recomputing from text.
+    val fromIndex = Dedup.incrementalKeepListIndexed(spark, idx, delta, 0.5)
+      .collect().map(_.toString).toSeq
+    val recomputed = Dedup.incrementalKeepList(corpus, delta, 0.5)
+      .collect().map(_.toString).toSeq
+    assert(fromIndex == recomputed)
+    assert(fromIndex.nonEmpty)
+  }
+
   test("exact dedup: planted duplicate collapses to one representative") {
     import spark.implicits._
     val docs = Seq(
