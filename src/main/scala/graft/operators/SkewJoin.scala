@@ -23,7 +23,7 @@ object SkewJoin {
     // equal keys without RNG (stable across retries — important: a random
     // salt breaks task-retry idempotence).
     val salted = large.withColumn(
-      "__salt", pmod(hash(large.columns.map(col): _*), lit(nSalts)))
+      "__salt", pmod(hash(large.columns.toIndexedSeq.map(col): _*), lit(nSalts)))
     val replicated = small
       .withColumn("__salt", explode(array((0 until nSalts).map(lit): _*)))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
