@@ -95,6 +95,29 @@ class DocStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("at-ingest probe against the PERSISTED dedup index == in-memory index probe") {
+    // Composition of the persisted-index and streaming stories: the band
+    // index written by writeDedupIndex is directly probe-able by the
+    // streaming candidate join — no corpus recompute at stream start.
+    val idx = java.nio.file.Files.createTempDirectory("graft-stream-idx")
+      .toFile.getAbsolutePath + "/index"
+    graft.operators.Dedup.writeDedupIndex(Tables.documents(spark, sf), idx)
+    val persistedIndex = spark.read.parquet(s"$idx/bands")
+    val stream = DocStreams.dedupedStream(
+      DocStreams.fingerprinted(spark, DocStreams.readDocumentStream(spark, sf)))
+    val cands = DocStreams.nearDupCandidates(spark, stream, persistedIndex)
+    val q = EventStreams.runToMemory(cands, "doc_cand_idx_stream", OutputMode.Append)
+    try {
+      val streamed = spark.table("doc_cand_idx_stream").collect()
+        .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1))))
+        .toSet
+      val inMemory = Dedup.lshCandidates(Dedup.minhashSignatures(Tables.documents(spark, sf)))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == inMemory,
+        s"missing=${inMemory.diff(streamed).take(5)} extra=${streamed.diff(inMemory).take(5)}")
+    } finally q.stop()
+  }
+
   test("at-ingest candidate probe finds the batch LSH candidate pairs") {
     val corpusIndex = DocStreams.bandIndex(
       Dedup.minhashSignatures(Tables.documents(spark, sf)))
