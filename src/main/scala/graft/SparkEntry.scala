@@ -29,9 +29,9 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, RangeJoin, Relational, Samp
   *  - s01..s06: similarity search (brute-force ANN, LSH-bucketed ANN,
   *    per-label centroid stats, IVF ANN, recall@k evaluation, int8
   *    quantization error audit).
-  *  - m01..m04: multimodal binary-column plumbing (metadata, stub-decode
-  *    features, frame sampling, strided resize; binaryFile ingest in
-  *    Multimodal).
+  *  - m01..m05: multimodal binary-column plumbing (metadata, stub-decode
+  *    features, frame sampling, strided resize, windowed frame energy;
+  *    binaryFile ingest in Multimodal).
   */
 object SparkEntry {
   val inventory: Seq[Q] =

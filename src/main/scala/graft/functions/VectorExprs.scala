@@ -124,6 +124,45 @@ case class Sq8Error(child: Expression) extends UnaryExpression {
   override def prettyName: String = "sq8_err"
 }
 
+/** Mean squared byte value of a string's UTF-8 bytes — the audio-style
+  * frame-energy kernel (sum b² / n over a window's samples). One codegen'd
+  * pass over the window bytes; the accumulator is exact (long — 32 samples
+  * of b² ≤ 65025 can't overflow), so the final double division is
+  * bit-identical to any engine that sums integers first (the DuckDB
+  * oracle does). NULL for the empty string (no samples).
+  */
+case class ByteEnergy(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"byte_energy requires STRING, got $t")
+  }
+  override def nullSafeEval(v: Any): Any =
+    ByteEnergy.compute(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |Double ${ev.value}Box = graft.functions.ByteEnergy.compute($c);
+      |if (${ev.value}Box == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = ${ev.value}Box.doubleValue(); }
+    """.stripMargin)
+  override protected def withNewChildInternal(c: Expression): ByteEnergy = copy(child = c)
+  override def prettyName: String = "byte_energy"
+}
+
+object ByteEnergy {
+  /** Boxed so generated code can branch on null; static for codegen. */
+  def compute(s: org.apache.spark.unsafe.types.UTF8String): java.lang.Double = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    if (n == 0) return null
+    var sum = 0L
+    var i = 0
+    while (i < n) { val b = bytes(i) & 0xff; sum += b.toLong * b; i += 1 }
+    java.lang.Double.valueOf(sum.toDouble / n)
+  }
+}
+
 object Sq8Error {
   /** Returns `[mae, rmse]`, or null for empty / all-zero / null-element
     * vectors. Static so generated code can call it. */

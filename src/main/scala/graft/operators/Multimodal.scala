@@ -231,5 +231,41 @@ object Multimodal {
             FROM documents d JOIN resized r USING (doc_id)
             ORDER BY d.doc_id"""))
 
-  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, mediaResize)
+  /** Audio-style windowed energy: overlapping 32-sample frames (stride 16 —
+    * 50% overlap, the standard audio analysis layout) with mean squared
+    * sample value per frame, via the codegen'd `byte_energy` kernel over
+    * the payload window. Same stub-codec stance as m01–m04: payload bytes
+    * stand in for PCM samples (ASCII corpus ⇒ byte == codepoint, the same
+    * assumption m02's oracle asserts); a real decoder slots in at the
+    * window-extraction step without touching the dataflow. Per-row
+    * flatMap shape: output ∝ bytes/stride regardless of per-doc skew, no
+    * shuffle before the final output ordering.
+    */
+  val frameEnergy = Q(
+    "m05_frame_energy",
+    (s, d) =>
+      Tables.documents(s, d)
+        .filter(length(col("text")) > 0)
+        .select(
+          col("doc_id"),
+          explode(sequence(
+            lit(1), greatest(length(col("text")) - lit(31), lit(1)), lit(16))).as("start"),
+          col("text"))
+        .select(
+          col("doc_id"), col("start").cast("long").as("start"),
+          round(expr("byte_energy(substr(text, start, 32))"), 6).as("energy"))
+        .orderBy("doc_id", "start"),
+    Some("""WITH chars AS (
+              SELECT doc_id, i, ord(substr(text, CAST(i AS INT), 1)) AS b
+              FROM documents, UNNEST(range(1, length(text) + 1)) AS r(i)),
+            starts AS (
+              SELECT doc_id, unnest(range(1, greatest(length(text) - 31, 1) + 1, 16)) AS start
+              FROM documents WHERE length(text) > 0)
+            SELECT s.doc_id, CAST(s.start AS BIGINT) AS start,
+                   round(sum(c.b * c.b) * 1.0 / count(*), 6) AS energy
+            FROM starts s JOIN chars c
+              ON c.doc_id = s.doc_id AND c.i >= s.start AND c.i < s.start + 32
+            GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, mediaResize, frameEnergy)
 }

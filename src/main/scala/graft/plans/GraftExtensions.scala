@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, Md5Mod, RollingMinHash, SignatureAggs, Sq8Error}
+import graft.functions.{ByteEnergy, DotProduct, Md5Mod, RollingMinHash, SignatureAggs, Sq8Error}
 
 /** SparkSessionExtensions wiring for the engine's custom Catalyst pieces.
   *
@@ -43,6 +43,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - codegen'd double-precision dot product over array<float|double>"),
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("byte_energy"),
+      info("byte_energy", "byte_energy(s) - mean squared UTF-8 byte value (frame-energy kernel)"),
+      (exprs: Seq[Expression]) => ByteEnergy(exprs.head)))
     e.injectFunction((
       FunctionIdentifier("sq8_err"),
       info("sq8_err", "sq8_err(v) - [mae, rmse] of int8 symmetric-quantization round-trip"),
