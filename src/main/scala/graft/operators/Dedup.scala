@@ -844,6 +844,12 @@ object Dedup {
     val nearPairs = jaccardPairsHashed(hsScore, Some(cands))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b")).localCheckpoint()
+    // Candidates, the scoring shingle slice, the delta signatures, and both
+    // shingle stores are all fully consumed once the verified pairs are
+    // materialized (each call releases that checkpoint's own blocks — a
+    // localCheckpoint's plan is its truncated LogicalRDD). candCorpusDocs,
+    // dFp, and nearPairs stay: the lazy verdict assembly still reads them.
+    Seq(cands, hsScore, dSigs, cHs, dHs).foreach(unpersistCheckpoints)
     // ---- decide: components of the delta-adjacent graph; corpus wins.
     val labels = connectedComponents(nearPairs)
     val corpusLabels = labels
