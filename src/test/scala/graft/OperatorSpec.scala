@@ -230,6 +230,13 @@ class OperatorSpec extends SparkSpec {
     assert(got(101L) == (false, "near_dup"), "transitive chain through 100 must drop 101")
     assert(got(103L) == (true, "keep"))
     assert(got(104L) == (true, "keep") && got(105L) == (false, "near_dup"))
+
+    // Degenerate case: a delta with no relation to anything — the pair
+    // graph is EMPTY (exercises the empty-labels path end to end).
+    val clean = Seq((300L, doc((500 to 540).map(i => s"q$i")))).toDF("doc_id", "text")
+    val solo = Dedup.incrementalKeepList(corpus, clean, threshold)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    assert(solo == Map(300L -> (true, "keep")))
   }
 
   test("indexed incremental dedup: probing the persisted index == recompute path") {
