@@ -927,29 +927,40 @@ object Dedup {
 
   // ------------------------------------------------------- decontamination
   /** Benchmark decontamination: find training-corpus documents sharing any
-    * word-5-gram with the held-out eval split — the standard pre-training
+    * word-n-gram with a held-out eval suite — the standard pre-training
     * hygiene check (eval contamination inflates benchmark scores). The
-    * eval split here is the deterministic `doc_id % 19 == 0` slice; in
-    * production it is the benchmark suite itself.
+    * eval set is an EXTERNAL table (the benchmark suite itself), passed in
+    * as `evalDocs` — the signature carries the scale contract: `evalDocs`
+    * is benchmark-sized (thousands of docs), `docs` is the corpus.
     *
     * Scale shape: both sides shingle in one per-doc flatMap (no shuffle);
-    * the eval side is benchmark-sized (thousands of docs, ≪ corpus), so
-    * its hashed shingle set BROADCASTS and the probe is one map-side
-    * semi-join pass over the corpus shingles + one aggregate keyed by
-    * doc_id. The corpus is never shuffled on shingle, and nothing here is
+    * the probe is one join on hashed shingle + one aggregate keyed by
+    * doc_id. No broadcast HINT on either side — a hard hint on a
+    * plan-time-unknown relation is how jobs die at 100 TB; AQE sees the
+    * eval side's actual (benchmark-sized) bytes at runtime and converts
+    * the join to a broadcast itself, while an unexpectedly large eval set
+    * degrades to a shuffle join instead of an executor OOM. The corpus is
+    * never shuffled except on its own shingles, and nothing here is
     * quadratic: cost = corpus shingle volume, same as a tokenizing scan.
     * 5-grams (vs the classic 13-gram rule) suit this corpus's short docs;
     * the n is a parameter.
     */
-  def decontaminate(spark: SparkSession, d: String, n: Int): DataFrame =
-    decontaminate(Tables.documents(spark, d), n)
+  def decontaminate(spark: SparkSession, d: String, n: Int): DataFrame = {
+    // Demo/oracle instantiation: the deterministic `doc_id % 19 == 0`
+    // slice stands in for the external benchmark table; the other 18/19
+    // are the corpus. Production callers pass the real eval suite.
+    val docs = Tables.documents(spark, d)
+    decontaminate(
+      docs.filter(col("doc_id") % 19 =!= 0),
+      docs.filter(col("doc_id") % 19 === 0),
+      n)
+  }
 
-  def decontaminate(docs: DataFrame, n: Int): DataFrame = {
-    val sh = hashedShingles(shingleSets(docs, n))
-    val eval_ = sh.filter(col("doc_id") % 19 === 0)
+  def decontaminate(docs: DataFrame, evalDocs: DataFrame, n: Int): DataFrame = {
+    val eval_ = hashedShingles(shingleSets(evalDocs, n))
       .select(col("doc_id").as("eval_doc"), col("sh_h"))
-    val corpus = sh.filter(col("doc_id") % 19 =!= 0)
-    corpus.join(broadcast(eval_), Seq("sh_h"))
+    val corpus = hashedShingles(shingleSets(docs, n))
+    corpus.join(eval_, Seq("sh_h"))
       .groupBy("doc_id")
       .agg(
         countDistinct(col("eval_doc")).as("n_eval_docs"),

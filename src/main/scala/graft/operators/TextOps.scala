@@ -378,7 +378,11 @@ object TextOps {
     * conditional probability p(w2 | w1) = c(w1,w2) / c(w1 as bigram head).
     * The pair stream is `explode(arrays_zip(slice, slice))` — a per-row
     * flatMap over the token array, no joins until the vocabulary-sized
-    * aggregate. The head-count table rides a broadcast join. */
+    * aggregate. The head-count join carries NO broadcast hint: `heads` is
+    * vocabulary-sized today, but it derives from an unbounded token
+    * stream, and a hard hint on a derived relation is an OOM promise at
+    * 100 TB — AQE broadcasts it at runtime while its actual bytes stay
+    * small and falls back to a shuffle join when they don't. */
   val bigrams = Q(
     "t12_bigram_lm",
     (s, d) => {
@@ -394,7 +398,7 @@ object TextOps {
       // Head counts derive from the (vocabulary²-sized) pair counts — one
       // corpus pass total, instead of tokenizing the corpus a second time.
       val heads = counts.groupBy("w1").agg(sum("c12").as("c1"))
-      counts.join(broadcast(heads), "w1")
+      counts.join(heads, "w1")
         .select(
           col("w1"), col("w2"), col("c12"),
           round(col("c12").cast("double") / col("c1").cast("double"), 6).as("cond_p"))
@@ -419,10 +423,15 @@ object TextOps {
     * probability of its own bigrams under the corpus bigram LM — the
     * standard perplexity filter of a pretraining pipeline (here self-scored
     * against the corpus model; in production the model table comes from a
-    * held-out reference corpus and lands as a broadcast join exactly like
-    * this one). One tokenize pass: the doc-attributed bigram stream is
-    * materialized once and feeds both the model aggregate and the per-doc
-    * scoring join; the model is vocabulary²-sized and broadcasts.
+    * held-out reference corpus). One tokenize pass: the doc-attributed
+    * bigram stream is materialized once and feeds both the model aggregate
+    * and the per-doc scoring join. NO broadcast hints: the model is
+    * distinct-bigram-sized, which — unlike a unigram vocabulary that
+    * plateaus around 10⁷ — keeps growing with corpus size (billions of
+    * rows at 100 TB, far past any broadcast threshold). The honest plan is
+    * a shuffle join on (w1, w2); AQE converts it to a broadcast at runtime
+    * whenever the model's actual bytes are small, so nothing is lost at
+    * local scale and nothing OOMs at cluster scale.
     */
   val perplexity = Q(
     "t13_bigram_perplexity",
@@ -438,10 +447,10 @@ object TextOps {
         .localCheckpoint()
       val counts = bgDoc.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
       val heads = counts.groupBy("w1").agg(sum("c12").as("c1"))
-      val model = counts.join(broadcast(heads), "w1")
+      val model = counts.join(heads, "w1")
         .select(col("w1"), col("w2"),
           (col("c12").cast("double") / col("c1").cast("double")).as("p"))
-      bgDoc.join(broadcast(model), Seq("w1", "w2"))
+      bgDoc.join(model, Seq("w1", "w2"))
         .groupBy("doc_id")
         .agg(
           count(lit(1)).as("n_bigrams"),

@@ -88,7 +88,7 @@ class DocStreamsSpec extends SparkSpec {
     try {
       val streamedDocs = spark.table("doc_contam_stream")
         .collect().map(_.getLong(0)).toSet
-      val batchDocs = Dedup.decontaminate(Tables.documents(spark, sf), 5)
+      val batchDocs = Dedup.decontaminate(spark, sf, 5)
         .collect().map(_.getLong(0)).toSet
       assert(streamedDocs == batchDocs,
         s"missing=${batchDocs.diff(streamedDocs)} extra=${streamedDocs.diff(batchDocs)}")

@@ -164,7 +164,9 @@ class OperatorSpec extends SparkSpec {
       (3L, s"train text around $run and more words"),
       (4L, "unrelated training document with fresh tokens only"))
       .toDF("doc_id", "text")
-    val hits = Dedup.decontaminate(docs, 5).collect()
+    val hits = Dedup.decontaminate(
+      docs.filter(col("doc_id") % 19 =!= 0),
+      docs.filter(col("doc_id") % 19 === 0), 5).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(hits.keySet == Set(3L), s"expected only doc 3 contaminated, got $hits")
     assert(hits(3L) >= 1L)

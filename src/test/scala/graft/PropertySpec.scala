@@ -128,7 +128,10 @@ class PropertySpec extends SparkSpec {
         if (hitDocs.isEmpty) None
         else Some(id -> hitDocs.size.toLong)
       }.toMap
-      val got = graft.operators.Dedup.decontaminate(docs.toDF("doc_id", "text"), n)
+      val df = docs.toDF("doc_id", "text")
+      val got = graft.operators.Dedup.decontaminate(
+        df.filter(df("doc_id") % 19 =!= 0),
+        df.filter(df("doc_id") % 19 === 0), n)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == expected, s"seed $seed: got $got want $expected")
     }
