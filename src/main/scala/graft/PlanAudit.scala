@@ -1,14 +1,22 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, LogicalPlan, ResolvedHint}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** Plan audit over the whole query inventory — exchange / join operator
-  * counts plus detection of the two plan shapes that must never appear
-  * unannounced: `CartesianProduct` (always a bug at scale) and
-  * `BroadcastNestedLoopJoin` outside an explicit allowlist. Runs as a
-  * regression GATE: `PlanAuditSpec` fails `sbt test` on any violation, and
-  * the CLI main exits nonzero, so a plan that drifts to a quadratic join
-  * breaks the build instead of surfacing one round later in a bench.
+  * counts plus detection of the plan shapes that must never appear
+  * unannounced: `CartesianProduct` (always a bug at scale),
+  * `BroadcastNestedLoopJoin` outside an explicit allowlist, unpartitioned
+  * windows, and BROADCAST HINTS whose child subtree reads a corpus-scale
+  * table (a hard hint is a plan-time promise that the relation fits in one
+  * executor — made before anyone has seen its size; at 100 TB that promise
+  * kills the job at broadcast-build time, where leaving the choice to AQE
+  * degrades to a shuffle join instead). Runs as a regression GATE:
+  * `PlanAuditSpec` fails `sbt test` on any violation, and the CLI main
+  * exits nonzero, so a plan that drifts to a quadratic join or an
+  * unbounded broadcast breaks the build instead of surfacing one round
+  * later in a bench.
   *
   * `runMain graft.PlanAudit [sfDir]` for the one-line-per-query report.
   */
@@ -23,6 +31,64 @@ object PlanAudit {
   val bnljAllowlist: Set[String] =
     Set("s01_ann_cosine_topk", "t08_tfidf_topterms", "t11_cooccur_pmi")
 
+  /** Tables that are corpus-/fact-scale at the 100 TB target — anything
+    * derived from one of these is presumed unbounded unless the deriving
+    * query proves otherwise. Dimension tables (region/nation/customer/
+    * supplier/part) are deliberately absent: broadcasting a filtered dim
+    * is the standard star-join plan. */
+  val corpusTables: Set[String] =
+    Set("lineitem", "orders", "events", "documents", "embeddings")
+
+  /** Queries allowed to carry a broadcast HINT over a subtree that reads a
+    * corpus-scale table, each with the boundedness argument. The bound
+    * must be STRUCTURAL (a limit, a fixed probe set, a plateauing
+    * cardinality) — "it's small at this SF" does not qualify; that case
+    * belongs to AQE, not a hint. Entries are staleness-checked: if the
+    * hinted pattern disappears from the query's plan, the build fails
+    * until the entry is removed, so the list can't rot. */
+  val broadcastAllowlist: Map[String, String] = Map(
+    "d07_dedup_keep_list" -> ("drop lists are key-only (doc_id) projections " +
+      "of duplicate groups — a small fraction of corpus rows at 8 bytes " +
+      "each; the hint keeps the corpus un-shuffled (the operator's core " +
+      "invariant), and a pathological all-duplicates corpus degrades the " +
+      "broadcast build, not the corpus scan"),
+    "d10_incremental_keep" -> ("every hinted relation derives from the DELTA " +
+      "(daily ingest, structurally << corpus) or from candidate doc_ids " +
+      "keyed off it; the persisted corpus index is probed map-side by " +
+      "construction"),
+    "s01_ann_cosine_topk" -> "probe side is a LIMIT-10 query set",
+    "s02_ann_lsh_bucketed" -> "probe side is a LIMIT-10 query set",
+    "s04_ann_ivf" -> "probe side is a LIMIT-10 query set",
+    "s05_ann_recall" -> "composes s01/s02/s04's LIMIT-10 probe sets",
+    "t08_tfidf_topterms" -> ("docFreq is vocabulary-sized (distinct unigrams " +
+      "plateau ~10^7) + a 1-row corpus count"),
+    "t11_cooccur_pmi" -> ("docFreq is vocabulary-sized (distinct unigrams " +
+      "plateau ~10^7) + a 1-row corpus count"))
+
+  /** Corpus-scale table names read under `plan` (best effort: parquet
+    * scans are identified by path; checkpointed/in-memory leaves have no
+    * table identity and can't re-trip the gate — acceptable, because an
+    * eagerly-materialized checkpoint is already size-bounded by having
+    * been built). */
+  def corpusLeavesUnder(plan: LogicalPlan): Set[String] =
+    plan.collectLeaves().flatMap {
+      case lr: LogicalRelation =>
+        lr.relation match {
+          case fs: HadoopFsRelation =>
+            fs.location.rootPaths.flatMap(p =>
+              corpusTables.filter(t => p.toString.contains(t)))
+          case _ => Nil
+        }
+      case _ => Nil
+    }.toSet
+
+  /** Tables reached by a BROADCAST hint's child subtree, per hint. */
+  def corpusBroadcasts(analyzed: LogicalPlan): Set[String] =
+    analyzed.collect {
+      case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) =>
+        corpusLeavesUnder(h.child)
+    }.flatten.toSet
+
   final case class Audit(
       name: String,
       exchanges: Int,
@@ -31,10 +97,12 @@ object PlanAudit {
       cartesian: Boolean,
       bnlj: Boolean,
       globalWindow: Boolean,
+      corpusHinted: Set[String],
       error: Option[String]) {
     def line: String = {
       val flags = (if (cartesian) " CARTESIAN!" else "") +
-        (if (bnlj) " BNLJ" else "") + (if (globalWindow) " GLOBAL-WINDOW!" else "")
+        (if (bnlj) " BNLJ" else "") + (if (globalWindow) " GLOBAL-WINDOW!" else "") +
+        (if (corpusHinted.nonEmpty) s" HINT[${corpusHinted.toSeq.sorted.mkString(",")}]" else "")
       error match {
         case Some(e) => f"[audit] $name%-28s FAILED: ${e.take(100)}"
         case None =>
@@ -58,10 +126,11 @@ object PlanAudit {
       def n(s: String) = s.r.findAllIn(plan).length
       Audit(name, n("Exchange"), n("SortMergeJoin"), n("BroadcastHashJoin"),
         plan.contains("CartesianProduct"), plan.contains("BroadcastNestedLoopJoin"),
-        globalWindow, None)
+        globalWindow, corpusBroadcasts(qe.analyzed), None)
     } catch {
       case e: Throwable => Audit(name, 0, 0, 0, cartesian = false, bnlj = false,
-        globalWindow = false, error = Some(String.valueOf(e.getMessage)))
+        globalWindow = false, corpusHinted = Set.empty,
+        error = Some(String.valueOf(e.getMessage)))
     }
 
   def auditAll(spark: SparkSession, sfDir: String): Seq[Audit] =
@@ -70,20 +139,34 @@ object PlanAudit {
     }
 
   /** Violation strings (empty = gate passes): plan-compile failures,
-    * cartesian products anywhere, BNLJ outside the allowlist — and stale
-    * allowlist entries whose BNLJ disappeared (so the list can't rot). */
+    * cartesian products anywhere, BNLJ outside the allowlist, broadcast
+    * hints over corpus-scale subtrees outside THEIR allowlist — and stale
+    * allowlist entries whose pattern disappeared (so the lists can't rot). */
   def violations(audits: Seq[Audit]): Seq[String] =
-    audits.collect {
-      case a if a.error.isDefined => s"${a.name}: plan failed: ${a.error.get}"
-      case a if a.cartesian => s"${a.name}: CartesianProduct in plan"
-      case a if a.bnlj && !bnljAllowlist(a.name) =>
-        s"${a.name}: BroadcastNestedLoopJoin not in allowlist"
-      case a if a.globalWindow =>
-        s"${a.name}: unpartitioned Window (all rows to one task)"
+    audits.flatMap { a =>
+      // flatMap, not collect-with-cases: one audit can violate several
+      // rules at once and each must surface (a BNLJ must not mask a
+      // corpus-broadcast hint).
+      a.error.map(e => s"${a.name}: plan failed: $e").toSeq ++
+        (if (a.cartesian) Seq(s"${a.name}: CartesianProduct in plan") else Nil) ++
+        (if (a.bnlj && !bnljAllowlist(a.name))
+          Seq(s"${a.name}: BroadcastNestedLoopJoin not in allowlist") else Nil) ++
+        (if (a.globalWindow)
+          Seq(s"${a.name}: unpartitioned Window (all rows to one task)") else Nil) ++
+        (if (a.corpusHinted.nonEmpty && !broadcastAllowlist.contains(a.name))
+          Seq(s"${a.name}: broadcast HINT over corpus-scale table(s) " +
+            s"${a.corpusHinted.toSeq.sorted.mkString(",")} — drop the hint (AQE " +
+            "broadcasts small relations at runtime) or add a broadcastAllowlist " +
+            "entry with a STRUCTURAL boundedness argument") else Nil)
     } ++
       bnljAllowlist.toSeq.sorted.collect {
         case n if !audits.exists(a => a.name == n && a.bnlj) =>
           s"$n: allowlisted BNLJ no longer present — remove it from bnljAllowlist"
+      } ++
+      broadcastAllowlist.keys.toSeq.sorted.collect {
+        case n if !audits.exists(a => a.name == n && a.corpusHinted.nonEmpty) =>
+          s"$n: allowlisted corpus-table broadcast hint no longer present — " +
+            "remove it from broadcastAllowlist"
       }
 
   def main(args: Array[String]): Unit = {

@@ -15,4 +15,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(v.isEmpty, "plan violations:\n" + v.mkString("\n") + "\n\n" +
       audits.map(_.line).mkString("\n"))
   }
+
+  test("gate catches a broadcast hint over a corpus-derived relation (the d09/t13 class)") {
+    import org.apache.spark.sql.functions._
+    // The round-4 anti-pattern, reconstructed: hint-broadcast an aggregate
+    // derived from the full documents scan. Must fail the gate.
+    val bad = PlanAudit.auditOne(spark, sf, "bad_query", (s, d) => {
+      val docs = graft.sources.Tables.documents(s, d)
+      val model = docs
+        .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      docs.join(broadcast(model), expr("text LIKE concat('%', w, '%')"))
+    })
+    assert(bad.corpusHinted == Set("documents"), bad.line)
+    val v = PlanAudit.violations(Seq(bad))
+    assert(v.exists(_.contains("broadcast HINT over corpus-scale table(s) documents")),
+      v.mkString("\n"))
+    // A dimension broadcast over the same shape is NOT flagged.
+    val dim = PlanAudit.auditOne(spark, sf, "dim_query", (s, d) =>
+      graft.sources.Tables.orders(s, d)
+        .join(broadcast(graft.sources.Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey")))
+    assert(dim.corpusHinted.isEmpty, dim.line)
+  }
 }
