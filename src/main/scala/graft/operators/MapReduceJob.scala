@@ -56,12 +56,18 @@ object MapReduceJob {
         .map(_.getPath.toString).sorted.toSeq
       val tasks = (0 until numMappers)
         .map(t => sortedFiles.zipWithIndex.collect { case (f, i) if i % numMappers == t => f })
+      // Ship the SESSION's Hadoop configuration to executors (a fresh
+      // `new Configuration()` in the closure would silently drop
+      // configured credentials / filesystem bindings — S3A keys, custom
+      // schemes, kerberos — on a real cluster).
+      val hadoopConfB = spark.sparkContext.broadcast(
+        new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
       spark.sparkContext.parallelize(tasks, numMappers).flatMap { files =>
         files.iterator.flatMap { f =>
           val p = new Path(f)
-          // Executor-side open via the path's own FileSystem (scheme from
-          // the URI — default Hadoop config covers local + HDFS paths).
-          val in = p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+          // Executor-side open via the path's own FileSystem, scheme from
+          // the URI, resolved against the broadcast session config.
+          val in = p.getFileSystem(hadoopConfB.value.value).open(p)
           val reader = new java.io.BufferedReader(
             new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
           new Iterator[String] {
@@ -215,4 +221,23 @@ object MapReduceJob {
   def pipeJob(spark: SparkSession, inputDir: String, mapCmd: Seq[String],
       reduceCmd: Seq[String], numReducers: Int, numMappers: Int = 0): Dataset[String] =
     pipeReduce(spark, pipeMap(spark, inputDir, mapCmd, numMappers), reduceCmd, numReducers)
+}
+
+/** Serializable carrier for a Hadoop `Configuration` (which is not
+  * `java.io.Serializable` itself) so the SESSION's configuration — with its
+  * credentials and filesystem bindings — can broadcast to executors.
+  * Same shape as Spark's own `private[spark] SerializableConfiguration`
+  * (spark/util/SerializableConfiguration.scala), reimplemented here because
+  * that class is not public API. */
+final class SerializableHadoopConf(@transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
 }

@@ -344,4 +344,27 @@ class MapReduceParitySpec extends SparkSpec {
     val largeSec = if (s1 < 10.0) s1 else math.min(s1, timedLarge())
     assert(largeSec < 10.0, f"input_large job took $largeSec%.1f s — over the 10 s budget")
   }
+
+  test("numMappers path ships the SESSION Hadoop conf to executor-side opens") {
+    // Register a filesystem scheme only in the session configuration —
+    // the executor-side `Path.getFileSystem` in mapInput resolves it only
+    // if the session conf (not a fresh `new Configuration()`) reaches the
+    // task closure. This is the local stand-in for S3A credentials /
+    // kerberos / custom schemes on a real cluster.
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftest.impl", classOf[GraftTestFs].getName)
+    val lines = MapReduceJob
+      .mapInput(spark, s"graftest://$corpus", numMappers = 2)
+      .collect().toSet
+    assert(lines == Set("Hello World Bye World", "Hello Hadoop Goodbye Hadoop"))
+  }
+}
+
+/** A filesystem scheme that exists ONLY in the session's Hadoop
+  * configuration (registered in the spec below) — stands in for S3A/custom
+  * stores whose bindings live in session config, never in
+  * `new Configuration()` defaults. */
+class GraftTestFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "graftest"
+  override def getUri: java.net.URI = java.net.URI.create("graftest:///")
 }
