@@ -8,16 +8,68 @@ object Scratch {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("d02_dedup_minhash_lsh", "d03_dedup_simhash", "d04_ngram_jaccard", "d06_dedup_clusters")
     val spark = GraftSession.get("graft-scratch")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val jobLog = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val jobStartNs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        val desc = Option(j.properties.getProperty("spark.job.description"))
+          .orElse(j.stageInfos.lastOption.map(_.name)).getOrElse("?")
+        jobStartNs.put(j.jobId, (System.nanoTime(), desc.take(90)))
+      }
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        Option(jobStartNs.remove(j.jobId)).foreach { case (t0, desc) =>
+          jobLog.add(f"job ${j.jobId}%3d ${(System.nanoTime() - t0) / 1e9}%7.3f s  $desc")
+        }
+    })
+    def dumpJobs(): Unit = {
+      if (sys.env.contains("SCRATCH_JOBS")) jobLog.forEach(l => println(s"[jobs] $l"))
+      jobLog.clear()
+    }
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    if (names == Seq("d10prof")) { d10prof(spark, d); spark.stop(); return }
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
       (1 to 2).foreach { i =>
         spark.catalog.clearCache()
+        val j0 = jobs.get()
         val t0 = System.nanoTime()
         fn(spark, d).write.format("noop").mode("overwrite").save()
-        println(f"[scratch] $n run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        println(f"[scratch] $n run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s " +
+          s"(${jobs.get() - j0} jobs)")
+        dumpJobs()
       }
     }
     spark.stop()
+  }
+
+  /** Stepwise d10 stage timings (throwaway; mirrors incrementalKeepList's
+    * materialization order using the public pieces). */
+  private def d10prof(spark: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[prof] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+    val docs = graft.sources.Tables.documents(spark, d)
+    val split = t("max(doc_id)")(docs.agg(max("doc_id")).head().getLong(0) * 4 / 5)
+    val corpus = docs.filter(col("doc_id") < split)
+    val delta = docs.filter(col("doc_id") >= split)
+    val cHs = t("cHs corpus shingles ckpt")(Dedup.materializedShingleHashes(corpus))
+    val cBands = Dedup.bandBuckets(Dedup.signaturesFromHashes(cHs))
+    t("cBands corpus sigs+bands")(cBands.write.format("noop").mode("overwrite").save())
+    val dHs = t("dHs delta shingles ckpt")(Dedup.materializedShingleHashes(delta))
+    val dBanded = t("dBanded ckpt")(
+      Dedup.bandBuckets(Dedup.signaturesFromHashes(dHs)).localCheckpoint())
+    t("delta fp scan")(delta.select(md5(col("text"))).write.format("noop").mode("overwrite").save())
+    t("corpus fp scan")(corpus.select(md5(col("text"))).write.format("noop").mode("overwrite").save())
+    t("full d10")(SparkEntry.queries("d10_incremental_keep")(spark, d)
+      .write.format("noop").mode("overwrite").save())
+    t("full d10 again")(SparkEntry.queries("d10_incremental_keep")(spark, d)
+      .write.format("noop").mode("overwrite").save())
   }
 }

@@ -151,21 +151,21 @@ object Dedup {
     signaturesFromHashes(hashedShingles(shingleSets(docs)))
 
   /** Candidate pairs (a < b) sharing at least one LSH band bucket. */
-  def lshCandidates(sigs: DataFrame): DataFrame = {
-    val bucketArr = array((0 until Bands).map(b =>
-      xxhash64(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand), lit(b))): _*)
+  def lshCandidates(sigs: DataFrame): DataFrame =
     // Eagerly materialized: the self-join's two sides would otherwise each
     // recompute the whole signature aggregation (execution rule 2).
-    val banded = sigs.select(
-      col("doc_id"),
-      posexplode(bucketArr).as(Seq("band", "bucket"))).localCheckpoint()
+    lshCandidatesFromBanded(bandBuckets(sigs).localCheckpoint())
+
+  /** Candidate pairs from an ALREADY-MATERIALIZED (doc_id, band, bucket)
+    * table (see [[bandBuckets]]) — lets pipelines that also probe the band
+    * table elsewhere (d10) pay for its materialization once. */
+  def lshCandidatesFromBanded(banded: DataFrame): DataFrame =
     banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-  }
 
   /** Exact pairwise Jaccard (pairs with ≥1 common shingle) over an
     * already-materialized hashed shingle set: co-group join on the shingle
@@ -488,12 +488,19 @@ object Dedup {
     // 3 jobs each; above it, the distributed loop runs. Labels are
     // identical either way: union-by-min-root + path compression yields
     // the component minimum, the same label the propagation converges to.
-    if (pairs.count() <= driverThreshold) {
-      val spark = pairs.sparkSession
-      import spark.implicits._
-      val edges = pairs
-        .select(col("a").cast("long"), col("b").cast("long"))
-        .as[(Long, Long)].collect()
+    //
+    // The size check is a LIMIT-(threshold+1) collect, not count()-then-
+    // collect(): one job instead of two, still bounded (at most
+    // threshold+1 rows ever reach the driver), and in the common small-
+    // graph case the probe already IS the edge list.
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val probe = pairs
+      .select(col("a").cast("long"), col("b").cast("long"))
+      .limit(driverThreshold.toInt + 1)
+      .as[(Long, Long)].collect()
+    if (probe.length <= driverThreshold) {
+      val edges = probe
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -763,14 +770,19 @@ object Dedup {
     * assert that equivalence.
     */
   def incrementalKeepList(corpus: DataFrame, delta: DataFrame,
-      threshold: Double): DataFrame = {
-    val cHs = materializedShingleHashes(corpus)
+      threshold: Double): DataFrame =
     incrementalKeepListFrom(
       corpus.select(md5(normText(col("text"))).as("fp")),
-      cHs,
-      bandBuckets(signaturesFromHashes(cHs)),
+      // Candidate-doc shingle provider: filter the corpus BEFORE
+      // tokenizing — the verify stage needs shingles for the (few)
+      // candidate docs only, so shingling the whole corpus for it (and
+      // materializing the result) was the single biggest cost of the
+      // recompute path. The band build below still tokenizes the corpus
+      // once, lazily, inside the candidate job.
+      ids => hashedShingles(shingleSets(
+        corpus.join(broadcast(ids), Seq("doc_id"), "leftsemi"))),
+      bandBuckets(signaturesFromHashes(hashedShingles(shingleSets(corpus)))),
       delta, threshold)
-  }
 
   /** (doc_id, band, bucket) LSH band buckets of a signature table — the
     * probe-able form of the index. */
@@ -806,11 +818,19 @@ object Dedup {
       delta: DataFrame, threshold: Double): DataFrame =
     incrementalKeepListFrom(
       spark.read.parquet(s"$indexPath/fp"),
-      spark.read.parquet(s"$indexPath/shingles"),
+      ids => spark.read.parquet(s"$indexPath/shingles")
+        .join(broadcast(ids), Seq("doc_id"), "leftsemi"),
       spark.read.parquet(s"$indexPath/bands"),
       delta, threshold)
 
-  private def incrementalKeepListFrom(cFp: DataFrame, cHs: DataFrame,
+  /** @param cShingles corpus shingle provider: given a (doc_id) set of
+    *                  candidate docs, returns their (doc_id, sh_h) rows —
+    *                  a filtered parquet scan in the indexed path, a
+    *                  filter-then-tokenize in the recompute path. Taking a
+    *                  provider instead of the full shingle table keeps the
+    *                  verify stage O(candidates) in both. */
+  private def incrementalKeepListFrom(cFp: DataFrame,
+      cShingles: DataFrame => DataFrame,
       cBands: DataFrame, delta: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // ---- exact stage: delta fp vs corpus fps (corpus never shuffles —
@@ -827,29 +847,50 @@ object Dedup {
           .filter(col("doc_id") =!= col("keep_id")).select("doc_id"))
       .distinct()
     // ---- near stage: delta bands probe the corpus band index + delta-delta
-    // LSH; exact-Jaccard verify on candidate docs' shingles only.
-    val dHs = materializedShingleHashes(delta)
-    val dSigs = signaturesFromHashes(dHs).localCheckpoint()
+    // LSH; exact-Jaccard verify on candidate docs' shingles only. The delta
+    // band table is materialized ONCE and serves both the corpus-index
+    // probe and the delta-delta self-join (the signature aggregate it
+    // embeds is the expensive part; checkpointing the signatures AND the
+    // bands separately was one materialization job too many). The delta
+    // shingles stay lazy — tokenizing the (small) delta twice is cheaper
+    // than a dedicated materialization job.
+    val dHs = hashedShingles(shingleSets(delta))
+    val dBanded = bandBuckets(signaturesFromHashes(dHs)).localCheckpoint()
+    // One distinct AFTER the union — pre-distincting each branch would add
+    // an exchange (and an AQE stage job) per branch for rows the final
+    // distinct re-shuffles anyway. Candidate distinctness itself is load-
+    // bearing: the verify join counts (a, b, sh_h) rows, so a duplicate
+    // pair would double-count its intersection.
     val crossCands = cBands
-      .join(broadcast(bandBuckets(dSigs)
+      .join(broadcast(dBanded
         .select(col("band"), col("bucket"), col("doc_id").as("b"))), Seq("band", "bucket"))
       .select(col("doc_id").as("a"), col("b"))
-      .distinct()
-    val cands = crossCands.unionAll(lshCandidates(dSigs)).distinct().localCheckpoint()
+    val deltaDelta = dBanded.as("x")
+      .join(dBanded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    val cands = crossCands.unionAll(deltaDelta).distinct().localCheckpoint()
+    // Candidate-pair-derived doc sets are LAZY: they re-derive from the
+    // tiny cands checkpoint in a handful of map tasks, which is cheaper
+    // than a dedicated materialization job each.
     val candCorpusDocs = cands
       .join(broadcast(dFp.select(col("doc_id").as("a"))), Seq("a"), "leftanti")
-      .select(col("a").as("doc_id")).distinct().localCheckpoint()
-    val hsScore = cHs.join(broadcast(candCorpusDocs), Seq("doc_id"))
-      .unionAll(dHs).localCheckpoint()
+      .select(col("a").as("doc_id")).distinct()
+    // The scoring shingle slice is candidate-filtered (few docs) and then
+    // materialized ONCE: the verify join reads it three times (two sides +
+    // set sizes), and each lazy read would re-scan the corpus shingle
+    // source — a full index scan per reader at 100 TB.
+    val hsScore = cShingles(candCorpusDocs).unionAll(dHs).localCheckpoint()
     val nearPairs = jaccardPairsHashed(hsScore, Some(cands))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b")).localCheckpoint()
-    // Candidates, the scoring shingle slice, the delta signatures, and both
-    // shingle stores are all fully consumed once the verified pairs are
-    // materialized (each call releases that checkpoint's own blocks — a
-    // localCheckpoint's plan is its truncated LogicalRDD). candCorpusDocs,
-    // dFp, and nearPairs stay: the lazy verdict assembly still reads them.
-    Seq(cands, hsScore, dSigs, cHs, dHs).foreach(unpersistCheckpoints)
+    // The scoring shingle slice and the delta band table are fully
+    // consumed once the verified pairs are materialized (each call
+    // releases that checkpoint's own blocks — a localCheckpoint's plan is
+    // its truncated LogicalRDD). cands, dFp, and nearPairs stay: the lazy
+    // verdict assembly still reads them.
+    Seq(hsScore, dBanded).foreach(unpersistCheckpoints)
     // ---- decide: components of the delta-adjacent graph; corpus wins.
     val labels = connectedComponents(nearPairs)
     val corpusLabels = labels
@@ -857,7 +898,6 @@ object Dedup {
       .select(col("label")).distinct()
     val deltaLabels = labels
       .join(broadcast(dFp.select("doc_id")), Seq("doc_id"))
-      .localCheckpoint()
     val deltaReps = deltaLabels.groupBy("label").agg(min("doc_id").as("rep"))
     val nearDrop = deltaLabels
       .join(broadcast(deltaReps), Seq("label"))
