@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to stdout WITHOUT sbt's per-line
+// "[info] " prefix — Bench's final metric line must reach the grading
+// driver's tail parser as bare JSON (bench_out.json stays the
+// authoritative on-disk copy either way).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
