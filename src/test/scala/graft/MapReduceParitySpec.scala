@@ -358,6 +358,23 @@ class MapReduceParitySpec extends SparkSpec {
       .collect().toSet
     assert(lines == Set("Hello World Bye World", "Hello Hadoop Goodbye Hadoop"))
   }
+
+  test("Cluster lifecycle CLI: status reports the embedded topology; bad verb = usage + exit 1") {
+    // Reference `bin/mapreduce` status exits 0 printing "manager running"/
+    // "worker running" when the daemons are up; graft's embedded model is
+    // always ready, so status mirrors those two lines and exits 0.
+    val (statusOut, statusCode) = Cluster.run(Array("status"))
+    assert(statusCode == 0)
+    assert(statusOut.exists(_.startsWith("manager running")), statusOut.mkString("\n"))
+    assert(statusOut.exists(_.startsWith("worker running")), statusOut.mkString("\n"))
+    Seq("start", "stop", "restart").foreach { verb =>
+      assert(Cluster.run(Array(verb))._2 == 0, s"$verb should succeed")
+    }
+    // Wrong arity / unknown verb: usage + exit 1 (reference bin/mapreduce:13-19).
+    assert(Cluster.run(Array.empty)._2 == 1)
+    assert(Cluster.run(Array("status", "extra"))._2 == 1)
+    assert(Cluster.run(Array("bounce"))._2 == 1)
+  }
 }
 
 /** A filesystem scheme that exists ONLY in the session's Hadoop
