@@ -273,4 +273,32 @@ class OperatorSpec extends SparkSpec {
       .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
     assert(groups == Map(10L -> 2L, 12L -> 1L))
   }
+
+  test("s04/s05 accuracy floor: IVF recall@5 >= 0.8 and LSH recall@5 >= 0.6 on planted clusters") {
+    import spark.implicits._
+    // 8 planted clusters x 30 vectors (deterministic LCG centers, members =
+    // center + 0.15x perturbation => within-cluster cosine ~0.98, cross
+    // ~0), interleaved in vec_id order so the IVF k-means seeds (lowest 16
+    // vec_ids) cover every cluster twice. Quantifies the two rows-only ANN
+    // queries: s04's index must land >=4 of each query's 5 true neighbors
+    // on average with nProbe=4/16 cells, and s05's eval harness is what
+    // measures it.
+    val dim = 64; val nClusters = 8; val perCluster = 30
+    def lcg(a: Long, b: Long): Double = {
+      val x = (a * 2654435761L + b * 1315423911L + 97531L) % 1000003L
+      x.toDouble / 1000003.0 * 2.0 - 1.0
+    }
+    val rows = (0 until nClusters * perCluster).map { v =>
+      val c = v % nClusters
+      val emb = Array.tabulate(dim)(i => (lcg(c, i) + 0.15 * lcg(v + 1000L, i)).toFloat)
+      (v.toLong, emb, c)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-planted").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val recall = Similarity.recallEval(spark, dir, 10, 5).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(recall("ivf") >= 0.8, s"IVF mean recall@5 ${recall("ivf")} below the 0.8 floor")
+    assert(recall("lsh") >= 0.6, s"LSH mean recall@5 ${recall("lsh")} below the 0.6 floor")
+  }
 }
