@@ -63,6 +63,104 @@ object ScaleRehearsal {
       val (tK, rK) = timeQuery(name, outDir)
       println(f"[scale] $name%-26s $t1%8.2f $r1%8d $tK%8.2f $rK%9d ${tK / t1}%5.1fx")
     }
+
+    // ----------------------------------------------------- ANN family
+    // k× embeddings corpus: copy i is vec_id-offset and elementwise
+    // perturbed (deterministic sin ramp — copies are near but not equal,
+    // so exact-tie artifacts can't mask ranking work). Queries stay the
+    // original vec_id < nQ vectors in every run.
+    //
+    // The claim under test is the IVF scale story: brute force scores
+    // every (query, corpus) pair, so its data-proportional cost grows
+    // ~k×; the IVF probe reads only nProbe/nCells of the corpus via
+    // partition pruning (mechanism asserted in PartitionPruningSpec), so
+    // its wall must grow decisively slower than brute force. The index
+    // BUILD is the amortized one-time linear pass and is timed separately.
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val nQ = 100; val topK = 10
+    def embDir(mult: Int): String =
+      if (mult == 1) sfDir else s"$outDir/emb${mult}x"
+    val mults = Seq(1, 10, 100)
+    mults.filter(_ > 1).foreach { m =>
+      // Copy 0's perturbation is identically zero (sin(0) = 0), so the
+      // query vectors (vec_id < nQ) are byte-identical at every scale.
+      emb.select(col("vec_id"), col("embedding"), col("label"),
+          explode(sequence(lit(0), lit(m - 1))).as("copy"))
+        .select(
+          (col("vec_id") + col("copy") * lit(10000000L)).as("vec_id"),
+          expr("transform(embedding, (x, j) -> cast(x + 0.03 * sin(j * copy + copy) as float))")
+            .as("embedding"),
+          col("label"))
+        // A real corpus at this volume is many files; without this the
+        // explode writes ~1 file and every downstream scan runs 1 task,
+        // which would measure parallelism loss, not data growth.
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"${embDir(m)}/embeddings.parquet")
+    }
+    val e1 = emb.count()
+    println(s"[scale] embeddings: ${e1} vecs at 1x, scaled to ${mults.filter(_ > 1).map(m => s"${e1 * m} (${m}x)").mkString(", ")}")
+
+    def minOf2(f: => Long): (Double, Long) = {
+      def once(): (Double, Long) = {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val rows = f
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      val (tA, rows) = once(); val (tB, _) = once()
+      (math.min(tA, tB), rows)
+    }
+    println(f"[scale] ${"ann stage"}%-26s ${mults.map(m => f"${m + "x sec"}%8s").mkString} ratios")
+    def annRow(name: String, run: String => Long): Unit = {
+      val ts = mults.map(m => minOf2(run(embDir(m)))._1)
+      val ratios = ts.tail.map(t => f"${t / ts.head}%.1fx").mkString(" ")
+      println(f"[scale] $name%-26s ${ts.map(t => f"$t%8.2f").mkString} $ratios")
+    }
+    annRow("s01_brute_force", dir =>
+      operators.Similarity.bruteForceTopK(spark, dir, nQ, topK).count())
+    // Production IVF sizing: cells grow ~sqrt(N) with the corpus (nProbe
+    // fixed), so the probed fraction nProbe/nCells SHRINKS as data grows —
+    // that, plus partition pruning at the scan, is why the probe's wall
+    // stays near-flat while brute force grows with the corpus.
+    def cellsFor(m: Int): Int = 16 * math.sqrt(m.toDouble).round.toInt
+    mults.foreach { m =>
+      spark.catalog.clearCache()
+      val tag = s"ivf_index_build_${m}x"
+      val t0 = System.nanoTime()
+      operators.Similarity.ivfWriteIndex(spark, embDir(m), s"$outDir/ivf_idx_${m}x",
+        nCells = cellsFor(m))
+      println(f"[scale] $tag%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s (one-time, linear; ${cellsFor(m)} cells)")
+    }
+    annRow("s04_ivf_probe", dir => {
+      val m = mults.find(embDir(_) == dir).get
+      operators.Similarity.ivfProbeIndex(spark, dir, s"$outDir/ivf_idx_${m}x", nQ, topK).count()
+    })
+
+    // Work accounting — the scale-deterministic quantities wall-clock can't
+    // show at toy sizes (fixed overhead dominates both methods here):
+    //  - scanned: corpus rows the probe reads after partition pruning
+    //    (union of the nQ queries' probed cells) vs the full corpus for
+    //    brute force;
+    //  - pairs: (query, vector) similarity evaluations = the O(·) term
+    //    that rules at 100 TB. Brute force is nQ x N by definition.
+    println(f"[scale] ${"ann work (exact counts)"}%-26s ${"corpus N"}%10s ${"scanned"}%10s ${"1q scan"}%10s ${"pairs"}%12s ${"brute pairs"}%12s")
+    mults.foreach { m =>
+      val idx = s"$outDir/ivf_idx_${m}x"
+      val q = operators.Similarity
+        .ivfProbeQueries(spark, embDir(m), idx, nQ, 4)
+        .select("cell", "query_id").localCheckpoint()
+      val corpus = spark.read.parquet(idx)
+      val n = corpus.count()
+      val scanned = corpus
+        .join(q.select("cell").distinct(), Seq("cell")).count()
+      val pairs = corpus.join(q, Seq("cell")).count()
+      // Serving-path read: ONE query prunes to its nProbe cells — the
+      // batch union above covers most cells at nQ=100 and hides this.
+      val scanned1 = corpus.join(
+        q.filter(col("query_id") === 0).select("cell").distinct(), Seq("cell")).count()
+      val tag = s"ivf_probe_${m}x"
+      println(f"[scale] $tag%-26s $n%10d $scanned%10d $scanned1%10d $pairs%12d ${nQ.toLong * n}%12d")
+    }
     spark.stop()
   }
 }

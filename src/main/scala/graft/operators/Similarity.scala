@@ -242,8 +242,13 @@ object Similarity {
     * (`cell IN (literal cells)` — static partition pruning) and score.
     * Results are identical to [[ivfTopK]] with the same geometry; the
     * difference is what gets READ. */
-  def ivfProbeIndex(spark: SparkSession, d: String, indexPath: String,
-      nQueries: Int, k: Int, nProbe: Int = 4): DataFrame = {
+  /** The probe's (cell, query_id, qe) assignment — each query mapped to its
+    * `nProbe` nearest cells under the persisted codebook. Shared by
+    * [[ivfProbeIndex]] and the scale rehearsal's work accounting (rows
+    * scanned / pairs scored), so the measured quantities use exactly the
+    * serving path's geometry. */
+  def ivfProbeQueries(spark: SparkSession, d: String, indexPath: String,
+      nQueries: Int, nProbe: Int): DataFrame = {
     import spark.implicits._
     val codebook = spark.read.parquet(indexPath + "_codebook")
       .as[(Int, Array[Double])].collect().sortBy(_._1) // codebook-sized
@@ -251,11 +256,17 @@ object Similarity {
     def nearestCells(v: Array[Float], n: Int): Seq[Int] =
       bc.value.map { case (cid, c) => (cid, dotd(unit(v), c)) }
         .sortBy { case (cid, s) => (-s, cid) }.take(n).map(_._1).toSeq
-    val queries = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+    Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .filter(_._1 < nQueries)
       .flatMap { case (id, v) => nearestCells(v, nProbe).map(c => (c, id, v)) }
       .toDF("cell", "query_id", "qe")
+  }
+
+  def ivfProbeIndex(spark: SparkSession, d: String, indexPath: String,
+      nQueries: Int, k: Int, nProbe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val queries = ivfProbeQueries(spark, d, indexPath, nQueries, nProbe)
     // The probe cell set is queries×nProbe ints — collecting it makes the
     // IN literal, which is what lets the scan prune partitions statically.
     val probeCells = queries.select("cell").distinct().as[Int].collect().toSeq.sorted
