@@ -43,8 +43,15 @@ object ScaleRehearsal {
     val nK = spark.read.parquet(s"$outDir/documents.parquet").count()
     println(s"[scale] corpus: ${n1} docs at 1x -> ${nK} docs at ${k}x ($outDir)")
 
+    // Dedup family, plus the round-5 de-hinted queries (d09's eval probe
+    // and t13's bigram-LM shuffle join, with t08's allowlisted vocabulary
+    // broadcast): the rehearsal shows the post-hint-removal plans scale —
+    // the model/eval relations here grow WITH this corpus (tagged tokens
+    // make each copy's vocabulary distinct), so this is the adversarial
+    // direction for the AQE-chosen join strategy, not the friendly one.
     val names = Seq("d02_dedup_minhash_lsh", "d06_dedup_clusters",
-      "d07_dedup_keep_list", "d10_incremental_keep")
+      "d07_dedup_keep_list", "d10_incremental_keep",
+      "d09_decontaminate", "t13_bigram_perplexity", "t08_tfidf_topterms")
     def timeQuery(name: String, dir: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
       def once(): (Double, Long) = {
