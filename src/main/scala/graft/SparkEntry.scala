@@ -17,15 +17,16 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, RangeJoin, Relational, Samp
   *  - q25/q26: latest-record compaction (max_by), full-outer coverage join.
   *  - q27: sketch percentiles (percentile_approx next to q20's exact).
   *  - q28: weighted corpus mixing (deterministic fractional replication).
-  *  - t01..t15: text query library (grep, wordcount, token counting,
+  *  - t01..t17: text query library (grep, wordcount, token counting,
   *    quality scoring, language-ID, fingerprinting, winnowing, TF-IDF,
   *    langid eval, context chunking, co-occurrence PMI, bigram LM,
   *    bigram perplexity quality filter, vocabulary growth, Gopher-style
-  *    repetition filter).
-  *  - d01..d10: dedup & corpus hygiene (exact, MinHash-LSH, SimHash,
+  *    repetition filter, per-doc shingle novelty, training sequence
+  *    packing).
+  *  - d01..d11: dedup & corpus hygiene (exact, MinHash-LSH, SimHash,
   *    n-gram Jaccard, embedding-cosine, connected-component clusters,
   *    keep-list, near-dup triangles, benchmark decontamination,
-  *    incremental delta dedup).
+  *    incremental delta dedup, exact-substring repeated spans).
   *  - s01..s06: similarity search (brute-force ANN, LSH-bucketed ANN,
   *    per-label centroid stats, IVF ANN, recall@k evaluation, int8
   *    quantization error audit).

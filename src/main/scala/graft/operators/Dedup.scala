@@ -1028,7 +1028,76 @@ object Dedup {
             FROM corpus c JOIN eval e ON c.sh_h = e.sh_h
             GROUP BY c.doc_id ORDER BY c.doc_id"""))
 
+  // ---------------------------------------- repeated spans (exact substring)
+  /** Maximal repeated token spans — the core of exact-substring dedup
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better": cut every ≥k-token sequence that occurs more than once in
+    * the corpus). Every k-token window whose exact token sequence occurs
+    * ≥2 times anywhere (across documents or within one) is flagged, and
+    * per document the flagged window starts are coalesced into maximal
+    * spans — the regions a substring-dedup pass would cut.
+    *
+    * Scale shape: positional k-shingles stream out of one per-doc flatMap
+    * (no shuffle); repetition marking is a count window keyed by the
+    * 60-bit shingle hash — ONE shuffle of the shingle stream, no join and
+    * no second corpus scan (a groupBy+join formulation would either
+    * re-shingle the corpus or checkpoint it); island coalescing is a
+    * doc-keyed window over only the flagged rows (repeated-span volume,
+    * ≪ corpus). Linear in corpus token volume, nothing quadratic, no
+    * broadcast, and both windows are key-partitioned (the PlanAudit
+    * global-window gate sees no unpartitioned window).
+    */
+  def repeatedSpans(docs: DataFrame, k: Int = 8): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val psh = spread(docs).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        if (toks.length < k) Iterator.empty
+        else toks.sliding(k).zipWithIndex.map {
+          case (w, i) => (id, i + 1L, w.mkString(" "))
+        }
+      }
+      .toDF("doc_id", "pos", "shingle")
+      .select(col("doc_id"), col("pos"), md5Hash60(col("shingle")).as("sh_h"))
+    val flagged = psh
+      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy("sh_h")))
+      .filter(col("n_occ") >= 2)
+    val islands = flagged.withColumn("grp",
+      col("pos") - row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+    islands.groupBy(col("doc_id"), col("grp"))
+      .agg(min("pos").as("span_start"),
+        (max(col("pos")) - min(col("pos")) + k).as("span_tokens"))
+      .select("doc_id", "span_start", "span_tokens")
+      .orderBy("doc_id", "span_start")
+  }
+
+  val repeated = Q(
+    "d11_repeated_spans",
+    (s, d) => repeatedSpans(Tables.documents(s, d), 8),
+    Some("""WITH toks AS (
+              SELECT doc_id, list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
+              FROM documents),
+            psh AS (
+              SELECT doc_id, i AS pos,
+                ('0x' || substr(md5(list_aggregate(ts[i:i+7], 'string_agg', ' ')), 1, 15))::BIGINT AS sh_h
+              FROM toks, UNNEST(range(1, len(ts) - 6)) r(i)
+              WHERE len(ts) >= 8),
+            flagged AS (
+              SELECT doc_id, pos FROM (
+                SELECT doc_id, pos, count(*) OVER (PARTITION BY sh_h) AS n_occ FROM psh)
+              WHERE n_occ >= 2),
+            isl AS (
+              SELECT doc_id, pos,
+                pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+              FROM flagged)
+            SELECT doc_id, min(pos) AS span_start,
+                   max(pos) - min(pos) + 8 AS span_tokens
+            FROM isl GROUP BY doc_id, grp
+            ORDER BY doc_id, span_start"""))
+
   val all: Seq[Q] =
     Seq(exact, minhash, simhash, ngramJaccard, embedding, clusters, keep, triangles,
-      decontam, incremental)
+      decontam, incremental, repeated)
 }

@@ -488,21 +488,22 @@ object TextOps {
     * offsets back. Long addition is associative, so the result is exactly
     * the global running sum at any partition count.
     */
-  def prefixSummed(perDoc: DataFrame): DataFrame = {
+  def prefixSummed(perDoc: DataFrame, valueCol: String = "n_new_tokens",
+      cumCol: String = "vocab_size"): DataFrame = {
     val spark = perDoc.sparkSession
     import spark.implicits._
     val nParts = spark.sparkContext.defaultParallelism
     val withLocal = perDoc
       .repartitionByRange(nParts, col("doc_id")) // pid order == doc_id order
       .sortWithinPartitions("doc_id")
-      .select(col("doc_id"), col("n_new_tokens"))
+      .select(col("doc_id"), col(valueCol))
       .as[(Long, Long)]
       .mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         var run = 0L
         it.map { case (id, n) => run += n; (pid, id, n, run) }
       }
-      .toDF("pid", "doc_id", "n_new_tokens", "local_prefix")
+      .toDF("pid", "doc_id", valueCol, "local_prefix")
       .localCheckpoint() // read twice: partition totals + final projection
     val totals = withLocal.groupBy("pid").agg(max("local_prefix").as("total"))
       .as[(Int, Long)].collect().toMap // one long per partition
@@ -512,8 +513,8 @@ object TextOps {
     val offsetCol = element_at(
       typedLit(offsets), col("pid"))
     withLocal.select(
-      col("doc_id"), col("n_new_tokens"),
-      (col("local_prefix") + offsetCol).as("vocab_size"))
+      col("doc_id"), col(valueCol),
+      (col("local_prefix") + offsetCol).as(cumCol))
   }
 
   val vocabGrowth = Q(
@@ -598,7 +599,102 @@ object TextOps {
                 / CAST(sum(c) AS DOUBLE) <= 0.2) AS keep
             FROM cnt GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Per-document n-gram novelty: the fraction of a document's distinct
+    * word-3-gram shingles whose FIRST corpus occurrence (min doc_id) is
+    * this document — the marginal-novelty readout data-curation loops use
+    * to decide whether newly ingested data still adds content (doc-level
+    * complement of t14's token-level vocabulary-growth curve; near-zero
+    * novelty ⇒ the doc is recombination of already-seen text).
+    *
+    * Scale shape: one shingling flatMap, then a min window keyed by the
+    * 60-bit shingle hash — ONE shuffle, no join and no second shingling
+    * pass (first-occurrence via groupBy+join would recompute or
+    * checkpoint the shingle stream) — then a doc-keyed aggregate. Linear
+    * in corpus shingle volume, no broadcast.
+    */
+  def shingleNovelty(docs: DataFrame, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Dedup.hashedShingles(Dedup.shingleSets(docs, n))
+      .withColumn("first_doc", min("doc_id").over(Window.partitionBy("sh_h")))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_shingles").cast("double"))
+      .orderBy("doc_id")
+  }
+
+  val novelty = Q(
+    "t16_shingle_novelty",
+    (s, d) => shingleNovelty(Tables.documents(s, d)),
+    Some("""WITH toks AS (
+              SELECT doc_id, list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+              FROM toks, UNNEST(range(1, len(ts) - 1)) r(i)
+              WHERE len(ts) >= 3),
+            fst AS (
+              SELECT doc_id,
+                min(doc_id) OVER (PARTITION BY shingle) AS first_doc
+              FROM sh)
+            SELECT doc_id, count(*) AS n_shingles,
+              CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+              CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE) AS novelty
+            FROM fst GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Sequence packing for training: documents are concatenated in doc_id
+    * order and split into fixed `budget`-token context windows (GPT-style
+    * packing — documents straddle window boundaries). Emits each
+    * document's window range: the first/last sequence ids its tokens land
+    * in and how many windows it spans. Downstream, a writer groups by
+    * sequence id to emit the actual training sequences.
+    *
+    * Scale shape: per-doc token counts are a tokenizing scan; the global
+    * running token offset reuses t14's TWO-PHASE range-partitioned prefix
+    * scan (local prefix per range partition + one collected long per
+    * partition as the cross-partition offset) — NOT a global
+    * unpartitioned window. Everything after the prefix scan is a per-row
+    * projection.
+    */
+  def packSequences(docs: DataFrame, budget: Int = 512): DataFrame = {
+    val perDoc = docs.select(
+      col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+    prefixSummed(perDoc, "n_tokens", "cum_tokens")
+      .filter(col("n_tokens") > 0)
+      .select(
+        col("doc_id"), col("n_tokens"),
+        floor((col("cum_tokens") - col("n_tokens")) / lit(budget)).as("seq_first"),
+        floor((col("cum_tokens") - 1) / lit(budget)).as("seq_last"))
+      .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
+      .orderBy("doc_id")
+  }
+
+  val pack = Q(
+    "t17_sequence_pack",
+    (s, d) => packSequences(Tables.documents(s, d)),
+    Some("""WITH counts AS (
+              SELECT doc_id,
+                len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                t -> t <> ''))::BIGINT AS n_tokens
+              FROM documents),
+            cum AS (
+              SELECT doc_id, n_tokens,
+                sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+              FROM counts)
+            SELECT doc_id, n_tokens,
+              (cum_tokens - n_tokens) // 512 AS seq_first,
+              (cum_tokens - 1) // 512 AS seq_last,
+              (cum_tokens - 1) // 512 - (cum_tokens - n_tokens) // 512 + 1 AS n_seqs
+            FROM cum WHERE n_tokens > 0 ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(grep, wordcount, tokenCount, quality, langid, fingerprint, winnow, tfidf,
-      langidEval, chunk, cooccur, bigrams, perplexity, vocabGrowth, repetition)
+      langidEval, chunk, cooccur, bigrams, perplexity, vocabGrowth, repetition,
+      novelty, pack)
 }

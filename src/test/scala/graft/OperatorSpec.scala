@@ -102,6 +102,57 @@ class OperatorSpec extends SparkSpec {
     assert(hits >= 4, s"LSH recall too low: $hits/10 (exact=$exact lsh=$lsh)")
   }
 
+  test("d11 repeated spans: coalesces planted cross-doc and in-doc repeats") {
+    import spark.implicits._
+    val shared = (1 to 12).map(i => s"sh$i").mkString(" ") // 12-token repeat
+    val docs = Seq(
+      (0L, (1 to 5).map(i => s"ua$i").mkString(" ") + " " + shared + " " +
+        (1 to 4).map(i => s"za$i").mkString(" ")),
+      (1L, (1 to 3).map(i => s"ub$i").mkString(" ") + " " + shared + " " +
+        (1 to 4).map(i => s"zb$i").mkString(" ")),
+      (2L, (1 to 20).map(i => s"uc$i").mkString(" ")), // no repeats
+      // in-doc repeat: the same 8-gram at pos 1 and pos 12
+      (3L, ((1 to 8).map(i => s"x$i") ++ Seq("f1", "f2", "f3") ++
+        (1 to 8).map(i => s"x$i")).mkString(" "))
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(docs, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // docA: shared occupies tokens 6..17 -> windows 6..10 -> one 12-token span.
+    // docB: shared at 4..15 -> one 12-token span at 4.
+    // docC: nothing. docD: two 8-token spans at 1 and 12.
+    assert(spans.toSet == Set((0L, 6L, 12L), (1L, 4L, 12L),
+      (3L, 1L, 8L), (3L, 12L, 8L)), spans.mkString(", "))
+  }
+
+  test("d11/t16 plans are join-free (single keyed window over the shingle stream)") {
+    Seq(Dedup.repeated, TextOps.novelty).foreach { q =>
+      val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), s"${q.name} plan has a join:\n$plan")
+      assert(!plan.contains("BroadcastExchange"), s"${q.name} broadcasts:\n$plan")
+    }
+  }
+
+  test("t16 novelty: first doc owns its shingles, an exact copy has zero novelty") {
+    import spark.implicits._
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    val other = (100 to 120).map(i => s"v$i").mkString(" ")
+    val docs = Seq((0L, base), (1L, base), (2L, other)).toDF("doc_id", "text")
+    val rows = TextOps.shingleNovelty(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(rows(0L) == 1.0 && rows(1L) == 0.0 && rows(2L) == 1.0, rows.toString)
+  }
+
+  test("t17 packing: budget boundaries split docs across sequences") {
+    import spark.implicits._
+    val four = (1 to 4).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, four), (2L, four), (3L, four)).toDF("doc_id", "text")
+    val rows = TextOps.packSequences(docs, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // cum = 4, 8, 12: doc3 straddles the 10-token boundary.
+    assert(rows.toSeq == Seq((1L, 4L, 0L, 0L, 1L), (2L, 4L, 0L, 0L, 1L),
+      (3L, 4L, 0L, 1L, 2L)), rows.mkString(", "))
+  }
+
   test("multimodal stub decode: deterministic features via mapPartitions") {
     val feats = Multimodal.extractFeatures(Multimodal.mediaTable(spark, sf)).collect()
     assert(feats.length == 500)
