@@ -60,6 +60,7 @@ object PlanAudit {
     "s02_ann_lsh_bucketed" -> "probe side is a LIMIT-10 query set",
     "s04_ann_ivf" -> "probe side is a LIMIT-10 query set",
     "s05_ann_recall" -> "composes s01/s02/s04's LIMIT-10 probe sets",
+    "s07_ann_ivf_append" -> "probe side is a LIMIT-10 query set",
     "t08_tfidf_topterms" -> ("docFreq is vocabulary-sized (distinct unigrams " +
       "plateau ~10^7) + a 1-row corpus count"),
     "t11_cooccur_pmi" -> ("docFreq is vocabulary-sized (distinct unigrams " +

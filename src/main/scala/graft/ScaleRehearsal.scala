@@ -51,7 +51,11 @@ object ScaleRehearsal {
     // direction for the AQE-chosen join strategy, not the friendly one.
     val names = Seq("d02_dedup_minhash_lsh", "d06_dedup_clusters",
       "d07_dedup_keep_list", "d10_incremental_keep",
-      "d09_decontaminate", "t13_bigram_perplexity", "t08_tfidf_topterms")
+      "d09_decontaminate", "t13_bigram_perplexity", "t08_tfidf_topterms",
+      // Round-5 additions: the shingle-keyed count/min windows (one shuffle
+      // of the positional/distinct shingle stream) and the two-phase
+      // prefix-scan packing — each a distinct shuffle pattern to rehearse.
+      "d11_repeated_spans", "t16_shingle_novelty", "t17_sequence_pack")
     def timeQuery(name: String, dir: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
       def once(): (Double, Long) = {

@@ -27,9 +27,9 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, RangeJoin, Relational, Samp
   *    n-gram Jaccard, embedding-cosine, connected-component clusters,
   *    keep-list, near-dup triangles, benchmark decontamination,
   *    incremental delta dedup, exact-substring repeated spans).
-  *  - s01..s06: similarity search (brute-force ANN, LSH-bucketed ANN,
+  *  - s01..s07: similarity search (brute-force ANN, LSH-bucketed ANN,
   *    per-label centroid stats, IVF ANN, recall@k evaluation, int8
-  *    quantization error audit).
+  *    quantization error audit, incremental IVF ingest serving state).
   *  - m01..m05: multimodal binary-column plumbing (metadata, stub-decode
   *    features, frame sampling, strided resize, windowed frame energy;
   *    binaryFile ingest in Multimodal).

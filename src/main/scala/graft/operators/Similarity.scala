@@ -201,12 +201,35 @@ object Similarity {
     * `nCells` lowest vec_ids, refined by spherical k-means). Only
     * codebook-sized data reaches the driver. */
   def ivfCodebook(spark: SparkSession, d: String,
+      nCells: Int, kmeansIters: Int): Array[(Int, Array[Double])] =
+    ivfCodebookOf(spark,
+      Tables.embeddings(spark, d).select(col("vec_id"), col("embedding")),
+      nCells, kmeansIters)
+
+  def ivfCodebookOf(spark: SparkSession, e: DataFrame,
       nCells: Int, kmeansIters: Int): Array[(Int, Array[Double])] = {
     import spark.implicits._
-    val e = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
-    val seeds = e.as[(Long, Array[Float])]
+    val seeds = e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .filter(_._1 < nCells).collect().sortBy(_._1).map { case (id, v) => (id.toInt, unit(v)) }
-    refineCodebook(spark, e.as[(Long, Array[Float])], seeds, kmeansIters)
+    refineCodebook(spark, e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])],
+      seeds, kmeansIters)
+  }
+
+  /** (cell, neighbor_id, ne): every vector assigned to its nearest codebook
+    * cell — the one assignment rule shared by index build, incremental
+    * append, and the in-memory twin, so the persisted and in-memory paths
+    * can never drift. */
+  def assignCells(spark: SparkSession, e: DataFrame,
+      codebook: Array[(Int, Array[Double])]): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(codebook)
+    e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val uv = unit(v)
+        (bc.value.map { case (cid, c) => (cid, dotd(uv, c)) }
+          .maxBy { case (cid, s) => (s, -cid) }._1, id, v)
+      }
+      .toDF("cell", "neighbor_id", "ne")
   }
 
   /** The IVF-Flat index layout made literal: assign every corpus vector to
@@ -217,24 +240,42 @@ object Similarity {
     * nProbe/nCells of the data instead of all of it —
     * [[PartitionPruningSpec]] asserts the pruned file count. */
   def ivfWriteIndex(spark: SparkSession, d: String, indexPath: String,
+      nCells: Int = 16, kmeansIters: Int = 3): Unit =
+    ivfWriteIndexOf(spark,
+      Tables.embeddings(spark, d).select(col("vec_id"), col("embedding")),
+      indexPath, nCells, kmeansIters)
+
+  def ivfWriteIndexOf(spark: SparkSession, e: DataFrame, indexPath: String,
       nCells: Int = 16, kmeansIters: Int = 3): Unit = {
     import spark.implicits._
-    val codebook = ivfCodebook(spark, d, nCells, kmeansIters)
-    val bc = spark.sparkContext.broadcast(codebook)
-    val e = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
-    e.as[(Long, Array[Float])]
-      .map { case (id, v) =>
-        val uv = unit(v)
-        (bc.value.map { case (cid, c) => (cid, dotd(uv, c)) }
-          .maxBy { case (cid, s) => (s, -cid) }._1, id, v)
-      }
-      .toDF("cell", "neighbor_id", "ne")
+    val codebook = ivfCodebookOf(spark, e, nCells, kmeansIters)
+    assignCells(spark, e, codebook)
       // One shuffle keyed by cell → each cell's rows land in one task →
       // exactly one file per cell directory.
       .repartition(nCells, col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(indexPath)
     codebook.map { case (cid, c) => (cid, c) }.toSeq.toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(indexPath + "_codebook")
+  }
+
+  /** Incremental IVF maintenance — the ANN twin of d10's incremental
+    * dedup: assign a DELTA of new vectors to the EXISTING persisted
+    * codebook (no re-clustering, no touching the resident corpus rows)
+    * and append them to their cell partitions. The daily-ingest cost is
+    * O(delta): one codebook-broadcast assignment pass over the delta plus
+    * appended files in the matching `cell=` directories; probes see the
+    * new vectors immediately through the same partition-pruned read path.
+    * The price of skipping re-clustering is codebook staleness (cells no
+    * longer centroidal for drifted data) — s07 carries the recall-floor
+    * spec and the rebuild decision stays an offline policy call.
+    */
+  def ivfAppendIndex(spark: SparkSession, delta: DataFrame, indexPath: String): Unit = {
+    import spark.implicits._
+    val codebook = spark.read.parquet(indexPath + "_codebook")
+      .as[(Int, Array[Double])].collect().sortBy(_._1) // codebook-sized
+    assignCells(spark, delta, codebook)
+      .repartition(codebook.length, col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(indexPath)
   }
 
   /** Probe a written IVF index: per query, find its `nProbe` nearest cells
@@ -315,6 +356,50 @@ object Similarity {
     (s, d) => ivfTopK(s, d, 10, 5),
     None)
 
+  /** s07: ANN serving state after incremental ingest — top-k under a STALE
+    * codebook, trained before the newest fifth of vectors arrived: exactly
+    * what an IVF index maintained by [[ivfAppendIndex]] (append, no
+    * re-cluster) serves. In-memory twin of build+append — the assignment
+    * rule is shared via [[assignCells]], and the persisted write+append
+    * path is asserted row-identical in PartitionPruningSpec. `from_delta`
+    * marks neighbors that arrived after codebook training — the proof the
+    * ingest is immediately searchable. Rows-only check (approximate by
+    * construction, still deterministic); the persisted append path and a
+    * planted-ingest top-1 hit are asserted in PartitionPruningSpec.
+    */
+  def ivfStaleTopK(spark: SparkSession, d: String, nQueries: Int, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, kmeansIters: Int = 3): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+    val split = e.agg(max("vec_id")).head().getLong(0) * 4 / 5
+    val codebook = ivfCodebookOf(spark, e.filter(col("vec_id") < split),
+      nCells, kmeansIters)
+    val bc = spark.sparkContext.broadcast(codebook)
+    def nearestCells(v: Array[Float], n: Int): Seq[Int] =
+      bc.value.map { case (cid, c) => (cid, dotd(unit(v), c)) }
+        .sortBy { case (cid, s) => (-s, cid) }.take(n).map(_._1).toSeq
+    val corpus = assignCells(spark, e, codebook)
+    val queries = e.as[(Long, Array[Float])]
+      .filter(_._1 < nQueries)
+      .flatMap { case (id, v) => nearestCells(v, nProbe).map(c => (c, id, v)) }
+      .toDF("cell", "query_id", "qe")
+    val sims = corpus.join(broadcast(queries), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qe"), col("ne")).as("c"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id").orderBy(col("c").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("c"), 6).as("cos_sim"),
+        col("rank"), (col("neighbor_id") >= split).as("from_delta"))
+      .orderBy("query_id", "rank")
+  }
+
+  val annAppend = Q(
+    "s07_ann_ivf_append",
+    (s, d) => ivfStaleTopK(s, d, 10, 5),
+    None)
+
   /** Recall@k evaluation of the approximate indexes against the exact
     * brute-force baseline — the measurement loop every ANN deployment
     * needs before trading recall for speed. Ground truth is small
@@ -392,5 +477,6 @@ object Similarity {
                    round(max(rmse), 6) AS max_rmse
             FROM err GROUP BY label ORDER BY label"""))
 
-  val all: Seq[Q] = Seq(annBruteForce, annLsh, centroids, annIvf, annRecall, quantError)
+  val all: Seq[Q] =
+    Seq(annBruteForce, annLsh, centroids, annIvf, annRecall, quantError, annAppend)
 }

@@ -25,7 +25,7 @@ class OperatorSpec extends SparkSpec {
   test("oracle SQL declared for every SQL-expressible query") {
     val rowsOnly = Set(
       "s02_ann_lsh_bucketed", "s04_ann_ivf", "s05_ann_recall",
-      "q15_approx_distinct", "q27_percentile_sketch")
+      "s07_ann_ivf_append", "q15_approx_distinct", "q27_percentile_sketch")
     assert(SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet) == rowsOnly)
   }
 

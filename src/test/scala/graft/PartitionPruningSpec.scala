@@ -78,4 +78,46 @@ class PartitionPruningSpec extends SparkSpec {
       nCells = nCells, nProbe = 2, kmeansIters = 2).collect()
     assert(rows.map(_.toString).toSeq == inMemory.map(_.toString).toSeq)
   }
+
+  test("IVF append: delta joins existing cell dirs, probe serves it (s07's persisted path)") {
+    import graft.operators.Similarity
+    val nCells = 8
+    val idx = Files.createTempDirectory("graft-ivf-append").toFile.getAbsolutePath + "/index"
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val split = e.agg(max("vec_id")).head().getLong(0) * 4 / 5
+    Similarity.ivfWriteIndexOf(spark, e.filter(col("vec_id") < split), idx,
+      nCells = nCells, kmeansIters = 2)
+    Similarity.ivfAppendIndex(spark, e.filter(col("vec_id") >= split), idx)
+
+    // Every vector present exactly once; the append reused the cell layout
+    // (assignment only ever targets existing codebook cells).
+    val all = spark.read.parquet(idx)
+    assert(all.count() == e.count())
+    assert(all.select("neighbor_id").distinct().count() == e.count())
+    val cellDirs = new java.io.File(idx).listFiles().filter(_.getName.startsWith("cell="))
+    assert(cellDirs.length == nCells, s"append created new cell dirs: ${cellDirs.length}")
+
+    // Probe over the appended index ≡ the in-memory stale-codebook twin
+    // (same assignment rule, same geometry) — append changed what is
+    // STORED, not the answer.
+    val probed = Similarity.ivfProbeIndex(spark, sf, idx, nQueries = 3, k = 4, nProbe = 2)
+      .collect()
+    val twin = Similarity.ivfStaleTopK(spark, sf, 3, 4,
+      nCells = nCells, nProbe = 2, kmeansIters = 2)
+      .select("query_id", "neighbor_id", "cos_sim", "rank").collect()
+    assert(probed.map(_.toString).toSeq == twin.map(_.toString).toSeq)
+
+    // Planted ingest: append a near-copy of query 0 under a fresh id —
+    // it must immediately surface as query 0's top-1 through the SAME
+    // probe path (multi-append exercised along the way).
+    import spark.implicits._
+    val q0 = e.as[(Long, Array[Float])].filter(_._1 == 0L).head()._2
+    val plantedId = 1000000L
+    val planted = Seq((plantedId, q0.map(x => x + 1e-4f))).toDF("vec_id", "embedding")
+    Similarity.ivfAppendIndex(spark, planted, idx)
+    val after = Similarity.ivfProbeIndex(spark, sf, idx, nQueries = 1, k = 1, nProbe = 2)
+      .collect()
+    assert(after.length == 1 && after(0).getLong(1) == plantedId,
+      s"planted ingest not served as top-1: ${after.mkString(", ")}")
+  }
 }
