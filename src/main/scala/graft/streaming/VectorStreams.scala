@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.operators.Similarity
+
+/** Streaming twin of the s07 incremental-ANN surface: vectors as an
+  * arriving stream, appended to the persisted IVF index per micro-batch.
+  *
+  * The append is [[graft.operators.Similarity.ivfAppendIndex]] inside
+  * `foreachBatch`: cell assignment against the persisted codebook is
+  * stateless per-row work (codebook broadcast, no shuffle besides the
+  * cell-keyed write), so micro-batch cost is O(batch) and there is NO
+  * streaming state at all — durability lives in the index itself, and the
+  * probe path serves newly ingested vectors as soon as their micro-batch
+  * commits. Exactly-once caveat, stated rather than hidden: a plain
+  * parquet append is not idempotent under micro-batch REPLAY (a crash
+  * between the parquet commit and the checkpoint advance re-appends that
+  * batch); production either fans the batch into a transactional table
+  * format or dedups on vec_id at probe time. The checkpoint bounds the
+  * window to one batch.
+  */
+object VectorStreams {
+
+  /** Vectors as a file stream over a staging directory (the staged-ingest
+    * shape [[DocStreams.readDocumentStream]] uses for documents); one file
+    * per micro-batch. */
+  def readVectorStream(spark: SparkSession, dir: String, schemaFrom: DataFrame): DataFrame =
+    spark.readStream
+      .schema(schemaFrom.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+
+  /** Start the ingest: every micro-batch of (vec_id, embedding) rows is
+    * assigned under the index's persisted codebook and appended to its
+    * cell partitions. */
+  def appendToIndex(stream: DataFrame, indexPath: String,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty)
+          Similarity.ivfAppendIndex(batch.sparkSession, batch.toDF(), indexPath)
+      }
+      .start()
+}

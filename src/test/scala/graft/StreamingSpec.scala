@@ -145,4 +145,36 @@ class StreamingSpec extends SparkSpec {
         s"streamed sessions disagree with batch: ${streamed.diff(batch).take(3)}")
     } finally q.stop()
   }
+
+  test("streaming vector ingest appends to the persisted IVF index == batch append (s07 twin)") {
+    import java.nio.file.Files
+    import graft.operators.Similarity
+    import graft.streaming.VectorStreams
+    import graft.sources.Tables
+    val base = Files.createTempDirectory("graft-vec-stream").toString
+    val idx = s"$base/index"
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val split = e.agg(max("vec_id")).head().getLong(0) * 4 / 5
+    Similarity.ivfWriteIndexOf(spark, e.filter(col("vec_id") < split), idx,
+      nCells = 8, kmeansIters = 2)
+    // Stage the delta as TWO files -> two micro-batches of arriving vectors.
+    e.filter(col("vec_id") >= split).repartition(2)
+      .write.mode("overwrite").parquet(s"$base/arrivals")
+    val q = VectorStreams.appendToIndex(
+      VectorStreams.readVectorStream(spark, s"$base/arrivals", e),
+      idx, s"$base/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    // Index state after the stream == batch write+append: every vector
+    // exactly once, and the probe serves the same answers as the
+    // in-memory stale-codebook twin.
+    val all = spark.read.parquet(idx)
+    assert(all.count() == e.count())
+    assert(all.select("neighbor_id").distinct().count() == e.count())
+    val probed = Similarity.ivfProbeIndex(spark, sf, idx, nQueries = 3, k = 4, nProbe = 2)
+      .collect()
+    val twin = Similarity.ivfStaleTopK(spark, sf, 3, 4,
+      nCells = 8, nProbe = 2, kmeansIters = 2)
+      .select("query_id", "neighbor_id", "cos_sim", "rank").collect()
+    assert(probed.map(_.toString).toSeq == twin.map(_.toString).toSeq)
+  }
 }
