@@ -177,6 +177,85 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("repeated spans == brute-force k-gram occurrence counting + run coalescing") {
+    import spark.implicits._
+    val k = 3
+    for (seed <- 1 to 6) {
+      val rng = new scala.util.Random(seed)
+      // A tiny alphabet forces genuine cross-doc and in-doc repeats.
+      val docs = (0L until (4 + rng.nextInt(5)).toLong).map { id =>
+        id -> (1 to (10 + rng.nextInt(30))).map(_ => s"w${rng.nextInt(8)}").mkString(" ")
+      }
+      val got = graft.operators.Dedup.repeatedSpans(docs.toDF("doc_id", "text"), k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // Reference: count every positional k-gram globally, flag positions
+      // whose gram occurs >= 2 times anywhere, coalesce consecutive runs.
+      val grams = docs.flatMap { case (id, t) =>
+        val ts = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        if (ts.length < k) Nil
+        else ts.sliding(k).zipWithIndex.map { case (w, i) => (id, i + 1, w.mkString(" ")) }.toSeq
+      }
+      val occ = grams.groupBy(_._3).map { case (g, os) => g -> os.size }
+      val expected = grams.filter(g => occ(g._3) >= 2)
+        .groupBy(_._1).flatMap { case (id, gs) =>
+          val ps = gs.map(_._2).sorted
+          val spans = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long)]
+          var start = ps.head; var prev = ps.head
+          for (p <- ps.tail) {
+            if (p == prev + 1) prev = p
+            else { spans += ((id, start.toLong, (prev - start + k).toLong)); start = p; prev = p }
+          }
+          spans += ((id, start.toLong, (prev - start + k).toLong))
+          spans
+        }.toSet
+      assert(got == expected,
+        s"seed $seed: missing=${expected.diff(got).take(3)} extra=${got.diff(expected).take(3)}")
+    }
+  }
+
+  test("shingle novelty == brute-force first-occurrence accounting") {
+    import spark.implicits._
+    for (seed <- 1 to 6) {
+      val rng = new scala.util.Random(seed)
+      val docs = (0L until (4 + rng.nextInt(5)).toLong).map { id =>
+        id -> (1 to (5 + rng.nextInt(25))).map(_ => s"w${rng.nextInt(6)}").mkString(" ")
+      }
+      val got = graft.operators.TextOps.shingleNovelty(docs.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val sh = docs.map { case (id, t) =>
+        val ts = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        id -> ts.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      }.filter(_._2.nonEmpty)
+      val firstDoc = sh.flatMap { case (id, s) => s.map(_ -> id) }
+        .groupBy(_._1).map { case (g, os) => g -> os.map(_._2).min }
+      val expected = sh.map { case (id, s) =>
+        (id, s.size.toLong, s.count(g => firstDoc(g) == id).toLong)
+      }.toSet
+      assert(got == expected, s"seed $seed novelty mismatch")
+    }
+  }
+
+  test("sequence packing == sequential concatenation arithmetic") {
+    import spark.implicits._
+    for (seed <- 1 to 4; budget <- Seq(7, 32)) {
+      val rng = new scala.util.Random(seed)
+      val docs = (0L until (5 + rng.nextInt(30)).toLong).map { id =>
+        id -> (0 to rng.nextInt(20)).map(_ => s"w${rng.nextInt(9)}").mkString(" ")
+      }
+      val got = graft.operators.TextOps.packSequences(docs.toDF("doc_id", "text"), budget)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      var cum = 0L
+      val expected = docs.sortBy(_._1).flatMap { case (id, t) =>
+        val n = t.toLowerCase.split("[^a-z0-9]+").count(_.nonEmpty).toLong
+        val start = cum; cum += n
+        if (n == 0) None
+        else Some((id, n, start / budget, (cum - 1) / budget,
+          (cum - 1) / budget - start / budget + 1))
+      }
+      assert(got.toSeq == expected, s"seed $seed budget $budget packing mismatch")
+    }
+  }
+
   test("mapreduce pipeline == reference groupBy-sum semantics for arbitrary inputs") {
     import graft.operators.MapReduceJob
     // SURVEY.md §5: partition-routing ∘ sort ∘ merge ∘ group must equal a
