@@ -17,16 +17,19 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, RangeJoin, Relational, Samp
   *  - q25/q26: latest-record compaction (max_by), full-outer coverage join.
   *  - q27: sketch percentiles (percentile_approx next to q20's exact).
   *  - q28: weighted corpus mixing (deterministic fractional replication).
-  *  - t01..t17: text query library (grep, wordcount, token counting,
+  *  - q29: funnel conversion (ordered within-user sequence matching via a
+  *    running-max window; no events self-join).
+  *  - t01..t18: text query library (grep, wordcount, token counting,
   *    quality scoring, language-ID, fingerprinting, winnowing, TF-IDF,
   *    langid eval, context chunking, co-occurrence PMI, bigram LM,
   *    bigram perplexity quality filter, vocabulary growth, Gopher-style
   *    repetition filter, per-doc shingle novelty, training sequence
-  *    packing).
-  *  - d01..d11: dedup & corpus hygiene (exact, MinHash-LSH, SimHash,
+  *    packing, token frequency spectrum).
+  *  - d01..d12: dedup & corpus hygiene (exact, MinHash-LSH, SimHash,
   *    n-gram Jaccard, embedding-cosine, connected-component clusters,
   *    keep-list, near-dup triangles, benchmark decontamination,
-  *    incremental delta dedup, exact-substring repeated spans).
+  *    incremental delta dedup, exact-substring repeated spans, near-dup
+  *    detector consensus).
   *  - s01..s07: similarity search (brute-force ANN, LSH-bucketed ANN,
   *    per-label centroid stats, IVF ANN, recall@k evaluation, int8
   *    quantization error audit, incremental IVF ingest serving state).

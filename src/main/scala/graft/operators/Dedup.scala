@@ -1097,7 +1097,55 @@ object Dedup {
             FROM isl GROUP BY doc_id, grp
             ORDER BY doc_id, span_start"""))
 
+  // ---------------------------------------------------- detector consensus
+  /** Strip a trailing presentation ORDER BY so a component oracle can be
+    * embedded as a subquery. */
+  private def subOracle(sql: String): String =
+    sql.replaceAll("(?is)\\s*ORDER BY\\s+[a-z0-9_,\\s]+$", "")
+
+  /** Near-dup detector consensus — the ensemble readout dedup pipelines
+    * log before acting: which detectors (MinHash-LSH verified, SimHash
+    * banding, exact n-gram Jaccard) flagged each pair, keeping pairs
+    * corroborated by ≥2. Precision rises (a single detector's false
+    * positives rarely survive corroboration) and the `methods` column is
+    * the audit trail for threshold tuning. With these thresholds the
+    * minhash-verified pairs are corroborated by the exhaustive n-gram
+    * detector by construction (0.5 ≥ 0.12); simhash contributes the
+    * independent signal.
+    *
+    * Scale shape: strictly the union of the three component plans (each
+    * already banded/bucketed, never quadratic) plus ONE pair-keyed
+    * aggregate over their outputs — pair volume, ≪ corpus. The oracle is
+    * composed from the three components' own oracle SQL, so the consensus
+    * check can never drift from the per-detector checks.
+    */
+  val consensus = Q(
+    "d12_neardup_consensus",
+    (s, d) => {
+      val byMethod = Seq(
+        minhash.fn(s, d).select(col("a"), col("b"), lit("minhash").as("m")),
+        simhash.fn(s, d).select(col("a"), col("b"), lit("simhash").as("m")),
+        ngramJaccard.fn(s, d).select(col("a"), col("b"), lit("ngram").as("m")))
+      byMethod.reduce(_ unionAll _)
+        .groupBy("a", "b")
+        .agg(
+          count(lit(1)).as("n_methods"),
+          concat_ws(",", sort_array(collect_set(col("m")))).as("methods"))
+        .filter(col("n_methods") >= 2)
+        .orderBy("a", "b")
+    },
+    Some(s"""WITH u AS (
+            SELECT a, b, 'minhash' AS m FROM (${subOracle(minhash.oracle.get)})
+            UNION ALL
+            SELECT a, b, 'simhash' AS m FROM (${subOracle(simhash.oracle.get)})
+            UNION ALL
+            SELECT a, b, 'ngram' AS m FROM (${subOracle(ngramJaccard.oracle.get)}))
+            SELECT a, b, count(*) AS n_methods,
+                   string_agg(m, ',' ORDER BY m) AS methods
+            FROM u GROUP BY a, b HAVING count(*) >= 2
+            ORDER BY a, b"""))
+
   val all: Seq[Q] =
     Seq(exact, minhash, simhash, ngramJaccard, embedding, clusters, keep, triangles,
-      decontam, incremental, repeated)
+      decontam, incremental, repeated, consensus)
 }

@@ -574,7 +574,60 @@ object Relational {
         .orderBy("l_returnflag"),
     None)
 
+  /** Funnel conversion over the event stream: per user, purchases that
+    * happened within one hour of a PRECEDING view — the temporal-sequence
+    * (view → purchase) pattern product analytics runs constantly, and the
+    * one family member (ordered within-key sequence matching) q11/q12/q16
+    * don't cover. The "last view at or before this event" is a running
+    * `max` over a user-keyed window (monotone ts makes max == latest);
+    * ties at identical timestamps break deterministically on event_id in
+    * both engines.
+    *
+    * Scale shape: ONE shuffle keyed by user_id (the window), then the
+    * user-keyed aggregate rides the same partitioning — no join, no
+    * self-join on events (the naive formulation is events⋈events per
+    * user), state per window row is one long. Linear in event volume.
+    */
+  val q29 = Q(
+    "q29_funnel_conversion",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d).select(
+        col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val isConv = col("event_type") === "purchase" &&
+        col("last_view_us").isNotNull &&
+        col("us") - col("last_view_us") <= 3600L * 1000000L
+      ev.withColumn("last_view_us",
+          max(when(col("event_type") === "view", col("us"))).over(w))
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_views"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+          sum(when(isConv, 1L).otherwise(0L)).as("n_converted"))
+        .withColumn("converted", col("n_converted") > 0)
+        .orderBy("user_id")
+    },
+    Some("""WITH staged AS (
+              SELECT user_id, event_type, epoch_us(ts) AS us,
+                max(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+                  OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_us
+              FROM events)
+            SELECT user_id,
+              CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_views,
+              CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+              CAST(sum(CASE WHEN event_type = 'purchase' AND last_view_us IS NOT NULL
+                        AND us - last_view_us <= 3600000000 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_converted,
+              (sum(CASE WHEN event_type = 'purchase' AND last_view_us IS NOT NULL
+                        AND us - last_view_us <= 3600000000 THEN 1 ELSE 0 END) > 0)
+                AS converted
+            FROM staged GROUP BY user_id ORDER BY user_id"""))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
-      q18, q19, q20, q21, q22, q25, q26, q27)
+      q18, q19, q20, q21, q22, q25, q26, q27, q29)
 }

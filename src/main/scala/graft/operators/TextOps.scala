@@ -693,8 +693,36 @@ object TextOps {
               (cum_tokens - 1) // 512 - (cum_tokens - n_tokens) // 512 + 1 AS n_seqs
             FROM cum WHERE n_tokens > 0 ORDER BY doc_id"""))
 
+  /** Token frequency spectrum (frequency-of-frequencies): how many distinct
+    * token types occur exactly `freq` times — the Zipf/Good-Turing readout
+    * corpus QA uses (a healthy natural corpus has a heavy hapax tail; a
+    * templated one collapses to few spectral lines). Complements t14's
+    * type-accumulation curve with the distributional view.
+    *
+    * Scale shape: two keyed aggregates, both map-side combined — token
+    * counts (vocabulary-keyed), then the spectrum (count-value-keyed,
+    * output rows = distinct frequencies, tiny). Linear in token volume,
+    * no joins, no windows.
+    */
+  val spectrum = Q(
+    "t18_freq_spectrum",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("freq"))
+        .groupBy("freq").agg(count(lit(1)).as("n_types"))
+        .orderBy("freq")
+    },
+    Some("""WITH toks AS (
+              SELECT unnest(list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS t
+              FROM documents),
+            counts AS (SELECT t, count(*) AS freq FROM toks GROUP BY t)
+            SELECT freq, count(*) AS n_types
+            FROM counts GROUP BY freq ORDER BY freq"""))
+
   val all: Seq[Q] =
     Seq(grep, wordcount, tokenCount, quality, langid, fingerprint, winnow, tfidf,
       langidEval, chunk, cooccur, bigrams, perplexity, vocabGrowth, repetition,
-      novelty, pack)
+      novelty, pack, spectrum)
 }

@@ -153,6 +153,51 @@ class OperatorSpec extends SparkSpec {
       (3L, 4L, 0L, 1L, 2L)), rows.mkString(", "))
   }
 
+  test("t18 spectrum mass balance: sum(freq*n_types) == tokens, sum(n_types) == vocab") {
+    val spec = TextOps.spectrum.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val toks = Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextFns.tokens(col("text"))).as("t"))
+    assert(spec.map { case (f, n) => f * n }.sum == toks.count())
+    assert(spec.map(_._2).sum == toks.select("t").distinct().count())
+  }
+
+  test("q29 funnel plans as one user-keyed window — no events self-join") {
+    val plan = Relational.q29.fn(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"funnel plan has a join:\n$plan")
+    // Semantics on a planted sequence: view at t0, purchase inside the hour
+    // converts; purchase with no preceding view (or > 1h later) does not.
+    import spark.implicits._
+    val hour = 3600L * 1000000L
+    val ev = Seq(
+      (1L, 1L, "view", 0L), (2L, 1L, "purchase", hour),          // converts (== 1h)
+      (3L, 2L, "purchase", 0L), (4L, 2L, "view", 1L),            // purchase precedes view
+      (5L, 3L, "view", 0L), (6L, 3L, "purchase", hour + 1L)      // 1h + 1us: too late
+    ).toDF("event_id", "user_id", "event_type", "us")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("timestamp_micros(us)").as("ts"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-funnel").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Relational.q29.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getBoolean(4))).toMap
+    assert(got(1L) == ((1L, true)) && got(2L) == ((0L, false)) && got(3L) == ((0L, false)), got.toString)
+  }
+
+  test("d12 consensus: every pair corroborated by >= 2 named detectors") {
+    val rows = Dedup.consensus.fn(spark, sf).collect()
+    assert(rows.nonEmpty, "no consensus pairs at sf0.001")
+    val known = Set("minhash", "simhash", "ngram")
+    rows.foreach { r =>
+      val methods = r.getString(3).split(",").toSet
+      assert(methods.subsetOf(known) && methods.size == r.getLong(2),
+        s"bad methods row: $r")
+      assert(r.getLong(2) >= 2)
+      // 0.5-verified minhash pairs are corroborated by the exhaustive
+      // 0.12-threshold n-gram detector by construction.
+      if (methods("minhash")) assert(methods("ngram"), s"minhash without ngram: $r")
+    }
+  }
+
   test("multimodal stub decode: deterministic features via mapPartitions") {
     val feats = Multimodal.extractFeatures(Multimodal.mediaTable(spark, sf)).collect()
     assert(feats.length == 500)
