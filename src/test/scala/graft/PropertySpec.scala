@@ -256,6 +256,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("funnel conversion == brute-force latest-preceding-view scan on random event logs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val hour = 3600L * 1000000L
+    for (seed <- 1 to 4) {
+      val rng = new scala.util.Random(seed)
+      val types = Seq("view", "purchase", "click")
+      val events = (1L to (40 + rng.nextInt(60)).toLong).map { id =>
+        (id, (1 + rng.nextInt(5)).toLong, types(rng.nextInt(3)),
+          rng.nextLong(3L * hour))
+      }
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-funnel-prop").toString
+      events.toDF("event_id", "user_id", "event_type", "us")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("timestamp_micros(us)").as("ts"))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val got = graft.operators.Relational.q29.fn(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      // Reference: per purchase, the latest view strictly (us, event_id)-
+      // before it; converted iff that view is within the hour.
+      val expected = events.groupBy(_._2).map { case (uid, evs) =>
+        val views = evs.filter(_._3 == "view").map(e => (e._4, e._1))
+        val purchases = evs.filter(_._3 == "purchase").map(e => (e._4, e._1))
+        val nConv = purchases.count { case (pus, pid) =>
+          val preceding = views.filter { case (vus, vid) =>
+            vus < pus || (vus == pus && vid < pid) }
+          preceding.nonEmpty && pus - preceding.map(_._1).max <= hour
+        }
+        (uid, views.size.toLong, purchases.size.toLong, nConv.toLong)
+      }.toSet
+      assert(got == expected,
+        s"seed $seed: missing=${expected.diff(got).take(3)} extra=${got.diff(expected).take(3)}")
+    }
+  }
+
   test("mapreduce pipeline == reference groupBy-sum semantics for arbitrary inputs") {
     import graft.operators.MapReduceJob
     // SURVEY.md §5: partition-routing ∘ sort ∘ merge ∘ group must equal a
