@@ -1113,20 +1113,28 @@ object Dedup {
     * detector by construction (0.5 ≥ 0.12); simhash contributes the
     * independent signal.
     *
-    * Scale shape: strictly the union of the three component plans (each
-    * already banded/bucketed, never quadratic) plus ONE pair-keyed
-    * aggregate over their outputs — pair volume, ≪ corpus. The oracle is
-    * composed from the three components' own oracle SQL, so the consensus
-    * check can never drift from the per-detector checks.
+    * Scale shape: the minhash and ngram detectors share ONE materialized
+    * shingle-hash pass (execution rule 2 — running the component queries
+    * verbatim would shingle the corpus twice); simhash is token-granular
+    * and is inherently its own tokenizing scan. Each detector stays
+    * banded/bucketed (never quadratic), and the consensus itself is ONE
+    * pair-keyed aggregate over their outputs — pair volume, ≪ corpus.
+    * The oracle is composed from the three components' own oracle SQL, so
+    * the consensus check can never drift from the per-detector checks.
     */
   val consensus = Q(
     "d12_neardup_consensus",
     (s, d) => {
-      val byMethod = Seq(
-        minhash.fn(s, d).select(col("a"), col("b"), lit("minhash").as("m")),
-        simhash.fn(s, d).select(col("a"), col("b"), lit("simhash").as("m")),
-        ngramJaccard.fn(s, d).select(col("a"), col("b"), lit("ngram").as("m")))
-      byMethod.reduce(_ unionAll _)
+      val hs = materializedShingleHashes(Tables.documents(s, d))
+      val mh = jaccardPairsHashed(hs, Some(lshCandidates(signaturesFromHashes(hs))))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("a"), col("b"), lit("minhash").as("m"))
+      val ng = jaccardPairsHashed(hs, None)
+        .filter(col("jaccard") >= 0.12)
+        .select(col("a"), col("b"), lit("ngram").as("m"))
+      val sh = simhashPairs(s, d, 3)
+        .select(col("a"), col("b"), lit("simhash").as("m"))
+      mh.unionAll(sh).unionAll(ng)
         .groupBy("a", "b")
         .agg(
           count(lit(1)).as("n_methods"),
