@@ -1,0 +1,38 @@
+package graft
+
+/** Results must not depend on the cluster geometry: the same query at a
+  * different shuffle-partition count (a different cluster size, a rescaled
+  * job, AQE choosing differently) has to produce byte-identical rows.
+  * SamplingSpec asserts this for the md5-bucket samplers; this suite covers
+  * the round-5 operators whose plans involve windows, prefix scans, and
+  * banded self-joins — the shapes where nondeterminism would hide (a
+  * partition-dependent tie-break, an accumulator order, a local prefix
+  * stitched wrong).
+  *
+  * `spark.sql.shuffle.partitions` is a runtime conf: set per run, restored
+  * after. The shared session runs local[4], so 3 vs 17 exercises both
+  * fewer-than-cores and more-than-cores geometries.
+  */
+class PartitionInvarianceSpec extends SparkSpec {
+
+  private val names = Seq(
+    "d11_repeated_spans", "t16_shingle_novelty", "t17_sequence_pack",
+    "q29_funnel_conversion", "t18_freq_spectrum", "d12_neardup_consensus")
+
+  test("round-5 queries return identical rows at shuffle.partitions = 3 and 17") {
+    val conf = spark.conf
+    val before = conf.get("spark.sql.shuffle.partitions")
+    def rowsAt(n: Int, name: String): Seq[String] = {
+      conf.set("spark.sql.shuffle.partitions", n.toString)
+      spark.catalog.clearCache()
+      SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq
+    }
+    try names.foreach { name =>
+      val a = rowsAt(3, name)
+      val b = rowsAt(17, name)
+      assert(a == b, s"$name differs across partition counts: " +
+        s"${a.diff(b).take(2)} vs ${b.diff(a).take(2)}")
+      assert(a.nonEmpty, s"$name returned no rows at sf0.001")
+    } finally conf.set("spark.sql.shuffle.partitions", before)
+  }
+}
