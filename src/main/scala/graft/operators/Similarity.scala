@@ -356,6 +356,36 @@ object Similarity {
     (s, d) => ivfTopK(s, d, 10, 5),
     None)
 
+  /** Compact an IVF index after incremental/streaming appends — the
+    * small-file follow-up every appended table needs: each micro-batch
+    * append adds a parquet file per touched cell, and probe cost is files
+    * OPENED as much as bytes read. One cell-keyed shuffle rewrites each
+    * cell partition back to a single file (the write-path layout), staged
+    * to a sibling directory and swapped in; the codebook is untouched, so
+    * probes before and after see identical rows. The swap (rename old →
+    * rename staged → delete old) is not transactional across concurrent
+    * readers — same honesty note as the append path: production puts the
+    * index in a transactional table format; this is the layout operation
+    * itself.
+    */
+  def ivfCompactIndex(spark: SparkSession, indexPath: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val nCells = spark.read.parquet(indexPath + "_codebook").count().toInt
+    val staged = indexPath + "_compacting"
+    val retired = indexPath + "_retired"
+    spark.read.parquet(indexPath)
+      .repartition(nCells, col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(staged)
+    val fs = new Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(retired), true) // leftover from a crashed swap
+    require(fs.rename(new Path(indexPath), new Path(retired)),
+      s"compact: cannot retire $indexPath")
+    require(fs.rename(new Path(staged), new Path(indexPath)),
+      s"compact: cannot activate $staged")
+    fs.delete(new Path(retired), true)
+  }
+
   /** s07: ANN serving state after incremental ingest — top-k under a STALE
     * codebook, trained before the newest fifth of vectors arrived: exactly
     * what an IVF index maintained by [[ivfAppendIndex]] (append, no

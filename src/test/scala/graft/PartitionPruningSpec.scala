@@ -119,5 +119,24 @@ class PartitionPruningSpec extends SparkSpec {
       .collect()
     assert(after.length == 1 && after(0).getLong(1) == plantedId,
       s"planted ingest not served as top-1: ${after.mkString(", ")}")
+
+    // Compaction: the appends left multiple files in the touched cells
+    // (probe cost is files opened, not just bytes); compacting restores
+    // one file per cell without changing a single row a probe sees.
+    def parquets(d: java.io.File) = d.listFiles().count(_.getName.endsWith(".parquet"))
+    val touched = new java.io.File(idx).listFiles()
+      .filter(_.getName.startsWith("cell="))
+    assert(touched.exists(parquets(_) > 1), "appends produced no small files")
+    val beforeRows = spark.read.parquet(idx).collect().map(_.toString).sorted.toSeq
+    Similarity.ivfCompactIndex(spark, idx)
+    val compacted = new java.io.File(idx).listFiles()
+      .filter(_.getName.startsWith("cell="))
+    assert(compacted.length == nCells)
+    assert(compacted.forall(parquets(_) == 1),
+      s"cells still fragmented: ${compacted.map(parquets).mkString(",")}")
+    assert(spark.read.parquet(idx).collect().map(_.toString).sorted.toSeq == beforeRows)
+    val reProbe = Similarity.ivfProbeIndex(spark, sf, idx, nQueries = 1, k = 1, nProbe = 2)
+      .collect()
+    assert(reProbe.length == 1 && reProbe(0).getLong(1) == plantedId)
   }
 }
