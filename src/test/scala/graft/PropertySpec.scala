@@ -263,9 +263,11 @@ class PropertySpec extends SparkSpec {
     for (seed <- 1 to 4) {
       val rng = new scala.util.Random(seed)
       val types = Seq("view", "purchase", "click")
+      // Coarse 6-minute grid: same-timestamp collisions are common, so the
+      // lexicographic (us, event_id) tie-break is genuinely exercised.
       val events = (1L to (40 + rng.nextInt(60)).toLong).map { id =>
         (id, (1 + rng.nextInt(5)).toLong, types(rng.nextInt(3)),
-          rng.nextLong(3L * hour))
+          rng.nextInt(30).toLong * (hour / 10))
       }
       val dir = java.nio.file.Files.createTempDirectory(s"graft-funnel-prop").toString
       events.toDF("event_id", "user_id", "event_type", "us")
