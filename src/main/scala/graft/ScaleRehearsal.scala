@@ -53,9 +53,12 @@ object ScaleRehearsal {
       "d07_dedup_keep_list", "d10_incremental_keep",
       "d09_decontaminate", "t13_bigram_perplexity", "t08_tfidf_topterms",
       // Round-5 additions: the shingle-keyed count/min windows (one shuffle
-      // of the positional/distinct shingle stream) and the two-phase
-      // prefix-scan packing — each a distinct shuffle pattern to rehearse.
-      "d11_repeated_spans", "t16_shingle_novelty", "t17_sequence_pack")
+      // of the positional/distinct shingle stream), the two-phase
+      // prefix-scan packing, the three-detector consensus (shared shingle
+      // pass), and the frequency spectrum — each a distinct shuffle
+      // pattern to rehearse.
+      "d11_repeated_spans", "t16_shingle_novelty", "t17_sequence_pack",
+      "d12_neardup_consensus", "t18_freq_spectrum")
     def timeQuery(name: String, dir: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
       def once(): (Double, Long) = {
