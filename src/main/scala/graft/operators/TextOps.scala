@@ -668,8 +668,11 @@ object TextOps {
       .filter(col("n_tokens") > 0)
       .select(
         col("doc_id"), col("n_tokens"),
-        floor((col("cum_tokens") - col("n_tokens")) / lit(budget)).as("seq_first"),
-        floor((col("cum_tokens") - 1) / lit(budget)).as("seq_last"))
+        // Integer `div`, not floor(x / y): long/int division through double
+        // loses exactness once cumulative tokens pass 2^53, and the oracle's
+        // DuckDB `//` is integer division — match it structurally.
+        expr(s"(cum_tokens - n_tokens) div $budget").as("seq_first"),
+        expr(s"(cum_tokens - 1) div $budget").as("seq_last"))
       .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
       .orderBy("doc_id")
   }
@@ -688,9 +691,10 @@ object TextOps {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
               FROM counts)
             SELECT doc_id, n_tokens,
-              (cum_tokens - n_tokens) // 512 AS seq_first,
-              (cum_tokens - 1) // 512 AS seq_last,
-              (cum_tokens - 1) // 512 - (cum_tokens - n_tokens) // 512 + 1 AS n_seqs
+              CAST((cum_tokens - n_tokens) // 512 AS BIGINT) AS seq_first,
+              CAST((cum_tokens - 1) // 512 AS BIGINT) AS seq_last,
+              CAST((cum_tokens - 1) // 512
+                   - (cum_tokens - n_tokens) // 512 + 1 AS BIGINT) AS n_seqs
             FROM cum WHERE n_tokens > 0 ORDER BY doc_id"""))
 
   /** Token frequency spectrum (frequency-of-frequencies): how many distinct

@@ -37,6 +37,33 @@ for name in names:
         print(f"[FAIL-cols] {name}: got {list(g.columns)} vs {list(e.columns)}"); n_fail += 1; continue
     if len(g) != len(e):
         print(f"[FAIL-rows] {name}: got {len(g)} vs {len(e)}"); n_fail += 1; continue
+    # Integer-vs-float/object dtype drift is exactly what the driver's value
+    # hash trips on (DuckDB HUGEINT window sums surface as float64/object
+    # while Spark emits int64 — t14 round 3, t17 round 5). check_dtype=False
+    # below would mask it, so check that class explicitly first.
+    bad_dtypes = []
+    for c in g.columns:
+        gk, ek = g[c].dtype.kind, e[c].dtype.kind
+        one_int = {gk, ek} & set("iu")
+        other_loose = {gk, ek} & set("fO")
+        if gk != ek and one_int and other_loose:
+            bad_dtypes.append(f"{c}: spark={g[c].dtype} oracle={e[c].dtype}")
+    if bad_dtypes:
+        print(f"[FAIL-dtyp] {name}: {'; '.join(bad_dtypes)} "
+              f"(cast the oracle column, e.g. CAST(... AS BIGINT))")
+        n_fail += 1; continue
+    # Lint: an oracle column DuckDB returns as object-of-int is an uncast
+    # HUGEINT (windowed/plain sum over BIGINT) — it may compare equal here
+    # yet hash differently under the driver. Flag it even if values match.
+    for c in e.columns:
+        col = e[c]
+        if col.dtype.kind == "O" and len(col) and all(
+                isinstance(v, int) for v in col.dropna().head(20)):
+            print(f"[FAIL-dtyp] {name}: oracle column {c} is uncast HUGEINT "
+                  f"(object-of-int); add CAST(... AS BIGINT)")
+            bad_dtypes.append(c)
+    if bad_dtypes:
+        n_fail += 1; continue
     try:
         pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
         print(f"[PASS     ] {name}: {len(g)} rows"); n_pass += 1
