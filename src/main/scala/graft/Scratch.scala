@@ -29,6 +29,7 @@ object Scratch {
     }
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     if (names == Seq("d10prof")) { d10prof(spark, d); spark.stop(); return }
+    if (names == Seq("d02lazy")) { d02lazy(spark, d); spark.stop(); return }
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
       (1 to 2).foreach { i =>
@@ -42,6 +43,45 @@ object Scratch {
       }
     }
     spark.stop()
+  }
+
+  /** A/B: d02 with the banded table eagerly checkpointed (current) vs left
+    * lazy, relying on AQE exchange reuse to share the signature agg between
+    * the self-join's two sides (throwaway). */
+  private def d02lazy(spark: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    def run(label: String)(mk: => org.apache.spark.sql.DataFrame): Unit =
+      (1 to 3).foreach { i =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        mk.write.format("noop").mode("overwrite").save()
+        println(f"[ab] $label run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+    def lazyPairs(): org.apache.spark.sql.DataFrame = {
+      val hs = Dedup.materializedShingleHashes(graft.sources.Tables.documents(spark, d))
+      val cands = Dedup.lshCandidatesFromBanded(
+        Dedup.bandBuckets(Dedup.signaturesFromHashes(hs)))
+      Dedup.jaccardPairsHashed(hs, Some(cands))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("a", "b")
+    }
+    run("ckpt ")(SparkEntry.queries("d02_dedup_minhash_lsh")(spark, d))
+    run("lazy ")(lazyPairs())
+    def reuseReport(label: String): Unit = {
+      val lp = lazyPairs()
+      lp.collect()
+      val ex = lp.queryExecution.executedPlan.toString
+      println(s"[ab] $label final plan: reusedExchange=" +
+        ex.linesIterator.count(_.contains("ReusedExchange")) +
+        " reusedStage=" + ex.linesIterator.count(_.contains("ReusedQueryStage")) +
+        " minhashAggs=" + ex.linesIterator.count(_.contains("minhash_sig")) +
+        " final=" + ex.linesIterator.next().contains("isFinalPlan=true"))
+    }
+    reuseReport("lazy-bhj")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    reuseReport("lazy-smj")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
   }
 
   /** Stepwise d10 stage timings (throwaway; mirrors incrementalKeepList's

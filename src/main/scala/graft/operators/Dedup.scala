@@ -150,11 +150,19 @@ object Dedup {
   def minhashSignatures(docs: DataFrame): DataFrame =
     signaturesFromHashes(hashedShingles(shingleSets(docs)))
 
-  /** Candidate pairs (a < b) sharing at least one LSH band bucket. */
+  /** Candidate pairs (a < b) sharing at least one LSH band bucket.
+    *
+    * The banded table is deliberately NOT checkpointed here: the self-join's
+    * two sides are canonically identical subplans, so Spark's exchange reuse
+    * shares the doc_id shuffle + partial signature aggregation between them
+    * (verified in the executed plan: ReusedExchange under both the broadcast
+    * and sort-merge join shapes) — only the cheap post-shuffle merge runs per
+    * side. An eager checkpoint would add a blocking job and store the whole
+    * corpus-×-bands table in executor-local storage for no saved work.
+    * Pipelines that probe the band table OUTSIDE a self-join (d10) checkpoint
+    * it themselves and use [[lshCandidatesFromBanded]]. */
   def lshCandidates(sigs: DataFrame): DataFrame =
-    // Eagerly materialized: the self-join's two sides would otherwise each
-    // recompute the whole signature aggregation (execution rule 2).
-    lshCandidatesFromBanded(bandBuckets(sigs).localCheckpoint())
+    lshCandidatesFromBanded(bandBuckets(sigs))
 
   /** Candidate pairs from an ALREADY-MATERIALIZED (doc_id, band, bucket)
     * table (see [[bandBuckets]]) — lets pipelines that also probe the band
@@ -274,10 +282,12 @@ object Dedup {
     val sigs = simhashSignatures(Tables.documents(spark, d))
     val chunkArr = array((0 until 4).map(c =>
       shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)
-    // Eagerly materialized for the self-join (execution rule 2).
+    // Not checkpointed: the self-join's sides are canonically identical, so
+    // exchange reuse shares the tokenize scan + doc_id shuffle + partial
+    // signature agg between them (same argument as lshCandidates).
     val chunked = sigs.select(
       col("doc_id"), col("simhash"),
-      posexplode(chunkArr).as(Seq("chunk", "ck"))).localCheckpoint()
+      posexplode(chunkArr).as(Seq("chunk", "ck")))
     chunked.as("x")
       .join(chunked.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.ck") === col("y.ck") &&
