@@ -366,18 +366,31 @@ object Similarity {
     * rename staged → delete old) is not transactional across concurrent
     * readers — same honesty note as the append path: production puts the
     * index in a transactional table format; this is the layout operation
-    * itself.
+    * itself. Crash windows and their recovery:
+    *   - died between retiring the old index and activating the staged one
+    *     ⇒ `indexPath` missing, the live rows sitting in `_retired`. Entry
+    *     detects that state and renames `_retired` back before compacting
+    *     (spec-asserted), so the next compact run self-heals; a concurrent
+    *     probe in that window fails loudly on the missing path (also
+    *     spec-asserted) rather than silently serving zero rows.
+    *   - died before the first rename ⇒ `_compacting`/`_retired` leftovers
+    *     are overwritten/deleted on the next run; the live index was never
+    *     touched.
     */
   def ivfCompactIndex(spark: SparkSession, indexPath: String): Unit = {
     import org.apache.hadoop.fs.Path
-    val nCells = spark.read.parquet(indexPath + "_codebook").count().toInt
     val staged = indexPath + "_compacting"
     val retired = indexPath + "_retired"
+    val fs = new Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(indexPath)) && fs.exists(new Path(retired)))
+      // A prior compact died mid-swap; _retired holds the live index.
+      require(fs.rename(new Path(retired), new Path(indexPath)),
+        s"compact: cannot restore $retired after crashed swap")
+    val nCells = spark.read.parquet(indexPath + "_codebook").count().toInt
     spark.read.parquet(indexPath)
       .repartition(nCells, col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(staged)
-    val fs = new Path(indexPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(retired), true) // leftover from a crashed swap
     require(fs.rename(new Path(indexPath), new Path(retired)),
       s"compact: cannot retire $indexPath")

@@ -139,4 +139,34 @@ class PartitionPruningSpec extends SparkSpec {
       .collect()
     assert(reProbe.length == 1 && reProbe(0).getLong(1) == plantedId)
   }
+
+  test("IVF compaction mid-swap crash: probes fail loudly, next compact self-heals") {
+    import graft.operators.Similarity
+    import org.apache.hadoop.fs.Path
+    val nCells = 4
+    val idx = Files.createTempDirectory("graft-ivf-crash").toFile.getAbsolutePath + "/index"
+    Similarity.ivfWriteIndex(spark, sf, idx, nCells = nCells, kmeansIters = 2)
+    val liveRows = spark.read.parquet(idx).collect().map(_.toString).sorted.toSeq
+
+    // Simulate dying between "retire old" and "activate staged": the live
+    // index now sits in _retired and indexPath is missing.
+    val fs = new Path(idx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new Path(idx), new Path(idx + "_retired")))
+
+    // A probe in this window must be a loud error (missing path), never a
+    // silent zero-row read.
+    val ex = intercept[Exception] {
+      Similarity.ivfProbeIndex(spark, sf, idx, nQueries = 1, k = 1, nProbe = 2).collect()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains(idx),
+      s"expected the missing index path in the error, got: ${ex.getMessage}")
+
+    // The next compact run detects the crashed swap, restores _retired, and
+    // completes normally with the identical row set.
+    Similarity.ivfCompactIndex(spark, idx)
+    assert(!fs.exists(new Path(idx + "_retired")))
+    assert(spark.read.parquet(idx).collect().map(_.toString).sorted.toSeq == liveRows)
+    val cellDirs = new java.io.File(idx).listFiles().filter(_.getName.startsWith("cell="))
+    assert(cellDirs.length == nCells)
+  }
 }
