@@ -24,6 +24,22 @@ import org.apache.spark.sql.functions._
   * `runMain graft.ScaleRehearsal [sfDir] [outDir] [k]`
   */
 object ScaleRehearsal {
+
+  /** The k× rehearsal corpus: copy i is doc_id-offset and every
+    * whitespace token is suffixed `x$i`, making copies mutually
+    * shingle-disjoint while replicating each copy's internal dup/near-dup
+    * structure — dup groups, candidates, and verified pairs scale exactly
+    * k×. Shared by the manual 10× rehearsal main and the CI-shape
+    * [[ScaleLinearitySpec]]. */
+  def scaledDocs(docs: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame =
+    (0 until k).map { i =>
+      if (i == 0) docs
+      else docs.select(
+        (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", "$1x" + i).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionAll _)
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outDir = if (args.length > 1) args(1) else "target/scale10x"
@@ -31,14 +47,7 @@ object ScaleRehearsal {
     val spark = GraftSession.get("graft-scale-rehearsal")
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val copies = (0 until k).map { i =>
-      if (i == 0) docs
-      else docs.select(
-        (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
-        regexp_replace(col("text"), "(\\S+)", "$1x" + i).as("text"),
-        col("lang"), col("source"), col("n_chars"))
-    }.reduce(_ unionAll _)
-    copies.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    scaledDocs(docs, k).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     val n1 = docs.count()
     val nK = spark.read.parquet(s"$outDir/documents.parquet").count()
     println(s"[scale] corpus: ${n1} docs at 1x -> ${nK} docs at ${k}x ($outDir)")
