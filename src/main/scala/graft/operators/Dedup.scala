@@ -1126,9 +1126,12 @@ object Dedup {
     * Scale shape: the minhash and ngram detectors share ONE materialized
     * shingle-hash pass (execution rule 2 — running the component queries
     * verbatim would shingle the corpus twice); simhash is token-granular
-    * and is inherently its own tokenizing scan. Each detector stays
-    * banded/bucketed (never quadratic), and the consensus itself is ONE
-    * pair-keyed aggregate over their outputs — pair volume, ≪ corpus.
+    * and is inherently its own tokenizing scan. The minhash and simhash
+    * detectors are banded/bucketed; the ngram detector is d04's exhaustive
+    * shingle equi-join — per-shingle-document-frequency-bounded, so
+    * quadratic only in hot-shingle skew, not corpus size — and the
+    * consensus itself is ONE pair-keyed aggregate over their outputs —
+    * pair volume, ≪ corpus.
     * The oracle is composed from the three components' own oracle SQL, so
     * the consensus check can never drift from the per-detector checks.
     */
