@@ -11,7 +11,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *  - watermarked tumbling-window aggregation (the streaming twin of batch
   *    query q11_events_hourly),
   *  - stateful per-user sessionization via flatMapGroupsWithState (the
-  *    streaming twin of q12_sessionize).
+  *    streaming twin of q12_sessionize),
+  *  - stateful per-user funnel conversion via mapGroupsWithState (the
+  *    streaming twin of q29_funnel_conversion).
   *
   * At scale these run identically on Kafka/file sources — state is
   * hash-partitioned by key in the state store, watermarks bound state size.
@@ -174,6 +176,67 @@ object EventStreams {
               cur.map(_.version).getOrElse(0L) + 1L)
           state.update(next)
           SnapOut(key._1, key._2, next.event_id, next.tsMicros, next.value, next.version)
+      }
+      .toDF()
+  }
+
+  // ------------------------------------------------------ funnel conversion
+  final case class FunnelEv(
+      user_id: Long, event_type: String, event_id: Long, ts: java.sql.Timestamp)
+  final case class FunnelState(
+      lastViewUs: Long, hasView: Boolean,
+      nViews: Long, nPurchases: Long, nConverted: Long, version: Long)
+  final case class FunnelOut(
+      user_id: Long, n_views: Long, n_purchases: Long, n_converted: Long,
+      converted: Boolean, version: Long)
+
+  /** Streaming view→purchase funnel — the streaming twin of batch q29:
+    * per user, count views, purchases, and purchases within one hour of
+    * the latest preceding view. State is one fixed-size record per user
+    * (latest view time + three counters); each micro-batch that touches a
+    * user re-emits their current funnel row (Update mode) with a `version`
+    * so consumers identify the newest emission without sink ordering.
+    *
+    * Equivalence contract with batch q29: exact when each user's events
+    * arrive in event-time order across micro-batches (the landing-file
+    * shape; within a batch the iterator is sorted on (ts, event_id), the
+    * batch query's exact tie rule). A view arriving AFTER a purchase it
+    * precedes in event time can't retroactively convert that purchase —
+    * production bounds that skew with a watermark + delayed emission;
+    * here the state update itself is the operator under test.
+    */
+  def funnel(spark: SparkSession, events: DataFrame,
+      windowUs: Long = 3600L * 1000000L): DataFrame = {
+    import spark.implicits._
+    def micros(ts: java.sql.Timestamp): Long =
+      math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+    events
+      .selectExpr("user_id", "event_type", "event_id", "ts")
+      .as[FunnelEv]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelOut](GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[FunnelEv], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(
+            FunnelState(Long.MinValue, hasView = false, 0L, 0L, 0L, 0L))
+          evs.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val us = micros(e.ts)
+            e.event_type match {
+              case "view" =>
+                st = st.copy(
+                  lastViewUs = math.max(st.lastViewUs, us), hasView = true,
+                  nViews = st.nViews + 1L)
+              case "purchase" =>
+                val conv = st.hasView && us - st.lastViewUs <= windowUs
+                st = st.copy(
+                  nPurchases = st.nPurchases + 1L,
+                  nConverted = st.nConverted + (if (conv) 1L else 0L))
+              case _ => () // other event types only mark the user as seen
+            }
+          }
+          st = st.copy(version = st.version + 1L)
+          state.update(st)
+          FunnelOut(userId, st.nViews, st.nPurchases, st.nConverted,
+            st.nConverted > 0L, st.version)
       }
       .toDF()
   }

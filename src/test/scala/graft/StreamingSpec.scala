@@ -129,6 +129,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel across event-time-ordered micro-batches == batch q29") {
+    import java.nio.file.Files
+    // Stage events as FOUR time-quartile files written SEQUENTIALLY:
+    // FileStreamSource orders same-listing files by modification time, so
+    // ascending mtimes make each user's events arrive in event-time order
+    // across micro-batches — the landing-file shape funnel's equivalence
+    // contract assumes — and the per-user state genuinely evolves across
+    // batches. (A single range-partitioned write would leave all four
+    // files with one mtime and an arbitrary processing order.)
+    val dir = Files.createTempDirectory("graft-events-funnel")
+    val events = graft.sources.Tables.events(spark, sf)
+      .withColumn("tq", ntile(4).over(
+        org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")))
+    (1 to 4).foreach { i =>
+      val stage = Files.createTempDirectory(s"graft-events-funnel-q$i").toString
+      events.filter(col("tq") === i).drop("tq")
+        .coalesce(1).sortWithinPartitions("ts")
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      Files.copy(part, dir.resolve(f"b$i%02d.parquet"))
+      Thread.sleep(10) // distinct ascending mtimes
+    }
+    val schema = graft.sources.Tables.events(spark, sf).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val fun = EventStreams.funnel(spark, stream)
+    val q = fun.writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("funnel_out").start()
+    q.processAllAvailable()
+    try {
+      // Newest emission per user = highest version.
+      val streamed = spark.table("funnel_out").collect()
+        .map(r => (r.getLong(0), (r.getLong(5), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+        .groupBy(_._1)
+        .map { case (u, rows) =>
+          val (_, nv, np, nc, conv) = rows.map(_._2).maxBy(_._1)
+          u -> (nv, np, nc, conv)
+        }
+      val batch = Relational.q29.fn(spark, sf).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+        .toMap
+      assert(streamed.nonEmpty)
+      assert(streamed == batch,
+        s"funnel disagrees with batch q29 on ${streamed.toSet.diff(batch.toSet).take(3)}")
+      // Multi-batch reality check: at least one user revised across batches.
+      val versions = spark.table("funnel_out").collect().map(_.getLong(5))
+      assert(versions.max > 1L, "state never revised — staging produced one batch")
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions consistent with batch") {
     val stream = EventStreams.readEventStream(spark, sf)
     val sess = EventStreams.sessionize(spark, stream)
