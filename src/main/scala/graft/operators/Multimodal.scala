@@ -267,5 +267,108 @@ object Multimodal {
               ON c.doc_id = s.doc_id AND c.i >= s.start AND c.i < s.start + 32
             GROUP BY 1, 2 ORDER BY 1, 2"""))
 
-  val all: Seq[Q] = Seq(mediaMeta, mediaFeatures, frameSample, mediaResize, frameEnergy)
+  /** 64-bit perceptual block hash (blockhash-style): the payload is cut
+    * into 64 equal byte blocks and bit j is set iff block j's mean
+    * intensity exceeds the whole payload's mean. The compare is the
+    * integer cross-multiplication `sum_j · n > total · count_j` — exact at
+    * any payload size and reproduced verbatim by the DuckDB oracle (no
+    * float thresholds to drift). Empty blocks (payload shorter than 64
+    * bytes) read as bit 0 on both sides. */
+  def blockhash64(payload: Array[Byte]): Long = {
+    val n = payload.length
+    if (n == 0) return 0L
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val v = (payload(i) & 0xff).toLong
+      val blk = ((i.toLong * 64L) / n).toInt
+      sums(blk) += v; cnts(blk) += 1L; total += v
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (sums(j) * n > total * cnts(j)) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  /** (doc_id, ph) perceptual signatures — batched per-partition like the
+    * other media kernels (a real pipeline hashes decoded luma planes here;
+    * the stub hashes payload bytes, same dataflow). */
+  def mediaSignatures(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.payload.nonEmpty)
+      .mapPartitions(it => it.map(r => (r.doc_id, blockhash64(r.payload))))
+      .toDF("doc_id", "ph")
+  }
+
+  /** Media near-dup pairs by perceptual hash — the image/audio analog of
+    * d03's text SimHash, bridging the multimodal and dedup families: band
+    * the 64-bit signature into 4×16-bit chunks, self-join on chunk
+    * equality, verify by Hamming distance. Pigeonhole gives recall 1.0 for
+    * distance ≤ 3; above that the banding is an approximate candidate
+    * generator — the oracle reproduces the SAME band rule, so the check
+    * stays value-exact either way. (This synthetic corpus's near-dups are
+    * token-level shuffles, which scatter block means — hence the loose
+    * demo threshold; the planted byte-noise spec carries the tight-
+    * threshold guarantee real media near-dups exercise.)
+    *
+    * Scale shape: identical to d03 — banded self-join, exchange reuse
+    * shares the signature scan between the sides, pair volume bounded by
+    * bucket collisions. No all-pairs anywhere.
+    */
+  def mediaNeardupPairs(media: Dataset[MediaRecord], maxDist: Int): DataFrame = {
+    val sigs = mediaSignatures(media)
+    val chunkArr = array((0 until 4).map(c =>
+      shiftrightunsigned(col("ph"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)
+    val chunked = sigs.select(
+      col("doc_id"), col("ph"),
+      posexplode(chunkArr).as(Seq("chunk", "ck")))
+    chunked.as("x")
+      .join(chunked.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.ck") === col("y.ck") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(
+        col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        bit_count(col("x.ph").bitwiseXOR(col("y.ph"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+      .orderBy("a", "b")
+  }
+
+  val mediaNeardup = Q(
+    "m06_media_neardup",
+    (s, d) => mediaNeardupPairs(mediaTable(s, d), 14),
+    Some("""WITH chars AS (
+              SELECT doc_id, i, ord(substr(text, CAST(i AS INT), 1)) AS b,
+                     length(text) AS n
+              FROM documents, UNNEST(range(1, length(text) + 1)) AS r(i)
+              WHERE length(text) > 0),
+            blocks AS (
+              SELECT doc_id, ((i - 1) * 64) // n AS blk,
+                     sum(b) AS s, count(*) AS c, max(n) AS n
+              FROM chars GROUP BY 1, 2),
+            tot AS (SELECT doc_id, sum(s) AS st, max(n) AS n
+                    FROM blocks GROUP BY doc_id),
+            sig AS (
+              SELECT b.doc_id,
+                sum(CASE WHEN b.s * t.n > t.st * b.c
+                         THEN (1::HUGEINT << b.blk) ELSE 0::HUGEINT END) AS ph
+              FROM blocks b JOIN tot t USING (doc_id) GROUP BY 1),
+            chunks AS (
+              SELECT doc_id, ph, c, (ph >> CAST(c * 16 AS INT)) & 65535 AS ck
+              FROM sig CROSS JOIN range(0, 4) r(c)),
+            pairs AS (
+              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                     CAST(bit_count(xor(x.ph, y.ph)) AS BIGINT) AS hamming
+              FROM chunks x JOIN chunks y
+                ON x.c = y.c AND x.ck = y.ck AND x.doc_id < y.doc_id)
+            SELECT a, b, hamming FROM pairs WHERE hamming <= 14 ORDER BY a, b"""))
+
+  val all: Seq[Q] =
+    Seq(mediaMeta, mediaFeatures, frameSample, mediaResize, frameEnergy, mediaNeardup)
 }

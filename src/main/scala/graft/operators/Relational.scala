@@ -627,7 +627,48 @@ object Relational {
                 AS converted
             FROM staged GROUP BY user_id ORDER BY user_id"""))
 
+  /** Weekly cohort retention — the longitudinal engagement readout next to
+    * q13's daily actives: users are bucketed by first-activity day (their
+    * cohort), and each cohort's distinct active users are counted at weekly
+    * offsets from it. The classic triangular retention matrix falls out as
+    * (cohort_day × week_offset).
+    *
+    * Scale shape: the cohort assignment is a user-keyed window (ONE shuffle
+    * by user_id — never a join of events against a first-seen table), then
+    * distinct + count ride (cohort, offset, user)-keyed exchanges with
+    * map-side combine. No self-join, no broadcast; linear in event volume.
+    */
+  val q30 = Q(
+    "q30_cohort_retention",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      ev.withColumn("cohort_day", min("day").over(Window.partitionBy("user_id")))
+        .select(
+          col("cohort_day"),
+          expr("datediff(day, cohort_day) div 7").as("week_offset"),
+          col("user_id"))
+        .distinct()
+        .groupBy("cohort_day", "week_offset")
+        .agg(count(lit(1)).as("n_active"))
+        .orderBy("cohort_day", "week_offset")
+    },
+    Some("""WITH ev AS (
+              SELECT user_id, date_trunc('day', ts) AS day FROM events),
+            coh AS (
+              SELECT user_id, day,
+                min(day) OVER (PARTITION BY user_id) AS cohort_day
+              FROM ev),
+            act AS (
+              SELECT DISTINCT cohort_day,
+                date_diff('day', cohort_day, day) // 7 AS week_offset, user_id
+              FROM coh)
+            SELECT cohort_day, CAST(week_offset AS BIGINT) AS week_offset,
+              CAST(count(*) AS BIGINT) AS n_active
+            FROM act GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
-      q18, q19, q20, q21, q22, q25, q26, q27, q29)
+      q18, q19, q20, q21, q22, q25, q26, q27, q29, q30)
 }

@@ -725,8 +725,45 @@ object TextOps {
             SELECT freq, count(*) AS n_types
             FROM counts GROUP BY freq ORDER BY freq"""))
 
+  /** Dictionary/blocklist redaction — the scrub step every training-data
+    * pipeline runs before release (PII, policy terms, canary strings): count
+    * the blocklisted matches per document and emit the digest of the
+    * redacted text, plus the clean flag downstream filters key on. The
+    * matcher is a parameterized word-boundary alternation; a production
+    * deployment swaps in PII regexes (emails/phones/SSNs) without touching
+    * the dataflow — this corpus has no digits or addresses, so the shipped
+    * instantiation blocklists vocabulary terms.
+    *
+    * Scale shape: map-only scan (one regex pass per row, codegen'd
+    * regexp_count/regexp_replace) — no shuffle, no state; linear in corpus
+    * bytes and embarrassingly parallel at any scale.
+    */
+  def scrubTerms(docs: DataFrame, terms: Seq[String],
+      repl: String = "[REDACTED]"): DataFrame = {
+    val pat = terms.mkString("\\b(", "|", ")\\b")
+    docs.select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(pat)).cast("long").as("n_hits"),
+        md5(regexp_replace(col("text"), pat, repl)).as("scrubbed_md5"))
+      .withColumn("clean", col("n_hits") === 0L)
+      .orderBy("doc_id")
+  }
+
+  val scrub = Q(
+    "t19_blocklist_scrub",
+    (s, d) => scrubTerms(Tables.documents(s, d),
+      Seq("customer", "supplier", "order")),
+    Some("""SELECT doc_id,
+              CAST(len(regexp_extract_all(text, '\b(customer|supplier|order)\b'))
+                   AS BIGINT) AS n_hits,
+              md5(regexp_replace(text, '\b(customer|supplier|order)\b',
+                                 '[REDACTED]', 'g')) AS scrubbed_md5,
+              (len(regexp_extract_all(text, '\b(customer|supplier|order)\b')) = 0)
+                AS clean
+            FROM documents ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(grep, wordcount, tokenCount, quality, langid, fingerprint, winnow, tfidf,
       langidEval, chunk, cooccur, bigrams, perplexity, vocabGrowth, repetition,
-      novelty, pack, spectrum)
+      novelty, pack, spectrum, scrub)
 }

@@ -397,4 +397,69 @@ class OperatorSpec extends SparkSpec {
     assert(recall("ivf") >= 0.8, s"IVF mean recall@5 ${recall("ivf")} below the 0.8 floor")
     assert(recall("lsh") >= 0.6, s"LSH mean recall@5 ${recall("lsh")} below the 0.6 floor")
   }
+
+  test("t19 scrub: blocklist hits counted and redacted, clean docs untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the customer met the supplier"),
+      (2L, "nothing to see here"),
+      (3L, "order order order")).toDF("doc_id", "text")
+    val out = TextOps.scrubTerms(docs, Seq("customer", "supplier", "order"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getBoolean(3))).toMap
+    assert(out(1L)._1 == 2L && !out(1L)._3)
+    assert(out(3L)._1 == 3L && !out(3L)._3)
+    // A clean doc's scrubbed digest IS the original digest (no-op redaction).
+    val cleanMd5 = docs.filter(col("doc_id") === 2L)
+      .select(md5(col("text"))).head().getString(0)
+    assert(out(2L)._1 == 0L && out(2L)._3 && out(2L)._2 == cleanMd5)
+    // Word boundaries: "orders" must NOT match the blocklisted "order".
+    val sub = TextOps.scrubTerms(Seq((4L, "orders placed")).toDF("doc_id", "text"),
+      Seq("order")).collect().head
+    assert(sub.getLong(1) == 0L && sub.getBoolean(3))
+  }
+
+  test("q30 cohort retention equals a brute-force recomputation") {
+    val got = Relational.q30.fn(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // Brute force from the raw events: per-user first day, distinct
+    // (cohort, weekOffset, user), counted.
+    val days = Tables.events(spark, sf)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1)))
+    val firstDay = days.groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).min }
+    val expected = days
+      .map { case (u, d) =>
+        val c = firstDay(u)
+        val off = java.time.Duration.between(c.toInstant, d.toInstant).toDays / 7
+        ((c, off), u)
+      }
+      .distinct
+      .groupBy(_._1).map { case (k, rs) => k -> rs.length.toLong }
+    assert(got == expected, s"cohort mismatch: ${got.toSet.diff(expected.toSet).take(3)}")
+    // Every user lands in week 0 of their own cohort.
+    val week0 = got.collect { case ((_, 0L), n) => n }.sum
+    assert(week0 == firstDay.size.toLong)
+  }
+
+  test("m06 media near-dup: byte-noise copy collides, inverted payload is distant") {
+    import spark.implicits._
+    val base = Array.tabulate(512)(i => (((i * 37) ^ (i >> 3)) & 0xff).toByte)
+    val near = base.clone()
+    (0 until 4).foreach(i => near(i * 100) = (near(i * 100) + 1).toByte)
+    val far = base.map(b => (255 - (b & 0xff)).toByte)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image/stub", base),
+      Multimodal.MediaRecord(2L, "image/stub", near),
+      Multimodal.MediaRecord(3L, "image/stub", far)).toDS()
+    val pairs = Multimodal.mediaNeardupPairs(media, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((1L, 2L)), s"byte-noise near-dup not detected: $pairs")
+    assert(pairs((1L, 2L)) <= 3L)
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+      s"inverted payload wrongly matched: $pairs")
+    // The inverted payload flips (nearly) every signature bit.
+    val h13 = java.lang.Long.bitCount(
+      Multimodal.blockhash64(base) ^ Multimodal.blockhash64(far))
+    assert(h13 >= 32, s"inversion hamming only $h13")
+  }
 }
