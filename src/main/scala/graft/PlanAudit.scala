@@ -59,6 +59,10 @@ object PlanAudit {
     "s01_ann_cosine_topk" -> "probe side is a LIMIT-10 query set",
     "s02_ann_lsh_bucketed" -> "probe side is a LIMIT-10 query set",
     "s04_ann_ivf" -> "probe side is a LIMIT-10 query set",
+    "s08_ann_pq" -> ("hinted relation is the vec_id < nQueries query set " +
+      "(literal-bounded row count) joined to a shortlist capped at " +
+      "queries × rerank×topK rows by the ADC heap pass — both sides " +
+      "structurally bounded regardless of corpus size"),
     "s05_ann_recall" -> "composes s01/s02/s04's LIMIT-10 probe sets",
     "s07_ann_ivf_append" -> "probe side is a LIMIT-10 query set",
     "t08_tfidf_topterms" -> ("docFreq is vocabulary-sized (distinct unigrams " +

@@ -88,7 +88,7 @@ class CorpusStatsSpec extends SparkSpec {
     assert(recalls.forall(r => math.abs(r - 1.0) < 1e-9))
     // And the operator's own output is well-formed with recalls in [0, 1].
     val out = Similarity.recallEval(spark, sf, 5, 3).collect()
-    assert(out.map(_.getString(0)).toSeq == Seq("ivf", "lsh"))
+    assert(out.map(_.getString(0)).toSeq == Seq("ivf", "lsh", "pq"))
     out.foreach { r =>
       assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0)
       assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= r.getDouble(1) + 1e-9)

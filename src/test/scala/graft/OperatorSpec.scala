@@ -25,7 +25,8 @@ class OperatorSpec extends SparkSpec {
   test("oracle SQL declared for every SQL-expressible query") {
     val rowsOnly = Set(
       "s02_ann_lsh_bucketed", "s04_ann_ivf", "s05_ann_recall",
-      "s07_ann_ivf_append", "q15_approx_distinct", "q27_percentile_sketch")
+      "s07_ann_ivf_append", "s08_ann_pq",
+      "q15_approx_distinct", "q27_percentile_sketch")
     assert(SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet) == rowsOnly)
   }
 
@@ -396,6 +397,27 @@ class OperatorSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(recall("ivf") >= 0.8, s"IVF mean recall@5 ${recall("ivf")} below the 0.8 floor")
     assert(recall("lsh") >= 0.6, s"LSH mean recall@5 ${recall("lsh")} below the 0.6 floor")
+    // PQ-ADC shortlists from compressed codes, exact rerank refines: the
+    // planted clusters must surface nearly perfectly. recall@5 >= 0.9
+    // quantifies s08 (ADC alone measured 0.36-0.48 here - the rerank step
+    // is load-bearing and this floor would catch its removal).
+    assert(recall("pq") >= 0.9, s"PQ mean recall@5 ${recall("pq")} below the 0.9 floor")
+  }
+
+  test("s08 PQ codes are m bytes-worth and ADC ranking is deterministic") {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val cbs = Similarity.pqTrain(spark, e, m = 8, k = 16, iters = 2)
+    assert(cbs.length == 8 && cbs.forall(_.length == 16) &&
+      cbs.forall(_.forall(_.length == 8)))
+    val codes = Similarity.pqEncode(spark, e, cbs).collect()
+    assert(codes.forall(_.getSeq[Int](1).size == 8), "codes not m-wide")
+    assert(codes.forall(_.getSeq[Int](1).forall(c => c >= 0 && c < 16)),
+      "code outside [0, k)")
+    val a = Similarity.pqTopK(spark, sf, 3, 4).collect().map(_.toString).toSeq
+    val b = Similarity.pqTopK(spark, sf, 3, 4).collect().map(_.toString).toSeq
+    assert(a == b, "PQ ADC output not deterministic")
+    assert(a.length == 3 * 4)
   }
 
   test("t19 scrub: blocklist hits counted and redacted, clean docs untouched") {
