@@ -241,6 +241,64 @@ object EventStreams {
       .toDF()
   }
 
+  // ----------------------------------------------------- cohort retention
+  final case class CohortEv(user_id: Long, day: java.sql.Timestamp)
+  final case class CohortState(cohortDayUs: Long, seenOffsets: List[Long])
+  final case class CohortAct(cohort_day: java.sql.Timestamp, week_offset: Long)
+
+  /** Streaming cohort retention — the streaming twin of batch q30: each
+    * user's first-seen day is their cohort, and the (cohort_day,
+    * week_offset) retention matrix counts users active at each weekly
+    * offset. The stateful stage emits a (cohort_day, week_offset) row only
+    * the FIRST time a user is active in that week — so the downstream
+    * streaming count of those activations IS q30's distinct-user count,
+    * without a streaming `distinct` (whose state would be (cohort × week ×
+    * user)-sized); state per user is their cohort day plus the offsets
+    * already emitted, bounded by calendar weeks, not event volume.
+    *
+    * Equivalence contract with batch q30 (same as [[funnel]]'s): exact when
+    * each user's events arrive in event-time order across micro-batches —
+    * the landing-file shape. A user's first-ever event arriving late would
+    * retroactively shift their cohort in the batch recompute; the stream
+    * cannot reassign already-emitted offsets, and production bounds that
+    * skew with a watermark on the landing feed.
+    */
+  def cohortRetention(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    def micros(ts: java.sql.Timestamp): Long =
+      math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+    val dayUs = 86400L * 1000000L
+    val acts = events
+      // date_trunc under the session's UTC zone: day boundaries are exact
+      // multiples of dayUs, so the week offset is integer arithmetic —
+      // byte-identical to batch q30's `datediff(day, cohort_day) div 7`.
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .as[CohortEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CohortState, CohortAct](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[CohortEv], state: GroupState[CohortState]) =>
+          val days = evs.map(e => micros(e.day)).toSeq.distinct.sorted
+          if (days.isEmpty) Iterator.empty
+          else {
+            var st = state.getOption.getOrElse(CohortState(days.head, Nil))
+            val fresh = scala.collection.mutable.ArrayBuffer[CohortAct]()
+            days.foreach { d =>
+              val off = (d - st.cohortDayUs) / dayUs / 7L
+              if (!st.seenOffsets.contains(off)) {
+                st = st.copy(seenOffsets = off :: st.seenOffsets)
+                fresh += CohortAct(
+                  new java.sql.Timestamp(st.cohortDayUs / 1000L), off)
+              }
+            }
+            state.update(st)
+            fresh.iterator
+          }
+      }
+    acts.groupBy(col("cohort_day"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
   // ----------------------------------------------------- stateful sessions
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(sessionId: Long, lastTsMicros: Long, n: Long, value: Double)

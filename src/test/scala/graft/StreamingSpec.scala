@@ -129,21 +129,22 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("streaming funnel across event-time-ordered micro-batches == batch q29") {
+  /** Stage events as FOUR time-quartile files written SEQUENTIALLY:
+    * FileStreamSource orders same-listing files by modification time, so
+    * ascending mtimes make each user's events arrive in event-time order
+    * across micro-batches — the landing-file shape the stateful twins'
+    * equivalence contracts assume — and the per-user state genuinely
+    * evolves across batches. (A single range-partitioned write would leave
+    * all four files with one mtime and an arbitrary processing order.)
+    * Returns a one-file-per-trigger stream over the staged directory. */
+  private def stagedEventTimeStream(tag: String): org.apache.spark.sql.DataFrame = {
     import java.nio.file.Files
-    // Stage events as FOUR time-quartile files written SEQUENTIALLY:
-    // FileStreamSource orders same-listing files by modification time, so
-    // ascending mtimes make each user's events arrive in event-time order
-    // across micro-batches — the landing-file shape funnel's equivalence
-    // contract assumes — and the per-user state genuinely evolves across
-    // batches. (A single range-partitioned write would leave all four
-    // files with one mtime and an arbitrary processing order.)
-    val dir = Files.createTempDirectory("graft-events-funnel")
+    val dir = Files.createTempDirectory(s"graft-events-$tag")
     val events = graft.sources.Tables.events(spark, sf)
       .withColumn("tq", ntile(4).over(
         org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")))
     (1 to 4).foreach { i =>
-      val stage = Files.createTempDirectory(s"graft-events-funnel-q$i").toString
+      val stage = Files.createTempDirectory(s"graft-events-$tag-q$i").toString
       events.filter(col("tq") === i).drop("tq")
         .coalesce(1).sortWithinPartitions("ts")
         .write.mode("overwrite").parquet(stage)
@@ -153,8 +154,12 @@ class StreamingSpec extends SparkSpec {
       Thread.sleep(10) // distinct ascending mtimes
     }
     val schema = graft.sources.Tables.events(spark, sf).schema
-    val stream = spark.readStream.schema(schema)
+    spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+  }
+
+  test("streaming funnel across event-time-ordered micro-batches == batch q29") {
+    val stream = stagedEventTimeStream("funnel")
     val fun = EventStreams.funnel(spark, stream)
     val q = fun.writeStream.outputMode(OutputMode.Update)
       .format("memory").queryName("funnel_out").start()
@@ -177,6 +182,33 @@ class StreamingSpec extends SparkSpec {
       // Multi-batch reality check: at least one user revised across batches.
       val versions = spark.table("funnel_out").collect().map(_.getLong(5))
       assert(versions.max > 1L, "state never revised — staging produced one batch")
+    } finally q.stop()
+  }
+
+  test("streaming cohort retention across event-time-ordered micro-batches == batch q30") {
+    val stream = stagedEventTimeStream("cohort")
+    val coh = EventStreams.cohortRetention(spark, stream)
+    val q = coh.writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("cohort_out").start()
+    q.processAllAvailable()
+    try {
+      // Update-mode sink appends every revision of a (cohort, offset)
+      // count; the activation count only grows, so max per key = final.
+      val streamed = spark.table("cohort_out").collect()
+        .map(r => ((r.getTimestamp(0), r.getLong(1)), r.getLong(2)))
+        .groupBy(_._1).map { case (k, rows) => k -> rows.map(_._2).max }
+      val batch = Relational.q30.fn(spark, sf).collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed.nonEmpty)
+      assert(streamed == batch,
+        s"cohort retention disagrees with batch q30 on ${
+          streamed.toSet.diff(batch.toSet).take(3)}")
+      // Multi-batch reality check: some retention cell was revised upward
+      // across micro-batches (a later batch added users to an open week).
+      val revised = spark.table("cohort_out").collect()
+        .map(r => ((r.getTimestamp(0), r.getLong(1)), r.getLong(2)))
+        .groupBy(_._1).exists(_._2.size > 1)
+      assert(revised, "no cell revised — staging produced one batch")
     } finally q.stop()
   }
 
