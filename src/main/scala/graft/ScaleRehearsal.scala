@@ -67,7 +67,10 @@ object ScaleRehearsal {
       // pass), and the frequency spectrum — each a distinct shuffle
       // pattern to rehearse.
       "d11_repeated_spans", "t16_shingle_novelty", "t17_sequence_pack",
-      "d12_neardup_consensus", "t18_freq_spectrum")
+      "d12_neardup_consensus", "t18_freq_spectrum",
+      // Round-6: the map-only scrub — the no-shuffle control row; its
+      // ratio is the pure scan-cost floor the shuffled queries sit above.
+      "t19_blocklist_scrub")
     def timeQuery(name: String, dir: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
       def once(): (Double, Long) = {
@@ -158,6 +161,14 @@ object ScaleRehearsal {
       val m = mults.find(embDir(_) == dir).get
       operators.Similarity.ivfProbeIndex(spark, dir, s"$outDir/ivf_idx_${m}x", nQ, topK).count()
     })
+    // PQ-ADC + exact rerank (s08): train+encode+scan every run (the
+    // un-amortized worst case — a deployment trains once and re-encodes
+    // incrementally). The scale claim is the SCAN: a corpus row costs m=8
+    // byte-lookups instead of dim float-mults, and only queries × rerank×k
+    // raw vectors are ever re-read, so wall must grow well under the
+    // corpus ratio even with training folded in.
+    annRow("s08_pq_adc_rerank", dir =>
+      operators.Similarity.pqTopK(spark, dir, nQ, topK).count())
 
     // Work accounting — the scale-deterministic quantities wall-clock can't
     // show at toy sizes (fixed overhead dominates both methods here):

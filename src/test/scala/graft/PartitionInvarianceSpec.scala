@@ -17,9 +17,18 @@ class PartitionInvarianceSpec extends SparkSpec {
 
   private val names = Seq(
     "d11_repeated_spans", "t16_shingle_novelty", "t17_sequence_pack",
-    "q29_funnel_conversion", "t18_freq_spectrum", "d12_neardup_consensus")
+    "q29_funnel_conversion", "t18_freq_spectrum", "d12_neardup_consensus",
+    // Round-6: cohort retention (user-keyed window + distinct), blocklist
+    // scrub (map-only — invariant by construction, asserted anyway),
+    // perceptual banding (self-join + distinct), and PQ-ADC (the hard one:
+    // k-means partials ride reduceByKey, so codebook floats can differ at
+    // ulp level across geometries — the exact-cosine rerank over an
+    // 8×topK shortlist is what makes the OUTPUT invariant, and this test
+    // is the gate proving that claim).
+    "q30_cohort_retention", "t19_blocklist_scrub", "m06_media_neardup",
+    "s08_ann_pq")
 
-  test("round-5 queries return identical rows at shuffle.partitions = 3 and 17") {
+  test("round-5/6 queries return identical rows at shuffle.partitions = 3 and 17") {
     val conf = spark.conf
     val before = conf.get("spark.sql.shuffle.partitions")
     def rowsAt(n: Int, name: String): Seq[String] = {
