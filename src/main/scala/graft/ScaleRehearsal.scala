@@ -69,8 +69,11 @@ object ScaleRehearsal {
       "d11_repeated_spans", "t16_shingle_novelty", "t17_sequence_pack",
       "d12_neardup_consensus", "t18_freq_spectrum",
       // Round-6: the map-only scrub — the no-shuffle control row; its
-      // ratio is the pure scan-cost floor the shuffled queries sit above.
-      "t19_blocklist_scrub")
+      // ratio is the pure scan-cost floor the shuffled queries sit above —
+      // and the chunk scrub, whose one chunk-keyed exchange is the C4-style
+      // corpus-edit shuffle (output rows scale 10x; the tagged copies keep
+      // chunks disjoint so survivors scale with the corpus).
+      "t19_blocklist_scrub", "d13_chunk_scrub")
     def timeQuery(name: String, dir: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
       def once(): (Double, Long) = {

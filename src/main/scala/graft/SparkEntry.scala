@@ -17,25 +17,28 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, RangeJoin, Relational, Samp
   *  - q25/q26: latest-record compaction (max_by), full-outer coverage join.
   *  - q27: sketch percentiles (percentile_approx next to q20's exact).
   *  - q28: weighted corpus mixing (deterministic fractional replication).
-  *  - q29: funnel conversion (ordered within-user sequence matching via a
-  *    running-max window; no events self-join).
-  *  - t01..t18: text query library (grep, wordcount, token counting,
+  *  - q29/q30: funnel conversion (ordered within-user sequence matching
+  *    via a running-max window; no events self-join), weekly cohort
+  *    retention (user-keyed first-seen window + distinct actives).
+  *  - t01..t20: text query library (grep, wordcount, token counting,
   *    quality scoring, language-ID, fingerprinting, winnowing, TF-IDF,
   *    langid eval, context chunking, co-occurrence PMI, bigram LM,
   *    bigram perplexity quality filter, vocabulary growth, Gopher-style
   *    repetition filter, per-doc shingle novelty, training sequence
-  *    packing, token frequency spectrum).
-  *  - d01..d12: dedup & corpus hygiene (exact, MinHash-LSH, SimHash,
+  *    packing, token frequency spectrum, blocklist scrub, quality-gate
+  *    cascade with per-rule flag bits).
+  *  - d01..d13: dedup & corpus hygiene (exact, MinHash-LSH, SimHash,
   *    n-gram Jaccard, embedding-cosine, connected-component clusters,
   *    keep-list, near-dup triangles, benchmark decontamination,
   *    incremental delta dedup, exact-substring repeated spans, near-dup
-  *    detector consensus).
-  *  - s01..s07: similarity search (brute-force ANN, LSH-bucketed ANN,
+  *    detector consensus, C4-style chunk scrub + reassembly).
+  *  - s01..s08: similarity search (brute-force ANN, LSH-bucketed ANN,
   *    per-label centroid stats, IVF ANN, recall@k evaluation, int8
-  *    quantization error audit, incremental IVF ingest serving state).
-  *  - m01..m05: multimodal binary-column plumbing (metadata, stub-decode
-  *    features, frame sampling, strided resize, windowed frame energy;
-  *    binaryFile ingest in Multimodal).
+  *    quantization error audit, incremental IVF ingest serving state,
+  *    PQ-ADC with exact rerank).
+  *  - m01..m06: multimodal binary-column plumbing (metadata, stub-decode
+  *    features, frame sampling, strided resize, windowed frame energy,
+  *    perceptual-hash near-dup pairs; binaryFile ingest in Multimodal).
   */
 object SparkEntry {
   val inventory: Seq[Q] =

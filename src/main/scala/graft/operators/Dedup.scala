@@ -1166,7 +1166,75 @@ object Dedup {
             FROM u GROUP BY a, b HAVING count(*) >= 2
             ORDER BY a, b"""))
 
+  // ------------------------------------------------------ chunk-level scrub
+  /** Cross-corpus chunk dedup + reassembly — the APPLIED form of exact
+    * near-dup removal (C4's "drop repeated lines", RefinedWeb's
+    * exact-substring scrub): documents are segmented into aligned
+    * `w`-token chunks, every chunk occurrence after the corpus-first
+    * (ordered by (doc_id, chunk_idx) — deterministic at any geometry) is
+    * dropped, and each document is reassembled from its surviving chunks.
+    * d11 REPORTS repeated spans; this op actually EDITS the corpus, which
+    * is what the pipeline ships. Emits per-doc chunk counts and the digest
+    * of the cleaned text (the full text would be the production output;
+    * the digest keeps the oracle compare compact).
+    *
+    * Scale shape: one tokenize+chunk flatMap, then ONE shuffle — the
+    * first-occurrence window keyed by (chunk-hash, chunk); partitioning on
+    * the 8-byte hash keeps the exchange/sort cheap while the full chunk in
+    * the key makes hash collisions harmless — then a doc-keyed
+    * reassembly aggregate. Same exchange count as d01's exact dedup; no
+    * joins; linear in corpus tokens. Per-doc state is that doc's own
+    * surviving chunks (bounded by doc length, not corpus).
+    */
+  def chunkScrub(docs: DataFrame, w: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunked = docs
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) > 0)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, (size(ts)-1) div $w), k -> " +
+          s"struct(cast(k as bigint) as chunk_idx, array_join(slice(ts, k*$w+1, $w), ' ') as chunk))")).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"), col("c.chunk").as("chunk"))
+    val firstSeen = Window
+      .partitionBy(xxhash64(col("chunk")), col("chunk"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+    chunked
+      .withColumn("keep_chunk", row_number().over(firstSeen) === 1)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("keep_chunk"), 1L).otherwise(0L)).as("n_kept"),
+        expr("md5(array_join(transform(array_sort(" +
+          "collect_list(CASE WHEN keep_chunk THEN struct(chunk_idx, chunk) END)" +
+          "), x -> x.chunk), ' '))").as("cleaned_md5"))
+      .orderBy("doc_id")
+  }
+
+  val chunkDedup = Q(
+    "d13_chunk_scrub",
+    (s, d) => chunkScrub(Tables.documents(s, d)),
+    Some("""WITH toks AS (
+              SELECT doc_id, list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
+              FROM documents),
+            chunks AS (
+              SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+                     array_to_string(list_slice(ts, k*16+1, k*16+16), ' ') AS chunk
+              FROM toks, UNNEST(range(0, ((len(ts)-1)//16) + 1)) r(k)
+              WHERE len(ts) > 0),
+            flagged AS (
+              SELECT doc_id, chunk_idx, chunk,
+                     row_number() OVER (PARTITION BY chunk
+                                        ORDER BY doc_id, chunk_idx) AS rn
+              FROM chunks)
+            SELECT doc_id,
+              CAST(count(*) AS BIGINT) AS n_chunks,
+              CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              md5(coalesce(string_agg(chunk, ' ' ORDER BY chunk_idx)
+                             FILTER (WHERE rn = 1), '')) AS cleaned_md5
+            FROM flagged GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(exact, minhash, simhash, ngramJaccard, embedding, clusters, keep, triangles,
-      decontam, incremental, repeated, consensus)
+      decontam, incremental, repeated, consensus, chunkDedup)
 }

@@ -762,8 +762,67 @@ object TextOps {
                 AS clean
             FROM documents ORDER BY doc_id"""))
 
+  /** Quality-gate cascade — the composite keep/drop decision a
+    * Gopher/FineWeb-style pipeline makes per document, with WHY encoded as
+    * a flags bitmask (bit 0: too short, 1: too long, 2: stopword-starved,
+    * 3: token length out of range) so curation can report per-rule drop
+    * rates from one pass instead of re-running each filter. Thresholds are
+    * the standard heuristic family sized to this corpus (min 20 tokens,
+    * ≥2% stopwords, mean token length 3–10); a production gate swaps
+    * constants, not dataflow. Feature doubles are emitted unrounded —
+    * both engines compute the same IEEE quotient (README parity rules).
+    *
+    * Scale shape: map-only scan (tokenize + char-class counts per row) —
+    * no shuffle, no state, linear in corpus bytes; the t19 scrub's
+    * embarrassingly-parallel shape with a wider feature row.
+    */
+  val qualityGate = Q(
+    "t20_quality_gate",
+    (s, d) => {
+      val toks = tokens(col("text"))
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          stopwordHits(toks, stopwords("en")).cast("long").as("stop_hits"),
+          charClassCount(lower(col("text")), "[a-z0-9]").cast("long").as("n_word_chars"))
+        .select(
+          col("doc_id"), col("n_tokens"),
+          (col("stop_hits").cast("double") / col("n_tokens").cast("double")).as("stop_frac"),
+          (col("n_word_chars").cast("double") / col("n_tokens").cast("double")).as("mean_tok_len"))
+        .withColumn("flags",
+          when(col("n_tokens") < 20, 1L).otherwise(0L) +
+            when(col("n_tokens") > 5000, 2L).otherwise(0L) +
+            when(col("stop_frac") < 0.02, 4L).otherwise(0L) +
+            when(col("mean_tok_len") < 3.0 || col("mean_tok_len") > 10.0, 8L).otherwise(0L))
+        .withColumn("keep", col("flags") === 0L)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH f AS (
+              SELECT doc_id,
+                CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS BIGINT) AS n_tokens,
+                CAST(${hitsSql(stopwords("en"))} AS BIGINT) AS stop_hits,
+                CAST(length(text) - length(regexp_replace(lower(text), '[a-z0-9]', '', 'g')) AS BIGINT) AS n_word_chars
+              FROM documents),
+            g AS (
+              SELECT doc_id, n_tokens,
+                CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_frac,
+                CAST(n_word_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_tok_len
+              FROM f),
+            h AS (
+              SELECT doc_id, n_tokens, stop_frac, mean_tok_len,
+                CAST((CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END)
+                   + (CASE WHEN n_tokens > 5000 THEN 2 ELSE 0 END)
+                   + (CASE WHEN stop_frac < 0.02 THEN 4 ELSE 0 END)
+                   + (CASE WHEN mean_tok_len < 3.0 OR mean_tok_len > 10.0 THEN 8 ELSE 0 END)
+                  AS BIGINT) AS flags
+              FROM g)
+            SELECT doc_id, n_tokens, stop_frac, mean_tok_len, flags,
+              (flags = 0) AS keep
+            FROM h ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(grep, wordcount, tokenCount, quality, langid, fingerprint, winnow, tfidf,
       langidEval, chunk, cooccur, bigrams, perplexity, vocabGrowth, repetition,
-      novelty, pack, spectrum, scrub)
+      novelty, pack, spectrum, scrub, qualityGate)
 }

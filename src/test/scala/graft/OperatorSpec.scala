@@ -484,4 +484,51 @@ class OperatorSpec extends SparkSpec {
       Multimodal.blockhash64(base) ^ Multimodal.blockhash64(far))
     assert(h13 >= 32, s"inversion hamming only $h13")
   }
+
+  test("d13 chunk scrub: later exact copy fully dropped, partial overlap edited") {
+    import spark.implicits._
+    // 32 tokens = exactly two 16-token chunks. doc 2 is an exact copy of
+    // doc 1; doc 3 shares doc 1's first chunk but has a novel second chunk.
+    val c1 = (1 to 16).map(i => s"alpha$i").mkString(" ")
+    val c2 = (1 to 16).map(i => s"beta$i").mkString(" ")
+    val c3 = (1 to 16).map(i => s"gamma$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$c1 $c2"), (2L, s"$c1 $c2"), (3L, s"$c1 $c3"))
+      .toDF("doc_id", "text")
+    val out = Dedup.chunkScrub(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((2L, 2L, md5Hex(s"$c1 $c2"))),
+      s"first occurrence must keep everything: ${out(1L)}")
+    assert(out(2L)._1 == 2L && out(2L)._2 == 0L &&
+      out(2L)._3 == md5Hex(""), s"exact copy must lose all chunks: ${out(2L)}")
+    assert(out(3L) == ((2L, 1L, md5Hex(c3))),
+      s"partial overlap must keep only the novel chunk: ${out(3L)}")
+    // Conservation: kept chunks across the corpus == distinct chunks.
+    val kept = out.values.map(_._2).sum
+    assert(kept == 3L, s"kept $kept, expected 3 distinct chunks")
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("t20 quality gate: per-rule flags fire independently and keep == no flags") {
+    import spark.implicits._
+    val out = TextOps.qualityGate.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(out.nonEmpty)
+    // keep is exactly flags == 0, and the bitmask re-derives from features.
+    out.foreach { case (id, nTok, stopFrac, meanLen, flags, keepF) =>
+      val expect = (if (nTok < 20) 1L else 0L) + (if (nTok > 5000) 2L else 0L) +
+        (if (stopFrac < 0.02) 4L else 0L) +
+        (if (meanLen < 3.0 || meanLen > 10.0) 8L else 0L)
+      assert(flags == expect && keepF == (flags == 0L), s"doc $id flags wrong")
+    }
+    // The gate must actually split this corpus: some kept, some dropped,
+    // and at least the short-doc and stopword rules each fire somewhere.
+    assert(out.exists(_._6) && out.exists(!_._6), "gate did not split corpus")
+    assert(out.exists(r => (r._5 & 1L) != 0L), "too-short rule never fired")
+    assert(out.exists(r => (r._5 & 4L) != 0L), "stopword rule never fired")
+  }
 }

@@ -26,7 +26,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     // 8×topK shortlist is what makes the OUTPUT invariant, and this test
     // is the gate proving that claim).
     "q30_cohort_retention", "t19_blocklist_scrub", "m06_media_neardup",
-    "s08_ann_pq")
+    "s08_ann_pq",
+    // d13's first-occurrence window must pick the same survivor at any
+    // geometry (the (doc_id, chunk_idx) total order is the point); t20 is
+    // map-only, asserted as the control.
+    "d13_chunk_scrub", "t20_quality_gate")
 
   test("round-5/6 queries return identical rows at shuffle.partitions = 3 and 17") {
     val conf = spark.conf
