@@ -73,7 +73,11 @@ object ScaleRehearsal {
       // and the chunk scrub, whose one chunk-keyed exchange is the C4-style
       // corpus-edit shuffle (output rows scale 10x; the tagged copies keep
       // chunks disjoint so survivors scale with the corpus).
-      "t19_blocklist_scrub", "d13_chunk_scrub")
+      "t19_blocklist_scrub", "d13_chunk_scrub",
+      // t21 is the one iterative driver-loop trainer: its per-iteration
+      // work is VOCABULARY-sized, and the tagged copies multiply the
+      // vocabulary 10x — the adversarial direction for that claim.
+      "t21_bpe_merges")
     def timeQuery(name: String, dir: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
       def once(): (Double, Long) = {

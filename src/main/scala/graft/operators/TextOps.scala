@@ -821,8 +821,125 @@ object TextOps {
               (flags = 0) AS keep
             FROM h ORDER BY doc_id"""))
 
+  // --------------------------------------------------- BPE merge learning
+  /** Learn the first `nMerges` BPE merge rules from the corpus — the
+    * tokenizer-TRAINING op (sentencepiece/GPT-2 BPE) upstream of every
+    * t03-style token count. Classic trainer shape: ONE corpus pass builds
+    * the word-frequency vocabulary, then every iteration runs over the
+    * VOCABULARY (≪ corpus — this is why BPE training scales): count
+    * adjacent symbol pairs weighted by word frequency (keyed agg with
+    * map-side combine), take the arg-max merge (count desc, then (left,
+    * right) asc — the deterministic tie rule), apply it to the symbol
+    * arrays with a greedy left-to-right fold, repeat. Emits the ranked
+    * merge table (the artifact a tokenizer ships).
+    *
+    * The driver sees ONE row per iteration (the winning pair) — the
+    * documented bounded-collect pattern; `localCheckpoint` per round cuts
+    * the iterative lineage exactly like d06's CC loop. Not SQL-expressible
+    * (iterative arg-max), so rows-only in the driver gate; the planted
+    * spec asserts hand-computed merges and the README no-oracle table
+    * carries it.
+    */
+  def bpeMerges(docs: DataFrame, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(expr("filter(split(w, ''), s -> s <> '')").as("syms"), col("freq"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var done = false
+    for (i <- 1L to nMerges.toLong if !done) {
+      val top = vocab
+        // sequence(1, size-1) DESCENDS when size = 1 — single-symbol words
+        // have no pairs and must not reach the explode.
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms)-1), j -> struct(element_at(syms, j) as l, element_at(syms, j+1) as r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((i, l, r, c))
+        // Greedy left-to-right merge: fold the symbol array, collapsing
+        // each adjacent (l, r) into one symbol ("aaa" + (a,a) -> [aa, a]).
+        // Symbols are [a-z0-9]+ so inlining them in the expr is safe.
+        vocab = vocab.select(expr(
+          s"""aggregate(syms, cast(array() as array<string>), (acc, s) ->
+              CASE WHEN size(acc) > 0 AND element_at(acc, size(acc)) = '$l' AND s = '$r'
+                   THEN concat(slice(acc, 1, size(acc) - 1), array('$l$r'))
+                   ELSE concat(acc, array(s)) END)""").as("syms"), col("freq"))
+          .localCheckpoint()
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+      .orderBy("rank")
+  }
+
+  val bpeTrain = Q(
+    "t21_bpe_merges",
+    (s, d) => bpeMerges(Tables.documents(s, d), 8),
+    None)
+
+  /** Per-(source, lang) corpus profile — the data-card readout curation
+    * publishes per slice: document/token volume, mean token length, and
+    * the t20 gate's keep rate, from ONE scan (the gate's features are
+    * re-derived inline per row; no join against t20's output). Aggregate
+    * doubles rounded to 4 (fp-noise rule); the keyed agg rides a
+    * (source, lang) exchange with map-side partials — output rows =
+    * slices, tiny at any corpus size.
+    */
+  val sourceProfile = Q(
+    "t22_source_profile",
+    (s, d) => {
+      val toks = tokens(col("text"))
+      Tables.documents(s, d)
+        .select(
+          col("source"), col("lang"),
+          size(toks).cast("long").as("n_tokens"),
+          stopwordHits(toks, stopwords("en")).cast("long").as("stop_hits"),
+          charClassCount(lower(col("text")), "[a-z0-9]").cast("long").as("n_word_chars"))
+        .select(
+          col("source"), col("lang"), col("n_tokens"),
+          (col("stop_hits").cast("double") / col("n_tokens").cast("double")).as("stop_frac"),
+          (col("n_word_chars").cast("double") / col("n_tokens").cast("double")).as("mean_tok_len"))
+        .groupBy("source", "lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("sum_tokens"),
+          round(avg("mean_tok_len"), 4).as("avg_tok_len"),
+          round(avg(when(col("n_tokens") >= 20 && col("n_tokens") <= 5000 &&
+            col("stop_frac") >= 0.02 &&
+            col("mean_tok_len") >= 3.0 && col("mean_tok_len") <= 10.0, 1.0)
+            .otherwise(0.0)), 4).as("keep_frac"))
+        .orderBy("source", "lang")
+    },
+    Some(s"""WITH f AS (
+              SELECT source, lang,
+                CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS BIGINT) AS n_tokens,
+                CAST(${hitsSql(stopwords("en"))} AS BIGINT) AS stop_hits,
+                CAST(length(text) - length(regexp_replace(lower(text), '[a-z0-9]', '', 'g')) AS BIGINT) AS n_word_chars
+              FROM documents),
+            g AS (
+              SELECT source, lang, n_tokens,
+                CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_frac,
+                CAST(n_word_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_tok_len
+              FROM f)
+            SELECT source, lang,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+              round(avg(mean_tok_len), 4) AS avg_tok_len,
+              round(avg(CASE WHEN n_tokens >= 20 AND n_tokens <= 5000
+                          AND stop_frac >= 0.02
+                          AND mean_tok_len >= 3.0 AND mean_tok_len <= 10.0
+                        THEN 1.0 ELSE 0.0 END), 4) AS keep_frac
+            FROM g GROUP BY source, lang ORDER BY source, lang"""))
+
   val all: Seq[Q] =
     Seq(grep, wordcount, tokenCount, quality, langid, fingerprint, winnow, tfidf,
       langidEval, chunk, cooccur, bigrams, perplexity, vocabGrowth, repetition,
-      novelty, pack, spectrum, scrub, qualityGate)
+      novelty, pack, spectrum, scrub, qualityGate, bpeTrain, sourceProfile)
 }

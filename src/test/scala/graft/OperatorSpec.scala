@@ -26,7 +26,8 @@ class OperatorSpec extends SparkSpec {
     val rowsOnly = Set(
       "s02_ann_lsh_bucketed", "s04_ann_ivf", "s05_ann_recall",
       "s07_ann_ivf_append", "s08_ann_pq",
-      "q15_approx_distinct", "q27_percentile_sketch")
+      "q15_approx_distinct", "q27_percentile_sketch",
+      "t21_bpe_merges") // iterative arg-max: merge i depends on 1..i-1
     assert(SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet) == rowsOnly)
   }
 
@@ -530,5 +531,46 @@ class OperatorSpec extends SparkSpec {
     assert(out.exists(_._6) && out.exists(!_._6), "gate did not split corpus")
     assert(out.exists(r => (r._5 & 1L) != 0L), "too-short rule never fired")
     assert(out.exists(r => (r._5 & 4L) != 0L), "stopword rule never fired")
+  }
+
+  test("t21 BPE merges match the hand-computed sequence and terminate early") {
+    import spark.implicits._
+    // vocab {aaab: 2, aab: 1}. Hand-run of the trainer:
+    //   iter1: (a,a)=5 beats (a,b)=3            -> aaab=[aa,a,b], aab=[aa,b]
+    //   iter2: (aa,a)=2 ties (a,b)=2, lex: a<aa -> (a,b); aaab=[aa,ab]
+    //   iter3: (aa,ab)=2                         -> aaab=[aaab]
+    //   iter4: (aa,b)=1 (only aab has a pair)    -> aab=[aab]
+    //   iter5: no pairs anywhere -> trainer stops at 4 of 8 requested.
+    val docs = Seq((1L, "aaab aaab aab")).toDF("doc_id", "text")
+    val got = TextOps.bpeMerges(docs, 8).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val expect = Seq(
+      (1L, "a", "a", 5L), (2L, "a", "b", 2L), (3L, "aa", "ab", 2L), (4L, "aa", "b", 1L))
+    assert(got == expect, s"merge sequence wrong: $got")
+    // Greedy left-to-right: "aaa" with merge (a,a) collapses to [aa, a],
+    // so (a,a) counts once per non-overlapping occurrence next round.
+    val tri = TextOps.bpeMerges(Seq((1L, "aaa aaa")).toDF("doc_id", "text"), 2)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(tri.head == (("a", "a", 4L)), s"first merge wrong: $tri")
+    assert(tri(1) == (("aa", "a", 2L)), s"greedy overlap handling wrong: $tri")
+  }
+
+  test("t22 source profile is consistent with t20's gate and the corpus totals") {
+    val prof = TextOps.sourceProfile.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(5))).toMap
+    val docs = Tables.documents(spark, sf)
+    assert(prof.values.map(_._1).sum == docs.count(), "n_docs must cover the corpus")
+    // keep_frac re-derived from t20's per-doc verdicts joined to (source, lang).
+    val gate = TextOps.qualityGate.fn(spark, sf)
+      .select(col("doc_id"), col("keep"))
+    val expected = docs.select(col("doc_id"), col("source"), col("lang"))
+      .join(gate, "doc_id")
+      .groupBy("source", "lang")
+      .agg(round(avg(when(col("keep"), 1.0).otherwise(0.0)), 4).as("kf"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    expected.foreach { case (k, kf) =>
+      assert(math.abs(prof(k)._3 - kf) < 1e-9, s"keep_frac mismatch for $k")
+    }
   }
 }

@@ -29,8 +29,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     "s08_ann_pq",
     // d13's first-occurrence window must pick the same survivor at any
     // geometry (the (doc_id, chunk_idx) total order is the point); t20 is
-    // map-only, asserted as the control.
-    "d13_chunk_scrub", "t20_quality_gate")
+    // map-only, asserted as the control; t21's iterative arg-max must pick
+    // the same merge at any geometry (exact long counts + lex tie rule —
+    // this is the gate proving the trainer is reduce-order-proof).
+    "d13_chunk_scrub", "t20_quality_gate", "t21_bpe_merges",
+    "t22_source_profile")
 
   test("round-5/6 queries return identical rows at shuffle.partitions = 3 and 17") {
     val conf = spark.conf
