@@ -126,8 +126,8 @@ class OperatorSpec extends SparkSpec {
       (3L, 1L, 8L), (3L, 12L, 8L)), spans.mkString(", "))
   }
 
-  test("d11/t16 plans are join-free (single keyed window over the shingle stream)") {
-    Seq(Dedup.repeated, TextOps.novelty).foreach { q =>
+  test("d11/t16/d13 plans are join-free (single keyed window over the shingle/chunk stream)") {
+    Seq(Dedup.repeated, TextOps.novelty, Dedup.chunkDedup).foreach { q =>
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("Join"), s"${q.name} plan has a join:\n$plan")
       assert(!plan.contains("BroadcastExchange"), s"${q.name} broadcasts:\n$plan")

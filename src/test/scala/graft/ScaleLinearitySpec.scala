@@ -39,7 +39,8 @@ class ScaleLinearitySpec extends SparkSpec {
     }
 
     val ceiling = 6.0
-    Seq("d02_dedup_minhash_lsh", "d11_repeated_spans", "t16_shingle_novelty")
+    Seq("d02_dedup_minhash_lsh", "d11_repeated_spans", "t16_shingle_novelty",
+        "d13_chunk_scrub")
       .foreach { name =>
         val (t1, r1) = minOf2(name, base)
         val (t3, r3) = minOf2(name, out)
