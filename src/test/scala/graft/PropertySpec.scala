@@ -293,6 +293,52 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("BPE merges == reference greedy trainer on random corpora") {
+    import spark.implicits._
+    // 3-letter alphabet, short words: pair counts collide constantly, so
+    // the (count desc, pair asc) tie rule and the greedy left-to-right
+    // overlap handling are both genuinely exercised.
+    for (seed <- 1 to 4) {
+      val rng = new scala.util.Random(seed)
+      val docs = (1L to (3 + rng.nextInt(4)).toLong).map { id =>
+        id -> (1 to (5 + rng.nextInt(20)))
+          .map(_ => (1 to (1 + rng.nextInt(4)))
+            .map(_ => ('a' + rng.nextInt(3)).toChar).mkString)
+          .mkString(" ")
+      }
+      val n = 6
+      val got = graft.operators.TextOps.bpeMerges(docs.toDF("doc_id", "text"), n)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      // Reference: the same algorithm run sequentially on the driver.
+      var vocab = docs.flatMap(_._2.toLowerCase.split("[^a-z0-9]+")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, ws) => (w.map(_.toString).toList, ws.size.toLong) }
+        .toSeq
+      val expected = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+      var stop = false
+      for (i <- 1L to n.toLong if !stop) {
+        val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+        vocab.foreach { case (syms, f) =>
+          syms.zip(syms.tail).foreach(p => pc(p) = pc.getOrElse(p, 0L) + f)
+        }
+        if (pc.isEmpty) stop = true
+        else {
+          val ((l, r), c) = pc.toSeq.minBy { case ((a, b), k) => (-k, a, b) }
+          expected += ((i, l, r, c))
+          vocab = vocab.map { case (syms, f) =>
+            val out = scala.collection.mutable.ListBuffer.empty[String]
+            syms.foreach { s =>
+              if (out.nonEmpty && out.last == l && s == r) out(out.length - 1) = l + r
+              else out += s
+            }
+            (out.toList, f)
+          }
+        }
+      }
+      assert(got == expected.toSeq,
+        s"seed $seed BPE mismatch:\n  got      $got\n  expected $expected")
+    }
+  }
+
   test("mapreduce pipeline == reference groupBy-sum semantics for arbitrary inputs") {
     import graft.operators.MapReduceJob
     // SURVEY.md §5: partition-routing ∘ sort ∘ merge ∘ group must equal a
