@@ -1178,13 +1178,13 @@ object Dedup {
     * of the cleaned text (the full text would be the production output;
     * the digest keeps the oracle compare compact).
     *
-    * Scale shape: one tokenize+chunk flatMap, then ONE shuffle — the
-    * first-occurrence window keyed by (chunk-hash, chunk); partitioning on
+    * Scale shape: one tokenize+chunk flatMap, then TWO exchanges — the
+    * first-occurrence window keyed by (chunk-hash, chunk) (partitioning on
     * the 8-byte hash keeps the exchange/sort cheap while the full chunk in
-    * the key makes hash collisions harmless — then a doc-keyed
-    * reassembly aggregate. Same exchange count as d01's exact dedup; no
-    * joins; linear in corpus tokens. Per-doc state is that doc's own
-    * surviving chunks (bounded by doc length, not corpus).
+    * the key makes hash collisions harmless), then the doc-keyed
+    * reassembly aggregate. No joins; linear in corpus tokens. Per-doc
+    * state is that doc's own surviving chunks (bounded by doc length, not
+    * corpus).
     */
   def chunkScrub(docs: DataFrame, w: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
