@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOfJoin, Dedup, Multimodal, RangeJoin, Relational, Sampling, Similarity, TextOps}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relational, Sampling, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -40,11 +40,15 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, RangeJoin, Relational, Samp
   *  - m01..m06: multimodal binary-column plumbing (metadata, stub-decode
   *    features, frame sampling, strided resize, windowed frame energy,
   *    perceptual-hash near-dup pairs; binaryFile ingest in Multimodal).
+  *  - p01: the composed curation pipeline (gate → dedup-among-survivors →
+  *    sequence packing) emitting every document's final disposition and
+  *    packed window range — the lineage record of a training-data run.
   */
 object SparkEntry {
   val inventory: Seq[Q] =
     Relational.all ++ TextOps.all ++ Dedup.all ++ Similarity.all ++
-      Multimodal.all ++ Sampling.all ++ Seq(AsOfJoin.q16, RangeJoin.q17)
+      Multimodal.all ++ Sampling.all ++ Pipeline.all ++
+      Seq(AsOfJoin.q16, RangeJoin.q17)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.functions.TextFns._
+import graft.sources.Tables
+
+/** The composed end-to-end curation pipeline — the artifact a
+  * training-data run actually ships: every document's final disposition
+  * after the quality gate (t20's rules), exact dedup among the gate's
+  * survivors (d01's min-doc_id-per-fingerprint rule; with a
+  * normalized-text fingerprint the gate features are whitespace-
+  * insensitive, so exact copies always share gate status and the
+  * gate/dedup order cannot flip a representative — stated here because a
+  * NEAR-dup variant of this pipeline would not have that luxury), and
+  * GPT-style sequence packing (t17's fixed-budget windows) over what
+  * remains — the packing's token stream sees only docs that survived
+  * BOTH stages. One query answers "what happened to doc X and where do
+  * its tokens land" — the lineage record data-governance asks for.
+  *
+  * This is deliberately a COMPOSITION of the component operators'
+  * semantics (same thresholds, same fingerprint, same budget), so the
+  * component oracles and this oracle cross-check each other the way
+  * d12's consensus oracle does.
+  */
+object Pipeline {
+
+  /** Per-document disposition + packed window range.
+    *
+    * Output: `disposition` ∈ {dropped_quality, dropped_duplicate, kept};
+    * kept docs carry the first/last `budget`-token training sequence ids
+    * their tokens land in; dropped docs carry the `-1` sentinel (NOT
+    * null: both engines then emit int64, which the driver's value hash
+    * requires — the t17/HUGEINT lesson applied to nullable columns).
+    *
+    * Scale shape: the gate features are a map-only scan; dedup is ONE
+    * fingerprint-keyed window (min kept doc_id per group — never a
+    * self-join); the global token offset over survivors reuses t14's
+    * two-phase range-partitioned prefix scan; the prefix result joins
+    * back on doc_id (one keyed equi-join of two doc-keyed relations —
+    * linear, AQE-planned). Nothing quadratic, no broadcast of anything
+    * corpus-sized.
+    */
+  def corpusPipeline(docs: DataFrame, budget: Int = 512): DataFrame = {
+    val toks = tokens(col("text"))
+    val feats = docs
+      .select(
+        col("doc_id"), col("text"),
+        size(toks).cast("long").as("n_tokens"),
+        stopwordHits(toks, stopwords("en")).cast("long").as("stop_hits"),
+        charClassCount(lower(col("text")), "[a-z0-9]").cast("long").as("n_word_chars"))
+      .withColumn("stop_frac",
+        col("stop_hits").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("mean_tok_len",
+        col("n_word_chars").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("gate_keep",
+        col("n_tokens") >= 20 && col("n_tokens") <= 5000 &&
+          col("stop_frac") >= 0.02 &&
+          col("mean_tok_len") >= 3.0 && col("mean_tok_len") <= 10.0)
+      .withColumn("fp", md5(normText(col("text"))))
+    val dupRep = min(when(col("gate_keep"), col("doc_id")))
+      .over(Window.partitionBy("fp"))
+    val flagged = feats
+      .withColumn("disposition",
+        when(!col("gate_keep"), "dropped_quality")
+          .when(col("doc_id") =!= dupRep, "dropped_duplicate")
+          .otherwise("kept"))
+      .select(col("doc_id"), col("disposition"), col("n_tokens"))
+    val packed = TextOps.prefixSummed(
+      flagged.select(
+        col("doc_id"),
+        when(col("disposition") === "kept", col("n_tokens")).otherwise(0L)
+          .as("eff_tokens")),
+      "eff_tokens", "cum_tokens")
+    flagged.join(packed.select("doc_id", "cum_tokens"), "doc_id")
+      .select(
+        col("doc_id"), col("disposition"), col("n_tokens"),
+        when(col("disposition") === "kept",
+          expr(s"(cum_tokens - n_tokens) div $budget")).otherwise(-1L)
+          .as("seq_first"),
+        when(col("disposition") === "kept",
+          expr(s"(cum_tokens - 1) div $budget")).otherwise(-1L)
+          .as("seq_last"))
+      .orderBy("doc_id")
+  }
+
+  val pipeline = Q(
+    "p01_corpus_pipeline",
+    (s, d) => corpusPipeline(Tables.documents(s, d)),
+    Some("""WITH f AS (
+              SELECT doc_id,
+                CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS BIGINT) AS n_tokens,
+                CAST(len(list_filter(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> ''),
+                     t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'you', 'that'))) AS BIGINT) AS stop_hits,
+                CAST(length(text) - length(regexp_replace(lower(text), '[a-z0-9]', '', 'g')) AS BIGINT) AS n_word_chars,
+                md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+              FROM documents),
+            g AS (
+              SELECT doc_id, n_tokens, fp,
+                (n_tokens >= 20 AND n_tokens <= 5000
+                 AND CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.02
+                 AND CAST(n_word_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 3.0
+                 AND CAST(n_word_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 10.0) AS gate_keep
+              FROM f),
+            r AS (
+              SELECT doc_id, n_tokens, gate_keep,
+                min(CASE WHEN gate_keep THEN doc_id END) OVER (PARTITION BY fp) AS dup_rep
+              FROM g),
+            disp AS (
+              SELECT doc_id, n_tokens,
+                CASE WHEN NOT gate_keep THEN 'dropped_quality'
+                     WHEN doc_id <> dup_rep THEN 'dropped_duplicate'
+                     ELSE 'kept' END AS disposition
+              FROM r),
+            cum AS (
+              SELECT doc_id, disposition, n_tokens,
+                sum(CASE WHEN disposition = 'kept' THEN n_tokens ELSE 0 END)
+                  OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+              FROM disp)
+            SELECT doc_id, disposition, n_tokens,
+              CAST(CASE WHEN disposition = 'kept'
+                        THEN (cum_tokens - n_tokens) // 512 ELSE -1 END AS BIGINT) AS seq_first,
+              CAST(CASE WHEN disposition = 'kept'
+                        THEN (cum_tokens - 1) // 512 ELSE -1 END AS BIGINT) AS seq_last
+            FROM cum ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(pipeline)
+}

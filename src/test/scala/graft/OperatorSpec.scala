@@ -509,6 +509,48 @@ class OperatorSpec extends SparkSpec {
     assert(kept == 3L, s"kept $kept, expected 3 distinct chunks")
   }
 
+  test("p01 pipeline: dispositions compose the gate and dedup; packing tiles the survivors") {
+    import graft.operators.Pipeline
+    val out = Pipeline.pipeline.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val docs = Tables.documents(spark, sf).count()
+    assert(out.length == docs, "every doc must get a disposition")
+    // Quality drops == exactly t20's rejects.
+    val gateDrops = TextOps.qualityGate.fn(spark, sf).collect()
+      .filter(!_.getBoolean(5)).map(_.getLong(0)).toSet
+    assert(out.filter(_._2 == "dropped_quality").map(_._1).toSet == gateDrops)
+    // Sequential recompute of the packing over kept docs (t17 arithmetic).
+    var cum = 0L
+    out.sortBy(_._1).foreach { case (id, disp, n, first, last) =>
+      if (disp == "kept") {
+        assert(first == cum / 512 && last == (cum + n - 1) / 512, s"doc $id window wrong")
+        cum += n
+      } else assert(first == -1L && last == -1L, s"dropped doc $id has a window")
+    }
+    assert(out.exists(_._2 == "kept") && out.exists(_._2 == "dropped_quality"))
+  }
+
+  test("p01 planted corpus: quality drop, dup split, and packing that skips dropped tokens") {
+    import spark.implicits._
+    import graft.operators.Pipeline
+    // doc 1 fails the gate (5 tokens < 20); docs 2 and 3 are exact copies
+    // (doc 3 differs only in whitespace — the normalized fingerprint must
+    // still collapse them) — first occurrence kept, copy dropped. The
+    // kept doc's window must start at sequence 0: dropped docs contribute
+    // NO tokens to the packing stream.
+    val short = "the cat sat down here"
+    val clean = ("the quick brown fox jumps over a lazy dog and then it " +
+      "runs far away to the old barn where it sleeps all day long")
+    val docs = Seq((1L, short), (2L, clean), (3L, clean.replace(" ", "  ")))
+      .toDF("doc_id", "text")
+    val out = Pipeline.corpusPipeline(docs, budget = 16).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L)._1 == "dropped_quality", out.toString)
+    assert(out(2L) == (("kept", 0L, 1L)), // 25 tokens / budget 16 -> seqs 0..1
+      s"representative must pack from sequence 0: $out")
+    assert(out(3L)._1 == "dropped_duplicate", out.toString)
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString

@@ -33,7 +33,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     // the same merge at any geometry (exact long counts + lex tie rule —
     // this is the gate proving the trainer is reduce-order-proof).
     "d13_chunk_scrub", "t20_quality_gate", "t21_bpe_merges",
-    "t22_source_profile")
+    "t22_source_profile",
+    // p01 composes a window, a prefix scan, and a keyed join — each
+    // geometry-sensitive if mis-keyed; the composition must stay exact.
+    "p01_corpus_pipeline")
 
   test("round-5/6 queries return identical rows at shuffle.partitions = 3 and 17") {
     val conf = spark.conf
