@@ -39,8 +39,11 @@ class ScaleLinearitySpec extends SparkSpec {
     }
 
     val ceiling = 6.0
+    // p01 note: the tagged copies' tokens miss the stopword list, so the
+    // gate quality-drops them — dispositions still land one-per-doc
+    // (exactly 3x rows), which is the linearity being asserted.
     Seq("d02_dedup_minhash_lsh", "d11_repeated_spans", "t16_shingle_novelty",
-        "d13_chunk_scrub")
+        "d13_chunk_scrub", "p01_corpus_pipeline")
       .foreach { name =>
         val (t1, r1) = minOf2(name, base)
         val (t3, r3) = minOf2(name, out)
