@@ -68,7 +68,12 @@ object PlanAudit {
     "t08_tfidf_topterms" -> ("docFreq is vocabulary-sized (distinct unigrams " +
       "plateau ~10^7) + a 1-row corpus count"),
     "t11_cooccur_pmi" -> ("docFreq is vocabulary-sized (distinct unigrams " +
-      "plateau ~10^7) + a 1-row corpus count"))
+      "plateau ~10^7) + a 1-row corpus count"),
+    "t23_heavy_hitters" -> ("hinted relation is the freqItems candidate " +
+      "set, capped at 1/support (= 100) items by the sketch's contract — " +
+      "structurally bounded regardless of corpus size; broadcasting it " +
+      "is the point (map-side filter instead of a full-vocabulary " +
+      "shuffle)"))
 
   /** Corpus-scale table names read under `plan` (best effort: parquet
     * scans are identified by path; checkpointed/in-memory leaves have no

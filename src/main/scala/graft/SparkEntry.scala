@@ -20,14 +20,15 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *  - q29/q30: funnel conversion (ordered within-user sequence matching
   *    via a running-max window; no events self-join), weekly cohort
   *    retention (user-keyed first-seen window + distinct actives).
-  *  - t01..t22: text query library (grep, wordcount, token counting,
+  *  - t01..t23: text query library (grep, wordcount, token counting,
   *    quality scoring, language-ID, fingerprinting, winnowing, TF-IDF,
   *    langid eval, context chunking, co-occurrence PMI, bigram LM,
   *    bigram perplexity quality filter, vocabulary growth, Gopher-style
   *    repetition filter, per-doc shingle novelty, training sequence
   *    packing, token frequency spectrum, blocklist scrub, quality-gate
   *    cascade with per-rule flag bits, BPE merge-rule training,
-  *    per-(source, lang) corpus profile).
+  *    per-(source, lang) corpus profile, sketch-then-verify heavy
+  *    hitters).
   *  - d01..d13: dedup & corpus hygiene (exact, MinHash-LSH, SimHash,
   *    n-gram Jaccard, embedding-cosine, connected-component clusters,
   *    keep-list, near-dup triangles, benchmark decontamination,

@@ -938,8 +938,51 @@ object TextOps {
                         THEN 1.0 ELSE 0.0 END), 4) AS keep_frac
             FROM g GROUP BY source, lang ORDER BY source, lang"""))
 
+  /** Token heavy hitters above a frequency threshold — the third sketch
+    * next to q15's HLL (cardinality) and q27's KLL (quantiles), via the
+    * production sketch-then-verify shape: a single-pass Karp/Misra-Gries
+    * candidate sweep (`stat.freqItems` — guaranteed SUPERSET of every
+    * token with frequency > support, candidates ≤ 1/support), then an
+    * exact count of the CANDIDATES ONLY (broadcast the ≤1/support set,
+    * map-side filter, tiny keyed agg), then the threshold cull. The
+    * corpus vocabulary never shuffles — at 100 TB that is the difference
+    * between an agg over billions of token keys and one over ≤100.
+    *
+    * The verify pass makes the OUTPUT exact (sketch false positives are
+    * culled by the true count), so unlike the other sketches this one
+    * hash-matches a plain SQL oracle and joins the geometry-invariance
+    * gate; only the PLAN is approximate-assisted. Threshold compares use
+    * integer arithmetic (freq × 100 > total), no fp boundary.
+    */
+  def heavyHitters(docs: DataFrame, supportPct: Int = 1): DataFrame = {
+    val toks = docs.select(explode(tokens(col("text"))).as("t"))
+    val total = toks.count()
+    val cand = toks.stat.freqItems(Seq("t"), supportPct / 100.0)
+      .select(explode(col("t_freqItems")).as("t"))
+    toks.join(broadcast(cand), "t")
+      .groupBy("t").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") * lit(100L / supportPct) > lit(total))
+      .withColumn("frac", round(col("freq").cast("double") / lit(total.toDouble), 6))
+      .orderBy(col("freq").desc, col("t"))
+  }
+
+  val hitters = Q(
+    "t23_heavy_hitters",
+    (s, d) => heavyHitters(Tables.documents(s, d)),
+    Some("""WITH toks AS (
+              SELECT unnest(list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS t
+              FROM documents),
+            tot AS (SELECT count(*) AS n FROM toks)
+            SELECT t, count(*) AS freq,
+              round(CAST(count(*) AS DOUBLE) / CAST((SELECT n FROM tot) AS DOUBLE), 6) AS frac
+            FROM toks GROUP BY t
+            HAVING count(*) * 100 > (SELECT n FROM tot)
+            ORDER BY freq DESC, t"""))
+
   val all: Seq[Q] =
     Seq(grep, wordcount, tokenCount, quality, langid, fingerprint, winnow, tfidf,
       langidEval, chunk, cooccur, bigrams, perplexity, vocabGrowth, repetition,
-      novelty, pack, spectrum, scrub, qualityGate, bpeTrain, sourceProfile)
+      novelty, pack, spectrum, scrub, qualityGate, bpeTrain, sourceProfile,
+      hitters)
 }

@@ -551,6 +551,28 @@ class OperatorSpec extends SparkSpec {
     assert(out(3L)._1 == "dropped_duplicate", out.toString)
   }
 
+  test("t23 heavy hitters: sketch-then-verify equals brute force; candidates bounded") {
+    import spark.implicits._
+    // 'hot' is 30% of tokens, 'warm' exactly 2%; the cold tail is unique
+    // tokens. Strict threshold (freq*100 > total): hot and warm qualify,
+    // every cold token (1/1000 = 0.1%) must be culled even when the
+    // sketch sweep surfaces it as a false positive.
+    val n = 1000
+    val words = Seq.fill(300)("hot") ++ Seq.fill(20)("warm") ++
+      (1 to (n - 320)).map(i => s"cold$i")
+    val docs = words.grouped(50).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val got = TextOps.heavyHitters(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("hot", 300L), ("warm", 20L)), got.toString)
+    // The candidate sweep's contract: at most 1/support items reach the
+    // verify join (the broadcast-boundedness argument in PlanAudit).
+    val cand = docs.select(explode(graft.functions.TextFns.tokens(col("text"))).as("t"))
+      .stat.freqItems(Seq("t"), 0.01).select(explode(col("t_freqItems")))
+    assert(cand.count() <= 100, "freqItems exceeded its 1/support cap")
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString

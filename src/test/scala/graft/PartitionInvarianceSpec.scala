@@ -36,7 +36,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     "t22_source_profile",
     // p01 composes a window, a prefix scan, and a keyed join — each
     // geometry-sensitive if mis-keyed; the composition must stay exact.
-    "p01_corpus_pipeline")
+    "p01_corpus_pipeline",
+    // t23's freqItems CANDIDATES vary with partition layout (single-pass
+    // sketch merge); the exact verify pass must cull that variance so the
+    // OUTPUT is geometry-invariant — this is the gate proving it.
+    "t23_heavy_hitters")
 
   test("round-5/6 queries return identical rows at shuffle.partitions = 3 and 17") {
     val conf = spark.conf
