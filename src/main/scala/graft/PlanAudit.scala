@@ -27,9 +27,13 @@ object PlanAudit {
     *    design — a broadcast of 10 query rows against the corpus scan.
     *  - t08/t11: a 1-row `crossJoin(broadcast(<count>))` scalar attach —
     *    corpus × 1 row, map-side, benign.
+    *  - q31: the rate table build crossJoins the per-source totals
+    *    (source-count-sized, plateaus ~10^2-10^3 at any corpus size)
+    *    with the 1-row global-min aggregate — bounded × 1 row.
     */
   val bnljAllowlist: Set[String] =
-    Set("s01_ann_cosine_topk", "t08_tfidf_topterms", "t11_cooccur_pmi")
+    Set("s01_ann_cosine_topk", "t08_tfidf_topterms", "t11_cooccur_pmi",
+      "q31_temperature_mix")
 
   /** Tables that are corpus-/fact-scale at the 100 TB target — anything
     * derived from one of these is presumed unbounded unless the deriving

@@ -20,7 +20,9 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *  - q29/q30: funnel conversion (ordered within-user sequence matching
   *    via a running-max window; no events self-join), weekly cohort
   *    retention (user-keyed first-seen window + distinct actives).
-  *  - t01..t23: text query library (grep, wordcount, token counting,
+  *  - q31: temperature-balanced source mixing (mT5-style α=0.5) — rates
+  *    derived from measured per-source token mass, md5-bucket decisions.
+  *  - t01..t25: text query library (grep, wordcount, token counting,
   *    quality scoring, language-ID, fingerprinting, winnowing, TF-IDF,
   *    langid eval, context chunking, co-occurrence PMI, bigram LM,
   *    bigram perplexity quality filter, vocabulary growth, Gopher-style
@@ -28,12 +30,14 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    packing, token frequency spectrum, blocklist scrub, quality-gate
   *    cascade with per-rule flag bits, BPE merge-rule training,
   *    per-(source, lang) corpus profile, sketch-then-verify heavy
-  *    hitters).
-  *  - d01..d13: dedup & corpus hygiene (exact, MinHash-LSH, SimHash,
+  *    hitters, hashed-linear-model quality scoring, BPE corpus encoding
+  *    with the trained merge table).
+  *  - d01..d14: dedup & corpus hygiene (exact, MinHash-LSH, SimHash,
   *    n-gram Jaccard, embedding-cosine, connected-component clusters,
   *    keep-list, near-dup triangles, benchmark decontamination,
   *    incremental delta dedup, exact-substring repeated spans, near-dup
-  *    detector consensus, C4-style chunk scrub + reassembly).
+  *    detector consensus, C4-style chunk scrub + reassembly,
+  *    SemDeDup-style bucket-local semantic dedup).
   *  - s01..s08: similarity search (brute-force ANN, LSH-bucketed ANN,
   *    per-label centroid stats, IVF ANN, recall@k evaluation, int8
   *    quantization error audit, incremental IVF ingest serving state,

@@ -1234,7 +1234,103 @@ object Dedup {
                              FILTER (WHERE rn = 1), '')) AS cleaned_md5
             FROM flagged GROUP BY doc_id ORDER BY doc_id"""))
 
+  // --------------------------------------------------------- semantic dedup
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): bucket the
+    * embedding space coarsely, then within each bucket drop every document
+    * that is semantically near-identical to an EARLIER one, keeping the
+    * bucket's "leaders" as the corpus representatives. Where d05 REPORTS
+    * all near-dup pairs corpus-wide, this op makes the per-document KEEP
+    * DECISION the pipeline ships — the embedding-space counterpart of
+    * d07's fingerprint keep-list.
+    *
+    * Bucketing uses the s02 hyperplane signature (deterministic ±1 LCG
+    * coefficients — no trained state, so the DuckDB oracle reproduces the
+    * buckets bit-for-bit from the same integer formula). SemDeDup proper
+    * buckets with k-means; hyperplane sign-bits are the trained-state-free
+    * stand-in with the same contract: candidate comparisons only within a
+    * bucket, O(Σ bucket²) ≪ O(n²). `bits` scales with log(corpus): at
+    * 100 TB you raise it so expected bucket size stays bounded, and the
+    * one shuffle (self-join keyed by bucket) stays AQE-skew-splittable.
+    *
+    * Keep rule: doc b is dropped iff SOME a < b in the same bucket has
+    * round(cos(a,b),6) ≥ τ; `dominator` is the smallest such a. This is
+    * the non-iterative variant of SemDeDup's greedy sweep (greedy compares
+    * against KEPT docs only; they differ only on chains a~b~c where
+    * a̸~c — the τ-boundary case) — chosen because it is expressible as
+    * one join + agg in both engines, so the whole query hash-matches a
+    * plain SQL oracle instead of resting on a recall spec.
+    *
+    * Embeddings are cast to double BEFORE the signature dot so both
+    * engines run the identical IEEE arithmetic; cosine compares reuse
+    * d05's round-to-6-then-threshold contract.
+    */
+  def semanticDedup(spark: SparkSession, d: String,
+      threshold: Double = 0.35, bits: Int = 4): DataFrame = {
+    val dim = 64 // embeddings table vector dimension (TESTDATA.md)
+    val e = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("bucket", Similarity.hyperplaneSignature(dim, bits)(col("emb")))
+      .withColumn("nrm", VectorFns.norm(col("emb")))
+      // Three consumers (both join sides + the final left join) — eager
+      // materialization per the round-3 shared-subtree rule; repartition
+      // first so the single-file embeddings scan spreads across cores.
+      .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint()
+    val a = e.select(col("bucket"), col("vec_id").as("a"),
+      col("emb").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("bucket"), col("vec_id").as("b"),
+      col("emb").as("eb"), col("nrm").as("nb"))
+    val dominated = a.join(b, Seq("bucket"))
+      .filter(col("a") < col("b"))
+      .filter(round(VectorFns.dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+        >= threshold)
+      .groupBy(col("b").as("vec_id"))
+      .agg(min(col("a")).as("dominator"))
+    e.select("vec_id", "bucket")
+      .join(dominated, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("bucket"), col("dominator"),
+        col("dominator").isNull.as("kept"))
+      .orderBy("vec_id")
+  }
+
+  val semantic = Q(
+    "d14_semantic_dedup",
+    (s, d) => semanticDedup(s, d),
+    Some("""WITH planes AS (
+              SELECT b, i,
+                CASE WHEN ((b * 1315423911 + i * 2654435761 + 97531) % 1000003) % 2 = 0
+                     THEN 1.0 ELSE -1.0 END AS w
+              FROM range(0, 4) t1(b), range(0, 64) t2(i)),
+            vec AS (
+              SELECT vec_id,
+                CAST(generate_subscripts(embedding, 1) AS BIGINT) - 1 AS i,
+                unnest(CAST(embedding AS DOUBLE[])) AS x
+              FROM embeddings),
+            dots AS (
+              SELECT v.vec_id, p.b, sum(v.x * p.w) AS dp
+              FROM vec v JOIN planes p ON p.i = v.i
+              GROUP BY v.vec_id, p.b),
+            sig AS (
+              SELECT vec_id,
+                CAST(sum(CASE WHEN dp >= 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS bucket
+              FROM dots GROUP BY vec_id),
+            pairs AS (
+              SELECT s1.vec_id AS a, s2.vec_id AS b
+              FROM sig s1
+              JOIN sig s2 ON s1.bucket = s2.bucket AND s1.vec_id < s2.vec_id
+              JOIN embeddings ea ON ea.vec_id = s1.vec_id
+              JOIN embeddings eb ON eb.vec_id = s2.vec_id
+              WHERE round(list_cosine_similarity(
+                      CAST(ea.embedding AS DOUBLE[]),
+                      CAST(eb.embedding AS DOUBLE[])), 6) >= 0.35),
+            dom AS (
+              SELECT b AS vec_id, min(a) AS dominator FROM pairs GROUP BY b)
+            SELECT s.vec_id, s.bucket, d.dominator,
+                   (d.dominator IS NULL) AS kept
+            FROM sig s LEFT JOIN dom d USING (vec_id)
+            ORDER BY vec_id"""))
+
   val all: Seq[Q] =
     Seq(exact, minhash, simhash, ngramJaccard, embedding, clusters, keep, triangles,
-      decontam, incremental, repeated, consensus, chunkDedup)
+      decontam, incremental, repeated, consensus, chunkDedup, semantic)
 }

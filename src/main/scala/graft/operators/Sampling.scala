@@ -127,5 +127,78 @@ object Sampling {
             GROUP BY source
             ORDER BY source"""))
 
-  val all: Seq[Q] = Seq(hashSample, stratifiedSample, weightedMix)
+  /** Temperature-balanced source mixing (mT5 / multilingual-pretraining
+    * style, α = 0.5): sampling rates are DERIVED FROM MEASURED corpus
+    * statistics instead of q28's fixed weight table — sample source s at
+    * rate √(n_min / n_s) of its token mass, so over-represented sources
+    * are suppressed toward the α-tempered distribution p_s ∝ n_s^0.5
+    * while the smallest source passes through whole. Two keyed aggs
+    * (per-source token totals → rate table, source-count-sized) and one
+    * rate join the optimizer broadcasts on its own (d09's no-hint rule);
+    * the per-doc keep decision is the same md5-bucket device as
+    * q23/q28 at 10⁻⁶ granularity — deterministic, partition-invariant,
+    * re-derivable.
+    *
+    * α = 0.5 is deliberately √: IEEE sqrt and division are correctly
+    * rounded in BOTH engines, so `cut = floor(√(n_min/n_s)·10⁶)` is
+    * bit-identical to the DuckDB oracle with NO fp boundary (a general
+    * `pow(x, α)` is not correctly rounded and could disagree in the last
+    * ulp exactly at a bucket cutoff). The audit emits per-source docs,
+    * token mass, the applied rate, and how many docs the tempered
+    * sample kept.
+    */
+  val temperatureMix = Q(
+    "q31_temperature_mix",
+    (s, d) => {
+      import graft.functions.TextFns.tokens
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(tokens(col("text"))).cast("long").as("n_toks"))
+      val totals = docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("src_tokens"))
+      val mn = totals.agg(min("src_tokens").as("min_tokens"))
+      val rates = totals.crossJoin(mn)
+        .withColumn("rate",
+          sqrt(col("min_tokens").cast("double") / col("src_tokens").cast("double")))
+        .withColumn("cut", floor(col("rate") * 1000000.0).cast("long"))
+      val bucket1M =
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 1000000L
+      docs.join(rates, Seq("source"))
+        .withColumn("sampled",
+          when(bucket1M < col("cut"), 1L).otherwise(0L))
+        .groupBy("source")
+        .agg(
+          first("n_docs").as("n_docs"),
+          first("src_tokens").as("src_tokens"),
+          round(first("rate"), 6).as("rate"),
+          sum("sampled").as("n_sampled"))
+        .orderBy("source")
+    },
+    Some("""WITH docs AS (
+              SELECT doc_id, source,
+                CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                     t -> t <> '')) AS BIGINT) AS n_toks
+              FROM documents),
+            totals AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(n_toks) AS BIGINT) AS src_tokens
+              FROM docs GROUP BY source),
+            mn AS (SELECT min(src_tokens) AS min_tokens FROM totals),
+            rates AS (
+              SELECT source, n_docs, src_tokens,
+                sqrt(CAST(min_tokens AS DOUBLE) / CAST(src_tokens AS DOUBLE)) AS rate,
+                CAST(floor(sqrt(CAST(min_tokens AS DOUBLE) / CAST(src_tokens AS DOUBLE))
+                           * 1000000.0) AS BIGINT) AS cut
+              FROM totals, mn)
+            SELECT source, n_docs, src_tokens,
+              round(rate, 6) AS rate,
+              CAST(sum(CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                              % 1000000 < cut
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+            FROM docs d JOIN rates r USING (source)
+            GROUP BY source, n_docs, src_tokens, rate
+            ORDER BY source"""))
+
+  val all: Seq[Q] = Seq(hashSample, stratifiedSample, weightedMix, temperatureMix)
 }

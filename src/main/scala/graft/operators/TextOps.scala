@@ -980,9 +980,140 @@ object TextOps {
             HAVING count(*) * 100 > (SELECT n FROM tot)
             ORDER BY freq DESC, t"""))
 
+  // ---------------------------------------------- model-based quality score
+  /** Model-based quality scoring — the fastText-style hashed linear
+    * classifier every modern curation stack runs next to the heuristic
+    * gates (t04/t20 are rule-based; CCNet/DCLM/FineWeb-Edu all ALSO score
+    * with a learned linear model over hashed bag-of-words features). The
+    * plan is the production shape: tokenize, hash each token into a
+    * 1024-bucket feature space (the hashing trick — vocabulary-free, so
+    * the model is a fixed-size array at any corpus size), look up the
+    * bucket's weight, sum per document, threshold. Map-only until the
+    * per-doc keyed agg (map-side partials); the "model" costs zero
+    * shuffle and zero broadcast because a hashed weight table is a pure
+    * function of the bucket id.
+    *
+    * Weights here are a deterministic LCG stand-in for offline-trained
+    * parameters (same device as the s02 hyperplanes) held in integer
+    * MILLI units: the per-doc sum is exact BIGINT arithmetic in both
+    * engines, so the keep decision (`score_milli > 0`) has no fp
+    * boundary and the query hash-matches a plain SQL oracle. In
+    * production the lit-array would be the trained vector; swapping it
+    * changes no plan shape.
+    */
+  val classifierScore = Q(
+    "t24_classifier_score",
+    (s, d) => {
+      val bucket = conv(substring(md5(col("w")), 1, 8), 16, 10)
+        .cast("long") % 1024L
+      // w_milli ∈ [-1000, 1000]: LCG over the bucket id, integer end-to-end.
+      val wMilli = (col("bucket") * lit(2654435761L) + lit(40503L)) % lit(1000003L) % lit(2001L) - lit(1000L)
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .withColumn("bucket", bucket)
+        .withColumn("w_milli", wMilli)
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum("w_milli").as("score_milli"))
+        .select(
+          col("doc_id"), col("n_tokens"), col("score_milli"),
+          round(col("score_milli").cast("double") / (col("n_tokens").cast("double") * 1000.0), 6).as("score"),
+          (col("score_milli") > 0L).as("keep"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, unnest(list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS w
+              FROM documents),
+            feat AS (
+              SELECT doc_id,
+                CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 1024 AS bucket
+              FROM toks),
+            wts AS (
+              SELECT doc_id,
+                (bucket * 2654435761 + 40503) % 1000003 % 2001 - 1000 AS w_milli
+              FROM feat),
+            agg AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                     CAST(sum(w_milli) AS BIGINT) AS score_milli
+              FROM wts GROUP BY doc_id)
+            SELECT doc_id, n_tokens, score_milli,
+              round(CAST(score_milli AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1000.0), 6) AS score,
+              (score_milli > 0) AS keep
+            FROM agg ORDER BY doc_id"""))
+
+  // --------------------------------------------------------- BPE encoding
+  /** Encode every document with a trained BPE merge table — the APPLY half
+    * of the tokenizer loop (t21 trains the merges; this op consumes the
+    * artifact, exactly as a production pipeline tokenizes with a shipped
+    * `merges.txt`). The merge fold (chars of a token, then each (l, r)
+    * rule collapsed greedily left-to-right — the trainer's own apply
+    * rule) runs ONCE PER DISTINCT WORD, not once per occurrence: a
+    * corpus tokenizes as (doc_id, word, n_occ) with map-side combine,
+    * the distinct vocabulary gets its symbol counts from the fold, and a
+    * word-keyed join carries them back. Distinct unigrams plateau by
+    * Heaps' law (~10^7 at 100 TB — the t08/t11 boundedness argument)
+    * while occurrences grow linearly, so the expensive interpreted
+    * higher-order fold touches a vanishing fraction of the corpus; this
+    * is the same word-level memoization HF tokenizers ship as their
+    * encode cache. First measurement of the naive per-occurrence fold:
+    * 22.6 s at sf0.1; this shape: ~1 s.
+    *
+    * Iterative-trainer provenance makes this rows-only in the driver gate
+    * (same contract as t21); `OperatorSpec` asserts the distributed
+    * encoding equals a sequential reference encoder token-for-token on a
+    * planted corpus and that symbol counts are monotone non-increasing in
+    * the number of merges applied.
+    */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    // chars(w): one-char symbols of a word; then fold each (l, r) merge.
+    // Symbols are [a-z0-9]+ so inlining them in the expr is safe.
+    val base = "filter(split(w, ''), s -> s <> '')"
+    val folded = merges.foldLeft(base) { case (acc, (l, r)) =>
+      s"""aggregate($acc, cast(array() as array<string>), (a, s) ->
+          CASE WHEN size(a) > 0 AND element_at(a, size(a)) = '$l' AND s = '$r'
+               THEN concat(slice(a, 1, size(a) - 1), array('$l$r'))
+               ELSE concat(a, array(s)) END)"""
+    }
+    // (doc_id, word, n_occ): ONE shuffle with map-side combine — the
+    // shuffle carries per-doc distinct words, not raw occurrences.
+    // Two consumers (join probe + vocabulary build) → materialize once
+    // per the round-3 shared-subtree rule.
+    val occ = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("n_occ"))
+      .localCheckpoint()
+    val vocabSyms = occ.select("w").distinct()
+      .withColumn("n_syms", size(expr(folded)).cast("long"))
+    // Vocabulary-sized build side — AQE broadcasts it at test SFs and
+    // degrades to a word-keyed shuffle join if a corpus outgrows that
+    // (the t12/t13 no-hint rule).
+    occ.join(vocabSyms, "w")
+      .groupBy("doc_id")
+      .agg(
+        sum("n_occ").as("n_tokens"),
+        sum(col("n_occ") * col("n_syms")).as("n_symbols"))
+      .withColumn("symbols_per_token",
+        round(col("n_symbols").cast("double") / col("n_tokens").cast("double"), 6))
+      .orderBy("doc_id")
+  }
+
+  val bpeApply = Q(
+    "t25_bpe_encode",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      // Train-then-encode: the merge table is t21's own output (bounded:
+      // nMerges rows), so the two queries ship one consistent tokenizer.
+      val merges = bpeMerges(docs, 8).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      bpeEncode(docs, merges)
+    },
+    None)
+
   val all: Seq[Q] =
     Seq(grep, wordcount, tokenCount, quality, langid, fingerprint, winnow, tfidf,
       langidEval, chunk, cooccur, bigrams, perplexity, vocabGrowth, repetition,
       novelty, pack, spectrum, scrub, qualityGate, bpeTrain, sourceProfile,
-      hitters)
+      hitters, classifierScore, bpeApply)
 }

@@ -27,7 +27,8 @@ class OperatorSpec extends SparkSpec {
       "s02_ann_lsh_bucketed", "s04_ann_ivf", "s05_ann_recall",
       "s07_ann_ivf_append", "s08_ann_pq",
       "q15_approx_distinct", "q27_percentile_sketch",
-      "t21_bpe_merges") // iterative arg-max: merge i depends on 1..i-1
+      "t21_bpe_merges", // iterative arg-max: merge i depends on 1..i-1
+      "t25_bpe_encode") // consumes t21's iteratively-trained merge table
     assert(SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet) == rowsOnly)
   }
 
@@ -617,6 +618,110 @@ class OperatorSpec extends SparkSpec {
       .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
     assert(tri.head == (("a", "a", 4L)), s"first merge wrong: $tri")
     assert(tri(1) == (("aa", "a", 2L)), s"greedy overlap handling wrong: $tri")
+  }
+
+  test("t25 BPE encode equals a sequential reference encoder; counts monotone in merges") {
+    import spark.implicits._
+    // Sequential reference: chars of each token, then each merge folded
+    // greedily left-to-right — the trainer's own apply rule.
+    def encodeRef(text: String, merges: Seq[(String, String)]): Seq[String] = {
+      val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+      toks.flatMap { t =>
+        merges.foldLeft(t.map(_.toString)) { case (syms, (l, r)) =>
+          syms.foldLeft(Vector.empty[String]) { (acc, s) =>
+            if (acc.nonEmpty && acc.last == l && s == r)
+              acc.init :+ (l + r)
+            else acc :+ s
+          }
+        }
+      }
+    }
+    val corpus = Seq(
+      (1L, "aaab aaab aab"), (2L, "the cat sat on the mat"),
+      (3L, "aaa aaa banana"), (4L, "abababab"))
+    val docs = corpus.toDF("doc_id", "text")
+    val merges = TextOps.bpeMerges(docs, 6).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val got = TextOps.bpeEncode(docs, merges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    corpus.foreach { case (id, text) =>
+      val ref = encodeRef(text, merges)
+      assert(got(id)._2 == ref.size.toLong,
+        s"doc $id: distributed n_symbols ${got(id)._2} != reference ${ref.size} ($ref)")
+    }
+    // Monotonicity: each extra merge can only shrink (or keep) the count.
+    val prefixCounts = (0 to merges.size).map { k =>
+      TextOps.bpeEncode(docs, merges.take(k)).agg(sum("n_symbols")).head.getLong(0)
+    }
+    assert(prefixCounts.zip(prefixCounts.tail).forall { case (a, b) => b <= a },
+      s"symbol counts not monotone non-increasing: $prefixCounts")
+    // Zero merges = character count of the tokens.
+    val nChars = corpus.map(_._2.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      .map(_.length).sum).sum
+    assert(prefixCounts.head == nChars.toLong)
+  }
+
+  test("d14 semantic dedup agrees with a brute-force sweep of its keep rule") {
+    import graft.functions.VectorFns
+    // Brute force at sf0.001: recompute bucket + dominated-by-earlier with
+    // plain Scala over collected vectors and compare decision-for-decision.
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    def coeff(b: Int, i: Int): Double = {
+      val x = (b.toLong * 1315423911L + i.toLong * 2654435761L + 97531L) % 1000003L
+      if ((x & 1L) == 0L) 1.0 else -1.0
+    }
+    def bucketOf(v: Array[Double]): Long =
+      (0 until 4).map { b =>
+        val dp = v.indices.foldLeft(0.0)((acc, i) => acc + v(i) * coeff(b, i))
+        if (dp >= 0) 1L << b else 0L
+      }.sum
+    def cos6(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+      val c = dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val buckets = e.map { case (id, v) => id -> bucketOf(v) }.toMap
+    val expect = e.map { case (id, v) =>
+      val dom = e.filter { case (a, va) =>
+        a < id && buckets(a) == buckets(id) && cos6(va, v) >= 0.35
+      }.map(_._1)
+      id -> (if (dom.isEmpty) None else Some(dom.min))
+    }.toMap
+    val got = Dedup.semanticDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getBoolean(3))).toMap
+    assert(got.size == e.length)
+    e.foreach { case (id, _) =>
+      assert(got(id)._1 == buckets(id), s"vec $id bucket mismatch")
+      assert(got(id)._2 == expect(id), s"vec $id dominator mismatch: " +
+        s"got ${got(id)._2}, brute-force ${expect(id)}")
+      assert(got(id)._3 == expect(id).isEmpty, s"vec $id kept flag wrong")
+    }
+    // The op must actually deduplicate something at this SF.
+    assert(got.values.exists(!_._3), "no document was dropped — threshold inert")
+  }
+
+  test("q31 temperature mix: smallest source passes whole, rates in (0,1], suppression ordered") {
+    val rows = operators.Sampling.temperatureMix.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    val minTok = rows.map(_._3).min
+    rows.foreach { case (src, nDocs, toks, rate, sampled) =>
+      assert(rate > 0.0 && rate <= 1.0, s"$src rate $rate out of range")
+      assert(sampled <= nDocs, s"$src sampled more than exists")
+      // rate must be exactly sqrt(min/n) rounded to 6.
+      val want = BigDecimal(math.sqrt(minTok.toDouble / toks.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(rate == want, s"$src rate $rate != $want")
+    }
+    assert(rows.filter(_._3 == minTok).forall(_._4 == 1.0),
+      "smallest source must sample at rate 1.0")
+    // More tokens -> lower (or equal) rate: the tempering is monotone.
+    val sorted = rows.sortBy(_._3)
+    assert(sorted.zip(sorted.tail).forall { case (a, b) => b._4 <= a._4 },
+      "rates must be non-increasing in token mass")
   }
 
   test("t22 source profile is consistent with t20's gate and the corpus totals") {

@@ -40,7 +40,16 @@ class PartitionInvarianceSpec extends SparkSpec {
     // t23's freqItems CANDIDATES vary with partition layout (single-pass
     // sketch merge); the exact verify pass must cull that variance so the
     // OUTPUT is geometry-invariant — this is the gate proving it.
-    "t23_heavy_hitters")
+    "t23_heavy_hitters",
+    // Round-6 second wave: d14's bucket self-join + min-dominator agg must
+    // pick the same dominator at any geometry (exact integer min over a
+    // deterministic pair set); t24's per-doc weight sum is exact BIGINT
+    // arithmetic (the integer-milli design exists so reduce order CANNOT
+    // matter — this is the gate proving it); t25 composes the t21 trainer
+    // (already gated) with a map-only encode; q31's rates derive from
+    // exact token totals and the keep decision is md5-bucketed.
+    "d14_semantic_dedup", "t24_classifier_score", "t25_bpe_encode",
+    "q31_temperature_mix")
 
   test("round-5/6 queries return identical rows at shuffle.partitions = 3 and 17") {
     val conf = spark.conf
