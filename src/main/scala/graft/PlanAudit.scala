@@ -23,17 +23,20 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
 object PlanAudit {
 
   /** Queries whose BroadcastNestedLoopJoin is deliberate:
-    *  - s01: the exact ANN baseline scores every (query, corpus) pair by
-    *    design — a broadcast of 10 query rows against the corpus scan.
+    *  - s01/s09: the exact ANN baseline and the exact radius search score
+    *    every (query, corpus) pair by design — a broadcast of 10 query
+    *    rows against the corpus scan.
     *  - t08/t11: a 1-row `crossJoin(broadcast(<count>))` scalar attach —
     *    corpus × 1 row, map-side, benign.
     *  - q31: the rate table build crossJoins the per-source totals
     *    (source-count-sized, plateaus ~10^2-10^3 at any corpus size)
     *    with the 1-row global-min aggregate — bounded × 1 row.
+    *  - t27: the 512-row hashed-bucket model crossJoins its 1-row totals
+    *    aggregate — fixed-size × 1 row.
     */
   val bnljAllowlist: Set[String] =
-    Set("s01_ann_cosine_topk", "t08_tfidf_topterms", "t11_cooccur_pmi",
-      "q31_temperature_mix")
+    Set("s01_ann_cosine_topk", "s09_radius_search", "t08_tfidf_topterms",
+      "t11_cooccur_pmi", "t27_dsir_importance", "q31_temperature_mix")
 
   /** Tables that are corpus-/fact-scale at the 100 TB target — anything
     * derived from one of these is presumed unbounded unless the deriving
@@ -61,6 +64,7 @@ object PlanAudit {
       "keyed off it; the persisted corpus index is probed map-side by " +
       "construction"),
     "s01_ann_cosine_topk" -> "probe side is a LIMIT-10 query set",
+    "s09_radius_search" -> "probe side is a LIMIT-10 query set",
     "s02_ann_lsh_bucketed" -> "probe side is a LIMIT-10 query set",
     "s04_ann_ivf" -> "probe side is a LIMIT-10 query set",
     "s08_ann_pq" -> ("hinted relation is the vec_id < nQueries query set " +

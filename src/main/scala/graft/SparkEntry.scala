@@ -22,7 +22,7 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    retention (user-keyed first-seen window + distinct actives).
   *  - q31: temperature-balanced source mixing (mT5-style α=0.5) — rates
   *    derived from measured per-source token mass, md5-bucket decisions.
-  *  - t01..t25: text query library (grep, wordcount, token counting,
+  *  - t01..t27: text query library (grep, wordcount, token counting,
   *    quality scoring, language-ID, fingerprinting, winnowing, TF-IDF,
   *    langid eval, context chunking, co-occurrence PMI, bigram LM,
   *    bigram perplexity quality filter, vocabulary growth, Gopher-style
@@ -31,20 +31,23 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    cascade with per-rule flag bits, BPE merge-rule training,
   *    per-(source, lang) corpus profile, sketch-then-verify heavy
   *    hitters, hashed-linear-model quality scoring, BPE corpus encoding
-  *    with the trained merge table).
+  *    with the trained merge table, Unicode NFC normalization audit via
+  *    the native nfc_norm expression, DSIR-style hashed-unigram
+  *    importance weighting with a corpus-learned bucket model).
   *  - d01..d14: dedup & corpus hygiene (exact, MinHash-LSH, SimHash,
   *    n-gram Jaccard, embedding-cosine, connected-component clusters,
   *    keep-list, near-dup triangles, benchmark decontamination,
   *    incremental delta dedup, exact-substring repeated spans, near-dup
   *    detector consensus, C4-style chunk scrub + reassembly,
   *    SemDeDup-style bucket-local semantic dedup).
-  *  - s01..s08: similarity search (brute-force ANN, LSH-bucketed ANN,
+  *  - s01..s09: similarity search (brute-force ANN, LSH-bucketed ANN,
   *    per-label centroid stats, IVF ANN, recall@k evaluation, int8
   *    quantization error audit, incremental IVF ingest serving state,
-  *    PQ-ADC with exact rerank).
-  *  - m01..m06: multimodal binary-column plumbing (metadata, stub-decode
+  *    PQ-ADC with exact rerank, exact cosine radius search).
+  *  - m01..m07: multimodal binary-column plumbing (metadata, stub-decode
   *    features, frame sampling, strided resize, windowed frame energy,
-  *    perceptual-hash near-dup pairs; binaryFile ingest in Multimodal).
+  *    perceptual-hash near-dup pairs, scene-change detection over frame
+  *    energies; binaryFile ingest in Multimodal).
   *  - p01: the composed curation pipeline (gate → dedup-among-survivors →
   *    sequence packing) emitting every document's final disposition and
   *    packed window range — the lineage record of a training-data run.

@@ -369,6 +369,76 @@ object Multimodal {
                 ON x.c = y.c AND x.ck = y.ck AND x.doc_id < y.doc_id)
             SELECT a, b, hamming FROM pairs WHERE hamming <= 14 ORDER BY a, b"""))
 
+  /** Scene-change (shot-boundary) detection — the video-curation step
+    * that segments a stream into shots before frame sampling (m03 samples
+    * uniformly; a real pipeline samples per-shot). A cut is a frame whose
+    * energy jumps by more than `minJump` against the previous frame —
+    * the classic intensity-delta detector, over m05's frame-energy
+    * layout (stride-16 windows of the payload-as-samples stub; a real
+    * decoder swaps in at the window step, dataflow unchanged).
+    *
+    * Per-doc output: frames, cuts (≈ shots−1), first cut position, and
+    * the largest jump — the shot-structure record a sampler consumes.
+    *
+    * Scale shape: the lag window and the aggregate are both keyed by
+    * doc_id (frames-per-media rows per key, no global window — PlanAudit
+    * enforces); one shuffle total. Float discipline: full frames'
+    * energies are exact multiples of 1/32 (integer sum / power of two)
+    * and tail-frame divisions are single correctly-rounded IEEE ops on
+    * identical operands, so the jump compare needs no rounding grid —
+    * both engines see bit-identical doubles (m05's hash-green check is
+    * the proof); only the OUTPUT max_jump is rounded, per the fp-noise
+    * rule.
+    */
+  def sceneCuts(docs: DataFrame, minJump: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = docs
+      .filter(length(col("text")) > 0)
+      .select(
+        col("doc_id"),
+        explode(sequence(
+          lit(1), greatest(length(col("text")) - lit(31), lit(1)), lit(16))).as("start"),
+        col("text"))
+      .select(col("doc_id"), col("start").cast("long").as("start"),
+        expr("byte_energy(substr(text, start, 32))").as("energy"))
+    val byPos = Window.partitionBy("doc_id").orderBy("start")
+    frames
+      .withColumn("jump", abs(col("energy") - lag("energy", 1).over(byPos)))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_frames"),
+        sum(when(col("jump") > minJump, 1L).otherwise(0L)).as("n_cuts"),
+        min(when(col("jump") > minJump, col("start"))).as("first_cut"),
+        round(max(col("jump")), 6).as("max_jump"))
+      .orderBy("doc_id")
+  }
+
+  val scenes = Q(
+    "m07_scene_cuts",
+    (s, d) => sceneCuts(Tables.documents(s, d), 800.0),
+    Some("""WITH chars AS (
+              SELECT doc_id, i, ord(substr(text, CAST(i AS INT), 1)) AS b
+              FROM documents, UNNEST(range(1, length(text) + 1)) AS r(i)),
+            starts AS (
+              SELECT doc_id, unnest(range(1, greatest(length(text) - 31, 1) + 1, 16)) AS start
+              FROM documents WHERE length(text) > 0),
+            frames AS (
+              SELECT s.doc_id, CAST(s.start AS BIGINT) AS start,
+                     sum(c.b * c.b) * 1.0 / count(*) AS energy
+              FROM starts s JOIN chars c
+                ON c.doc_id = s.doc_id AND c.i >= s.start AND c.i < s.start + 32
+              GROUP BY 1, 2),
+            jumps AS (
+              SELECT doc_id, start,
+                abs(energy - lag(energy) OVER (PARTITION BY doc_id ORDER BY start)) AS jump
+              FROM frames)
+            SELECT doc_id, count(*) AS n_frames,
+              CAST(sum(CASE WHEN jump > 800.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+              min(CASE WHEN jump > 800.0 THEN start END) AS first_cut,
+              round(max(jump), 6) AS max_jump
+            FROM jumps GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Q] =
-    Seq(mediaMeta, mediaFeatures, frameSample, mediaResize, frameEnergy, mediaNeardup)
+    Seq(mediaMeta, mediaFeatures, frameSample, mediaResize, frameEnergy, mediaNeardup,
+      scenes)
 }

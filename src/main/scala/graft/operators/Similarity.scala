@@ -692,6 +692,49 @@ object Similarity {
                    round(max(rmse), 6) AS max_rmse
             FROM err GROUP BY label ORDER BY label"""))
 
+  /** Exact cosine RADIUS search (range query): every corpus vector within
+    * a similarity threshold of each query — the "find all near-matches"
+    * serving primitive next to s01's top-k (retrieval wants k best;
+    * moderation/claim-matching wants *all* above a floor, however many).
+    *
+    * Same plan spine as s01 — broadcast the literal-bounded query set,
+    * ONE streaming corpus pass, no corpus self-join — but no window at
+    * all: a radius query needs no rank, so the per-query top-k shuffle
+    * disappears and the filter runs map-side inside the scan stage.
+    * Output is (query, match) pairs; at 100 TB it is a single pass whose
+    * output is bounded by how many true near-matches exist (the
+    * operator's contract, not a plan risk).
+    *
+    * Boundary discipline (d05's): the threshold compares the ROUNDED
+    * cosine, so the keep decision sits on a 6-decimal grid both engines
+    * agree on — no raw-double boundary flake.
+    */
+  def radiusSearch(spark: SparkSession, d: String, nQueries: Int,
+      minSim: Double): DataFrame = {
+    val e = Tables.embeddings(spark, d)
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val corpus = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+    corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qe"), col("ne")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= minSim)
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  val radius = Q(
+    "s09_radius_search",
+    (s, d) => radiusSearch(s, d, 10, 0.25),
+    Some("""SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+              round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                           CAST(n.embedding AS DOUBLE[])), 6) AS cos_sim
+            FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+            WHERE q.vec_id < 10
+              AND round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                               CAST(n.embedding AS DOUBLE[])), 6) >= 0.25
+            ORDER BY query_id, neighbor_id"""))
+
   val all: Seq[Q] =
-    Seq(annBruteForce, annLsh, centroids, annIvf, annRecall, quantError, annAppend, annPq)
+    Seq(annBruteForce, annLsh, centroids, annIvf, annRecall, quantError, annAppend,
+      annPq, radius)
 }

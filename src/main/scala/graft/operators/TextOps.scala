@@ -1111,9 +1111,132 @@ object TextOps {
     },
     None)
 
+  // ------------------------------------------------- Unicode normalization
+  /** Unicode NFC normalization audit — the first transform of every text
+    * ingestion pipeline (mixed-provenance corpora carry é as both
+    * precomposed U+00E9 and decomposed e+U+0301; dedup, fingerprints and
+    * tokenization all fracture unless forms are unified first). Runs the
+    * native codegen'd `nfc_norm` expression ([[graft.functions.NfcNormalize]]
+    * — JDK UAX #15 normalizer behind an ASCII fast path that never leaves
+    * the byte scan) and emits each document's normalization record:
+    * normalized-text digest, whether anything changed, and the codepoint
+    * delta. Map-only, no shuffle before the output ordering.
+    *
+    * The oracle runs DuckDB's `nfc_normalize` (utf8proc) — two independent
+    * UAX #15 implementations hash-agreeing on every document. The test
+    * corpus is ASCII (changed = false throughout), so the non-trivial
+    * composition behavior is spec-asserted on planted NFD/mixed strings
+    * (`OperatorSpec` "t26"), where the expression must compose e+COMBINING
+    * ACUTE into U+00E9 while leaving compatibility codepoints (ﬁ, ²) alone.
+    */
+  val nfcAudit = Q(
+    "t26_nfc_normalize",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          md5(expr("nfc_norm(text)")).as("norm_md5"),
+          (expr("nfc_norm(text)") =!= col("text")).as("changed"),
+          (length(expr("nfc_norm(text)")) - length(col("text")))
+            .cast("long").as("len_delta"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, md5(nfc_normalize(text)) AS norm_md5,
+              nfc_normalize(text) <> text AS changed,
+              CAST(length(nfc_normalize(text)) - length(text) AS BIGINT) AS len_delta
+            FROM documents ORDER BY doc_id"""))
+
+  // ----------------------------------------------- DSIR importance weights
+  /** DSIR-style importance weighting (Xie et al. 2023): score every
+    * document by how much more likely its hashed-unigram features are
+    * under a TARGET distribution (here the 'src0' slice — in production,
+    * a high-quality seed corpus) than under the RAW corpus — the
+    * data-selection step that upsamples domain-relevant text before
+    * pretraining. Weight = Σ_f cnt_f · log(p̂_target(f)/p̂_raw(f)) with
+    * add-1 smoothing over B=512 hashed buckets.
+    *
+    * Both n-gram language models are LEARNED FROM THE DATA in the same
+    * job (unlike t24's fixed weight vector): one tokenize pass builds the
+    * per-(doc, bucket) feature counts, the bucket-keyed rollup of that
+    * same table is the raw model, and its 'src0'-restricted sum is the
+    * target model — the corpus is never re-read or re-tokenized.
+    *
+    * Scale shape: feature counts are ONE shuffle with map-side combine
+    * (rows ≤ docs × 512, materialized once for its two consumers — the
+    * model rollup and the scoring join); the bucket model is 512 rows
+    * (crossJoin with the 1-row totals is bounded×1, q31's allowlisted
+    * shape); the scoring join's build side is 512 rows (AQE broadcasts —
+    * no hint, the t12/t13 rule). Float discipline: the log-ratio is
+    * quantized to integer MILLI-nats per bucket (floor(x·1000+0.5) —
+    * portable round-half-up, t24's device), so the per-doc sum is exact
+    * BIGINT in both engines and the hash can't drift on summation order.
+    */
+  val dsirWeights = Q(
+    "t27_dsir_importance",
+    (s, d) => {
+      val bucket = conv(substring(md5(col("w")), 1, 8), 16, 10)
+        .cast("long") % 512L
+      val feat = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("w"))
+        .withColumn("bucket", bucket)
+        .groupBy("doc_id", "source", "bucket")
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val model = feat.groupBy("bucket").agg(
+        sum("cnt").as("rc"),
+        sum(when(col("source") === "src0", col("cnt")).otherwise(0L)).as("tc"))
+      val totals = model.agg(
+        sum("rc").as("r_total"), sum("tc").as("t_total"))
+      val wts = model.crossJoin(totals)
+        .select(col("bucket"),
+          floor(
+            (log((col("tc") + lit(1.0)) / (col("t_total") + lit(512.0)))
+              - log((col("rc") + lit(1.0)) / (col("r_total") + lit(512.0))))
+              * lit(1000.0) + lit(0.5)).cast("long").as("lr_milli"))
+      feat.join(wts, "bucket")
+        .groupBy("doc_id")
+        .agg(
+          sum("cnt").as("n_tokens"),
+          sum(col("cnt") * col("lr_milli")).as("weight_milli"))
+        .select(
+          col("doc_id"), col("n_tokens"), col("weight_milli"),
+          round(col("weight_milli").cast("double")
+            / (col("n_tokens").cast("double") * 1000.0), 6).as("w_per_tok"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, source,
+                CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 512 AS bucket
+              FROM (SELECT doc_id, source, unnest(list_filter(
+                      regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                      t -> t <> '')) AS w
+                    FROM documents)),
+            feat AS (
+              SELECT doc_id, source, bucket, CAST(count(*) AS BIGINT) AS cnt
+              FROM toks GROUP BY doc_id, source, bucket),
+            model AS (
+              SELECT bucket, CAST(sum(cnt) AS BIGINT) AS rc,
+                     CAST(sum(CASE WHEN source = 'src0' THEN cnt ELSE 0 END) AS BIGINT) AS tc
+              FROM feat GROUP BY bucket),
+            tot AS (
+              SELECT CAST(sum(rc) AS BIGINT) AS r_total,
+                     CAST(sum(tc) AS BIGINT) AS t_total
+              FROM model),
+            wts AS (
+              SELECT bucket,
+                CAST(floor((ln((tc + 1.0) / (t_total + 512.0))
+                            - ln((rc + 1.0) / (r_total + 512.0)))
+                           * 1000.0 + 0.5) AS BIGINT) AS lr_milli
+              FROM model, tot)
+            SELECT f.doc_id, CAST(sum(f.cnt) AS BIGINT) AS n_tokens,
+              CAST(sum(f.cnt * w.lr_milli) AS BIGINT) AS weight_milli,
+              round(CAST(sum(f.cnt * w.lr_milli) AS DOUBLE)
+                    / (CAST(sum(f.cnt) AS DOUBLE) * 1000.0), 6) AS w_per_tok
+            FROM feat f JOIN wts w USING (bucket)
+            GROUP BY f.doc_id ORDER BY f.doc_id"""))
+
   val all: Seq[Q] =
     Seq(grep, wordcount, tokenCount, quality, langid, fingerprint, winnow, tfidf,
       langidEval, chunk, cooccur, bigrams, perplexity, vocabGrowth, repetition,
       novelty, pack, spectrum, scrub, qualityGate, bpeTrain, sourceProfile,
-      hitters, classifierScore, bpeApply)
+      hitters, classifierScore, bpeApply, nfcAudit, dsirWeights)
 }

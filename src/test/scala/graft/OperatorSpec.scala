@@ -724,6 +724,84 @@ class OperatorSpec extends SparkSpec {
       "rates must be non-increasing in token mass")
   }
 
+  test("t26 nfc_norm composes planted NFD text and leaves ASCII/compatibility forms alone") {
+    import spark.implicits._
+    val planted = Seq(
+      "plain ascii stays",          // ASCII fast path
+      "café",            // NFD e + COMBINING ACUTE -> é (U+00E9)
+      "café",                  // already NFC: unchanged
+      "Ångström",        // NFD A + RING -> Å (U+00C5)
+      "ﬁle and 2²")       // ﬁ ligature, superscript: NFC keeps both
+    val out = planted.toDF("text")
+      .select(expr("nfc_norm(text)").as("n"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "plain ascii stays")
+    assert(out(1) == "café", s"NFD not composed: ${out(1).map(_.toInt)}")
+    assert(out(2) == "café")
+    assert(out(3) == "Ångström", s"ring not composed: ${out(3).map(_.toInt)}")
+    // NFC (unlike NFKC) must NOT touch compatibility codepoints.
+    assert(out(4) == "ﬁle and 2²")
+    // Corpus query: ASCII corpus => changed=false everywhere, digest equals
+    // the raw text's (the t26 oracle hash-match proves cross-engine parity;
+    // this asserts the intra-engine invariant).
+    val q = TextOps.nfcAudit.fn(spark, sf)
+    assert(q.filter(col("changed") || col("len_delta") =!= 0L).count() == 0,
+      "ASCII corpus must be NFC-invariant")
+  }
+
+  test("t27 DSIR weights rank the target source above the rest and sum exactly") {
+    val docs = Tables.documents(spark, sf)
+    val w = TextOps.dsirWeights.fn(spark, sf)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val bySrc = w.groupBy(col("source") === "src0")
+      .agg(avg("w_per_tok").as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    // The importance weight must discriminate: target-source documents
+    // score strictly higher on average than the rest (they ARE the target
+    // distribution the bucket model was fit to).
+    assert(bySrc(true) > bySrc(false),
+      s"src0 mean ${bySrc(true)} not above others ${bySrc(false)}")
+    // n_tokens must agree with the tokenizer (same tokens() the corpus
+    // profile uses) — the feature pass dropped or double-counted nothing.
+    import graft.functions.TextFns.tokens
+    val expect = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n"))
+      .filter(col("n") > 0)
+    val mismatch = w.join(expect, "doc_id")
+      .filter(col("n_tokens") =!= col("n")).count()
+    assert(mismatch == 0, s"$mismatch docs with token-count drift")
+  }
+
+  test("m07 scene cuts: uniform payload has none, planted two-segment doc cuts at the boundary") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "a" * 128),              // uniform: zero jumps
+      (2L, "a" * 64 + "z" * 64),    // one hard boundary
+      (3L, "ab" * 64)               // alternating: every window identical
+    ).toDF("doc_id", "text")
+    val got = Multimodal.sceneCuts(planted, 800.0).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toMap
+    assert(got(1L)._2 == 0L, "uniform doc must have no cuts")
+    assert(got(3L)._2 == 0L, "periodic doc must have no cuts")
+    assert(got(2L)._2 > 0L, "two-segment doc must cut")
+    // The first cut must sit where windows begin to straddle the boundary
+    // (starts 33..64 mix 'a' and 'z'; pure-'a' windows end at start 33).
+    assert(got(2L)._3 >= 33L && got(2L)._3 <= 65L,
+      s"first cut at ${got(2L)._3}, expected within the transition band")
+  }
+
+  test("s09 radius search contains every s01 top-k neighbor above the floor") {
+    val radius = Similarity.radiusSearch(spark, sf, 10, 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val topk = Similarity.bruteForceTopK(spark, sf, 10, 5)
+      .filter(col("cos_sim") >= 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(topk.subsetOf(radius),
+      s"missing pairs: ${topk.diff(radius).take(3)}")
+    assert(radius.forall { case (q, n) => q != n }, "self-pair leaked")
+  }
+
   test("t22 source profile is consistent with t20's gate and the corpus totals") {
     val prof = TextOps.sourceProfile.fn(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) ->

@@ -49,7 +49,15 @@ class PartitionInvarianceSpec extends SparkSpec {
     // (already gated) with a map-only encode; q31's rates derive from
     // exact token totals and the keep decision is md5-bucketed.
     "d14_semantic_dedup", "t24_classifier_score", "t25_bpe_encode",
-    "q31_temperature_mix")
+    "q31_temperature_mix",
+    // Round-6 third wave: m07's lag window is doc-keyed over a unique
+    // (doc_id, start) order (no ties to break); t27's per-doc sum is
+    // exact BIGINT by the integer-milli design AND its learned bucket
+    // model must come out identical at any reduce geometry (exact long
+    // counts); s09 is a map-side filter over a broadcast probe set; t26
+    // is map-only, asserted as the control.
+    "m07_scene_cuts", "t27_dsir_importance", "s09_radius_search",
+    "t26_nfc_normalize")
 
   test("round-5/6 queries return identical rows at shuffle.partitions = 3 and 17") {
     val conf = spark.conf

@@ -42,8 +42,12 @@ class ScaleLinearitySpec extends SparkSpec {
     // p01 note: the tagged copies' tokens miss the stopword list, so the
     // gate quality-drops them — dispositions still land one-per-doc
     // (exactly 3x rows), which is the linearity being asserted.
+    // m07/t27 (round-6): per-doc outputs — rows must stay exactly 3×; the
+    // wall ceiling guards m07's doc-keyed lag window and t27's two
+    // bucket-keyed shuffles against any pair-explosion regression.
     Seq("d02_dedup_minhash_lsh", "d11_repeated_spans", "t16_shingle_novelty",
-        "d13_chunk_scrub", "p01_corpus_pipeline")
+        "d13_chunk_scrub", "p01_corpus_pipeline", "m07_scene_cuts",
+        "t27_dsir_importance")
       .foreach { name =>
         val (t1, r1) = minOf2(name, base)
         val (t3, r3) = minOf2(name, out)
