@@ -36,7 +36,10 @@ object PlanAudit {
     */
   val bnljAllowlist: Set[String] =
     Set("s01_ann_cosine_topk", "s09_radius_search", "t08_tfidf_topterms",
-      "t11_cooccur_pmi", "t27_dsir_importance", "q31_temperature_mix")
+      "t11_cooccur_pmi", "t27_dsir_importance", "q31_temperature_mix",
+      // p02 composes q31's rate build — the same source-totals ×
+      // 1-row-min crossJoin, bounded × 1 row.
+      "p02_mix_pipeline")
 
   /** Tables that are corpus-/fact-scale at the 100 TB target — anything
     * derived from one of these is presumed unbounded unless the deriving

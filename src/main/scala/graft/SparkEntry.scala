@@ -22,6 +22,8 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    retention (user-keyed first-seen window + distinct actives).
   *  - q31: temperature-balanced source mixing (mT5-style α=0.5) — rates
   *    derived from measured per-source token mass, md5-bucket decisions.
+  *  - q32: last-touch attribution — per-purchase attributed click via a
+  *    user-keyed running struct-max window (no events self-join).
   *  - t01..t27: text query library (grep, wordcount, token counting,
   *    quality scoring, language-ID, fingerprinting, winnowing, TF-IDF,
   *    langid eval, context chunking, co-occurrence PMI, bigram LM,
@@ -44,13 +46,17 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    per-label centroid stats, IVF ANN, recall@k evaluation, int8
   *    quantization error audit, incremental IVF ingest serving state,
   *    PQ-ADC with exact rerank, exact cosine radius search).
-  *  - m01..m07: multimodal binary-column plumbing (metadata, stub-decode
+  *  - m01..m08: multimodal binary-column plumbing (metadata, stub-decode
   *    features, frame sampling, strided resize, windowed frame energy,
   *    perceptual-hash near-dup pairs, scene-change detection over frame
-  *    energies; binaryFile ingest in Multimodal).
+  *    energies, VAD-style voiced-segment runs; binaryFile ingest in
+  *    Multimodal).
   *  - p01: the composed curation pipeline (gate → dedup-among-survivors →
   *    sequence packing) emitting every document's final disposition and
   *    packed window range — the lineage record of a training-data run.
+  *  - p02: the composed mix-assembly pipeline (measure per-source token
+  *    mass → q31 temperature rates → deterministic md5-bucket sampling →
+  *    t17 sequence packing) — the mix manifest of a pretraining run.
   */
 object SparkEntry {
   val inventory: Seq[Q] =

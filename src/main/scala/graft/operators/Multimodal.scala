@@ -438,7 +438,80 @@ object Multimodal {
               round(max(jump), 6) AS max_jump
             FROM jumps GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Voiced-segment (VAD-style) detection — the audio-curation step that
+    * segments a stream into speech/silence runs before transcription or
+    * frame sampling: a frame is "voiced" iff its energy clears a floor,
+    * and a SEGMENT is a maximal run of consecutive voiced frames (the
+    * island-coalescing readout, d11's shape on the audio axis where m07
+    * detects boundaries by energy *change*). Per-doc output: frames,
+    * voiced frames, segment count, voiced fraction — the utterance
+    * inventory a speech pipeline consumes.
+    *
+    * Floor 9800 ≈ this corpus's median frame energy (letters score
+    * ~9.4–14.9k, whitespace 1k), standing in for a tuned VAD threshold.
+    *
+    * Scale shape: same doc-keyed lag window + keyed agg as m07 — one
+    * shuffle, linear; the exact-compare argument is m07's (energies are
+    * bit-identical across engines, so the floor needs no rounding grid).
+    */
+  def voicedSegments(docs: DataFrame, floor: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = docs
+      .filter(length(col("text")) > 0)
+      .select(
+        col("doc_id"),
+        explode(sequence(
+          lit(1), greatest(length(col("text")) - lit(31), lit(1)), lit(16))).as("start"),
+        col("text"))
+      .select(col("doc_id"), col("start").cast("long").as("start"),
+        expr("byte_energy(substr(text, start, 32))").as("energy"))
+    val byPos = Window.partitionBy("doc_id").orderBy("start")
+    frames
+      .withColumn("voiced", col("energy") >= floor)
+      .withColumn("prev_voiced", lag("voiced", 1).over(byPos))
+      .withColumn("seg_start",
+        col("voiced") && (col("prev_voiced").isNull || !col("prev_voiced")))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_frames"),
+        sum(when(col("voiced"), 1L).otherwise(0L)).as("n_voiced"),
+        sum(when(col("seg_start"), 1L).otherwise(0L)).as("n_segments"),
+        // Fraction from the integer counts, cast to double on BOTH sides
+        // (a DuckDB 1.0 literal is DECIMAL — its division rounds
+        // differently from IEEE doubles; the q28 lesson).
+        round(sum(when(col("voiced"), 1L).otherwise(0L)).cast("double")
+          / count(lit(1)).cast("double"), 6).as("voiced_frac"))
+      .orderBy("doc_id")
+  }
+
+  val voiced = Q(
+    "m08_voiced_segments",
+    (s, d) => voicedSegments(Tables.documents(s, d), 9800.0),
+    Some("""WITH chars AS (
+              SELECT doc_id, i, ord(substr(text, CAST(i AS INT), 1)) AS b
+              FROM documents, UNNEST(range(1, length(text) + 1)) AS r(i)),
+            starts AS (
+              SELECT doc_id, unnest(range(1, greatest(length(text) - 31, 1) + 1, 16)) AS start
+              FROM documents WHERE length(text) > 0),
+            frames AS (
+              SELECT s.doc_id, CAST(s.start AS BIGINT) AS start,
+                     sum(c.b * c.b) * 1.0 / count(*) >= 9800.0 AS voiced
+              FROM starts s JOIN chars c
+                ON c.doc_id = s.doc_id AND c.i >= s.start AND c.i < s.start + 32
+              GROUP BY 1, 2),
+            runs AS (
+              SELECT doc_id, voiced,
+                lag(voiced) OVER (PARTITION BY doc_id ORDER BY start) AS prev_voiced
+              FROM frames)
+            SELECT doc_id, count(*) AS n_frames,
+              CAST(sum(CASE WHEN voiced THEN 1 ELSE 0 END) AS BIGINT) AS n_voiced,
+              CAST(sum(CASE WHEN voiced AND (prev_voiced IS NULL OR NOT prev_voiced)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_segments,
+              round(CAST(sum(CASE WHEN voiced THEN 1 ELSE 0 END) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE), 6) AS voiced_frac
+            FROM runs GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(mediaMeta, mediaFeatures, frameSample, mediaResize, frameEnergy, mediaNeardup,
-      scenes)
+      scenes, voiced)
 }

@@ -127,5 +127,95 @@ object Pipeline {
                         THEN (cum_tokens - 1) // 512 ELSE -1 END AS BIGINT) AS seq_last
             FROM cum ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(pipeline)
+  /** The composed mix-assembly pipeline — the OTHER half of a training-data
+    * run next to [[corpusPipeline]]'s curation: measure per-source token
+    * mass, derive mT5-style α=0.5 temperature rates (q31's formula —
+    * sqrt(min/n), IEEE-exact in both engines), make the deterministic
+    * per-doc keep decision (md5-bucket vs the rate cut — reproducible at
+    * any geometry and in any engine), and pack the sampled stream into
+    * fixed-budget training sequences (t17's two-phase prefix scan).
+    * One query answers "did doc X make the mix, at what rate, and where
+    * do its tokens land" — the mix manifest a pretraining run ships.
+    *
+    * Same composition stance as p01/d12: the thresholds, bucket rule and
+    * budget are the component operators' own, so q31's, t17's and this
+    * oracle cross-check each other.
+    *
+    * Scale shape: token counts are a map-only scan; the rate table is
+    * source-count-sized (crossJoin with a 1-row min — q31's allowlisted
+    * bounded×1 shape); the keep decision is a map-side filter expression;
+    * the prefix scan is range-partitioned two-phase (no global window —
+    * PlanAudit enforces); the final join is doc-keyed linear. A zero-token
+    * doc can't contribute to the mix, so it is never `sampled` (and both
+    * engines agree without a null-handling corner).
+    */
+  def mixPipeline(docs: DataFrame, budget: Int = 512): DataFrame = {
+    val toks = docs.select(
+      col("doc_id"), col("source"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val totals = toks.groupBy("source").agg(sum("n_tokens").as("src_tokens"))
+    val mn = totals.agg(min("src_tokens").as("min_tokens"))
+    val rates = totals.crossJoin(mn)
+      .withColumn("rate",
+        sqrt(col("min_tokens").cast("double") / col("src_tokens").cast("double")))
+      .withColumn("cut", floor(col("rate") * 1000000.0).cast("long"))
+    val bucket1M =
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 1000000L
+    val flagged = toks.join(rates.select("source", "rate", "cut"), Seq("source"))
+      .withColumn("sampled", bucket1M < col("cut") && col("n_tokens") > 0L)
+    val packed = TextOps.prefixSummed(
+      flagged.select(
+        col("doc_id"),
+        when(col("sampled"), col("n_tokens")).otherwise(0L).as("eff_tokens")),
+      "eff_tokens", "cum_tokens")
+    flagged.join(packed.select("doc_id", "cum_tokens"), "doc_id")
+      .select(
+        col("doc_id"), col("source"), col("n_tokens"),
+        round(col("rate"), 6).as("rate"), col("sampled"),
+        when(col("sampled"), expr(s"(cum_tokens - n_tokens) div $budget"))
+          .otherwise(-1L).as("seq_first"),
+        when(col("sampled"), expr(s"(cum_tokens - 1) div $budget"))
+          .otherwise(-1L).as("seq_last"))
+      .orderBy("doc_id")
+  }
+
+  val mix = Q(
+    "p02_mix_pipeline",
+    (s, d) => mixPipeline(Tables.documents(s, d)),
+    Some("""WITH docs AS (
+              SELECT doc_id, source,
+                CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '')) AS BIGINT) AS n_tokens
+              FROM documents),
+            totals AS (
+              SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+              FROM docs GROUP BY source),
+            mn AS (SELECT min(src_tokens) AS min_tokens FROM totals),
+            rates AS (
+              SELECT source,
+                sqrt(CAST(min_tokens AS DOUBLE) / CAST(src_tokens AS DOUBLE)) AS rate,
+                CAST(floor(sqrt(CAST(min_tokens AS DOUBLE) / CAST(src_tokens AS DOUBLE))
+                           * 1000000.0) AS BIGINT) AS cut
+              FROM totals, mn),
+            flagged AS (
+              SELECT d.doc_id, d.source, d.n_tokens, r.rate,
+                (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 1000000 < r.cut
+                 AND d.n_tokens > 0) AS sampled
+              FROM docs d JOIN rates r USING (source)),
+            cum AS (
+              SELECT doc_id, source, n_tokens, rate, sampled,
+                sum(CASE WHEN sampled THEN n_tokens ELSE 0 END)
+                  OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+              FROM flagged)
+            SELECT doc_id, source, n_tokens, round(rate, 6) AS rate, sampled,
+              CAST(CASE WHEN sampled
+                        THEN (cum_tokens - n_tokens) // 512 ELSE -1 END AS BIGINT) AS seq_first,
+              CAST(CASE WHEN sampled
+                        THEN (cum_tokens - 1) // 512 ELSE -1 END AS BIGINT) AS seq_last
+            FROM cum ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(pipeline, mix)
 }

@@ -668,7 +668,68 @@ object Relational {
               CAST(count(*) AS BIGINT) AS n_active
             FROM act GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Last-touch attribution — which click gets credit for each purchase:
+    * the latest strictly-preceding click by the same user within a 24 h
+    * lookback, with the conversion lag. The marketing-analytics twin of
+    * q29's funnel (q29 counts conversions per user; this names the
+    * attributed touchpoint per purchase).
+    *
+    * Plan: NO events⋈events self-join — the classic formulation — but one
+    * user-keyed running `max` over a STRUCT (us, event_id): struct
+    * ordering is lexicographic in both engines, so the window carries the
+    * latest click's timestamp AND identity in one pass, with the
+    * (ts, event_id) tie rule making attribution deterministic when clicks
+    * share a timestamp. `ROWS ... AND 1 PRECEDING` keeps same-instant
+    * attribution strict (a click at the purchase's own timestamp
+    * attributes only if it sorts before it). Unattributed purchases carry
+    * the -1 sentinel (both engines emit int64 — the p01 rule, not null).
+    *
+    * Scale shape: ONE shuffle keyed by user_id; per-key rows = that
+    * user's events (bounded by activity, not corpus); output =
+    * purchase-count rows. Linear at any event volume.
+    */
+  val q32 = Q(
+    "q32_last_touch_attribution",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val lookbackUs = 86400L * 1000000L
+      val ev = Tables.events(s, d).select(
+        col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val lc = max(when(col("event_type") === "click",
+        struct(col("us"), col("event_id")))).over(w)
+      val attributed = col("lc").isNotNull &&
+        col("us") - col("lc").getField("us") <= lookbackUs
+      ev.withColumn("lc", lc)
+        .filter(col("event_type") === "purchase")
+        .select(
+          col("event_id"), col("user_id"), col("us"),
+          when(attributed, col("lc").getField("event_id"))
+            .otherwise(-1L).as("click_id"),
+          when(attributed, col("us") - col("lc").getField("us"))
+            .otherwise(-1L).as("gap_us"))
+        .orderBy("event_id")
+    },
+    Some("""WITH ev AS (
+              SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+              FROM events),
+            staged AS (
+              SELECT user_id, event_id, event_type, us,
+                max(CASE WHEN event_type = 'click'
+                         THEN {us: us, event_id: event_id} END)
+                  OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lc
+              FROM ev)
+            SELECT event_id, user_id, us,
+              CAST(CASE WHEN lc IS NOT NULL AND us - lc.us <= 86400000000
+                        THEN lc.event_id ELSE -1 END AS BIGINT) AS click_id,
+              CAST(CASE WHEN lc IS NOT NULL AND us - lc.us <= 86400000000
+                        THEN us - lc.us ELSE -1 END AS BIGINT) AS gap_us
+            FROM staged WHERE event_type = 'purchase' ORDER BY event_id"""))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
-      q18, q19, q20, q21, q22, q25, q26, q27, q29, q30)
+      q18, q19, q20, q21, q22, q25, q26, q27, q29, q30, q32)
 }

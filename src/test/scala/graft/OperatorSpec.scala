@@ -802,6 +802,77 @@ class OperatorSpec extends SparkSpec {
     assert(radius.forall { case (q, n) => q != n }, "self-pair leaked")
   }
 
+  test("p02 mix pipeline: q31-consistent sampling, brute-force-exact packing, sentinels") {
+    import operators.Pipeline
+    val rows = Pipeline.mixPipeline(Tables.documents(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4), r.getLong(5), r.getLong(6)))
+    // Guard: the q31 cross-check below assumes no zero-token docs at this
+    // SF (q31 samples them, p02 can't pack them — rules coincide only
+    // when none exist).
+    assert(rows.forall(_._3 > 0), "corpus grew a zero-token doc; revisit")
+    // Per-source sampled counts must equal q31's n_sampled — the
+    // composition reuses the component's own rate + bucket rule.
+    val q31 = operators.Sampling.temperatureMix.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    val bySrc = rows.groupBy(_._2).map { case (s, rs) => s -> rs.count(_._5).toLong }
+    assert(bySrc == q31, s"sampled counts drift from q31: $bySrc vs $q31")
+    // The smallest source (rate 1.0) passes whole.
+    val rateBySrc = rows.groupBy(_._2).map { case (s, rs) => s -> rs.head._4 }
+    val smallest = rateBySrc.maxBy(_._2)._1 // smallest token mass = rate 1.0
+    assert(rateBySrc(smallest) == 1.0 && rows.filter(_._2 == smallest).forall(_._5))
+    // Packing re-derived brute-force over the doc_id-ordered sampled stream.
+    var cum = 0L
+    rows.sortBy(_._1).foreach { case (id, _, n, _, sampled, f, l) =>
+      if (sampled) {
+        val first = cum / 512; cum += n; val last = (cum - 1) / 512
+        assert(f == first && l == last, s"doc $id packed ($f,$l) != ($first,$last)")
+      } else assert(f == -1L && l == -1L, s"unsampled doc $id missing sentinel")
+    }
+  }
+
+  test("q32 attribution equals a brute-force per-purchase scan") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byUser = ev.groupBy(_._1)
+    val expect = ev.filter(_._3 == "purchase").map { case (u, id, _, us) =>
+      // Latest strictly-preceding click under the (us, event_id) order.
+      val cands = byUser(u).filter(e => e._3 == "click" &&
+        (e._4 < us || (e._4 == us && e._2 < id)))
+      val best = if (cands.isEmpty) None
+        else Some(cands.maxBy(e => (e._4, e._2)))
+      best.filter(b => us - b._4 <= 86400L * 1000000L) match {
+        case Some(b) => id -> (b._2, us - b._4)
+        case None => id -> (-1L, -1L)
+      }
+    }.toMap
+    val got = Relational.q32.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(got == expect, s"attribution drift: ${
+      got.keySet.union(expect.keySet).filter(k => got.get(k) != expect.get(k)).take(3)
+        .map(k => s"$k: got ${got.get(k)} want ${expect.get(k)}")}")
+    assert(got.values.exists(_._1 >= 0L), "no purchase attributed — lookback inert")
+    assert(got.values.exists(_._1 == -1L) || got.size < 5,
+      "every purchase attributed — sentinel path unexercised")
+  }
+
+  test("m08 voiced segments: planted uniform, silent, and two-burst payloads") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "z" * 128),                       // all voiced: one segment
+      (2L, " " * 128),                       // silent: zero segments
+      (3L, "z" * 48 + " " * 48 + "z" * 32)   // two bursts: two segments
+    ).toDF("doc_id", "text")
+    val got = Multimodal.voicedSegments(planted, 9800.0).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(1L) == ((7L, 7L, 1L)), s"uniform: ${got(1L)}")
+    assert(got(2L) == ((7L, 0L, 0L)), s"silent: ${got(2L)}")
+    assert(got(3L)._3 == 2L, s"two bursts found ${got(3L)._3} segments")
+  }
+
   test("t22 source profile is consistent with t20's gate and the corpus totals") {
     val prof = TextOps.sourceProfile.fn(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) ->

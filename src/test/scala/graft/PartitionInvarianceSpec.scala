@@ -57,7 +57,15 @@ class PartitionInvarianceSpec extends SparkSpec {
     // counts); s09 is a map-side filter over a broadcast probe set; t26
     // is map-only, asserted as the control.
     "m07_scene_cuts", "t27_dsir_importance", "s09_radius_search",
-    "t26_nfc_normalize")
+    "t26_nfc_normalize",
+    // p02 composes a source-keyed agg, a bounded crossJoin, a map-side
+    // md5 keep decision and the two-phase prefix scan — the same
+    // geometry-sensitive shapes p01 gates, in the mix-assembly order.
+    "p02_mix_pipeline",
+    // q32's struct-max window must attribute the same click at any
+    // geometry (the (us, event_id) struct order IS the tie rule); m08's
+    // lag-run counting is doc-keyed over a unique frame order.
+    "q32_last_touch_attribution", "m08_voiced_segments")
 
   test("round-5/6 queries return identical rows at shuffle.partitions = 3 and 17") {
     val conf = spark.conf

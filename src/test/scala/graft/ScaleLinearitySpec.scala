@@ -47,7 +47,7 @@ class ScaleLinearitySpec extends SparkSpec {
     // bucket-keyed shuffles against any pair-explosion regression.
     Seq("d02_dedup_minhash_lsh", "d11_repeated_spans", "t16_shingle_novelty",
         "d13_chunk_scrub", "p01_corpus_pipeline", "m07_scene_cuts",
-        "t27_dsir_importance")
+        "t27_dsir_importance", "p02_mix_pipeline")
       .foreach { name =>
         val (t1, r1) = minOf2(name, base)
         val (t3, r3) = minOf2(name, out)
