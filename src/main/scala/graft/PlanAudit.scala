@@ -35,7 +35,8 @@ object PlanAudit {
     *    aggregate — fixed-size × 1 row.
     */
   val bnljAllowlist: Set[String] =
-    Set("s01_ann_cosine_topk", "s09_radius_search", "t08_tfidf_topterms",
+    Set("s01_ann_cosine_topk", "s09_radius_search", "s10_ann_mmr_diversify",
+      "t08_tfidf_topterms",
       "t11_cooccur_pmi", "t27_dsir_importance", "q31_temperature_mix",
       // p02 composes q31's rate build — the same source-totals ×
       // 1-row-min crossJoin, bounded × 1 row.
@@ -68,6 +69,7 @@ object PlanAudit {
       "construction"),
     "s01_ann_cosine_topk" -> "probe side is a LIMIT-10 query set",
     "s09_radius_search" -> "probe side is a LIMIT-10 query set",
+    "s10_ann_mmr_diversify" -> "probe side is a LIMIT-10 query set",
     "s02_ann_lsh_bucketed" -> "probe side is a LIMIT-10 query set",
     "s04_ann_ivf" -> "probe side is a LIMIT-10 query set",
     "s08_ann_pq" -> ("hinted relation is the vec_id < nQueries query set " +

@@ -77,7 +77,14 @@ object ScaleRehearsal {
       // t21 is the one iterative driver-loop trainer: its per-iteration
       // work is VOCABULARY-sized, and the tagged copies multiply the
       // vocabulary 10x — the adversarial direction for that claim.
-      "t21_bpe_merges")
+      "t21_bpe_merges",
+      // Round-6 third/fourth wave: t27's bucket model is learned from the
+      // corpus (the tagged copies grow token volume 10x while the model
+      // stays 512 rows — the claim is the scoring join's build side is
+      // corpus-independent); m07/m08 are the doc-keyed lag-window pair;
+      // p02 composes the rate build + md5 decision + prefix packing.
+      "t27_dsir_importance", "m07_scene_cuts", "m08_voiced_segments",
+      "p02_mix_pipeline")
     def timeQuery(name: String, dir: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
       def once(): (Double, Long) = {

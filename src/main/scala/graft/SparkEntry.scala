@@ -42,10 +42,11 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    incremental delta dedup, exact-substring repeated spans, near-dup
   *    detector consensus, C4-style chunk scrub + reassembly,
   *    SemDeDup-style bucket-local semantic dedup).
-  *  - s01..s09: similarity search (brute-force ANN, LSH-bucketed ANN,
+  *  - s01..s10: similarity search (brute-force ANN, LSH-bucketed ANN,
   *    per-label centroid stats, IVF ANN, recall@k evaluation, int8
   *    quantization error audit, incremental IVF ingest serving state,
-  *    PQ-ADC with exact rerank, exact cosine radius search).
+  *    PQ-ADC with exact rerank, exact cosine radius search, MMR
+  *    diversity re-ranking of the retrieval shortlist).
   *  - m01..m08: multimodal binary-column plumbing (metadata, stub-decode
   *    features, frame sampling, strided resize, windowed frame energy,
   *    perceptual-hash near-dup pairs, scene-change detection over frame

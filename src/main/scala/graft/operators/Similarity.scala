@@ -131,12 +131,12 @@ object Similarity {
             round(max(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 6) AS max_norm
             FROM embeddings GROUP BY label ORDER BY label"""))
 
-  private[operators] def dotd(x: Array[Double], y: Array[Double]): Double = {
+  private[graft] def dotd(x: Array[Double], y: Array[Double]): Double = {
     var s = 0.0; var i = 0
     while (i < x.length) { s += x(i) * y(i); i += 1 }
     s
   }
-  private[operators] def unit(a: Array[Float]): Array[Double] = {
+  private[graft] def unit(a: Array[Float]): Array[Double] = {
     val dv = a.map(_.toDouble)
     val n = math.sqrt(dotd(dv, dv))
     if (n == 0) dv else dv.map(_ / n)
@@ -734,7 +734,89 @@ object Similarity {
                                                CAST(n.embedding AS DOUBLE[])), 6) >= 0.25
             ORDER BY query_id, neighbor_id"""))
 
+  /** MMR (maximal-marginal-relevance) diversity re-ranking — the serving-
+    * side step between retrieval and consumption: plain top-k returns
+    * near-duplicates of each other when the corpus clusters (by
+    * construction here); MMR greedily picks argmax
+    * `λ·rel(q,c) − (1−λ)·max_{s∈selected} sim(c,s)`, trading a little
+    * relevance for coverage — the Carbonell & Goldstein rule every
+    * dedup-aware retriever ships.
+    *
+    * Distribution: the greedy is inherently sequential IN k but
+    * independent ACROSS queries, so it runs inside `flatMapGroups` on the
+    * query-keyed shortlist — each group is `shortlist`-bounded (a
+    * structural cap, not a data property), the corpus pass producing the
+    * shortlist is s01's broadcast-probe scan, and no candidate set ever
+    * reaches the driver. Rows-only (iterative argmax is not one SQL
+    * query — t21's contract); the spec pins pick #1 to s01's top-1,
+    * selection within the shortlist, and strictly-improved diversity vs
+    * plain top-k.
+    *
+    * Ties break (score, then relevance, then lower neighbor_id) — fully
+    * deterministic, geometry-invariance-gated.
+    */
+  def mmrDiversify(spark: SparkSession, d: String, nQueries: Int,
+      shortlist: Int, k: Int, lambdaRel: Double): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, d)
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val corpus = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+    val w = Window.partitionBy("query_id").orderBy(col("c").desc, col("neighbor_id"))
+    val cands = corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("ne"),
+        cosine(col("qe"), col("ne")).as("c"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= shortlist)
+      .select("query_id", "neighbor_id", "ne", "c")
+      .as[(Long, Long, Array[Float], Double)]
+    cands.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      val cs = it.toArray.sortBy(t => (-t._4, t._2))
+      val units = cs.map(t => unit(t._3))
+      val n = cs.length
+      val taken = new Array[Boolean](n)
+      val maxSimToSel = new Array[Double](n) // valid only once something is selected
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Long)]
+      var picked = 0
+      while (picked < math.min(k, n)) {
+        var best = -1
+        var bestScore = Double.NegativeInfinity
+        var i = 0
+        while (i < n) {
+          if (!taken(i)) {
+            val div = if (picked == 0) 0.0 else maxSimToSel(i)
+            val score = lambdaRel * cs(i)._4 - (1.0 - lambdaRel) * div
+            // cs is (rel desc, id asc)-sorted, so strict > keeps the
+            // earliest (most relevant, lowest id) of any score tie.
+            if (score > bestScore) { best = i; bestScore = score }
+          }
+          i += 1
+        }
+        taken(best) = true
+        picked += 1
+        out += ((qid, cs(best)._2, cs(best)._4, picked.toLong))
+        var j = 0
+        while (j < n) {
+          if (!taken(j)) {
+            val s = dotd(units(best), units(j))
+            if (picked == 1 || s > maxSimToSel(j)) maxSimToSel(j) = s
+          }
+          j += 1
+        }
+      }
+      out.iterator
+    }.toDF("query_id", "neighbor_id", "cos_sim", "mmr_rank")
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos_sim"), 6).as("cos_sim"), col("mmr_rank"))
+      .orderBy("query_id", "mmr_rank")
+  }
+
+  val mmr = Q(
+    "s10_ann_mmr_diversify",
+    (s, d) => mmrDiversify(s, d, 10, 20, 5, 0.7),
+    None)
+
   val all: Seq[Q] =
     Seq(annBruteForce, annLsh, centroids, annIvf, annRecall, quantError, annAppend,
-      annPq, radius)
+      annPq, radius, mmr)
 }

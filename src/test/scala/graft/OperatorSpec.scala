@@ -28,7 +28,8 @@ class OperatorSpec extends SparkSpec {
       "s07_ann_ivf_append", "s08_ann_pq",
       "q15_approx_distinct", "q27_percentile_sketch",
       "t21_bpe_merges", // iterative arg-max: merge i depends on 1..i-1
-      "t25_bpe_encode") // consumes t21's iteratively-trained merge table
+      "t25_bpe_encode", // consumes t21's iteratively-trained merge table
+      "s10_ann_mmr_diversify") // iterative greedy argmax per query (t21's contract)
     assert(SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet) == rowsOnly)
   }
 
@@ -871,6 +872,38 @@ class OperatorSpec extends SparkSpec {
     assert(got(1L) == ((7L, 7L, 1L)), s"uniform: ${got(1L)}")
     assert(got(2L) == ((7L, 0L, 0L)), s"silent: ${got(2L)}")
     assert(got(3L)._3 == 2L, s"two bursts found ${got(3L)._3} segments")
+  }
+
+  test("s10 MMR: pick #1 is the exact top-1, selection in-shortlist, diversity improves") {
+    val mmr = Similarity.mmrDiversify(spark, sf, 10, 20, 5, 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val top = Similarity.bruteForceTopK(spark, sf, 10, 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val top1 = top.filter(_._3 == 1L).map(t => t._1 -> t._2).toMap
+    val short = top.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    mmr.filter(_._3 == 1L).foreach { case (q, n, _) =>
+      assert(top1(q) == n, s"query $q pick #1 $n != exact top-1 ${top1(q)}")
+    }
+    mmr.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L), s"query $q ranks broken")
+      assert(rs.map(_._2).toSet.subsetOf(short(q)), s"query $q picked outside shortlist")
+    }
+    // Diversity must improve: mean pairwise cosine among the MMR picks is
+    // strictly below plain top-5's (the corpus clusters by construction,
+    // so plain top-k IS redundant and MMR must find slack).
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> operators.Similarity.unit(
+        r.getSeq[Float](1).toArray)).toMap
+    def meanPairSim(ids: Seq[Long]): Double = {
+      val pairs = for (a <- ids; b <- ids if a < b) yield
+        operators.Similarity.dotd(vecs(a), vecs(b))
+      pairs.sum / pairs.length
+    }
+    val mmrSim = mmr.groupBy(_._1).values.map(rs => meanPairSim(rs.map(_._2).toSeq))
+    val topSim = top.filter(_._3 <= 5L).groupBy(_._1).values
+      .map(rs => meanPairSim(rs.map(_._2).toSeq))
+    assert(mmrSim.sum / mmrSim.size < topSim.sum / topSim.size,
+      s"MMR mean pair-sim ${mmrSim.sum / mmrSim.size} not below top-5's ${topSim.sum / topSim.size}")
   }
 
   test("t22 source profile is consistent with t20's gate and the corpus totals") {

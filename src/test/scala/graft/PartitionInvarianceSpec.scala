@@ -65,7 +65,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     // q32's struct-max window must attribute the same click at any
     // geometry (the (us, event_id) struct order IS the tie rule); m08's
     // lag-run counting is doc-keyed over a unique frame order.
-    "q32_last_touch_attribution", "m08_voiced_segments")
+    "q32_last_touch_attribution", "m08_voiced_segments",
+    // s10's greedy runs whole-group inside flatMapGroups with a total
+    // (score, rel, id) tie order — the gate proves the selection can't
+    // depend on how the shortlist's rows were shuffled in.
+    "s10_ann_mmr_diversify")
 
   test("round-5/6 queries return identical rows at shuffle.partitions = 3 and 17") {
     val conf = spark.conf
