@@ -1330,7 +1330,72 @@ object Dedup {
             FROM sig s LEFT JOIN dom d USING (vec_id)
             ORDER BY vec_id"""))
 
+  // ------------------------------------------- quality-aware representative
+  /** Quality-aware cluster representative selection — the refinement every
+    * production dedup ships over the min-id keep rule (d07): within each
+    * near-dup cluster (d06's components), KEEP THE BEST COPY, not the
+    * first one. "Best" here is t04's alpha_ratio on its rounded 4-decimal
+    * grid (deterministic across engines) with min-doc_id tie-break — in
+    * production, any scalar quality signal (t24's classifier, t13's
+    * perplexity) slots into the same argmax without changing the plan.
+    *
+    * Plan shape: d06's cluster table is dup-subset-sized (never the
+    * corpus); ONE doc-keyed equi-join attaches the quality scalar and ONE
+    * cluster-keyed row_number window picks the argmax — both linear in
+    * cluster rows. Composition stance: the oracle wraps d06's own
+    * recursive-CTE oracle plus t04's quality formula, so the three
+    * queries cross-check (the d12 pattern).
+    */
+  val bestKeep = Q(
+    "d15_cluster_best_keep",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cl = dedupClusters(s, d, 0.5)
+      val q = Tables.documents(s, d).select(
+        col("doc_id"),
+        round(charClassCount(lower(col("text")), "[a-z]").cast("double")
+          / length(col("text")).cast("double"), 4).as("alpha_ratio"))
+      val w = Window.partitionBy("cluster_rep")
+        .orderBy(col("alpha_ratio").desc, col("doc_id"))
+      cl.join(q, "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("cluster_rep"), col("cluster_size"),
+          col("doc_id").as("best_doc"), col("alpha_ratio").as("best_alpha"))
+        .orderBy("cluster_rep")
+    },
+    Some(s"""WITH RECURSIVE $minhashOracleCtes,
+            pairs AS (
+              SELECT a, b
+              FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+              WHERE round(CAST(n_common AS DOUBLE) /
+                          CAST(sa.n + sb.n - n_common AS DOUBLE), 4) >= 0.5),
+            edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+            reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+            labels AS (
+              SELECT a AS doc_id, min(b) AS label
+              FROM (SELECT a, b FROM reach UNION ALL SELECT DISTINCT a, a FROM edges)
+              GROUP BY a),
+            big AS (SELECT label, CAST(count(*) AS BIGINT) AS cluster_size
+                    FROM labels GROUP BY label HAVING count(*) > 1),
+            q AS (
+              SELECT doc_id,
+                round(CAST(length(text) - length(regexp_replace(lower(text), '[a-z]', '', 'g')) AS DOUBLE)
+                      / CAST(length(text) AS DOUBLE), 4) AS alpha_ratio
+              FROM documents),
+            ranked AS (
+              SELECT l.label AS cluster_rep, b.cluster_size, l.doc_id, q.alpha_ratio,
+                row_number() OVER (PARTITION BY l.label
+                                   ORDER BY q.alpha_ratio DESC, l.doc_id) AS rn
+              FROM labels l JOIN big b USING (label) JOIN q USING (doc_id))
+            SELECT cluster_rep, cluster_size, doc_id AS best_doc,
+                   alpha_ratio AS best_alpha
+            FROM ranked WHERE rn = 1 ORDER BY cluster_rep"""))
+
   val all: Seq[Q] =
     Seq(exact, minhash, simhash, ngramJaccard, embedding, clusters, keep, triangles,
-      decontam, incremental, repeated, consensus, chunkDedup, semantic)
+      decontam, incremental, repeated, consensus, chunkDedup, semantic, bestKeep)
 }

@@ -906,6 +906,28 @@ class OperatorSpec extends SparkSpec {
       s"MMR mean pair-sim ${mmrSim.sum / mmrSim.size} not below top-5's ${topSim.sum / topSim.size}")
   }
 
+  test("d15 best-keep picks each cluster's argmax-quality doc, d06-consistent") {
+    val clusters = Dedup.dedupClusters(spark, sf, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val alpha = TextOps.quality.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(6)).toMap
+    val expect = clusters.groupBy(_._1).map { case (rep, rs) =>
+      val best = rs.map(_._2).minBy(id => (-alpha(id), id))
+      rep -> ((rs.head._3, best, alpha(best)))
+    }
+    val got = Dedup.bestKeep.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got == expect, s"drift: ${
+      got.keySet.union(expect.keySet).filter(k => got.get(k) != expect.get(k)).take(3)}")
+    assert(got.nonEmpty, "no clusters at this SF")
+    // Note: this corpus's near-dups are token-level shuffles (character
+    // counts preserved), so alpha_ratio often TIES within a cluster and
+    // the min-doc_id tie-break decides — the argmax equivalence above is
+    // the load-bearing check; divergence from min-id keep appears on any
+    // corpus whose dup copies differ in content, not just order.
+  }
+
   test("t22 source profile is consistent with t20's gate and the corpus totals") {
     val prof = TextOps.sourceProfile.fn(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) ->

@@ -69,7 +69,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     // s10's greedy runs whole-group inside flatMapGroups with a total
     // (score, rel, id) tie order — the gate proves the selection can't
     // depend on how the shortlist's rows were shuffled in.
-    "s10_ann_mmr_diversify")
+    "s10_ann_mmr_diversify",
+    // d15's argmax must pick the same representative at any geometry:
+    // alpha_ratio sits on a rounded 4-decimal grid and doc_id breaks
+    // ties — a total order, gated here.
+    "d15_cluster_best_keep")
 
   test("round-5/6 queries return identical rows at shuffle.partitions = 3 and 17") {
     val conf = spark.conf
