@@ -299,6 +299,62 @@ object EventStreams {
       .agg(count(lit(1)).as("n_active"))
   }
 
+  // ------------------------------------------------ last-touch attribution
+  final case class AttribEv(
+      user_id: Long, event_type: String, event_id: Long, ts: java.sql.Timestamp)
+  final case class AttribState(lastClickUs: Long, lastClickId: Long, hasClick: Boolean)
+  final case class AttribOut(
+      event_id: Long, user_id: Long, us: Long, click_id: Long, gap_us: Long)
+
+  /** Streaming last-touch attribution — the streaming twin of batch q32:
+    * per-user state carries the latest click's (timestamp, id) under the
+    * same (us, event_id) total order the batch window uses, and every
+    * purchase emits ONE attribution row on arrival (Append mode — an
+    * attribution is final the moment the purchase lands, the real-time
+    * marketing feed). State per user is two longs — event-volume-
+    * independent, the smallest state of any twin here.
+    *
+    * Equivalence contract with batch q32 (same as [[funnel]]'s): exact
+    * when each user's events arrive in event-time order across
+    * micro-batches; within a batch the fold sorts by (us, event_id), so a
+    * same-instant click attributes exactly when it sorts before the
+    * purchase — the batch window's `1 PRECEDING` strictness, reproduced.
+    */
+  def attribution(spark: SparkSession, events: DataFrame,
+      lookbackUs: Long = 86400L * 1000000L): DataFrame = {
+    import spark.implicits._
+    def micros(ts: java.sql.Timestamp): Long =
+      math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+    events
+      .selectExpr("user_id", "event_type", "event_id", "ts")
+      .as[AttribEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttribState, AttribOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[AttribEv], state: GroupState[AttribState]) =>
+          var st = state.getOption.getOrElse(AttribState(Long.MinValue, -1L, hasClick = false))
+          val out = scala.collection.mutable.ArrayBuffer[AttribOut]()
+          evs.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val us = micros(e.ts)
+            e.event_type match {
+              case "click" =>
+                if (!st.hasClick || us > st.lastClickUs ||
+                    (us == st.lastClickUs && e.event_id > st.lastClickId))
+                  st = AttribState(us, e.event_id, hasClick = true)
+              case "purchase" =>
+                val ok = st.hasClick && us - st.lastClickUs <= lookbackUs
+                out += AttribOut(e.event_id, userId, us,
+                  if (ok) st.lastClickId else -1L,
+                  if (ok) us - st.lastClickUs else -1L)
+              case _ => ()
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+      .toDF()
+  }
+
   // ----------------------------------------------------- stateful sessions
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(sessionId: Long, lastTsMicros: Long, n: Long, value: Double)

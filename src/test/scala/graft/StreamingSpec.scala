@@ -185,6 +185,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming attribution across event-time-ordered micro-batches == batch q32") {
+    val stream = stagedEventTimeStream("attrib")
+    val att = EventStreams.attribution(spark, stream)
+    val q = att.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("attrib_out").start()
+    q.processAllAvailable()
+    try {
+      // Append mode: exactly one final row per purchase — compare directly.
+      val streamed = spark.table("attrib_out").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      val batch = Relational.q32.fn(spark, sf).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      assert(streamed.nonEmpty)
+      assert(streamed == batch, s"attribution disagrees with batch q32 on ${
+        streamed.toSet.diff(batch.toSet).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming cohort retention across event-time-ordered micro-batches == batch q30") {
     val stream = stagedEventTimeStream("cohort")
     val coh = EventStreams.cohortRetention(spark, stream)
