@@ -36,13 +36,13 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    with the trained merge table, Unicode NFC normalization audit via
   *    the native nfc_norm expression, DSIR-style hashed-unigram
   *    importance weighting with a corpus-learned bucket model).
-  *  - d01..d15: dedup & corpus hygiene (exact, MinHash-LSH, SimHash,
+  *  - d01..d16: dedup & corpus hygiene (exact, MinHash-LSH, SimHash,
   *    n-gram Jaccard, embedding-cosine, connected-component clusters,
   *    keep-list, near-dup triangles, benchmark decontamination,
   *    incremental delta dedup, exact-substring repeated spans, near-dup
   *    detector consensus, C4-style chunk scrub + reassembly,
   *    SemDeDup-style bucket-local semantic dedup, quality-aware cluster
-  *    representative selection).
+  *    representative selection, duplicate-provenance source matrix).
   *  - s01..s10: similarity search (brute-force ANN, LSH-bucketed ANN,
   *    per-label centroid stats, IVF ANN, recall@k evaluation, int8
   *    quantization error audit, incremental IVF ingest serving state,

@@ -1395,7 +1395,53 @@ object Dedup {
                    alpha_ratio AS best_alpha
             FROM ranked WHERE rn = 1 ORDER BY cluster_rep"""))
 
+  // ------------------------------------------------- duplicate provenance
+  /** Duplicate-provenance matrix — WHERE the near-dups come from: d02's
+    * verified pair set rolled up by unordered source pair, with the
+    * cross-source flag. The data-governance readout a corpus audit ships
+    * ("which feeds copy each other, and how much is internal
+    * re-crawling") and the triage signal for licensing/contamination
+    * review — cross-source mass points at syndication, within-source mass
+    * at crawler dedup debt.
+    *
+    * Scale shape: the pair set is candidate-sized (never the corpus); two
+    * doc-keyed equi-joins attach a 2-column source projection; the rollup
+    * key space plateaus at sources² regardless of corpus size. Oracle
+    * wraps d02's own CTEs (the d12 cross-check pattern) — hash-green.
+    */
+  val provenance = Q(
+    "d16_dup_provenance",
+    (s, d) => {
+      val pairs = minhashPairs(s, d, 0.5).select("a", "b")
+      val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("a"), col("source").as("sa")), "a")
+        .join(src.select(col("doc_id").as("b"), col("source").as("sb")), "b")
+        .select(
+          least(col("sa"), col("sb")).as("src_a"),
+          greatest(col("sa"), col("sb")).as("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("cross_source", col("src_a") =!= col("src_b"))
+        .orderBy("src_a", "src_b")
+    },
+    Some(s"""WITH $minhashOracleCtes,
+            p AS (
+              SELECT a, b
+              FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+              WHERE round(CAST(n_common AS DOUBLE) /
+                          CAST(sa.n + sb.n - n_common AS DOUBLE), 4) >= 0.5),
+            m AS (
+              SELECT least(da.source, db.source) AS src_a,
+                     greatest(da.source, db.source) AS src_b
+              FROM p JOIN documents da ON da.doc_id = p.a
+                     JOIN documents db ON db.doc_id = p.b)
+            SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs,
+                   (src_a <> src_b) AS cross_source
+            FROM m GROUP BY src_a, src_b ORDER BY src_a, src_b"""))
+
   val all: Seq[Q] =
     Seq(exact, minhash, simhash, ngramJaccard, embedding, clusters, keep, triangles,
-      decontam, incremental, repeated, consensus, chunkDedup, semantic, bestKeep)
+      decontam, incremental, repeated, consensus, chunkDedup, semantic, bestKeep,
+      provenance)
 }

@@ -928,6 +928,16 @@ class OperatorSpec extends SparkSpec {
     // corpus whose dup copies differ in content, not just order.
   }
 
+  test("d16 provenance matrix mass equals d02's pair count, keys unordered-unique") {
+    val m = Dedup.provenance.fn(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2), r.getBoolean(3)))
+    val nPairs = Dedup.minhashPairs(spark, sf, 0.5).count()
+    assert(m.map(_._2).sum == nPairs, "matrix mass != d02 pair count")
+    assert(m.forall { case ((a, b), _, cross) => a <= b && cross == (a != b) },
+      "unordered key or cross flag broken")
+    assert(m.map(_._1).distinct.length == m.length, "duplicate matrix cell")
+  }
+
   test("t22 source profile is consistent with t20's gate and the corpus totals") {
     val prof = TextOps.sourceProfile.fn(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) ->

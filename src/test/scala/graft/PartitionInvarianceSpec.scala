@@ -72,8 +72,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     "s10_ann_mmr_diversify",
     // d15's argmax must pick the same representative at any geometry:
     // alpha_ratio sits on a rounded 4-decimal grid and doc_id breaks
-    // ties — a total order, gated here.
-    "d15_cluster_best_keep")
+    // ties — a total order, gated here. d16 rolls d02's pair set up by
+    // source pair — invariant iff the pair set is (d02 already gated).
+    "d15_cluster_best_keep", "d16_dup_provenance")
 
   test("round-5/6 queries return identical rows at shuffle.partitions = 3 and 17") {
     val conf = spark.conf
