@@ -729,7 +729,60 @@ object Relational {
                         THEN us - lc.us ELSE -1 END AS BIGINT) AS gap_us
             FROM staged WHERE event_type = 'purchase' ORDER BY event_id"""))
 
+  /** Event-transition matrix — the first-order Markov readout of user
+    * journeys (which event type follows which, and how often): per user,
+    * each event's successor via `lead` over the (ts, event_id) order, then
+    * the (from, to) transition counts and per-from-state probabilities.
+    * The journey-structure twin of q29's funnel (q29 asks "did view lead
+    * to purchase within an hour"; this measures the whole transition
+    * graph product analytics builds sankey/flow diagrams from).
+    *
+    * Plan: ONE shuffle keyed by user_id (the `lead` window — never an
+    * events self-join on consecutive row numbers), then a keyed count with
+    * map-side combine. The probability window partitions by from_type over
+    * the AGGREGATED matrix — |event types|² rows, not events — so the
+    * no-global-window rule holds (input is type-bounded, not
+    * corpus-bounded). Probabilities are integer micro-units via `div`
+    * (the t17 rule): exact in both engines at any event volume, no float
+    * summation anywhere.
+    */
+  val q33 = Q(
+    "q33_event_transitions",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d).select(
+        col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      val wSeq = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val wFrom = Window.partitionBy("from_type")
+      ev.withColumn("to_type", lead(col("event_type"), 1).over(wSeq))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n_transitions"))
+        .withColumn("n_from_total", sum("n_transitions").over(wFrom))
+        .withColumn("p_micro",
+          expr("n_transitions * 1000000L div n_from_total"))
+        .orderBy("from_type", "to_type")
+    },
+    Some("""WITH seq AS (
+              SELECT user_id, event_type,
+                lead(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY epoch_us(ts), event_id) AS to_type
+              FROM events),
+            t AS (
+              SELECT event_type AS from_type, to_type,
+                CAST(count(*) AS BIGINT) AS n_transitions
+              FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+            tot AS (
+              SELECT from_type, CAST(sum(n_transitions) AS BIGINT) AS n_from_total
+              FROM t GROUP BY 1)
+            SELECT t.from_type, t.to_type, t.n_transitions, tot.n_from_total,
+              CAST(t.n_transitions * 1000000 // tot.n_from_total AS BIGINT)
+                AS p_micro
+            FROM t JOIN tot USING (from_type)
+            ORDER BY t.from_type, t.to_type"""))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
-      q18, q19, q20, q21, q22, q25, q26, q27, q29, q30, q32)
+      q18, q19, q20, q21, q22, q25, q26, q27, q29, q30, q32, q33)
 }

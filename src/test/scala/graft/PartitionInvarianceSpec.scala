@@ -74,7 +74,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     // alpha_ratio sits on a rounded 4-decimal grid and doc_id breaks
     // ties — a total order, gated here. d16 rolls d02's pair set up by
     // source pair — invariant iff the pair set is (d02 already gated).
-    "d15_cluster_best_keep", "d16_dup_provenance")
+    "d15_cluster_best_keep", "d16_dup_provenance",
+    // q33's successor pairing rides the same (us, event_id) tie rule q29
+    // gates; the probability derives from exact integer counts via `div`,
+    // so no reduce-order float drift is possible — gated here to prove it.
+    "q33_event_transitions")
 
   test("round-5/6 queries return identical rows at shuffle.partitions = 3 and 17") {
     val conf = spark.conf

@@ -293,6 +293,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("event transitions == brute-force per-user successor scan on random event logs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    for (seed <- 1 to 4) {
+      val rng = new scala.util.Random(seed)
+      val types = Seq("view", "purchase", "click")
+      // Coarse timestamp grid so same-us collisions exercise the
+      // (us, event_id) tie-break that defines the successor order.
+      val events = (1L to (40 + rng.nextInt(60)).toLong).map { id =>
+        (id, (1 + rng.nextInt(5)).toLong, types(rng.nextInt(3)),
+          rng.nextInt(12).toLong * 360000000L)
+      }
+      val dir = java.nio.file.Files.createTempDirectory("graft-trans-prop").toString
+      events.toDF("event_id", "user_id", "event_type", "us")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("timestamp_micros(us)").as("ts"))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val got = graft.operators.Relational.q33.fn(spark, dir).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      // Reference: sort each user's log by (us, event_id), pair consecutive
+      // types, count (from, to) cells, derive per-from totals and the exact
+      // integer micro-probability.
+      val pairs = events.groupBy(_._2).toSeq.flatMap { case (_, evs) =>
+        evs.sortBy(e => (e._4, e._1)).map(_._3).sliding(2)
+          .filter(_.length == 2).map(p => (p(0), p(1)))
+      }
+      val cells = pairs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val fromTotals = cells.groupBy(_._1._1).map { case (f, cs) => f -> cs.values.sum }
+      val expected = cells.map { case ((f, t), n) =>
+        (f, t, n, fromTotals(f), n * 1000000L / fromTotals(f))
+      }.toSet
+      assert(got == expected,
+        s"seed $seed: missing=${expected.diff(got).take(3)} extra=${got.diff(expected).take(3)}")
+    }
+  }
+
   test("BPE merges == reference greedy trainer on random corpora") {
     import spark.implicits._
     // 3-letter alphabet, short words: pair counts collide constantly, so
