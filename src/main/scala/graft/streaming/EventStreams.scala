@@ -355,6 +355,51 @@ object EventStreams {
       .toDF()
   }
 
+  // ------------------------------------------------- event transitions
+  final case class TransEv(
+      user_id: Long, event_type: String, event_id: Long, ts: java.sql.Timestamp)
+  final case class TransState(lastType: String)
+  final case class TransPair(from_type: String, to_type: String)
+
+  /** Streaming event-transition matrix — the streaming twin of batch q33:
+    * per-user state carries only the LAST event's type; every arriving
+    * event with a predecessor emits one (from, to) pair (Append), and the
+    * downstream keyed count is the live transition matrix product
+    * analytics feeds sankey/flow dashboards from. State per user is one
+    * string — event-volume-independent, bounded by the type vocabulary.
+    *
+    * Equivalence contract with batch q33 (same as [[funnel]]'s): exact
+    * when each user's events arrive in event-time order across
+    * micro-batches; within a batch the fold sorts by (us, event_id), the
+    * batch lead-window's exact successor order. The batch query derives
+    * per-from totals and probabilities from these counts — |types|²-sized
+    * arithmetic the reader does on the final matrix, so the stream emits
+    * the counts themselves.
+    */
+  def transitions(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    def micros(ts: java.sql.Timestamp): Long =
+      math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+    events
+      .selectExpr("user_id", "event_type", "event_id", "ts")
+      .as[TransEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, TransPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[TransEv], state: GroupState[TransState]) =>
+          var last = state.getOption.map(_.lastType).orNull
+          val out = scala.collection.mutable.ArrayBuffer[TransPair]()
+          evs.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            if (last != null) out += TransPair(last, e.event_type)
+            last = e.event_type
+          }
+          if (last != null) state.update(TransState(last))
+          out.iterator
+      }
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
   // ----------------------------------------------------- stateful sessions
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(sessionId: Long, lastTsMicros: Long, n: Long, value: Double)

@@ -205,6 +205,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming event transitions across event-time-ordered micro-batches == batch q33") {
+    val stream = stagedEventTimeStream("trans")
+    val tr = EventStreams.transitions(spark, stream)
+    val q = tr.writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("trans_out").start()
+    q.processAllAvailable()
+    try {
+      // Update-mode sink appends every revision of a (from, to) count;
+      // the count only grows, so max per key = final.
+      val streamed = spark.table("trans_out").collect()
+        .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+        .groupBy(_._1).map { case (k, rows) => k -> rows.map(_._2).max }
+      val batch = Relational.q33.fn(spark, sf).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamed.nonEmpty)
+      assert(streamed == batch,
+        s"transitions disagree with batch q33 on ${
+          streamed.toSet.diff(batch.toSet).take(3)}")
+      // Multi-batch reality check: some cell was revised upward across
+      // micro-batches (cross-batch pairs only exist via carried state).
+      val revised = spark.table("trans_out").collect()
+        .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+        .groupBy(_._1).exists(_._2.size > 1)
+      assert(revised, "no cell revised — staging produced one batch")
+    } finally q.stop()
+  }
+
   test("streaming cohort retention across event-time-ordered micro-batches == batch q30") {
     val stream = stagedEventTimeStream("cohort")
     val coh = EventStreams.cohortRetention(spark, stream)
