@@ -40,7 +40,10 @@ object PlanAudit {
       "t11_cooccur_pmi", "t27_dsir_importance", "q31_temperature_mix",
       // p02 composes q31's rate build — the same source-totals ×
       // 1-row-min crossJoin, bounded × 1 row.
-      "p02_mix_pipeline")
+      "p02_mix_pipeline",
+      // q34: the user-aggregate table crossJoins the 1-row quartile-cut
+      // aggregate — corpus-derived × 1 row, map-side, benign (q12's shape).
+      "q34_rfm_segments")
 
   /** Tables that are corpus-/fact-scale at the 100 TB target — anything
     * derived from one of these is presumed unbounded unless the deriving

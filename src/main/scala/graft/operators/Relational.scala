@@ -782,7 +782,86 @@ object Relational {
             FROM t JOIN tot USING (from_type)
             ORDER BY t.from_type, t.to_type"""))
 
+  /** RFM (recency / frequency / monetary) user segmentation — the
+    * engagement-scoring readout growth analytics and churn models key on.
+    * Per user: last-seen time, event count, purchase value; each metric is
+    * scored 1–4 against its own corpus-wide quartile cut points and the
+    * three scores concatenate into the segment label ("444" = best).
+    *
+    * Exactness: monetary is integer cents via `floor(value*100)` (the same
+    * IEEE product floored identically in both engines — never a fp SUM,
+    * never an engine-divergent double→int cast), recency/frequency are
+    * BIGINT, and the quartile thresholds interpolate between integers at
+    * f ∈ {.25,.5,.75} — exactly representable, so the score comparisons
+    * are bit-identical cross-engine. Scoring by VALUE THRESHOLD rather
+    * than `ntile` is deliberate twice over: equal metrics always land in
+    * the same bucket (ntile splits ties by row position — partition-
+    * dependent), and there is no global ntile window (a single-reducer
+    * sort at corpus scale).
+    *
+    * Scale shape: one user-keyed shuffle (map-side combined agg), one
+    * 1-row exact-percentile agg over the user table (the 100 TB path swaps
+    * in percentile_approx — q20's documented trade), then a map-side
+    * crossJoin with that 1-row cut table (bnlj-allowlisted, q31's
+    * pattern). No events self-join, no global window.
+    */
+  val q34 = Q(
+    "q34_rfm_segments",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+      val perUser = ev.groupBy("user_id").agg(
+        max("us").as("r_us"),
+        count(lit(1)).as("f_events"),
+        coalesce(sum(when(col("event_type") === "purchase", col("cents"))), lit(0L))
+          .as("m_cents"))
+      val cuts = perUser.agg(
+        expr("percentile(r_us, array(0.25D, 0.5D, 0.75D))").as("rq"),
+        expr("percentile(f_events, array(0.25D, 0.5D, 0.75D))").as("fq"),
+        expr("percentile(m_cents, array(0.25D, 0.5D, 0.75D))").as("mq"))
+      def score(metric: String, q: String) =
+        lit(1L) +
+          when(col(metric) > element_at(col(q), 1), 1L).otherwise(0L) +
+          when(col(metric) > element_at(col(q), 2), 1L).otherwise(0L) +
+          when(col(metric) > element_at(col(q), 3), 1L).otherwise(0L)
+      perUser.crossJoin(cuts)
+        .withColumn("r_score", score("r_us", "rq"))
+        .withColumn("f_score", score("f_events", "fq"))
+        .withColumn("m_score", score("m_cents", "mq"))
+        .select(
+          col("user_id"), col("r_us"), col("f_events"), col("m_cents"),
+          col("r_score"), col("f_score"), col("m_score"),
+          concat(col("r_score").cast("string"), col("f_score").cast("string"),
+            col("m_score").cast("string")).as("segment"))
+        .orderBy("user_id")
+    },
+    Some("""WITH pu AS (
+              SELECT user_id, max(epoch_us(ts)) AS r_us,
+                CAST(count(*) AS BIGINT) AS f_events,
+                CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(floor(value * 100) AS BIGINT) END), 0) AS BIGINT)
+                  AS m_cents
+              FROM events GROUP BY user_id),
+            cuts AS (
+              SELECT quantile_cont(r_us, [0.25, 0.5, 0.75]) AS rq,
+                     quantile_cont(f_events, [0.25, 0.5, 0.75]) AS fq,
+                     quantile_cont(m_cents, [0.25, 0.5, 0.75]) AS mq
+              FROM pu),
+            sc AS (
+              SELECT user_id, r_us, f_events, m_cents,
+                CAST(1 + (r_us > rq[1])::INT + (r_us > rq[2])::INT
+                       + (r_us > rq[3])::INT AS BIGINT) AS r_score,
+                CAST(1 + (f_events > fq[1])::INT + (f_events > fq[2])::INT
+                       + (f_events > fq[3])::INT AS BIGINT) AS f_score,
+                CAST(1 + (m_cents > mq[1])::INT + (m_cents > mq[2])::INT
+                       + (m_cents > mq[3])::INT AS BIGINT) AS m_score
+              FROM pu CROSS JOIN cuts)
+            SELECT user_id, r_us, f_events, m_cents, r_score, f_score, m_score,
+              r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR AS segment
+            FROM sc ORDER BY user_id"""))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
-      q18, q19, q20, q21, q22, q25, q26, q27, q29, q30, q32, q33)
+      q18, q19, q20, q21, q22, q25, q26, q27, q29, q30, q32, q33, q34)
 }

@@ -78,7 +78,12 @@ class PartitionInvarianceSpec extends SparkSpec {
     // q33's successor pairing rides the same (us, event_id) tie rule q29
     // gates; the probability derives from exact integer counts via `div`,
     // so no reduce-order float drift is possible — gated here to prove it.
-    "q33_event_transitions")
+    "q33_event_transitions",
+    // q34's quartile cuts come from Spark's exact `percentile` (an
+    // order-independent value→count map) and every score is a threshold
+    // compare against interpolations at f ∈ {.25,.5,.75} over integers —
+    // exact fp, so the segment labels cannot move with geometry.
+    "q34_rfm_segments")
 
   test("round-5/6 queries return identical rows at shuffle.partitions = 3 and 17") {
     val conf = spark.conf
