@@ -1234,9 +1234,67 @@ object TextOps {
             FROM feat f JOIN wts w USING (bucket)
             GROUP BY f.doc_id ORDER BY f.doc_id"""))
 
+  /** Robust length-outlier detection per (source, lang) stratum — the
+    * MAD (median absolute deviation) filter data cleaning prefers over
+    * mean/stddev z-scores (a few megadocs drag a mean; the median doesn't
+    * move). A document is an outlier iff |len − median| > 3 × MAD of its
+    * stratum — the truncation-and-boilerplate screen run per source
+    * before length-sensitive steps like t17's packing.
+    *
+    * Exactness: everything lives on an integer grid. Medians over BIGINTs
+    * interpolate at worst to .5, so `2×median` is an exact BIGINT in both
+    * engines (`med2`, and `mad4` = 4×MAD via the same doubling applied
+    * twice); the decision is the all-integer comparison
+    * `2·dev2 > 3·mad4` ⟺ |len−med| > 3·MAD. No float survives to any
+    * output or comparison.
+    *
+    * Scale shape: two stratum-keyed exact-percentile aggregates (the
+    * stratum table is source×lang — structurally bounded) with the
+    * corpus re-joined to each via AQE-planned joins (no hint — d09's
+    * rule; the stats side is bounded so AQE broadcasts it). The 100 TB
+    * path swaps exact percentile for percentile_approx per q20's
+    * documented trade. No window over corpus rows, nothing quadratic.
+    */
+  val lengthOutliers = Q(
+    "t28_length_outliers",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      val med = docs.groupBy("source", "lang")
+        .agg(expr("CAST(2.0D * percentile(n_chars, 0.5D) AS BIGINT)").as("med2"))
+      val dev = docs.join(med, Seq("source", "lang"))
+        .withColumn("dev2", abs(lit(2L) * col("n_chars") - col("med2")))
+      val mad = dev.groupBy("source", "lang")
+        .agg(expr("CAST(2.0D * percentile(dev2, 0.5D) AS BIGINT)").as("mad4"))
+      dev.join(mad, Seq("source", "lang"))
+        .select(
+          col("doc_id"), col("source"), col("lang"), col("n_chars"),
+          col("med2"), col("dev2"), col("mad4"),
+          (lit(2L) * col("dev2") > lit(3L) * col("mad4")).as("is_outlier"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH med AS (
+              SELECT source, lang,
+                CAST(2.0 * quantile_cont(n_chars, 0.5) AS BIGINT) AS med2
+              FROM documents GROUP BY 1, 2),
+            dev AS (
+              SELECT d.doc_id, d.source, d.lang, d.n_chars, m.med2,
+                abs(2 * d.n_chars - m.med2) AS dev2
+              FROM documents d
+              JOIN med m ON d.source = m.source AND d.lang = m.lang),
+            mad AS (
+              SELECT source, lang,
+                CAST(2.0 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad4
+              FROM dev GROUP BY 1, 2)
+            SELECT v.doc_id, v.source, v.lang, v.n_chars, v.med2, v.dev2,
+              m.mad4, (2 * v.dev2 > 3 * m.mad4) AS is_outlier
+            FROM dev v
+            JOIN mad m ON v.source = m.source AND v.lang = m.lang
+            ORDER BY v.doc_id"""))
+
   val all: Seq[Q] =
     Seq(grep, wordcount, tokenCount, quality, langid, fingerprint, winnow, tfidf,
       langidEval, chunk, cooccur, bigrams, perplexity, vocabGrowth, repetition,
       novelty, pack, spectrum, scrub, qualityGate, bpeTrain, sourceProfile,
-      hitters, classifierScore, bpeApply, nfcAudit, dsirWeights)
+      hitters, classifierScore, bpeApply, nfcAudit, dsirWeights, lengthOutliers)
 }

@@ -83,7 +83,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     // order-independent value→count map) and every score is a threshold
     // compare against interpolations at f ∈ {.25,.5,.75} over integers —
     // exact fp, so the segment labels cannot move with geometry.
-    "q34_rfm_segments")
+    "q34_rfm_segments",
+    // t28's medians ride the same exact `percentile` map; dev2/mad4 are
+    // BIGINT and the outlier decision is an all-integer compare — no
+    // reduce-order or geometry sensitivity anywhere, gated to prove it.
+    "t28_length_outliers")
 
   test("round-5/6 queries return identical rows at shuffle.partitions = 3 and 17") {
     val conf = spark.conf
