@@ -200,5 +200,46 @@ object Sampling {
             GROUP BY source, n_docs, src_tokens, rate
             ORDER BY source"""))
 
-  val all: Seq[Q] = Seq(hashSample, stratifiedSample, weightedMix, temperatureMix)
+  /** Per-source document CAP (RefinedWeb/C4-style domain balancing): keep at
+    * most K documents from any one source, chosen deterministically by
+    * content-hash order — the anti-monoculture guard that stops one crawl
+    * domain from dominating the mix. Rate-based sampling (q24/q31) scales a
+    * source DOWN proportionally; a cap puts a hard CEILING on it, which is
+    * what you want when a single domain is 10⁴× oversampled. Hash order
+    * (not recency, not doc_id order) makes the kept set a uniform random-
+    * looking but fully reproducible subset — stable under re-partitioning,
+    * re-runs, and engine swaps.
+    *
+    * Scale shape: ONE source-keyed window shuffle (rank within source by
+    * md5, then filter rank ≤ K). With web-scale key cardinality (millions
+    * of domains) partitions balance; for a pathological hot domain the
+    * hash order gives the standard refinement — rank ≤ K is equivalent to
+    * "hash below the domain's K-th smallest hash", computable by a partial
+    * per-source K-smallest aggregate + map-side filter, never a full sort
+    * of the hot key. The shipped per-key window is the right plan until a
+    * single key outgrows a partition.
+    */
+  val sourceCap = Q(
+    "q35_source_cap",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          md5(col("doc_id").cast("string")).as("h"))
+      val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+      docs
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("doc_id"), col("source"), col("rank"))
+        .orderBy("source", "rank")
+    },
+    Some("""SELECT doc_id, source, rank FROM (
+              SELECT doc_id, source,
+                CAST(row_number() OVER (PARTITION BY source
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rank
+              FROM documents)
+            WHERE rank <= 10 ORDER BY source, rank"""))
+
+  val all: Seq[Q] =
+    Seq(hashSample, stratifiedSample, weightedMix, temperatureMix, sourceCap)
 }

@@ -734,6 +734,61 @@ object Similarity {
                                                CAST(n.embedding AS DOUBLE[])), 6) >= 0.25
             ORDER BY query_id, neighbor_id"""))
 
+  /** Metadata-FILTERED ANN — top-k under a predicate (here: neighbor must
+    * share the query's label), the filtered-search pattern every production
+    * vector store serves ("nearest docs in MY tenant / language / shard").
+    * The predicate is applied DURING the scan, inside the join condition,
+    * not after ranking: post-filtering a plain top-k shortlist silently
+    * loses recall when the filter is selective (the k survivors may all be
+    * filtered out), while pre-filtering keeps the top-k exact over the
+    * qualifying subset at zero extra passes.
+    *
+    * Plan shape is s01's: broadcast the literal-bounded query set (now
+    * carrying its label), ONE streaming corpus pass with the label
+    * equality folded into the broadcast-join predicate, per-query top-k
+    * via the k-row window shuffle. At 100 TB with a partitioned corpus the
+    * same predicate prunes partitions before the scan (the IVF analogue is
+    * per-label cell routing — s04's pruning composed with this filter).
+    */
+  def filteredTopK(spark: SparkSession, d: String, nQueries: Int, k: Int): DataFrame = {
+    val e = Tables.embeddings(spark, d)
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("label").as("q_label"))
+    val corpus = e.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ne"), col("label").as("n_label"))
+    val sims = corpus.join(broadcast(queries),
+        col("query_id") =!= col("neighbor_id") &&
+          col("q_label") === col("n_label"))
+      .select(col("query_id"), col("q_label").as("label"),
+        col("neighbor_id"), cosine(col("qe"), col("ne")).as("c"))
+    val w = Window.partitionBy("query_id").orderBy(col("c").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("label").cast("long").as("label"),
+        col("neighbor_id"), round(col("c"), 6).as("cos_sim"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  val filteredAnn = Q(
+    "s11_ann_filtered",
+    (s, d) => filteredTopK(s, d, 10, 5),
+    Some("""WITH sims AS (
+              SELECT q.vec_id AS query_id, CAST(q.label AS BIGINT) AS label,
+                n.vec_id AS neighbor_id,
+                list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                       CAST(n.embedding AS DOUBLE[])) AS c
+              FROM embeddings q JOIN embeddings n
+                ON q.vec_id <> n.vec_id AND q.label = n.label
+              WHERE q.vec_id < 10)
+            SELECT query_id, label, neighbor_id, round(c, 6) AS cos_sim, rank
+            FROM (
+              SELECT query_id, label, neighbor_id, c,
+                CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY c DESC, neighbor_id) AS BIGINT) AS rank
+              FROM sims)
+            WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   /** MMR (maximal-marginal-relevance) diversity re-ranking — the serving-
     * side step between retrieval and consumption: plain top-k returns
     * near-duplicates of each other when the corpus clusters (by
@@ -818,5 +873,5 @@ object Similarity {
 
   val all: Seq[Q] =
     Seq(annBruteForce, annLsh, centroids, annIvf, annRecall, quantError, annAppend,
-      annPq, radius, mmr)
+      annPq, radius, mmr, filteredAnn)
 }

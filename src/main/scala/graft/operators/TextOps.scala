@@ -1292,9 +1292,67 @@ object TextOps {
             JOIN mad m ON v.source = m.source AND v.lang = m.lang
             ORDER BY v.doc_id"""))
 
+  /** Per-document token ENTROPY and type-token ratio — the distributional
+    * gibberish/templating screen (CCNet-family): keyboard mash and
+    * single-phrase spam collapse to near-zero entropy, healthy prose sits
+    * near ln(vocab-in-doc). Complements t15's surface repetition ratios
+    * (which see literal repeats) with the information-theoretic view
+    * (which sees skewed-but-nonrepeating distributions), and t18's
+    * corpus-level spectrum with the per-document readout filters key on.
+    *
+    * Exactness: entropy needs Σ p·ln p — a cross-row FLOAT sum, which is
+    * summation-order-dependent and so engine-divergent. The engine's
+    * standard discipline (t27): quantize each type's contribution to
+    * integer micro-nats (`floor(cnt·ln(cnt)·10⁶ + .5)`), sum the BIGINTs
+    * (order-independent), and apply the single closing ln/divide/round on
+    * the integer total — `H = ln(n) − S/(10⁶·n)` — so both engines round
+    * the same double.
+    *
+    * Scale shape: two doc-keyed aggregates, both map-side combined
+    * ((doc,type) counts, then the per-doc roll-up); no joins, no windows,
+    * linear in token volume — t18's shape with a per-doc key.
+    */
+  val tokenEntropy = Q(
+    "t29_token_entropy",
+    (s, d) => {
+      val tc = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
+      tc.groupBy("doc_id")
+        .agg(
+          sum("cnt").as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(floor(col("cnt") * log(col("cnt").cast("double")) * lit(1000000.0)
+            + lit(0.5)).cast("long")).as("s_micro"))
+        .select(
+          col("doc_id"), col("n_tokens"), col("n_types"),
+          round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
+          round(log(col("n_tokens").cast("double"))
+            - col("s_micro").cast("double") / lit(1000000.0) / col("n_tokens"), 6)
+            .as("entropy"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, unnest(list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS t
+              FROM documents),
+            tc AS (SELECT doc_id, t, count(*) AS cnt FROM toks GROUP BY 1, 2),
+            agg AS (
+              SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                CAST(count(*) AS BIGINT) AS n_types,
+                CAST(sum(CAST(floor(cnt * ln(cnt) * 1000000.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS s_micro
+              FROM tc GROUP BY 1)
+            SELECT doc_id, n_tokens, n_types,
+              round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+              round(ln(n_tokens) - CAST(s_micro AS DOUBLE) / 1000000.0 / n_tokens, 6)
+                AS entropy
+            FROM agg ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(grep, wordcount, tokenCount, quality, langid, fingerprint, winnow, tfidf,
       langidEval, chunk, cooccur, bigrams, perplexity, vocabGrowth, repetition,
       novelty, pack, spectrum, scrub, qualityGate, bpeTrain, sourceProfile,
-      hitters, classifierScore, bpeApply, nfcAudit, dsirWeights, lengthOutliers)
+      hitters, classifierScore, bpeApply, nfcAudit, dsirWeights, lengthOutliers,
+      tokenEntropy)
 }
