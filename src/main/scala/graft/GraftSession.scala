@@ -26,9 +26,14 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")
-      // The events table stores TIMESTAMP(NANOS); read as long and convert
-      // in Tables.events (Spark has no nanosecond timestamp type).
+      // The testdata's timestamp encoding has drifted across harness
+      // rounds: TIMESTAMP(NANOS) (no Spark type — read as long, converted
+      // in Tables.events), then micros without isAdjustedToUTC. Disabling
+      // inferTimestampNTZ reads the latter as plain TIMESTAMP (values
+      // identical under the UTC session); Tables.normalizeTimestamps is
+      // the belt-and-braces for sessions without this conf.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.ui.enabled", "false")

@@ -79,8 +79,14 @@ object PlanAudit {
       "(literal-bounded row count) joined to a shortlist capped at " +
       "queries × rerank×topK rows by the ADC heap pass — both sides " +
       "structurally bounded regardless of corpus size"),
-    "s05_ann_recall" -> "composes s01/s02/s04's LIMIT-10 probe sets",
+    // s05_ann_recall: no entry — its hints broadcast probe sets derived
+    // from the shared eagerly-checkpointed embeddings table (checkpointed
+    // leaves carry no table identity, and each probe set is the same
+    // LIMIT-10 bound as s01's).
     "s07_ann_ivf_append" -> "probe side is a LIMIT-10 query set",
+    "s11_ann_filtered" -> ("probe side is the vec_id < 10 literal-bounded " +
+      "query set carrying its filter label — s01's argument; the filtered " +
+      "corpus side streams map-side against the broadcast probes"),
     "t08_tfidf_topterms" -> ("docFreq is vocabulary-sized (distinct unigrams " +
       "plateau ~10^7) + a 1-row corpus count"),
     "t11_cooccur_pmi" -> ("docFreq is vocabulary-sized (distinct unigrams " +

@@ -68,16 +68,17 @@ object Dedup {
     docs.select(col("doc_id"), col("text")).repartition(p)
   }
 
-  /** Unpersist every checkpointed RDD referenced by `df`'s plan — the
-    * cleanup half of execution rule 2: once a downstream checkpoint is
-    * materialized, its inputs' blocks are dead weight in the block manager
-    * (they would otherwise live until GC-triggered ContextCleaner passes).
-    */
-  private def unpersistCheckpoints(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
-      case _ => ()
-    }
+  // Checkpoint-block lifetime: a `localCheckpoint`ed RDD has its lineage
+  // truncated, so a freed block can NEVER be recomputed — an explicit
+  // `unpersist` of one is a live hazard (any consumer that re-reads the
+  // plan afterwards, e.g. a second action on a returned DataFrame or a
+  // racing speculative task, dies with "Block ... does not exist"; Spark
+  // itself warns on the call). We therefore never unpersist checkpoints
+  // eagerly: blocks are MEMORY_AND_DISK (they spill, not evict) and
+  // ContextCleaner reclaims them through the block manager once the
+  // driver-side references are garbage-collected — the standard lifecycle,
+  // which frees loop intermediates promptly (each round's local vars drop
+  // the only strong references) without the recompute hazard.
 
   // ---------------------------------------------------------------- MinHash
   val NumPerms = 64
@@ -559,8 +560,10 @@ object Dedup {
           col("old"))
         .localCheckpoint()
       val changed = jumped.filter(col("label") =!= col("old")).count()
-      unpersistCheckpoints(labels)  // round k-1's blocks, dead now that k is live
-      unpersistCheckpoints(oneHop)  // intermediate, consumed by the jump join
+      // Round k-1's labels and the oneHop intermediate are dead once k is
+      // live; reassigning `labels` (and oneHop going out of scope) drops
+      // their last references and ContextCleaner frees the blocks — see
+      // the checkpoint-lifetime note at the top of this object.
       labels = jumped.select("doc_id", "label")
       converged = changed == 0
       iter += 1
@@ -586,8 +589,9 @@ object Dedup {
     * what makes the iteration scale — without it round k re-analyzes (and
     * under recomputation re-executes) the whole LSH pipeline plus k-1
     * rounds of joins. Once round k is materialized, round k-1's checkpoint
-    * blocks are explicitly unpersisted (they would otherwise accumulate in
-    * the block manager for the life of the job). The old label rides
+    * blocks lose their last driver reference and ContextCleaner reclaims
+    * them (see the checkpoint-lifetime note above — an explicit unpersist
+    * of lineage-truncated blocks is a recompute hazard). The old label rides
     * through the group-by so the convergence check costs no extra join. At
     * cluster scale the same loop runs with reliable checkpointing; the
     * shape is identical.
@@ -600,13 +604,9 @@ object Dedup {
 
   def dedupClustersFrom(docs: DataFrame, threshold: Double,
       maxIters: Int = 50): DataFrame = {
-    val rawPairs = minhashPairsFrom(docs, threshold).select(col("a"), col("b"))
-    val pairs = rawPairs.localCheckpoint()
-    // The LSH pipeline's own checkpoints (shingle hashes, banded sigs) are
-    // dead once the pair list is materialized.
-    unpersistCheckpoints(rawPairs)
+    val pairs = minhashPairsFrom(docs, threshold)
+      .select(col("a"), col("b")).localCheckpoint()
     val labels = connectedComponents(pairs, maxIters)
-    unpersistCheckpoints(pairs) // edge list: consumed by the loop above
     labels
       .groupBy("label").agg(collect_list("doc_id").as("ids"), count(lit(1)).as("cluster_size"))
       .filter(col("cluster_size") > 1)
@@ -729,9 +729,8 @@ object Dedup {
     * materialized once and reused by all three join legs.
     */
   def nearDupTriangles(spark: SparkSession, d: String, threshold: Double): DataFrame = {
-    val rawPairs = minhashPairs(spark, d, threshold).select(col("a"), col("b"))
-    val e = rawPairs.localCheckpoint()
-    unpersistCheckpoints(rawPairs)
+    val e = minhashPairs(spark, d, threshold)
+      .select(col("a"), col("b")).localCheckpoint()
     e.as("e1")
       .join(e.as("e2"), col("e1.b") === col("e2.a"))
       .join(e.as("e3"),
@@ -814,7 +813,6 @@ object Dedup {
     cHs.write.mode("overwrite").parquet(s"$path/shingles")
     bandBuckets(signaturesFromHashes(cHs))
       .write.mode("overwrite").parquet(s"$path/bands")
-    unpersistCheckpoints(cHs)
   }
 
   /** Incremental keep-list probing a PERSISTED index (see
@@ -895,12 +893,6 @@ object Dedup {
     val nearPairs = jaccardPairsHashed(hsScore, Some(cands))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b")).localCheckpoint()
-    // The scoring shingle slice and the delta band table are fully
-    // consumed once the verified pairs are materialized (each call
-    // releases that checkpoint's own blocks — a localCheckpoint's plan is
-    // its truncated LogicalRDD). cands, dFp, and nearPairs stay: the lazy
-    // verdict assembly still reads them.
-    Seq(hsScore, dBanded).foreach(unpersistCheckpoints)
     // ---- decide: components of the delta-adjacent graph; corpus wins.
     val labels = connectedComponents(nearPairs)
     val corpusLabels = labels

@@ -20,8 +20,10 @@ import graft.sources.Tables
 object Similarity {
 
   /** Exact top-k neighbors for each query vector (qid < nQueries). */
-  def bruteForceTopK(spark: SparkSession, d: String, nQueries: Int, k: Int): DataFrame = {
-    val e = Tables.embeddings(spark, d)
+  def bruteForceTopK(spark: SparkSession, d: String, nQueries: Int, k: Int): DataFrame =
+    bruteForceTopKFrom(Tables.embeddings(spark, d), nQueries, k)
+
+  def bruteForceTopKFrom(e: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val queries = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val corpus = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
@@ -74,6 +76,10 @@ object Similarity {
     * construction, still deterministic).
     */
   def lshTopK(spark: SparkSession, d: String, nQueries: Int, k: Int,
+      bits: Int = 4, tables: Int = 8): DataFrame =
+    lshTopKFrom(Tables.embeddings(spark, d), nQueries, k, bits, tables)
+
+  def lshTopKFrom(e: DataFrame, nQueries: Int, k: Int,
       bits: Int = 4, tables: Int = 8): DataFrame = {
     val dim = 64 // embeddings table vector dimension (TESTDATA.md)
     // One signature of bits*tables hyperplane sign-bits, banded per table.
@@ -84,7 +90,6 @@ object Similarity {
     def banded(df: DataFrame, idCol: String, vecCol: String) =
       df.withColumn("sig", allBits(col(vecCol)))
         .select(col(idCol), col(vecCol), posexplode(array(bandCodes: _*)).as(Seq("band", "code")))
-    val e = Tables.embeddings(spark, d)
     val queries = banded(
       e.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe")),
@@ -325,10 +330,14 @@ object Similarity {
   }
 
   def ivfTopK(spark: SparkSession, d: String, nQueries: Int, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, kmeansIters: Int = 3): DataFrame =
+    ivfTopKFrom(spark, Tables.embeddings(spark, d), nQueries, k, nCells, nProbe, kmeansIters)
+
+  def ivfTopKFrom(spark: SparkSession, raw: DataFrame, nQueries: Int, k: Int,
       nCells: Int = 16, nProbe: Int = 4, kmeansIters: Int = 3): DataFrame = {
     import spark.implicits._
-    val e = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
-    val codebook = ivfCodebook(spark, d, nCells, kmeansIters)
+    val e = raw.select(col("vec_id"), col("embedding"))
+    val codebook = ivfCodebookOf(spark, e, nCells, kmeansIters)
     val bc = spark.sparkContext.broadcast(codebook)
     def nearestCells(v: Array[Float], n: Int): Seq[Int] =
       bc.value.map { case (cid, c) => (cid, dotd(unit(v), c)) }
@@ -548,9 +557,13 @@ object Similarity {
     * planted-cluster spec carries the recall floor.
     */
   def pqTopK(spark: SparkSession, d: String, nQueries: Int, topK: Int,
+      m: Int = 8, k: Int = 64, iters: Int = 3, rerank: Int = 8): DataFrame =
+    pqTopKFrom(spark, Tables.embeddings(spark, d), nQueries, topK, m, k, iters, rerank)
+
+  def pqTopKFrom(spark: SparkSession, raw: DataFrame, nQueries: Int, topK: Int,
       m: Int = 8, k: Int = 64, iters: Int = 3, rerank: Int = 8): DataFrame = {
     import spark.implicits._
-    val e = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+    val e = raw.select(col("vec_id"), col("embedding"))
     val cbs = pqTrain(spark, e, m, k, iters)
     val dsub = cbs(0)(0).length
     val queries = e.as[(Long, Array[Float])].filter(_._1 < nQueries).collect()
@@ -623,8 +636,18 @@ object Similarity {
     * s04), but the output is deterministic.
     */
   def recallEval(spark: SparkSession, d: String, nQueries: Int, k: Int): DataFrame = {
+    // The embeddings table is materialized ONCE and shared by all four
+    // methods — brute-force ground truth plus three approximate indexes,
+    // each of which otherwise re-scans the parquet source several times
+    // (k-means runs one pass per iteration for the IVF and PQ codebooks,
+    // then the assignment/encode passes, then the query-set collects).
+    // Spread across all cores first: the source can be a single file.
+    val e = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint()
     // Materialized once: both methods' joins consume the ground truth.
-    val exact = bruteForceTopK(spark, d, nQueries, k)
+    val exact = bruteForceTopKFrom(e, nQueries, k)
       .select(col("query_id"), col("neighbor_id"))
       .localCheckpoint()
     def recallOf(method: String, approx: DataFrame): DataFrame = {
@@ -639,9 +662,9 @@ object Similarity {
           count(lit(1)).as("n_queries"))
         .select(lit(method).as("method"), col("mean_recall"), col("min_recall"), col("n_queries"))
     }
-    recallOf("ivf", ivfTopK(spark, d, nQueries, k))
-      .unionAll(recallOf("lsh", lshTopK(spark, d, nQueries, k)))
-      .unionAll(recallOf("pq", pqTopK(spark, d, nQueries, k)))
+    recallOf("ivf", ivfTopKFrom(spark, e, nQueries, k))
+      .unionAll(recallOf("lsh", lshTopKFrom(e, nQueries, k)))
+      .unionAll(recallOf("pq", pqTopKFrom(spark, e, nQueries, k)))
       .orderBy("method")
   }
 

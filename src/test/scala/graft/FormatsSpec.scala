@@ -52,6 +52,54 @@ class FormatsSpec extends SparkSpec {
     assert(back.collect().map(_.toSeq).toSet == src.collect().map(_.toSeq).toSet)
   }
 
+  test("events.ts normalizes to TIMESTAMP under all three parquet encodings") {
+    // The harness testdata has shipped events.ts as TIMESTAMP(NANOS)
+    // (surfaced as long under nanosAsLong), micros-NTZ (no isAdjustedToUTC
+    // flag), and micros-UTC across rounds. The Tables boundary must yield
+    // TimestampType with identical values for every encoding.
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val micros = 1705322096789012L // 2024-01-15 12:34:56.789012 UTC
+    def eventsDir(suffix: String): String =
+      Files.createTempDirectory(s"graft-ts-$suffix").toFile.getAbsolutePath
+
+    // (a) nanos-as-long: the legacy conf surfaces TIMESTAMP(NANOS) as a
+    // long column; sub-microsecond digits truncate.
+    val dNanos = eventsDir("nanos")
+    spark.range(1).select(lit(micros * 1000L + 345L).as("ts"), lit(7L).as("user_id"))
+      .write.mode("overwrite").parquet(s"$dNanos/events.parquet")
+    // (b) micros-NTZ: what Spark 4's inferTimestampNTZ would read as
+    // TIMESTAMP_NTZ (we disable the inference; the schema walk is the
+    // belt-and-braces for sessions that don't).
+    val dNtz = eventsDir("ntz")
+    spark.range(1)
+      .select(expr(s"to_timestamp_ntz(timestamp_micros(${micros}L))").as("ts"),
+        lit(7L).as("user_id"))
+      .write.mode("overwrite").parquet(s"$dNtz/events.parquet")
+    // (c) micros-UTC: the unambiguous encoding.
+    val dUtc = eventsDir("utc")
+    spark.range(1).select(expr(s"timestamp_micros(${micros}L)").as("ts"), lit(7L).as("user_id"))
+      .write.mode("overwrite").parquet(s"$dUtc/events.parquet")
+
+    val read = Seq(dNanos, dNtz, dUtc).map { d =>
+      val ev = Tables.events(spark, d)
+      assert(ev.schema("ts").dataType == TimestampType,
+        s"$d: expected TIMESTAMP, got ${ev.schema("ts").dataType}")
+      ev.select(unix_micros(col("ts"))).collect().head.getLong(0)
+    }
+    assert(read.toSet == Set(micros), s"encodings disagree on the value: $read")
+
+    // normalizeTimestamps itself handles a live NTZ column (the path taken
+    // when inferTimestampNTZ is enabled) and leaves others untouched.
+    val ntzDf = spark.range(1)
+      .select(expr(s"to_timestamp_ntz(timestamp_micros(${micros}L))").as("ts"),
+        lit("x").as("tag"))
+    assert(ntzDf.schema("ts").dataType == TimestampNTZType)
+    val norm = Tables.normalizeTimestamps(ntzDf)
+    assert(norm.schema("ts").dataType == TimestampType)
+    assert(norm.select(unix_micros(col("ts"))).collect().head.getLong(0) == micros)
+    assert(norm.schema("tag") == ntzDf.schema("tag"))
+  }
+
   test("JsonLines: malformed lines are quarantined, not dropped or fatal") {
     import graft.sources.JsonLines
     val dir = Files.createTempDirectory("graft-fmt-corrupt").toFile
