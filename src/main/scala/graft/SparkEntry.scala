@@ -36,13 +36,15 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    with the trained merge table, Unicode NFC normalization audit via
   *    the native nfc_norm expression, DSIR-style hashed-unigram
   *    importance weighting with a corpus-learned bucket model).
-  *  - d01..d16: dedup & corpus hygiene (exact, MinHash-LSH, SimHash,
+  *  - d01..d17: dedup & corpus hygiene (exact, MinHash-LSH, SimHash,
   *    n-gram Jaccard, embedding-cosine, connected-component clusters,
   *    keep-list, near-dup triangles, benchmark decontamination,
   *    incremental delta dedup, exact-substring repeated spans, near-dup
   *    detector consensus, C4-style chunk scrub + reassembly,
   *    SemDeDup-style bucket-local semantic dedup, quality-aware cluster
-  *    representative selection, duplicate-provenance source matrix).
+  *    representative selection, duplicate-provenance source matrix,
+  *    embedding-space eval-set decontamination — d09's semantic
+  *    complement, one map-only scan with literal-inlined eval vectors).
   *  - s01..s10: similarity search (brute-force ANN, LSH-bucketed ANN,
   *    per-label centroid stats, IVF ANN, recall@k evaluation, int8
   *    quantization error audit, incremental IVF ingest serving state,

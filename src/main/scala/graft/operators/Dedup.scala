@@ -1432,8 +1432,77 @@ object Dedup {
                    (src_a <> src_b) AS cross_source
             FROM m GROUP BY src_a, src_b ORDER BY src_a, src_b"""))
 
+  // --------------------------------------- embedding-space decontamination
+  /** Embedding-space benchmark decontamination — the semantic complement
+    * of d09 (which catches verbatim n-gram overlap): flag every corpus
+    * vector whose embedding lies within cosine `threshold` of ANY eval-set
+    * vector, with the nearest eval item and its similarity — the evidence
+    * row a decontamination audit ships. Catches paraphrased/translated
+    * benchmark leakage that token-level matching misses. The eval set
+    * here is the `vec_id < nEval` slice (stand-in for a benchmark
+    * embedding table).
+    *
+    * Scale shape: eval/benchmark sets are structurally tiny (10^3–10^5
+    * rows — a bounded collect, same audited pattern as the IVF codebook),
+    * so each eval embedding is inlined as a literal and the whole operator
+    * is ONE map-only corpus scan: per row, `nEval` codegen'd `vec_dot`
+    * calls and a struct arg-max — no join, no shuffle, no broadcast,
+    * embarrassingly parallel at 100 TB. (The eval-side norms constant-fold
+    * at plan time.) For eval sets too big to inline, the d05/d14
+    * cell-bucketed candidate join is the fallback shape; this exact scan
+    * is also its verification baseline. Ties on the rounded similarity
+    * break to the LOWEST eval id (the `-eval_id` struct field under
+    * `array_max`'s lexicographic order), mirroring the oracle's
+    * `ORDER BY cos_sim DESC, eval_id` window.
+    */
+  def embeddingDecontaminate(spark: SparkSession, d: String,
+      nEval: Int = 25, threshold: Double = 0.35): DataFrame =
+    embeddingDecontaminateFrom(Tables.embeddings(spark, d), nEval, threshold)
+
+  /** Core of d17 over any (vec_id, embedding) frame; eval = vec_id < nEval. */
+  def embeddingDecontaminateFrom(e: DataFrame,
+      nEval: Int, threshold: Double): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val evalSet = e.filter(col("vec_id") < nEval)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+    require(evalSet.nonEmpty, s"embeddingDecontaminate: no eval vectors under id $nEval")
+    val best = array_max(array(evalSet.map { case (eid, ev) =>
+      struct(
+        round(VectorFns.cosine(col("embedding"), lit(ev)), 6).as("c"),
+        lit(-eid).as("neg_id"))
+    }.toIndexedSeq: _*))
+    e.filter(col("vec_id") >= nEval)
+      .select(col("vec_id"), best.as("b"))
+      .select(col("vec_id"), col("b.c").as("max_cos"), (-col("b.neg_id")).as("nearest_eval"))
+      .filter(col("max_cos") >= threshold)
+      .orderBy("vec_id")
+  }
+
+  val embeddingDecontam = Q(
+    "d17_embedding_decontaminate",
+    (s, d) => embeddingDecontaminate(s, d, 25, 0.35),
+    Some("""WITH ev AS (
+              SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS ee
+              FROM embeddings WHERE vec_id < 25),
+            c AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
+              FROM embeddings WHERE vec_id >= 25),
+            scored AS (
+              SELECT c.vec_id, ev.eval_id,
+                     round(list_cosine_similarity(ce, ee), 6) AS cos_sim
+              FROM c CROSS JOIN ev),
+            ranked AS (
+              SELECT vec_id, eval_id, cos_sim,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cos_sim DESC, eval_id) AS rn
+              FROM scored)
+            SELECT vec_id, cos_sim AS max_cos, eval_id AS nearest_eval
+            FROM ranked WHERE rn = 1 AND cos_sim >= 0.35 ORDER BY vec_id"""))
+
   val all: Seq[Q] =
     Seq(exact, minhash, simhash, ngramJaccard, embedding, clusters, keep, triangles,
       decontam, incremental, repeated, consensus, chunkDedup, semantic, bestKeep,
-      provenance)
+      provenance, embeddingDecontam)
 }

@@ -272,6 +272,29 @@ class OperatorSpec extends SparkSpec {
     assert(hits(3L) >= 1L)
   }
 
+  test("d17 embedding decontamination: planted eval copy flagged, tie breaks low") {
+    import spark.implicits._
+    // Eval set = ids 0..2 (axis vectors). Corpus: id 10 copies eval 1
+    // (cos 1.0), id 11 sits exactly between eval 0 and eval 2 (equal
+    // rounded similarity — the arg-max must break to eval 0), id 12 is
+    // orthogonal to every eval vector (cos 0 < threshold, stays clean).
+    val e = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(0f, 0f, 1f, 0f)),
+      (10L, Array(0f, 1f, 0f, 0f)),
+      (11L, Array(1f, 0f, 1f, 0f)),
+      (12L, Array(0f, 0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val got = Dedup.embeddingDecontaminateFrom(e, nEval = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == Seq(10L, 11L), s"wrong flag set: ${got.toSeq}")
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(10L)._2 == 1.0 && byId(10L)._3 == 1L, s"copy row wrong: ${byId(10L)}")
+    assert(byId(11L)._3 == 0L, s"tie must break to the lowest eval id: ${byId(11L)}")
+    assert(math.abs(byId(11L)._2 - 0.707107) < 1e-6)
+  }
+
   test("BPE-ish pretokenizer count: contractions, space-prefix runs, punct") {
     import spark.implicits._
     val got = Seq("Don't stop!", "a  b", "3.14 ok")

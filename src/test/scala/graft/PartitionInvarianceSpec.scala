@@ -87,7 +87,12 @@ class PartitionInvarianceSpec extends SparkSpec {
     // t28's medians ride the same exact `percentile` map; dev2/mad4 are
     // BIGINT and the outlier decision is an all-integer compare — no
     // reduce-order or geometry sensitivity anywhere, gated to prove it.
-    "t28_length_outliers")
+    "t28_length_outliers",
+    // d17 is a map-only scan with literal-inlined eval vectors; the only
+    // geometry-sensitive step would be the struct arg-max, which breaks
+    // ties on the ROUNDED similarity — gated to prove the tie-break holds
+    // at any partitioning.
+    "d17_embedding_decontaminate")
 
   test("round-5/6 queries return identical rows at shuffle.partitions = 3 and 17") {
     val conf = spark.conf
