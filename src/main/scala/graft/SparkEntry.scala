@@ -61,6 +61,9 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *  - p02: the composed mix-assembly pipeline (measure per-source token
   *    mass → q31 temperature rates → deterministic md5-bucket sampling →
   *    t17 sequence packing) — the mix manifest of a pretraining run.
+  *  - p03: the composed pre-release contamination audit (d09 token-space
+  *    + d17 embedding-space vs one held-out eval set + t19 blocklist),
+  *    per-doc evidence + WHY bitmask + releasable verdict.
   */
 object SparkEntry {
   val inventory: Seq[Q] =

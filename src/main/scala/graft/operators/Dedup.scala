@@ -1468,16 +1468,25 @@ object Dedup {
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .collect().sortBy(_._1)
     require(evalSet.nonEmpty, s"embeddingDecontaminate: no eval vectors under id $nEval")
+    scoreAgainstEval(e.filter(col("vec_id") >= nEval), evalSet, threshold)
+      .orderBy("vec_id")
+  }
+
+  /** The d17 scoring pass over any (vec_id, embedding) frame — batch or
+    * streaming (stateless per-row work, so the streaming twin is exact):
+    * flag rows within cosine `threshold` of any eval vector. Eval vectors
+    * arrive pre-collected (bounded) and are inlined as literals; ties on
+    * the rounded similarity break to the lowest eval id. */
+  def scoreAgainstEval(vecs: DataFrame, evalSet: Array[(Long, Array[Float])],
+      threshold: Double): DataFrame = {
     val best = array_max(array(evalSet.map { case (eid, ev) =>
       struct(
         round(VectorFns.cosine(col("embedding"), lit(ev)), 6).as("c"),
         lit(-eid).as("neg_id"))
     }.toIndexedSeq: _*))
-    e.filter(col("vec_id") >= nEval)
-      .select(col("vec_id"), best.as("b"))
+    vecs.select(col("vec_id"), best.as("b"))
       .select(col("vec_id"), col("b.c").as("max_cos"), (-col("b.neg_id")).as("nearest_eval"))
       .filter(col("max_cos") >= threshold)
-      .orderBy("vec_id")
   }
 
   val embeddingDecontam = Q(

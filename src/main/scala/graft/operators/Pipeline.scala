@@ -217,5 +217,113 @@ object Pipeline {
                         THEN (cum_tokens - 1) // 512 ELSE -1 END AS BIGINT) AS seq_last
             FROM cum ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(pipeline, mix)
+  // ------------------------------------------------- p03: release audit
+  /** The pre-release contamination-audit manifest — the composed
+    * "is this corpus shippable" readout a training-data release runs
+    * LAST, after curation: per corpus document, every contamination
+    * modality's evidence side by side, with a WHY bitmask and the
+    * releasable verdict. One held-out eval set (ids < nEval) drives both
+    * detection modalities, so the report is coherent:
+    *
+    *  - token space (d09): shared 5-gram count vs the eval docs — catches
+    *    verbatim benchmark leakage;
+    *  - embedding space (d17): max cosine vs the eval vectors (0.0 when
+    *    below threshold — never null, the p01 sentinel rule: both engines
+    *    then emit plain doubles, which the driver's value hash requires) —
+    *    catches paraphrased leakage tokens miss;
+    *  - blocklist (t19): dictionary hit count — policy/PII terms.
+    *
+    * Flags: bit 0 token-contaminated, bit 1 semantically near an eval
+    * item, bit 2 blocklist-dirty; `releasable` = no bits set. Like p01/
+    * p02 this is a COMPOSITION of the component operators (same
+    * shingle hash, same literal-inlined scoring pass, same matcher), so
+    * the component oracles and this oracle cross-check each other.
+    *
+    * Scale shape: the d09 leg is one shingle-keyed equi-join against the
+    * bounded eval shingle set; the d17 leg is the map-only literal-inline
+    * scan; the t19 leg is a map-only regex scan; assembly left-joins the
+    * (contamination-sized, tiny) evidence tables onto the doc-keyed
+    * manifest — AQE broadcasts them; the corpus itself never shuffles
+    * before the final sort. Linear in corpus bytes at any scale.
+    */
+  def releaseAudit(spark: org.apache.spark.sql.SparkSession, d: String,
+      nEval: Int = 25, semThreshold: Double = 0.35, ngramN: Int = 5,
+      terms: Seq[String] = Seq("customer", "supplier", "order")): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, d)
+    val corpusDocs = docs.filter(col("doc_id") >= nEval)
+    val evalDocs = docs.filter(col("doc_id") < nEval)
+    val tokHits = Dedup.decontaminate(corpusDocs, evalDocs, ngramN)
+      .select(col("doc_id"), col("n_shared_ngrams"))
+    val e = Tables.embeddings(spark, d)
+    val evalSet = e.filter(col("vec_id") < nEval)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+    val sem = Dedup.scoreAgainstEval(
+        e.filter(col("vec_id") >= nEval), evalSet, semThreshold)
+      .select(col("vec_id").as("doc_id"), col("max_cos"))
+    val scrub = TextOps.scrubTerms(corpusDocs, terms)
+      .select(col("doc_id"), col("n_hits"))
+    corpusDocs.select("doc_id")
+      .join(tokHits, Seq("doc_id"), "left")
+      .join(sem, Seq("doc_id"), "left")
+      .join(scrub, Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        coalesce(col("n_shared_ngrams"), lit(0L)).as("token_ngrams"),
+        coalesce(col("max_cos"), lit(0.0)).as("sem_cos"),
+        col("n_hits"))
+      .withColumn("flags",
+        when(col("token_ngrams") > 0L, 1L).otherwise(0L) +
+          when(col("sem_cos") > 0.0, 2L).otherwise(0L) +
+          when(col("n_hits") > 0L, 4L).otherwise(0L))
+      .withColumn("releasable", col("flags") === 0L)
+      .orderBy("doc_id")
+  }
+
+  val audit = Q(
+    "p03_release_audit",
+    (s, d) => releaseAudit(s, d),
+    Some("""WITH toks AS (
+              SELECT doc_id, list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                ('0x' || substr(md5(list_aggregate(ts[i:i+4], 'string_agg', ' ')), 1, 15))::BIGINT AS sh_h
+              FROM toks, UNNEST(range(1, len(ts) - 3)) r(i)
+              WHERE len(ts) >= 5),
+            evs AS (SELECT doc_id AS eval_doc, sh_h FROM sh WHERE doc_id < 25),
+            csh AS (SELECT * FROM sh WHERE doc_id >= 25),
+            tok AS (
+              SELECT c.doc_id, CAST(count(*) AS BIGINT) AS token_ngrams
+              FROM csh c JOIN evs e ON c.sh_h = e.sh_h GROUP BY c.doc_id),
+            ev AS (SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS ee
+                   FROM embeddings WHERE vec_id < 25),
+            cv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
+                   FROM embeddings WHERE vec_id >= 25),
+            sem AS (
+              SELECT vec_id AS doc_id,
+                     max(round(list_cosine_similarity(ce, ee), 6)) AS mc
+              FROM cv CROSS JOIN ev GROUP BY vec_id),
+            scrub AS (
+              SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '\b(customer|supplier|order)\b')) AS BIGINT) AS n_hits
+              FROM documents WHERE doc_id >= 25),
+            m AS (
+              SELECT s.doc_id,
+                CAST(coalesce(t.token_ngrams, 0) AS BIGINT) AS token_ngrams,
+                CASE WHEN sem.mc >= 0.35 THEN sem.mc ELSE 0.0 END AS sem_cos,
+                s.n_hits
+              FROM scrub s
+              LEFT JOIN tok t ON t.doc_id = s.doc_id
+              LEFT JOIN sem ON sem.doc_id = s.doc_id)
+            SELECT doc_id, token_ngrams, sem_cos, n_hits,
+              CAST(CASE WHEN token_ngrams > 0 THEN 1 ELSE 0 END
+                 + CASE WHEN sem_cos > 0.0 THEN 2 ELSE 0 END
+                 + CASE WHEN n_hits > 0 THEN 4 ELSE 0 END AS BIGINT) AS flags,
+              (token_ngrams = 0 AND sem_cos = 0.0 AND n_hits = 0) AS releasable
+            FROM m ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(pipeline, mix, audit)
 }

@@ -43,4 +43,17 @@ object VectorStreams {
           Similarity.ivfAppendIndex(batch.sparkSession, batch.toDF(), indexPath)
       }
       .start()
+
+  /** Streaming twin of batch d17 (`Dedup.embeddingDecontaminate`): score
+    * every ARRIVING vector against the bounded eval/benchmark embedding
+    * set and emit the flagged rows — the decontamination gate an ingest
+    * pipeline runs BEFORE a vector enters the index. The scoring pass is
+    * the shared [[graft.operators.Dedup.scoreAgainstEval]] column: eval
+    * vectors are literal-inlined, so this is stateless per-row work — no
+    * watermark, no state store, no shuffle; the stream ≡ batch
+    * equivalence is exact (spec-asserted), not an eventual-consistency
+    * approximation. */
+  def decontaminateStream(stream: DataFrame,
+      evalSet: Array[(Long, Array[Float])], threshold: Double): DataFrame =
+    graft.operators.Dedup.scoreAgainstEval(stream, evalSet, threshold)
 }

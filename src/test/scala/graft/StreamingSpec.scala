@@ -307,4 +307,34 @@ class StreamingSpec extends SparkSpec {
       .select("query_id", "neighbor_id", "cos_sim", "rank").collect()
     assert(probed.map(_.toString).toSeq == twin.map(_.toString).toSeq)
   }
+
+  test("streaming decontamination gate across micro-batches == batch d17") {
+    import java.nio.file.Files
+    import graft.streaming.VectorStreams
+    import graft.sources.Tables
+    import graft.operators.Dedup
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-vec-decon").toString
+    val nEval = 25
+    val threshold = 0.35
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val evalSet = e.filter(col("vec_id") < nEval)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    // Corpus rows arrive as TWO staged files -> two micro-batches.
+    e.filter(col("vec_id") >= nEval).repartition(2)
+      .write.mode("overwrite").parquet(s"$base/arrivals")
+    val flagged = VectorStreams.decontaminateStream(
+      VectorStreams.readVectorStream(spark, s"$base/arrivals", e),
+      evalSet, threshold)
+    val q = flagged.writeStream
+      .outputMode("append").format("memory").queryName("decon_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("decon_out").collect()
+      .map(_.toString).sorted.toSeq
+    val batch = Dedup.embeddingDecontaminate(spark, sf, nEval, threshold)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch,
+      s"stream/batch drift: ${streamed.diff(batch).take(3)} vs ${batch.diff(streamed).take(3)}")
+    assert(batch.nonEmpty, "fixture degenerate: batch d17 flagged nothing at sf0.001")
+  }
 }
