@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.operators.Multimodal
+import graft.streaming.{EventStreams, MediaStreams}
+
+/** Streaming media-ingest surface: the at-ingest stamp must be
+  * value-identical to the batch m01 metadata + m06 signature kernels, and
+  * the near-dup gate (chunk probe + exact Hamming verify against a
+  * broadcast corpus index) must emit exactly the batch m06 pair set
+  * restricted to corpus×arrival pairs.
+  */
+class MediaStreamsSpec extends SparkSpec {
+
+  private val maxDist = 14 // m06's shipped threshold
+
+  /** Stage the media table as two parquet files → two micro-batches,
+    * split into an "existing corpus" and an "arrivals" half by doc_id. */
+  private def staged(): (String, Long) = {
+    val base = Files.createTempDirectory("graft-media-stream").toString
+    val media = Multimodal.mediaTable(spark, sf).toDF()
+    val split = media.agg(max("doc_id")).head().getLong(0) / 2
+    media.filter(col("doc_id") >= split).repartition(2)
+      .write.mode("overwrite").parquet(s"$base/arrivals")
+    (base, split)
+  }
+
+  test("at-ingest stamp == batch m01 metadata + m06 signature per row") {
+    val (base, split) = staged()
+    val media = Multimodal.mediaTable(spark, sf).toDF()
+    val stamped = MediaStreams.signed(
+      MediaStreams.readMediaStream(spark, s"$base/arrivals", media))
+      .select("doc_id", "n_bytes", "payload_md5", "ph")
+    val q = EventStreams.runToMemory(stamped, "media_stamp_out", OutputMode.Append)
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("media_stamp_out").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getString(2), r.getLong(3)))).toMap
+      val batchMeta = media.filter(col("doc_id") >= split)
+        .filter(octet_length(col("payload")) > 0)
+        .select(col("doc_id"), octet_length(col("payload")).cast("long"),
+          md5(col("payload")))
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getString(2)))).toMap
+      val batchSig = Multimodal.mediaSignatures(
+          Multimodal.mediaTable(spark, sf).filter(_.doc_id >= split))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(streamed.keySet == batchMeta.keySet, "row set drift vs batch metadata")
+      streamed.foreach { case (id, (nb, md, ph)) =>
+        assert((nb, md) == batchMeta(id), s"metadata drift for doc $id")
+        assert(ph == batchSig(id), s"signature drift for doc $id")
+      }
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("streaming near-dup gate == batch m06 pairs restricted to corpus x arrivals") {
+    val (base, split) = staged()
+    val media = Multimodal.mediaTable(spark, sf).toDF()
+    val corpusIndex = MediaStreams.chunkIndex(
+      Multimodal.mediaSignatures(
+        Multimodal.mediaTable(spark, sf).filter(_.doc_id < split)))
+    val gate = MediaStreams.nearDupGate(
+      MediaStreams.signed(
+        MediaStreams.readMediaStream(spark, s"$base/arrivals", media)),
+      corpusIndex, maxDist)
+    val q = EventStreams.runToMemory(gate, "media_gate_out", OutputMode.Append)
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("media_gate_out").collect()
+        .map(r => (r.getLong(1), r.getLong(0), r.getLong(2))).toSet // (existing, arriving, d)
+      val batch = Multimodal.mediaNeardupPairs(Multimodal.mediaTable(spark, sf), maxDist)
+        .filter(col("a") < split && col("b") >= split)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch,
+        s"gate drift: missing=${batch.diff(streamed).take(5)} extra=${streamed.diff(batch).take(5)}")
+      assert(batch.nonEmpty, "fixture degenerate: no cross near-dup pairs at sf0.001")
+    } finally q.stop()
+  }
+}
