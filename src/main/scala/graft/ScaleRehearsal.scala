@@ -40,6 +40,19 @@ object ScaleRehearsal {
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionAll _)
 
+  /** k× embeddings table: copy c keeps each vector VERBATIM under an
+    * offset vec_id (unlike [[scaledDocs]]' tagged tokens, identical
+    * vectors are the point — each copy's cosines against the id<25 eval
+    * slice reproduce copy 0's exactly, which is what gives d17 its exact
+    * k-scaling law: flagged(k×) = k·flagged(1×) + (k−1)·|eval|, the
+    * second term being the copies of the eval vectors themselves, all
+    * cos 1.0 self-matches in the corpus half). */
+  def scaledVecs(vecs: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame =
+    (0 until k).map { i =>
+      if (i == 0) vecs
+      else vecs.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
+    }.reduce(_ unionAll _)
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outDir = if (args.length > 1) args(1) else "target/scale10x"

@@ -59,4 +59,34 @@ class ScaleLinearitySpec extends SparkSpec {
             "— check the plan for a pair explosion")
       }
   }
+
+  test("d17 embedding decontamination: exact 3x scaling law, wall under ceiling") {
+    // Verbatim vector copies under offset ids (ScaleRehearsal.scaledVecs):
+    // each copy's cosines vs the id<25 eval slice reproduce copy 0's, and
+    // the copies of the eval vectors themselves land in the corpus half as
+    // cos-1.0 self-matches — so flagged(3x) = 3·flagged(1x) + 2·|eval|
+    // EXACTLY, a sharper law than plain row linearity; the wall ceiling
+    // guards the map-only scan against any accidental join/shuffle creep.
+    val base = "/root/testdata/sf0.01"
+    val out = Files.createTempDirectory("graft-scale3x-vec").toFile.getAbsolutePath
+    val vecs = spark.read.parquet(s"$base/embeddings.parquet")
+    ScaleRehearsal.scaledVecs(vecs, 3)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    def minOf2(dir: String): (Double, Long) = {
+      def once(): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val rows = SparkEntry.queries("d17_embedding_decontaminate")(spark, dir).count()
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      val (tA, rows) = once(); val (tB, _) = once()
+      (math.min(tA, tB), rows)
+    }
+    val (t1, r1) = minOf2(base)
+    val (t3, r3) = minOf2(out)
+    info(f"d17: 1x $t1%.2f s / $r1 rows, 3x $t3%.2f s / $r3 rows")
+    assert(r3 == 3 * r1 + 2 * 25,
+      s"d17 scaling law broken: $r1 at 1x vs $r3 at 3x (expected ${3 * r1 + 50})")
+    assert(t3 / t1 < 6.0,
+      f"d17 wall ratio ${t3 / t1}%.1fx exceeds 6.0x at 3x data")
+  }
 }
