@@ -222,6 +222,37 @@ object ScaleRehearsal {
       val tag = s"ivf_probe_${m}x"
       println(f"[scale] $tag%-26s $n%10d $scanned%10d $scanned1%10d $pairs%12d ${nQ.toLong * n}%12d")
     }
+
+    // ------------------------------------------- d17 decontamination at k×
+    // Verbatim copies under offset ids (scaledVecs): the exact scaling law
+    // flagged(k×) = k·flagged(1×) + (k−1)·|eval| (ScaleLinearitySpec gates
+    // it at 3×); here the k× wall ratios of BOTH paths are the evidence —
+    // the literal-inline scan must ride the scan-cost floor (t19's
+    // control-row regime) and the cell-bucketed scale path must stay
+    // block-bounded while emitting identical rows.
+    scaledVecs(emb.select(col("vec_id"), col("embedding")), k)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    def d17Row(tag: String, run: String => Long): Unit = {
+      def minOf2(dir: String): (Double, Long) = {
+        def once(): (Double, Long) = {
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          val rows = run(dir)
+          ((System.nanoTime() - t0) / 1e9, rows)
+        }
+        val (tA, r) = once(); val (tB, _) = once()
+        (math.min(tA, tB), r)
+      }
+      val (t1, r1) = minOf2(sfDir)
+      val (tK, rK) = minOf2(outDir)
+      println(f"[scale] $tag%-26s $t1%8.2f $r1%8d $tK%8.2f $rK%9d ${tK / t1}%5.1fx" +
+        s" (law: ${k}*$r1+${(k - 1) * 25} = ${k * r1 + (k - 1) * 25})")
+    }
+    d17Row("d17_exact_inline", dir =>
+      SparkEntry.queries("d17_embedding_decontaminate")(spark, dir).count())
+    d17Row("d17_bucketed_path", dir =>
+      operators.Dedup.embeddingDecontaminateBucketed(
+        spark.read.parquet(s"$dir/embeddings.parquet"), 25, 0.35)._1.count())
     spark.stop()
   }
 }

@@ -1448,9 +1448,10 @@ object Dedup {
     * is ONE map-only corpus scan: per row, `nEval` codegen'd `vec_dot`
     * calls and a struct arg-max — no join, no shuffle, no broadcast,
     * embarrassingly parallel at 100 TB. (The eval-side norms constant-fold
-    * at plan time.) For eval sets too big to inline, the d05/d14
-    * cell-bucketed candidate join is the fallback shape; this exact scan
-    * is also its verification baseline. Ties on the rounded similarity
+    * at plan time.) For eval sets too big to inline,
+    * [[embeddingDecontaminateBucketed]] is the scale path (same output,
+    * spec-asserted; this scan is its verification baseline). Ties on the
+    * rounded similarity
     * break to the LOWEST eval id (the `-eval_id` struct field under
     * `array_max`'s lexicographic order), mirroring the oracle's
     * `ORDER BY cos_sim DESC, eval_id` window.
@@ -1487,6 +1488,68 @@ object Dedup {
     vecs.select(col("vec_id"), best.as("b"))
       .select(col("vec_id"), col("b.c").as("max_cos"), (-col("b.neg_id")).as("nearest_eval"))
       .filter(col("max_cos") >= threshold)
+  }
+
+  /** d17's big-eval scale path: when the eval set is too large to
+    * literal-inline (the exact scan's contract), the same
+    * triangle-inequality cell pruning d05 uses blocks the (corpus, eval)
+    * pair space instead. One shared spherical-k-means codebook assigns
+    * BOTH halves to cells; a (corpus cell, eval cell) block survives only
+    * if the angle bound admits a pair at cos ≥ threshold; the verify join
+    * scores surviving blocks only, then a vec-keyed arg-max aggregate
+    * (map-side partial) produces the same (vec_id, max_cos, nearest_eval)
+    * rows. EXACT, not approximate: pruning only drops pairs whose raw
+    * cosine is provably below threshold − 1e-6, which can never round to
+    * a flaggable value and can never carry the per-vec max or its
+    * tie-break (d05's slack argument; the spec asserts output identity
+    * with the literal-inline scan). Returns the surviving block count as
+    * pruning evidence.
+    *
+    * At 100 TB: corpus shuffles once keyed by cell; eval (≪ corpus, but
+    * too big to broadcast as literals) shuffles the same way; block
+    * compute ∝ Σ |corpus_i|·|eval_j| over surviving pairs — near-linear
+    * on clustered embeddings, never all-pairs. */
+  def embeddingDecontaminateBucketed(e: DataFrame, nEval: Int,
+      threshold: Double, nCells: Int = 16,
+      kmeansIters: Int = 3): (DataFrame, Int) = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    import Similarity.{dotd, unit}
+    val ev = e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    val seeds = ev.filter(_._1 < nCells).collect() // codebook-sized, not corpus
+      .sortBy(_._1).map { case (id, v) => (id.toInt, unit(v)) }
+    val codebook = Similarity.refineCodebook(spark, ev, seeds, kmeansIters)
+    val bc = spark.sparkContext.broadcast(codebook)
+    def clampAcos(x: Double): Double = math.acos(math.max(-1.0, math.min(1.0, x)))
+    val celled = ev.map { case (id, v) =>
+      val uv = unit(v)
+      val (cell, sim) = bc.value
+        .map { case (cid, c) => (cid, dotd(uv, c)) }
+        .maxBy { case (cid, s) => (s, -cid) }
+      (cell, id, v, clampAcos(sim))
+    }.toDF("cell", "vec_id", "embedding", "theta_c")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint() // read by the radius agg and both verify sides
+    val radii = celled.groupBy("cell").agg(max("theta_c").as("r"))
+      .as[(Int, Double)].collect().toMap // nCells rows
+    val cellPairs = candidateCellPairs(codebook, radii, threshold)
+    val cp = cellPairs.toDF("cell_a", "cell_b")
+    val corpusSide = celled.filter(col("vec_id") >= nEval).select(
+      col("cell").as("cell_a"), col("vec_id"),
+      col("embedding").as("ce"), VectorFns.norm(col("embedding")).as("nc"))
+    val evalSide = celled.filter(col("vec_id") < nEval).select(
+      col("cell").as("cell_b"), col("vec_id").as("eval_id"),
+      col("embedding").as("ee"), VectorFns.norm(col("embedding")).as("ne"))
+    val out = corpusSide.join(broadcast(cp), Seq("cell_a"))
+      .join(evalSide, Seq("cell_b"))
+      .select(col("vec_id"), col("eval_id"),
+        round(VectorFns.dot(col("ce"), col("ee")) / (col("nc") * col("ne")), 6).as("c"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("c"), (-col("eval_id")).as("neg"))).as("b"))
+      .select(col("vec_id"), col("b.c").as("max_cos"), (-col("b.neg")).as("nearest_eval"))
+      .filter(col("max_cos") >= threshold)
+      .orderBy("vec_id")
+    (out, cellPairs.size)
   }
 
   val embeddingDecontam = Q(

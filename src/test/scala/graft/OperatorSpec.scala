@@ -295,6 +295,44 @@ class OperatorSpec extends SparkSpec {
     assert(math.abs(byId(11L)._2 - 0.707107) < 1e-6)
   }
 
+  test("d17 bucketed scale path: identical output to the exact scan, pruning engages") {
+    import spark.implicits._
+    // Real table: the cell-blocked variant must reproduce the
+    // literal-inline scan's rows exactly (values, arg-max, tie-breaks).
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val exact = Dedup.embeddingDecontaminateFrom(e, nEval = 25, threshold = 0.35)
+      .collect().map(_.toString).toSeq
+    val (bucketedDf, _) = Dedup.embeddingDecontaminateBucketed(e, 25, 0.35)
+    val bucketed = bucketedDf.collect().map(_.toString).toSeq
+    assert(bucketed == exact,
+      s"scale path drift: ${exact.diff(bucketed).take(3)} vs ${bucketed.diff(exact).take(3)}")
+    assert(exact.nonEmpty, "fixture degenerate: exact d17 flagged nothing")
+
+    // Planted clusters (d05's fixture shape): eval = ids < 3 near axis 0/1/2,
+    // corpus interleaves the same three clusters — cross-cluster blocks
+    // (cos ~ 0 << 0.9) must prune while the flagged set stays exact.
+    val dim = 8
+    def lcg(seed: Long): Double = {
+      val x = (seed * 6364136223846793005L + 1442695040888963407L) >>> 33
+      (x % 1000L).toDouble / 1000000.0
+    }
+    val vecs = (0 until 90).map { i =>
+      val cluster = i % 3
+      val v = Array.tabulate(dim)(j =>
+        (if (j == cluster) 1.0f else 0.0f) + lcg(i.toLong * dim + j).toFloat)
+      (i.toLong, v)
+    }
+    val planted = vecs.toDF("vec_id", "embedding")
+    val nCells = 6
+    val exactP = Dedup.embeddingDecontaminateFrom(planted, nEval = 3, threshold = 0.9)
+      .collect().map(_.toString).toSeq
+    val (bDf, nBlocks) = Dedup.embeddingDecontaminateBucketed(planted, 3, 0.9, nCells, 3)
+    assert(bDf.collect().map(_.toString).toSeq == exactP)
+    assert(exactP.nonEmpty, "planted clusters flagged nothing — fixture broken")
+    assert(nBlocks <= nCells * nCells / 2,
+      s"pruning did not engage: $nBlocks of ${nCells * nCells} blocks survived")
+  }
+
   test("BPE-ish pretokenizer count: contractions, space-prefix runs, punct") {
     import spark.implicits._
     val got = Seq("Don't stop!", "a  b", "3.14 ok")
