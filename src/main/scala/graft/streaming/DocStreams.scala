@@ -200,4 +200,20 @@ object DocStreams {
       .dropDuplicatesWithinWatermark("arriving_id", "existing_id")
       .select("arriving_id", "existing_id")
   }
+
+  /** Deterministic hash-bucket sampling at ingest — the streaming twin of
+    * batch q23/q24: the keep decision is md5-bucket arithmetic over the
+    * row's OWN key ([[graft.operators.Sampling.hashBucket]]), so it is
+    * stateless, shuffle-free, and reproducible — replaying the stream,
+    * reordering micro-batches, or running the batch query over the same
+    * rows selects the IDENTICAL document set (the property distributed
+    * sampling must have; spec-asserted ≡ batch). `rate` is a per-row
+    * percent expression: `lit(10)` for q23's uniform 10%, q24's
+    * per-stratum `when(col("lang") === "en", 25).otherwise(80)` for
+    * class rebalancing — either way the plan stays one map-only filter. */
+  def sampledStream(docs: DataFrame,
+      rate: org.apache.spark.sql.Column): DataFrame =
+    docs
+      .withColumn("bucket", graft.operators.Sampling.hashBucket(col("doc_id")))
+      .filter(col("bucket") < rate)
 }

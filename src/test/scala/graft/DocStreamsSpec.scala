@@ -139,4 +139,37 @@ class DocStreamsSpec extends SparkSpec {
         s"unexpected extra stream candidates: ${streamed.diff(batch)}")
     } finally q.stop()
   }
+
+  test("at-ingest hash sampling keeps exactly the batch q23/q24 document sets") {
+    import graft.operators.Sampling
+    // Uniform 10% (q23's rule) and the per-stratum rebalance (q24's CASE):
+    // the decision is md5-bucket arithmetic over the row's own key, so the
+    // streamed keep-set must equal the batch filter EXACTLY — independent
+    // of micro-batch boundaries or arrival order.
+    val stream = DocStreams.readDocumentStream(spark, sf)
+    val uniform = DocStreams.sampledStream(stream, lit(10)).select("doc_id")
+    val strat = DocStreams.sampledStream(stream,
+      when(col("lang") === "en", lit(25)).otherwise(lit(80))).select("doc_id", "lang")
+    val qU = EventStreams.runToMemory(uniform, "sample_u_out", OutputMode.Append)
+    val qS = EventStreams.runToMemory(strat, "sample_s_out", OutputMode.Append)
+    try {
+      qU.processAllAvailable(); qS.processAllAvailable()
+      val streamedU = spark.table("sample_u_out").collect().map(_.getLong(0)).toSet
+      val batchU = Tables.documents(spark, sf)
+        .withColumn("bucket", Sampling.hashBucket(col("doc_id")))
+        .filter(col("bucket") < 10).collect().map(_.getLong(0)).toSet
+      assert(streamedU == batchU, s"uniform sample drift: " +
+        s"${batchU.diff(streamedU).take(5)} vs ${streamedU.diff(batchU).take(5)}")
+      assert(streamedU.nonEmpty)
+      val streamedS = spark.table("sample_s_out").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val batchS = Tables.documents(spark, sf)
+        .withColumn("bucket", Sampling.hashBucket(col("doc_id")))
+        .filter(col("bucket") < when(col("lang") === "en", lit(25)).otherwise(lit(80)))
+        .select("doc_id", "lang").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(streamedS == batchS, "stratified sample drift")
+      assert(streamedS.map(_._2).size > 1 || streamedS.nonEmpty)
+    } finally { qU.stop(); qS.stop() }
+  }
 }
