@@ -24,7 +24,7 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    derived from measured per-source token mass, md5-bucket decisions.
   *  - q32: last-touch attribution — per-purchase attributed click via a
   *    user-keyed running struct-max window (no events self-join).
-  *  - t01..t27: text query library (grep, wordcount, token counting,
+  *  - t01..t29: text query library (grep, wordcount, token counting,
   *    quality scoring, language-ID, fingerprinting, winnowing, TF-IDF,
   *    langid eval, context chunking, co-occurrence PMI, bigram LM,
   *    bigram perplexity quality filter, vocabulary growth, Gopher-style
@@ -35,7 +35,8 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    hitters, hashed-linear-model quality scoring, BPE corpus encoding
   *    with the trained merge table, Unicode NFC normalization audit via
   *    the native nfc_norm expression, DSIR-style hashed-unigram
-  *    importance weighting with a corpus-learned bucket model).
+  *    importance weighting with a corpus-learned bucket model,
+  *    MAD-based length-outlier detection, per-doc token entropy).
   *  - d01..d17: dedup & corpus hygiene (exact, MinHash-LSH, SimHash,
   *    n-gram Jaccard, embedding-cosine, connected-component clusters,
   *    keep-list, near-dup triangles, benchmark decontamination,
@@ -45,11 +46,12 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    representative selection, duplicate-provenance source matrix,
   *    embedding-space eval-set decontamination — d09's semantic
   *    complement, one map-only scan with literal-inlined eval vectors).
-  *  - s01..s10: similarity search (brute-force ANN, LSH-bucketed ANN,
+  *  - s01..s11: similarity search (brute-force ANN, LSH-bucketed ANN,
   *    per-label centroid stats, IVF ANN, recall@k evaluation, int8
   *    quantization error audit, incremental IVF ingest serving state,
   *    PQ-ADC with exact rerank, exact cosine radius search, MMR
-  *    diversity re-ranking of the retrieval shortlist).
+  *    diversity re-ranking of the retrieval shortlist, metadata-filtered
+  *    ANN).
   *  - m01..m08: multimodal binary-column plumbing (metadata, stub-decode
   *    features, frame sampling, strided resize, windowed frame energy,
   *    perceptual-hash near-dup pairs, scene-change detection over frame
