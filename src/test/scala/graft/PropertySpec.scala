@@ -376,6 +376,57 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("d17 both paths == driver brute force on random vectors, incl. threshold boundaries") {
+    // The slack-bound argument behind the bucketed path's exactness claim
+    // (pruning can only drop pairs provably below threshold − 1e-6), plus
+    // the inline scan's arg-max tie-break, checked against a driver-side
+    // brute force over random gaussians — thresholds chosen to land near
+    // raw cosine values so rounding boundaries actually get exercised.
+    import spark.implicits._
+    import graft.operators.Dedup
+    for (seed <- 1 to 5) {
+      val rng = new scala.util.Random(seed)
+      val dim = 6
+      val n = 40
+      val nEval = 5
+      val vecs = (0 until n).map(i =>
+        (i.toLong, Array.fill(dim)((rng.nextGaussian() * 0.5).toFloat)))
+      def cosD(a: Array[Float], b: Array[Float]): Double = {
+        def dot(x: Array[Float], y: Array[Float]) =
+          x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+        dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+      }
+      // Pick the threshold AT an actual rounded cosine value — the
+      // boundary case where an off-by-slack bucketed bound would diverge.
+      val allCos = for {
+        (ci, cv) <- vecs.drop(nEval); (ei, evv) <- vecs.take(nEval)
+      } yield BigDecimal(cosD(cv, evv))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val threshold = allCos.sorted.apply(allCos.length / 2) // median, exactly attained
+      val expected = vecs.drop(nEval).flatMap { case (id, v) =>
+        val scored = vecs.take(nEval).map { case (eid, evv) =>
+          (BigDecimal(cosD(v, evv)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble, eid)
+        }
+        val best = scored.maxBy { case (c, eid) => (c, -eid) }
+        if (best._1 >= threshold) Some((id, best._1, best._2)) else None
+      }.sortBy(_._1)
+      val df = vecs.toDF("vec_id", "embedding")
+      val inline = Dedup.embeddingDecontaminateFrom(df, nEval, threshold)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+      val (bDf, _) = Dedup.embeddingDecontaminateBucketed(df, nEval, threshold,
+        nCells = 4, kmeansIters = 2)
+      val bucketed = bDf.collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+      assert(inline == expected,
+        s"seed $seed: inline != brute force at threshold $threshold: " +
+          s"${expected.diff(inline).take(3)} vs ${inline.diff(expected).take(3)}")
+      assert(bucketed == expected,
+        s"seed $seed: bucketed != brute force at threshold $threshold: " +
+          s"${expected.diff(bucketed).take(3)} vs ${bucketed.diff(expected).take(3)}")
+      assert(expected.nonEmpty, s"seed $seed: degenerate fixture (median threshold)")
+    }
+  }
+
   test("mapreduce pipeline == reference groupBy-sum semantics for arbitrary inputs") {
     import graft.operators.MapReduceJob
     // SURVEY.md §5: partition-routing ∘ sort ∘ merge ∘ group must equal a
