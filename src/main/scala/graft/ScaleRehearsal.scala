@@ -30,15 +30,20 @@ object ScaleRehearsal {
     * shingle-disjoint while replicating each copy's internal dup/near-dup
     * structure — dup groups, candidates, and verified pairs scale exactly
     * k×. Shared by the manual 10× rehearsal main and the CI-shape
-    * [[ScaleLinearitySpec]]. */
-  def scaledDocs(docs: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame =
+    * [[ScaleLinearitySpec]]. The copy stride is `max(doc_id) + 1` (one
+    * tiny agg), so copies can NEVER collide with base ids whatever range
+    * a scale-factor directory carries — a fixed literal stride would
+    * silently alias ids the moment a corpus crossed it. */
+  def scaledDocs(docs: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
+    val stride = docs.agg(max("doc_id")).head().getLong(0) + 1L
     (0 until k).map { i =>
       if (i == 0) docs
       else docs.select(
-        (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        (col("doc_id") + lit(i * stride)).as("doc_id"),
         regexp_replace(col("text"), "(\\S+)", "$1x" + i).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionAll _)
+  }
 
   /** k× embeddings table: copy c keeps each vector VERBATIM under an
     * offset vec_id (unlike [[scaledDocs]]' tagged tokens, identical
@@ -46,12 +51,15 @@ object ScaleRehearsal {
     * slice reproduce copy 0's exactly, which is what gives d17 its exact
     * k-scaling law: flagged(k×) = k·flagged(1×) + (k−1)·|eval|, the
     * second term being the copies of the eval vectors themselves, all
-    * cos 1.0 self-matches in the corpus half). */
-  def scaledVecs(vecs: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame =
+    * cos 1.0 self-matches in the corpus half). Copy stride is
+    * `max(vec_id) + 1`, same no-collision guarantee as [[scaledDocs]]. */
+  def scaledVecs(vecs: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
+    val stride = vecs.agg(max("vec_id")).head().getLong(0) + 1L
     (0 until k).map { i =>
       if (i == 0) vecs
-      else vecs.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
+      else vecs.withColumn("vec_id", col("vec_id") + lit(i * stride))
     }.reduce(_ unionAll _)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -130,6 +138,7 @@ object ScaleRehearsal {
     // its wall must grow decisively slower than brute force. The index
     // BUILD is the amortized one-time linear pass and is timed separately.
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val vecStride = emb.agg(max("vec_id")).head().getLong(0) + 1L
     val nQ = 100; val topK = 10
     def embDir(mult: Int): String =
       if (mult == 1) sfDir else s"$outDir/emb${mult}x"
@@ -140,7 +149,7 @@ object ScaleRehearsal {
       emb.select(col("vec_id"), col("embedding"), col("label"),
           explode(sequence(lit(0), lit(m - 1))).as("copy"))
         .select(
-          (col("vec_id") + col("copy") * lit(10000000L)).as("vec_id"),
+          (col("vec_id") + col("copy") * lit(vecStride)).as("vec_id"),
           expr("transform(embedding, (x, j) -> cast(x + 0.03 * sin(j * copy + copy) as float))")
             .as("embedding"),
           col("label"))

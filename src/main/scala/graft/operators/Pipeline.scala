@@ -234,21 +234,32 @@ object Pipeline {
     *  - blocklist (t19): dictionary hit count — policy/PII terms.
     *
     * Flags: bit 0 token-contaminated, bit 1 semantically near an eval
-    * item, bit 2 blocklist-dirty; `releasable` = no bits set. Like p01/
+    * item, bit 2 blocklist-dirty; `releasable` = no bits set. Bit 1 is
+    * derived from the PRESENCE of a ≥-threshold semantic match (the sem
+    * leg's left-join producing a row), NOT from `sem_cos > 0` — the 0.0
+    * display sentinel and a legitimate non-positive cosine must not be
+    * conflated, so the flag stays correct for any `semThreshold`
+    * (including ≤ 0, where a real match can carry max_cos ≤ 0). Like p01/
     * p02 this is a COMPOSITION of the component operators (same
-    * shingle hash, same literal-inlined scoring pass, same matcher), so
+    * shingle hash, same scoring pass, same matcher), so
     * the component oracles and this oracle cross-check each other.
     *
     * Scale shape: the d09 leg is one shingle-keyed equi-join against the
-    * bounded eval shingle set; the d17 leg is the map-only literal-inline
-    * scan; the t19 leg is a map-only regex scan; assembly left-joins the
-    * (contamination-sized, tiny) evidence tables onto the doc-keyed
+    * bounded eval shingle set; the d17 leg is SIZE-ADAPTIVE, mirroring
+    * d17's own two paths — the map-only literal-inline scan while the
+    * eval set fits the inline bound, switching to
+    * [[Dedup.embeddingDecontaminateBucketed]] (cell-bucketed exact join,
+    * spec-asserted identical output) above it, so a benchmark-scale eval
+    * table never turns into a giant literal expression or a driver
+    * collect; the t19 leg is a map-only regex scan; assembly left-joins
+    * the (contamination-sized, tiny) evidence tables onto the doc-keyed
     * manifest — AQE broadcasts them; the corpus itself never shuffles
     * before the final sort. Linear in corpus bytes at any scale.
     */
   def releaseAudit(spark: org.apache.spark.sql.SparkSession, d: String,
       nEval: Int = 25, semThreshold: Double = 0.35, ngramN: Int = 5,
-      terms: Seq[String] = Seq("customer", "supplier", "order")): DataFrame = {
+      terms: Seq[String] = Seq("customer", "supplier", "order"),
+      inlineEvalBound: Int = 1024): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, d)
     val corpusDocs = docs.filter(col("doc_id") >= nEval)
@@ -256,12 +267,16 @@ object Pipeline {
     val tokHits = Dedup.decontaminate(corpusDocs, evalDocs, ngramN)
       .select(col("doc_id"), col("n_shared_ngrams"))
     val e = Tables.embeddings(spark, d)
-    val evalSet = e.filter(col("vec_id") < nEval)
-      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .collect().sortBy(_._1)
-    val sem = Dedup.scoreAgainstEval(
-        e.filter(col("vec_id") >= nEval), evalSet, semThreshold)
-      .select(col("vec_id").as("doc_id"), col("max_cos"))
+    val semScores =
+      if (nEval <= inlineEvalBound) {
+        val evalSet = e.filter(col("vec_id") < nEval)
+          .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+          .collect().sortBy(_._1)
+        Dedup.scoreAgainstEval(
+          e.filter(col("vec_id") >= nEval), evalSet, semThreshold)
+      } else
+        Dedup.embeddingDecontaminateBucketed(e, nEval, semThreshold)._1
+    val sem = semScores.select(col("vec_id").as("doc_id"), col("max_cos"))
     val scrub = TextOps.scrubTerms(corpusDocs, terms)
       .select(col("doc_id"), col("n_hits"))
     corpusDocs.select("doc_id")
@@ -271,12 +286,15 @@ object Pipeline {
       .select(
         col("doc_id"),
         coalesce(col("n_shared_ngrams"), lit(0L)).as("token_ngrams"),
-        coalesce(col("max_cos"), lit(0.0)).as("sem_cos"),
+        col("max_cos"),
         col("n_hits"))
       .withColumn("flags",
         when(col("token_ngrams") > 0L, 1L).otherwise(0L) +
-          when(col("sem_cos") > 0.0, 2L).otherwise(0L) +
+          when(col("max_cos").isNotNull, 2L).otherwise(0L) +
           when(col("n_hits") > 0L, 4L).otherwise(0L))
+      .select(col("doc_id"), col("token_ngrams"),
+        coalesce(col("max_cos"), lit(0.0)).as("sem_cos"),
+        col("n_hits"), col("flags"))
       .withColumn("releasable", col("flags") === 0L)
       .orderBy("doc_id")
   }
@@ -313,6 +331,7 @@ object Pipeline {
             m AS (
               SELECT s.doc_id,
                 CAST(coalesce(t.token_ngrams, 0) AS BIGINT) AS token_ngrams,
+                coalesce(sem.mc >= 0.35, FALSE) AS sem_hit,
                 CASE WHEN sem.mc >= 0.35 THEN sem.mc ELSE 0.0 END AS sem_cos,
                 s.n_hits
               FROM scrub s
@@ -320,9 +339,9 @@ object Pipeline {
               LEFT JOIN sem ON sem.doc_id = s.doc_id)
             SELECT doc_id, token_ngrams, sem_cos, n_hits,
               CAST(CASE WHEN token_ngrams > 0 THEN 1 ELSE 0 END
-                 + CASE WHEN sem_cos > 0.0 THEN 2 ELSE 0 END
+                 + CASE WHEN sem_hit THEN 2 ELSE 0 END
                  + CASE WHEN n_hits > 0 THEN 4 ELSE 0 END AS BIGINT) AS flags,
-              (token_ngrams = 0 AND sem_cos = 0.0 AND n_hits = 0) AS releasable
+              (token_ngrams = 0 AND NOT sem_hit AND n_hits = 0) AS releasable
             FROM m ORDER BY doc_id"""))
 
   val all: Seq[Q] = Seq(pipeline, mix, audit)

@@ -12,8 +12,6 @@ import graft.operators.Multimodal
   *     stub-decode dimensions (m01's projection) and the 64-bit
   *     perceptual signature (m06's `blockhash64`), all per-row work over
   *     one record's own bytes: Append-mode safe, no shuffle, no state.
-  *     Batched per partition like the batch kernels (one codec context
-  *     per partition, not per row).
   *  2. **Near-dup gate** ([[nearDupGate]]) — the arriving signature is
   *     banded into 4×16-bit chunks (m06's rule) and probed against a
   *     BROADCAST static chunk index of the existing corpus; candidate
@@ -44,7 +42,15 @@ object MediaStreams {
     * m06's perceptual signature. The signature is the batch
     * [[Multimodal.blockhash64]] kernel per row (value-identical by
     * construction); md5/octet_length are the same codegen'd column
-    * functions the batch query uses. */
+    * functions the batch query uses.
+    *
+    * Empty payloads are dropped — the SAME rule the batch signature
+    * kernel applies ([[Multimodal.mediaSignatures]] filters
+    * `payload.nonEmpty`, and the m06 oracle's `length(text) > 0` mirrors
+    * it), so an empty arrival is absent from BOTH the streamed stamp and
+    * the batch m06 pair set and the equivalence contract holds even when
+    * the fixture contains empty records (spec-pinned with a planted empty
+    * arrival). */
   def signed(stream: DataFrame): DataFrame = {
     val phUdf = udf((payload: Array[Byte]) => Multimodal.blockhash64(payload))
     stream

@@ -22,8 +22,16 @@ class MediaStreamsSpec extends SparkSpec {
   private def staged(): (String, Long) = {
     val base = Files.createTempDirectory("graft-media-stream").toString
     val media = Multimodal.mediaTable(spark, sf).toDF()
-    val split = media.agg(max("doc_id")).head().getLong(0) / 2
-    media.filter(col("doc_id") >= split).repartition(2)
+    val maxId = media.agg(max("doc_id")).head().getLong(0)
+    val split = maxId / 2
+    // Plant one empty-payload arrival: the contract (empties dropped at
+    // the stamp, matching the batch kernels' nonEmpty rule) must hold
+    // when an empty record actually arrives, not only on fixtures that
+    // happen to contain none.
+    import spark.implicits._
+    val empty = Seq((maxId + 1, "image/stub", Array.emptyByteArray))
+      .toDF("doc_id", "media_type", "payload")
+    media.filter(col("doc_id") >= split).unionByName(empty).repartition(2)
       .write.mode("overwrite").parquet(s"$base/arrivals")
     (base, split)
   }

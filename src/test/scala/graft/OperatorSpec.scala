@@ -333,6 +333,26 @@ class OperatorSpec extends SparkSpec {
       s"pruning did not engage: $nBlocks of ${nCells * nCells} blocks survived")
   }
 
+  test("p03 adaptive sem leg: bucketed path above the inline bound == inline path") {
+    // Mirror of the d17 equivalence spec at the COMPOSITION level: the
+    // release audit must emit identical manifests whichever d17 leg the
+    // eval-set size gate selects. inlineEvalBound=0 forces the
+    // cell-bucketed path at the same nEval the inline run uses, so the
+    // only difference is the path choice.
+    def run(bound: Int): Seq[(Long, Long, Double, Long, Long, Boolean)] =
+      graft.operators.Pipeline.releaseAudit(spark, sf, inlineEvalBound = bound)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3), r.getLong(4), r.getBoolean(5))).toSeq
+    val inline = run(1024)
+    val bucketed = run(0)
+    assert(bucketed == inline,
+      s"p03 path drift: ${inline.diff(bucketed).take(3)} vs ${bucketed.diff(inline).take(3)}")
+    assert(inline.nonEmpty, "fixture degenerate: empty audit manifest")
+    // The gate's point: the semantic bit must actually fire in both runs,
+    // else the path equivalence is vacuous on this fixture.
+    assert(inline.exists(r => (r._5 & 2L) != 0L), "no semantically-flagged rows")
+  }
+
   test("BPE-ish pretokenizer count: contractions, space-prefix runs, punct") {
     import spark.implicits._
     val got = Seq("Don't stop!", "a  b", "3.14 ok")

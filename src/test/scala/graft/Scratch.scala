@@ -1,7 +1,8 @@
 package graft
 
-/** Throwaway profiling main (dev only): time named inventory queries twice
-  * each (warm second run) without the full bench. */
+/** Throwaway profiling main (dev only, test scope — run via
+  * `sbt "Test/runMain graft.Scratch <names...>"`): time named inventory
+  * queries twice each (warm second run) without the full bench. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
