@@ -72,6 +72,11 @@ object ScaleRehearsal {
     val n1 = docs.count()
     val nK = spark.read.parquet(s"$outDir/documents.parquet").count()
     println(s"[scale] corpus: ${n1} docs at 1x -> ${nK} docs at ${k}x ($outDir)")
+    // The k× embeddings twin (verbatim copies, offset ids) is written up
+    // front: p03's sem leg and the d17 rows below read it from $outDir.
+    scaledVecs(spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")), k)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
     // Dedup family, plus the round-5 de-hinted queries (d09's eval probe
     // and t13's bigram-LM shuffle join, with t08's allowlisted vocabulary
@@ -105,7 +110,12 @@ object ScaleRehearsal {
       // corpus-independent); m07/m08 are the doc-keyed lag-window pair;
       // p02 composes the rate build + md5 decision + prefix packing.
       "t27_dsir_importance", "m07_scene_cuts", "m08_voiced_segments",
-      "p02_mix_pipeline")
+      "p02_mix_pipeline",
+      // Round-8 additions: m05 is the frame-EXPLODING op (rows multiply
+      // ~17× before the frame-keyed window — the largest intermediate of
+      // the m-family); p03 composes three evidence legs + the manifest
+      // left-joins, reading BOTH scaled tables.
+      "m05_frame_energy", "p03_release_audit")
     def timeQuery(name: String, dir: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
       def once(): (Double, Long) = {
@@ -239,9 +249,7 @@ object ScaleRehearsal {
     // the literal-inline scan must ride the scan-cost floor (t19's
     // control-row regime) and the cell-bucketed scale path must stay
     // block-bounded while emitting identical rows.
-    scaledVecs(emb.select(col("vec_id"), col("embedding")), k)
-      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
-    def d17Row(tag: String, run: String => Long): Unit = {
+    def d17Row(tag: String, nEval: Int)(run: String => Long): Unit = {
       def minOf2(dir: String): (Double, Long) = {
         def once(): (Double, Long) = {
           spark.catalog.clearCache()
@@ -255,13 +263,73 @@ object ScaleRehearsal {
       val (t1, r1) = minOf2(sfDir)
       val (tK, rK) = minOf2(outDir)
       println(f"[scale] $tag%-26s $t1%8.2f $r1%8d $tK%8.2f $rK%9d ${tK / t1}%5.1fx" +
-        s" (law: ${k}*$r1+${(k - 1) * 25} = ${k * r1 + (k - 1) * 25})")
+        s" (law: ${k}*$r1+${(k - 1) * nEval} = ${k * r1 + (k - 1) * nEval})")
     }
-    d17Row("d17_exact_inline", dir =>
+    d17Row("d17_exact_inline", 25)(dir =>
       SparkEntry.queries("d17_embedding_decontaminate")(spark, dir).count())
-    d17Row("d17_bucketed_path", dir =>
+    d17Row("d17_bucketed_path", 25)(dir =>
       operators.Dedup.embeddingDecontaminateBucketed(
         spark.read.parquet(s"$dir/embeddings.parquet"), 25, 0.35)._1.count())
+    // Eval-size crossover: the inline scan's per-row cost is |eval|
+    // vec_dots (it grows WITH the eval set), the bucketed path's verify
+    // join touches only admitted (corpus-cell, eval-cell) blocks. 10× the
+    // eval set (250) measures the axis the bucketed path exists for —
+    // p03's inlineEvalBound gate switches between these same two legs.
+    Seq(250).foreach { ne =>
+      d17Row(s"d17_inline_ev$ne", ne)(dir =>
+        operators.Dedup.embeddingDecontaminateFrom(
+          spark.read.parquet(s"$dir/embeddings.parquet")
+            .select(col("vec_id"), col("embedding")), ne, 0.35).count())
+      d17Row(s"d17_bucketed_ev$ne", ne)(dir =>
+        operators.Dedup.embeddingDecontaminateBucketed(
+          spark.read.parquet(s"$dir/embeddings.parquet"), ne, 0.35)._1.count())
+    }
+
+    // --------------------- s07 lifecycle at 10×: build→append→probe→compact
+    // The cycle a continuously-ingesting ANN index lives, on the 10×
+    // sin-perturbed corpus (exact ties can't mask ranking work): resident
+    // 90% indexed, the newest copy appended as the delta, probed, then
+    // compacted and probed again. Row-identity across compaction is
+    // spec-gated at sf0.001 (PartitionPruningSpec); here the evidence is
+    // wall per stage, the file-count collapse, and recall holding at 10×.
+    {
+      val dir10 = embDir(10)
+      val kxe = spark.read.parquet(s"$dir10/embeddings.parquet")
+        .select(col("vec_id").as("vec_id"), col("embedding"))
+      val cut = 9L * vecStride // copies 0-8 resident, copy 9 = the delta
+      val idx = s"$outDir/ivf_idx_lifecycle"
+      def timed[A](tag: String)(f: => A): A = {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime(); val r = f
+        println(f"[scale] $tag%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
+      }
+      timed("s07_build_resident")(operators.Similarity.ivfWriteIndexOf(
+        spark, kxe.filter(col("vec_id") < cut), idx, nCells = cellsFor(10)))
+      timed("s07_append_delta")(operators.Similarity.ivfAppendIndex(
+        spark, kxe.filter(col("vec_id") >= cut), idx))
+      def nFiles: Int = {
+        def walk(f: java.io.File): Int =
+          if (f.isDirectory) f.listFiles().map(walk).sum
+          else if (f.getName.endsWith(".parquet")) 1 else 0
+        walk(new java.io.File(idx))
+      }
+      val pre = timed("s07_probe_post_append")(
+        operators.Similarity.ivfProbeIndex(spark, dir10, idx, nQ, topK).collect())
+      val filesBefore = nFiles
+      timed("s07_compact")(operators.Similarity.ivfCompactIndex(spark, idx))
+      val filesAfter = nFiles
+      val post = timed("s07_probe_post_compact")(
+        operators.Similarity.ivfProbeIndex(spark, dir10, idx, nQ, topK).collect())
+      require(pre.map(_.toString).sorted.toSeq == post.map(_.toString).sorted.toSeq,
+        "probe drift across compaction")
+      val exact = operators.Similarity.bruteForceTopKFrom(kxe, nQ, topK)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = post.map(r => (r.getLong(0), r.getLong(1))).toSet
+      val rec = exact.count(got.contains).toDouble / exact.size
+      println(f"[scale] s07_lifecycle_recall@$topK%-6d $rec%8.4f" +
+        s" (files $filesBefore -> $filesAfter, probe rows identical across compact)")
+    }
     spark.stop()
   }
 }

@@ -55,11 +55,16 @@ object Similarity {
   /** Random-hyperplane LSH: sign-bit signature of `bits` fixed pseudo-random
     * hyperplanes (deterministic per dimension/bit via xxhash64-derived
     * coefficients materialized as literal arrays — no RNG at runtime).
+    * `seed` selects an independent deterministic table set (seed 0 = the
+    * shipped s02 tables); the recall floor is spec-asserted across two
+    * seeds so the quality claim doesn't hinge on one lucky draw.
     */
-  def hyperplaneSignature(dim: Int, bits: Int)(vec: org.apache.spark.sql.Column) = {
+  def hyperplaneSignature(dim: Int, bits: Int, seed: Long = 0L)(
+      vec: org.apache.spark.sql.Column) = {
     // Deterministic ±1 hyperplane coefficients from a fixed LCG.
     def coeff(b: Int, i: Int): Double = {
-      val x = (b.toLong * 1315423911L + i.toLong * 2654435761L + 97531L) % 1000003L
+      val x = (b.toLong * 1315423911L + i.toLong * 2654435761L + 97531L +
+        seed * 7919L * (i.toLong + 13L * b.toLong + 1L)) % 1000003L
       if ((x & 1L) == 0L) 1.0 else -1.0
     }
     (0 until bits).map { b =>
@@ -76,14 +81,14 @@ object Similarity {
     * construction, still deterministic).
     */
   def lshTopK(spark: SparkSession, d: String, nQueries: Int, k: Int,
-      bits: Int = 4, tables: Int = 8): DataFrame =
-    lshTopKFrom(Tables.embeddings(spark, d), nQueries, k, bits, tables)
+      bits: Int = 4, tables: Int = 8, seed: Long = 0L): DataFrame =
+    lshTopKFrom(Tables.embeddings(spark, d), nQueries, k, bits, tables, seed)
 
   def lshTopKFrom(e: DataFrame, nQueries: Int, k: Int,
-      bits: Int = 4, tables: Int = 8): DataFrame = {
+      bits: Int = 4, tables: Int = 8, seed: Long = 0L): DataFrame = {
     val dim = 64 // embeddings table vector dimension (TESTDATA.md)
     // One signature of bits*tables hyperplane sign-bits, banded per table.
-    val allBits = hyperplaneSignature(dim, bits * tables) _
+    val allBits = hyperplaneSignature(dim, bits * tables, seed) _
     val bandCodes = (0 until tables).map { t =>
       shiftrightunsigned(col("sig"), t * bits).bitwiseAND(lit((1L << bits) - 1))
     }

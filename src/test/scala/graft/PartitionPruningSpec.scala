@@ -138,6 +138,23 @@ class PartitionPruningSpec extends SparkSpec {
     val reProbe = Similarity.ivfProbeIndex(spark, sf, idx, nQueries = 1, k = 1, nProbe = 2)
       .collect()
     assert(reProbe.length == 1 && reProbe(0).getLong(1) == plantedId)
+
+    // Recall floor AFTER the full append->compact cycle: compaction must
+    // hand back an index that still answers well, not merely the same
+    // bytes (the floor would catch a compact that dropped/duplicated cell
+    // rows in a way the planted top-1 probe alone can't see). Ground
+    // truth is brute force over the index's own row set (resident +
+    // appended + planted).
+    val corpusNow = spark.read.parquet(idx)
+      .select(col("neighbor_id").as("vec_id"), col("ne").as("embedding"))
+    val exactPairs = Similarity.bruteForceTopKFrom(corpusNow, 10, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probePairs = Similarity
+      .ivfProbeIndex(spark, sf, idx, nQueries = 10, k = 5, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallAfter = exactPairs.count(probePairs.contains).toDouble / exactPairs.size
+    assert(recallAfter >= 0.6,
+      s"post-compaction recall@5 $recallAfter below the 0.6 floor (nProbe 4/$nCells)")
   }
 
   test("IVF compaction mid-swap crash: probes fail loudly, next compact self-heals") {
