@@ -201,6 +201,77 @@ object DocStreams {
       .select("arriving_id", "existing_id")
   }
 
+  /** Static token-leg side of [[releaseGate]]: the eval split's hashed
+    * shingle multiset collapsed to (sh_h → n_eval) counts. d09's
+    * `n_shared_ngrams` for a corpus doc is the count of (its distinct
+    * shingle, eval row) hash matches — exactly what summing lookups of
+    * the doc's distinct shingle hashes in this map reproduces.
+    * Benchmark-sized → collected and broadcast by the gate. */
+  def evalShingleCounts(evalDocs: DataFrame, n: Int = 5): DataFrame =
+    graft.operators.Dedup.hashedShingles(
+        graft.operators.Dedup.shingleSets(evalDocs, n))
+      .groupBy("sh_h").agg(count(lit(1)).as("n_eval"))
+
+  /** Composed at-ingest release gate — the streaming twin of the p03
+    * release audit, closing the at-ingest loop: ONE Append-mode pass
+    * stamps every arriving document with all three contamination
+    * verdicts and the releasable bit, value-identical to the batch audit
+    * row (spec-asserted ≡ [[graft.operators.Pipeline.releaseAudit]]):
+    *
+    *  - token leg (d09): the doc's distinct word-n-gram hashes — the
+    *    same LinkedHashSet + md5-60 scalar mirror [[signature]] uses —
+    *    summed against the broadcast [[evalShingleCounts]] map. Per-row,
+    *    no join, no state.
+    *  - semantic leg (d17): broadcast LEFT join against the static
+    *    flagged-evidence table (contamination-sized — d17's output, not
+    *    the embeddings corpus), the same assembly shape the batch audit
+    *    uses; flag bit from match PRESENCE, 0.0 display sentinel via
+    *    coalesce.
+    *  - blocklist leg (t19): the batch regexp, per-row.
+    *
+    * Everything is stateless per-row work plus one broadcast left join,
+    * so the gate needs no watermark and holds at any ingest rate — the
+    * decision a release pipeline wants BEFORE a contaminated document is
+    * ever persisted. */
+  def releaseGate(spark: SparkSession, stream: DataFrame,
+      evalCounts: DataFrame, semEvidence: DataFrame,
+      ngramN: Int = 5,
+      terms: Seq[String] = Seq("customer", "supplier", "order")): DataFrame = {
+    import spark.implicits._
+    val evalMap = evalCounts.as[(Long, Long)].collect().toMap // benchmark-sized
+    val bcEval = spark.sparkContext.broadcast(evalMap)
+    val tokUdf = udf((text: String) => {
+      val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      if (toks.length < ngramN) 0L
+      else {
+        val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+        toks.sliding(ngramN).foreach(w => seen += w.mkString(" "))
+        val md = java.security.MessageDigest.getInstance("MD5")
+        var sum = 0L
+        seen.foreach { s =>
+          val hex = md.digest(s.getBytes("UTF-8")).take(8)
+            .map(b => f"${b & 0xff}%02x").mkString.take(15)
+          sum += bcEval.value.getOrElse(java.lang.Long.parseLong(hex, 16), 0L)
+          md.reset()
+        }
+        sum
+      }
+    })
+    val pat = terms.mkString("\\b(", "|", ")\\b")
+    stream
+      .withColumn("token_ngrams", tokUdf(col("text")))
+      .join(broadcast(semEvidence.select(col("vec_id").as("doc_id"),
+        col("max_cos"))), Seq("doc_id"), "left")
+      .withColumn("n_hits", regexp_count(col("text"), lit(pat)).cast("long"))
+      .withColumn("flags",
+        when(col("token_ngrams") > 0L, 1L).otherwise(0L) +
+          when(col("max_cos").isNotNull, 2L).otherwise(0L) +
+          when(col("n_hits") > 0L, 4L).otherwise(0L))
+      .select(col("doc_id"), col("token_ngrams"),
+        coalesce(col("max_cos"), lit(0.0)).as("sem_cos"),
+        col("n_hits"), col("flags"), (col("flags") === 0L).as("releasable"))
+  }
+
   /** Deterministic hash-bucket sampling at ingest — the streaming twin of
     * batch q23/q24: the keep decision is md5-bucket arithmetic over the
     * row's OWN key ([[graft.operators.Sampling.hashBucket]]), so it is

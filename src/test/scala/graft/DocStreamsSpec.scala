@@ -140,6 +140,33 @@ class DocStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("composed at-ingest release gate == batch p03 audit row-for-row") {
+    val docs = Tables.documents(spark, sf)
+    val evalCounts = DocStreams.evalShingleCounts(docs.filter(col("doc_id") < 25), 5)
+    val evidence = Dedup.embeddingDecontaminateFrom(
+      Tables.embeddings(spark, sf), nEval = 25, threshold = 0.35)
+    val gate = DocStreams.releaseGate(spark,
+      DocStreams.readDocumentStream(spark, sf).filter(col("doc_id") >= 25),
+      evalCounts, evidence)
+    val q = EventStreams.runToMemory(gate, "release_gate_out", OutputMode.Append)
+    try {
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+          r.getLong(4), r.getBoolean(5))
+      val streamed = spark.table("release_gate_out").collect()
+        .map(key).sortBy(_._1).toSeq
+      val batch = graft.operators.Pipeline.releaseAudit(spark, sf)
+        .collect().map(key).toSeq
+      assert(streamed == batch,
+        s"gate drift: missing=${batch.diff(streamed).take(3)} extra=${streamed.diff(batch).take(3)}")
+      assert(batch.exists(!_._6), "fixture degenerate: every doc releasable")
+      assert(batch.exists(r => (r._5 & 1L) != 0L), "no token-leg flags")
+      assert(batch.exists(r => (r._5 & 2L) != 0L), "no sem-leg flags")
+      assert(batch.exists(r => (r._5 & 4L) != 0L), "no blocklist flags")
+    } finally q.stop()
+  }
+
   test("at-ingest hash sampling keeps exactly the batch q23/q24 document sets") {
     import graft.operators.Sampling
     // Uniform 10% (q23's rule) and the per-stratum rebalance (q24's CASE):
