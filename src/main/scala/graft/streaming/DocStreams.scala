@@ -233,6 +233,30 @@ object DocStreams {
     * so the gate needs no watermark and holds at any ingest rate — the
     * decision a release pipeline wants BEFORE a contaminated document is
     * ever persisted. */
+  /** Scalar token-leg kernel of [[releaseGate]]: the doc's DISTINCT
+    * n-gram md5-60 hashes summed against the eval shingle-count map —
+    * the per-row mirror of d09's (distinct corpus shingle × eval row)
+    * join count. Tokenization, distinctness, and the 60-bit hash must
+    * stay identical to `Dedup.shingleSets`/`md5Hash60`; PropertySpec
+    * pins the equality against the batch pipeline on generated corpora. */
+  def sharedNgramCount(text: String, n: Int, evalCounts: Map[Long, Long]): Long = {
+    val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    if (toks.length < n) 0L
+    else {
+      val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+      toks.sliding(n).foreach(w => seen += w.mkString(" "))
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var sum = 0L
+      seen.foreach { s =>
+        val hex = md.digest(s.getBytes("UTF-8")).take(8)
+          .map(b => f"${b & 0xff}%02x").mkString.take(15)
+        sum += evalCounts.getOrElse(java.lang.Long.parseLong(hex, 16), 0L)
+        md.reset()
+      }
+      sum
+    }
+  }
+
   def releaseGate(spark: SparkSession, stream: DataFrame,
       evalCounts: DataFrame, semEvidence: DataFrame,
       ngramN: Int = 5,
@@ -240,23 +264,7 @@ object DocStreams {
     import spark.implicits._
     val evalMap = evalCounts.as[(Long, Long)].collect().toMap // benchmark-sized
     val bcEval = spark.sparkContext.broadcast(evalMap)
-    val tokUdf = udf((text: String) => {
-      val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
-      if (toks.length < ngramN) 0L
-      else {
-        val seen = scala.collection.mutable.LinkedHashSet.empty[String]
-        toks.sliding(ngramN).foreach(w => seen += w.mkString(" "))
-        val md = java.security.MessageDigest.getInstance("MD5")
-        var sum = 0L
-        seen.foreach { s =>
-          val hex = md.digest(s.getBytes("UTF-8")).take(8)
-            .map(b => f"${b & 0xff}%02x").mkString.take(15)
-          sum += bcEval.value.getOrElse(java.lang.Long.parseLong(hex, 16), 0L)
-          md.reset()
-        }
-        sum
-      }
-    })
+    val tokUdf = udf((text: String) => sharedNgramCount(text, ngramN, bcEval.value))
     val pat = terms.mkString("\\b(", "|", ")\\b")
     stream
       .withColumn("token_ngrams", tokUdf(col("text")))

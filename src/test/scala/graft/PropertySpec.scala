@@ -330,6 +330,47 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("release-gate token kernel == batch d09 join count on random corpora") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Dedup
+    import graft.streaming.DocStreams
+    // Tiny vocabulary + short docs force heavy cross-doc shingle sharing
+    // (incl. one shingle hitting SEVERAL eval docs — the multiset case
+    // where a naive distinct-hash-set lookup would undercount), plus
+    // empty / sub-n / punctuation-only texts for the degenerate paths.
+    val vocab = Seq("aa", "bb", "cc", "dd", "ee")
+    val n = 3
+    for (seed <- 1 to 4) {
+      val rng = new scala.util.Random(100 + seed)
+      def doc(): String = rng.nextInt(10) match {
+        case 0 => ""
+        case 1 => "!!! ???"
+        case 2 => (1 to rng.nextInt(n)).map(_ => vocab(rng.nextInt(vocab.size))).mkString(" ")
+        case _ => (1 to (n + rng.nextInt(8)))
+          .map(_ => vocab(rng.nextInt(vocab.size)))
+          .mkString(Seq(" ", ", ", "  ", "\t")(rng.nextInt(4)))
+      }
+      val docs = (0L until 30L).map(i => (i, doc()))
+      val df = docs.toDF("doc_id", "text")
+      val evalDf = df.filter(col("doc_id") < 8)
+      val corpusDf = df.filter(col("doc_id") >= 8)
+      val expected = Dedup.decontaminate(corpusDf, evalDf, n).collect()
+        .map(r => r.getLong(0) -> r.getAs[Long]("n_shared_ngrams")).toMap
+      val evalMap = DocStreams.evalShingleCounts(evalDf, n).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      docs.filter(_._1 >= 8L).foreach { case (id, text) =>
+        val got = DocStreams.sharedNgramCount(text, n, evalMap)
+        assert(got == expected.getOrElse(id, 0L),
+          s"seed $seed doc $id: scalar $got != batch ${expected.getOrElse(id, 0L)} for '$text'")
+      }
+      // The multiset direction must actually occur, else the run is vacuous.
+      assert(evalMap.values.exists(_ > 1L),
+        s"seed $seed: no shingle shared by several eval docs — fixture too sparse")
+      assert(expected.values.exists(_ > 0L), s"seed $seed: nothing contaminated")
+    }
+  }
+
   test("BPE merges == reference greedy trainer on random corpora") {
     import spark.implicits._
     // 3-letter alphabet, short words: pair counts collide constantly, so
