@@ -1573,8 +1573,122 @@ object Dedup {
             SELECT vec_id, cos_sim AS max_cos, eval_id AS nearest_eval
             FROM ranked WHERE rn = 1 AND cos_sim >= 0.35 ORDER BY vec_id"""))
 
+  // ------------------------------------------------- asymmetric containment
+  /** d18: containment near-dup pairs — the ASYMMETRIC complement of d04's
+    * symmetric Jaccard. Containment C(a→b) = |Sa ∩ Sb| / |Sa| detects "doc
+    * a is quoted/embedded inside doc b" even when b is much larger (a long
+    * page wrapping a copied paragraph sits at Jaccard ≈ |a|/|b| → 0 but
+    * containment ≈ 1 — the case symmetric dedup structurally misses, and a
+    * major duplication mode in web-scraped training data: boilerplate
+    * wrappers, quote farms, aggregators). Emits both directions' rounded
+    * containments plus their max; pairs kept when max ≥ threshold.
+    *
+    * Scale shape: identical to d04 — one shingle-hash equi-join generates
+    * only pairs sharing ≥1 shingle (never all-pairs), one pair-keyed count
+    * agg (map-side partial), two broadcastable size attachments. The max
+    * is taken over ROUNDED per-direction values in both engines, so the
+    * threshold boundary can't drift. */
+  def containmentPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val hs = materializedShingleHashes(docs)
+    val shA = hs.select(col("doc_id").as("a"), col("sh_h"))
+    val shB = hs.select(col("doc_id").as("b"), col("sh_h"))
+    val sizes = hs.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    shA.join(shB, "sh_h").filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("n_a")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("n_b")), "b")
+      .select(col("a"), col("b"),
+        round(col("n_common").cast("double") / col("n_a").cast("double"), 4).as("cont_a"),
+        round(col("n_common").cast("double") / col("n_b").cast("double"), 4).as("cont_b"))
+      .withColumn("max_cont", greatest(col("cont_a"), col("cont_b")))
+      .filter(col("max_cont") >= threshold)
+      .orderBy("a", "b")
+  }
+
+  val containment = Q(
+    "d18_containment_pairs",
+    (s, d) => containmentPairs(Tables.documents(s, d), 0.5),
+    Some("""WITH sh AS (
+              SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+                FROM (SELECT doc_id,
+                        list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                    t -> t <> '') AS ts
+                      FROM documents),
+                UNNEST(range(1, len(ts) - 1)) AS r(i))),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+              FROM sh x JOIN sh y ON y.shingle = x.shingle AND x.doc_id < y.doc_id
+              GROUP BY 1, 2),
+            m AS (
+              SELECT a, b,
+                round(CAST(n_common AS DOUBLE) / CAST(sa.n AS DOUBLE), 4) AS cont_a,
+                round(CAST(n_common AS DOUBLE) / CAST(sb.n AS DOUBLE), 4) AS cont_b
+              FROM inter JOIN sizes sa ON sa.doc_id = a
+                         JOIN sizes sb ON sb.doc_id = b)
+            SELECT a, b, cont_a, cont_b, greatest(cont_a, cont_b) AS max_cont
+            FROM m WHERE greatest(cont_a, cont_b) >= 0.5 ORDER BY a, b"""))
+
+  // ---------------------------------------------------- eval leakage report
+  /** d19: the eval-side leakage report — d09's join re-keyed by the EVAL
+    * item: for every benchmark/eval document with any corpus overlap, how
+    * many corpus docs leak it, the total shared n-gram mass, and the worst
+    * single-document overlap. This is the report a benchmark owner reads
+    * ("which of MY items are burned, and how badly") where d09 answers the
+    * corpus owner's question ("which of my docs are contaminated") — same
+    * evidence, opposite grouping, both needed by a release process.
+    *
+    * Scale shape: identical to d09 — one shingle equi-join against the
+    * bounded eval side, then a (eval_doc, doc_id) pair agg feeding an
+    * eval-keyed rollup; output is eval-sized (structurally tiny) at any
+    * corpus scale. */
+  def evalLeakReport(docs: DataFrame, evalDocs: DataFrame, n: Int): DataFrame = {
+    val eval_ = hashedShingles(shingleSets(evalDocs, n))
+      .select(col("doc_id").as("eval_doc"), col("sh_h"))
+    val corpus = hashedShingles(shingleSets(docs, n))
+    corpus.join(eval_, Seq("sh_h"))
+      .groupBy("eval_doc", "doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .groupBy("eval_doc")
+      .agg(
+        count(lit(1)).as("n_leaking_docs"),
+        sum("n_shared").as("n_shared_ngrams"),
+        max("n_shared").as("max_doc_overlap"))
+      .orderBy("eval_doc")
+  }
+
+  val evalLeak = Q(
+    "d19_eval_leak_report",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      evalLeakReport(
+        docs.filter(col("doc_id") % 19 =!= 0),
+        docs.filter(col("doc_id") % 19 === 0), 5)
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                ('0x' || substr(md5(list_aggregate(ts[i:i+4], 'string_agg', ' ')), 1, 15))::BIGINT AS sh_h
+              FROM toks, UNNEST(range(1, len(ts) - 3)) r(i)
+              WHERE len(ts) >= 5),
+            eval AS (SELECT doc_id AS eval_doc, sh_h FROM sh WHERE doc_id % 19 = 0),
+            corpus AS (SELECT * FROM sh WHERE doc_id % 19 <> 0),
+            pair AS (
+              SELECT e.eval_doc, c.doc_id, count(*) AS n_shared
+              FROM corpus c JOIN eval e ON c.sh_h = e.sh_h
+              GROUP BY 1, 2)
+            SELECT eval_doc,
+              CAST(count(*) AS BIGINT) AS n_leaking_docs,
+              CAST(sum(n_shared) AS BIGINT) AS n_shared_ngrams,
+              CAST(max(n_shared) AS BIGINT) AS max_doc_overlap
+            FROM pair GROUP BY eval_doc ORDER BY eval_doc"""))
+
   val all: Seq[Q] =
     Seq(exact, minhash, simhash, ngramJaccard, embedding, clusters, keep, triangles,
       decontam, incremental, repeated, consensus, chunkDedup, semantic, bestKeep,
-      provenance, embeddingDecontam)
+      provenance, embeddingDecontam, containment, evalLeak)
 }

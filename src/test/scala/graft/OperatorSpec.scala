@@ -333,6 +333,51 @@ class OperatorSpec extends SparkSpec {
       s"pruning did not engage: $nBlocks of ${nCells * nCells} blocks survived")
   }
 
+  test("d18 containment: planted quote inside a larger page is caught, Jaccard misses it") {
+    import spark.implicits._
+    val quote = (1 to 10).map(i => s"q$i").mkString(" ") // 8 3-gram shingles
+    val page = (1 to 40).map(i => s"p$i").mkString(" ") + " " + quote
+    val docs = Seq((0L, quote), (1L, page),
+      (2L, (1 to 12).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, 0.9).collect()
+    assert(got.length == 1, s"expected exactly the quote pair: ${got.mkString(", ")}")
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1)) == (0L, 1L))
+    assert(r.getDouble(2) == 1.0, s"all of the quote's shingles are in the page: $r")
+    assert(r.getDouble(4) == 1.0)
+    // The same pair under symmetric Jaccard sits far below the threshold —
+    // the asymmetric detector exists precisely for this case.
+    val j = Dedup.jaccardPairs(Dedup.shingleSets(docs), None)
+      .filter(col("a") === 0L && col("b") === 1L).collect().head.getDouble(2)
+    assert(j < 0.25, s"fixture degenerate: jaccard $j should be small")
+  }
+
+  test("d19 eval-leak report: planted leaks counted per eval item; mass equals d09's") {
+    import spark.implicits._
+    // One eval doc leaked whole into doc 10 (8 shared 5-grams) and
+    // partially into doc 11 (exactly 1 shared 5-gram); doc 12 clean.
+    val evalText = (1 to 12).map(i => s"e$i").mkString(" ")
+    val corpus = Seq(
+      (10L, evalText),
+      (11L, (1 to 6).map(i => s"x$i").mkString(" ") + " " +
+        (1 to 5).map(i => s"e$i").mkString(" ")),
+      (12L, (1 to 10).map(i => s"y$i").mkString(" "))).toDF("doc_id", "text")
+    val evalDf = Seq((0L, evalText)).toDF("doc_id", "text")
+    val rep = Dedup.evalLeakReport(corpus, evalDf, 5).collect()
+    assert(rep.length == 1)
+    val r = rep.head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 2L && r.getLong(2) == 9L &&
+      r.getLong(3) == 8L, s"wrong report row: $r")
+    // Real table: regrouping must conserve the d09 join mass (the same
+    // (corpus shingle, eval shingle) matches keyed the other way).
+    val d09mass = Dedup.decontaminate(spark, sf, 5).collect()
+      .map(_.getAs[Long]("n_shared_ngrams")).sum
+    val repMass = SparkEntry.queries("d19_eval_leak_report")(spark, sf).collect()
+      .map(_.getAs[Long]("n_shared_ngrams")).sum
+    assert(repMass == d09mass, s"mass drift: report $repMass vs d09 $d09mass")
+    assert(repMass > 0L, "fixture degenerate: no leakage on the real table")
+  }
+
   test("p03 adaptive sem leg: bucketed path above the inline bound == inline path") {
     // Mirror of the d17 equivalence spec at the COMPOSITION level: the
     // release audit must emit identical manifests whichever d17 leg the
