@@ -115,7 +115,11 @@ object ScaleRehearsal {
       // ~17× before the frame-keyed window — the largest intermediate of
       // the m-family); p03 composes three evidence legs + the manifest
       // left-joins, reading BOTH scaled tables.
-      "m05_frame_energy", "p03_release_audit")
+      "m05_frame_energy", "p03_release_audit",
+      // Round-9 additions: d18 shares d04's candidate join but keys the
+      // verdict on the SMALLER side's size (containment); d19 is the
+      // eval-keyed regrouping of d09's bounded join.
+      "d18_containment_pairs", "d19_eval_leak_report")
     def timeQuery(name: String, dir: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
       def once(): (Double, Long) = {
