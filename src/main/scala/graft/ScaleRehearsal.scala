@@ -119,7 +119,11 @@ object ScaleRehearsal {
       // Round-9 additions: d18 shares d04's candidate join but keys the
       // verdict on the SMALLER side's size (containment); d19 is the
       // eval-keyed regrouping of d09's bounded join.
-      "d18_containment_pairs", "d19_eval_leak_report")
+      "d18_containment_pairs", "d19_eval_leak_report",
+      // Round-9 text-hygiene pair: both map-only multi-regex scans (t19's
+      // no-shuffle shape) — their ratios must land on the same scan-cost
+      // floor as the t19 control row.
+      "t30_pii_scrub", "t31_encoding_audit")
     def timeQuery(name: String, dir: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
       def once(): (Double, Long) = {

@@ -24,7 +24,7 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    derived from measured per-source token mass, md5-bucket decisions.
   *  - q32: last-touch attribution — per-purchase attributed click via a
   *    user-keyed running struct-max window (no events self-join).
-  *  - t01..t29: text query library (grep, wordcount, token counting,
+  *  - t01..t31: text query library (grep, wordcount, token counting,
   *    quality scoring, language-ID, fingerprinting, winnowing, TF-IDF,
   *    langid eval, context chunking, co-occurrence PMI, bigram LM,
   *    bigram perplexity quality filter, vocabulary growth, Gopher-style
@@ -36,8 +36,11 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    with the trained merge table, Unicode NFC normalization audit via
   *    the native nfc_norm expression, DSIR-style hashed-unigram
   *    importance weighting with a corpus-learned bucket model,
-  *    MAD-based length-outlier detection, per-doc token entropy).
-  *  - d01..d17: dedup & corpus hygiene (exact, MinHash-LSH, SimHash,
+  *    MAD-based length-outlier detection, per-doc token entropy,
+  *    PII detection/redaction with category counts over a deterministic
+  *    contact-footer corpus, encoding-hygiene audit — U+FFFD / control
+  *    chars / ASCII fraction with repaired-text digest).
+  *  - d01..d19: dedup & corpus hygiene (exact, MinHash-LSH, SimHash,
   *    n-gram Jaccard, embedding-cosine, connected-component clusters,
   *    keep-list, near-dup triangles, benchmark decontamination,
   *    incremental delta dedup, exact-substring repeated spans, near-dup
@@ -45,7 +48,8 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    SemDeDup-style bucket-local semantic dedup, quality-aware cluster
   *    representative selection, duplicate-provenance source matrix,
   *    embedding-space eval-set decontamination — d09's semantic
-  *    complement, one map-only scan with literal-inlined eval vectors).
+  *    complement, one map-only scan with literal-inlined eval vectors,
+  *    asymmetric containment near-dup pairs, eval-side leak report).
   *  - s01..s11: similarity search (brute-force ANN, LSH-bucketed ANN,
   *    per-label centroid stats, IVF ANN, recall@k evaluation, int8
   *    quantization error audit, incremental IVF ingest serving state,

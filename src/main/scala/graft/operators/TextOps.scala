@@ -1349,10 +1349,181 @@ object TextOps {
                 AS entropy
             FROM agg ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- t30: PII
+
+  /** Production-grade PII patterns — email, dotted-quad IP, dashed phone
+    * suffix. Lookahead/backreference-free so Java (Spark) and RE2 (DuckDB)
+    * find identical leftmost-first matches (same discipline as t03's
+    * pre-tokenizer). */
+  private[operators] val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[operators] val ipPat =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private[operators] val phonePat = "\\b[0-9]{3}-[0-9]{4}\\b"
+
+  /** The corpus with a deterministic synthetic contact footer (email + IP +
+    * phone derived from doc_id) appended to every doc_id not divisible by 3
+    * — the digit-free test corpus carries no organic PII (t19 note), so the
+    * footer gives the detector real positives AND real negatives while both
+    * engines derive the identical corpus (same pattern as Multimodal's
+    * payload derivation). */
+  def piiCorpus(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      when(col("doc_id") % 3 =!= 0,
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com at 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0."), ((col("doc_id") * 7) % 256).cast("string"),
+          lit(" or call 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(col("text")))
+
+  /** PII detection + redaction kernel: per-document match counts for each
+    * category (counted pre-redaction), the md5 digest of the fully redacted
+    * text (emails → [EMAIL], then IPs → [IP], then phones → [PHONE] — the
+    * category order is part of the contract), and the `has_pii` bit release
+    * filters key on. Shared by the batch query and the at-ingest streaming
+    * stamp ([[graft.streaming.DocStreams]]).
+    *
+    * Scale shape: map-only scan (four codegen'd regex passes per row) — no
+    * shuffle, no state, linear in corpus bytes; t19's shape with
+    * category-typed counters.
+    */
+  def piiStamp(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_emails",
+        regexp_count(col("text"), lit(emailPat)).cast("long"))
+      .withColumn("n_ips", regexp_count(col("text"), lit(ipPat)).cast("long"))
+      .withColumn("n_phones",
+        regexp_count(col("text"), lit(phonePat)).cast("long"))
+      .withColumn("redacted_md5",
+        md5(regexp_replace(regexp_replace(regexp_replace(col("text"),
+          emailPat, "[EMAIL]"), ipPat, "[IP]"), phonePat, "[PHONE]")))
+      .withColumn("has_pii",
+        col("n_emails") + col("n_ips") + col("n_phones") > 0L)
+
+  def piiScrub(docs: DataFrame): DataFrame =
+    piiStamp(docs).select("doc_id", "n_emails", "n_ips", "n_phones",
+      "redacted_md5", "has_pii")
+
+  val piiScrubQ = Q(
+    "t30_pii_scrub",
+    (s, d) => piiScrub(piiCorpus(Tables.documents(s, d))).orderBy("doc_id"),
+    Some("""WITH corpus AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 3 <> 0 THEN
+                  text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com at 10.' || CAST(doc_id % 256 AS VARCHAR)
+                    || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                    || ' or call 555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE text END AS text
+              FROM documents)
+            SELECT doc_id,
+              CAST(len(regexp_extract_all(text,
+                '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+              CAST(len(regexp_extract_all(text,
+                '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+              CAST(len(regexp_extract_all(text,
+                '\b[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phones,
+              md5(regexp_replace(regexp_replace(regexp_replace(text,
+                '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+                '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'),
+                '\b[0-9]{3}-[0-9]{4}\b', '[PHONE]', 'g')) AS redacted_md5,
+              (len(regexp_extract_all(text,
+                 '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+               + len(regexp_extract_all(text,
+                 '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+               + len(regexp_extract_all(text,
+                 '\b[0-9]{3}-[0-9]{4}\b')) > 0) AS has_pii
+            FROM corpus ORDER BY doc_id"""))
+
+  // ------------------------------------------------- t31: encoding hygiene
+
+  /** Disallowed control characters: C0 minus tab/LF/CR (the whitespace a
+    * clean text corpus legitimately carries). */
+  private[operators] val badCtrlClass = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+
+  /** The corpus with deterministic encoding damage: every doc_id divisible
+    * by 5 gets 1–3 U+FFFD replacement characters (the scar a lossy decode
+    * leaves) plus one BEL control byte appended; the rest stay clean. Both
+    * engines derive the identical corrupted corpus. */
+  def corruptedCorpus(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" "),
+          repeat(lit("\uFFFD"), (col("doc_id") % 3).cast("int") + 1),
+          lit("\u0007")))
+        .otherwise(col("text")))
+
+  /** Encoding-hygiene audit kernel — the mojibake/binary-spill screen a
+    * crawl pipeline runs before tokenization: per document, the count of
+    * U+FFFD replacement characters (evidence of a lossy transcode), of
+    * disallowed C0 control characters (evidence of binary spill), the
+    * ASCII fraction, the `is_suspect` bit (any replacement char, any bad
+    * control char, or <80% ASCII), and the md5 of the repaired text with
+    * both damage classes stripped.
+    *
+    * Scale shape: map-only scan (char-class counts per row, codegen'd) —
+    * no shuffle, no state, linear in corpus bytes. All chars involved are
+    * BMP, so Spark's UTF-16 length == DuckDB's codepoint length.
+    */
+  def encodingAudit(docs: DataFrame): DataFrame = {
+    val nChars = length(col("text")).cast("long")
+    val nRepl = (length(col("text"))
+      - length(regexp_replace(col("text"), "\uFFFD", ""))).cast("long")
+    val nCtrl = (length(col("text"))
+      - length(regexp_replace(col("text"), badCtrlClass, ""))).cast("long")
+    val nNonAscii = length(regexp_replace(col("text"), "[\\x00-\\x7F]", ""))
+      .cast("long")
+    docs.select(
+        col("doc_id"), nChars.as("n_chars"), nRepl.as("n_repl"),
+        nCtrl.as("n_ctrl"), nNonAscii.as("n_nonascii"),
+        when(nChars === 0L, lit(1.0))
+          .otherwise(round((nChars - nNonAscii).cast("double") / nChars, 6))
+          .as("ascii_frac"),
+        md5(regexp_replace(col("text"), s"\uFFFD|$badCtrlClass", ""))
+          .as("repaired_md5"))
+      .withColumn("is_suspect",
+        col("n_repl") > 0L || col("n_ctrl") > 0L ||
+          col("n_nonascii") * 5L > col("n_chars"))
+  }
+
+  val encodingAuditQ = Q(
+    "t31_encoding_audit",
+    (s, d) => encodingAudit(corruptedCorpus(Tables.documents(s, d)))
+      .orderBy("doc_id"),
+    Some("""WITH corpus AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 5 = 0 THEN
+                  text || ' ' || repeat(chr(65533), CAST(doc_id % 3 AS INT) + 1)
+                    || chr(7)
+                ELSE text END AS text
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                CAST(length(text) AS BIGINT) AS n_chars,
+                CAST(length(text) - length(replace(text, chr(65533), ''))
+                  AS BIGINT) AS n_repl,
+                CAST(length(text) - length(regexp_replace(text,
+                  '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS BIGINT) AS n_ctrl,
+                CAST(length(regexp_replace(text, '[\x00-\x7F]', '', 'g'))
+                  AS BIGINT) AS n_nonascii,
+                md5(regexp_replace(text,
+                  chr(65533) || '|[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g'))
+                  AS repaired_md5
+              FROM corpus)
+            SELECT doc_id, n_chars, n_repl, n_ctrl, n_nonascii,
+              CASE WHEN n_chars = 0 THEN 1.0
+                ELSE round(CAST(n_chars - n_nonascii AS DOUBLE) / n_chars, 6)
+              END AS ascii_frac,
+              repaired_md5,
+              (n_repl > 0 OR n_ctrl > 0 OR n_nonascii * 5 > n_chars)
+                AS is_suspect
+            FROM m ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(grep, wordcount, tokenCount, quality, langid, fingerprint, winnow, tfidf,
       langidEval, chunk, cooccur, bigrams, perplexity, vocabGrowth, repetition,
       novelty, pack, spectrum, scrub, qualityGate, bpeTrain, sourceProfile,
       hitters, classifierScore, bpeApply, nfcAudit, dsirWeights, lengthOutliers,
-      tokenEntropy)
+      tokenEntropy, piiScrubQ, encodingAuditQ)
 }

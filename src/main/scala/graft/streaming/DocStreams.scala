@@ -295,4 +295,15 @@ object DocStreams {
     docs
       .withColumn("bucket", graft.operators.Sampling.hashBucket(col("doc_id")))
       .filter(col("bucket") < rate)
+
+  /** PII stamp at ingest — the streaming twin of batch t30: every arriving
+    * doc carries its per-category match counts, redacted digest, and
+    * `has_pii` bit before it is ever persisted. The stamp IS the batch
+    * kernel ([[graft.operators.TextOps.piiStamp]] — pure codegen'd column
+    * expressions, no UDF), so stream and batch cannot drift; stateless
+    * per-row, Append-mode, no shuffle, no state (spec-asserted ≡ batch).
+    * Redaction-at-ingest is the PII posture a training-data pipeline
+    * actually wants: raw text never lands in the lake. */
+  def piiStamped(docs: DataFrame): DataFrame =
+    graft.operators.TextOps.piiStamp(docs)
 }

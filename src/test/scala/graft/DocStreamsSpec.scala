@@ -199,4 +199,30 @@ class DocStreamsSpec extends SparkSpec {
       assert(streamedS.map(_._2).size > 1 || streamedS.nonEmpty)
     } finally { qU.stop(); qS.stop() }
   }
+
+  test("at-ingest PII stamp matches the batch t30 kernel row-for-row") {
+    import graft.operators.TextOps
+    // Batch side: the t30 kernel over the footer corpus.
+    val batch = TextOps.piiScrub(TextOps.piiCorpus(Tables.documents(spark, sf)))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getBoolean(5))).toMap
+    // Stream side: same footer derivation at ingest (pure column exprs
+    // compose on streaming frames), then the stamp.
+    val stamped = DocStreams.piiStamped(
+        TextOps.piiCorpus(DocStreams.readDocumentStream(spark, sf)))
+      .select("doc_id", "n_emails", "n_ips", "n_phones", "redacted_md5", "has_pii")
+    val q = EventStreams.runToMemory(stamped, "doc_pii_stream", OutputMode.Append)
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("doc_pii_stream").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4), r.getBoolean(5))).toMap
+      assert(streamed.keySet == batch.keySet, "document set drift")
+      streamed.foreach { case (id, v) =>
+        assert(batch(id) == v, s"PII stamp mismatch for doc $id")
+      }
+      // Non-vacuous: the corpus must exercise both verdicts.
+      assert(streamed.values.exists(_._5) && streamed.values.exists(!_._5))
+    } finally q.stop()
+  }
 }

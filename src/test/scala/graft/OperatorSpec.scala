@@ -1097,4 +1097,70 @@ class OperatorSpec extends SparkSpec {
       assert(math.abs(prof(k)._3 - kf) < 1e-9, s"keep_frac mismatch for $k")
     }
   }
+
+  test("t30 PII scrub: handcrafted positives hit every category, redaction is total") {
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "reach alice.smith@example.com or 10.0.0.1 or call 555-1234 now"),
+      (2L, "two mails a@b.io c@d.org one ip 192.168.1.255 no phone"),
+      (3L, "perfectly clean prose with no contact information at all")
+    ).toDF("doc_id", "text")
+    val out = TextOps.piiScrub(crafted).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getBoolean(5))).toMap
+    assert(out(1L)._1 == 1 && out(1L)._2 == 1 && out(1L)._3 == 1 && out(1L)._5)
+    assert(out(2L)._1 == 2 && out(2L)._2 == 1 && out(2L)._3 == 0 && out(2L)._5)
+    assert(out(3L) == ((0L, 0L, 0L, out(3L)._4, false)))
+    // Redaction is total: the redacted text of doc 1 is the hand-redacted string.
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(out(1L)._4 == md5Hex(
+      "reach [EMAIL] or [IP] or call [PHONE] now"))
+    assert(out(3L)._4 == md5Hex(
+      "perfectly clean prose with no contact information at all"))
+  }
+
+  test("t30 footer corpus: every non-multiple-of-3 doc carries exactly one of each category") {
+    val out = TextOps.piiScrub(TextOps.piiCorpus(Tables.documents(spark, sf)))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (id, e, i, p, pii) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(5))
+      if (id % 3 != 0)
+        assert(e == 1 && i == 1 && p == 1 && pii, s"doc $id: ($e,$i,$p)")
+      else
+        assert(e == 0 && i == 0 && p == 0 && !pii, s"doc $id: ($e,$i,$p)")
+    }
+  }
+
+  test("t31 encoding audit: damage counted exactly, repair digest matches, clean docs clean") {
+    val docs = Tables.documents(spark, sf)
+    // Repairing the corrupted corpus strips exactly the injected damage,
+    // leaving original text + the separator space.
+    val want = docs.select(col("doc_id"),
+      md5(concat(col("text"), lit(" "))).as("want_md5"),
+      md5(col("text")).as("orig_md5"))
+    val rows = TextOps.encodingAudit(TextOps.corruptedCorpus(docs))
+      .join(want, "doc_id").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      if (id % 5 == 0) {
+        assert(r.getAs[Long]("n_repl") == id % 3 + 1, s"doc $id n_repl")
+        assert(r.getAs[Long]("n_ctrl") == 1L, s"doc $id n_ctrl")
+        assert(r.getAs[Boolean]("is_suspect"), s"doc $id must be suspect")
+        assert(r.getAs[String]("repaired_md5") == r.getAs[String]("want_md5"),
+          s"doc $id repair digest")
+      } else {
+        assert(r.getAs[Long]("n_repl") == 0L && r.getAs[Long]("n_ctrl") == 0L
+          && r.getAs[Long]("n_nonascii") == 0L, s"doc $id must be clean")
+        assert(!r.getAs[Boolean]("is_suspect"), s"doc $id must not be suspect")
+        assert(r.getAs[Double]("ascii_frac") == 1.0, s"doc $id ascii_frac")
+        assert(r.getAs[String]("repaired_md5") == r.getAs[String]("orig_md5"),
+          s"doc $id repair must be identity")
+      }
+    }
+  }
 }
