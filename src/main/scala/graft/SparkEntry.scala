@@ -24,7 +24,9 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    derived from measured per-source token mass, md5-bucket decisions.
   *  - q32: last-touch attribution — per-purchase attributed click via a
   *    user-keyed running struct-max window (no events self-join).
-  *  - t01..t31: text query library (grep, wordcount, token counting,
+  *  - q36: arbitrary GROUPING SETS (non-hierarchical levels — the
+  *    complement of q10's ROLLUP and q19's CUBE) in one Expand pass.
+  *  - t01..t32: text query library (grep, wordcount, token counting,
   *    quality scoring, language-ID, fingerprinting, winnowing, TF-IDF,
   *    langid eval, context chunking, co-occurrence PMI, bigram LM,
   *    bigram perplexity quality filter, vocabulary growth, Gopher-style
@@ -39,8 +41,9 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    MAD-based length-outlier detection, per-doc token entropy,
   *    PII detection/redaction with category counts over a deterministic
   *    contact-footer corpus, encoding-hygiene audit — U+FFFD / control
-  *    chars / ASCII fraction with repaired-text digest).
-  *  - d01..d19: dedup & corpus hygiene (exact, MinHash-LSH, SimHash,
+  *    chars / ASCII fraction with repaired-text digest, per-source
+  *    Zipf-law slope fit via order-independent quantized regression).
+  *  - d01..d20: dedup & corpus hygiene (exact, MinHash-LSH, SimHash,
   *    n-gram Jaccard, embedding-cosine, connected-component clusters,
   *    keep-list, near-dup triangles, benchmark decontamination,
   *    incremental delta dedup, exact-substring repeated spans, near-dup
@@ -49,17 +52,19 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    representative selection, duplicate-provenance source matrix,
   *    embedding-space eval-set decontamination — d09's semantic
   *    complement, one map-only scan with literal-inlined eval vectors,
-  *    asymmetric containment near-dup pairs, eval-side leak report).
+  *    asymmetric containment near-dup pairs, eval-side leak report,
+  *    cross-source n-gram duplication matrix).
   *  - s01..s11: similarity search (brute-force ANN, LSH-bucketed ANN,
   *    per-label centroid stats, IVF ANN, recall@k evaluation, int8
   *    quantization error audit, incremental IVF ingest serving state,
   *    PQ-ADC with exact rerank, exact cosine radius search, MMR
   *    diversity re-ranking of the retrieval shortlist, metadata-filtered
   *    ANN).
-  *  - m01..m08: multimodal binary-column plumbing (metadata, stub-decode
+  *  - m01..m09: multimodal binary-column plumbing (metadata, stub-decode
   *    features, frame sampling, strided resize, windowed frame energy,
   *    perceptual-hash near-dup pairs, scene-change detection over frame
-  *    energies, VAD-style voiced-segment runs; binaryFile ingest in
+  *    energies, VAD-style voiced-segment runs, WebDataset-style
+  *    shard-manifest packing on the byte axis; binaryFile ingest in
   *    Multimodal).
   *  - p01: the composed curation pipeline (gate → dedup-among-survivors →
   *    sequence packing) emitting every document's final disposition and

@@ -1687,8 +1687,77 @@ object Dedup {
               CAST(max(n_shared) AS BIGINT) AS max_doc_overlap
             FROM pair GROUP BY eval_doc ORDER BY eval_doc"""))
 
+  // ---------------------------------------------- cross-source duplication
+  /** d20: the cross-source duplication matrix — for every pair of SOURCES,
+    * how much n-gram vocabulary they share. This is the provenance-level
+    * view the doc-level family (d02/d04/d18) can't give: which feeds
+    * mirror, scrape, or syndicate each other, read before choosing mixing
+    * weights (double-counting a mirrored source inflates its effective
+    * epoch count) and before trusting "distinct sources" as a diversity
+    * signal. Exact-dup sharing is subsumed (an exact copy shares every
+    * shingle); the 5-gram granularity matches the decontamination family
+    * (d09/d19) so the three reports read on one scale.
+    *
+    * Emits per unordered source pair: distinct shared 5-gram shingles,
+    * each side's shingle vocabulary size, and the vocabulary Jaccard.
+    *
+    * Scale shape: one distinct (source, shingle-hash) aggregate (map-side
+    * combined — the 10⁵-row doc→source attach happens before the shuffle),
+    * then a self-equi-join on the shingle hash whose fan-out per hash is
+    * bounded by the NUMBER OF SOURCES (not corpus size: the input is
+    * distinct per (source, hash)), and a source-pair-keyed count. Output
+    * rows ≤ sources², structurally tiny at any corpus scale. No all-pairs
+    * term anywhere: shingles shared by zero pairs never leave the join.
+    */
+  def crossSourceOverlap(docs: DataFrame, n: Int = 5): DataFrame = {
+    val srcOf = docs.select(col("doc_id"), col("source"))
+    val sh = hashedShingles(shingleSets(docs, n))
+      .join(srcOf, Seq("doc_id"))
+      .select(col("source"), col("sh_h"))
+      .groupBy("source", "sh_h").agg(count(lit(1)).as("_n")) // distinct per source
+      .select(col("source"), col("sh_h"))
+      .localCheckpoint() // read twice: sizes + the pair join (execution rule 2)
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("source").as("src_a"), col("sh_h"))
+    val b = sh.select(col("source").as("src_b"), col("sh_h"))
+    a.join(b, "sh_h").filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("source").as("src_a"), col("n_sh").as("n_a")), "src_a")
+      .join(sizes.select(col("source").as("src_b"), col("n_sh").as("n_b")), "src_b")
+      .select(
+        col("src_a"), col("src_b"), col("n_shared"), col("n_a"), col("n_b"),
+        round(col("n_shared").cast("double")
+          / (col("n_a") + col("n_b") - col("n_shared")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val crossSource = Q(
+    "d20_cross_source_overlap",
+    (s, d) => crossSourceOverlap(Tables.documents(s, d)),
+    Some("""WITH toks AS (
+              SELECT doc_id, source, list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT source,
+                ('0x' || substr(md5(list_aggregate(ts[i:i+4], 'string_agg', ' ')), 1, 15))::BIGINT AS sh_h
+              FROM toks, UNNEST(range(1, len(ts) - 3)) r(i)
+              WHERE len(ts) >= 5),
+            sizes AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY source),
+            pairs AS (
+              SELECT x.source AS src_a, y.source AS src_b, count(*) AS n_shared
+              FROM sh x JOIN sh y ON y.sh_h = x.sh_h AND x.source < y.source
+              GROUP BY 1, 2)
+            SELECT p.src_a, p.src_b, p.n_shared, sa.n_sh AS n_a, sb.n_sh AS n_b,
+              round(CAST(p.n_shared AS DOUBLE)
+                / CAST(sa.n_sh + sb.n_sh - p.n_shared AS DOUBLE), 6) AS jaccard
+            FROM pairs p JOIN sizes sa ON sa.source = p.src_a
+                         JOIN sizes sb ON sb.source = p.src_b
+            ORDER BY p.src_a, p.src_b"""))
+
   val all: Seq[Q] =
     Seq(exact, minhash, simhash, ngramJaccard, embedding, clusters, keep, triangles,
       decontam, incremental, repeated, consensus, chunkDedup, semantic, bestKeep,
-      provenance, embeddingDecontam, containment, evalLeak)
+      provenance, embeddingDecontam, containment, evalLeak, crossSource)
 }

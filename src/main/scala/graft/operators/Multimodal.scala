@@ -511,7 +511,59 @@ object Multimodal {
                     / CAST(count(*) AS DOUBLE), 6) AS voiced_frac
             FROM runs GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** m09: shard-manifest packing — assign every media payload a byte
+    * offset inside fixed-budget shards (WebDataset/tar-shard style: the
+    * layout multimodal training jobs actually read, where a loader seeks
+    * to (shard, offset) instead of listing millions of small objects).
+    * Emits per record the shard span (`shard_first`..`shard_last` — large
+    * payloads legitimately straddle a boundary and are recorded across
+    * both, t17's greedy rule on the byte axis) and the byte offset within
+    * the first shard; downstream writers consume this manifest to lay
+    * records into `shard-{N}.tar` containers deterministically.
+    *
+    * The cumulative byte offset is t17's TWO-PHASE range-partitioned
+    * prefix scan ([[TextOps.prefixSummed]]) — never a global
+    * unpartitioned window: local per-partition running sums, one long
+    * per partition to the driver, broadcast offsets back. Byte addition
+    * is associative, so the manifest is exact at any partition count,
+    * and the scan is the only pass over payload bytes (octet_length is
+    * metadata — the payloads themselves never shuffle).
+    */
+  def shardManifest(media: Dataset[MediaRecord], shardBytes: Long = 4096L): DataFrame = {
+    val perDoc = media.toDF().select(
+      col("doc_id"), octet_length(col("payload")).cast("long").as("n_bytes"))
+    TextOps.prefixSummed(perDoc, "n_bytes", "cum_bytes")
+      .filter(col("n_bytes") > 0)
+      .select(
+        col("doc_id"), col("n_bytes"),
+        expr(s"(cum_bytes - n_bytes) div $shardBytes").as("shard_first"),
+        expr(s"(cum_bytes - 1) div $shardBytes").as("shard_last"),
+        expr(s"(cum_bytes - n_bytes) % $shardBytes").as("offset_in_shard"))
+      .withColumn("n_shards", col("shard_last") - col("shard_first") + 1)
+      .orderBy("doc_id")
+  }
+
+  val shardManifestQ = Q(
+    "m09_shard_manifest",
+    (s, d) => shardManifest(mediaTable(s, d)),
+    Some("""WITH sizes AS (
+              SELECT doc_id,
+                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+              FROM documents),
+            cum AS (
+              SELECT doc_id, n_bytes,
+                sum(n_bytes) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_bytes
+              FROM sizes)
+            SELECT doc_id, n_bytes,
+              CAST((cum_bytes - n_bytes) // 4096 AS BIGINT) AS shard_first,
+              CAST((cum_bytes - 1) // 4096 AS BIGINT) AS shard_last,
+              CAST((cum_bytes - n_bytes) % 4096 AS BIGINT) AS offset_in_shard,
+              CAST((cum_bytes - 1) // 4096
+                   - (cum_bytes - n_bytes) // 4096 + 1 AS BIGINT) AS n_shards
+            FROM cum WHERE n_bytes > 0 ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(mediaMeta, mediaFeatures, frameSample, mediaResize, frameEnergy, mediaNeardup,
-      scenes, voiced)
+      scenes, voiced, shardManifestQ)
 }

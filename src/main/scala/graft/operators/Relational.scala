@@ -861,7 +861,48 @@ object Relational {
               r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR AS segment
             FROM sc ORDER BY user_id"""))
 
+  /** Arbitrary GROUPING SETS — the non-hierarchical complement of q10's
+    * ROLLUP and q19's CUBE: the shipped sets ((status, priority),
+    * (priority), ()) include a (priority)-only level without its (status)
+    * parent, which neither rollup nor cube can express. Spark plans all
+    * three levels through one Expand + one shuffle keyed by the padded
+    * grouping key (same physical shape as cube — each input row fans out
+    * to one row per set map-side, partial aggregation applies before the
+    * exchange), so the cost is sets × input scan, not sets × shuffles.
+    * Keys are coalesced to 'ALL' per q19's rule so the output carries no
+    * NULL-ordering contract.
+    */
+  val q36 = Q(
+    "q36_grouping_sets",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupingSets(
+          Seq(
+            Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderpriority")),
+            Seq.empty[org.apache.spark.sql.Column]),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+        .select(
+          col("gid"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"), col("revenue"))
+        .orderBy("gid", "status", "priority"),
+    Some("""SELECT CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+                   coalesce(o_orderstatus, 'ALL') AS status,
+                   coalesce(o_orderpriority, 'ALL') AS priority,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                    (o_orderpriority), ())
+            ORDER BY gid, status, priority"""))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
-      q18, q19, q20, q21, q22, q25, q26, q27, q29, q30, q32, q33, q34)
+      q18, q19, q20, q21, q22, q25, q26, q27, q29, q30, q32, q33, q34, q36)
 }

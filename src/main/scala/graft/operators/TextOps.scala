@@ -1520,10 +1520,99 @@ object TextOps {
                 AS is_suspect
             FROM m ORDER BY doc_id"""))
 
+  /** t32: per-source Zipf-law fit — the least-squares slope of
+    * ln(frequency) against ln(rank) over each source's token-frequency
+    * spectrum. Natural language sits near slope −1 (Zipf); templated or
+    * machine-generated feeds flatten (few very hot types, thin tail) or
+    * steepen, so the fitted slope is the one-number distributional health
+    * check per feed — the cross-source companion of t18's corpus spectrum
+    * (which shows the shape but fits nothing) and t14's growth curve.
+    *
+    * Exactness: the regression needs four cross-row FLOAT sums (Σx, Σy,
+    * Σx², Σxy over x=ln rank, y=ln count) — summation-order-dependent and
+    * so engine-divergent. Same discipline as t29: quantize each row's
+    * ln to integer MILLI-nats (`floor(ln·1000 + .5)`), sum BIGINTs
+    * (order-independent; Σxq·yq tops out ~3·10¹⁶ even at 10⁸-type
+    * vocabularies, inside int64), and close with ONE identically-written
+    * double expression — both engines then round the same IEEE double.
+    * Milli (not micro) keeps the products inside int64; the quantization
+    * error on the fitted slope is O(1e-3/ln-range), far below the 6-dp
+    * rounding. Ranks tie-break by token so both engines rank identically.
+    *
+    * Scale shape: one (source, type)-keyed count (map-side combined over
+    * the token stream), a rank window PARTITIONED BY SOURCE over the
+    * resulting vocabulary (sublinear in corpus — Heaps — and bounded per
+    * partition by per-source vocabulary, t08's stance), then a
+    * source-keyed fold to the four sums. Output rows = #sources.
+    */
+  def zipfFitPerSource(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(col("source"), explode(tokens(col("text"))).as("t"))
+      .groupBy("source", "t").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("source").orderBy(col("cnt").desc, col("t").asc)
+    val quant = counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(
+        col("source"), col("cnt"),
+        floor(log(col("rank").cast("double")) * lit(1000.0) + lit(0.5))
+          .cast("long").as("xq"),
+        floor(log(col("cnt").cast("double")) * lit(1000.0) + lit(0.5))
+          .cast("long").as("yq"))
+    quant.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_types"),
+        sum("cnt").as("n_tokens"),
+        sum("xq").as("sx"), sum("yq").as("sy"),
+        sum(col("xq") * col("xq")).as("sxx"),
+        sum(col("xq") * col("yq")).as("sxy"))
+      .select(
+        col("source"), col("n_types"), col("n_tokens"),
+        round(
+          (col("n_types").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+            / (col("n_types").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double")), 6)
+          .as("zipf_slope"))
+      .orderBy("source")
+  }
+
+  val zipfFit = Q(
+    "t32_zipf_fit",
+    (s, d) => zipfFitPerSource(Tables.documents(s, d)),
+    Some("""WITH toks AS (
+              SELECT source, unnest(list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS t
+              FROM documents),
+            counts AS (SELECT source, t, count(*) AS cnt FROM toks GROUP BY 1, 2),
+            ranked AS (
+              SELECT source, cnt,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY cnt DESC, t ASC) AS rank
+              FROM counts),
+            quant AS (
+              SELECT source, cnt,
+                CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS xq,
+                CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS yq
+              FROM ranked),
+            agg AS (
+              SELECT source,
+                CAST(count(*) AS BIGINT) AS n_types,
+                CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                CAST(sum(xq) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+                CAST(sum(xq * xq) AS BIGINT) AS sxx,
+                CAST(sum(xq * yq) AS BIGINT) AS sxy
+              FROM quant GROUP BY source)
+            SELECT source, n_types, n_tokens,
+              round((CAST(n_types AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope
+            FROM agg ORDER BY source"""))
+
   val all: Seq[Q] =
     Seq(grep, wordcount, tokenCount, quality, langid, fingerprint, winnow, tfidf,
       langidEval, chunk, cooccur, bigrams, perplexity, vocabGrowth, repetition,
       novelty, pack, spectrum, scrub, qualityGate, bpeTrain, sourceProfile,
       hitters, classifierScore, bpeApply, nfcAudit, dsirWeights, lengthOutliers,
-      tokenEntropy, piiScrubQ, encodingAuditQ)
+      tokenEntropy, piiScrubQ, encodingAuditQ, zipfFit)
 }

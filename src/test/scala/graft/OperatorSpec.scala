@@ -1163,4 +1163,121 @@ class OperatorSpec extends SparkSpec {
       }
     }
   }
+
+  test("q36 grouping sets: levels {0,2,3}, each level matches its direct aggregate") {
+    val rows = Relational.q36.fn(spark, sf).collect()
+    val gids = rows.map(_.getAs[Long]("gid")).toSet
+    assert(gids == Set(0L, 2L, 3L), s"unexpected grouping ids: $gids")
+    val nOrders = Tables.orders(spark, sf).count()
+    // Grand-total set (gid 3 = both keys grouped away) is one row == corpus.
+    val grand = rows.filter(_.getAs[Long]("gid") == 3L)
+    assert(grand.length == 1 && grand.head.getAs[Long]("n_orders") == nOrders)
+    // The finest set partitions the corpus.
+    assert(rows.filter(_.getAs[Long]("gid") == 0L)
+      .map(_.getAs[Long]("n_orders")).sum == nOrders)
+    // The (priority)-only set — the level ROLLUP/CUBE can't express alone —
+    // equals a direct groupBy on priority.
+    val want = Tables.orders(spark, sf).groupBy("o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = rows.filter(_.getAs[Long]("gid") == 2L)
+      .map(r => r.getAs[String]("priority") -> r.getAs[Long]("n_orders")).toMap
+    assert(got == want, s"priority level mismatch: $got vs $want")
+  }
+
+  test("t32 zipf fit: uniform corpus fits slope 0, harmonic corpus fits ~-1, totals exact") {
+    import spark.implicits._
+    // Uniform: every type occurs exactly once -> ln(cnt)=0 everywhere -> slope 0.
+    val uniform = Seq((1L, "uni", "aa bb cc dd ee ff gg hh"))
+      .toDF("doc_id", "source", "text")
+    // Harmonic: type w{i} occurs ceil(400/i) times, i=1..40 -> Zipf exponent ~1.
+    val harmonicText = (1 to 40)
+      .flatMap(i => Seq.fill(math.ceil(400.0 / i).toInt)(s"w$i")).mkString(" ")
+    val harmonic = Seq((2L, "har", harmonicText)).toDF("doc_id", "source", "text")
+    val fit = TextOps.zipfFitPerSource(uniform.union(harmonic)).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(fit("uni")._3 == 0.0, s"uniform slope: ${fit("uni")._3}")
+    assert(fit("uni")._1 == 8 && fit("uni")._2 == 8)
+    val harSlope = fit("har")._3
+    assert(harSlope > -1.25 && harSlope < -0.75, s"harmonic slope: $harSlope")
+    assert(fit("har")._1 == 40)
+    assert(fit("har")._2 == (1 to 40).map(i => math.ceil(400.0 / i).toInt).sum)
+    // Real corpus: every source fits a negative, Zipf-plausible slope, and
+    // totals reconcile with a direct token count.
+    val real = TextOps.zipfFit.fn(spark, sf).collect()
+    assert(real.nonEmpty)
+    // Rank order makes ln(cnt) non-increasing in ln(rank), so the fitted
+    // slope is structurally <= 0; this synthetic corpus is near-uniform
+    // per source, so magnitudes stay shallow — the band only excludes
+    // nonsense, the planted corpora above pin the values.
+    real.foreach { r =>
+      val slope = r.getAs[Double]("zipf_slope")
+      assert(slope <= 0.0 && slope > -3.0, s"${r.getString(0)}: slope $slope")
+    }
+    val totalTokens = Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextFns.tokens(col("text"))))
+      .count()
+    assert(real.map(_.getAs[Long]("n_tokens")).sum == totalTokens)
+  }
+
+  test("d20 cross-source overlap: planted pair exact, real matrix internally consistent") {
+    import spark.implicits._
+    // Planted: 3 shingles per side sharing exactly one -> Jaccard 1/5.
+    val planted = Seq(
+      (1L, "sx", "t1 t2 t3 t4 t5 t6 t7"),
+      (2L, "sy", "t1 t2 t3 t4 t5 x1 x2")
+    ).toDF("doc_id", "source", "text")
+    val p = Dedup.crossSourceOverlap(planted).collect()
+    assert(p.length == 1)
+    val r0 = p.head
+    assert(r0.getString(0) == "sx" && r0.getString(1) == "sy")
+    assert(r0.getAs[Long]("n_shared") == 1L
+      && r0.getAs[Long]("n_a") == 3L && r0.getAs[Long]("n_b") == 3L)
+    assert(r0.getAs[Double]("jaccard") == 0.2)
+    // Real corpus: sizes re-derived independently, bounds hold, pairs unique.
+    val docs = Tables.documents(spark, sf)
+    val rows = Dedup.crossSourceOverlap(docs).collect()
+    val wantSizes = Dedup.hashedShingles(Dedup.shingleSets(docs, 5))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select("source", "sh_h").distinct()
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty)
+    val keys = rows.map(r => (r.getString(0), r.getString(1)))
+    assert(keys.distinct.length == keys.length, "pair keys must be unique")
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val (sh, na, nb) = (r.getAs[Long]("n_shared"),
+        r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      assert(a < b, s"pair order: $a !< $b")
+      assert(na == wantSizes(a) && nb == wantSizes(b), s"sizes for ($a,$b)")
+      assert(sh >= 1 && sh <= math.min(na, nb), s"shared bound for ($a,$b)")
+      val j = BigDecimal(sh.toDouble / (na + nb - sh).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("jaccard") - j) < 1e-9, s"jaccard ($a,$b)")
+    }
+  }
+
+  test("m09 shard manifest equals a sequential packing and is partition-invariant") {
+    val rows = Multimodal.shardManifestQ.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // Sequential reference packing over the same (doc_id-ordered) sizes.
+    var cum = 0L
+    rows.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+      val n = r.getAs[Long]("n_bytes")
+      assert(n > 0)
+      val first = cum / 4096; val last = (cum + n - 1) / 4096
+      assert(r.getAs[Long]("shard_first") == first, s"doc ${r.getLong(0)} first")
+      assert(r.getAs[Long]("shard_last") == last, s"doc ${r.getLong(0)} last")
+      assert(r.getAs[Long]("offset_in_shard") == cum % 4096, s"doc ${r.getLong(0)} offset")
+      assert(r.getAs[Long]("n_shards") == last - first + 1)
+      cum += n
+    }
+    // Same manifest at a different input partitioning (two-phase prefix
+    // scan must be partition-count-independent).
+    val reparted = Multimodal.shardManifest(
+      Multimodal.mediaTable(spark, sf).repartition(7)).collect()
+    assert(reparted.map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+      .toSeq == rows.map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString).toSeq)
+  }
 }
