@@ -123,7 +123,15 @@ object ScaleRehearsal {
       // Round-9 text-hygiene pair: both map-only multi-regex scans (t19's
       // no-shuffle shape) — their ratios must land on the same scan-cost
       // floor as the t19 control row.
-      "t30_pii_scrub", "t31_encoding_audit")
+      "t30_pii_scrub", "t31_encoding_audit",
+      // Round-9 second wave: d20's output rows are SOURCE-PAIR-bounded
+      // (scale-invariant count, values grow k×) while its distinct
+      // (source, shingle) input grows k× — the matrix must not blow up
+      // when the per-source vocabularies do; t32's rank window rides the
+      // k×-vocabulary growth (the tagged copies are its adversarial
+      // direction: per-source vocab grows WITH the corpus, not Heaps-
+      // sublinear); m09 is the byte-axis prefix-scan twin of t17.
+      "d20_cross_source_overlap", "t32_zipf_fit", "m09_shard_manifest")
     def timeQuery(name: String, dir: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
       def once(): (Double, Long) = {

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 import graft.operators.Multimodal
 
 /** Streaming twin of the multimodal ingest surface: media records
@@ -99,5 +100,61 @@ object MediaStreams {
       .withWatermark("arrival_ts", horizon)
       .dropDuplicatesWithinWatermark("arriving_id", "existing_id")
       .select("arriving_id", "existing_id", "hamming")
+  }
+
+  /** One arriving payload's size, keyed by its writer stream. */
+  final case class ShardEv(doc_id: Long, media_type: String, n_bytes: Long)
+
+  /** Per-writer packing state: the running byte cursor — ONE long per
+    * writer key, the entire state of the assigner. */
+  final case class ShardCursor(cumBytes: Long)
+
+  /** One record's assigned slot in the shard stream (m09's row shape plus
+    * the writer key). */
+  final case class ShardSlot(doc_id: Long, media_type: String, n_bytes: Long,
+      shard_first: Long, shard_last: Long, offset_in_shard: Long, n_shards: Long)
+
+  /** At-ingest shard assignment — the streaming twin of m09's batch
+    * manifest: arriving payloads are packed into fixed-byte-budget shards
+    * AS THEY ARRIVE, so the (shard, offset, length) record a multimodal
+    * loader seeks by exists the moment the record lands, instead of after
+    * an end-of-day batch repack. Shard packing is inherently sequential,
+    * so the cursor is keyed the way production ingest actually writes:
+    * one independent shard stream per WRITER (here `media_type`; a
+    * deployment keys by source/ingest-partition) — state is one byte
+    * cursor per writer, O(#writers), never O(records). Empty payloads are
+    * dropped by the same rule as the batch kernel (m09 filters
+    * `n_bytes > 0`).
+    *
+    * Equivalence contract (spec-asserted across micro-batch boundaries):
+    * for a writer whose records arrive in doc_id order — the landing-file
+    * shape, same contract as [[EventStreams.funnel]]'s — the streamed
+    * slots are row-identical to batch m09 restricted to that writer.
+    * Within one micro-batch the group's records are sorted by doc_id
+    * before packing, so intra-batch file order can't reorder the stream.
+    */
+  def shardAssigned(stream: DataFrame, shardBytes: Long = 4096L): Dataset[ShardSlot] = {
+    import stream.sparkSession.implicits._
+    stream
+      .filter(octet_length(col("payload")) > 0)
+      .select(col("doc_id"), col("media_type"),
+        octet_length(col("payload")).cast("long").as("n_bytes"))
+      .as[ShardEv]
+      .groupByKey(_.media_type)
+      .flatMapGroupsWithState[ShardCursor, ShardSlot](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (mt: String, evs: Iterator[ShardEv], state: org.apache.spark.sql.streaming.GroupState[ShardCursor]) =>
+          var cum = state.getOption.map(_.cumBytes).getOrElse(0L)
+          val slots = evs.toSeq.sortBy(_.doc_id).map { e =>
+            val first = cum / shardBytes
+            val last = (cum + e.n_bytes - 1) / shardBytes
+            val slot = ShardSlot(e.doc_id, mt, e.n_bytes,
+              first, last, cum % shardBytes, last - first + 1)
+            cum += e.n_bytes
+            slot
+          }
+          state.update(ShardCursor(cum))
+          slots.iterator
+      }
   }
 }

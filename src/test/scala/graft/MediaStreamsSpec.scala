@@ -87,4 +87,47 @@ class MediaStreamsSpec extends SparkSpec {
       assert(batch.nonEmpty, "fixture degenerate: no cross near-dup pairs at sf0.001")
     } finally q.stop()
   }
+
+  test("at-ingest shard assignment == batch m09 manifest, cursor survives batch boundary") {
+    val base = Files.createTempDirectory("graft-media-shard").toString
+    val media = Multimodal.mediaTable(spark, sf).toDF()
+    val maxId = media.agg(max("doc_id")).head().getLong(0)
+    val split = maxId / 2
+    // Wave 1 staged before the query starts; wave 2 lands mid-stream, so
+    // the packing cursor must carry across the micro-batch boundary.
+    media.filter(col("doc_id") < split).coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/arrivals")
+    val assigned = MediaStreams.shardAssigned(
+      MediaStreams.readMediaStream(spark, s"$base/arrivals", media)).toDF()
+    val q = EventStreams.runToMemory(assigned, "media_shard_out",
+      OutputMode.Append)
+    try {
+      q.processAllAvailable()
+      media.filter(col("doc_id") >= split).coalesce(1)
+        .write.mode("append").parquet(s"$base/arrivals")
+      q.processAllAvailable()
+      val streamed = spark.table("media_shard_out").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_bytes"), r.getAs[Long]("shard_first"),
+            r.getAs[Long]("shard_last"), r.getAs[Long]("offset_in_shard"),
+            r.getAs[Long]("n_shards"))).toMap
+      val batch = Multimodal.shardManifestQ.fn(spark, sf).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_bytes"), r.getAs[Long]("shard_first"),
+            r.getAs[Long]("shard_last"), r.getAs[Long]("offset_in_shard"),
+            r.getAs[Long]("n_shards"))).toMap
+      assert(streamed.keySet == batch.keySet, "manifest row set drift")
+      streamed.foreach { case (id, slot) =>
+        assert(slot == batch(id), s"slot drift for doc $id: $slot vs ${batch(id)}")
+      }
+      assert(streamed.nonEmpty)
+      // The boundary actually exercised state: wave 2's first record must
+      // sit at wave 1's closing cursor, not at offset 0.
+      val wave1Bytes = media.filter(col("doc_id") < split)
+        .agg(sum(octet_length(col("payload")))).head().getLong(0)
+      val firstWave2 = streamed.filter(_._1 >= split).minBy(_._1)
+      assert(firstWave2._2._4 == wave1Bytes % 4096L,
+        "wave-2 offset must continue wave-1's cursor")
+    } finally q.stop()
+  }
 }
