@@ -26,7 +26,7 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    user-keyed running struct-max window (no events self-join).
   *  - q36: arbitrary GROUPING SETS (non-hierarchical levels — the
   *    complement of q10's ROLLUP and q19's CUBE) in one Expand pass.
-  *  - t01..t32: text query library (grep, wordcount, token counting,
+  *  - t01..t33: text query library (grep, wordcount, token counting,
   *    quality scoring, language-ID, fingerprinting, winnowing, TF-IDF,
   *    langid eval, context chunking, co-occurrence PMI, bigram LM,
   *    bigram perplexity quality filter, vocabulary growth, Gopher-style
@@ -42,7 +42,9 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    PII detection/redaction with category counts over a deterministic
   *    contact-footer corpus, encoding-hygiene audit — U+FFFD / control
   *    chars / ASCII fraction with repaired-text digest, per-source
-  *    Zipf-law slope fit via order-independent quantized regression).
+  *    Zipf-law slope fit via order-independent quantized regression,
+  *    deterministic seeded epoch shuffle — global rank with no global
+  *    window via the two-phase prefix scan).
   *  - d01..d20: dedup & corpus hygiene (exact, MinHash-LSH, SimHash,
   *    n-gram Jaccard, embedding-cosine, connected-component clusters,
   *    keep-list, near-dup triangles, benchmark decontamination,

@@ -489,32 +489,50 @@ object TextOps {
     * the global running sum at any partition count.
     */
   def prefixSummed(perDoc: DataFrame, valueCol: String = "n_new_tokens",
-      cumCol: String = "vocab_size"): DataFrame = {
-    val spark = perDoc.sparkSession
+      cumCol: String = "vocab_size"): DataFrame =
+    prefixSummedBy(perDoc, Seq("doc_id"), valueCol, cumCol)
+
+  /** [[prefixSummed]] generalized to an arbitrary total order: the running
+    * sum of `valueCol` in `orderCols` lexicographic order, via the same
+    * two-phase range-partitioned scan (range-partition on the order key →
+    * local prefix per partition → one long per partition to the driver →
+    * broadcast cumulative offsets). `orderCols` must be a TOTAL order
+    * (ties would make the prefix non-deterministic across partitionings);
+    * callers append a unique id as the last column. Output carries
+    * `orderCols`, `valueCol`, and `cumCol`. */
+  def prefixSummedBy(rows: DataFrame, orderCols: Seq[String],
+      valueCol: String, cumCol: String): DataFrame = {
+    val spark = rows.sparkSession
     import spark.implicits._
     val nParts = spark.sparkContext.defaultParallelism
-    val withLocal = perDoc
-      .repartitionByRange(nParts, col("doc_id")) // pid order == doc_id order
-      .sortWithinPartitions("doc_id")
-      .select(col("doc_id"), col(valueCol))
-      .as[(Long, Long)]
+    val keyed = rows
+      .repartitionByRange(nParts, orderCols.map(col): _*) // pid order == key order
+      .sortWithinPartitions(orderCols.head, orderCols.tail: _*)
+      .select((orderCols.map(col) :+ col(valueCol)): _*)
+    val outSchema = org.apache.spark.sql.types.StructType(keyed.schema.fields
+      :+ org.apache.spark.sql.types.StructField("pid",
+        org.apache.spark.sql.types.IntegerType, nullable = false)
+      :+ org.apache.spark.sql.types.StructField("local_prefix",
+        org.apache.spark.sql.types.LongType, nullable = false))
+    val withLocal = keyed
       .mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         var run = 0L
-        it.map { case (id, n) => run += n; (pid, id, n, run) }
-      }
-      .toDF("pid", "doc_id", valueCol, "local_prefix")
+        it.map { r =>
+          run += r.getLong(r.length - 1)
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ pid :+ run)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
       .localCheckpoint() // read twice: partition totals + final projection
     val totals = withLocal.groupBy("pid").agg(max("local_prefix").as("total"))
       .as[(Int, Long)].collect().toMap // one long per partition
     val offsets = (0 until nParts).map { p =>
       p -> (0 until p).map(q => totals.getOrElse(q, 0L)).sum
     }.toMap
-    val offsetCol = element_at(
-      typedLit(offsets), col("pid"))
+    val offsetCol = element_at(typedLit(offsets), col("pid"))
     withLocal.select(
-      col("doc_id"), col(valueCol),
-      (col("local_prefix") + offsetCol).as(cumCol))
+      (orderCols.map(col) :+ col(valueCol)
+        :+ (col("local_prefix") + offsetCol).as(cumCol)): _*)
   }
 
   val vocabGrowth = Q(
@@ -1609,10 +1627,50 @@ object TextOps {
                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope
             FROM agg ORDER BY source"""))
 
+  /** t33: deterministic epoch shuffle — the reproducible global
+    * permutation a pretraining run applies to its packed corpus each
+    * epoch: shuffle_key = md5(seed ‖ doc_id) defines the order, and every
+    * document gets its 0-based POSITION in that order. Seeded hashing
+    * makes the permutation a pure function of (seed, doc_id) — any
+    * engine, any partitioning, any retry reproduces it, and epoch N+1 is
+    * just a new seed. The position column is what downstream readers
+    * range-slice ("give me records 10M..20M of epoch 7") — without it a
+    * shuffled corpus can't be resumed or sharded deterministically.
+    *
+    * Scale shape: global rank WITHOUT a global window — the classic
+    * sort-then-zipWithIndex pattern expressed as [[prefixSummedBy]]'s
+    * two-phase scan: one range exchange on the hash key (Spark samples
+    * the key distribution for balanced ranges; md5 output is uniform by
+    * construction, so ranges are even at any scale), local prefix counts,
+    * one long per partition to the driver. A `row_number() OVER (ORDER BY
+    * key)` formulation would move the whole corpus through ONE task;
+    * this never does. doc_id tie-breaks the (practically impossible)
+    * hash collision so the order is total and the rank deterministic.
+    */
+  def epochShuffle(docs: DataFrame, seed: String): DataFrame = {
+    val keyed = docs.select(
+      col("doc_id"),
+      md5(concat_ws(":", lit(seed), col("doc_id").cast("string")))
+        .as("shuffle_key"),
+      lit(1L).as("one"))
+    prefixSummedBy(keyed, Seq("shuffle_key", "doc_id"), "one", "rank1")
+      .select(col("doc_id"), col("shuffle_key"),
+        (col("rank1") - lit(1L)).as("position"))
+      .orderBy("position")
+  }
+
+  val epochShuffleQ = Q(
+    "t33_epoch_shuffle",
+    (s, d) => epochShuffle(Tables.documents(s, d), "epoch0"),
+    Some("""SELECT doc_id, md5('epoch0:' || doc_id) AS shuffle_key,
+              CAST(row_number() OVER (ORDER BY md5('epoch0:' || doc_id), doc_id)
+                   - 1 AS BIGINT) AS position
+            FROM documents ORDER BY position"""))
+
   val all: Seq[Q] =
     Seq(grep, wordcount, tokenCount, quality, langid, fingerprint, winnow, tfidf,
       langidEval, chunk, cooccur, bigrams, perplexity, vocabGrowth, repetition,
       novelty, pack, spectrum, scrub, qualityGate, bpeTrain, sourceProfile,
       hitters, classifierScore, bpeApply, nfcAudit, dsirWeights, lengthOutliers,
-      tokenEntropy, piiScrubQ, encodingAuditQ, zipfFit)
+      tokenEntropy, piiScrubQ, encodingAuditQ, zipfFit, epochShuffleQ)
 }

@@ -1258,6 +1258,33 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("t33 epoch shuffle: bijective positions, partition-invariant, seed-sensitive") {
+    val docs = Tables.documents(spark, sf)
+    val rows = TextOps.epochShuffle(docs, "epoch0").collect()
+    val n = rows.length
+    assert(n == docs.count())
+    // Positions are exactly the 0-based range: a bijection onto [0, n).
+    assert(rows.map(_.getAs[Long]("position")).sorted.toSeq == (0L until n).toSeq)
+    // Partition invariance: the permutation is a pure function of
+    // (seed, doc_id), not of the physical layout.
+    val reparted = TextOps.epochShuffle(docs.repartition(7), "epoch0").collect()
+    assert(reparted.map(r => (r.getLong(0), r.getAs[Long]("position"))).toMap
+      == rows.map(r => (r.getLong(0), r.getAs[Long]("position"))).toMap)
+    // A different seed is a genuinely different permutation.
+    val epoch1 = TextOps.epochShuffle(docs, "epoch1").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("position"))).toMap
+    val moved = rows.count(r => epoch1(r.getLong(0)) != r.getAs[Long]("position"))
+    assert(moved > n * 9 / 10, s"only $moved/$n docs moved between seeds")
+    // The permutation actually shuffles: consecutive doc_ids almost never
+    // stay adjacent in position.
+    val pos = rows.map(r => (r.getLong(0), r.getAs[Long]("position"))).sortBy(_._1)
+    val adjacent = pos.sliding(2).count {
+      case Array((_, p1), (_, p2)) => math.abs(p2 - p1) == 1L
+      case _ => false
+    }
+    assert(adjacent < n / 20, s"$adjacent adjacent pairs survived the shuffle")
+  }
+
   test("m09 shard manifest equals a sequential packing and is partition-invariant") {
     val rows = Multimodal.shardManifestQ.fn(spark, sf).collect()
     assert(rows.nonEmpty)
