@@ -26,6 +26,9 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    user-keyed running struct-max window (no events self-join).
   *  - q36: arbitrary GROUPING SETS (non-hierarchical levels — the
   *    complement of q10's ROLLUP and q19's CUBE) in one Expand pass.
+  *  - q37: SCD2 history intervals — event stream → versioned validity
+  *    ranges per user (runs collapsed, far-future open sentinel), the
+  *    temporal complement of q25's latest-snapshot compaction.
   *  - t01..t33: text query library (grep, wordcount, token counting,
   *    quality scoring, language-ID, fingerprinting, winnowing, TF-IDF,
   *    langid eval, context chunking, co-occurrence PMI, bigram LM,

@@ -861,6 +861,70 @@ object Relational {
               r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR AS segment
             FROM sc ORDER BY user_id"""))
 
+  /** SCD2-style history intervals — the temporal-table complement of
+    * q25's latest-snapshot compaction: per user, each run of a SUSTAINED
+    * state (consecutive events with the same event_type) becomes one
+    * versioned validity interval [valid_from, valid_to), open-ended
+    * (NULL valid_to) for the current state. This is how a warehouse turns
+    * an event stream into a dimension you can join "as of" any time —
+    * q16's as-of join probes exactly this shape.
+    *
+    * Scale shape: three window passes all over the SAME user-keyed
+    * partitioning (lag to find change points, lead for the interval end,
+    * row_number for the version) — Catalyst plans ONE Exchange + one
+    * sort for the first two (same partition key and ordering), and the
+    * change-point filter shrinks the data before the version window.
+    * Per-user rows bound each window buffer; nothing global.
+    */
+  val q37 = Q(
+    "q37_scd2_history",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val changes = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("prev_type", lag("event_type", 1).over(byUser))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      val byUserChanges = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      // Open intervals close at the standard far-future sentinel rather
+      // than NULL: every row then carries a concrete [from, to) range an
+      // as-of probe can compare against without null branches (and the
+      // value-hash compare never sees an engine-specific NULL encoding).
+      changes
+        .withColumn("next_ts", lead("ts", 1).over(byUserChanges))
+        .withColumn("version", row_number().over(byUserChanges).cast("long"))
+        .select(
+          col("user_id"), col("event_type").as("state"),
+          col("ts").as("valid_from"),
+          coalesce(col("next_ts"), lit("2200-01-01 00:00:00").cast("timestamp"))
+            .as("valid_to"),
+          col("next_ts").isNull.as("is_current"),
+          col("version"))
+        .orderBy("user_id", "version")
+    },
+    Some("""WITH marked AS (
+              SELECT user_id, event_type, ts, event_id,
+                lag(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS prev_type
+              FROM events),
+            changes AS (
+              SELECT user_id, event_type, ts, event_id
+              FROM marked
+              WHERE prev_type IS NULL OR prev_type <> event_type),
+            iv AS (
+              SELECT user_id, event_type, ts,
+                lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  AS next_ts,
+                row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  AS version
+              FROM changes)
+            SELECT user_id, event_type AS state, ts AS valid_from,
+              coalesce(next_ts, TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
+              (next_ts IS NULL) AS is_current,
+              CAST(version AS BIGINT) AS version
+            FROM iv
+            ORDER BY user_id, version"""))
+
   /** Arbitrary GROUPING SETS — the non-hierarchical complement of q10's
     * ROLLUP and q19's CUBE: the shipped sets ((status, priority),
     * (priority), ()) include a (priority)-only level without its (status)
@@ -904,5 +968,5 @@ object Relational {
 
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
-      q18, q19, q20, q21, q22, q25, q26, q27, q29, q30, q32, q33, q34, q36)
+      q18, q19, q20, q21, q22, q25, q26, q27, q29, q30, q32, q33, q34, q36, q37)
 }

@@ -1258,6 +1258,39 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q37 SCD2 history: intervals tile, runs collapse, current state matches q25") {
+    val rows = Relational.q37.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    byUser.foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("version"))
+      assert(sorted.map(_.getAs[Long]("version")).toSeq ==
+        (1L to sorted.length).toSeq, s"user $u versions not dense")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // Consecutive intervals tile exactly and never repeat a state.
+          assert(a.getAs[java.sql.Timestamp]("valid_to")
+            == b.getAs[java.sql.Timestamp]("valid_from"), s"user $u gap")
+          assert(a.getAs[String]("state") != b.getAs[String]("state"),
+            s"user $u uncollapsed run")
+        case _ =>
+      }
+      // Exactly one open (current) interval per user, and it's the last.
+      assert(sorted.count(_.getAs[Boolean]("is_current")) == 1)
+      assert(sorted.last.getAs[Boolean]("is_current"))
+    }
+    // The current state per user is the type of the user's last event —
+    // q25's snapshot reduced per user.
+    val lastType = Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(max_by(col("event_type"), struct(col("ts"), col("event_id"))).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    byUser.foreach { case (u, rs) =>
+      val cur = rs.find(_.getAs[Boolean]("is_current")).get
+      assert(cur.getAs[String]("state") == lastType(u), s"user $u current state")
+    }
+  }
+
   test("t33 epoch shuffle: bijective positions, partition-invariant, seed-sensitive") {
     val docs = Tables.documents(spark, sf)
     val rows = TextOps.epochShuffle(docs, "epoch0").collect()
