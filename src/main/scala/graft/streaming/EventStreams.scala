@@ -400,6 +400,57 @@ object EventStreams {
       .agg(count(lit(1)).as("n_transitions"))
   }
 
+  // ------------------------------------------------- SCD2 history (q37 twin)
+  final case class Scd2Ev(
+      user_id: Long, event_type: String, event_id: Long, ts: java.sql.Timestamp)
+  final case class Scd2State(state: String, validFromUs: Long, version: Long)
+  final case class Scd2Closed(
+      user_id: Long, state: String, valid_from_us: Long, valid_to_us: Long,
+      version: Long)
+
+  /** Streaming SCD2 maintenance — the streaming twin of batch q37: per
+    * user, the current state lives in `GroupState` (one fixed-size record
+    * per user: state + valid_from + version), and every state CHANGE emits
+    * the interval it closes. This is CDC-style dimension maintenance at
+    * ingest — the history table grows append-only from closed intervals,
+    * while the open interval is always the state store's current record
+    * (q25's snapshot twin serves that read), so no emitted row is ever
+    * revised (Append mode, sink-agnostic).
+    *
+    * Equivalence contract with batch q37 (the stateful family's standard,
+    * [[funnel]]'s): exact when each user's events arrive in event-time
+    * order across micro-batches — within a batch the group sorts on
+    * (ts, event_id), the batch query's tie rule. Closed streamed
+    * intervals == batch q37's `is_current = false` rows.
+    */
+  def scd2History(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    def micros(ts: java.sql.Timestamp): Long =
+      math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+    events
+      .selectExpr("user_id", "event_type", "event_id", "ts")
+      .as[Scd2Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Closed](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[Scd2Ev], state: GroupState[Scd2State]) =>
+          var cur = state.getOption.orNull
+          val closed = scala.collection.mutable.ArrayBuffer[Scd2Closed]()
+          evs.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val us = micros(e.ts)
+            if (cur == null)
+              cur = Scd2State(e.event_type, us, 1L)
+            else if (cur.state != e.event_type) {
+              closed += Scd2Closed(userId, cur.state, cur.validFromUs, us, cur.version)
+              cur = Scd2State(e.event_type, us, cur.version + 1L)
+            }
+          }
+          if (cur != null) state.update(cur)
+          closed.iterator
+      }
+      .toDF()
+  }
+
   // ----------------------------------------------------- stateful sessions
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(sessionId: Long, lastTsMicros: Long, n: Long, value: Double)

@@ -259,6 +259,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming SCD2 history across event-time-ordered micro-batches == batch q37") {
+    val stream = stagedEventTimeStream("scd2")
+    val hist = EventStreams.scd2History(spark, stream)
+    val q = hist.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("scd2_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("scd2_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      // Batch q37's CLOSED intervals (is_current = false), in micros.
+      val batch = Relational.q37.fn(spark, sf)
+        .filter(!col("is_current"))
+        .select(col("user_id"), col("state"),
+          expr("unix_micros(valid_from)"), expr("unix_micros(valid_to)"),
+          col("version"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      assert(streamed.nonEmpty)
+      assert(streamed == batch,
+        s"scd2 drift: missing=${batch.diff(streamed).take(3)} extra=${streamed.diff(batch).take(3)}")
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions consistent with batch") {
     val stream = EventStreams.readEventStream(spark, sf)
     val sess = EventStreams.sessionize(spark, stream)
