@@ -131,7 +131,12 @@ object ScaleRehearsal {
       // k×-vocabulary growth (the tagged copies are its adversarial
       // direction: per-source vocab grows WITH the corpus, not Heaps-
       // sublinear); m09 is the byte-axis prefix-scan twin of t17.
-      "d20_cross_source_overlap", "t32_zipf_fit", "m09_shard_manifest")
+      "d20_cross_source_overlap", "t32_zipf_fit", "m09_shard_manifest",
+      // Round-9 third wave: d21's leak join has a CORPUS-PROPORTIONAL
+      // probe side (the 10% validation half — unlike d09/d19's bounded
+      // eval sets), the adversarial direction for the no-hint rule; t33
+      // is the hash-ordered range exchange + two-phase global rank.
+      "d21_split_leakage", "t33_epoch_shuffle")
     def timeQuery(name: String, dir: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
       def once(): (Double, Long) = {

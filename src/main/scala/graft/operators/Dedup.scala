@@ -1756,8 +1756,84 @@ object Dedup {
                          JOIN sizes sb ON sb.source = p.src_b
             ORDER BY p.src_a, p.src_b"""))
 
+  // ------------------------------------------------- split-leakage audit
+  /** d21: train/validation SPLIT-LEAKAGE audit — the hygiene check on a
+    * split you made yourself: a random doc-level split of a corpus with
+    * near-duplicates puts one copy in train and one in validation, and the
+    * validation loss silently measures memorization. Here the split IS the
+    * engine's own deterministic md5-bucket rule (q23's primitive, 10%
+    * validation), and the audit reports, per validation doc with ANY
+    * 5-gram overlap into train: how many train docs touch it, the total
+    * shared-shingle mass, the worst single-document overlap, and a
+    * `severe` verdict (max overlap ≥ 3 shingles ⇒ a real shared passage,
+    * not one unlucky 5-gram). d09/d19 audit leakage against an EXTERNAL
+    * eval set; this one audits the split boundary itself — the three
+    * reports share the 5-gram scale.
+    *
+    * Scale shape: the split decision is map-only (pure function of
+    * doc_id); the overlap join is d09's single shingle equi-join with the
+    * 10% validation side as the probe; output is validation-sized. At
+    * 100 TB the validation side is still corpus-proportional (unlike
+    * d09's bounded eval set), so the join is a plain shuffle equi-join on
+    * the shingle hash — no broadcast hint, AQE decides (d09's rule).
+    */
+  def splitLeakage(docs: DataFrame, valPct: Int = 10, n: Int = 5,
+      severeAt: Long = 3L): DataFrame = {
+    val bucketed = docs.withColumn("bucket", Sampling.hashBucket(col("doc_id")))
+    val sh = hashedShingles(shingleSets(bucketed.drop("bucket"), n))
+      .join(bucketed.select(col("doc_id"), col("bucket")), Seq("doc_id"))
+    val train = sh.filter(col("bucket") >= valPct)
+      .select(col("doc_id").as("train_doc"), col("sh_h"))
+    val valSide = sh.filter(col("bucket") < valPct)
+      .select(col("doc_id").as("val_doc"), col("sh_h"))
+    valSide.join(train, Seq("sh_h"))
+      .groupBy("val_doc", "train_doc")
+      .agg(count(lit(1)).as("n_shared"))
+      .groupBy("val_doc")
+      .agg(
+        count(lit(1)).as("n_train_neighbors"),
+        sum("n_shared").as("n_shared_ngrams"),
+        max("n_shared").as("max_doc_overlap"))
+      .withColumn("severe", col("max_doc_overlap") >= severeAt)
+      .orderBy("val_doc")
+  }
+
+  val splitLeak = Q(
+    "d21_split_leakage",
+    (s, d) => splitLeakage(Tables.documents(s, d)),
+    Some("""WITH toks AS (
+              SELECT doc_id, list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                ('0x' || substr(md5(list_aggregate(ts[i:i+4], 'string_agg', ' ')), 1, 15))::BIGINT AS sh_h
+              FROM toks, UNNEST(range(1, len(ts) - 3)) r(i)
+              WHERE len(ts) >= 5),
+            split AS (
+              SELECT doc_id,
+                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+                  AS bucket
+              FROM documents),
+            train AS (
+              SELECT s.doc_id AS train_doc, s.sh_h
+              FROM sh s JOIN split p ON p.doc_id = s.doc_id WHERE p.bucket >= 10),
+            val AS (
+              SELECT s.doc_id AS val_doc, s.sh_h
+              FROM sh s JOIN split p ON p.doc_id = s.doc_id WHERE p.bucket < 10),
+            pair AS (
+              SELECT v.val_doc, t.train_doc, count(*) AS n_shared
+              FROM val v JOIN train t ON t.sh_h = v.sh_h
+              GROUP BY 1, 2)
+            SELECT val_doc,
+              CAST(count(*) AS BIGINT) AS n_train_neighbors,
+              CAST(sum(n_shared) AS BIGINT) AS n_shared_ngrams,
+              CAST(max(n_shared) AS BIGINT) AS max_doc_overlap,
+              (max(n_shared) >= 3) AS severe
+            FROM pair GROUP BY val_doc ORDER BY val_doc"""))
+
   val all: Seq[Q] =
     Seq(exact, minhash, simhash, ngramJaccard, embedding, clusters, keep, triangles,
       decontam, incremental, repeated, consensus, chunkDedup, semantic, bestKeep,
-      provenance, embeddingDecontam, containment, evalLeak, crossSource)
+      provenance, embeddingDecontam, containment, evalLeak, crossSource, splitLeak)
 }

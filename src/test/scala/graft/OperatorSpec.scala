@@ -1258,6 +1258,45 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("d21 split leakage: planted cross-split passage detected exactly") {
+    import spark.implicits._
+    def bucket(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % 100
+    }
+    // Deterministically pick one validation id and two train ids under the
+    // engine's own md5-bucket split rule.
+    val valId = (0L to 200L).find(bucket(_) < 10).get
+    val Seq(t1, t2) = (0L to 200L).filter(bucket(_) >= 10).take(2)
+    // A 7-token passage shared val→train = exactly three 5-grams; the
+    // second train doc shares nothing.
+    val passage = "alpha beta gamma delta epsilon zeta eta"
+    val docs = Seq(
+      (valId, s"$passage valtaila valtailb valtailc valtaild"),
+      (t1, s"traintailz $passage traintaila traintailb"),
+      (t2, "completely different text with nothing shared here at all ok")
+    ).toDF("doc_id", "text")
+    val rows = Dedup.splitLeakage(docs).collect()
+    assert(rows.length == 1, s"expected one leaked val doc, got ${rows.length}")
+    val r = rows.head
+    assert(r.getAs[Long]("val_doc") == valId)
+    assert(r.getAs[Long]("n_train_neighbors") == 1L)
+    assert(r.getAs[Long]("n_shared_ngrams") == 3L)
+    assert(r.getAs[Long]("max_doc_overlap") == 3L)
+    assert(r.getAs[Boolean]("severe"))
+    // Real corpus: every reported doc is on the validation side of the
+    // split and the aggregates are internally consistent.
+    val real = Dedup.splitLeak.fn(spark, sf).collect()
+    real.foreach { r =>
+      assert(bucket(r.getAs[Long]("val_doc")) < 10, "non-val doc reported")
+      val (nn, tot, mx) = (r.getAs[Long]("n_train_neighbors"),
+        r.getAs[Long]("n_shared_ngrams"), r.getAs[Long]("max_doc_overlap"))
+      assert(nn >= 1 && mx >= 1 && tot >= mx && tot <= nn * mx)
+      assert(r.getAs[Boolean]("severe") == (mx >= 3L))
+    }
+  }
+
   test("q37 SCD2 history: intervals tile, runs collapse, current state matches q25") {
     val rows = Relational.q37.fn(spark, sf).collect()
     assert(rows.nonEmpty)
