@@ -136,7 +136,10 @@ object ScaleRehearsal {
       // probe side (the 10% validation half — unlike d09/d19's bounded
       // eval sets), the adversarial direction for the no-hint rule; t33
       // is the hash-ordered range exchange + two-phase global rank.
-      "d21_split_leakage", "t33_epoch_shuffle")
+      "d21_split_leakage", "t33_epoch_shuffle",
+      // p04 composes d01's fingerprint window + t33's permutation key +
+      // the range-exchange prefix pack — the full epoch-manifest path.
+      "p04_epoch_assembly")
     def timeQuery(name: String, dir: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
       def once(): (Double, Long) = {

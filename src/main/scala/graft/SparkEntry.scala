@@ -81,6 +81,9 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *  - p03: the composed pre-release contamination audit (d09 token-space
   *    + d17 embedding-space vs one held-out eval set + t19 blocklist),
   *    per-doc evidence + WHY bitmask + releasable verdict.
+  *  - p04: the composed epoch-assembly manifest (d01 dedup keep → t33
+  *    seeded permutation → t17 packing over the SHUFFLED stream) — the
+  *    range-sliceable record a loader materializes an epoch from.
   */
 object SparkEntry {
   val inventory: Seq[Q] =

@@ -344,5 +344,79 @@ object Pipeline {
               (token_ngrams = 0 AND NOT sem_hit AND n_hits = 0) AS releasable
             FROM m ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(pipeline, mix, audit)
+  // ------------------------------------------------ p04: epoch assembly
+  /** p04: the epoch-assembly manifest — the last mile of a pretraining
+    * data run, composing three shipped kernels IN TRAINING ORDER:
+    * exact-dedup keep (d01's min-doc_id-per-fingerprint rule) → the
+    * seeded epoch permutation (t33's md5 shuffle key) → fixed-budget
+    * sequence packing (t17's rule) over the SHUFFLED order. The output
+    * row per shipped doc — epoch order key, token count, first/last
+    * training-sequence id — is the manifest a loader materializes an
+    * epoch from: range-slice by sequence id, fetch the docs whose spans
+    * intersect. Packing in shuffled order (not doc_id order) is the
+    * point: sequence boundaries must fall where the TRAINING stream puts
+    * them, so neighboring doc_ids land in unrelated sequences each epoch.
+    *
+    * Scale shape: dedup is one fingerprint-keyed window; the permutation
+    * key is a per-row md5; the global token offset is [[TextOps
+    * .prefixSummedBy]] over (shuffle_key, doc_id) order — the ONE range
+    * exchange on a uniform key that replaces a global window. Nothing
+    * here reads text twice and nothing is quadratic; same composition
+    * stance as p01–p03 (component thresholds shared, so the component
+    * oracles cross-check this one).
+    */
+  def epochAssembly(docs: DataFrame, seed: String = "epoch0",
+      budget: Int = 512): DataFrame = {
+    val rep = min(col("doc_id")).over(Window.partitionBy("fp"))
+    val kept = docs
+      .withColumn("fp", md5(normText(col("text"))))
+      .withColumn("rep", rep)
+      .filter(col("doc_id") === col("rep"))
+    val keyed = kept.select(
+      col("doc_id"),
+      md5(concat_ws(":", lit(seed), col("doc_id").cast("string")))
+        .as("shuffle_key"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    TextOps.prefixSummedBy(keyed, Seq("shuffle_key", "doc_id"),
+        "n_tokens", "cum_tokens")
+      .select(
+        col("doc_id"), col("shuffle_key"), col("n_tokens"),
+        expr(s"(cum_tokens - n_tokens) div $budget").as("seq_first"),
+        expr(s"(cum_tokens - 1) div $budget").as("seq_last"))
+      .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
+      .orderBy("shuffle_key", "doc_id")
+  }
+
+  val epoch = Q(
+    "p04_epoch_assembly",
+    (s, d) => epochAssembly(Tables.documents(s, d)),
+    Some("""WITH fp AS (
+              SELECT doc_id, text,
+                md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+              FROM documents),
+            keep AS (
+              SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                  min(doc_id) OVER (PARTITION BY fp) AS rep
+                FROM fp)
+              WHERE doc_id = rep),
+            tok AS (
+              SELECT doc_id, md5('epoch0:' || doc_id) AS shuffle_key,
+                len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                t -> t <> ''))::BIGINT AS n_tokens
+              FROM keep),
+            cum AS (
+              SELECT doc_id, shuffle_key, n_tokens,
+                sum(n_tokens) OVER (ORDER BY shuffle_key, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+              FROM tok WHERE n_tokens > 0)
+            SELECT doc_id, shuffle_key, n_tokens,
+              CAST((cum_tokens - n_tokens) // 512 AS BIGINT) AS seq_first,
+              CAST((cum_tokens - 1) // 512 AS BIGINT) AS seq_last,
+              CAST((cum_tokens - 1) // 512
+                   - (cum_tokens - n_tokens) // 512 + 1 AS BIGINT) AS n_seqs
+            FROM cum ORDER BY shuffle_key, doc_id"""))
+
+  val all: Seq[Q] = Seq(pipeline, mix, audit, epoch)
 }

@@ -1258,6 +1258,38 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("p04 epoch assembly: d01-consistent keep set, t33-consistent order, exact coverage") {
+    import graft.operators.Pipeline
+    val rows = Pipeline.epochAssembly(Tables.documents(spark, sf)).collect()
+    assert(rows.nonEmpty)
+    // Keep set == d01 representatives (restricted to tokenizable docs).
+    val d01Keep = Dedup.exact.fn(spark, sf).collect()
+      .map(_.getAs[Long]("keep_id")).toSet
+    val tokenizable = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(graft.functions.TextFns.tokens(col("text"))).as("n"))
+      .filter(col("n") > 0).collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == (d01Keep & tokenizable))
+    // Epoch order == t33's permutation restricted to the shipped set.
+    val t33Order = TextOps.epochShuffle(Tables.documents(spark, sf), "epoch0")
+      .collect().sortBy(_.getAs[Long]("position")).map(_.getLong(0))
+      .filter((d01Keep & tokenizable).contains)
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq == t33Order.toSeq,
+      "manifest order must be the t33 permutation over shipped docs")
+    // Sequence ids tile the shuffled token stream exactly.
+    val total = rows.map(_.getAs[Long]("n_tokens")).sum
+    assert(rows.map(_.getAs[Long]("seq_last")).max == (total - 1) / 512)
+    assert(rows.head.getAs[Long]("seq_first") == 0L)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_seqs") ==
+        r.getAs[Long]("seq_last") - r.getAs[Long]("seq_first") + 1)
+    }
+    // A different seed reorders the stream.
+    val other = Pipeline.epochAssembly(Tables.documents(spark, sf), "epoch1")
+      .collect().map(_.getAs[Long]("doc_id"))
+    assert(other.toSeq != rows.map(_.getAs[Long]("doc_id")).toSeq)
+    assert(other.toSet == rows.map(_.getAs[Long]("doc_id")).toSet)
+  }
+
   test("d21 split leakage: planted cross-split passage detected exactly") {
     import spark.implicits._
     def bucket(id: Long): Long = {
