@@ -92,7 +92,18 @@ class PartitionInvarianceSpec extends SparkSpec {
     // geometry-sensitive step would be the struct arg-max, which breaks
     // ties on the ROUNDED similarity — gated to prove the tie-break holds
     // at any partitioning.
-    "d17_embedding_decontaminate")
+    "d17_embedding_decontaminate",
+    // Round-9 wave: t32's rank window ties on (cnt DESC, token ASC) — a
+    // total order — and its regression sums are quantized BIGINTs, so no
+    // reduce-order drift is possible; d20/d21's joins must produce the
+    // same pair/leak sets at any geometry (distinct inputs + exact
+    // counts); t33/m09/p04 ride the range-exchange prefix scan whose
+    // partition-count independence is the design claim (OperatorSpec
+    // gates explicit repartitions; this gates shuffle.partitions);
+    // q36's Expand and q37's shared-exchange windows have total orders.
+    "t32_zipf_fit", "d20_cross_source_overlap", "d21_split_leakage",
+    "t33_epoch_shuffle", "m09_shard_manifest", "p04_epoch_assembly",
+    "q36_grouping_sets", "q37_scd2_history")
 
   test("round-5/6 queries return identical rows at shuffle.partitions = 3 and 17") {
     val conf = spark.conf
