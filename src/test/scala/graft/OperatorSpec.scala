@@ -41,6 +41,21 @@ class OperatorSpec extends SparkSpec {
     assert(!plan.contains("l_comment") && !plan.contains("l_tax"), "columns not pruned")
   }
 
+  test("q36 plans all grouping-set levels through one Expand; q37 windows share one user exchange") {
+    val p36 = Relational.q36.fn(spark, sf).queryExecution.executedPlan.toString
+    assert("(?i)expand".r.findAllIn(p36).nonEmpty, s"no Expand in q36 plan:\n$p36")
+    // One padded-key aggregation exchange + the contract ORDER BY — never
+    // one shuffle per grouping set.
+    val p36Exch = "Exchange".r.findAllIn(p36).length
+    assert(p36Exch <= 2, s"q36 shuffles per set? $p36Exch exchanges:\n$p36")
+    // q37's lag/lead/row_number all declare the same (user_id) partitioning
+    // and (ts, event_id) ordering — Catalyst must plan ONE user-keyed
+    // exchange for all three windows.
+    val p37 = Relational.q37.fn(spark, sf).queryExecution.executedPlan.toString
+    val userExch = "hashpartitioning\\(user_id".r.findAllIn(p37).length
+    assert(userExch == 1, s"expected one user-keyed exchange, got $userExch:\n$p37")
+  }
+
   test("q04 plan broadcasts the part dimension") {
     val plan = Relational.q04.fn(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
