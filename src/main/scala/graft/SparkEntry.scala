@@ -48,7 +48,7 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    Zipf-law slope fit via order-independent quantized regression,
   *    deterministic seeded epoch shuffle — global rank with no global
   *    window via the two-phase prefix scan).
-  *  - d01..d21: dedup & corpus hygiene (exact, MinHash-LSH, SimHash,
+  *  - d01..d22: dedup & corpus hygiene (exact, MinHash-LSH, SimHash,
   *    n-gram Jaccard, embedding-cosine, connected-component clusters,
   *    keep-list, near-dup triangles, benchmark decontamination,
   *    incremental delta dedup, exact-substring repeated spans, near-dup
@@ -59,7 +59,8 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    complement, one map-only scan with literal-inlined eval vectors,
   *    asymmetric containment near-dup pairs, eval-side leak report,
   *    cross-source n-gram duplication matrix, train/validation
-  *    split-leakage audit over the engine's own md5-bucket split).
+  *    split-leakage audit over the engine's own md5-bucket split,
+  *    MinHash sketch calibration — estimated vs exact Jaccard).
   *  - s01..s11: similarity search (brute-force ANN, LSH-bucketed ANN,
   *    per-label centroid stats, IVF ANN, recall@k evaluation, int8
   *    quantization error audit, incremental IVF ingest serving state,

@@ -1832,8 +1832,75 @@ object Dedup {
               (max(n_shared) >= 3) AS severe
             FROM pair GROUP BY val_doc ORDER BY val_doc"""))
 
+  // --------------------------------------------- sketch calibration (d22)
+  /** d22: MinHash sketch calibration — estimated vs exact Jaccard over the
+    * LSH candidate set, the dedup family's measurement loop (s05's role
+    * for ANN): before trusting the 64-permutation estimate at a threshold,
+    * measure its error against ground truth on the corpus at hand. Emits
+    * per candidate pair the signature estimate (matching lanes / 64), the
+    * exact Jaccard, and the absolute error. The estimate is computed with
+    * `zip_with` + `aggregate` over the two signature arrays — pure
+    * codegen'd higher-order functions, no UDF.
+    *
+    * Exactness: n_match/64 is a dyadic rational (exact in binary), so the
+    * rounded estimate, the rounded exact value, and their rounded
+    * difference are identical doubles in both engines; the oracle
+    * reproduces the signatures lane-for-lane from d02's shared CTEs, so
+    * the whole calibration table is value-exact.
+    *
+    * Scale shape: d02's shapes verbatim — one shingle pass feeds
+    * signatures and exact verification, the banded self-join bounds the
+    * pair set; the only new work is a candidate-sized join of two 64-long
+    * arrays. The signature table is checkpointed once and read by both
+    * the candidate join and the lane compare (execution rule 2).
+    */
+  def sketchCalibration(docs: DataFrame): DataFrame = {
+    val hs = materializedShingleHashes(docs)
+    val sigs = signaturesFromHashes(hs).localCheckpoint()
+    val cands = lshCandidatesFromBanded(bandBuckets(sigs))
+    val exactJ = jaccardPairsHashed(hs, Some(cands))
+    val estJ = cands
+      .join(sigs.select(col("doc_id").as("a"), col("sig").as("sig_a")), "a")
+      .join(sigs.select(col("doc_id").as("b"), col("sig").as("sig_b")), "b")
+      .select(col("a"), col("b"),
+        round(
+          expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+            .cast("double") / lit(64.0), 4).as("est_jaccard"))
+    exactJ.join(estJ, Seq("a", "b"))
+      .select(
+        col("a"), col("b"),
+        col("jaccard").as("exact_jaccard"), col("est_jaccard"),
+        round(abs(col("est_jaccard") - col("jaccard")), 4).as("abs_err"))
+      .orderBy("a", "b")
+  }
+
+  val calibration = Q(
+    "d22_sketch_calibration",
+    (s, d) => sketchCalibration(Tables.documents(s, d)),
+    Some(s"""WITH $minhashOracleCtes,
+            est AS (
+              SELECT c.a, c.b,
+                sum(CASE WHEN sx.m = sy.m THEN 1 ELSE 0 END) AS n_match
+              FROM cand c
+              JOIN sig sx ON sx.doc_id = c.a
+              JOIN sig sy ON sy.doc_id = c.b AND sy.i = sx.i
+              GROUP BY c.a, c.b),
+            ex AS (
+              SELECT i2.a, i2.b,
+                round(CAST(n_common AS DOUBLE)
+                      / CAST(sa.n + sb.n - n_common AS DOUBLE), 4) AS exact_jaccard
+              FROM inter i2
+              JOIN sizes sa ON sa.doc_id = i2.a
+              JOIN sizes sb ON sb.doc_id = i2.b)
+            SELECT e.a, e.b, x.exact_jaccard,
+              round(e.n_match / 64.0, 4) AS est_jaccard,
+              round(abs(round(e.n_match / 64.0, 4) - x.exact_jaccard), 4) AS abs_err
+            FROM est e JOIN ex x ON x.a = e.a AND x.b = e.b
+            ORDER BY e.a, e.b"""))
+
   val all: Seq[Q] =
     Seq(exact, minhash, simhash, ngramJaccard, embedding, clusters, keep, triangles,
       decontam, incremental, repeated, consensus, chunkDedup, semantic, bestKeep,
-      provenance, embeddingDecontam, containment, evalLeak, crossSource, splitLeak)
+      provenance, embeddingDecontam, containment, evalLeak, crossSource, splitLeak,
+      calibration)
 }

@@ -1273,6 +1273,34 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("d22 sketch calibration: exact copies estimate 1.0, corpus error within the 64-perm bound") {
+    import spark.implicits._
+    // Identical docs: every lane minimum agrees -> est == exact == 1.
+    val twin = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val planted = Seq(
+      (1L, twin), (2L, twin),
+      (3L, "entirely different words with no overlap at all whatsoever here")
+    ).toDF("doc_id", "text")
+    val p = Dedup.sketchCalibration(planted).collect()
+    val pair = p.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get
+    assert(pair.getAs[Double]("est_jaccard") == 1.0)
+    assert(pair.getAs[Double]("exact_jaccard") == 1.0)
+    assert(pair.getAs[Double]("abs_err") == 0.0)
+    // Real corpus: the 64-permutation estimator's error stays inside its
+    // statistical envelope (std <= 1/(2*sqrt(64)) = 0.0625 per pair).
+    val rows = Dedup.calibration.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (est, ex, err) = (r.getAs[Double]("est_jaccard"),
+        r.getAs[Double]("exact_jaccard"), r.getAs[Double]("abs_err"))
+      assert(est >= 0.0 && est <= 1.0 && ex >= 0.0 && ex <= 1.0)
+      assert(math.abs(err - math.abs(est - ex)) < 1e-3)
+      assert(err < 0.4, s"pair (${r.getLong(0)},${r.getLong(1)}) err $err")
+    }
+    val meanErr = rows.map(_.getAs[Double]("abs_err")).sum / rows.length
+    assert(meanErr < 0.12, s"mean |est - exact| = $meanErr")
+  }
+
   test("p04 epoch assembly: d01-consistent keep set, t33-consistent order, exact coverage") {
     import graft.operators.Pipeline
     val rows = Pipeline.epochAssembly(Tables.documents(spark, sf)).collect()
