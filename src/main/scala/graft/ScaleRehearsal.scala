@@ -138,8 +138,9 @@ object ScaleRehearsal {
       // is the hash-ordered range exchange + two-phase global rank.
       "d21_split_leakage", "t33_epoch_shuffle",
       // p04 composes d01's fingerprint window + t33's permutation key +
-      // the range-exchange prefix pack — the full epoch-manifest path.
-      "p04_epoch_assembly")
+      // the range-exchange prefix pack — the full epoch-manifest path;
+      // d22 rides d02's exact shapes plus a candidate-sized array join.
+      "p04_epoch_assembly", "d22_sketch_calibration")
     def timeQuery(name: String, dir: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
       def once(): (Double, Long) = {

@@ -103,7 +103,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     // q36's Expand and q37's shared-exchange windows have total orders.
     "t32_zipf_fit", "d20_cross_source_overlap", "d21_split_leakage",
     "t33_epoch_shuffle", "m09_shard_manifest", "p04_epoch_assembly",
-    "q36_grouping_sets", "q37_scd2_history")
+    "q36_grouping_sets", "q37_scd2_history",
+    // d22 compares two geometry-invariant tables (d02-gated candidates +
+    // exact counts; lane minima are exact longs) — gated to prove the
+    // calibration table itself cannot move with geometry.
+    "d22_sketch_calibration")
 
   test("round-5/6 queries return identical rows at shuffle.partitions = 3 and 17") {
     val conf = spark.conf
