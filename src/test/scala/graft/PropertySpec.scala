@@ -177,6 +177,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("generalized prefix scan (arbitrary order key) == sequential reference on random inputs") {
+    import spark.implicits._
+    for (seed <- 4 to 6) {
+      val rng = new scala.util.Random(seed)
+      // Random string keys WITH planted duplicates: the (key, id) pair must
+      // form the total order, and the scan must follow it — not doc_id
+      // order, not input order.
+      val keys = Vector("kx", "ab", "zz", "mm", "qr")
+      val rows = (0L until (60 + rng.nextInt(150)).toLong)
+        .map(id => (keys(rng.nextInt(keys.size)), id, 1L + rng.nextInt(50)))
+      val shuffled = rng.shuffle(rows)
+      val got = graft.operators.TextOps.prefixSummedBy(
+          shuffled.toDF("k", "doc_id", "v").repartition(5),
+          Seq("k", "doc_id"), "v", "cum")
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+      val expected = rows.sortBy(t => (t._1, t._2))
+        .scanLeft((("", -1L), 0L)) { case ((_, acc), (k, id, v)) =>
+          ((k, id), acc + v)
+        }.drop(1).toMap
+      assert(got == expected, s"seed $seed generalized prefix mismatch")
+    }
+  }
+
   test("repeated spans == brute-force k-gram occurrence counting + run coalescing") {
     import spark.implicits._
     val k = 3
