@@ -65,6 +65,12 @@ object ScaleRehearsal {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outDir = if (args.length > 1) args(1) else "target/scale10x"
     val k = if (args.length > 2) args(2).toInt else 10
+    // Optional 4th arg: comma-separated query names — restrict the
+    // document-family wave to just those (targeted re-measures after a
+    // plan change) and skip the ANN/d17/s07 sections entirely.
+    val only: Set[String] =
+      if (args.length > 3) args(3).split(",").map(_.trim).filter(_.nonEmpty).toSet
+      else Set.empty
     val spark = GraftSession.get("graft-scale-rehearsal")
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -118,7 +124,11 @@ object ScaleRehearsal {
       "m05_frame_energy", "p03_release_audit",
       // Round-9 additions: d18 shares d04's candidate join but keys the
       // verdict on the SMALLER side's size (containment); d19 is the
-      // eval-keyed regrouping of d09's bounded join.
+      // eval-keyed regrouping of d09's bounded join. Round 10 df-capped
+      // the shared candidate join (hot shingles excluded from pairing,
+      // intersection exact) and added d04 itself to the wave — both must
+      // now sit in the shuffled-family band, not above it.
+      "d04_ngram_jaccard",
       "d18_containment_pairs", "d19_eval_leak_report",
       // Round-9 text-hygiene pair: both map-only multi-regex scans (t19's
       // no-shuffle shape) — their ratios must land on the same scan-cost
@@ -154,11 +164,12 @@ object ScaleRehearsal {
       (math.min(tA, tB), rows)
     }
     println(f"[scale] ${"query"}%-26s ${"1x sec"}%8s ${"rows"}%8s ${k + "x sec"}%8s ${"rows"}%9s ratio")
-    names.foreach { name =>
+    (if (only.nonEmpty) names.filter(only) else names).foreach { name =>
       val (t1, r1) = timeQuery(name, sfDir)
       val (tK, rK) = timeQuery(name, outDir)
       println(f"[scale] $name%-26s $t1%8.2f $r1%8d $tK%8.2f $rK%9d ${tK / t1}%5.1fx")
     }
+    if (only.nonEmpty) { spark.stop(); return }
 
     // ----------------------------------------------------- ANN family
     // k× embeddings corpus: copy i is vec_id-offset and elementwise

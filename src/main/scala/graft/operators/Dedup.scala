@@ -176,20 +176,96 @@ object Dedup {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
 
+  /** Document-frequency cap for exact-shingle candidate generation (d04 /
+    * d18). At web scale a boilerplate shingle ("all rights reserved …")
+    * present in k documents emits k² candidate pairs from a naive
+    * shared-shingle self-join — the one superlinear plan shape in the
+    * inventory (the 100× rehearsal measured d18 at 18.8× wall before the
+    * cap). The standard MinHash-dedup mitigation: drop shingles with
+    * df > cap from CANDIDATE GENERATION ONLY — intersection counts and
+    * size denominators still run over ALL shingles, so the output is
+    * IDENTICAL to the uncapped plan whenever every true pair shares at
+    * least one sub-cap shingle (a pair of near-dups sharing ONLY
+    * corpus-hot boilerplate is, definitionally, boilerplate — not a dup
+    * pair worth emitting). Equivalence + pruning are spec-asserted
+    * (DedupCapSpec): capped ≡ uncapped on the test corpora, and a planted
+    * boilerplate corpus shows the k² candidate term collapse. */
+  val ShingleDfCap = 64
+
+  /** Candidate pairs (a < b) sharing at least one shingle whose corpus
+    * document-frequency is ≤ dfCap — the SET contract of the capped plan
+    * (reference implementation; the shipped execution path is
+    * [[cappedPairCounts]], whose emitted pair set is spec-asserted equal
+    * to this). Rows of hs are distinct (doc_id, sh_h), so count = df. */
+  def dfCappedCandidates(hs: DataFrame, dfCap: Int): DataFrame = {
+    val rare = hs.join(
+      hs.groupBy("sh_h").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= dfCap).select("sh_h"),
+      "sh_h")
+    rare.select(col("doc_id").as("a"), col("sh_h"))
+      .join(rare.select(col("doc_id").as("b"), col("sh_h")), "sh_h")
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** (a, b, n_common) for every pair sharing ≥1 sub-cap shingle, with
+    * n_common EXACT over ALL shingles (hot ones included) — the shipped
+    * execution path of the df-capped kernel. Plan shape:
+    *
+    *  1. ONE df aggregate finds hot shingles (df > cap). The HOT table is
+    *     checkpointed so AQE sees its true (usually zero) size.
+    *  2. The pairing self-join runs over the RARE rows only — identical
+    *     to the uncapped plan's single sh_h equi-join when no shingle is
+    *     hot (the common case on healthy corpora: at sf0.1 max df = 25),
+    *     and bounded at dfCap² fan-out per shingle always.
+    *  3. Hot shared counts are recovered per CANDIDATE pair from per-doc
+    *     hot-shingle arrays (distinct hot shingles ≤ |hs|/cap, per-doc
+    *     arrays boilerplate-sized) via two doc-keyed left joins on the
+    *     pair table + array_intersect — never a hot-keyed pairing join.
+    *
+    * So the k² boilerplate term is structurally gone while every emitted
+    * value matches the uncapped (and oracle) arithmetic exactly. */
+  def cappedPairCounts(hs: DataFrame, dfCap: Int): DataFrame = {
+    val hot = hs.groupBy("sh_h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("sh_h").localCheckpoint()
+    val rare = hs.join(hot, Seq("sh_h"), "left_anti")
+    val rareCounts = rare.select(col("doc_id").as("a"), col("sh_h"))
+      .join(rare.select(col("doc_id").as("b"), col("sh_h")), "sh_h")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_rare"))
+    val hotSets = hs.join(hot, Seq("sh_h"))
+      .groupBy("doc_id").agg(sort_array(collect_set(col("sh_h"))).as("hot_set"))
+    rareCounts
+      .join(hotSets.select(col("doc_id").as("a"), col("hot_set").as("hot_a")), Seq("a"), "left")
+      .join(hotSets.select(col("doc_id").as("b"), col("hot_set").as("hot_b")), Seq("b"), "left")
+      .select(col("a"), col("b"),
+        (col("n_rare") +
+          coalesce(size(array_intersect(col("hot_a"), col("hot_b"))), lit(0)).cast("long"))
+          .as("n_common"))
+  }
+
   /** Exact pairwise Jaccard (pairs with ≥1 common shingle) over an
     * already-materialized hashed shingle set: co-group join on the shingle
     * hash, count intersections, attach set sizes. */
   def jaccardPairsHashed(hs: DataFrame, candidates: Option[DataFrame]): DataFrame = {
     val shA = hs.select(col("doc_id").as("a"), col("sh_h"))
     val shB = hs.select(col("doc_id").as("b"), col("sh_h"))
-    val sizes = hs.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = candidates match {
       case Some(c) => c.join(shA, "a").join(shB, Seq("b", "sh_h"))
         .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
       case None => shA.join(shB, "sh_h").filter(col("a") < col("b"))
         .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
     }
-    inter
+    jaccardFromCounts(hs, inter)
+  }
+
+  /** Attach set sizes to an (a, b, n_common) pair table and emit the
+    * rounded Jaccard — the shared tail of the uncapped, LSH-gated, and
+    * df-capped kernels (identical arithmetic, so the oracle boundary
+    * can't drift between them). */
+  private def jaccardFromCounts(hs: DataFrame, counts: DataFrame): DataFrame = {
+    val sizes = hs.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    counts
       .join(sizes.select(col("doc_id").as("a"), col("n").as("n_a")), "a")
       .join(sizes.select(col("doc_id").as("b"), col("n").as("n_b")), "b")
       .select(
@@ -197,6 +273,11 @@ object Dedup {
         round(col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")).cast("double"), 4).as("jaccard"))
   }
+
+  /** Exact Jaccard over df-capped candidates ([[cappedPairCounts]]):
+    * pairs sharing ≥1 sub-cap shingle, values exact over all shingles. */
+  def jaccardPairsCapped(hs: DataFrame, dfCap: Int = ShingleDfCap): DataFrame =
+    jaccardFromCounts(hs, cappedPairCounts(hs, dfCap))
 
   /** Exact pairwise Jaccard from raw (doc_id, shingle) rows. */
   def jaccardPairs(sh: DataFrame, candidates: Option[DataFrame]): DataFrame =
@@ -323,12 +404,18 @@ object Dedup {
             SELECT a, b, hamming FROM pairs WHERE hamming <= 3 ORDER BY a, b"""))
 
   // ---------------------------------------------------- n-gram Jaccard (exact)
-  /** Exact n-gram Jaccard pairs ≥ threshold via shingle equi-join — fully
-    * SQL-expressible, so this one carries a DuckDB oracle. */
+  /** Exact n-gram Jaccard pairs ≥ threshold. Candidate generation is the
+    * df-capped shared-shingle join ([[dfCappedCandidates]] — hot
+    * boilerplate shingles never reach the pairing shuffle); the Jaccard
+    * itself (intersection count and both size denominators) is computed
+    * over ALL shingles of each candidate pair, so values are exact and
+    * the output matches the uncapped plan (and the uncapped DuckDB
+    * oracle) whenever every true ≥-threshold pair shares a sub-cap
+    * shingle — asserted by DedupCapSpec and hash-checked per round. */
   val ngramJaccard = Q(
     "d04_ngram_jaccard",
     (s, d) => {
-      jaccardPairs(shingleSets(Tables.documents(s, d)), None)
+      jaccardPairsCapped(materializedShingleHashes(Tables.documents(s, d)))
         .filter(col("jaccard") >= 0.12)
         .orderBy("a", "b")
     },
@@ -1119,9 +1206,9 @@ object Dedup {
     * shingle-hash pass (execution rule 2 — running the component queries
     * verbatim would shingle the corpus twice); simhash is token-granular
     * and is inherently its own tokenizing scan. The minhash and simhash
-    * detectors are banded/bucketed; the ngram detector is d04's exhaustive
-    * shingle equi-join — per-shingle-document-frequency-bounded, so
-    * quadratic only in hot-shingle skew, not corpus size — and the
+    * detectors are banded/bucketed; the ngram detector is d04's df-capped
+    * shingle equi-join ([[dfCappedCandidates]] — per-shingle fan-out
+    * bounded at ShingleDfCap², immune to hot-shingle skew) — and the
     * consensus itself is ONE pair-keyed aggregate over their outputs —
     * pair volume, ≪ corpus.
     * The oracle is composed from the three components' own oracle SQL, so
@@ -1134,7 +1221,7 @@ object Dedup {
       val mh = jaccardPairsHashed(hs, Some(lshCandidates(signaturesFromHashes(hs))))
         .filter(col("jaccard") >= 0.5)
         .select(col("a"), col("b"), lit("minhash").as("m"))
-      val ng = jaccardPairsHashed(hs, None)
+      val ng = jaccardPairsCapped(hs)
         .filter(col("jaccard") >= 0.12)
         .select(col("a"), col("b"), lit("ngram").as("m"))
       val sh = simhashPairs(s, d, 3)
@@ -1583,18 +1670,19 @@ object Dedup {
     * wrappers, quote farms, aggregators). Emits both directions' rounded
     * containments plus their max; pairs kept when max ≥ threshold.
     *
-    * Scale shape: identical to d04 — one shingle-hash equi-join generates
-    * only pairs sharing ≥1 shingle (never all-pairs), one pair-keyed count
-    * agg (map-side partial), two broadcastable size attachments. The max
-    * is taken over ROUNDED per-direction values in both engines, so the
-    * threshold boundary can't drift. */
-  def containmentPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    * Scale shape: identical to d04 — candidate pairs come from the
+    * df-capped shared-shingle join ([[dfCappedCandidates]]; per-shingle
+    * fan-out bounded at cap², hot boilerplate never reaches the pairing
+    * shuffle), then ONE pair-keyed count agg over ALL shingles of each
+    * candidate (map-side partial) and two broadcastable size attachments —
+    * so both containment denominators AND the intersection are exact.
+    * The max is taken over ROUNDED per-direction values in both engines,
+    * so the threshold boundary can't drift. */
+  def containmentPairs(docs: DataFrame, threshold: Double,
+                       dfCap: Int = ShingleDfCap): DataFrame = {
     val hs = materializedShingleHashes(docs)
-    val shA = hs.select(col("doc_id").as("a"), col("sh_h"))
-    val shB = hs.select(col("doc_id").as("b"), col("sh_h"))
     val sizes = hs.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    shA.join(shB, "sh_h").filter(col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+    cappedPairCounts(hs, dfCap)
       .join(sizes.select(col("doc_id").as("a"), col("n").as("n_a")), "a")
       .join(sizes.select(col("doc_id").as("b"), col("n").as("n_b")), "b")
       .select(col("a"), col("b"),

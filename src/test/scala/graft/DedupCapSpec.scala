@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** The df-cap contract for the d04/d18 shared-shingle candidate join
+  * ([[Dedup.dfCappedCandidates]]):
+  *
+  *  1. EQUIVALENCE — on corpora where every true pair shares at least one
+  *     sub-cap shingle (all shipped test corpora), the capped plan's output
+  *     is row-identical to the uncapped plan's, because the cap touches
+  *     candidate generation ONLY; intersection counts and size denominators
+  *     still run over all shingles.
+  *  2. PRUNING — on a planted boilerplate corpus (k docs all sharing one
+  *     hot shingle, otherwise pairwise-disjoint), the uncapped join emits
+  *     the full k·(k−1)/2 candidate set while the capped join emits zero —
+  *     the k² term the cap exists to kill.
+  *  3. BOUNDARY — a pair whose ONLY shared shingles are corpus-hot is, by
+  *     contract, not emitted by the capped plan (such overlap is
+  *     boilerplate, not duplication). Asserted so the contract line can
+  *     never drift silently.
+  */
+class DedupCapSpec extends SparkSpec {
+
+  private def uncappedJaccard(docs: org.apache.spark.sql.DataFrame) = {
+    val hs = Dedup.materializedShingleHashes(docs)
+    Dedup.jaccardPairsHashed(hs, None)
+  }
+
+  private def cappedJaccard(docs: org.apache.spark.sql.DataFrame, cap: Int) = {
+    val hs = Dedup.materializedShingleHashes(docs)
+    Dedup.jaccardPairsCapped(hs, cap)
+  }
+
+  test("capped d04 ≡ uncapped d04 on the sf0.001 corpus (shipped cap)") {
+    val docs = Tables.documents(spark, sf)
+    val un = uncappedJaccard(docs).filter(col("jaccard") >= 0.12)
+      .orderBy("a", "b").collect().toSeq
+    val cp = cappedJaccard(docs, Dedup.ShingleDfCap).filter(col("jaccard") >= 0.12)
+      .orderBy("a", "b").collect().toSeq
+    assert(cp == un, s"capped=${cp.size} rows, uncapped=${un.size} rows")
+    assert(un.nonEmpty, "vacuous equivalence: corpus produced no pairs")
+  }
+
+  test("capped d18 ≡ uncapped d18 on the sf0.001 corpus (shipped cap)") {
+    val docs = Tables.documents(spark, sf)
+    // Uncapped d18 = capped with an unreachable cap (df can't exceed #docs).
+    val n = docs.count().toInt + 1
+    val un = Dedup.containmentPairs(docs, 0.5, dfCap = n).collect().toSeq
+    val cp = Dedup.containmentPairs(docs, 0.5).collect().toSeq
+    assert(cp == un, s"capped=${cp.size} rows, uncapped=${un.size} rows")
+    assert(un.nonEmpty, "vacuous equivalence: corpus produced no pairs")
+  }
+
+  test("planted boilerplate: cap collapses the k² candidate term") {
+    import spark.implicits._
+    // k docs that all share one boilerplate 3-shingle but are otherwise
+    // pairwise shingle-disjoint: uncapped candidates = k·(k−1)/2; capped
+    // (cap < k) = 0. True near-dup structure is absent by construction.
+    val k = 40
+    val docs = (0 until k).map { i =>
+      (i.toLong, s"all rights reserved legally unique$i content$i tokens$i here$i")
+    }.toDF("doc_id", "text")
+    val hs = Dedup.materializedShingleHashes(docs)
+    val uncapped = hs.select(col("doc_id").as("a"), col("sh_h"))
+      .join(hs.select(col("doc_id").as("b"), col("sh_h")), "sh_h")
+      .filter(col("a") < col("b")).select("a", "b").distinct().count()
+    assert(uncapped == k.toLong * (k - 1) / 2,
+      s"planted corpus malformed: expected full pairing, got $uncapped")
+    val capped = Dedup.dfCappedCandidates(hs, dfCap = k - 1).count()
+    assert(capped == 0, s"cap failed to prune the boilerplate fan-out: $capped")
+  }
+
+  test("hot-shingle intersections still counted exactly (mixed corpus)") {
+    import spark.implicits._
+    // Every doc carries the same boilerplate prefix (its shingles go hot
+    // at cap=4: df = 14 > 4); docs 100/101 additionally share rare
+    // content. The capped plan must emit (100,101) with a Jaccard that
+    // counts the shared HOT shingles too — i.e. exactly the uncapped
+    // value — because the cap gates candidate generation, not arithmetic.
+    val boiler = "copyright terms apply to this page"
+    val docs = ((0 until 12).map(i => (i.toLong, s"$boiler unique$i filler$i words$i")) ++
+      Seq((100L, s"$boiler shared rare content alpha beta gamma"),
+          (101L, s"$boiler shared rare content alpha beta delta"))).toDF("doc_id", "text")
+    val hs = Dedup.materializedShingleHashes(docs)
+    def at(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("a") === 100 && col("b") === 101)
+        .select("jaccard").collect().map(_.getDouble(0)).toSeq
+    val un = at(Dedup.jaccardPairsHashed(hs, None))
+    val cp = at(Dedup.jaccardPairsCapped(hs, dfCap = 4))
+    assert(un.nonEmpty && cp == un, s"capped=$cp uncapped=$un")
+    // And the emitted pair SET equals the dfCappedCandidates contract.
+    val set1 = Dedup.cappedPairCounts(hs, 4).select("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val set2 = Dedup.dfCappedCandidates(hs, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(set1 == set2)
+  }
+
+  test("boundary contract: a pair sharing ONLY hot shingles is not emitted") {
+    import spark.implicits._
+    // Docs 0 and 1 are exact copies (every shared shingle has df ≥ 2 and,
+    // with 10 more copies, df = 12 > cap=4): the capped plan must NOT pair
+    // them — that overlap is corpus-boilerplate by the contract. Docs 100
+    // and 101 share a rare shingle and must still appear.
+    val hot = (0 until 12).map(i => (i.toLong, "the quick brown fox jumps over"))
+    val rare = Seq(
+      (100L, "rare shared shingle here plus alpha"),
+      (101L, "rare shared shingle here plus beta"))
+    val docs = (hot ++ rare).toDF("doc_id", "text")
+    val hs = Dedup.materializedShingleHashes(docs)
+    val cands = Dedup.dfCappedCandidates(hs, dfCap = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!cands.contains((0L, 1L)), "hot-only pair leaked through the cap")
+    assert(cands.contains((100L, 101L)), "rare-shingle pair wrongly pruned")
+  }
+}
