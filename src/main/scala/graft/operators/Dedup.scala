@@ -1954,11 +1954,16 @@ object Dedup {
         round(
           expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
             .cast("double") / lit(64.0), 4).as("est_jaccard"))
-    exactJ.join(estJ, Seq("a", "b"))
+    // LEFT join from the candidate/estimate side: an LSH candidate pair
+    // with ZERO exact intersection (a pure banding false positive — the
+    // pairs whose estimator error most needs measuring) has no row in
+    // exactJ; it must appear in the calibration with exact_jaccard 0.0,
+    // not be silently dropped.
+    estJ.join(exactJ, Seq("a", "b"), "left")
       .select(
         col("a"), col("b"),
-        col("jaccard").as("exact_jaccard"), col("est_jaccard"),
-        round(abs(col("est_jaccard") - col("jaccard")), 4).as("abs_err"))
+        coalesce(col("jaccard"), lit(0.0)).as("exact_jaccard"), col("est_jaccard"),
+        round(abs(col("est_jaccard") - coalesce(col("jaccard"), lit(0.0))), 4).as("abs_err"))
       .orderBy("a", "b")
   }
 
@@ -1980,10 +1985,10 @@ object Dedup {
               FROM inter i2
               JOIN sizes sa ON sa.doc_id = i2.a
               JOIN sizes sb ON sb.doc_id = i2.b)
-            SELECT e.a, e.b, x.exact_jaccard,
+            SELECT e.a, e.b, coalesce(x.exact_jaccard, 0.0) AS exact_jaccard,
               round(e.n_match / 64.0, 4) AS est_jaccard,
-              round(abs(round(e.n_match / 64.0, 4) - x.exact_jaccard), 4) AS abs_err
-            FROM est e JOIN ex x ON x.a = e.a AND x.b = e.b
+              round(abs(round(e.n_match / 64.0, 4) - coalesce(x.exact_jaccard, 0.0)), 4) AS abs_err
+            FROM est e LEFT JOIN ex x ON x.a = e.a AND x.b = e.b
             ORDER BY e.a, e.b"""))
 
   val all: Seq[Q] =

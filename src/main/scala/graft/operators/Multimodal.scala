@@ -521,47 +521,67 @@ object Multimodal {
     * the first shard; downstream writers consume this manifest to lay
     * records into `shard-{N}.tar` containers deterministically.
     *
+    * Packing is PER WRITER (`media_type` here; a deployment keys by
+    * source/ingest-partition): each writer owns an independent shard
+    * stream and byte cursor, exactly how production shard writers lay
+    * out tars — and exactly the keying of the streaming twin
+    * ([[graft.streaming.MediaStreams.shardAssigned]]), so batch and
+    * at-ingest manifests agree row-for-row with ANY number of writers,
+    * not just a single-type corpus.
+    *
     * The cumulative byte offset is t17's TWO-PHASE range-partitioned
-    * prefix scan ([[TextOps.prefixSummed]]) — never a global
-    * unpartitioned window: local per-partition running sums, one long
-    * per partition to the driver, broadcast offsets back. Byte addition
-    * is associative, so the manifest is exact at any partition count,
-    * and the scan is the only pass over payload bytes (octet_length is
-    * metadata — the payloads themselves never shuffle).
+    * prefix scan ([[TextOps.prefixSummedBy]] over (media_type, doc_id)
+    * order) — never a global unpartitioned window. Per-writer cursors
+    * fall out of the GLOBAL running sum by subtracting each writer's
+    * starting offset (one #writers-sized agg, broadcast back): local
+    * per-partition running sums, one long per partition to the driver,
+    * one tiny base-offset join. Byte addition is associative, so the
+    * manifest is exact at any partition count, and the scan is the only
+    * pass over payload bytes (octet_length is metadata — the payloads
+    * themselves never shuffle).
     */
   def shardManifest(media: Dataset[MediaRecord], shardBytes: Long = 4096L): DataFrame = {
-    val perDoc = media.toDF().select(
-      col("doc_id"), octet_length(col("payload")).cast("long").as("n_bytes"))
-    TextOps.prefixSummed(perDoc, "n_bytes", "cum_bytes")
+    val perDoc = media.toDF()
+      .select(col("doc_id"), col("media_type"),
+        octet_length(col("payload")).cast("long").as("n_bytes"))
       .filter(col("n_bytes") > 0)
+    val cum = TextOps.prefixSummedBy(perDoc,
+      Seq("media_type", "doc_id"), "n_bytes", "cum_all")
+    // Writer base = global running sum just before the writer's first
+    // record; subtracting it turns the one global scan into one
+    // independent cursor per writer.
+    val base = cum.groupBy("media_type")
+      .agg(min(col("cum_all") - col("n_bytes")).as("base_bytes"))
+    cum.join(base, "media_type")
+      .withColumn("cum_bytes", col("cum_all") - col("base_bytes"))
       .select(
-        col("doc_id"), col("n_bytes"),
+        col("doc_id"), col("media_type"), col("n_bytes"),
         expr(s"(cum_bytes - n_bytes) div $shardBytes").as("shard_first"),
         expr(s"(cum_bytes - 1) div $shardBytes").as("shard_last"),
         expr(s"(cum_bytes - n_bytes) % $shardBytes").as("offset_in_shard"))
       .withColumn("n_shards", col("shard_last") - col("shard_first") + 1)
-      .orderBy("doc_id")
+      .orderBy("media_type", "doc_id")
   }
 
   val shardManifestQ = Q(
     "m09_shard_manifest",
     (s, d) => shardManifest(mediaTable(s, d)),
     Some("""WITH sizes AS (
-              SELECT doc_id,
+              SELECT doc_id, 'image/stub' AS media_type,
                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
               FROM documents),
             cum AS (
-              SELECT doc_id, n_bytes,
-                sum(n_bytes) OVER (ORDER BY doc_id
+              SELECT doc_id, media_type, n_bytes,
+                sum(n_bytes) OVER (PARTITION BY media_type ORDER BY doc_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_bytes
-              FROM sizes)
-            SELECT doc_id, n_bytes,
+              FROM sizes WHERE n_bytes > 0)
+            SELECT doc_id, media_type, n_bytes,
               CAST((cum_bytes - n_bytes) // 4096 AS BIGINT) AS shard_first,
               CAST((cum_bytes - 1) // 4096 AS BIGINT) AS shard_last,
               CAST((cum_bytes - n_bytes) % 4096 AS BIGINT) AS offset_in_shard,
               CAST((cum_bytes - 1) // 4096
                    - (cum_bytes - n_bytes) // 4096 + 1 AS BIGINT) AS n_shards
-            FROM cum WHERE n_bytes > 0 ORDER BY doc_id"""))
+            FROM cum ORDER BY media_type, doc_id"""))
 
   val all: Seq[Q] =
     Seq(mediaMeta, mediaFeatures, frameSample, mediaResize, frameEnergy, mediaNeardup,

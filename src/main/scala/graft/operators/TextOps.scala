@@ -524,7 +524,11 @@ object TextOps {
         }
       }(org.apache.spark.sql.Encoders.row(outSchema))
       .localCheckpoint() // read twice: partition totals + final projection
-    val totals = withLocal.groupBy("pid").agg(max("local_prefix").as("total"))
+    // Partition total = sum of valueCol (== the partition's LAST running
+    // value). NOT max(local_prefix): that coincides with the last value
+    // only when valueCol is non-negative, and this API promises a running
+    // sum of arbitrary (possibly negative) deltas.
+    val totals = withLocal.groupBy("pid").agg(sum(valueCol).as("total"))
       .as[(Int, Long)].collect().toMap // one long per partition
     val offsets = (0 until nParts).map { p =>
       p -> (0 until p).map(q => totals.getOrElse(q, 0L)).sum
@@ -1585,11 +1589,18 @@ object TextOps {
         sum(col("xq") * col("yq")).as("sxy"))
       .select(
         col("source"), col("n_types"), col("n_tokens"),
+        // Degenerate source (exactly one token type): xq ≡ 0, so the
+        // denominator is 0 and the slope is undefined — emit NULL.
+        // Unguarded this is 0/0 → NaN in Spark vs a possibly different
+        // NULL/NaN encoding in DuckDB (NULLIF mirror in the oracle), an
+        // engine-divergence edge the parity harness would flag.
         round(
           (col("n_types").cast("double") * col("sxy").cast("double")
             - col("sx").cast("double") * col("sy").cast("double"))
-            / (col("n_types").cast("double") * col("sxx").cast("double")
-              - col("sx").cast("double") * col("sx").cast("double")), 6)
+            / nullif(
+              col("n_types").cast("double") * col("sxx").cast("double")
+                - col("sx").cast("double") * col("sx").cast("double"),
+              lit(0.0)), 6)
           .as("zipf_slope"))
       .orderBy("source")
   }
@@ -1623,8 +1634,8 @@ object TextOps {
             SELECT source, n_types, n_tokens,
               round((CAST(n_types AS DOUBLE) * CAST(sxy AS DOUBLE)
                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                    / (CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE)
-                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope
+                    / NULLIF(CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0), 6) AS zipf_slope
             FROM agg ORDER BY source"""))
 
   /** t33: deterministic epoch shuffle — the reproducible global

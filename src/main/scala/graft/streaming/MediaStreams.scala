@@ -126,10 +126,13 @@ object MediaStreams {
     * dropped by the same rule as the batch kernel (m09 filters
     * `n_bytes > 0`).
     *
-    * Equivalence contract (spec-asserted across micro-batch boundaries):
+    * Equivalence contract (spec-asserted across micro-batch boundaries,
+    * on a MULTI-writer fixture): batch m09 packs per the SAME writer key
+    * (`Multimodal.shardManifest` runs its prefix scan per media_type), so
     * for a writer whose records arrive in doc_id order — the landing-file
     * shape, same contract as [[EventStreams.funnel]]'s — the streamed
-    * slots are row-identical to batch m09 restricted to that writer.
+    * slots are row-identical to batch m09 restricted to that writer, with
+    * any number of writers.
     * Within one micro-batch the group's records are sorted by doc_id
     * before packing, so intra-batch file order can't reorder the stream.
     */

@@ -88,13 +88,20 @@ class MediaStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("at-ingest shard assignment == batch m09 manifest, cursor survives batch boundary") {
+  test("at-ingest shard assignment == batch m09 manifest, multi-writer, cursor survives batch boundary") {
+    import spark.implicits._
     val base = Files.createTempDirectory("graft-media-shard").toString
+    // TWO writers (doc_id parity picks the media_type): each must get an
+    // INDEPENDENT byte cursor in both engines — the single-type fixture
+    // could not distinguish per-writer packing from one global cursor.
     val media = Multimodal.mediaTable(spark, sf).toDF()
+      .withColumn("media_type",
+        when(col("doc_id") % 2 === 0, lit("image/stub")).otherwise(lit("audio/stub")))
     val maxId = media.agg(max("doc_id")).head().getLong(0)
     val split = maxId / 2
     // Wave 1 staged before the query starts; wave 2 lands mid-stream, so
-    // the packing cursor must carry across the micro-batch boundary.
+    // each writer's packing cursor must carry across the micro-batch
+    // boundary.
     media.filter(col("doc_id") < split).coalesce(1)
       .write.mode("overwrite").parquet(s"$base/arrivals")
     val assigned = MediaStreams.shardAssigned(
@@ -106,28 +113,33 @@ class MediaStreamsSpec extends SparkSpec {
       media.filter(col("doc_id") >= split).coalesce(1)
         .write.mode("append").parquet(s"$base/arrivals")
       q.processAllAvailable()
-      val streamed = spark.table("media_shard_out").collect()
-        .map(r => r.getAs[Long]("doc_id") ->
+      def slots(rows: Array[org.apache.spark.sql.Row]) = rows
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("media_type")) ->
           (r.getAs[Long]("n_bytes"), r.getAs[Long]("shard_first"),
             r.getAs[Long]("shard_last"), r.getAs[Long]("offset_in_shard"),
             r.getAs[Long]("n_shards"))).toMap
-      val batch = Multimodal.shardManifestQ.fn(spark, sf).collect()
-        .map(r => r.getAs[Long]("doc_id") ->
-          (r.getAs[Long]("n_bytes"), r.getAs[Long]("shard_first"),
-            r.getAs[Long]("shard_last"), r.getAs[Long]("offset_in_shard"),
-            r.getAs[Long]("n_shards"))).toMap
+      val streamed = slots(spark.table("media_shard_out").collect())
+      val batch = slots(Multimodal.shardManifest(
+        media.as[Multimodal.MediaRecord]).collect())
       assert(streamed.keySet == batch.keySet, "manifest row set drift")
       streamed.foreach { case (id, slot) =>
         assert(slot == batch(id), s"slot drift for doc $id: $slot vs ${batch(id)}")
       }
-      assert(streamed.nonEmpty)
-      // The boundary actually exercised state: wave 2's first record must
-      // sit at wave 1's closing cursor, not at offset 0.
-      val wave1Bytes = media.filter(col("doc_id") < split)
-        .agg(sum(octet_length(col("payload")))).head().getLong(0)
-      val firstWave2 = streamed.filter(_._1 >= split).minBy(_._1)
-      assert(firstWave2._2._4 == wave1Bytes % 4096L,
-        "wave-2 offset must continue wave-1's cursor")
+      assert(streamed.count(_._1._2 == "image/stub") > 0 &&
+        streamed.count(_._1._2 == "audio/stub") > 0,
+        "fixture degenerate: a writer produced no records")
+      // The boundary actually exercised state, PER WRITER: each writer's
+      // first wave-2 record must sit at that writer's wave-1 closing
+      // cursor, not at offset 0 and not at the other writer's cursor.
+      Seq("image/stub", "audio/stub").foreach { mt =>
+        val wave1Bytes = media
+          .filter(col("doc_id") < split && col("media_type") === mt)
+          .agg(sum(octet_length(col("payload")))).head().getLong(0)
+        val firstWave2 = streamed.filter(s => s._1._1 >= split && s._1._2 == mt)
+          .minBy(_._1._1)
+        assert(firstWave2._2._4 == wave1Bytes % 4096L,
+          s"$mt wave-2 offset must continue that writer's wave-1 cursor")
+      }
     } finally q.stop()
   }
 }

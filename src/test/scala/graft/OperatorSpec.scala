@@ -1435,17 +1435,20 @@ class OperatorSpec extends SparkSpec {
   test("m09 shard manifest equals a sequential packing and is partition-invariant") {
     val rows = Multimodal.shardManifestQ.fn(spark, sf).collect()
     assert(rows.nonEmpty)
-    // Sequential reference packing over the same (doc_id-ordered) sizes.
-    var cum = 0L
-    rows.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
-      val n = r.getAs[Long]("n_bytes")
-      assert(n > 0)
-      val first = cum / 4096; val last = (cum + n - 1) / 4096
-      assert(r.getAs[Long]("shard_first") == first, s"doc ${r.getLong(0)} first")
-      assert(r.getAs[Long]("shard_last") == last, s"doc ${r.getLong(0)} last")
-      assert(r.getAs[Long]("offset_in_shard") == cum % 4096, s"doc ${r.getLong(0)} offset")
-      assert(r.getAs[Long]("n_shards") == last - first + 1)
-      cum += n
+    // Sequential reference packing PER WRITER (media_type) over the same
+    // doc_id-ordered sizes — each writer's cursor starts at 0.
+    rows.groupBy(_.getAs[String]("media_type")).foreach { case (_, ws) =>
+      var cum = 0L
+      ws.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+        val n = r.getAs[Long]("n_bytes")
+        assert(n > 0)
+        val first = cum / 4096; val last = (cum + n - 1) / 4096
+        assert(r.getAs[Long]("shard_first") == first, s"doc ${r.getLong(0)} first")
+        assert(r.getAs[Long]("shard_last") == last, s"doc ${r.getLong(0)} last")
+        assert(r.getAs[Long]("offset_in_shard") == cum % 4096, s"doc ${r.getLong(0)} offset")
+        assert(r.getAs[Long]("n_shards") == last - first + 1)
+        cum += n
+      }
     }
     // Same manifest at a different input partitioning (two-phase prefix
     // scan must be partition-count-independent).

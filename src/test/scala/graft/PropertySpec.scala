@@ -185,8 +185,12 @@ class PropertySpec extends SparkSpec {
       // form the total order, and the scan must follow it — not doc_id
       // order, not input order.
       val keys = Vector("kx", "ab", "zz", "mm", "qr")
+      // Deltas include NEGATIVES: the partition-total handoff must carry
+      // the partition's LAST running value (= sum of deltas), which only
+      // equals max(local_prefix) when deltas are non-negative — the
+      // signed case is the one a wrong aggregate silently corrupts.
       val rows = (0L until (60 + rng.nextInt(150)).toLong)
-        .map(id => (keys(rng.nextInt(keys.size)), id, 1L + rng.nextInt(50)))
+        .map(id => (keys(rng.nextInt(keys.size)), id, rng.nextInt(101).toLong - 50L))
       val shuffled = rng.shuffle(rows)
       val got = graft.operators.TextOps.prefixSummedBy(
           shuffled.toDF("k", "doc_id", "v").repartition(5),
