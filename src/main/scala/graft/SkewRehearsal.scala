@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skewed-corpus rehearsal (dev main, feeds SCALE.md): every prior
+  * rehearsal corpus is uniform-ish — copies replicate the base corpus's
+  * healthy structure. 100 TB of web data is not healthy: it is
+  * Zipf-skewed by source (one crawl feed can dominate) and
+  * duplicate-heavy (mirrors re-serve whole sites). This main builds two
+  * adversarial k× corpora and measures the queries whose plans those
+  * corpora attack:
+  *
+  *  1. SKEWED corpus: ~90% of documents in ONE source, and every base
+  *     document tripled verbatim (exact-dup clusters of size 3 across
+  *     copy boundaries — "duplicates cluster"). Attacks the
+  *     source-keyed aggregations (t22/q31), the fingerprint shuffle
+  *     (d01), and the shingle joins under dup flooding (d02/d04/d18).
+  *     Evidence: each query's k× wall ratio on the skewed corpus vs its
+  *     ratio on the uniform corpus of the SAME k — a plan survives skew
+  *     iff ratio_skew / ratio_uniform stays ~2 or under.
+  *  2. BOILERPLATE corpus: the uniform k× corpus with one fixed
+  *     12-token boilerplate sentence appended to EVERY document — the
+  *     exact shape that detonates an uncapped shared-shingle candidate
+  *     join (its shingles' df = corpus size, candidate fan-out df²).
+  *     The capped d04/d18 must ride their normal band; the pruned-work
+  *     accounting (Σ df·(df−1)/2 over all vs sub-cap shingles, computed
+  *     from the df table, never executed) shows the k² term the cap
+  *     removed — at 10× that term is ~10¹¹ pair rows, which is why the
+  *     uncapped variant is accounted, not run.
+  *
+  * Also times q31's source-keyed join shape both plain and through
+  * [[graft.operators.SkewJoin.saltedJoin]] with the broadcast path
+  * disabled (merge-join hints) — the explicit-salt mitigation exercised
+  * on a corpus where one key holds 90% of the rows.
+  *
+  * `runMain graft.SkewRehearsal [sfDir] [outDir] [k]`
+  */
+object SkewRehearsal {
+
+  /** k× corpus, 90%-one-source and exact-dup-clustered: copies 1 and 2
+    * keep base text VERBATIM (every base doc → a 3-clone cluster);
+    * copies 3+ are token-tagged (shingle-disjoint) as in
+    * [[ScaleRehearsal.scaledDocs]]; 9 of 10 docs land in `hot_src`. */
+  def skewedDocs(docs: DataFrame, k: Int): DataFrame = {
+    val stride = docs.agg(max("doc_id")).head().getLong(0) + 1L
+    val copies = (0 until k).map { i =>
+      val text =
+        if (i <= 2) col("text") // verbatim: dup clusters of size min(k,3)
+        else regexp_replace(col("text"), "(\\S+)", "$1x" + i).as("text")
+      docs.select(
+        (col("doc_id") + lit(i * stride)).as("doc_id"),
+        text.as("text"), col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionAll _)
+    copies.withColumn("source",
+      when(col("doc_id") % 10 < 9, lit("hot_src")).otherwise(col("source")))
+  }
+
+  /** The uniform k× corpus with a fixed boilerplate sentence appended to
+    * every document — df of its shingles = corpus size. */
+  def boilerplateDocs(docs: DataFrame, k: Int): DataFrame = {
+    val boiler = "all rights reserved contact us terms of service apply to this site"
+    ScaleRehearsal.scaledDocs(docs, k)
+      .withColumn("text", concat(col("text"), lit(" " + boiler)))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outDir = if (args.length > 1) args(1) else "target/skew10x"
+    val k = if (args.length > 2) args(2).toInt else 10
+    val spark = GraftSession.get("graft-skew-rehearsal")
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    ScaleRehearsal.scaledDocs(docs, k).write.mode("overwrite")
+      .parquet(s"$outDir/uniform/documents.parquet")
+    skewedDocs(docs, k).write.mode("overwrite")
+      .parquet(s"$outDir/skewed/documents.parquet")
+    boilerplateDocs(docs, k).write.mode("overwrite")
+      .parquet(s"$outDir/boiler/documents.parquet")
+    val skewShare = spark.read.parquet(s"$outDir/skewed/documents.parquet")
+      .groupBy("source").count().orderBy(desc("count")).head()
+    println(s"[skew] corpora written; hottest source = ${skewShare.getString(0)} " +
+      s"with ${skewShare.getLong(1)} docs of ${docs.count() * k}")
+
+    def minOf2(f: => Long): (Double, Long) = {
+      def once(): (Double, Long) = {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime(); val rows = f
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      val (tA, rows) = once(); val (tB, _) = once()
+      (math.min(tA, tB), rows)
+    }
+
+    val names = Seq("d01_dedup_exact", "d02_dedup_minhash_lsh",
+      "d04_ngram_jaccard", "d18_containment_pairs",
+      "t22_source_profile", "q31_temperature_mix")
+    println(f"[skew] ${"query"}%-24s ${"1x"}%7s ${"unif" + k + "x"}%8s ${"skew" + k + "x"}%8s ${"r_unif"}%7s ${"r_skew"}%7s  skew/unif")
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val (t1, _) = minOf2(fn(spark, sfDir).count())
+      val (tU, rU) = minOf2(fn(spark, s"$outDir/uniform").count())
+      val (tS, rS) = minOf2(fn(spark, s"$outDir/skewed").count())
+      println(f"[skew] $name%-24s $t1%7.2f $tU%8.2f $tS%8.2f ${tU / t1}%6.1fx ${tS / t1}%6.1fx ${tS / tU}%6.2f (rows u=$rU s=$rS)")
+    }
+
+    // ---- boilerplate wave: capped d04/d18 wall + pruned-work accounting
+    Seq("d04_ngram_jaccard", "d18_containment_pairs").foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val (t1, _) = minOf2(fn(spark, sfDir).count())
+      val (tB, rB) = minOf2(fn(spark, s"$outDir/boiler").count())
+      println(f"[skew] ${name + "_boiler"}%-24s $t1%7.2f ${tB}%8.2f ${tB / t1}%6.1fx (rows $rB)")
+    }
+    val hsB = operators.Dedup.materializedShingleHashes(
+      spark.read.parquet(s"$outDir/boiler/documents.parquet"))
+    val acct = hsB.groupBy("sh_h").agg(count(lit(1)).as("df"))
+      .agg(
+        sum(expr("df * (df - 1) / 2")).as("pairs_uncapped"),
+        sum(when(col("df") <= operators.Dedup.ShingleDfCap,
+          expr("df * (df - 1) / 2")).otherwise(lit(0))).as("pairs_capped"))
+      .head()
+    println(f"[skew] boiler candidate-join work: uncapped=${acct.getDouble(0)}%.3e " +
+      f"pair-rows vs capped=${acct.getDouble(1)}%.3e " +
+      f"(cap pruned ${100.0 * (1 - acct.getDouble(1) / acct.getDouble(0))}%.2f%%)")
+
+    // ---- explicit salting on the 90%-hot source key (broadcast disabled:
+    // merge hints force the shuffle-join regime salting exists for)
+    val skewed = spark.read.parquet(s"$outDir/skewed/documents.parquet")
+      .select(col("doc_id"), col("source")).localCheckpoint()
+    val perSource = skewed.groupBy("source").count().localCheckpoint()
+    val (tPlain, nPlain) = minOf2(
+      skewed.hint("merge").join(perSource.hint("merge"), "source").count())
+    val (tSalted, nSalted) = minOf2(
+      operators.SkewJoin.saltedJoin(
+        skewed.hint("merge"), perSource.hint("merge"), "source", 32).count())
+    require(nPlain == nSalted, s"salted join changed cardinality: $nPlain vs $nSalted")
+    println(f"[skew] source-join plain=$tPlain%.2fs salted(32)=$tSalted%.2fs on ${nPlain} rows")
+    spark.stop()
+  }
+}

@@ -29,7 +29,9 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *  - q37: SCD2 history intervals — event stream → versioned validity
   *    ranges per user (runs collapsed, far-future open sentinel), the
   *    temporal complement of q25's latest-snapshot compaction.
-  *  - t01..t33: text query library (grep, wordcount, token counting,
+  *  - q38: join/shuffle-key skew profile — per-key share, ratio to the
+  *    hottest key, and the is_hot salting signal.
+  *  - t01..t34: text query library (grep, wordcount, token counting,
   *    quality scoring, language-ID, fingerprinting, winnowing, TF-IDF,
   *    langid eval, context chunking, co-occurrence PMI, bigram LM,
   *    bigram perplexity quality filter, vocabulary growth, Gopher-style
@@ -47,8 +49,9 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    chars / ASCII fraction with repaired-text digest, per-source
   *    Zipf-law slope fit via order-independent quantized regression,
   *    deterministic seeded epoch shuffle — global rank with no global
-  *    window via the two-phase prefix scan).
-  *  - d01..d22: dedup & corpus hygiene (exact, MinHash-LSH, SimHash,
+  *    window via the two-phase prefix scan, per-doc templated-ness
+  *    score over the corpus-hot shingle vocabulary).
+  *  - d01..d23: dedup & corpus hygiene (exact, MinHash-LSH, SimHash,
   *    n-gram Jaccard, embedding-cosine, connected-component clusters,
   *    keep-list, near-dup triangles, benchmark decontamination,
   *    incremental delta dedup, exact-substring repeated spans, near-dup
@@ -60,19 +63,21 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    asymmetric containment near-dup pairs, eval-side leak report,
   *    cross-source n-gram duplication matrix, train/validation
   *    split-leakage audit over the engine's own md5-bucket split,
-  *    MinHash sketch calibration — estimated vs exact Jaccard).
+  *    MinHash sketch calibration — estimated vs exact Jaccard,
+  *    corpus boilerplate report — the hot-shingle vocabulary behind the
+  *    d04/d18 df-cap with per-shingle source spread).
   *  - s01..s11: similarity search (brute-force ANN, LSH-bucketed ANN,
   *    per-label centroid stats, IVF ANN, recall@k evaluation, int8
   *    quantization error audit, incremental IVF ingest serving state,
   *    PQ-ADC with exact rerank, exact cosine radius search, MMR
   *    diversity re-ranking of the retrieval shortlist, metadata-filtered
   *    ANN).
-  *  - m01..m09: multimodal binary-column plumbing (metadata, stub-decode
+  *  - m01..m10: multimodal binary-column plumbing (metadata, stub-decode
   *    features, frame sampling, strided resize, windowed frame energy,
   *    perceptual-hash near-dup pairs, scene-change detection over frame
   *    energies, VAD-style voiced-segment runs, WebDataset-style
-  *    shard-manifest packing on the byte axis; binaryFile ingest in
-  *    Multimodal).
+  *    shard-manifest packing on the byte axis, per-shard fill/integrity
+  *    audit of that manifest; binaryFile ingest in Multimodal).
   *  - p01: the composed curation pipeline (gate → dedup-among-survivors →
   *    sequence packing) emitting every document's final disposition and
   *    packed window range — the lineage record of a training-data run.
@@ -85,6 +90,9 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *  - p04: the composed epoch-assembly manifest (d01 dedup keep → t33
   *    seeded permutation → t17 packing over the SHUFFLED stream) — the
   *    range-sliceable record a loader materializes an epoch from.
+  *  - p05: the incremental refresh manifest (wave-vs-resident exact
+  *    dedup → packing that CONTINUES the resident token cursor) — the
+  *    append-only delta a crawl refresh ships without repacking.
   */
 object SparkEntry {
   val inventory: Seq[Q] =

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Q
 import graft.functions.TextFns._
@@ -212,29 +213,45 @@ object Dedup {
     * n_common EXACT over ALL shingles (hot ones included) — the shipped
     * execution path of the df-capped kernel. Plan shape:
     *
-    *  1. ONE df aggregate finds hot shingles (df > cap). The HOT table is
-    *     checkpointed so AQE sees its true (usually zero) size.
-    *  2. The pairing self-join runs over the RARE rows only — identical
-    *     to the uncapped plan's single sh_h equi-join when no shingle is
-    *     hot (the common case on healthy corpora: at sf0.1 max df = 25),
-    *     and bounded at dfCap² fan-out per shingle always.
+    *  1. ONE shingle-keyed df aggregate finds hot shingles (df > cap);
+    *     the HOT table is checkpointed so the planner sees its true
+    *     (usually zero) size, and the rare side is carved out with a
+    *     left-anti join against it — map-side when hot is small, which
+    *     it structurally is on healthy corpora (at sf0.1 max df = 25,
+    *     hot is EMPTY). Two alternative shapes were measured at the 100×
+    *     rehearsal and rejected: computing df with a count window over
+    *     sh_h re-instantiated the window subplan per consumer and,
+    *     checkpointed, added a 55M-row sort (+45% wall); leaving the
+    *     filtered branches un-materialized let the static planner
+    *     broadcast a corpus-scale join side (driver OOM).
+    *  2. The pairing self-join runs over the RARE rows only, pinned to
+    *     sort-merge (`hint("merge")`): both sides are corpus-derived, so
+    *     a broadcast is never right at target scale no matter what the
+    *     stats say. Fan-out is dfCap²-bounded per shingle always.
     *  3. Hot shared counts are recovered per CANDIDATE pair from per-doc
     *     hot-shingle arrays (distinct hot shingles ≤ |hs|/cap, per-doc
     *     arrays boilerplate-sized) via two doc-keyed left joins on the
     *     pair table + array_intersect — never a hot-keyed pairing join.
+    *     hotSets is checkpointed for real stats: empty/tiny on healthy
+    *     corpora (broadcast correct), doc-proportional on boilerplate-
+    *     flooded ones (where only true sizes keep the planner honest).
     *
     * So the k² boilerplate term is structurally gone while every emitted
-    * value matches the uncapped (and oracle) arithmetic exactly. */
+    * value matches the uncapped (and oracle) arithmetic exactly.
+    * Measured at the 100× rehearsal (500k docs): d18 through this kernel
+    * runs 33 s absolute vs 71 s for round 9's uncapped join — the cap
+    * HALVES the wall at scale on top of removing the k² hazard. */
   def cappedPairCounts(hs: DataFrame, dfCap: Int): DataFrame = {
     val hot = hs.groupBy("sh_h").agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select("sh_h").localCheckpoint()
     val rare = hs.join(hot, Seq("sh_h"), "left_anti")
-    val rareCounts = rare.select(col("doc_id").as("a"), col("sh_h"))
-      .join(rare.select(col("doc_id").as("b"), col("sh_h")), "sh_h")
+    val rareCounts = rare.select(col("doc_id").as("a"), col("sh_h")).hint("merge")
+      .join(rare.select(col("doc_id").as("b"), col("sh_h")).hint("merge"), "sh_h")
       .filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("n_rare"))
     val hotSets = hs.join(hot, Seq("sh_h"))
       .groupBy("doc_id").agg(sort_array(collect_set(col("sh_h"))).as("hot_set"))
+      .localCheckpoint()
     rareCounts
       .join(hotSets.select(col("doc_id").as("a"), col("hot_set").as("hot_a")), Seq("a"), "left")
       .join(hotSets.select(col("doc_id").as("b"), col("hot_set").as("hot_b")), Seq("b"), "left")
@@ -1991,9 +2008,62 @@ object Dedup {
             FROM est e LEFT JOIN ex x ON x.a = e.a AND x.b = e.b
             ORDER BY e.a, e.b"""))
 
+  // ------------------------------------------------ boilerplate report (d23)
+  /** d23: the corpus boilerplate report — every n-gram shingle whose
+    * document frequency crosses `minDf`, with its df, how many distinct
+    * SOURCES carry it, and its share of the corpus. This is the readout
+    * behind the d04/d18 df-cap (the shingles this report surfaces are
+    * exactly the ones the capped candidate join refuses to pair on) and
+    * the thing a curation run reads before writing boilerplate-strip
+    * rules: cross-source high-df shingles are web furniture ("all rights
+    * reserved …"), single-source high-df shingles are a template farm —
+    * different remediations, distinguished by `n_sources`.
+    *
+    * Scale shape: one doc-keyed join to attach sources (docs-table-sized,
+    * AQE-planned), one shingle-keyed aggregate with map-side partials
+    * (vocabulary-bounded output), a scalar total attached by cross-join
+    * of a 1-row aggregate. Output ∝ hot vocabulary — tiny at any corpus
+    * size; nothing pairwise anywhere. */
+  def hotShingleReport(docs: DataFrame, minDf: Int): DataFrame = {
+    val hs = hashedShingles(shingleSets(docs))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    hs.join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy("sh_h")
+      .agg(count(lit(1)).as("df"), countDistinct("source").as("n_sources"))
+      .filter(col("df") >= minDf)
+      .crossJoin(total)
+      .select(col("sh_h"), col("df"), col("n_sources"),
+        round(col("df").cast("double") / col("n_docs").cast("double"), 6)
+          .as("df_share"))
+      .orderBy(desc("df"), col("sh_h"))
+  }
+
+  val hotReport = Q(
+    "d23_boilerplate_report",
+    (s, d) => hotShingleReport(Tables.documents(s, d), 4),
+    Some("""WITH sh AS (
+              SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+                FROM (SELECT doc_id,
+                        list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                    t -> t <> '') AS ts
+                      FROM documents),
+                UNNEST(range(1, len(ts) - 1)) AS r(i))),
+            src AS (
+              SELECT ('0x' || substr(md5(s.shingle), 1, 15))::BIGINT AS sh_h, d.source
+              FROM sh s JOIN documents d ON d.doc_id = s.doc_id),
+            agg AS (
+              SELECT sh_h, CAST(count(*) AS BIGINT) AS df,
+                CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+              FROM src GROUP BY 1),
+            tot AS (SELECT count(*) AS n_docs FROM documents)
+            SELECT sh_h, df, n_sources,
+              round(CAST(df AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS df_share
+            FROM agg, tot WHERE df >= 4 ORDER BY df DESC, sh_h"""))
+
   val all: Seq[Q] =
     Seq(exact, minhash, simhash, ngramJaccard, embedding, clusters, keep, triangles,
       decontam, incremental, repeated, consensus, chunkDedup, semantic, bestKeep,
       provenance, embeddingDecontam, containment, evalLeak, crossSource, splitLeak,
-      calibration)
+      calibration, hotReport)
 }

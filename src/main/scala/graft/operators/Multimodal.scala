@@ -583,7 +583,68 @@ object Multimodal {
                    - (cum_bytes - n_bytes) // 4096 + 1 AS BIGINT) AS n_shards
             FROM cum ORDER BY media_type, doc_id"""))
 
+  /** m10: shard fill audit — m09's manifest rolled up to the SHARD axis:
+    * per (writer, shard): how many records touch it (straddlers count in
+    * every shard they span), the bytes actually resident, and the fill
+    * ratio against the byte budget. This is the loader/ops-side integrity
+    * readout of the packing: every interior shard of a healthy manifest
+    * is byte-exactly full (fill 1.0 — straddling is how m09 fills gaps),
+    * only each writer's LAST shard may be partial, and a fill > 1.0
+    * anywhere means the manifest is corrupt. Per-shard occupancy is pure
+    * interval arithmetic off the manifest row (span start = shard_first ·
+    * B + offset; bytes in shard s = min(end, (s+1)B) − max(start, sB)).
+    *
+    * Scale shape: the manifest's prefix scan (m09), then one explode
+    * bounded by ⌈payload/B⌉ per record and one (writer, shard)-keyed agg
+    * with map-side partials — output ∝ total bytes / B. */
+  def shardFill(media: Dataset[MediaRecord], shardBytes: Long = 4096L): DataFrame = {
+    shardManifest(media, shardBytes)
+      .withColumn("start_byte",
+        col("shard_first") * lit(shardBytes) + col("offset_in_shard"))
+      .withColumn("end_byte", col("start_byte") + col("n_bytes"))
+      .select(col("media_type"), col("start_byte"), col("end_byte"),
+        explode(sequence(col("shard_first"), col("shard_last"))).as("shard"))
+      .withColumn("bytes_in_shard",
+        least(col("end_byte"), (col("shard") + 1) * lit(shardBytes)) -
+          greatest(col("start_byte"), col("shard") * lit(shardBytes)))
+      .groupBy("media_type", "shard")
+      .agg(count(lit(1)).as("n_records"),
+        sum("bytes_in_shard").as("resident_bytes"))
+      .withColumn("fill_ratio",
+        round(col("resident_bytes").cast("double") / lit(shardBytes.toDouble), 6))
+      .orderBy("media_type", "shard")
+  }
+
+  val shardFillQ = Q(
+    "m10_shard_fill",
+    (s, d) => shardFill(mediaTable(s, d)),
+    Some("""WITH sizes AS (
+              SELECT doc_id, 'image/stub' AS media_type,
+                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+              FROM documents),
+            cum AS (
+              SELECT doc_id, media_type, n_bytes,
+                sum(n_bytes) OVER (PARTITION BY media_type ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_bytes
+              FROM sizes WHERE n_bytes > 0),
+            spans AS (
+              SELECT media_type, cum_bytes - n_bytes AS start_byte,
+                cum_bytes AS end_byte,
+                (cum_bytes - n_bytes) // 4096 AS shard_first,
+                (cum_bytes - 1) // 4096 AS shard_last
+              FROM cum),
+            per AS (
+              SELECT media_type, CAST(r.shard AS BIGINT) AS shard,
+                least(end_byte, (r.shard + 1) * 4096)
+                  - greatest(start_byte, r.shard * 4096) AS bytes_in_shard
+              FROM spans, UNNEST(range(shard_first, shard_last + 1)) AS r(shard))
+            SELECT media_type, shard,
+              CAST(count(*) AS BIGINT) AS n_records,
+              CAST(sum(bytes_in_shard) AS BIGINT) AS resident_bytes,
+              round(CAST(sum(bytes_in_shard) AS DOUBLE) / 4096.0, 6) AS fill_ratio
+            FROM per GROUP BY 1, 2 ORDER BY media_type, shard"""))
+
   val all: Seq[Q] =
     Seq(mediaMeta, mediaFeatures, frameSample, mediaResize, frameEnergy, mediaNeardup,
-      scenes, voiced, shardManifestQ)
+      scenes, voiced, shardManifestQ, shardFillQ)
 }

@@ -418,5 +418,81 @@ object Pipeline {
                    - (cum_tokens - n_tokens) // 512 + 1 AS BIGINT) AS n_seqs
             FROM cum ORDER BY shuffle_key, doc_id"""))
 
-  val all: Seq[Q] = Seq(pipeline, mix, audit, epoch)
+  // --------------------------------------------- refresh manifest (p05)
+  /** p05: the incremental corpus-refresh manifest — what a pipeline emits
+    * when a new crawl WAVE lands on a packed RESIDENT corpus: accept only
+    * wave documents that are (a) not exact duplicates of any resident
+    * document and (b) the first of their fingerprint within the wave,
+    * then pack the accepted docs into t17-style fixed-budget windows
+    * CONTINUING from the resident corpus's token cursor — the append-only
+    * delta manifest (s07's append-not-rebuild stance on the text axis:
+    * the resident packing is never touched, the delta starts at its
+    * closing cursor, and a loader concatenates the two manifests).
+    * Split rule doc_id % 5 == 0 = the wave (d19's convention).
+    *
+    * Scale shape: the resident side contributes ONE broadcastable
+    * distinct-fingerprint probe (AQE-planned anti join) and ONE 1-row
+    * token-total aggregate; within-wave first-of-fingerprint is a
+    * fingerprint-keyed aggregate + self-equi-join (both wave-sized); the
+    * cursor is the two-phase range-partitioned prefix scan over the
+    * accepted wave only. Nothing re-reads or re-shuffles the resident
+    * corpus's text beyond the fingerprint pass. */
+  def refreshManifest(docs: DataFrame, budget: Int = 512): DataFrame = {
+    val fp = docs.select(
+      col("doc_id"),
+      md5(normText(col("text"))).as("fp"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val resident = fp.filter(col("doc_id") % 5 =!= 0).localCheckpoint()
+    val wave = fp.filter(col("doc_id") % 5 === 0)
+    val firstOfFp = wave.groupBy("fp").agg(min("doc_id").as("doc_id"))
+    val accepted = wave.join(firstOfFp, Seq("fp", "doc_id"))
+      .join(resident.select("fp").distinct(), Seq("fp"), "left_anti")
+    val base = resident.agg(coalesce(sum("n_tokens"), lit(0L)).as("base_tokens"))
+    TextOps.prefixSummedBy(accepted.select("doc_id", "n_tokens"),
+        Seq("doc_id"), "n_tokens", "cum_wave")
+      .crossJoin(base)
+      .withColumn("cum_tokens", col("cum_wave") + col("base_tokens"))
+      .filter(col("n_tokens") > 0)
+      .select(
+        col("doc_id"), col("n_tokens"),
+        expr(s"(cum_tokens - n_tokens) div $budget").as("seq_first"),
+        expr(s"(cum_tokens - 1) div $budget").as("seq_last"),
+        expr(s"(cum_tokens - n_tokens) % $budget").as("offset_in_seq"))
+      .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
+      .orderBy("doc_id")
+  }
+
+  val refresh = Q(
+    "p05_refresh_manifest",
+    (s, d) => refreshManifest(Tables.documents(s, d)),
+    Some("""WITH fp AS (
+              SELECT doc_id,
+                md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+                len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                t -> t <> ''))::BIGINT AS n_tokens
+              FROM documents),
+            res AS (SELECT * FROM fp WHERE doc_id % 5 <> 0),
+            wave AS (SELECT * FROM fp WHERE doc_id % 5 = 0),
+            acc AS (
+              SELECT w.doc_id, w.n_tokens FROM wave w
+              WHERE w.doc_id = (SELECT min(w2.doc_id) FROM wave w2
+                                WHERE w2.fp = w.fp)
+                AND NOT EXISTS (SELECT 1 FROM res r WHERE r.fp = w.fp)),
+            base AS (SELECT coalesce(sum(n_tokens), 0)::BIGINT AS base_tokens
+                     FROM res),
+            cum AS (
+              SELECT doc_id, n_tokens,
+                sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  + base_tokens AS cum_tokens
+              FROM acc, base)
+            SELECT doc_id, n_tokens,
+              CAST((cum_tokens - n_tokens) // 512 AS BIGINT) AS seq_first,
+              CAST((cum_tokens - 1) // 512 AS BIGINT) AS seq_last,
+              CAST((cum_tokens - n_tokens) % 512 AS BIGINT) AS offset_in_seq,
+              CAST((cum_tokens - 1) // 512
+                   - (cum_tokens - n_tokens) // 512 + 1 AS BIGINT) AS n_seqs
+            FROM cum WHERE n_tokens > 0 ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(pipeline, mix, audit, epoch, refresh)
 }

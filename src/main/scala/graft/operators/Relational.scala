@@ -966,7 +966,54 @@ object Relational {
                                     (o_orderpriority), ())
             ORDER BY gid, status, priority"""))
 
+  // --------------------------------------------------- key skew profile (q38)
+  /** q38: join/shuffle-key skew profile — per distinct key: row count,
+    * corpus share, ratio to the hottest key, and a `is_hot` flag at
+    * `hotShare`. This is the operational readout a pipeline computes
+    * BEFORE keying a 100 TB shuffle: a key whose share exceeds what one
+    * task should own is the signal to reach for AQE skew splitting or
+    * [[SkewJoin.saltedJoin]] (the skewed-corpus rehearsal exercises both;
+    * this query is how a run decides it needs them). Shipped over the
+    * documents `lang` key, whose distribution is genuinely skewed (en ≈
+    * 44%, others ≈ 14%), so the flag is exercised in both directions.
+    *
+    * Scale shape: one keyed count with map-side partials (output =
+    * key-cardinality), one 1-row aggregate attached by cross join —
+    * deliberately NO rank window (the plan-audit gate bans unpartitioned
+    * windows; the ordering is presentation, the flag is the decision). */
+  def keySkewProfile(df: org.apache.spark.sql.DataFrame, keyCol: String,
+      hotShare: Double): org.apache.spark.sql.DataFrame = {
+    val counts = df.groupBy(keyCol).agg(count(lit(1)).as("n_rows"))
+    val tot = counts.agg(
+      sum("n_rows").as("n_total"), max("n_rows").as("max_rows"))
+    counts.crossJoin(tot)
+      .select(
+        col(keyCol),
+        col("n_rows"),
+        round(col("n_rows").cast("double") / col("n_total").cast("double"), 6)
+          .as("share"),
+        round(col("n_rows").cast("double") / col("max_rows").cast("double"), 6)
+          .as("vs_hottest"),
+        (col("n_rows").cast("double") / col("n_total").cast("double") >= hotShare)
+          .as("is_hot"))
+      .orderBy(desc("n_rows"), col(keyCol))
+  }
+
+  val q38 = Q(
+    "q38_key_skew_profile",
+    (s, d) => keySkewProfile(Tables.documents(s, d), "lang", 0.25),
+    Some("""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_rows
+                       FROM documents GROUP BY 1),
+            t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n_total,
+                         CAST(max(n_rows) AS BIGINT) AS max_rows FROM c)
+            SELECT lang, n_rows,
+              round(CAST(n_rows AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS share,
+              round(CAST(n_rows AS DOUBLE) / CAST(max_rows AS DOUBLE), 6) AS vs_hottest,
+              (CAST(n_rows AS DOUBLE) / CAST(n_total AS DOUBLE) >= 0.25) AS is_hot
+            FROM c, t ORDER BY n_rows DESC, lang"""))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
-      q18, q19, q20, q21, q22, q25, q26, q27, q29, q30, q32, q33, q34, q36, q37)
+      q18, q19, q20, q21, q22, q25, q26, q27, q29, q30, q32, q33, q34, q36, q37,
+      q38)
 }

@@ -1678,10 +1678,64 @@ object TextOps {
                    - 1 AS BIGINT) AS position
             FROM documents ORDER BY position"""))
 
+  // ------------------------------------------------- templated docs (t34)
+  /** t34: per-document templated-ness — the fraction of a document's
+    * distinct shingles that are corpus-HOT (df ≥ minDf), plus a flag at
+    * `flagAt`. The doc-level consumer of d23's corpus boilerplate report:
+    * d23 names the boilerplate vocabulary, t34 scores each document by
+    * how much of it is made of that vocabulary — near-1 means a template
+    * instantiation / mirror page (drop or down-weight in curation),
+    * near-0 means original prose. Docs with < 3 tokens have no shingles
+    * and are absent, matching the shingle family's domain.
+    *
+    * Scale shape: the df aggregate is vocabulary-keyed (map-side
+    * partials); the hot table it yields is hot-vocabulary-sized and
+    * joined back shingle-keyed (AQE broadcasts it when small); the
+    * per-doc rollup is one doc-keyed aggregate. Nothing pairwise — this
+    * is d23's linear companion, not a dedup join. */
+  def templatedDocs(docs: DataFrame, minDf: Int, flagAt: Double): DataFrame = {
+    val hs = Dedup.hashedShingles(Dedup.shingleSets(docs)).localCheckpoint()
+    val hot = hs.groupBy("sh_h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("sh_h"), lit(1L).as("is_hot"))
+    hs.join(hot, Seq("sh_h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("is_hot"), lit(0L))).as("n_hot"))
+      .withColumn("boiler_frac",
+        round(col("n_hot").cast("double") / col("n_shingles").cast("double"), 6))
+      .withColumn("is_templated", col("boiler_frac") >= flagAt)
+      .orderBy("doc_id")
+  }
+
+  val templated = Q(
+    "t34_templated_docs",
+    (s, d) => templatedDocs(Tables.documents(s, d), 4, 0.5),
+    Some("""WITH sh AS (
+              SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+                FROM (SELECT doc_id,
+                        list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                    t -> t <> '') AS ts
+                      FROM documents),
+                UNNEST(range(1, len(ts) - 1)) AS r(i))),
+            df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+            scored AS (
+              SELECT s.doc_id,
+                CAST(count(*) AS BIGINT) AS n_shingles,
+                CAST(sum(CASE WHEN f.df >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_hot
+              FROM sh s JOIN df f ON f.shingle = s.shingle
+              GROUP BY s.doc_id)
+            SELECT doc_id, n_shingles, n_hot,
+              round(CAST(n_hot AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6) AS boiler_frac,
+              (round(CAST(n_hot AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6) >= 0.5)
+                AS is_templated
+            FROM scored ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(grep, wordcount, tokenCount, quality, langid, fingerprint, winnow, tfidf,
       langidEval, chunk, cooccur, bigrams, perplexity, vocabGrowth, repetition,
       novelty, pack, spectrum, scrub, qualityGate, bpeTrain, sourceProfile,
       hitters, classifierScore, bpeApply, nfcAudit, dsirWeights, lengthOutliers,
-      tokenEntropy, piiScrubQ, encodingAuditQ, zipfFit, epochShuffleQ)
+      tokenEntropy, piiScrubQ, encodingAuditQ, zipfFit, epochShuffleQ, templated)
 }

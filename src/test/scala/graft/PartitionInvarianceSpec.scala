@@ -107,7 +107,17 @@ class PartitionInvarianceSpec extends SparkSpec {
     // d22 compares two geometry-invariant tables (d02-gated candidates +
     // exact counts; lane minima are exact longs) — gated to prove the
     // calibration table itself cannot move with geometry.
-    "d22_sketch_calibration")
+    "d22_sketch_calibration",
+    // Round-10 wave: d04/d18 now route through the df-capped kernel
+    // (window df + merge-hinted pairing join + hot-set arrays) — gated
+    // to prove the rare/hot split can't move pairs with geometry; d23/
+    // t34 are its report/score companions (exact counts + rounded
+    // fractions); q38 is two aggregates and a cross join; m10 explodes
+    // m09's gated manifest with interval arithmetic; p05's anti-join +
+    // prefix scan rides the same range-exchange claim as p04.
+    "d04_ngram_jaccard", "d18_containment_pairs", "d23_boilerplate_report",
+    "t34_templated_docs", "q38_key_skew_profile", "m10_shard_fill",
+    "p05_refresh_manifest")
 
   test("round-5/6 queries return identical rows at shuffle.partitions = 3 and 17") {
     val conf = spark.conf
