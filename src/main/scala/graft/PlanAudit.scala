@@ -43,7 +43,13 @@ object PlanAudit {
       "p02_mix_pipeline",
       // q34: the user-aggregate table crossJoins the 1-row quartile-cut
       // aggregate — corpus-derived × 1 row, map-side, benign (q12's shape).
-      "q34_rfm_segments")
+      "q34_rfm_segments",
+      // d23/q38: the report/profile tables crossJoin a 1-row corpus-total
+      // aggregate (n_docs / (n_total, max_rows)) — bounded × 1 row.
+      "d23_boilerplate_report", "q38_key_skew_profile",
+      // p05: the accepted-wave manifest crossJoins the 1-row resident
+      // token-total aggregate — the append cursor's base, × 1 row.
+      "p05_refresh_manifest")
 
   /** Tables that are corpus-/fact-scale at the 100 TB target — anything
     * derived from one of these is presumed unbounded unless the deriving

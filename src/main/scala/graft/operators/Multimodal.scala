@@ -628,10 +628,11 @@ object Multimodal {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_bytes
               FROM sizes WHERE n_bytes > 0),
             spans AS (
-              SELECT media_type, cum_bytes - n_bytes AS start_byte,
-                cum_bytes AS end_byte,
-                (cum_bytes - n_bytes) // 4096 AS shard_first,
-                (cum_bytes - 1) // 4096 AS shard_last
+              SELECT media_type,
+                CAST(cum_bytes - n_bytes AS BIGINT) AS start_byte,
+                CAST(cum_bytes AS BIGINT) AS end_byte,
+                CAST((cum_bytes - n_bytes) // 4096 AS BIGINT) AS shard_first,
+                CAST((cum_bytes - 1) // 4096 AS BIGINT) AS shard_last
               FROM cum),
             per AS (
               SELECT media_type, CAST(r.shard AS BIGINT) AS shard,
