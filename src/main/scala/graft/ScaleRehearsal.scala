@@ -162,7 +162,19 @@ object ScaleRehearsal {
       // p04 composes d01's fingerprint window + t33's permutation key +
       // the range-exchange prefix pack — the full epoch-manifest path;
       // d22 rides d02's exact shapes plus a candidate-sized array join.
-      "p04_epoch_assembly", "d22_sketch_calibration")
+      "p04_epoch_assembly", "d22_sketch_calibration",
+      // Round-10 wave: d23/t34 ride the df aggregate (vocabulary-keyed;
+      // the tagged copies grow the vocabulary k× — the adversarial
+      // direction); q38 is two aggregates; m10 explodes m09's manifest
+      // ∝ total bytes / shard budget; p05's anti-join probe side is the
+      // resident fingerprint set (corpus-proportional — d21's stance);
+      // m11's inline eval slice GROWS with this corpus (%19 sampling) —
+      // deliberately adversarial for the literal-inline path, d17's
+      // eval-size crossover story on the media axis. q39 reads the
+      // events table (not scaled by this corpus) and is hours×types-
+      // bounded by construction.
+      "d23_boilerplate_report", "t34_templated_docs", "q38_key_skew_profile",
+      "m10_shard_fill", "p05_refresh_manifest", "m11_media_decontaminate")
     def timeQuery(name: String, dir: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
       def once(): (Double, Long) = {

@@ -31,6 +31,9 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    temporal complement of q25's latest-snapshot compaction.
   *  - q38: join/shuffle-key skew profile — per-key share, ratio to the
   *    hottest key, and the is_hot salting signal.
+  *  - q39: ingestion-rate anomaly detection — per-(type, hour) z-score
+  *    against the trailing 24 observations, from order-independent
+  *    BIGINT window sums.
   *  - t01..t34: text query library (grep, wordcount, token counting,
   *    quality scoring, language-ID, fingerprinting, winnowing, TF-IDF,
   *    langid eval, context chunking, co-occurrence PMI, bigram LM,
@@ -72,12 +75,14 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    PQ-ADC with exact rerank, exact cosine radius search, MMR
   *    diversity re-ranking of the retrieval shortlist, metadata-filtered
   *    ANN).
-  *  - m01..m10: multimodal binary-column plumbing (metadata, stub-decode
+  *  - m01..m11: multimodal binary-column plumbing (metadata, stub-decode
   *    features, frame sampling, strided resize, windowed frame energy,
   *    perceptual-hash near-dup pairs, scene-change detection over frame
   *    energies, VAD-style voiced-segment runs, WebDataset-style
   *    shard-manifest packing on the byte axis, per-shard fill/integrity
-  *    audit of that manifest; binaryFile ingest in Multimodal).
+  *    audit of that manifest, perceptual-hash eval-set decontamination
+  *    — d17's literal-inline stance on the media axis; binaryFile
+  *    ingest in Multimodal).
   *  - p01: the composed curation pipeline (gate → dedup-among-survivors →
   *    sequence packing) emitting every document's final disposition and
   *    packed window range — the lineage record of a training-data run.

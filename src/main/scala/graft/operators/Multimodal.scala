@@ -645,7 +645,78 @@ object Multimodal {
               round(CAST(sum(bytes_in_shard) AS DOUBLE) / 4096.0, 6) AS fill_ratio
             FROM per GROUP BY 1, 2 ORDER BY media_type, shard"""))
 
+  /** m11: multimodal eval-set decontamination — d09/d17's stance on the
+    * media axis: flag corpus media whose perceptual signature (m06's
+    * blockhash64) sits within Hamming `maxDist` of ANY benchmark/eval
+    * media item (eval slice = doc_id % 19 == 0, d19's convention). A
+    * training run that keeps an eval image's near-duplicate burns that
+    * benchmark exactly like a leaked text item; this is the scan a
+    * release process runs over its image/audio shards. Emits per corpus
+    * record the min Hamming to the eval set, how many eval items are
+    * within the radius, and the flag.
+    *
+    * Scale shape: d17's literal-inline pattern — the eval signatures are
+    * EVAL-SIZED (a benchmark set, structurally bounded; the one collect
+    * here), inlined as 64-bit literals into a single codegen'd
+    * projection (xor + bit_count per eval item), so the corpus pass is
+    * map-only and embarrassingly parallel: no join, no shuffle before
+    * the final sort, per-row cost ∝ |eval|. The signature pass is ONE
+    * payload scan shared (checkpoint) between the eval collect and the
+    * corpus scan. Exact — banding (m06's shape) is not needed because
+    * the eval side is bounded, and unlike banding this misses nothing at
+    * any Hamming radius. */
+  def mediaDecontaminate(media: Dataset[MediaRecord], maxDist: Int): DataFrame = {
+    val sigs = mediaSignatures(media).localCheckpoint()
+    val evalSigs = sigs.filter(col("doc_id") % 19 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    require(evalSigs.nonEmpty, "mediaDecontaminate: empty eval slice")
+    val hams = array(evalSigs.map { case (_, ph) =>
+      bit_count(col("ph").bitwiseXOR(lit(ph))).cast("long")
+    }.toIndexedSeq: _*)
+    sigs.filter(col("doc_id") % 19 =!= 0)
+      .select(col("doc_id"), hams.as("hams"))
+      .select(
+        col("doc_id"),
+        array_min(col("hams")).as("min_hamming"),
+        size(filter(col("hams"),
+          h => h <= lit(maxDist.toLong))).cast("long").as("n_eval_matches"))
+      .withColumn("flagged", col("min_hamming") <= maxDist)
+      .orderBy("doc_id")
+  }
+
+  val mediaDecontam = Q(
+    "m11_media_decontaminate",
+    (s, d) => mediaDecontaminate(mediaTable(s, d), 14),
+    Some("""WITH chars AS (
+              SELECT doc_id, i, ord(substr(text, CAST(i AS INT), 1)) AS b,
+                     length(text) AS n
+              FROM documents, UNNEST(range(1, length(text) + 1)) AS r(i)
+              WHERE length(text) > 0),
+            blocks AS (
+              SELECT doc_id, ((i - 1) * 64) // n AS blk,
+                     sum(b) AS s, count(*) AS c, max(n) AS n
+              FROM chars GROUP BY 1, 2),
+            tot AS (SELECT doc_id, sum(s) AS st, max(n) AS n
+                    FROM blocks GROUP BY doc_id),
+            sig AS (
+              SELECT b.doc_id,
+                sum(CASE WHEN b.s * t.n > t.st * b.c
+                         THEN (1::HUGEINT << b.blk) ELSE 0::HUGEINT END) AS ph
+              FROM blocks b JOIN tot t USING (doc_id) GROUP BY 1),
+            eval AS (SELECT doc_id, ph FROM sig WHERE doc_id % 19 = 0),
+            corp AS (SELECT doc_id, ph FROM sig WHERE doc_id % 19 <> 0),
+            hams AS (
+              SELECT c.doc_id,
+                CAST(bit_count(xor(c.ph, e.ph)) AS BIGINT) AS h
+              FROM corp c CROSS JOIN eval e)
+            SELECT doc_id,
+              CAST(min(h) AS BIGINT) AS min_hamming,
+              CAST(sum(CASE WHEN h <= 14 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_eval_matches,
+              (min(h) <= 14) AS flagged
+            FROM hams GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(mediaMeta, mediaFeatures, frameSample, mediaResize, frameEnergy, mediaNeardup,
-      scenes, voiced, shardManifestQ, shardFillQ)
+      scenes, voiced, shardManifestQ, shardFillQ, mediaDecontam)
 }

@@ -1012,8 +1012,78 @@ object Relational {
               (CAST(n_rows AS DOUBLE) / CAST(n_total AS DOUBLE) >= 0.25) AS is_hot
             FROM c, t ORDER BY n_rows DESC, lang"""))
 
+  // ------------------------------------------------- rate anomaly (q39)
+  /** q39: ingestion-rate anomaly detection — per (event_type, hour): the
+    * event count, its z-score against the TRAILING 24 observations of
+    * the same type, and a spike flag at |z| ≥ 3. The monitor a data
+    * pipeline runs over its own ingest: a feed that doubles overnight
+    * (scraper loop, replay, upstream incident) shows up as a spike row
+    * before it poisons mixing weights downstream (q31 reads volumes).
+    *
+    * Exactness: the trailing mean/std derive from BIGINT window sums
+    * (Σx, Σx² over counts — order-independent), closed with ONE
+    * identically-written double expression in both engines; variance is
+    * clamped at 0 (fp dust) and a zero std yields NULL z via NULLIF —
+    * the t32 discipline. z is rounded to 6 BEFORE the flag compare, so
+    * the |z| ≥ 3 boundary cannot drift between engines.
+    *
+    * Scale shape: one (hour, type)-keyed count with map-side partials
+    * collapses the corpus to hours × types rows; the trailing windows
+    * are PARTITIONED BY event_type (bounded partitions: hours per type),
+    * never global. Output ∝ hours × types — tiny at any event volume. */
+  val q39 = Q(
+    "q39_rate_anomaly",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+      val w = Window.partitionBy("event_type").orderBy("hour")
+        .rowsBetween(-24, -1)
+      val zExpr =
+        """CASE WHEN n_base >= 12 THEN
+             round((CAST(n_events AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n_base AS DOUBLE))
+               / NULLIF(sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(n_base AS DOUBLE)
+                   - (CAST(s1 AS DOUBLE) / CAST(n_base AS DOUBLE))
+                     * (CAST(s1 AS DOUBLE) / CAST(n_base AS DOUBLE)), 0.0)), 0.0), 6)
+           ELSE NULL END"""
+      hourly
+        .withColumn("n_base", count(lit(1)).over(w))
+        .withColumn("s1", coalesce(sum("n_events").over(w), lit(0L)))
+        .withColumn("s2",
+          coalesce(sum(col("n_events") * col("n_events")).over(w), lit(0L)))
+        .withColumn("z", expr(zExpr))
+        .withColumn("is_spike", coalesce(abs(col("z")) >= 3.0, lit(false)))
+        .select("hour", "event_type", "n_events", "n_base", "z", "is_spike")
+        .orderBy("hour", "event_type")
+    },
+    Some("""WITH hourly AS (
+              SELECT date_trunc('hour', ts) AS hour, event_type,
+                CAST(count(*) AS BIGINT) AS n_events
+              FROM events GROUP BY 1, 2),
+            win AS (
+              SELECT hour, event_type, n_events,
+                CAST(count(*) OVER tw AS BIGINT) AS n_base,
+                CAST(coalesce(sum(n_events) OVER tw, 0) AS BIGINT) AS s1,
+                CAST(coalesce(sum(n_events * n_events) OVER tw, 0) AS BIGINT) AS s2
+              FROM hourly
+              WINDOW tw AS (PARTITION BY event_type ORDER BY hour
+                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+            scored AS (
+              SELECT hour, event_type, n_events, n_base,
+                CASE WHEN n_base >= 12 THEN
+                  round((CAST(n_events AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n_base AS DOUBLE))
+                    / NULLIF(sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(n_base AS DOUBLE)
+                        - (CAST(s1 AS DOUBLE) / CAST(n_base AS DOUBLE))
+                          * (CAST(s1 AS DOUBLE) / CAST(n_base AS DOUBLE)), 0.0)), 0.0), 6)
+                ELSE NULL END AS z
+              FROM win)
+            SELECT hour, event_type, n_events, n_base, z,
+              coalesce(abs(z) >= 3.0, false) AS is_spike
+            FROM scored ORDER BY hour, event_type"""))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
       q18, q19, q20, q21, q22, q25, q26, q27, q29, q30, q32, q33, q34, q36, q37,
-      q38)
+      q38, q39)
 }

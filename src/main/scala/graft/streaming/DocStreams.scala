@@ -280,6 +280,58 @@ object DocStreams {
         col("n_hits"), col("flags"), (col("flags") === 0L).as("releasable"))
   }
 
+  /** Per-row kernel of [[templateGate]]: the doc's distinct 3-shingle
+    * count and how many of those shingles sit in the (broadcast) hot
+    * vocabulary — the scalar mirror of t34's join+rollup. Tokenization,
+    * distinctness, and the 60-bit hash must stay identical to
+    * `Dedup.shingleSets`/`md5Hash60` (same contract as
+    * [[sharedNgramCount]]). */
+  def shingleProfile(text: String, hot: scala.collection.Set[Long]): Array[Long] = {
+    val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    if (toks.length < 3) Array(0L, 0L)
+    else {
+      val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+      toks.sliding(3).foreach(w => seen += w.mkString(" "))
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var nHot = 0L
+      seen.foreach { s =>
+        val hex = md.digest(s.getBytes("UTF-8")).take(8)
+          .map(b => f"${b & 0xff}%02x").mkString.take(15)
+        if (hot.contains(java.lang.Long.parseLong(hex, 16))) nHot += 1L
+        md.reset()
+      }
+      Array(seen.size.toLong, nHot)
+    }
+  }
+
+  /** At-ingest templated-ness scoring — t34's streaming twin: every
+    * arriving document is scored against a FROZEN hot-shingle vocabulary
+    * (d23's report keys, broadcast once at query start) the moment it
+    * lands, instead of waiting for a batch re-profile. The contract
+    * (spec-asserted): scored against the SAME vocabulary, the streamed
+    * rows are value-identical to batch t34 restricted to the arrivals —
+    * the vocabulary is the model here, and like t24/t27's models it is
+    * corpus-learned offline and applied at ingest. Zero streaming state
+    * (pure per-row work against the broadcast set), so the gate holds at
+    * any ingest rate with no watermark; docs with < 3 tokens have no
+    * shingles and are dropped, matching t34's domain. */
+  def templateGate(spark: SparkSession, stream: DataFrame,
+      hotShingles: DataFrame, flagAt: Double): DataFrame = {
+    import spark.implicits._
+    val hotSet = hotShingles.select("sh_h").as[Long].collect().toSet // hot-vocabulary-sized
+    val bc = spark.sparkContext.broadcast(hotSet)
+    val profUdf = udf((text: String) => shingleProfile(text, bc.value))
+    stream
+      .withColumn("p", profUdf(col("text")))
+      .withColumn("n_shingles", element_at(col("p"), 1))
+      .filter(col("n_shingles") > 0L)
+      .withColumn("n_hot", element_at(col("p"), 2))
+      .withColumn("boiler_frac",
+        round(col("n_hot").cast("double") / col("n_shingles").cast("double"), 6))
+      .select(col("doc_id"), col("n_shingles"), col("n_hot"),
+        col("boiler_frac"), (col("boiler_frac") >= flagAt).as("is_templated"))
+  }
+
   /** Deterministic hash-bucket sampling at ingest — the streaming twin of
     * batch q23/q24: the keep decision is md5-bucket arithmetic over the
     * row's OWN key ([[graft.operators.Sampling.hashBucket]]), so it is

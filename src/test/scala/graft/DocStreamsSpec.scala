@@ -225,4 +225,42 @@ class DocStreamsSpec extends SparkSpec {
       assert(streamed.values.exists(_._5) && streamed.values.exists(!_._5))
     } finally q.stop()
   }
+
+  test("at-ingest template gate == batch t34 against the same frozen vocabulary, zero state") {
+    val base = java.nio.file.Files.createTempDirectory("graft-template-gate").toString
+    val docs = Tables.documents(spark, sf)
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val split = maxId / 2
+    // The frozen vocabulary: d23's hot-shingle keys over the FULL corpus
+    // (the model the gate applies; corpus-learned offline like t24/t27).
+    val hot = Dedup.hashedShingles(Dedup.shingleSets(docs))
+      .groupBy("sh_h").agg(count(lit(1)).as("df")).filter(col("df") >= 4)
+    docs.filter(col("doc_id") < split).coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/documents.parquet")
+    val gate = DocStreams.templateGate(spark,
+      DocStreams.readDocumentStream(spark, base), hot, 0.5)
+    val q = EventStreams.runToMemory(gate, "template_gate_out", OutputMode.Append)
+    try {
+      q.processAllAvailable()
+      docs.filter(col("doc_id") >= split).coalesce(1)
+        .write.mode("append").parquet(s"$base/documents.parquet")
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      val streamed = spark.table("template_gate_out").collect().map(key).toMap
+      val batch = graft.operators.TextOps.templatedDocs(docs, 4, 0.5)
+        .collect().map(key).toMap
+      assert(streamed.keySet == batch.keySet,
+        s"row-set drift: ${batch.keySet.diff(streamed.keySet).take(5)}")
+      streamed.foreach { case (id, v) =>
+        assert(batch(id) == v, s"template score mismatch for doc $id: $v vs ${batch(id)}")
+      }
+      // Non-vacuous in both directions, and genuinely stateless.
+      assert(streamed.values.exists(_._4), "no templated doc fired the flag")
+      assert(streamed.values.exists(!_._4), "every doc flagged — degenerate fixture")
+      val stateRows = q.recentProgress.toSeq.flatMap(_.stateOperators.toSeq)
+        .map(_.numRowsTotal)
+      assert(stateRows.forall(_ == 0L), s"template gate must be stateless: $stateRows")
+    } finally q.stop()
+  }
 }

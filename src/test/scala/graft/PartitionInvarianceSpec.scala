@@ -117,7 +117,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     // prefix scan rides the same range-exchange claim as p04.
     "d04_ngram_jaccard", "d18_containment_pairs", "d23_boilerplate_report",
     "t34_templated_docs", "q38_key_skew_profile", "m10_shard_fill",
-    "p05_refresh_manifest")
+    "p05_refresh_manifest",
+    // q39's z derives from BIGINT window sums over a (hour, type)-unique
+    // total order; m11 is a map-only scan against literal eval
+    // signatures — both gated to prove no geometry sensitivity.
+    "q39_rate_anomaly", "m11_media_decontaminate")
 
   test("round-5/6 queries return identical rows at shuffle.partitions = 3 and 17") {
     val conf = spark.conf
