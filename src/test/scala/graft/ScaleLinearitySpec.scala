@@ -45,7 +45,12 @@ class ScaleLinearitySpec extends SparkSpec {
     // m07/t27 (round-6): per-doc outputs — rows must stay exactly 3×; the
     // wall ceiling guards m07's doc-keyed lag window and t27's two
     // bucket-keyed shuffles against any pair-explosion regression.
-    Seq("d02_dedup_minhash_lsh", "d11_repeated_spans", "t16_shingle_novelty",
+    // d04 (round-10): the df-capped shared-shingle kernel — the linearity
+    // gate is the CI-shape regression guard for the one formerly
+    // k²-shaped plan (pair rows scale 3× on the tagged shingle-disjoint
+    // copies; a cap regression would blow the wall ceiling first).
+    Seq("d02_dedup_minhash_lsh", "d04_ngram_jaccard", "d11_repeated_spans",
+        "t16_shingle_novelty",
         "d13_chunk_scrub", "p01_corpus_pipeline", "m07_scene_cuts",
         "t27_dsir_importance", "p02_mix_pipeline")
       .foreach { name =>
