@@ -116,6 +116,22 @@ object NoOracleReport {
     val s07 = truth.count(got.contains).toDouble / truth.size
     row("s07_ann_ivf_append", "planted_lifecycle_recall@5>=0.9", 0.9, s07, s07 >= 0.9)
 
+    // s12: delete-lifecycle recall — probe over the tombstone-masked
+    // planted index vs brute force over the SURVIVORS (deleted queries
+    // still search; recall measured on the query set truth covers).
+    val idxD = java.nio.file.Files.createTempDirectory("graft-nooracle-del").toString + "/idx"
+    Similarity.ivfWriteIndexOf(spark, pe, idxD, nCells = 16)
+    Similarity.ivfDeleteIndex(spark,
+      pe.filter(pmod(col("vec_id"), lit(10)) === 3).select("vec_id"), idxD)
+    val truthD = Similarity.bruteForceTopKFrom(
+        pe.filter(pmod(col("vec_id"), lit(10)) =!= 3), 10, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotD = Similarity.ivfProbeIndex(spark, planted, idxD, 10, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter(p => truthD.exists(_._1 == p._1)).toSet
+    val s12 = truthD.count(gotD.contains).toDouble / truthD.size
+    row("s12_ann_ivf_delete", "planted_masked_recall@5>=0.9", 0.9, s12, s12 >= 0.9)
+
     // s10: every MMR pick #1 must be the exact top-1 (greedy definition).
     val mmr1 = Similarity.mmrDiversify(spark, sfDir, 10, 20, 5, 0.7).collect()
       .filter(_.getLong(3) == 1L).map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -69,12 +69,14 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    MinHash sketch calibration — estimated vs exact Jaccard,
   *    corpus boilerplate report — the hot-shingle vocabulary behind the
   *    d04/d18 df-cap with per-shingle source spread).
-  *  - s01..s11: similarity search (brute-force ANN, LSH-bucketed ANN,
+  *  - s01..s12: similarity search (brute-force ANN, LSH-bucketed ANN,
   *    per-label centroid stats, IVF ANN, recall@k evaluation, int8
   *    quantization error audit, incremental IVF ingest serving state,
   *    PQ-ADC with exact rerank, exact cosine radius search, MMR
   *    diversity re-ranking of the retrieval shortlist, metadata-filtered
-  *    ANN).
+  *    ANN, tombstone-delete serving state — the index lifecycle's third
+  *    verb: delete is one O(|deletes|) side-table write, probes mask at
+  *    read time, compaction folds and resets).
   *  - m01..m11: multimodal binary-column plumbing (metadata, stub-decode
   *    features, frame sampling, strided resize, windowed frame energy,
   *    perceptual-hash near-dup pairs, scene-change detection over frame

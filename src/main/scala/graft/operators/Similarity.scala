@@ -314,6 +314,27 @@ object Similarity {
       .toDF("cell", "query_id", "qe")
   }
 
+  /** Tombstone deletion — the third verb of the index lifecycle
+    * (build → append → DELETE → compact): deleted ids land in a tiny
+    * `_tombstones` side table (one append-mode write, O(|deletes|) — the
+    * cell files are NEVER rewritten on the delete path, exactly how
+    * production ANN stores take deletes). Probes mask tombstoned rows at
+    * read time (anti join against the broadcast-small tombstone set);
+    * [[ivfCompactIndex]] folds them into the rewrite and clears the
+    * side table, so tombstone volume is bounded by one compaction
+    * interval. Idempotent: deleting an id twice, or an id absent from
+    * the index, is harmless (the mask is a set). */
+  def ivfDeleteIndex(spark: SparkSession, deletedIds: DataFrame, indexPath: String): Unit =
+    deletedIds.select(col("vec_id")).coalesce(1)
+      .write.mode("append").parquet(indexPath + "_tombstones")
+
+  /** The live tombstone mask, empty when none have been written. */
+  private def tombstones(spark: SparkSession, indexPath: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(indexPath + "_tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(indexPath + "_tombstones")) else None
+  }
+
   def ivfProbeIndex(spark: SparkSession, d: String, indexPath: String,
       nQueries: Int, k: Int, nProbe: Int = 4): DataFrame = {
     import spark.implicits._
@@ -321,7 +342,12 @@ object Similarity {
     // The probe cell set is queries×nProbe ints — collecting it makes the
     // IN literal, which is what lets the scan prune partitions statically.
     val probeCells = queries.select("cell").distinct().as[Int].collect().toSeq.sorted
-    val corpus = spark.read.parquet(indexPath)
+    val live = spark.read.parquet(indexPath)
+    val corpus = tombstones(spark, indexPath)
+      // Deleted rows are masked at read time; the set is bounded by one
+      // compaction interval, so AQE broadcasts it.
+      .fold(live)(ts => live.join(ts.withColumnRenamed("vec_id", "neighbor_id"),
+        Seq("neighbor_id"), "left_anti"))
       .filter(col("cell").isin(probeCells: _*))
     val sims = corpus.join(broadcast(queries), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -402,7 +428,14 @@ object Similarity {
       require(fs.rename(new Path(retired), new Path(indexPath)),
         s"compact: cannot restore $retired after crashed swap")
     val nCells = spark.read.parquet(indexPath + "_codebook").count().toInt
-    spark.read.parquet(indexPath)
+    val live = spark.read.parquet(indexPath)
+    // Fold tombstones into the rewrite: the compacted index physically
+    // drops deleted rows, and the mask resets only AFTER the swap
+    // succeeded (a crash between rewrite and swap leaves the tombstones
+    // in place — probes stay correct either way).
+    tombstones(spark, indexPath)
+      .fold(live)(ts => live.join(ts.withColumnRenamed("vec_id", "neighbor_id"),
+        Seq("neighbor_id"), "left_anti"))
       .repartition(nCells, col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(staged)
     fs.delete(new Path(retired), true) // leftover from a crashed swap
@@ -411,6 +444,7 @@ object Similarity {
     require(fs.rename(new Path(staged), new Path(indexPath)),
       s"compact: cannot activate $staged")
     fs.delete(new Path(retired), true)
+    fs.delete(new Path(indexPath + "_tombstones"), true)
   }
 
   /** s07: ANN serving state after incremental ingest — top-k under a STALE
@@ -455,6 +489,59 @@ object Similarity {
   val annAppend = Q(
     "s07_ann_ivf_append",
     (s, d) => ivfStaleTopK(s, d, 10, 5),
+    None)
+
+  /** s12: serving state after DELETES — the in-memory twin of
+    * [[ivfDeleteIndex]]+probe, completing the index lifecycle s07 opened
+    * (build → append → delete → compact): the codebook was trained
+    * BEFORE the deletes landed (no re-cluster on the delete path — same
+    * staleness stance as s07), the corpus scan masks the tombstoned ids
+    * (vec_id % 10 == 3, a tenth of the index), and the top-k must be
+    * filled entirely from surviving vectors — `refilled` marks neighbors
+    * that would NOT have made the pre-delete top-k (rank > k under the
+    * full corpus), the proof the index backfills rather than returning
+    * holes. The PERSISTED path (tombstone side table, read-time mask,
+    * compaction folding + mask reset, crash placement) is asserted
+    * row-identical to this twin in PartitionPruningSpec.
+    * Rows-only check (approximate by construction, still deterministic);
+    * the recall floor lives in NoOracleReport/OperatorSpec. */
+  def ivfDeletedTopK(spark: SparkSession, d: String, nQueries: Int, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, kmeansIters: Int = 3): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+      .localCheckpoint()
+    val codebook = ivfCodebookOf(spark, e, nCells, kmeansIters)
+    val bc = spark.sparkContext.broadcast(codebook)
+    def nearestCells(v: Array[Float], n: Int): Seq[Int] =
+      bc.value.map { case (cid, c) => (cid, dotd(unit(v), c)) }
+        .sortBy { case (cid, s) => (-s, cid) }.take(n).map(_._1).toSeq
+    val corpus = assignCells(spark, e, codebook).localCheckpoint()
+    val queries = e.as[(Long, Array[Float])]
+      .filter(_._1 < nQueries)
+      .flatMap { case (id, v) => nearestCells(v, nProbe).map(c => (c, id, v)) }
+      .toDF("cell", "query_id", "qe")
+    def topK(c: DataFrame): DataFrame = {
+      val sims = c.join(broadcast(queries), Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), cosine(col("qe"), col("ne")).as("c"))
+        .dropDuplicates("query_id", "neighbor_id")
+      val w = Window.partitionBy("query_id").orderBy(col("c").desc, col("neighbor_id"))
+      sims.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+    }
+    val preDelete = topK(corpus)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("pre"))
+    topK(corpus.filter(pmod(col("neighbor_id"), lit(10)) =!= 3))
+      .join(preDelete, Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("c"), 6).as("cos_sim"), col("rank"),
+        col("pre").isNull.as("refilled"))
+      .orderBy("query_id", "rank")
+  }
+
+  val annDelete = Q(
+    "s12_ann_ivf_delete",
+    (s, d) => ivfDeletedTopK(s, d, 10, 5),
     None)
 
   // --------------------------------------------------- product quantization
@@ -901,5 +988,5 @@ object Similarity {
 
   val all: Seq[Q] =
     Seq(annBruteForce, annLsh, centroids, annIvf, annRecall, quantError, annAppend,
-      annPq, radius, mmr, filteredAnn)
+      annPq, radius, mmr, filteredAnn, annDelete)
 }

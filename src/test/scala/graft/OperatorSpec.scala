@@ -29,7 +29,8 @@ class OperatorSpec extends SparkSpec {
       "q15_approx_distinct", "q27_percentile_sketch",
       "t21_bpe_merges", // iterative arg-max: merge i depends on 1..i-1
       "t25_bpe_encode", // consumes t21's iteratively-trained merge table
-      "s10_ann_mmr_diversify") // iterative greedy argmax per query (t21's contract)
+      "s10_ann_mmr_diversify", // iterative greedy argmax per query (t21's contract)
+      "s12_ann_ivf_delete") // probe over the tombstone-masked index (s07's contract)
     assert(SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet) == rowsOnly)
   }
 

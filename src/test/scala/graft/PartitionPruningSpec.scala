@@ -157,6 +157,56 @@ class PartitionPruningSpec extends SparkSpec {
       s"post-compaction recall@5 $recallAfter below the 0.6 floor (nProbe 4/$nCells)")
   }
 
+  test("IVF delete: tombstone mask serves immediately, compaction folds it (s12's persisted path)") {
+    import graft.operators.Similarity
+    val nCells = 16
+    val idx = Files.createTempDirectory("graft-ivf-delete").toFile.getAbsolutePath + "/index"
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    Similarity.ivfWriteIndexOf(spark, e, idx, nCells = nCells, kmeansIters = 3)
+    val nAll = spark.read.parquet(idx).count()
+
+    // Delete a tenth (vec_id % 10 == 3): ONE tiny tombstone write — the
+    // cell files must be untouched on the delete path.
+    val mtimes = new java.io.File(idx).listFiles()
+      .filter(_.getName.startsWith("cell=")).map(f => f.getName -> f.lastModified).toMap
+    Similarity.ivfDeleteIndex(spark,
+      e.filter(pmod(col("vec_id"), lit(10)) === 3).select("vec_id"), idx)
+    assert(new java.io.File(idx).listFiles().filter(_.getName.startsWith("cell="))
+      .forall(f => mtimes(f.getName) == f.lastModified),
+      "delete rewrote cell files — tombstoning must be O(|deletes|)")
+
+    // The masked probe serves immediately: no deleted id, and
+    // row-identical to the in-memory twin (same geometry, same codebook
+    // determinism) — the PERSISTED path == the registered s12 query.
+    val probed = Similarity.ivfProbeIndex(spark, sf, idx, nQueries = 10, k = 5)
+      .collect()
+    assert(probed.forall(_.getLong(1) % 10 != 3), "deleted id served by masked probe")
+    val twin = Similarity.ivfDeletedTopK(spark, sf, 10, 5, nCells = nCells)
+      .select("query_id", "neighbor_id", "cos_sim", "rank").collect()
+    assert(probed.map(_.toString).toSeq == twin.map(_.toString).toSeq,
+      "masked probe != in-memory delete twin")
+
+    // Compaction folds the tombstones: rows physically gone, mask reset,
+    // probe rows identical across the fold.
+    Similarity.ivfCompactIndex(spark, idx)
+    assert(!new java.io.File(idx + "_tombstones").exists(),
+      "compaction must reset the tombstone mask")
+    val after = spark.read.parquet(idx)
+    assert(after.count() < nAll && after.filter(pmod(col("neighbor_id"), lit(10)) === 3).count() == 0,
+      "compaction failed to fold tombstones into the rewrite")
+    val reProbe = Similarity.ivfProbeIndex(spark, sf, idx, nQueries = 10, k = 5)
+      .collect()
+    assert(reProbe.map(_.toString).toSeq == probed.map(_.toString).toSeq,
+      "probe drift across tombstone-folding compaction")
+
+    // Idempotence: re-deleting already-compacted ids is harmless.
+    Similarity.ivfDeleteIndex(spark,
+      e.filter(pmod(col("vec_id"), lit(10)) === 3).select("vec_id"), idx)
+    val reReProbe = Similarity.ivfProbeIndex(spark, sf, idx, nQueries = 10, k = 5)
+      .collect()
+    assert(reReProbe.map(_.toString).toSeq == probed.map(_.toString).toSeq)
+  }
+
   test("IVF compaction mid-swap crash: probes fail loudly, next compact self-heals") {
     import graft.operators.Similarity
     import org.apache.hadoop.fs.Path
