@@ -49,7 +49,9 @@ object PlanAudit {
       "d23_boilerplate_report", "q38_key_skew_profile",
       // p05: the accepted-wave manifest crossJoins the 1-row resident
       // token-total aggregate — the append cursor's base, × 1 row.
-      "p05_refresh_manifest")
+      "p05_refresh_manifest",
+      // p06: two 1-row minimum attachments (q31's shape, twice).
+      "p06_dedup_mix_rates")
 
   /** Tables that are corpus-/fact-scale at the 100 TB target — anything
     * derived from one of these is presumed unbounded unless the deriving

@@ -54,7 +54,7 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    deterministic seeded epoch shuffle — global rank with no global
   *    window via the two-phase prefix scan, per-doc templated-ness
   *    score over the corpus-hot shingle vocabulary).
-  *  - d01..d23: dedup & corpus hygiene (exact, MinHash-LSH, SimHash,
+  *  - d01..d24: dedup & corpus hygiene (exact, MinHash-LSH, SimHash,
   *    n-gram Jaccard, embedding-cosine, connected-component clusters,
   *    keep-list, near-dup triangles, benchmark decontamination,
   *    incremental delta dedup, exact-substring repeated spans, near-dup
@@ -68,7 +68,8 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    split-leakage audit over the engine's own md5-bucket split,
   *    MinHash sketch calibration — estimated vs exact Jaccard,
   *    corpus boilerplate report — the hot-shingle vocabulary behind the
-  *    d04/d18 df-cap with per-shingle source spread).
+  *    d04/d18 df-cap with per-shingle source spread, per-source
+  *    exact-dup inflation factors).
   *  - s01..s12: similarity search (brute-force ANN, LSH-bucketed ANN,
   *    per-label centroid stats, IVF ANN, recall@k evaluation, int8
   *    quantization error audit, incremental IVF ingest serving state,
@@ -100,6 +101,10 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *  - p05: the incremental refresh manifest (wave-vs-resident exact
   *    dedup → packing that CONTINUES the resident token cursor) — the
   *    append-only delta a crawl refresh ships without repacking.
+  *  - p06: mix rebalance after dedup — q31's temperature rates from raw
+  *    AND post-d01 source masses with the per-source shift (dedup moves
+  *    masses; weights derived before it are wrong for the corpus that
+  *    actually trains).
   */
 object SparkEntry {
   val inventory: Seq[Q] =

@@ -2061,9 +2061,64 @@ object Dedup {
               round(CAST(df AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS df_share
             FROM agg, tot WHERE df >= 4 ORDER BY df DESC, sh_h"""))
 
+  // --------------------------------------------- dup inflation (d24)
+  /** d24: per-source duplication inflation — for every source: how many
+    * of its documents are exact-dup REDUNDANT copies (not their group's
+    * representative under d01's min-doc_id rule), the dup rate, and the
+    * inflation factor (docs per surviving representative). This is the
+    * source-level readout d20's n-gram matrix can't give: d20 says which
+    * sources SHARE text, d24 says how much each source's volume is
+    * self-inflated — the number a mixing policy divides by before
+    * trusting raw per-source token mass (p06 applies it end-to-end).
+    *
+    * Scale shape: one fingerprint-keyed window (d01's shuffle) to mark
+    * representatives, one source-keyed aggregate with map-side partials;
+    * output = #sources. */
+  def dupInflation(docs: DataFrame): DataFrame = {
+    val marked = docs
+      .withColumn("fp", md5(normText(col("text"))))
+      .withColumn("keep_id", min("doc_id").over(Window.partitionBy("fp")))
+    marked.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L))
+          .as("n_redundant"))
+      .select(
+        col("source"), col("n_docs"), col("n_redundant"),
+        round(col("n_redundant").cast("double") / col("n_docs").cast("double"), 6)
+          .as("dup_rate"),
+        round(col("n_docs").cast("double") /
+          (col("n_docs") - col("n_redundant")).cast("double"), 6).as("inflation"))
+      .orderBy("source")
+  }
+
+  val inflation = Q(
+    "d24_dup_inflation",
+    (s, d) => dupInflation(Tables.documents(s, d)),
+    Some("""WITH fp AS (
+              SELECT doc_id, source,
+                md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+              FROM documents),
+            marked AS (
+              SELECT doc_id, source,
+                min(doc_id) OVER (PARTITION BY fp) AS keep_id
+              FROM fp),
+            agg AS (
+              SELECT source,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_redundant
+              FROM marked GROUP BY source)
+            SELECT source, n_docs, n_redundant,
+              round(CAST(n_redundant AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+                AS dup_rate,
+              round(CAST(n_docs AS DOUBLE)
+                / CAST(n_docs - n_redundant AS DOUBLE), 6) AS inflation
+            FROM agg ORDER BY source"""))
+
   val all: Seq[Q] =
     Seq(exact, minhash, simhash, ngramJaccard, embedding, clusters, keep, triangles,
       decontam, incremental, repeated, consensus, chunkDedup, semantic, bestKeep,
       provenance, embeddingDecontam, containment, evalLeak, crossSource, splitLeak,
-      calibration, hotReport)
+      calibration, hotReport, inflation)
 }

@@ -494,5 +494,68 @@ object Pipeline {
                    - (cum_tokens - n_tokens) // 512 + 1 AS BIGINT) AS n_seqs
             FROM cum WHERE n_tokens > 0 ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(pipeline, mix, audit, epoch, refresh)
+  // ------------------------------------------- post-dedup mix rates (p06)
+  /** p06: mix rebalance after dedup — q31's temperature rates derived
+    * TWICE, from raw per-source token mass and from the post-d01 masses,
+    * with the per-source shift. Dedup moves source masses (a mirrored
+    * feed loses its inflation — d24 measures exactly that), so mixing
+    * weights derived before dedup are systematically wrong for the
+    * corpus that actually trains; this query is the evidence table a mix
+    * policy reads to decide the re-derivation matters. Rates use q31's
+    * exact formula (α = 0.5 temperature: sqrt(min_tokens/src_tokens)),
+    * rounded identically in both engines.
+    *
+    * Scale shape: d01's fingerprint window + two source-keyed aggregates
+    * (map-side partials) + two 1-row minimum attachments (bounded cross
+    * joins, PlanAudit-allowlisted) — output = #sources. */
+  def dedupMixRates(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .withColumn("fp", md5(normText(col("text"))))
+      .withColumn("keep_id", min("doc_id").over(Window.partitionBy("fp")))
+      .withColumn("n_toks", size(tokens(col("text"))).cast("long"))
+    val raw = toks.groupBy("source").agg(sum("n_toks").as("raw_tokens"))
+    val dedup = toks.filter(col("doc_id") === col("keep_id"))
+      .groupBy("source").agg(sum("n_toks").as("dedup_tokens"))
+    val joined = raw.join(dedup, Seq("source"))
+      .crossJoin(raw.agg(min("raw_tokens").as("min_raw")))
+      .crossJoin(dedup.agg(min("dedup_tokens").as("min_dedup")))
+    joined.select(
+      col("source"), col("raw_tokens"), col("dedup_tokens"),
+      round(sqrt(col("min_raw").cast("double") / col("raw_tokens").cast("double")), 6)
+        .as("raw_rate"),
+      round(sqrt(col("min_dedup").cast("double") / col("dedup_tokens").cast("double")), 6)
+        .as("dedup_rate"))
+      .withColumn("rate_shift", round(col("dedup_rate") - col("raw_rate"), 6))
+      .orderBy("source")
+  }
+
+  val dedupMix = Q(
+    "p06_dedup_mix_rates",
+    (s, d) => dedupMixRates(Tables.documents(s, d)),
+    Some("""WITH toks AS (
+              SELECT doc_id, source,
+                md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+                len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                t -> t <> ''))::BIGINT AS n_toks
+              FROM documents),
+            marked AS (
+              SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM toks),
+            raw AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS raw_tokens
+                    FROM marked GROUP BY source),
+            ded AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS dedup_tokens
+                    FROM marked WHERE doc_id = keep_id GROUP BY source),
+            mr AS (SELECT CAST(min(raw_tokens) AS BIGINT) AS min_raw FROM raw),
+            md AS (SELECT CAST(min(dedup_tokens) AS BIGINT) AS min_dedup FROM ded),
+            rates AS (
+              SELECT r.source, r.raw_tokens, d.dedup_tokens,
+                round(sqrt(CAST(min_raw AS DOUBLE) / CAST(r.raw_tokens AS DOUBLE)), 6)
+                  AS raw_rate,
+                round(sqrt(CAST(min_dedup AS DOUBLE) / CAST(d.dedup_tokens AS DOUBLE)), 6)
+                  AS dedup_rate
+              FROM raw r JOIN ded d USING (source), mr, md)
+            SELECT source, raw_tokens, dedup_tokens, raw_rate, dedup_rate,
+              round(dedup_rate - raw_rate, 6) AS rate_shift
+            FROM rates ORDER BY source"""))
+
+  val all: Seq[Q] = Seq(pipeline, mix, audit, epoch, refresh, dedupMix)
 }

@@ -121,7 +121,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     // q39's z derives from BIGINT window sums over a (hour, type)-unique
     // total order; m11 is a map-only scan against literal eval
     // signatures — both gated to prove no geometry sensitivity.
-    "q39_rate_anomaly", "m11_media_decontaminate")
+    "q39_rate_anomaly", "m11_media_decontaminate",
+    // d24/p06 ride d01's fingerprint window (total order: min doc_id per
+    // fp) into source-keyed exact aggregates; p06's rates are one
+    // identically-written double expression over BIGINTs.
+    "d24_dup_inflation", "p06_dedup_mix_rates")
 
   test("round-5/6 queries return identical rows at shuffle.partitions = 3 and 17") {
     val conf = spark.conf
