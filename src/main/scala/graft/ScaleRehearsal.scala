@@ -174,7 +174,15 @@ object ScaleRehearsal {
       // events table (not scaled by this corpus) and is hours×types-
       // bounded by construction.
       "d23_boilerplate_report", "t34_templated_docs", "q38_key_skew_profile",
-      "m10_shard_fill", "p05_refresh_manifest", "m11_media_decontaminate")
+      "m10_shard_fill", "p05_refresh_manifest", "m11_media_decontaminate",
+      // Round-10 late pair: d24 is d01's fingerprint window + a source-
+      // keyed aggregate (output = #sources, scale-invariant row count);
+      // p06 runs that window plus TWO source-keyed aggregates and two
+      // 1-row minimum attachments — both must ride d01's band, since
+      // the tagged copies keep fingerprints distinct across copies
+      // (dup groups stay within-copy, the window's group sizes are
+      // scale-invariant while group COUNT grows k×).
+      "d24_dup_inflation", "p06_dedup_mix_rates")
     def timeQuery(name: String, dir: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
       def once(): (Double, Long) = {
