@@ -36,6 +36,8 @@ object PlanAudit {
     */
   val bnljAllowlist: Set[String] =
     Set("s01_ann_cosine_topk", "s09_radius_search", "s10_ann_mmr_diversify",
+      // s13: s01's broadcast-probe scan carrying labels (vec_id < 20).
+      "s13_knn_label_purity",
       "t08_tfidf_topterms",
       "t11_cooccur_pmi", "t27_dsir_importance", "q31_temperature_mix",
       // p02 composes q31's rate build — the same source-totals ×
@@ -51,7 +53,10 @@ object PlanAudit {
       // token-total aggregate — the append cursor's base, × 1 row.
       "p05_refresh_manifest",
       // p06: two 1-row minimum attachments (q31's shape, twice).
-      "p06_dedup_mix_rates")
+      "p06_dedup_mix_rates",
+      // d25: one 1-row corpus-total attachment over the group-size
+      // spectrum (output = #distinct group sizes × 1 row).
+      "d25_cluster_spectrum")
 
   /** Tables that are corpus-/fact-scale at the 100 TB target — anything
     * derived from one of these is presumed unbounded unless the deriving
@@ -95,6 +100,9 @@ object PlanAudit {
     "s11_ann_filtered" -> ("probe side is the vec_id < 10 literal-bounded " +
       "query set carrying its filter label — s01's argument; the filtered " +
       "corpus side streams map-side against the broadcast probes"),
+    "s13_knn_label_purity" -> ("probe side is the vec_id < 20 literal-bounded " +
+      "query set carrying its label — s01's argument; the purity aggregate " +
+      "runs over the k-row-per-query shortlist"),
     "t08_tfidf_topterms" -> ("docFreq is vocabulary-sized (distinct unigrams " +
       "plateau ~10^7) + a 1-row corpus count"),
     "t11_cooccur_pmi" -> ("docFreq is vocabulary-sized (distinct unigrams " +

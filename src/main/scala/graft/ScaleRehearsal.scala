@@ -74,11 +74,19 @@ object ScaleRehearsal {
     val spark = GraftSession.get("graft-scale-rehearsal")
 
     // 5th arg "reuse": skip the corpus writes when a previous run already
-    // built $outDir at this k (verified by row count) — targeted
-    // re-measures after a plan change shouldn't pay the build again.
-    val reuse = args.length > 4 && args(4) == "reuse" && {
+    // built $outDir at this k (verified by row count; the embeddings twin
+    // must also carry `label` — s13 reads it, older builds dropped it) —
+    // targeted re-measures after a plan change shouldn't pay the build
+    // again.
+    val reuseReq = args.length > 4 && args(4) == "reuse"
+    val reuse = reuseReq && {
       try spark.read.parquet(s"$outDir/documents.parquet").count() ==
         spark.read.parquet(s"$sfDir/documents.parquet").count() * k
+      catch { case _: Exception => false }
+    }
+    val reuseEmb = reuseReq && {
+      try spark.read.parquet(s"$outDir/embeddings.parquet")
+        .columns.contains("label")
       catch { case _: Exception => false }
     }
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -90,9 +98,9 @@ object ScaleRehearsal {
     println(s"[scale] corpus: ${n1} docs at 1x -> ${nK} docs at ${k}x ($outDir${if (reuse) ", reused" else ""})")
     // The k× embeddings twin (verbatim copies, offset ids) is written up
     // front: p03's sem leg and the d17 rows below read it from $outDir.
-    if (!reuse) {
+    if (!reuseEmb) {
       scaledVecs(spark.read.parquet(s"$sfDir/embeddings.parquet")
-        .select(col("vec_id"), col("embedding")), k)
+        .select(col("vec_id"), col("embedding"), col("label")), k)
         .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     }
 
@@ -182,7 +190,14 @@ object ScaleRehearsal {
       // the tagged copies keep fingerprints distinct across copies
       // (dup groups stay within-copy, the window's group sizes are
       // scale-invariant while group COUNT grows k×).
-      "d24_dup_inflation", "p06_dedup_mix_rates")
+      "d24_dup_inflation", "p06_dedup_mix_rates",
+      // Round-10 final wave: t35 rides t05's map-only scoring into a
+      // bounded (source, lang, pred) aggregate; p07 composes the t19/t20
+      // map-only filters with d01's fingerprint window; d25 is two exact
+      // aggregates over the fingerprint stream; s13 is s01's broadcast-
+      // probe scan (reads the k× embeddings twin) + a bounded aggregate.
+      "t35_lang_mismatch", "p07_survival_funnel", "d25_cluster_spectrum",
+      "s13_knn_label_purity")
     def timeQuery(name: String, dir: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
       def once(): (Double, Long) = {

@@ -53,8 +53,9 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    Zipf-law slope fit via order-independent quantized regression,
   *    deterministic seeded epoch shuffle — global rank with no global
   *    window via the two-phase prefix scan, per-doc templated-ness
-  *    score over the corpus-hot shingle vocabulary).
-  *  - d01..d24: dedup & corpus hygiene (exact, MinHash-LSH, SimHash,
+  *    score over the corpus-hot shingle vocabulary, declared-vs-detected
+  *    language confusion audit — the metadata-trust readout).
+  *  - d01..d25: dedup & corpus hygiene (exact, MinHash-LSH, SimHash,
   *    n-gram Jaccard, embedding-cosine, connected-component clusters,
   *    keep-list, near-dup triangles, benchmark decontamination,
   *    incremental delta dedup, exact-substring repeated spans, near-dup
@@ -69,15 +70,17 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    MinHash sketch calibration — estimated vs exact Jaccard,
   *    corpus boilerplate report — the hot-shingle vocabulary behind the
   *    d04/d18 df-cap with per-shingle source spread, per-source
-  *    exact-dup inflation factors).
-  *  - s01..s12: similarity search (brute-force ANN, LSH-bucketed ANN,
+  *    exact-dup inflation factors, exact-dup cluster-size spectrum —
+  *    the duplication-shape histogram behind d24's rates).
+  *  - s01..s13: similarity search (brute-force ANN, LSH-bucketed ANN,
   *    per-label centroid stats, IVF ANN, recall@k evaluation, int8
   *    quantization error audit, incremental IVF ingest serving state,
   *    PQ-ADC with exact rerank, exact cosine radius search, MMR
   *    diversity re-ranking of the retrieval shortlist, metadata-filtered
   *    ANN, tombstone-delete serving state — the index lifecycle's third
   *    verb: delete is one O(|deletes|) side-table write, probes mask at
-  *    read time, compaction folds and resets).
+  *    read time, compaction folds and resets; kNN label-purity audit —
+  *    the embedding-space label-noise triage list).
   *  - m01..m11: multimodal binary-column plumbing (metadata, stub-decode
   *    features, frame sampling, strided resize, windowed frame energy,
   *    perceptual-hash near-dup pairs, scene-change detection over frame
@@ -105,6 +108,9 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    AND post-d01 source masses with the per-source shift (dedup moves
   *    masses; weights derived before it are wrong for the corpus that
   *    actually trains).
+  *  - p07: per-source stage-attrition funnel (raw → blocklist-clean →
+  *    quality gate → dedup representative, cumulative) — the "where
+  *    does my data go" dashboard of a curation run.
   */
 object SparkEntry {
   val inventory: Seq[Q] =

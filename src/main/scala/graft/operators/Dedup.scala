@@ -2116,9 +2116,63 @@ object Dedup {
                 / CAST(n_docs - n_redundant AS DOUBLE), 6) AS inflation
             FROM agg ORDER BY source"""))
 
+  // ----------------------------------------- cluster spectrum (d25)
+  /** d25: exact-dup cluster-size spectrum — the corpus-wide histogram of
+    * d01 fingerprint-group sizes: for every group size, how many groups,
+    * how many docs they hold, how many of those are redundant copies,
+    * and the share of the corpus living at that size. d24 answers "which
+    * SOURCE is inflated"; this answers "what does the duplication look
+    * like" — a corpus dominated by size-2 mirror pairs and one dominated
+    * by thousand-copy boilerplate have the same dup RATE but need
+    * different remedies (pair-level keep rules vs a template scrub), and
+    * the spectrum is the one-page readout that tells them apart. The
+    * max group size is also the empirical bound the d06/d10 union-find
+    * LIMIT probes and the d02 band sizing reason about.
+    *
+    * Scale shape: d01's fingerprint aggregate, then a group-size-keyed
+    * aggregate of the (already group-count-sized) result, then one 1-row
+    * corpus-total attachment (bounded crossJoin, PlanAudit-allowlisted).
+    * Output rows = #distinct group sizes — tiny at any corpus scale.
+    */
+  def clusterSpectrum(docs: DataFrame): DataFrame = {
+    val sizes = docs
+      .withColumn("fp", md5(normText(col("text"))))
+      .groupBy("fp").agg(count(lit(1)).as("group_size"))
+    val spec = sizes.groupBy("group_size").agg(count(lit(1)).as("n_groups"))
+    val tot = docs.agg(count(lit(1)).as("n_total"))
+    spec.crossJoin(tot)
+      .select(
+        col("group_size"), col("n_groups"),
+        (col("group_size") * col("n_groups")).as("n_docs"),
+        ((col("group_size") - lit(1L)) * col("n_groups")).as("n_redundant"),
+        round((col("group_size") * col("n_groups")).cast("double") /
+          col("n_total").cast("double"), 6).as("doc_share"))
+      .orderBy("group_size")
+  }
+
+  val spectrum = Q(
+    "d25_cluster_spectrum",
+    (s, d) => clusterSpectrum(Tables.documents(s, d)),
+    Some("""WITH fp AS (
+              SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+              FROM documents),
+            sizes AS (
+              SELECT fp, CAST(count(*) AS BIGINT) AS group_size
+              FROM fp GROUP BY fp),
+            spec AS (
+              SELECT group_size, CAST(count(*) AS BIGINT) AS n_groups
+              FROM sizes GROUP BY group_size),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents)
+            SELECT group_size, n_groups,
+              group_size * n_groups AS n_docs,
+              (group_size - 1) * n_groups AS n_redundant,
+              round(CAST(group_size * n_groups AS DOUBLE)
+                / CAST(n_total AS DOUBLE), 6) AS doc_share
+            FROM spec, tot ORDER BY group_size"""))
+
   val all: Seq[Q] =
     Seq(exact, minhash, simhash, ngramJaccard, embedding, clusters, keep, triangles,
       decontam, incremental, repeated, consensus, chunkDedup, semantic, bestKeep,
       provenance, embeddingDecontam, containment, evalLeak, crossSource, splitLeak,
-      calibration, hotReport, inflation)
+      calibration, hotReport, inflation, spectrum)
 }

@@ -557,5 +557,98 @@ object Pipeline {
               round(dedup_rate - raw_rate, 6) AS rate_shift
             FROM rates ORDER BY source"""))
 
-  val all: Seq[Q] = Seq(pipeline, mix, audit, epoch, refresh, dedupMix)
+  // ---------------------------------------- survival funnel (p07)
+  /** p07: per-source stage-attrition funnel — the "where does my data
+    * go" dashboard. Every curation run drops documents at each stage;
+    * this query reports, per source, the CUMULATIVE survivor counts
+    * through the realistic stage order: raw → blocklist-clean (t19's
+    * term list) → quality gate (p01/t20's cascade, applied to clean
+    * docs) → exact-dup representative (d01's min-doc_id rule among
+    * gate survivors — same stage order as a production pipeline, where
+    * paying dedup's shuffle for docs the cheap map-only filters already
+    * killed is wasted work). A source whose raw mass is huge but whose
+    * funnel collapses (boilerplate feed, wrong-language crawl) is
+    * exactly what q31/p06's mixing weights must not reward.
+    *
+    * The dedup stage is well-defined under composition: the fingerprint
+    * normalizes whitespace, and neither the blocklist regex (word
+    * occurrences survive whitespace collapse) nor the gate features
+    * (token-derived) distinguish exact-normalized copies — so all
+    * members of a fingerprint group share their stage-2 status and the
+    * representative choice cannot flip (p01's ordering argument,
+    * extended to the blocklist stage).
+    *
+    * Scale shape: map-only feature scan, ONE fingerprint-keyed window,
+    * one source-keyed aggregate with map-side partials. Output =
+    * #sources rows.
+    */
+  def survivalFunnel(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val blockPat = "\\b(customer|supplier|order)\\b"
+    val feats = docs
+      .select(
+        col("doc_id"), col("source"), col("text"),
+        size(toks).cast("long").as("n_tokens"),
+        stopwordHits(toks, stopwords("en")).cast("long").as("stop_hits"),
+        charClassCount(lower(col("text")), "[a-z0-9]").cast("long").as("n_word_chars"))
+      .withColumn("clean", regexp_count(col("text"), lit(blockPat)) === 0)
+      .withColumn("gate_keep",
+        col("clean") &&
+          col("n_tokens") >= 20 && col("n_tokens") <= 5000 &&
+          col("stop_hits").cast("double") / col("n_tokens").cast("double") >= 0.02 &&
+          col("n_word_chars").cast("double") / col("n_tokens").cast("double") >= 3.0 &&
+          col("n_word_chars").cast("double") / col("n_tokens").cast("double") <= 10.0)
+      .withColumn("fp", md5(normText(col("text"))))
+    val rep = min(when(col("gate_keep"), col("doc_id")))
+      .over(Window.partitionBy("fp"))
+    feats
+      .withColumn("unique_keep", col("gate_keep") && col("doc_id") === rep)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_raw"),
+        sum(when(col("clean"), 1L).otherwise(0L)).as("n_clean"),
+        sum(when(col("gate_keep"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("unique_keep"), 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("survival_rate",
+        round(col("n_unique").cast("double") / col("n_raw").cast("double"), 6))
+      .orderBy("source")
+  }
+
+  val funnel = Q(
+    "p07_survival_funnel",
+    (s, d) => survivalFunnel(Tables.documents(s, d)),
+    Some("""WITH f AS (
+              SELECT doc_id, source,
+                CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS BIGINT) AS n_tokens,
+                CAST(len(list_filter(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> ''),
+                     t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'you', 'that'))) AS BIGINT) AS stop_hits,
+                CAST(length(text) - length(regexp_replace(lower(text), '[a-z0-9]', '', 'g')) AS BIGINT) AS n_word_chars,
+                (len(regexp_extract_all(text, '\b(customer|supplier|order)\b')) = 0) AS clean,
+                md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+              FROM documents),
+            g AS (
+              SELECT doc_id, source, clean, fp,
+                (clean AND n_tokens >= 20 AND n_tokens <= 5000
+                 AND CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.02
+                 AND CAST(n_word_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 3.0
+                 AND CAST(n_word_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 10.0) AS gate_keep
+              FROM f),
+            r AS (
+              SELECT source, clean, gate_keep,
+                (gate_keep AND doc_id = min(CASE WHEN gate_keep THEN doc_id END)
+                   OVER (PARTITION BY fp)) AS unique_keep
+              FROM g),
+            agg AS (
+              SELECT source,
+                CAST(count(*) AS BIGINT) AS n_raw,
+                CAST(sum(CASE WHEN clean THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+                CAST(sum(CASE WHEN gate_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+                CAST(sum(CASE WHEN unique_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+              FROM r GROUP BY source)
+            SELECT source, n_raw, n_clean, n_quality, n_unique,
+              round(CAST(n_unique AS DOUBLE) / CAST(n_raw AS DOUBLE), 6)
+                AS survival_rate
+            FROM agg ORDER BY source"""))
+
+  val all: Seq[Q] = Seq(pipeline, mix, audit, epoch, refresh, dedupMix, funnel)
 }

@@ -986,7 +986,68 @@ object Similarity {
     (s, d) => mmrDiversify(s, d, 10, 20, 5, 0.7),
     None)
 
+  // ------------------------------------------ kNN label purity (s13)
+  /** s13: kNN label purity — for each query vector, the fraction of its
+    * k exact nearest neighbors (UNfiltered, unlike s11) that share its
+    * label. This is the embedding-space label-noise audit a curation
+    * pipeline runs before trusting `label` for anything (s11's filtered
+    * serving, q31-style per-label mixing, classifier distillation): a
+    * query whose neighborhood disagrees with its tag is either
+    * mislabeled or sits on a cluster boundary, and the per-query purity
+    * column is exactly the triage list. Complements s03 (centroid
+    * dispersion = cluster geometry) with the local, instance-level view.
+    *
+    * Scale shape: s01's plan verbatim — broadcast the literal-bounded
+    * query set (carrying labels), ONE streaming corpus pass, k-row
+    * window shuffle — plus a query-keyed bounded aggregate. No corpus
+    * self-join, nothing grows with corpus size except the one scan.
+    */
+  def knnLabelPurity(spark: SparkSession, d: String, nQueries: Int, k: Int): DataFrame =
+    knnLabelPurityFrom(Tables.embeddings(spark, d), nQueries, k)
+
+  def knnLabelPurityFrom(e: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("label").cast("long").as("label"))
+    val corpus = e.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ne"), col("label").cast("long").as("n_label"))
+    val sims = corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("label"), col("n_label"),
+        col("neighbor_id"), cosine(col("qe"), col("ne")).as("c"))
+    val w = Window.partitionBy("query_id").orderBy(col("c").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .groupBy("query_id", "label")
+      .agg(sum(when(col("n_label") === col("label"), 1L).otherwise(0L)).as("n_match"))
+      .select(col("query_id"), col("label"), col("n_match"),
+        round(col("n_match").cast("double") / lit(k.toDouble), 6).as("purity"))
+      .orderBy("query_id")
+  }
+
+  val knnPurity = Q(
+    "s13_knn_label_purity",
+    (s, d) => knnLabelPurity(s, d, 20, 10),
+    Some("""WITH sims AS (
+              SELECT q.vec_id AS query_id, CAST(q.label AS BIGINT) AS label,
+                CAST(n.label AS BIGINT) AS n_label, n.vec_id AS neighbor_id,
+                list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                       CAST(n.embedding AS DOUBLE[])) AS c
+              FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+              WHERE q.vec_id < 20),
+            ranked AS (
+              SELECT query_id, label, n_label,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY c DESC, neighbor_id) AS rank
+              FROM sims)
+            SELECT query_id, label,
+              CAST(sum(CASE WHEN n_label = label THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_match,
+              round(CAST(sum(CASE WHEN n_label = label THEN 1 ELSE 0 END)
+                    AS DOUBLE) / 10.0, 6) AS purity
+            FROM ranked WHERE rank <= 10
+            GROUP BY query_id, label ORDER BY query_id"""))
+
   val all: Seq[Q] =
     Seq(annBruteForce, annLsh, centroids, annIvf, annRecall, quantError, annAppend,
-      annPq, radius, mmr, filteredAnn, annDelete)
+      annPq, radius, mmr, filteredAnn, annDelete, knnPurity)
 }

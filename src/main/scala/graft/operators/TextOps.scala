@@ -1732,10 +1732,62 @@ object TextOps {
                 AS is_templated
             FROM scored ORDER BY doc_id"""))
 
+  // --------------------------------------------- lang mismatch (t35)
+  /** t35: declared-vs-detected language confusion audit — the (source,
+    * declared lang, predicted lang) matrix with per-source cell shares
+    * and the mismatch flag. This is the metadata-trust readout a corpus
+    * intake needs: crawl feeds routinely carry wrong or stale `lang`
+    * tags, and a mixing policy that keys on the DECLARED tag (q31 by
+    * source, t22's per-source profile) silently trains on mislabeled
+    * text. The matrix also exposes the detector's own blind spots —
+    * every `zh`-declared doc here mismatches because the stopword
+    * detector (t05) only knows en/de/es/fr, exactly the signal that
+    * tells a pipeline owner the detector needs a vocabulary before the
+    * tag can be trusted.
+    *
+    * Scale shape: t05's map-only scoring scan, one (source, lang, pred)
+    * aggregate with map-side partials, one bounded totals join — output
+    * ≤ #sources × langs², never corpus-sized.
+    */
+  def langMismatch(docs: DataFrame): DataFrame = {
+    val cells = withLangScores(
+        docs.select(col("source"), col("lang"), tokens(col("text")).as("toks")))
+      .groupBy("source", "lang", "pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = cells.groupBy("source").agg(sum("n_docs").as("n_source"))
+    cells.join(totals, Seq("source"))
+      .select(
+        col("source"), col("lang"), col("pred_lang"),
+        (col("lang") =!= col("pred_lang")).as("mismatch"),
+        col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_source").cast("double"), 6)
+          .as("source_share"))
+      .orderBy("source", "lang", "pred_lang")
+  }
+
+  val langMismatchQ = Q(
+    "t35_lang_mismatch",
+    (s, d) => langMismatch(Tables.documents(s, d)),
+    Some(s"""WITH pred AS (
+              SELECT source, lang, $predLangSql AS pred_lang FROM documents),
+            cells AS (
+              SELECT source, lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+              FROM pred GROUP BY 1, 2, 3),
+            tot AS (
+              SELECT source, CAST(sum(n_docs) AS BIGINT) AS n_source
+              FROM cells GROUP BY 1)
+            SELECT c.source, lang, pred_lang, (lang <> pred_lang) AS mismatch,
+              n_docs,
+              round(CAST(n_docs AS DOUBLE) / CAST(n_source AS DOUBLE), 6)
+                AS source_share
+            FROM cells c JOIN tot t ON t.source = c.source
+            ORDER BY c.source, lang, pred_lang"""))
+
   val all: Seq[Q] =
     Seq(grep, wordcount, tokenCount, quality, langid, fingerprint, winnow, tfidf,
       langidEval, chunk, cooccur, bigrams, perplexity, vocabGrowth, repetition,
       novelty, pack, spectrum, scrub, qualityGate, bpeTrain, sourceProfile,
       hitters, classifierScore, bpeApply, nfcAudit, dsirWeights, lengthOutliers,
-      tokenEntropy, piiScrubQ, encodingAuditQ, zipfFit, epochShuffleQ, templated)
+      tokenEntropy, piiScrubQ, encodingAuditQ, zipfFit, epochShuffleQ, templated,
+      langMismatchQ)
 }

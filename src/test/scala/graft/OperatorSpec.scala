@@ -1458,4 +1458,87 @@ class OperatorSpec extends SparkSpec {
     assert(reparted.map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
       .toSeq == rows.map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString).toSeq)
   }
+
+  test("d25 cluster spectrum: planted 1/2/3-size clusters produce the exact histogram") {
+    import spark.implicits._
+    // 3 singletons + 2 pairs (one pair differing only in whitespace —
+    // must land in the SAME fingerprint group) + 1 triple = 10 docs.
+    val docs = Seq(
+      (0L, "solo one unique text"), (1L, "solo two unique text"),
+      (2L, "solo three unique text"),
+      (3L, "pair alpha shared"), (4L, "pair  alpha   shared"),
+      (5L, "pair beta shared"), (6L, "pair beta shared"),
+      (7L, "triple gamma"), (8L, "triple gamma"), (9L, "triple gamma")
+    ).toDF("doc_id", "text")
+    val rows = Dedup.clusterSpectrum(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.toSeq == Seq(
+      (1L, 3L, 3L, 0L, 0.3), (2L, 2L, 4L, 2L, 0.4), (3L, 1L, 3L, 2L, 0.3)))
+  }
+
+  test("p07 survival funnel: each stage drops exactly its planted victims, per source") {
+    import spark.implicits._
+    import graft.operators.Pipeline
+    // A gate-passing body: 24 four-letter tokens + 'the' (stop_frac 1/25,
+    // mean token length (24*4+3)/25 = 3.96 — inside every threshold).
+    val good = (1 to 24).map(i => f"word$i%02d".take(4) + f"$i%02d").mkString(" ") + " the"
+    assert(good.split(" ").length == 25)
+    val docs = Seq(
+      // srcA: one survivor, one blocklisted (stage 1), one too-short
+      // (stage 2), one exact dup of the survivor (stage 3).
+      (0L, "srcA", good + " tail0"),
+      (1L, "srcA", good + " customer tail1"),
+      (2L, "srcA", "too short"),
+      (3L, "srcA", good + " tail0"),
+      // srcB: everything survives.
+      (4L, "srcB", good + " tail4"),
+      (5L, "srcB", good + " tail5")
+    ).toDF("doc_id", "source", "text")
+    val rows = Pipeline.survivalFunnel(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.toSeq == Seq(
+      ("srcA", 4L, 3L, 2L, 1L, 0.25), ("srcB", 2L, 2L, 2L, 2L, 1.0)))
+  }
+
+  test("t35 lang mismatch: planted declared-vs-detected cells and shares are exact") {
+    import spark.implicits._
+    val english = "the cat and the dog went to the house and it is you that said"
+    val german  = "der hund und die katze sind das ist nicht ein haus mit von"
+    val docs = Seq(
+      (0L, "web", "en", english),   // declared en, detected en -> match
+      (1L, "web", "de", english),   // declared de, detected en -> mismatch
+      (2L, "web", "de", german),    // declared de, detected de -> match
+      (3L, "feed", "zh", english)   // detector can't say zh -> mismatch
+    ).toDF("doc_id", "source", "lang", "text")
+    val rows = TextOps.langMismatch(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getBoolean(3), r.getLong(4), r.getDouble(5)))
+    assert(rows.toSeq == Seq(
+      ("feed", "zh", "en", true, 1L, 1.0),
+      ("web", "de", "de", false, 1L, 0.333333),
+      ("web", "de", "en", true, 1L, 0.333333),
+      ("web", "en", "en", false, 1L, 0.333333)))
+  }
+
+  test("s13 knn label purity: planted neighborhoods score the exact match fraction") {
+    import spark.implicits._
+    // Query 0 (label 1): its 3 nearest by cosine are labels (1, 0, 1)
+    // -> purity 2/3. vec_id 4 is pushed to rank 4 by a negated vector.
+    val e = Seq(
+      (0L, Array(1f, 0f), 1),   // query
+      (1L, Array(0.99f, 0.01f), 1),
+      (2L, Array(0.95f, 0.05f), 0),
+      (3L, Array(0.9f, 0.1f), 1),
+      (4L, Array(-1f, 0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val rows = Similarity.knnLabelPurityFrom(e, 1, 3).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("query_id") == 0L)
+    assert(r.getAs[Long]("label") == 1L)
+    assert(r.getAs[Long]("n_match") == 2L)
+    assert(r.getAs[Double]("purity") == 0.666667)
+  }
 }

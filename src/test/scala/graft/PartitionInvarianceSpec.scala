@@ -125,7 +125,13 @@ class PartitionInvarianceSpec extends SparkSpec {
     // d24/p06 ride d01's fingerprint window (total order: min doc_id per
     // fp) into source-keyed exact aggregates; p06's rates are one
     // identically-written double expression over BIGINTs.
-    "d24_dup_inflation", "p06_dedup_mix_rates")
+    "d24_dup_inflation", "p06_dedup_mix_rates",
+    // t35/p07 are map-only feature scans into bounded exact aggregates
+    // (p07 adds d01's fingerprint window); d25 is two exact aggregates
+    // + a 1-row total; s13 ranks on (cos desc, neighbor_id) — a total
+    // order — before its bounded per-query aggregate.
+    "t35_lang_mismatch", "p07_survival_funnel", "d25_cluster_spectrum",
+    "s13_knn_label_purity")
 
   test("round-5/6 queries return identical rows at shuffle.partitions = 3 and 17") {
     val conf = spark.conf
