@@ -34,7 +34,11 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *  - q39: ingestion-rate anomaly detection — per-(type, hour) z-score
   *    against the trailing 24 observations, from order-independent
   *    BIGINT window sums.
-  *  - t01..t34: text query library (grep, wordcount, token counting,
+  *  - q40: rolling-engagement stickiness — exact DAU / trailing WAU /
+  *    MAU / DAU-over-MAU per day via a bounded window-end explode of
+  *    the distinct (user, day) grain (sliding COUNT DISTINCT without
+  *    a per-day rescan or a day self-join).
+  *  - t01..t35: text query library (grep, wordcount, token counting,
   *    quality scoring, language-ID, fingerprinting, winnowing, TF-IDF,
   *    langid eval, context chunking, co-occurrence PMI, bigram LM,
   *    bigram perplexity quality filter, vocabulary growth, Gopher-style

@@ -1082,8 +1082,69 @@ object Relational {
               coalesce(abs(z) >= 3.0, false) AS is_spike
             FROM scored ORDER BY hour, event_type"""))
 
+  /** q40: rolling-engagement stickiness — per day: exact DAU, trailing-7-day
+    * WAU, trailing-30-day MAU, and DAU/MAU stickiness. q13 gives the daily
+    * point reads; this is the retention dashboard's rolling view, and the
+    * classic hard case for naive SQL (a sliding COUNT DISTINCT is not
+    * decomposable over days — you cannot sum daily distincts).
+    *
+    * Scale shape: ONE events scan, not one per window. Events collapse to
+    * the distinct (user, day) grain (one shuffle, already orders of
+    * magnitude smaller than raw events); each grain row explodes to the 30
+    * window-END days it can contribute to, tagged with its offset; one
+    * day-keyed aggregate computes all three rolling distincts as
+    * FILTERED distincts over the same exploded stream (offset 0 → DAU,
+    * < 7 → WAU, any → MAU — Spark plans the multi-distinct as a single
+    * Expand, so the whole query is scan → distinct → explode → one
+    * aggregate). The first formulation tried — three independent
+    * dau/wau/mau branches joined on day — re-scanned events and re-ran
+    * the (user, day) distinct THREE times (no exchange reuse: the
+    * branches' subtrees differ); at 100 TB that triples the dominant
+    * cost, which is why this is one pass. Days with no direct activity
+    * (dau = 0) are trimmed to match q13's day set. When even 30× of the
+    * compressed grain is too dear, q15's HLL sketches are the
+    * approximate alternative (sketches merge across days; exact
+    * distincts don't — that merge-ability is what the explode buys back
+    * while staying exact).
+    */
+  val q40 = Q(
+    "q40_wau_stickiness",
+    (s, d) => {
+      val ud = Tables.events(s, d)
+        .select(to_date(col("ts")).as("aday"), col("user_id")).distinct()
+      val exploded = ud
+        .select(col("user_id"),
+          explode(sequence(lit(0), lit(29))).as("i"), col("aday"))
+        .select(col("user_id"), col("i"), date_add(col("aday"), col("i")).as("day"))
+      exploded.groupBy("day")
+        .agg(
+          countDistinct(when(col("i") === 0, col("user_id"))).as("dau"),
+          countDistinct(when(col("i") < 7, col("user_id"))).as("wau"),
+          countDistinct(col("user_id")).as("mau"))
+        .filter(col("dau") > 0)
+        .select(col("day").cast("timestamp").as("day"),
+          col("dau"), col("wau"), col("mau"),
+          round(col("dau").cast("double") / col("mau").cast("double"), 6)
+            .as("stickiness"))
+        .orderBy("day")
+    },
+    Some("""WITH ud AS (
+              SELECT DISTINCT CAST(ts AS DATE) AS aday, user_id FROM events),
+            ex AS (
+              SELECT user_id, i, aday + CAST(i AS INTEGER) AS day
+              FROM ud, range(30) t(i)),
+            agg AS (
+              SELECT day,
+                CAST(count(DISTINCT CASE WHEN i = 0 THEN user_id END) AS BIGINT) AS dau,
+                CAST(count(DISTINCT CASE WHEN i < 7 THEN user_id END) AS BIGINT) AS wau,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+              FROM ex GROUP BY day)
+            SELECT CAST(day AS TIMESTAMP) AS day, dau, wau, mau,
+              round(CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE), 6) AS stickiness
+            FROM agg WHERE dau > 0 ORDER BY day"""))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
       q18, q19, q20, q21, q22, q25, q26, q27, q29, q30, q32, q33, q34, q36, q37,
-      q38, q39)
+      q38, q39, q40)
 }

@@ -131,7 +131,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     // + a 1-row total; s13 ranks on (cos desc, neighbor_id) — a total
     // order — before its bounded per-query aggregate.
     "t35_lang_mismatch", "p07_survival_funnel", "d25_cluster_spectrum",
-    "s13_knn_label_purity")
+    "s13_knn_label_purity",
+    // q40: exact distinct aggregates over day keys — order-free by
+    // construction; the explode emits a deterministic multiset.
+    "q40_wau_stickiness")
 
   test("round-5/6 queries return identical rows at shuffle.partitions = 3 and 17") {
     val conf = spark.conf
