@@ -113,8 +113,10 @@ object TextOps {
             ORDER BY doc_id"""))
 
   /** Stopword-hit language scores + argmax prediction over a `toks` column
-    * (deterministic priority en>de>es>fr). Shared by t05 and t09. */
-  private def withLangScores(toksDf: DataFrame): DataFrame = {
+    * (deterministic priority en>de>es>fr). Shared by t05, t09, t35 and the
+    * streaming langGate twin (package-visible so the twin runs the SAME
+    * column expressions — equivalence by construction, not by mirror). */
+  private[graft] def withLangScores(toksDf: DataFrame): DataFrame = {
     val hit = stopwords.map { case (l, ws) => l -> stopwordHits(col("toks"), ws) }
     toksDf
       .withColumn("score_en", hit("en").cast("long"))

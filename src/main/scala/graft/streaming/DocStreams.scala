@@ -304,6 +304,24 @@ object DocStreams {
     }
   }
 
+  /** At-ingest language-mismatch gate — t35's streaming twin: every
+    * arriving document gets its declared-vs-detected verdict the moment
+    * it lands (per-doc rows; batch t35 is the AGGREGATED confusion
+    * matrix over exactly these verdicts, and the spec asserts both
+    * levels). Unlike t24/t34's broadcast-model gates this one needs no
+    * model at all — the stopword lists are literals — and unlike the
+    * probe twins it shares the batch code path itself:
+    * [[graft.operators.TextOps.withLangScores]] is pure column math, so
+    * the same codegen'd expressions run under the micro-batch planner.
+    * Zero streaming state, no watermark, Append-safe at any ingest rate.
+    */
+  def langGate(stream: DataFrame): DataFrame =
+    graft.operators.TextOps.withLangScores(
+        stream.select(col("doc_id"), col("source"), col("lang"),
+          graft.functions.TextFns.tokens(col("text")).as("toks")))
+      .select(col("doc_id"), col("source"), col("lang"), col("pred_lang"),
+        (col("lang") =!= col("pred_lang")).as("mismatch"))
+
   /** At-ingest templated-ness scoring — t34's streaming twin: every
     * arriving document is scored against a FROZEN hot-shingle vocabulary
     * (d23's report keys, broadcast once at query start) the moment it

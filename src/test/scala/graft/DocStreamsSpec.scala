@@ -263,4 +263,44 @@ class DocStreamsSpec extends SparkSpec {
       assert(stateRows.forall(_ == 0L), s"template gate must be stateless: $stateRows")
     } finally q.stop()
   }
+
+  test("at-ingest lang gate == batch scoring per doc AND batch t35 when aggregated, zero state") {
+    val base = java.nio.file.Files.createTempDirectory("graft-lang-gate").toString
+    val docs = Tables.documents(spark, sf)
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val split = maxId / 2
+    docs.filter(col("doc_id") < split).coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/documents.parquet")
+    val gate = DocStreams.langGate(DocStreams.readDocumentStream(spark, base))
+    val q = EventStreams.runToMemory(gate, "lang_gate_out", OutputMode.Append)
+    try {
+      q.processAllAvailable()
+      docs.filter(col("doc_id") >= split).coalesce(1)
+        .write.mode("append").parquet(s"$base/documents.parquet")
+      q.processAllAvailable()
+      val streamed = spark.table("lang_gate_out")
+      def key(r: org.apache.spark.sql.Row) =
+        r.getLong(0) -> ((r.getString(1), r.getString(2), r.getString(3), r.getBoolean(4)))
+      val sm = streamed.collect().map(key).toMap
+      val bm = DocStreams.langGate(docs).collect().map(key).toMap
+      assert(sm == bm, s"per-doc verdict drift (${sm.size} vs ${bm.size} rows)")
+      // Aggregating the streamed verdicts reproduces batch t35 exactly.
+      def cells(df: org.apache.spark.sql.DataFrame) =
+        graft.operators.TextOps.langMismatch(df).collect()
+          .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+            ((r.getBoolean(3), r.getLong(4), r.getDouble(5)))).toMap
+      val arrived = streamed
+        .select(col("doc_id"), col("source"), col("lang"))
+        .join(docs.select("doc_id", "text"), "doc_id")
+      // Fresh lineage: langMismatch's internal totals self-join would
+      // otherwise hit conflicting references against the memory sink plan.
+      val arrivedFresh = spark.createDataFrame(arrived.rdd, arrived.schema)
+      assert(cells(docs) == cells(arrivedFresh))
+      // Non-vacuous both ways; genuinely stateless.
+      assert(sm.values.exists(_._4) && sm.values.exists(!_._4))
+      val stateRows = q.recentProgress.toSeq.flatMap(_.stateOperators.toSeq)
+        .map(_.numRowsTotal)
+      assert(stateRows.forall(_ == 0L), s"lang gate must be stateless: $stateRows")
+    } finally q.stop()
+  }
 }
