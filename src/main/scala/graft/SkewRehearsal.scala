@@ -123,6 +123,21 @@ object SkewRehearsal {
       f"pair-rows vs capped=${acct.getDouble(1)}%.3e " +
       f"(cap pruned ${100.0 * (1 - acct.getDouble(1) / acct.getDouble(0))}%.2f%%)")
 
+    // ---- q35's per-key top-k window: single-window vs the two-phase
+    // salted plan on the 90%-hot source (the regime where one key's sort
+    // outgrows a partition; correctness equivalence is spec-asserted in
+    // SamplingSpec, this is the wall-clock evidence)
+    Seq(("uniform", s"$outDir/uniform"), ("skewed", s"$outDir/skewed")).foreach {
+      case (tag, dir) =>
+        val capDocs = spark.read.parquet(s"$dir/documents.parquet")
+        val (tW, nW) = minOf2(operators.Sampling.sourceCap
+          .fn(spark, dir).count())
+        val (t2, n2) = minOf2(
+          operators.Sampling.sourceCapTwoPhase(capDocs, 10).count())
+        require(nW == n2, s"two-phase cardinality drift on $tag: $nW vs $n2")
+        println(f"[skew] q35-cap/$tag%-16s window=$tW%.2fs two-phase=$t2%.2fs on $nW rows")
+    }
+
     // ---- explicit salting on the 90%-hot source key (broadcast disabled:
     // merge hints force the shuffle-join regime salting exists for)
     val skewed = spark.read.parquet(s"$outDir/skewed/documents.parquet")
