@@ -221,6 +221,37 @@ object ScaleRehearsal {
       val (tK, rK) = timeQuery(name, outDir)
       println(f"[scale] $name%-26s $t1%8.2f $r1%8d $tK%8.2f $rK%9d ${tK / t1}%5.1fx")
     }
+    // --------------- m11 plan-size crossover: inline literals vs one array
+    // Same per-row arithmetic (|eval| xor+popcounts), different plan: the
+    // inline path unrolls |eval| expression nodes (this corpus's eval slice
+    // GROWS with k — at 100× it is ~26k nodes, the Janino-fallback regime),
+    // the array path is one literal + a codegen'd loop. Banding is NOT an
+    // alternative at Hamming radius 14/64 (pigeonhole → ≤4-bit bands → a
+    // random pair still collides with p≈0.64) — the scan is the algorithm;
+    // only the plan differs. Row-identity is spec-gated (OperatorSpec).
+    // Runs in the full sweep OR targeted via the special name
+    // "m11_variants".
+    if (only.isEmpty || only("m11_variants")) {
+      def m11Row(tag: String)(run: String => Long): Unit = {
+        def minOf2(dir: String): (Double, Long) = {
+          def once(): (Double, Long) = {
+            spark.catalog.clearCache(); System.gc()
+            val t0 = System.nanoTime(); val rows = run(dir)
+            ((System.nanoTime() - t0) / 1e9, rows)
+          }
+          val (tA, r) = once(); val (tB, _) = once()
+          (math.min(tA, tB), r)
+        }
+        val (t1, r1) = minOf2(sfDir)
+        val (tK, rK) = minOf2(outDir)
+        println(f"[scale] $tag%-26s $t1%8.2f $r1%8d $tK%8.2f $rK%9d ${tK / t1}%5.1fx")
+      }
+      m11Row("m11_inline_literals")(dir =>
+        SparkEntry.queries("m11_media_decontaminate")(spark, dir).count())
+      m11Row("m11_array_literal")(dir =>
+        operators.Multimodal.mediaDecontaminateArray(
+          operators.Multimodal.mediaTable(spark, dir), 14).count())
+    }
     if (only.nonEmpty) { spark.stop(); return }
 
     // ----------------------------------------------------- ANN family
@@ -350,8 +381,11 @@ object ScaleRehearsal {
       }
       val (t1, r1) = minOf2(sfDir)
       val (tK, rK) = minOf2(outDir)
-      println(f"[scale] $tag%-26s $t1%8.2f $r1%8d $tK%8.2f $rK%9d ${tK / t1}%5.1fx" +
-        s" (law: ${k}*$r1+${(k - 1) * nEval} = ${k * r1 + (k - 1) * nEval})")
+      // nEval < 0: caller's row-count law doesn't apply (m11 section).
+      val law = if (nEval >= 0)
+        s" (law: ${k}*$r1+${(k - 1) * nEval} = ${k * r1 + (k - 1) * nEval})"
+      else ""
+      println(f"[scale] $tag%-26s $t1%8.2f $r1%8d $tK%8.2f $rK%9d ${tK / t1}%5.1fx" + law)
     }
     d17Row("d17_exact_inline", 25)(dir =>
       SparkEntry.queries("d17_embedding_decontaminate")(spark, dir).count())

@@ -1541,4 +1541,14 @@ class OperatorSpec extends SparkSpec {
     assert(r.getAs[Long]("n_match") == 2L)
     assert(r.getAs[Double]("purity") == 0.666667)
   }
+
+  test("m11 array-literal variant == inline-literal variant row-for-row") {
+    val media = Multimodal.mediaTable(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    val inline = rows(Multimodal.mediaDecontaminate(media, 14))
+    val arr = rows(Multimodal.mediaDecontaminateArray(media, 14))
+    assert(arr == inline, s"variant drift: ${arr.size} vs ${inline.size} rows")
+    assert(inline.exists(_._4) && inline.exists(!_._4), "degenerate fixture")
+  }
 }
