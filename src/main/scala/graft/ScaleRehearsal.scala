@@ -197,7 +197,12 @@ object ScaleRehearsal {
       // aggregates over the fingerprint stream; s13 is s01's broadcast-
       // probe scan (reads the k× embeddings twin) + a bounded aggregate.
       "t35_lang_mismatch", "p07_survival_funnel", "d25_cluster_spectrum",
-      "s13_knn_label_purity")
+      "s13_knn_label_purity",
+      // d26 edits the corpus against the d23 vocabulary: the tagged
+      // copies multiply the vocabulary k× while per-copy hot structure
+      // replicates — the hot join's build side grows WITH the corpus
+      // (the adversarial direction, d23/t34's axis).
+      "d26_template_scrub")
     def timeQuery(name: String, dir: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
       def once(): (Double, Long) = {

@@ -59,7 +59,7 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    window via the two-phase prefix scan, per-doc templated-ness
   *    score over the corpus-hot shingle vocabulary, declared-vs-detected
   *    language confusion audit — the metadata-trust readout).
-  *  - d01..d25: dedup & corpus hygiene (exact, MinHash-LSH, SimHash,
+  *  - d01..d26: dedup & corpus hygiene (exact, MinHash-LSH, SimHash,
   *    n-gram Jaccard, embedding-cosine, connected-component clusters,
   *    keep-list, near-dup triangles, benchmark decontamination,
   *    incremental delta dedup, exact-substring repeated spans, near-dup
@@ -75,7 +75,9 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    corpus boilerplate report — the hot-shingle vocabulary behind the
   *    d04/d18 df-cap with per-shingle source spread, per-source
   *    exact-dup inflation factors, exact-dup cluster-size spectrum —
-  *    the duplication-shape histogram behind d24's rates).
+  *    the duplication-shape histogram behind d24's rates, corpus
+  *    template scrub — the APPLY step for d23's hot vocabulary, d13's
+  *    report→edit relationship on the n-gram axis).
   *  - s01..s13: similarity search (brute-force ANN, LSH-bucketed ANN,
   *    per-label centroid stats, IVF ANN, recall@k evaluation, int8
   *    quantization error audit, incremental IVF ingest serving state,

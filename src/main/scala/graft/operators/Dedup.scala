@@ -2170,9 +2170,117 @@ object Dedup {
                 / CAST(n_total AS DOUBLE), 6) AS doc_share
             FROM spec, tot ORDER BY group_size"""))
 
+  // ----------------------------------------------- template scrub (d26)
+  /** d26: boilerplate/template scrub — the APPLY step for d23's report,
+    * the same report→edit relationship d13 has to d11. d23 names the
+    * corpus-hot shingle vocabulary and t34 scores docs against it; this
+    * operator actually EDITS the corpus: every token covered by any
+    * corpus-hot 3-shingle occurrence ("all rights reserved …" furniture)
+    * is cut, documents are reassembled from the surviving tokens, and
+    * the output is the per-doc edit record (total/scrubbed counts, the
+    * scrub fraction, and the digest of the cleaned text — the digest
+    * keeps the oracle compact, exactly d13's convention). C4 drops
+    * repeated lines; this is the n-gram-vocabulary generalization a
+    * crawl pipeline runs against template farms.
+    *
+    * Scale shape: ONE corpus flatMap emits the positional token stream
+    * with each position's 3-shingle hash alongside (no second
+    * tokenization pass), eagerly materialized because three consumers
+    * read it (execution rule 2 — the d12 pattern). The hot vocabulary is
+    * a distinct+count over (doc, shingle) — d23's exact df definition;
+    * coverage is a vocabulary-keyed equi-join + a bounded 3-way position
+    * explode + distinct; the edit is one anti-join on (doc, pos) and a
+    * doc-keyed reassembly aggregate. Everything is linear in token
+    * volume; no self-join, no broadcast of anything corpus-sized. */
+  def templateScrub(docs: DataFrame, minDf: Int = 4): DataFrame = {
+    import docs.sparkSession.implicits._
+    val stream = spread(docs).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        toks.iterator.zipWithIndex.map { case (t, i) =>
+          val sh = if (i + 3 <= toks.length) toks.slice(i, i + 3).mkString(" ")
+          else null
+          (id, i + 1L, t, sh)
+        }
+      }
+      .toDF("doc_id", "pos", "tok", "shingle")
+      .withColumn("sh_h",
+        when(col("shingle").isNotNull, md5Hash60(col("shingle"))))
+      .drop("shingle")
+      .localCheckpoint()
+    val psh = stream.filter(col("sh_h").isNotNull)
+    val hot = psh.select("doc_id", "sh_h").distinct()
+      .groupBy("sh_h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select("sh_h")
+    val covered = psh.join(hot, "sh_h")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(2))).as("pos"))
+      .distinct()
+    val kept = stream.join(covered, Seq("doc_id", "pos"), "left_anti")
+    val tot = stream.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+    val keptAgg = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      md5(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ")).as("kept_md5"))
+    tot.join(keptAgg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_scrubbed"),
+        round((col("n_tokens") - coalesce(col("n_kept"), lit(0L))).cast("double") /
+          col("n_tokens").cast("double"), 6).as("scrub_frac"),
+        // md5("") for fully-scrubbed docs, in both engines.
+        coalesce(col("kept_md5"), lit("d41d8cd98f00b204e9800998ecf8427e"))
+          .as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
+  val templateScrubQ = Q(
+    "d26_template_scrub",
+    (s, d) => templateScrub(Tables.documents(s, d), 4),
+    Some("""WITH toks AS (
+              SELECT doc_id, list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
+              FROM documents),
+            ptoks AS (
+              SELECT doc_id, i AS pos, ts[i] AS tok
+              FROM toks, UNNEST(range(1, len(ts) + 1)) r(i)),
+            psh AS (
+              SELECT doc_id, i AS pos,
+                ('0x' || substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]), 1, 15))::BIGINT AS sh_h
+              FROM toks, UNNEST(range(1, len(ts) - 1)) r(i)
+              WHERE len(ts) >= 3),
+            hot AS (
+              SELECT sh_h FROM (
+                SELECT sh_h, count(*) AS df
+                FROM (SELECT DISTINCT doc_id, sh_h FROM psh) GROUP BY 1)
+              WHERE df >= 4),
+            cov AS (
+              SELECT DISTINCT p.doc_id, p.pos + o.o AS pos
+              FROM psh p JOIN hot h ON h.sh_h = p.sh_h,
+                UNNEST(range(0, 3)) o(o)),
+            kept AS (
+              SELECT t.doc_id, t.pos, t.tok FROM ptoks t
+              WHERE NOT EXISTS (
+                SELECT 1 FROM cov c
+                WHERE c.doc_id = t.doc_id AND c.pos = t.pos)),
+            tot AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+              FROM ptoks GROUP BY 1),
+            ka AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                md5(string_agg(tok, ' ' ORDER BY pos)) AS kept_md5
+              FROM kept GROUP BY 1)
+            SELECT t.doc_id, n_tokens,
+              n_tokens - coalesce(n_kept, 0) AS n_scrubbed,
+              round(CAST(n_tokens - coalesce(n_kept, 0) AS DOUBLE)
+                / CAST(n_tokens AS DOUBLE), 6) AS scrub_frac,
+              coalesce(kept_md5, md5('')) AS kept_md5
+            FROM tot t LEFT JOIN ka USING (doc_id) ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(exact, minhash, simhash, ngramJaccard, embedding, clusters, keep, triangles,
       decontam, incremental, repeated, consensus, chunkDedup, semantic, bestKeep,
       provenance, embeddingDecontam, containment, evalLeak, crossSource, splitLeak,
-      calibration, hotReport, inflation, spectrum)
+      calibration, hotReport, inflation, spectrum, templateScrubQ)
 }

@@ -1551,4 +1551,28 @@ class OperatorSpec extends SparkSpec {
     assert(arr == inline, s"variant drift: ${arr.size} vs ${inline.size} rows")
     assert(inline.exists(_._4) && inline.exists(!_._4), "degenerate fixture")
   }
+
+  test("d26 template scrub: planted boilerplate cut exactly, full-scrub digest = md5('')") {
+    import spark.implicits._
+    // "all rights reserved" appears in 4 distinct docs -> df 4 = hot;
+    // every other trigram is unique -> cold.
+    val docs = Seq(
+      (1L, "prefix words here all rights reserved suffix tail"),
+      (2L, "all rights reserved"), // fully scrubbed
+      (3L, "foo bar all rights reserved"),
+      (4L, "baz all rights reserved qux"),
+      (5L, "totally unrelated clean text tokens")
+    ).toDF("doc_id", "text")
+    def md5s(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = Dedup.templateScrub(docs, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getString(4)))
+    assert(rows.toSeq == Seq(
+      (1L, 8L, 3L, 0.375, md5s("prefix words here suffix tail")),
+      (2L, 3L, 3L, 1.0, md5s("")),
+      (3L, 5L, 3L, 0.6, md5s("foo bar")),
+      (4L, 5L, 3L, 0.6, md5s("baz qux")),
+      (5L, 5L, 0L, 0.0, md5s("totally unrelated clean text tokens"))))
+  }
 }

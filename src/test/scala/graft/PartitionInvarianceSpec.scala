@@ -134,7 +134,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     "s13_knn_label_purity",
     // q40: exact distinct aggregates over day keys — order-free by
     // construction; the explode emits a deterministic multiset.
-    "q40_wau_stickiness")
+    "q40_wau_stickiness",
+    // d26: hot set is an exact df filter; coverage/anti-join are exact
+    // set ops; reassembly sorts by (pos, tok) before digesting.
+    "d26_template_scrub")
 
   test("round-5/6 queries return identical rows at shuffle.partitions = 3 and 17") {
     val conf = spark.conf
