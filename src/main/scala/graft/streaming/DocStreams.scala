@@ -350,6 +350,59 @@ object DocStreams {
         col("boiler_frac"), (col("boiler_frac") >= flagAt).as("is_templated"))
   }
 
+  /** Per-row kernel of [[templateScrubGate]]: tokenize, mark every token
+    * covered by a hot 3-shingle occurrence, digest the survivors — the
+    * scalar mirror of batch d26's join+anti-join+reassembly. Tokenization
+    * and the 60-bit hash must stay identical to `Dedup.templateScrub`
+    * (same contract as [[shingleProfile]]). */
+  def scrubProfile(text: String, hot: scala.collection.Set[Long]): (Long, Long, String) = {
+    val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(str: String): Long = {
+      val hex = md.digest(str.getBytes("UTF-8")).take(8)
+        .map(b => f"${b & 0xff}%02x").mkString.take(15)
+      md.reset(); java.lang.Long.parseLong(hex, 16)
+    }
+    val covered = new Array[Boolean](toks.length)
+    var i = 0
+    while (i + 3 <= toks.length) {
+      if (hot.contains(h60(toks.slice(i, i + 3).mkString(" ")))) {
+        covered(i) = true; covered(i + 1) = true; covered(i + 2) = true
+      }
+      i += 1
+    }
+    val kept = toks.indices.filterNot(covered).map(toks)
+    val keptMd5 = md.digest(kept.mkString(" ").getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    (toks.length.toLong, covered.count(identity).toLong, keptMd5)
+  }
+
+  /** At-ingest template SCRUB — d26's streaming twin, and the editing
+    * counterpart of [[templateGate]] (which only scores): every arriving
+    * document is cut against a FROZEN hot-shingle vocabulary (d23's
+    * report keys, broadcast once) the moment it lands, emitting the same
+    * per-doc edit record batch d26 produces (counts, scrub fraction,
+    * cleaned-text digest). The contract (spec-asserted): against the
+    * SAME vocabulary, streamed rows are value-identical to batch d26
+    * restricted to the arrivals. Zero streaming state — pure per-row
+    * work against the broadcast set — so the scrub holds at any ingest
+    * rate; zero-token docs have no edit record, matching d26's domain. */
+  def templateScrubGate(spark: SparkSession, stream: DataFrame,
+      hotShingles: DataFrame): DataFrame = {
+    import spark.implicits._
+    val hotSet = hotShingles.select("sh_h").as[Long].collect().toSet // hot-vocabulary-sized
+    val bc = spark.sparkContext.broadcast(hotSet)
+    val profUdf = udf((text: String) => scrubProfile(text, bc.value))
+    stream
+      .withColumn("p", profUdf(col("text")))
+      .withColumn("n_tokens", col("p._1"))
+      .filter(col("n_tokens") > 0L)
+      .select(col("doc_id"), col("n_tokens"), col("p._2").as("n_scrubbed"),
+        round(col("p._2").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("scrub_frac"),
+        col("p._3").as("kept_md5"))
+  }
+
   /** Deterministic hash-bucket sampling at ingest — the streaming twin of
     * batch q23/q24: the keep decision is md5-bucket arithmetic over the
     * row's OWN key ([[graft.operators.Sampling.hashBucket]]), so it is

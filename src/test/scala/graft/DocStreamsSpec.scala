@@ -303,4 +303,42 @@ class DocStreamsSpec extends SparkSpec {
       assert(stateRows.forall(_ == 0L), s"lang gate must be stateless: $stateRows")
     } finally q.stop()
   }
+
+  test("at-ingest template scrub == batch d26 against the same frozen vocabulary, zero state") {
+    val base = java.nio.file.Files.createTempDirectory("graft-scrub-gate").toString
+    val docs = Tables.documents(spark, sf)
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val split = maxId / 2
+    // Frozen vocabulary: d23's hot keys over the FULL corpus (df >= 4,
+    // distinct per doc — the exact definition batch d26 derives itself).
+    val hot = Dedup.hashedShingles(Dedup.shingleSets(docs)).distinct()
+      .groupBy("sh_h").agg(count(lit(1)).as("df")).filter(col("df") >= 4)
+    docs.filter(col("doc_id") < split).coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/documents.parquet")
+    val gate = DocStreams.templateScrubGate(spark,
+      DocStreams.readDocumentStream(spark, base), hot)
+    val q = EventStreams.runToMemory(gate, "scrub_gate_out", OutputMode.Append)
+    try {
+      q.processAllAvailable()
+      docs.filter(col("doc_id") >= split).coalesce(1)
+        .write.mode("append").parquet(s"$base/documents.parquet")
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4)))
+      val streamed = spark.table("scrub_gate_out").collect().map(key).toMap
+      // Batch d26 derives the same full-corpus vocabulary itself, so its
+      // rows ARE the reference for every arrival.
+      val batch = Dedup.templateScrub(docs, 4).collect().map(key).toMap
+      assert(streamed.keySet == batch.keySet,
+        s"row-set drift: ${batch.keySet.diff(streamed.keySet).take(5)}")
+      streamed.foreach { case (id, v) =>
+        assert(batch(id) == v, s"scrub record mismatch for doc $id: $v vs ${batch(id)}")
+      }
+      // Non-vacuous: some docs edited, some untouched; genuinely stateless.
+      assert(streamed.values.exists(_._2 > 0) && streamed.values.exists(_._2 == 0))
+      val stateRows = q.recentProgress.toSeq.flatMap(_.stateOperators.toSeq)
+        .map(_.numRowsTotal)
+      assert(stateRows.forall(_ == 0L), s"scrub gate must be stateless: $stateRows")
+    } finally q.stop()
+  }
 }
