@@ -202,7 +202,10 @@ object ScaleRehearsal {
       // copies multiply the vocabulary k× while per-copy hot structure
       // replicates — the hot join's build side grows WITH the corpus
       // (the adversarial direction, d23/t34's axis).
-      "d26_template_scrub")
+      "d26_template_scrub",
+      // t36 joins t24's token-explode aggregate with t20's map-only
+      // gate — two doc-keyed relations, one linear join, bounded bins.
+      "t36_classifier_calibration")
     def timeQuery(name: String, dir: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
       def once(): (Double, Long) = {

@@ -38,7 +38,7 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    MAU / DAU-over-MAU per day via a bounded window-end explode of
   *    the distinct (user, day) grain (sliding COUNT DISTINCT without
   *    a per-day rescan or a day self-join).
-  *  - t01..t35: text query library (grep, wordcount, token counting,
+  *  - t01..t36: text query library (grep, wordcount, token counting,
   *    quality scoring, language-ID, fingerprinting, winnowing, TF-IDF,
   *    langid eval, context chunking, co-occurrence PMI, bigram LM,
   *    bigram perplexity quality filter, vocabulary growth, Gopher-style
@@ -58,7 +58,8 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    deterministic seeded epoch shuffle — global rank with no global
   *    window via the two-phase prefix scan, per-doc templated-ness
   *    score over the corpus-hot shingle vocabulary, declared-vs-detected
-  *    language confusion audit — the metadata-trust readout).
+  *    language confusion audit — the metadata-trust readout,
+  *    classifier-vs-gate calibration — the threshold-picking table).
   *  - d01..d26: dedup & corpus hygiene (exact, MinHash-LSH, SimHash,
   *    n-gram Jaccard, embedding-cosine, connected-component clusters,
   *    keep-list, near-dup triangles, benchmark decontamination,

@@ -1785,11 +1785,114 @@ object TextOps {
             FROM cells c JOIN tot t ON t.source = c.source
             ORDER BY c.source, lang, pred_lang"""))
 
+  // ------------------------------------- classifier calibration (t36)
+  /** t36: classifier-vs-gate calibration — t24's learned quality score
+    * binned into fixed-width 0.1-wide bins, with each bin's t20
+    * heuristic-gate pass rate. This is the table a pipeline reads before
+    * replacing heuristics with a model (the FineWeb-Edu move): if high
+    * score bins don't concentrate gate passes, the model threshold can't
+    * be trusted; where they do, the crossover bin IS the threshold. Bins
+    * are fixed-width over the already-rounded score (floor(score·10) —
+    * no global sort, no ntile, no quantile estimation), so the readout
+    * is deterministic and engine-portable.
+    *
+    * Scale shape: t24's token explode + doc aggregate, t20's map-only
+    * feature scan, ONE doc-keyed equi-join of two doc-keyed relations
+    * (linear, AQE-planned), one bounded bin aggregate. Output ≤ ~21
+    * bins. */
+  val calibration = Q(
+    "t36_classifier_calibration",
+    (s, d) => {
+      val bucket = conv(substring(md5(col("w")), 1, 8), 16, 10)
+        .cast("long") % 1024L
+      val wMilli = (col("bucket") * lit(2654435761L) + lit(40503L)) % lit(1000003L) % lit(2001L) - lit(1000L)
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .withColumn("bucket", bucket)
+        .withColumn("w_milli", wMilli)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"), sum("w_milli").as("score_milli"))
+        .select(col("doc_id"),
+          round(col("score_milli").cast("double") /
+            (col("n_toks").cast("double") * 1000.0), 6).as("score"))
+      val toks = tokens(col("text"))
+      val gated = Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          stopwordHits(toks, stopwords("en")).cast("long").as("stop_hits"),
+          charClassCount(lower(col("text")), "[a-z0-9]").cast("long").as("n_word_chars"))
+        .select(col("doc_id"),
+          (col("n_tokens") >= 20 && col("n_tokens") <= 5000 &&
+            col("stop_hits").cast("double") / col("n_tokens").cast("double") >= 0.02 &&
+            col("n_word_chars").cast("double") / col("n_tokens").cast("double") >= 3.0 &&
+            col("n_word_chars").cast("double") / col("n_tokens").cast("double") <= 10.0)
+            .as("gate_pass"))
+      scored.join(gated, Seq("doc_id"))
+        .withColumn("score_bin", floor(col("score") * 10).cast("long"))
+        // Cross-row float mean via integer micro-units (README parity
+        // rule: never sum doubles across rows — partial-aggregation
+        // order differs between engines).
+        .withColumn("score_micro", round(col("score") * 1e6).cast("long"))
+        .groupBy("score_bin")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("gate_pass"), 1L).otherwise(0L)).as("n_gate_pass"),
+          sum("score_micro").as("sum_micro"))
+        .select(col("score_bin"), col("n_docs"), col("n_gate_pass"),
+          round(col("sum_micro").cast("double") /
+            (col("n_docs").cast("double") * 1e6), 6).as("mean_score"),
+          round(col("n_gate_pass").cast("double") / col("n_docs").cast("double"), 6)
+            .as("pass_rate"))
+        .orderBy("score_bin")
+    },
+    Some(s"""WITH toks AS (
+              SELECT doc_id, unnest(list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS w
+              FROM documents),
+            wts AS (
+              SELECT doc_id,
+                (CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 1024
+                  * 2654435761 + 40503) % 1000003 % 2001 - 1000 AS w_milli
+              FROM toks),
+            scored AS (
+              SELECT doc_id,
+                round(CAST(sum(w_milli) AS DOUBLE)
+                  / (CAST(count(*) AS DOUBLE) * 1000.0), 6) AS score
+              FROM wts GROUP BY doc_id),
+            f AS (
+              SELECT doc_id,
+                CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS BIGINT) AS n_tokens,
+                CAST(${hitsSql(stopwords("en"))} AS BIGINT) AS stop_hits,
+                CAST(length(text) - length(regexp_replace(lower(text), '[a-z0-9]', '', 'g')) AS BIGINT) AS n_word_chars
+              FROM documents),
+            gated AS (
+              SELECT doc_id,
+                (n_tokens >= 20 AND n_tokens <= 5000
+                 AND CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.02
+                 AND CAST(n_word_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 3.0
+                 AND CAST(n_word_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 10.0)
+                  AS gate_pass
+              FROM f),
+            b AS (
+              SELECT s.doc_id, score, gate_pass,
+                CAST(floor(score * 10) AS BIGINT) AS score_bin,
+                CAST(round(score * 1000000) AS BIGINT) AS score_micro
+              FROM scored s JOIN gated g ON g.doc_id = s.doc_id)
+            SELECT score_bin, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN gate_pass THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_gate_pass,
+              round(CAST(sum(score_micro) AS DOUBLE)
+                / (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS mean_score,
+              round(CAST(sum(CASE WHEN gate_pass THEN 1 ELSE 0 END) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE), 6) AS pass_rate
+            FROM b GROUP BY score_bin ORDER BY score_bin"""))
+
   val all: Seq[Q] =
     Seq(grep, wordcount, tokenCount, quality, langid, fingerprint, winnow, tfidf,
       langidEval, chunk, cooccur, bigrams, perplexity, vocabGrowth, repetition,
       novelty, pack, spectrum, scrub, qualityGate, bpeTrain, sourceProfile,
       hitters, classifierScore, bpeApply, nfcAudit, dsirWeights, lengthOutliers,
       tokenEntropy, piiScrubQ, encodingAuditQ, zipfFit, epochShuffleQ, templated,
-      langMismatchQ)
+      langMismatchQ, calibration)
 }

@@ -137,7 +137,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q40_wau_stickiness",
     // d26: hot set is an exact df filter; coverage/anti-join are exact
     // set ops; reassembly sorts by (pos, tok) before digesting.
-    "d26_template_scrub")
+    "d26_template_scrub",
+    // t36: integer-unit means over exact doc aggregates; fixed-width
+    // bins over the pre-rounded score.
+    "t36_classifier_calibration")
 
   test("round-5/6 queries return identical rows at shuffle.partitions = 3 and 17") {
     val conf = spark.conf
