@@ -56,7 +56,10 @@ object PlanAudit {
       "p06_dedup_mix_rates",
       // d25: one 1-row corpus-total attachment over the group-size
       // spectrum (output = #distinct group sizes × 1 row).
-      "d25_cluster_spectrum")
+      "d25_cluster_spectrum",
+      // p08: q31's 1-row minimum attachment, then a bounded 4-way
+      // epoch explode — source-count × 1 row × 4.
+      "p08_curriculum_schedule")
 
   /** Tables that are corpus-/fact-scale at the 100 TB target — anything
     * derived from one of these is presumed unbounded unless the deriving

@@ -205,7 +205,11 @@ object ScaleRehearsal {
       "d26_template_scrub",
       // t36 joins t24's token-explode aggregate with t20's map-only
       // gate — two doc-keyed relations, one linear join, bounded bins.
-      "t36_classifier_calibration")
+      "t36_classifier_calibration",
+      // p08 is q31's mass aggregate × a bounded epoch explode; p09 is
+      // one feature scan into one multi-distinct 1-row aggregate — its
+      // fingerprint distinct rides the same Expand as lang/source.
+      "p08_curriculum_schedule", "p09_data_card")
     def timeQuery(name: String, dir: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
       def once(): (Double, Long) = {

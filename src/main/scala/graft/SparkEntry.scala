@@ -118,6 +118,13 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *  - p07: per-source stage-attrition funnel (raw → blocklist-clean →
   *    quality gate → dedup representative, cumulative) — the "where
   *    does my data go" dashboard of a curation run.
+  *  - p08: epoch-annealed curriculum schedule — q31's temperature rates
+  *    for every training epoch under a halving-α annealing chain (each
+  *    rate a sqrt chain of the exact token ratio, engine-exact).
+  *  - p09: the dataset data card — corpus size, token mass, diversity,
+  *    dup/gate/blocklist rates as (metric, value) rows from ONE scan
+  *    and ONE multi-distinct aggregate, using the engine's own
+  *    definitions (d01 fingerprint, t20 gate, t19 blocklist).
   */
 object SparkEntry {
   val inventory: Seq[Q] =

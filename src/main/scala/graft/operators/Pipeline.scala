@@ -650,5 +650,176 @@ object Pipeline {
                 AS survival_rate
             FROM agg ORDER BY source"""))
 
-  val all: Seq[Q] = Seq(pipeline, mix, audit, epoch, refresh, dedupMix, funnel)
+  // --------------------------------------- curriculum schedule (p08)
+  /** p08: epoch-annealed mixing schedule — q31's temperature rates
+    * derived for EVERY training epoch under an annealing α: epoch 1
+    * mixes uniformly across sources (α = 1: every source contributes
+    * equal tokens — early-training diversity), later epochs anneal
+    * toward the natural distribution (α halves each epoch), the
+    * standard curriculum move. Emits per (epoch, source): α, the rate,
+    * and the expected token contribution — the complete sampling plan a
+    * multi-epoch run executes, where q31 gives one epoch's slice.
+    *
+    * α is deliberately restricted to the halving chain {1, 1/2, 1/4,
+    * 1/8} so every rate is a sqrt CHAIN of the exact token ratio —
+    * sqrt is IEEE-exact in both engines while pow(x, 0.4) is libm-
+    * dependent; this is q31's α = 0.5 parity trick generalized to a
+    * schedule.
+    *
+    * Scale shape: one token-mass aggregate (map-side partials), one
+    * 1-row minimum attachment (q31's allowlisted shape), one bounded
+    * 4-way epoch explode — output = 4 × #sources. */
+  def curriculumSchedule(docs: DataFrame): DataFrame = {
+    val masses = docs
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n_toks"))
+      .groupBy("source").agg(sum("n_toks").as("src_tokens"))
+    val ratio = col("min_tokens").cast("double") / col("src_tokens").cast("double")
+    val rate =
+      when(col("epoch") === 1, ratio)
+        .when(col("epoch") === 2, sqrt(ratio))
+        .when(col("epoch") === 3, sqrt(sqrt(ratio)))
+        .otherwise(sqrt(sqrt(sqrt(ratio))))
+    masses
+      .crossJoin(masses.agg(min("src_tokens").as("min_tokens")))
+      .select(col("source"), col("src_tokens"), col("min_tokens"),
+        explode(sequence(lit(1), lit(4))).as("epoch"))
+      .select(
+        col("epoch").cast("long").as("epoch"),
+        round(lit(1.0) / pow(lit(2.0), col("epoch").cast("double") - 1.0), 6)
+          .as("alpha"),
+        col("source"), col("src_tokens"),
+        round(rate, 6).as("rate"),
+        round(col("src_tokens").cast("double") * round(rate, 6)).cast("long")
+          .as("expected_tokens"))
+      .orderBy("epoch", "source")
+  }
+
+  val curriculum = Q(
+    "p08_curriculum_schedule",
+    (s, d) => curriculumSchedule(Tables.documents(s, d)),
+    Some("""WITH masses AS (
+              SELECT source,
+                CAST(sum(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                         t -> t <> ''))) AS BIGINT) AS src_tokens
+              FROM documents GROUP BY source),
+            mn AS (SELECT CAST(min(src_tokens) AS BIGINT) AS min_tokens FROM masses),
+            ep AS (
+              SELECT source, src_tokens, min_tokens, CAST(e.i AS BIGINT) AS epoch,
+                CAST(min_tokens AS DOUBLE) / CAST(src_tokens AS DOUBLE) AS ratio
+              FROM masses, mn, range(1, 5) e(i)),
+            rated AS (
+              SELECT epoch,
+                round(1.0 / power(2.0, CAST(epoch AS DOUBLE) - 1.0), 6) AS alpha,
+                source, src_tokens,
+                round(CASE epoch WHEN 1 THEN ratio
+                                 WHEN 2 THEN sqrt(ratio)
+                                 WHEN 3 THEN sqrt(sqrt(ratio))
+                                 ELSE sqrt(sqrt(sqrt(ratio))) END, 6) AS rate
+              FROM ep)
+            SELECT epoch, alpha, source, src_tokens, rate,
+              CAST(round(CAST(src_tokens AS DOUBLE) * rate) AS BIGINT)
+                AS expected_tokens
+            FROM rated ORDER BY epoch, source"""))
+
+  // ---------------------------------------------- data card (p09)
+  /** p09: the dataset data card — the one-page datasheet every released
+    * corpus ships (Datasheets for Datasets / Dataset Cards): corpus
+    * size, token mass, per-doc token mean, language and source
+    * diversity, exact-dup rate, quality-gate pass rate, blocklist-clean
+    * rate — each as a (metric, value) row, all derived with the
+    * engine's own definitions (d01's fingerprint, t20's gate, t19's
+    * blocklist), so the card agrees with the pipeline that produced the
+    * corpus.
+    *
+    * Scale shape: ONE map-only feature scan, ONE 1-row aggregate — the
+    * three distinct counts (lang, source, fingerprint) share the
+    * multi-distinct Expand, everything else is a plain sum — then a
+    * constant 9-way unpivot of that single row. The mean rides integer
+    * token counts (the float-sum parity rule). Nothing here is a
+    * second corpus pass. */
+  def dataCard(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val feats = docs.select(
+      col("lang"), col("source"),
+      size(toks).cast("long").as("n_tokens"),
+      stopwordHits(toks, stopwords("en")).cast("long").as("stop_hits"),
+      charClassCount(lower(col("text")), "[a-z0-9]").cast("long").as("n_word_chars"),
+      regexp_count(col("text"), lit("\\b(customer|supplier|order)\\b")).cast("long")
+        .as("block_hits"),
+      md5(normText(col("text"))).as("fp"))
+    val row = feats
+      .withColumn("gate_pass",
+        col("n_tokens") >= 20 && col("n_tokens") <= 5000 &&
+          col("stop_hits").cast("double") / col("n_tokens").cast("double") >= 0.02 &&
+          col("n_word_chars").cast("double") / col("n_tokens").cast("double") >= 3.0 &&
+          col("n_word_chars").cast("double") / col("n_tokens").cast("double") <= 10.0)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        countDistinct("lang").as("n_langs"),
+        countDistinct("source").as("n_sources"),
+        countDistinct("fp").as("n_unique"),
+        sum(when(col("gate_pass"), 1L).otherwise(0L)).as("n_gate_pass"),
+        sum(when(col("block_hits") === 0L, 1L).otherwise(0L)).as("n_clean"))
+    row.select(expr(
+      """stack(9,
+           'n_docs', CAST(n_docs AS DOUBLE),
+           'total_tokens', CAST(total_tokens AS DOUBLE),
+           'mean_tokens_per_doc', round(CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 6),
+           'n_langs', CAST(n_langs AS DOUBLE),
+           'n_sources', CAST(n_sources AS DOUBLE),
+           'n_unique_docs', CAST(n_unique AS DOUBLE),
+           'exact_dup_rate', round(CAST(n_docs - n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE), 6),
+           'gate_pass_rate', round(CAST(n_gate_pass AS DOUBLE) / CAST(n_docs AS DOUBLE), 6),
+           'blocklist_clean_rate', round(CAST(n_clean AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+         ) AS (metric, value)"""))
+      .orderBy("metric")
+  }
+
+  val card = Q(
+    "p09_data_card",
+    (s, d) => dataCard(Tables.documents(s, d)),
+    Some("""WITH f AS (
+              SELECT lang, source,
+                CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS BIGINT) AS n_tokens,
+                CAST(len(list_filter(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> ''),
+                     t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'you', 'that'))) AS BIGINT) AS stop_hits,
+                CAST(length(text) - length(regexp_replace(lower(text), '[a-z0-9]', '', 'g')) AS BIGINT) AS n_word_chars,
+                CAST(len(regexp_extract_all(text, '\b(customer|supplier|order)\b')) AS BIGINT) AS block_hits,
+                md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+              FROM documents),
+            g AS (
+              SELECT *,
+                (n_tokens >= 20 AND n_tokens <= 5000
+                 AND CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.02
+                 AND CAST(n_word_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 3.0
+                 AND CAST(n_word_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 10.0) AS gate_pass
+              FROM f),
+            agg AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
+                CAST(sum(CASE WHEN gate_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_gate_pass,
+                CAST(sum(CASE WHEN block_hits = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+              FROM g)
+            SELECT metric, value FROM (
+              SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM agg
+              UNION ALL SELECT 'total_tokens', CAST(total_tokens AS DOUBLE) FROM agg
+              UNION ALL SELECT 'mean_tokens_per_doc',
+                round(CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) FROM agg
+              UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM agg
+              UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM agg
+              UNION ALL SELECT 'n_unique_docs', CAST(n_unique AS DOUBLE) FROM agg
+              UNION ALL SELECT 'exact_dup_rate',
+                round(CAST(n_docs - n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) FROM agg
+              UNION ALL SELECT 'gate_pass_rate',
+                round(CAST(n_gate_pass AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) FROM agg
+              UNION ALL SELECT 'blocklist_clean_rate',
+                round(CAST(n_clean AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) FROM agg)
+            ORDER BY metric"""))
+
+  val all: Seq[Q] =
+    Seq(pipeline, mix, audit, epoch, refresh, dedupMix, funnel, curriculum, card)
 }

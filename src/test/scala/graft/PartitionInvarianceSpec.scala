@@ -140,7 +140,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     "d26_template_scrub",
     // t36: integer-unit means over exact doc aggregates; fixed-width
     // bins over the pre-rounded score.
-    "t36_classifier_calibration")
+    "t36_classifier_calibration",
+    // p08's rates are sqrt chains of exact BIGINT ratios (q31's parity
+    // trick); p09 is one exact multi-distinct aggregate + a constant
+    // unpivot.
+    "p08_curriculum_schedule", "p09_data_card")
 
   test("round-5/6 queries return identical rows at shuffle.partitions = 3 and 17") {
     val conf = spark.conf
