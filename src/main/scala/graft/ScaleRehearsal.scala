@@ -61,6 +61,25 @@ object ScaleRehearsal {
     }.reduce(_ unionAll _)
   }
 
+  /** k× events table: copy i offsets event_id and user_id (stride =
+    * max + 1 each) and keeps ts/type/value/props verbatim — the corpus
+    * grows by USERS (each copy a disjoint user population with identical
+    * behavior), the realistic growth direction: per-user history stays
+    * constant while distinct-user counts, session counts, funnels and
+    * cohorts all scale exactly k×. Built from [[graft.sources.Tables
+    * .events]] so the written ts is a plain µs TIMESTAMP at any source
+    * encoding. */
+  def scaledEvents(events: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
+    val r = events.agg(max("event_id"), max("user_id")).head()
+    val (strideE, strideU) = (r.getLong(0) + 1L, r.getLong(1) + 1L)
+    (0 until k).map { i =>
+      if (i == 0) events
+      else events
+        .withColumn("event_id", col("event_id") + lit(i * strideE))
+        .withColumn("user_id", col("user_id") + lit(i * strideU))
+    }.reduce(_ unionAll _)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outDir = if (args.length > 1) args(1) else "target/scale10x"
@@ -263,6 +282,43 @@ object ScaleRehearsal {
       m11Row("m11_array_literal")(dir =>
         operators.Multimodal.mediaDecontaminateArray(
           operators.Multimodal.mediaTable(spark, dir), 14).count())
+    }
+    // ------------------------- events axis: the relational-event family
+    // Every prior rehearsal scaled documents/embeddings only; this
+    // section scales EVENTS (disjoint user populations, identical
+    // behavior — growth by users) and measures the event-keyed family.
+    // Runs in the full sweep OR targeted via the special name
+    // "events_axis".
+    if (only.isEmpty || only("events_axis")) {
+      val ev1 = graft.sources.Tables.events(spark, sfDir)
+      val evDir = s"$outDir/events_axis"
+      val reuseEv = reuseReq && {
+        try spark.read.parquet(s"$evDir/events.parquet").count() == ev1.count() * k
+        catch { case _: Exception => false }
+      }
+      if (!reuseEv) {
+        scaledEvents(ev1, k).repartition(32)
+          .write.mode("overwrite").parquet(s"$evDir/events.parquet")
+      }
+      def evRow(name: String): Unit = {
+        val fn = SparkEntry.queries(name)
+        def minOf2(dir: String): (Double, Long) = {
+          def once(): (Double, Long) = {
+            spark.catalog.clearCache(); System.gc()
+            val t0 = System.nanoTime(); val rows = fn(spark, dir).count()
+            ((System.nanoTime() - t0) / 1e9, rows)
+          }
+          val (tA, r0) = once(); val (tB, _) = once()
+          (math.min(tA, tB), r0)
+        }
+        val (t1, r1) = minOf2(sfDir)
+        val (tK, rK) = minOf2(evDir)
+        println(f"[scale] $name%-26s $t1%8.2f $r1%8d $tK%8.2f $rK%9d ${tK / t1}%5.1fx")
+      }
+      Seq("q11_events_hourly", "q12_sessionize", "q13_daily_active_users",
+        "q29_funnel_conversion", "q30_cohort_retention",
+        "q32_last_touch_attribution", "q33_event_transitions",
+        "q39_rate_anomaly", "q40_wau_stickiness").foreach(evRow)
     }
     if (only.nonEmpty) { spark.stop(); return }
 
