@@ -80,6 +80,32 @@ object ScaleRehearsal {
     }.reduce(_ unionAll _)
   }
 
+  /** k× TPC-H fact tables: copy i offsets the ORDER key on both facts
+    * with one shared stride (lineitem rows follow their order), keeps
+    * customer/part/supplier keys in the 1× dimension range (the SAME
+    * customers place k× the orders — growth over time, the star-join
+    * reality: facts grow, dimensions don't), and leaves all measures
+    * verbatim. Dimensions are copied through unchanged. */
+  def scaledFacts(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      outDir: String, k: Int): Unit = {
+    import graft.sources.Tables
+    val orders = Tables.orders(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    val stride = orders.agg(max("o_orderkey")).head().getLong(0) + 1L
+    def copies(df: org.apache.spark.sql.DataFrame, keyCol: String) =
+      (0 until k).map { i =>
+        if (i == 0) df else df.withColumn(keyCol, col(keyCol) + lit(i * stride))
+      }.reduce(_ unionAll _)
+    copies(orders, "o_orderkey").repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    copies(li, "l_orderkey").repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outDir = if (args.length > 1) args(1) else "target/scale10x"
@@ -283,6 +309,42 @@ object ScaleRehearsal {
         operators.Multimodal.mediaDecontaminateArray(
           operators.Multimodal.mediaTable(spark, dir), 14).count())
     }
+    // ------------------------- TPC-H fact axis: the relational family
+    // Facts (orders/lineitem) scale k×; dimensions stay 1× — the star
+    // schema's growth direction, and the regime where the broadcast
+    // sides of q03–q05 must stay bounded while the fact scans grow.
+    // Targeted via the special name "tpch_axis".
+    if (only.isEmpty || only("tpch_axis")) {
+      val tDir = s"$outDir/tpch_axis"
+      val reuseT = reuseReq && {
+        try spark.read.parquet(s"$tDir/orders.parquet").count() ==
+          graft.sources.Tables.orders(spark, sfDir).count() * k
+        catch { case _: Exception => false }
+      }
+      if (!reuseT) scaledFacts(spark, sfDir, tDir, k)
+      def thRow(name: String): Unit = {
+        val fn = SparkEntry.queries(name)
+        def minOf2(dir: String): (Double, Long) = {
+          def once(): (Double, Long) = {
+            spark.catalog.clearCache(); System.gc()
+            val t0 = System.nanoTime(); val rows = fn(spark, dir).count()
+            ((System.nanoTime() - t0) / 1e9, rows)
+          }
+          val (tA, r0) = once(); val (tB, _) = once()
+          (math.min(tA, tB), r0)
+        }
+        val (t1, r1) = minOf2(sfDir)
+        val (tK, rK) = minOf2(tDir)
+        println(f"[scale] $name%-26s $t1%8.2f $r1%8d $tK%8.2f $rK%9d ${tK / t1}%5.1fx")
+      }
+      Seq("q01_scan_filter_project", "q02_agg_pricing_summary",
+        "q03_join_orders_customer", "q04_broadcast_join_part",
+        "q05_local_supplier_revenue", "q06_topk_customers",
+        "q07_window_top_orders", "q08_distinct_parts_per_flag",
+        "q09_semi_anti_join", "q10_rollup_order_status",
+        "q15_approx_distinct").foreach(thRow)
+    }
+
     // ------------------------- events axis: the relational-event family
     // Every prior rehearsal scaled documents/embeddings only; this
     // section scales EVENTS (disjoint user populations, identical
