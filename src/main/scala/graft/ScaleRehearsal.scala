@@ -355,12 +355,18 @@ object ScaleRehearsal {
       val ev1 = graft.sources.Tables.events(spark, sfDir)
       val evDir = s"$outDir/events_axis"
       val reuseEv = reuseReq && {
-        try spark.read.parquet(s"$evDir/events.parquet").count() == ev1.count() * k
+        try spark.read.parquet(s"$evDir/events.parquet").count() == ev1.count() * k &&
+          spark.read.parquet(s"$evDir/orders.parquet").count() > 0
         catch { case _: Exception => false }
       }
       if (!reuseEv) {
         scaledEvents(ev1, k).repartition(32)
           .write.mode("overwrite").parquet(s"$evDir/events.parquet")
+        // q16's build side: orders stay 1× (history is fixed; the k−1
+        // offset user populations have no orders and as-of to null —
+        // the realistic new-user case).
+        spark.read.parquet(s"$sfDir/orders.parquet")
+          .write.mode("overwrite").parquet(s"$evDir/orders.parquet")
       }
       def evRow(name: String): Unit = {
         val fn = SparkEntry.queries(name)
@@ -380,7 +386,12 @@ object ScaleRehearsal {
       Seq("q11_events_hourly", "q12_sessionize", "q13_daily_active_users",
         "q29_funnel_conversion", "q30_cohort_retention",
         "q32_last_touch_attribution", "q33_event_transitions",
-        "q39_rate_anomaly", "q40_wau_stickiness").foreach(evRow)
+        "q39_rate_anomaly", "q40_wau_stickiness",
+        // q16: probe (events) grows k×, build (orders) fixed; q17: the
+        // honest quadratic — pair OUTPUT grows ~k² with event density
+        // (the semantics, not the plan; the bucketed join must stay
+        // output-bound).
+        "q16_asof_join", "q17_range_join").foreach(evRow)
     }
     if (only.nonEmpty) { spark.stop(); return }
 
