@@ -309,6 +309,54 @@ object ScaleRehearsal {
         operators.Multimodal.mediaDecontaminateArray(
           operators.Multimodal.mediaTable(spark, dir), 14).count())
     }
+    // ---------------- kilo axis (targeted only): three orders of magnitude
+    // `only("kilo_axis")` with k=1000 builds a 5M-doc corpus via ONE
+    // explode (a 1000-branch union would choke the planner; the
+    // Column-replacement regexp_replace tags each copy's tokens, same
+    // shingle-disjoint healthy-corpus construction as scaledDocs) and
+    // times the flat document family at 1× vs k× — the spot check that
+    // the flat band holds across THREE orders of magnitude.
+    if (only("kilo_axis")) {
+      val kDir = s"$outDir/kilo"
+      val reuseKilo = reuseReq && {
+        try spark.read.parquet(s"$kDir/documents.parquet").count() == n1 * k
+        catch { case _: Exception => false }
+      }
+      if (!reuseKilo) {
+        val stride = docs.agg(max("doc_id")).head().getLong(0) + 1L
+        docs.select(col("doc_id"), col("text"), col("lang"), col("source"),
+            col("n_chars"), explode(sequence(lit(0), lit(k - 1))).as("copy"))
+          .select(
+            (col("doc_id") + col("copy").cast("long") * lit(stride)).as("doc_id"),
+            when(col("copy") === 0, col("text"))
+              .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+                concat(lit("$1x"), col("copy").cast("string")))).as("text"),
+            col("lang"), col("source"), col("n_chars"))
+          .repartition(64)
+          .write.mode("overwrite").parquet(s"$kDir/documents.parquet")
+      }
+      println(s"[scale] kilo corpus: ${n1 * k} docs")
+      def kRow(name: String): Unit = {
+        val fn = SparkEntry.queries(name)
+        def minOf2(dir: String): (Double, Long) = {
+          def once(): (Double, Long) = {
+            spark.catalog.clearCache(); System.gc()
+            val t0 = System.nanoTime(); val rows = fn(spark, dir).count()
+            ((System.nanoTime() - t0) / 1e9, rows)
+          }
+          val (tA, r0) = once(); val (tB, _) = once()
+          (math.min(tA, tB), r0)
+        }
+        val (t1, r1) = minOf2(sfDir)
+        val (tK, rK) = minOf2(kDir)
+        println(f"[scale] $name%-26s $t1%8.2f $r1%8d $tK%8.2f $rK%9d ${tK / t1}%5.1fx")
+      }
+      Seq("t19_blocklist_scrub", "d01_dedup_exact", "d24_dup_inflation",
+        "p06_dedup_mix_rates", "t17_sequence_pack", "q38_key_skew_profile",
+        "p09_data_card").foreach(kRow)
+      spark.stop(); return
+    }
+
     // ------------------------- TPC-H fact axis: the relational family
     // Facts (orders/lineitem) scale k×; dimensions stay 1× — the star
     // schema's growth direction, and the regime where the broadcast
