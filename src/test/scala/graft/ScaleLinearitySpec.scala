@@ -49,10 +49,14 @@ class ScaleLinearitySpec extends SparkSpec {
     // gate is the CI-shape regression guard for the one formerly
     // k²-shaped plan (pair rows scale 3× on the tagged shingle-disjoint
     // copies; a cap regression would blow the wall ceiling first).
+    // d26 (round-10): the vocabulary-joined template scrub — per-copy
+    // hot sets are disjoint under the tagged construction, so every
+    // copy scrubs identically and the per-doc edit records scale
+    // exactly 3×; the ceiling guards the coverage join.
     Seq("d02_dedup_minhash_lsh", "d04_ngram_jaccard", "d11_repeated_spans",
         "t16_shingle_novelty",
         "d13_chunk_scrub", "p01_corpus_pipeline", "m07_scene_cuts",
-        "t27_dsir_importance", "p02_mix_pipeline")
+        "t27_dsir_importance", "p02_mix_pipeline", "d26_template_scrub")
       .foreach { name =>
         val (t1, r1) = minOf2(name, base)
         val (t3, r3) = minOf2(name, out)
