@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import graft.operators.Relational
+import graft.sources.Tables
 import graft.streaming.EventStreams
 
 /** Structured Streaming specs: the streaming queries must agree with their
@@ -361,5 +362,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch,
       s"stream/batch drift: ${streamed.diff(batch).take(3)} vs ${batch.diff(streamed).take(3)}")
     assert(batch.nonEmpty, "fixture degenerate: batch d17 flagged nothing at sf0.001")
+  }
+
+  test("streaming daily HLL == batch HLL bit-for-bit (merge order-independence)") {
+    val stream = EventStreams.readEventStream(spark, sf)
+    val q = EventStreams.runToMemory(
+      EventStreams.dailyActiveApprox(stream), "dau_hll_out", OutputMode.Append)
+    try {
+      val streamed = spark.table("dau_hll_out")
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = Tables.events(spark, sf)
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(approx_count_distinct("user_id", 0.02).as("approx_users"),
+          count(lit(1)).as("n_events"))
+        .select(col("window.start").as("day"), col("approx_users"), col("n_events"))
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed.nonEmpty, "watermarked stream emitted no closed windows")
+      // Not "approximately equal": the HLL registers merge by max, so any
+      // micro-batch slicing yields the identical sketch — emitted windows
+      // must match the batch rows exactly.
+      assert(streamed.subsetOf(batch),
+        s"streamed HLL rows disagree with batch: ${streamed.diff(batch).take(3)}")
+      // And the estimate is a real distinct count, not a row count.
+      val exact = Tables.events(spark, sf)
+        .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+        .groupBy("d").count().collect().map(_.getLong(1))
+      val est = streamed.map(_._2)
+      assert(est.forall(v => exact.exists(e => math.abs(v - e) <= math.max(3L, (e * 0.1).toLong))),
+        s"HLL estimates implausibly far from exact: $est vs ${exact.toSeq}")
+    } finally q.stop()
   }
 }
