@@ -513,4 +513,36 @@ class PropertySpec extends SparkSpec {
       .groupBy(identity).map { case (k, vs) => k -> vs.size }
     assert(got == expected)
   }
+
+  test("scrubProfile (streaming kernel) == batch templateScrub on random corpora") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit}
+    // Small vocabularies force shared (and therefore hot) trigrams;
+    // varied doc lengths exercise the <3-token and fully-scrubbed edges.
+    val word: Gen[String] = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+    val docGen: Gen[String] = Gen.choose(0, 12)
+      .flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    for (seed <- 1 to 8) {
+      val texts = samples(docGen, 30).zipWithIndex
+        .map { case (t, i) => (i.toLong + seed * 1000L, t) }
+        .filter(_._2.trim.nonEmpty)
+      val docs = texts.toDF("doc_id", "text")
+      val batch = graft.operators.Dedup.templateScrub(docs, 4).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(4))))
+        .toMap
+      // Scalar kernel against the SAME hot vocabulary the batch derived.
+      val hot = graft.operators.Dedup.hashedShingles(
+          graft.operators.Dedup.shingleSets(docs)).distinct()
+        .groupBy("sh_h").agg(count(lit(1)).as("df")).filter(col("df") >= 4)
+        .select("sh_h").as[Long].collect().toSet
+      texts.foreach { case (id, text) =>
+        val (nTok, nScrub, keptMd5) = graft.streaming.DocStreams.scrubProfile(text, hot)
+        if (nTok > 0) {
+          val b = batch(id)
+          assert((b._1, b._2, b._3) == ((nTok, nScrub, keptMd5)),
+            s"seed=$seed doc=$id kernel (${(nTok, nScrub, keptMd5)}) != batch $b for: '$text'")
+        } else assert(!batch.contains(id), s"zero-token doc $id present in batch output")
+      }
+    }
+  }
 }
