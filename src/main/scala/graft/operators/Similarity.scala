@@ -1001,6 +1001,11 @@ object Similarity {
     * query set (carrying labels), ONE streaming corpus pass, k-row
     * window shuffle — plus a query-keyed bounded aggregate. No corpus
     * self-join, nothing grows with corpus size except the one scan.
+    *
+    * Contract: `purity` divides by the structural constant k (both
+    * engines, identically) — a corpus with fewer than k+1 vectors is
+    * out of contract (the audit is meaningless below the neighborhood
+    * size), so the denominator never silently shrinks.
     */
   def knnLabelPurity(spark: SparkSession, d: String, nQueries: Int, k: Int): DataFrame =
     knnLabelPurityFrom(Tables.embeddings(spark, d), nQueries, k)
