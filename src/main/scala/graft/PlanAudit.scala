@@ -59,7 +59,14 @@ object PlanAudit {
       "d25_cluster_spectrum",
       // p08: q31's 1-row minimum attachment, then a bounded 4-way
       // epoch explode — source-count × 1 row × 4.
-      "p08_curriculum_schedule")
+      "p08_curriculum_schedule",
+      // q41: the ≤7-row latency-bucket rollup crossJoins its 1-row
+      // viewer-total aggregate — q38's bounded × 1 row shape.
+      "q41_conversion_latency",
+      // t37: the corpus scan crossJoins the 1-row top-K vocab array
+      // (TakeOrdered-K → one collect_list row) — bounded × 1 row;
+      // scoring stays map-only against the array.
+      "t37_vocab_coverage")
 
   /** Tables that are corpus-/fact-scale at the 100 TB target — anything
     * derived from one of these is presumed unbounded unless the deriving

@@ -38,7 +38,11 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    MAU / DAU-over-MAU per day via a bounded window-end explode of
   *    the distinct (user, day) grain (sliding COUNT DISTINCT without
   *    a per-day rescan or a day self-join).
-  *  - t01..t36: text query library (grep, wordcount, token counting,
+  *  - q41: conversion-latency distribution — first-view → first
+  *    qualifying-purchase latency per user, bucketed into operational
+  *    bands plus the no-conversion band (the evidence behind q32's
+  *    attribution-window choice), in one user-keyed window pass.
+  *  - t01..t37: text query library (grep, wordcount, token counting,
   *    quality scoring, language-ID, fingerprinting, winnowing, TF-IDF,
   *    langid eval, context chunking, co-occurrence PMI, bigram LM,
   *    bigram perplexity quality filter, vocabulary growth, Gopher-style
@@ -59,7 +63,9 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    window via the two-phase prefix scan, per-doc templated-ness
   *    score over the corpus-hot shingle vocabulary, declared-vs-detected
   *    language confusion audit — the metadata-trust readout,
-  *    classifier-vs-gate calibration — the threshold-picking table).
+  *    classifier-vs-gate calibration — the threshold-picking table,
+  *    vocabulary-coverage / OOV audit against the corpus's own top-K
+  *    reference vocab — the "will my tokenizer cover this doc" triage).
   *  - d01..d26: dedup & corpus hygiene (exact, MinHash-LSH, SimHash,
   *    n-gram Jaccard, embedding-cosine, connected-component clusters,
   *    keep-list, near-dup triangles, benchmark decontamination,
@@ -125,6 +131,11 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    dup/gate/blocklist rates as (metric, value) rows from ONE scan
   *    and ONE multi-distinct aggregate, using the engine's own
   *    definitions (d01 fingerprint, t20 gate, t19 blocklist).
+  *  - p10: the epoch seed-reproducibility audit — t33's permutation under
+  *    two seeds over the d01-kept corpus, verified per source: document
+  *    set and token mass seed-invariant (set_equal), order genuinely
+  *    moved (frac_moved, mean/max |Δposition|) — the pre-flight
+  *    determinism table a run checks before burning compute.
   */
 object SparkEntry {
   val inventory: Seq[Q] =

@@ -820,6 +820,115 @@ object Pipeline {
                 round(CAST(n_clean AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) FROM agg)
             ORDER BY metric"""))
 
+  // ---------------------------------- seed-reproducibility audit (p10)
+  /** p10: the epoch seed-reproducibility audit — the pre-flight check a
+    * training run does before burning compute on an epoch plan: assemble
+    * t33's permutation under TWO seeds over the d01-kept corpus and
+    * verify, per source, that (a) the shipped document SET and token mass
+    * are seed-invariant (set_equal — a membership diff would surface as a
+    * dangling full-outer row and flip the flag, and the dangling row
+    * itself shows up under the '~missing' source), while (b) the ORDER
+    * genuinely moves (frac_moved, mean/max |Δposition|) — a seed that
+    * barely permuted would feed near-identical batch curricula every
+    * epoch. Determinism is the engine's core claim for t33/p04 (a pure
+    * md5 of (seed, doc_id)); this turns that claim into a driver-checkable
+    * table instead of a test-only assertion.
+    *
+    * Exactness: positions are BIGINT prefix-scan ranks; every shift stat
+    * is a BIGINT sum closed by one rounded division.
+    *
+    * Scale shape: one fingerprint window (d01's), then per seed the t33
+    * two-phase range-exchange prefix scan (source/token columns ride the
+    * orderCols AFTER the unique doc_id, so they cannot perturb the total
+    * order); the A↔B join is doc_id-keyed and merge-hinted (both sides
+    * are checkpoint-scan branches with no stats — the static planner must
+    * not broadcast a corpus-scale side); the rollup is one source-keyed
+    * aggregate. Nothing quadratic, nothing global-windowed.
+    */
+  def seedStability(docs: DataFrame, seedA: String = "epoch0",
+      seedB: String = "epoch1"): DataFrame = {
+    val kept = docs
+      .withColumn("fp", md5(normText(col("text"))))
+      .withColumn("rep", min(col("doc_id")).over(Window.partitionBy("fp")))
+      .filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .localCheckpoint()
+    def ranked(seed: String, posCol: String): DataFrame = {
+      val keyed = kept.select(
+        md5(concat_ws(":", lit(seed), col("doc_id").cast("string"))).as("sk"),
+        col("doc_id"), col("source"), col("n_tokens"), lit(1L).as("one"))
+      TextOps.prefixSummedBy(keyed,
+          Seq("sk", "doc_id", "source", "n_tokens"), "one", "r")
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          (col("r") - lit(1L)).as(posCol))
+    }
+    val a = ranked(seedA, "pos_a")
+    val b = ranked(seedB, "pos_b")
+      .select(col("doc_id").as("doc_id_b"), col("pos_b"))
+    a.join(b.hint("merge"), col("doc_id") === col("doc_id_b"), "full_outer")
+      .select(
+        coalesce(col("source"), lit("~missing")).as("source"),
+        col("n_tokens"), col("pos_a"), col("pos_b"),
+        (col("doc_id").isNotNull && col("doc_id_b").isNotNull).as("both_present"))
+      .groupBy("source")
+      .agg(
+        count(col("pos_a")).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        expr("bool_and(both_present)").as("set_equal"),
+        round(sum(when(col("pos_a") =!= col("pos_b"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1)).cast("double"), 6).as("frac_moved"),
+        round(sum(abs(col("pos_a") - col("pos_b"))).cast("double")
+          / count(lit(1)).cast("double"), 6).as("mean_abs_shift"),
+        max(abs(col("pos_a") - col("pos_b"))).as("max_abs_shift"))
+      .orderBy("source")
+  }
+
+  val seedAudit = Q(
+    "p10_seed_reproducibility",
+    (s, d) => seedStability(Tables.documents(s, d)),
+    Some("""WITH fp AS (
+              SELECT doc_id, source, text,
+                md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+              FROM documents),
+            keep AS (
+              SELECT doc_id, source, text FROM (
+                SELECT doc_id, source, text,
+                  min(doc_id) OVER (PARTITION BY fp) AS rep
+                FROM fp)
+              WHERE doc_id = rep),
+            base AS (
+              SELECT doc_id, source,
+                CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                     t -> t <> '')) AS BIGINT) AS n_tokens
+              FROM keep),
+            a AS (
+              SELECT doc_id, source, n_tokens,
+                CAST(row_number() OVER (ORDER BY md5('epoch0:' || doc_id), doc_id)
+                     - 1 AS BIGINT) AS pos_a
+              FROM base),
+            b AS (
+              SELECT doc_id,
+                CAST(row_number() OVER (ORDER BY md5('epoch1:' || doc_id), doc_id)
+                     - 1 AS BIGINT) AS pos_b
+              FROM base),
+            j AS (
+              SELECT coalesce(a.source, '~missing') AS source, a.n_tokens,
+                a.pos_a, b.pos_b,
+                (a.doc_id IS NOT NULL AND b.doc_id IS NOT NULL) AS both_present
+              FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+            SELECT source,
+              CAST(count(pos_a) AS BIGINT) AS n_docs,
+              CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+              bool_and(both_present) AS set_equal,
+              round(CAST(sum(CASE WHEN pos_a <> pos_b THEN 1 ELSE 0 END) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE), 6) AS frac_moved,
+              round(CAST(sum(abs(pos_a - pos_b)) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE), 6) AS mean_abs_shift,
+              CAST(max(abs(pos_a - pos_b)) AS BIGINT) AS max_abs_shift
+            FROM j GROUP BY source ORDER BY source"""))
+
   val all: Seq[Q] =
-    Seq(pipeline, mix, audit, epoch, refresh, dedupMix, funnel, curriculum, card)
+    Seq(pipeline, mix, audit, epoch, refresh, dedupMix, funnel, curriculum, card,
+      seedAudit)
 }

@@ -1143,8 +1143,105 @@ object Relational {
               round(CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE), 6) AS stickiness
             FROM agg WHERE dau > 0 ORDER BY day"""))
 
+  /** q41: conversion-latency distribution — for every user whose journey
+    * contains a view, the latency from their FIRST view to their first
+    * purchase at-or-after it (in the (ts, event_id) total order), bucketed
+    * into operational latency bands (sub-minute … ≥ 1 day, plus the
+    * no-conversion band). q29 counts conversions and q32 names the
+    * attributed touchpoint; this is the "how long does conversion take"
+    * histogram a team reads BEFORE choosing an attribution window —
+    * q32's 24 h lookback is exactly such a choice, and this table is the
+    * evidence for it.
+    *
+    * Exactness: latencies are BIGINT microsecond differences (no float
+    * until the final share division, rounded to 6); first view / first
+    * qualifying purchase are minima under the unique (us, event_id)
+    * total order, identical in both engines. The per-row running first
+    * view (fv_us) makes "purchase at-or-after a view" a row-local
+    * predicate, and min(fv_us) over the user's rows recovers the overall
+    * first view — so one window pass feeds one aggregate.
+    *
+    * Scale shape: q29's — ONE user-keyed window shuffle, with the
+    * per-user aggregate riding the same exchange (no events self-join,
+    * which is the naive formulation); the bucket rollup collapses to
+    * ≤ 7 rows and the 1-row viewer-total attaches by bounded crossJoin
+    * (q38's shape). Linear in event volume.
+    */
+  val q41 = Q(
+    "q41_conversion_latency",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d).select(
+        col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val perUser = ev
+        .withColumn("fv_us",
+          min(when(col("event_type") === "view", col("us"))).over(w))
+        .groupBy("user_id")
+        .agg(
+          min(col("fv_us")).as("fv"),
+          min(when(col("event_type") === "purchase" && col("fv_us").isNotNull,
+            col("us"))).as("fp"))
+        .filter(col("fv").isNotNull)
+      val lat = col("fp") - col("fv")
+      val counts = perUser
+        .select(
+          when(col("fp").isNull, lit(6))
+            .when(lat < lit(60000000L), lit(0))
+            .when(lat < lit(600000000L), lit(1))
+            .when(lat < lit(3600000000L), lit(2))
+            .when(lat < lit(21600000000L), lit(3))
+            .when(lat < lit(86400000000L), lit(4))
+            .otherwise(lit(5)).as("bucket_id"))
+        .groupBy("bucket_id")
+        .agg(count(lit(1)).as("n_users"))
+      val tot = counts.agg(sum("n_users").as("n_viewers"))
+      counts.crossJoin(tot)
+        .select(
+          col("bucket_id"),
+          element_at(
+            lit(Array("lt_1m", "1m_10m", "10m_1h", "1h_6h", "6h_1d", "ge_1d",
+              "no_convert")), col("bucket_id") + 1).as("bucket"),
+          col("n_users"),
+          round(col("n_users").cast("double") / col("n_viewers").cast("double"), 6)
+            .as("share"))
+        .orderBy("bucket_id")
+    },
+    Some("""WITH staged AS (
+              SELECT user_id, event_type, epoch_us(ts) AS us,
+                min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+                  OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv_us
+              FROM events),
+            per_user AS (
+              SELECT user_id, min(fv_us) AS fv,
+                min(CASE WHEN event_type = 'purchase' AND fv_us IS NOT NULL
+                         THEN us END) AS fp
+              FROM staged GROUP BY user_id),
+            bucketed AS (
+              SELECT CASE WHEN fp IS NULL THEN 6
+                          WHEN fp - fv < 60000000 THEN 0
+                          WHEN fp - fv < 600000000 THEN 1
+                          WHEN fp - fv < 3600000000 THEN 2
+                          WHEN fp - fv < 21600000000 THEN 3
+                          WHEN fp - fv < 86400000000 THEN 4
+                          ELSE 5 END AS bucket_id
+              FROM per_user WHERE fv IS NOT NULL),
+            c AS (SELECT bucket_id, CAST(count(*) AS BIGINT) AS n_users
+                  FROM bucketed GROUP BY 1),
+            t AS (SELECT CAST(sum(n_users) AS BIGINT) AS n_viewers FROM c)
+            SELECT bucket_id,
+              CASE bucket_id WHEN 0 THEN 'lt_1m' WHEN 1 THEN '1m_10m'
+                   WHEN 2 THEN '10m_1h' WHEN 3 THEN '1h_6h' WHEN 4 THEN '6h_1d'
+                   WHEN 5 THEN 'ge_1d' ELSE 'no_convert' END AS bucket,
+              n_users,
+              round(CAST(n_users AS DOUBLE) / CAST(n_viewers AS DOUBLE), 6) AS share
+            FROM c, t ORDER BY bucket_id"""))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
       q18, q19, q20, q21, q22, q25, q26, q27, q29, q30, q32, q33, q34, q36, q37,
-      q38, q39, q40)
+      q38, q39, q40, q41)
 }

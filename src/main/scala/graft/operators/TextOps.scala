@@ -1888,11 +1888,82 @@ object TextOps {
                 / CAST(count(*) AS DOUBLE), 6) AS pass_rate
             FROM b GROUP BY score_bin ORDER BY score_bin"""))
 
+  /** t37: vocabulary-coverage / OOV audit — per document, the fraction of
+    * its word tokens OUTSIDE the corpus's own top-K reference vocabulary
+    * (K = [[VocabCoverageK]], ranked by exact corpus frequency with the
+    * lexicographic tie rule). The audit a pipeline runs before committing
+    * a tokenizer vocab: a doc whose tokens mostly miss the vocab will
+    * fragment into bytes/unknowns at training time, and the low_coverage
+    * flag is the triage list. Complements t27 (which WEIGHTS docs by a
+    * target/corpus ratio) and t08 (per-doc salient terms): this is the
+    * serving-side "will my vocab cover this doc" readout.
+    *
+    * Scale shape: vocab build = t02's explode + count (one shuffle, map-
+    * side partials) collapsed by a TakeOrdered-K (bounded K rows → ONE
+    * 1-row array aggregate); scoring is a map-only second corpus scan
+    * against the crossJoined 1-row vocab array (q38's bounded × 1 row
+    * shape) — `array_contains` over ≤ K entries inside codegen, no
+    * per-token join, no explode on the scoring path. At a real 50k-entry
+    * vocab the array literal is ~500 KB broadcast once — still map-only.
+    *
+    * Exactness: counts are BIGINT; oov_frac is one rounded division
+    * (NULLIF-guarded for empty docs — t32's discipline) and the flag
+    * compares the ROUNDED value so the 0.5 boundary cannot drift. */
+  val VocabCoverageK = 16
+
+  val vocabCoverage = Q(
+    "t37_vocab_coverage",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val vocab = docs
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("w"))
+        .limit(VocabCoverageK)
+        .agg(collect_list("w").as("vocab"))
+      docs.crossJoin(vocab)
+        .select(
+          col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"),
+          size(filter(tokens(col("text")),
+            t => !array_contains(col("vocab"), t))).cast("long").as("n_oov"))
+        .withColumn("oov_frac",
+          round(col("n_oov").cast("double") /
+            nullif(col("n_tokens").cast("double"), lit(0.0)), 6))
+        .withColumn("low_coverage",
+          coalesce(col("oov_frac") >= 0.5, lit(false)))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                t -> t <> '') AS tk
+              FROM documents),
+            cnt AS (
+              SELECT w, CAST(count(*) AS BIGINT) AS cnt
+              FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY 1),
+            vocab AS (
+              SELECT list(w) AS vocab
+              FROM (SELECT w FROM cnt ORDER BY cnt DESC, w LIMIT 16)),
+            scored AS (
+              SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+                CAST(len(list_filter(tk, t -> NOT list_contains(vocab, t)))
+                  AS BIGINT) AS n_oov
+              FROM toks, vocab),
+            fr AS (
+              SELECT doc_id, n_tokens, n_oov,
+                round(CAST(n_oov AS DOUBLE)
+                  / NULLIF(CAST(n_tokens AS DOUBLE), 0.0), 6) AS oov_frac
+              FROM scored)
+            SELECT doc_id, n_tokens, n_oov, oov_frac,
+              coalesce(oov_frac >= 0.5, false) AS low_coverage
+            FROM fr ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(grep, wordcount, tokenCount, quality, langid, fingerprint, winnow, tfidf,
       langidEval, chunk, cooccur, bigrams, perplexity, vocabGrowth, repetition,
       novelty, pack, spectrum, scrub, qualityGate, bpeTrain, sourceProfile,
       hitters, classifierScore, bpeApply, nfcAudit, dsirWeights, lengthOutliers,
       tokenEntropy, piiScrubQ, encodingAuditQ, zipfFit, epochShuffleQ, templated,
-      langMismatchQ, calibration)
+      langMismatchQ, calibration, vocabCoverage)
 }

@@ -203,6 +203,83 @@ class OperatorSpec extends SparkSpec {
     assert(got(1L) == ((1L, true)) && got(2L) == ((0L, false)) && got(3L) == ((0L, false)), got.toString)
   }
 
+  test("q41 latency bands: planted journeys hit lt_1m / ge_1d / no_convert; non-viewers excluded") {
+    // The shipped corpora are dense (every viewer eventually converts), so
+    // the band edges the query exists for — sub-minute, no-conversion, the
+    // purchase-precedes-view exclusion, the same-timestamp tie — are
+    // exercised here on a planted journey set.
+    import spark.implicits._
+    val day = 86400L * 1000000L
+    val ev = Seq(
+      (1L, 1L, "view", 0L), (2L, 1L, "purchase", 30L * 1000000L), // 30 s -> lt_1m
+      (3L, 2L, "purchase", 0L), (4L, 2L, "view", 1L),             // purchase precedes view -> no_convert
+      (5L, 3L, "view", 0L), (6L, 3L, "purchase", 2L * day),       // 2 d -> ge_1d
+      (7L, 4L, "click", 0L),                                      // never viewed -> excluded
+      (8L, 5L, "view", 0L), (9L, 5L, "purchase", 0L),             // same us, view first by event_id -> lat 0
+      (10L, 6L, "view", 0L)                                       // viewed, never purchased -> no_convert
+    ).toDF("event_id", "user_id", "event_type", "us")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("timestamp_micros(us)").as("ts"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-convlat").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val plan = Relational.q41.fn(spark, dir).queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"q41 should not shuffle-join events against itself:\n$plan")
+    val got = Relational.q41.fn(spark, dir).collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == Map(
+      "lt_1m" -> ((2L, 0.4)), "ge_1d" -> ((1L, 0.2)), "no_convert" -> ((2L, 0.4))),
+      got.toString)
+  }
+
+  test("t37 vocab coverage: planted rare-token doc is flagged, vocab docs score 0") {
+    import spark.implicits._
+    // 16 common tokens (freq 5 each) fill the top-K vocab exactly; the
+    // 17th doc is built from four freq-1 tokens, so every one of its
+    // tokens is OOV and the low_coverage flag must fire — and ONLY there.
+    val docs = (0 until 16).map { i =>
+      (i.toLong, Seq.fill(5)(s"common$i").mkString(" "), "en", "srcA", 50L)
+    } :+ ((16L, "rare1 rare2 rare3 rare4", "en", "srcA", 23L))
+    val dir = java.nio.file.Files.createTempDirectory("graft-vocab").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.vocabCoverage.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    assert(got(16L) == ((4L, 4L, true)), got.toString)
+    (0 until 16).foreach { i =>
+      assert(got(i.toLong) == ((5L, 0L, false)), s"doc $i: ${got(i.toLong)}")
+    }
+    // On the shipped corpus the flag must be non-vacuous (both classes).
+    val sfRows = TextOps.vocabCoverage.fn(spark, sf).collect()
+    val flags = sfRows.map(_.getBoolean(4)).toSet
+    assert(flags == Set(true, false), s"vacuous low_coverage at $sf: $flags")
+  }
+
+  test("p10 seed audit: dups collapse before ranking, sets seed-invariant, order moves") {
+    import graft.operators.Pipeline
+    // Shipped corpus: every source's doc set must be seed-invariant (no
+    // dangling full-outer row → no '~missing' source) and the permutation
+    // must genuinely move rows somewhere.
+    val rows = Pipeline.seedAudit.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0) != "~missing", s"dangling seed-B row: $r")
+      assert(r.getBoolean(3), s"set_equal false: $r")
+    }
+    assert(rows.map(_.getDouble(4)).max > 0.9, "permutation barely moved")
+    // Planted: the exact duplicate is dropped BEFORE ranking (d01's rule),
+    // so both seeds rank the same 2-doc set.
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta", "en", "srcA", 10L),
+      (2L, "alpha  beta ", "en", "srcB", 12L), // normText dup of doc 1
+      (3L, "gamma delta", "en", "srcA", 11L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Pipeline.seedStability(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("srcA" -> 2L), got.toString)
+  }
+
   test("d12 consensus: every pair corroborated by >= 2 named detectors") {
     val rows = Dedup.consensus.fn(spark, sf).collect()
     assert(rows.nonEmpty, "no consensus pairs at sf0.001")

@@ -144,7 +144,21 @@ class PartitionInvarianceSpec extends SparkSpec {
     // p08's rates are sqrt chains of exact BIGINT ratios (q31's parity
     // trick); p09 is one exact multi-distinct aggregate + a constant
     // unpivot.
-    "p08_curriculum_schedule", "p09_data_card")
+    "p08_curriculum_schedule", "p09_data_card",
+    // q41 rides q29's gated (us, event_id) window tie rule into an exact
+    // BIGINT latency bucket and a 1-row total — gated to prove the first
+    // view / first qualifying purchase can't move with geometry.
+    "q41_conversion_latency",
+    // t37's vocab is a TakeOrdered-K over exact counts with the (cnt
+    // DESC, token ASC) total order; the scoring path consumes only vocab
+    // MEMBERSHIP (collect_list order may vary with geometry — contains
+    // doesn't see it) — gated to prove the flag set can't move.
+    "t37_vocab_coverage",
+    // p10 composes d01's gated fingerprint window with TWO t33 prefix
+    // scans and a merge-hinted full-outer join; its stats are exact
+    // BIGINT sums — gated to prove the whole composition holds the
+    // partition-count-independence claim.
+    "p10_seed_reproducibility")
 
   test("round-5/6 queries return identical rows at shuffle.partitions = 3 and 17") {
     val conf = spark.conf
