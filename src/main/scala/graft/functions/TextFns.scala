@@ -54,4 +54,16 @@ object TextFns {
   /** Number of tokens of `toks` found in `set`. */
   def stopwordHits(toks: Column, set: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(set)))
+
+  /** ANSI-safe ratio: `num / den` as double, NULL when `den` is 0.
+    * Spark 4 runs ANSI mode by default, where `/` raises DIVIDE_BY_ZERO
+    * even for doubles — so every per-document or per-slice ratio whose
+    * denominator can legitimately be 0 at web scale (empty documents,
+    * all-whitespace sources, a zero-row daily delta) must route through
+    * this guard. Mirror SQL (DuckDB): `num / NULLIF(den, 0)` — both
+    * engines then agree on NULL for the degenerate rows, and three-valued
+    * logic keeps gate conjunctions (`n_tokens >= 20 AND frac >= 0.02`)
+    * FALSE, not NULL, whenever a leading conjunct already failed. */
+  def safeFrac(num: Column, den: Column): Column =
+    when(den =!= 0, num.cast("double") / den.cast("double"))
 }

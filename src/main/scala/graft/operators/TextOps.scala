@@ -96,12 +96,12 @@ object TextOps {
           charClassCount(col("text"), "\\s").cast("long").as("n_space"),
           size(toks).cast("long").as("n_tokens"),
           round(
-            charClassCount(lower(col("text")), "[a-z]").cast("double") /
-              length(col("text")).cast("double"), 4).as("alpha_ratio"))
+            safeFrac(charClassCount(lower(col("text")), "[a-z]"),
+              length(col("text"))), 4).as("alpha_ratio"))
         .orderBy("doc_id")
     },
     Some("""SELECT doc_id, n_chars_m, n_alpha, n_digit, n_space, n_tokens,
-              round(CAST(n_alpha AS DOUBLE) / CAST(n_chars_m AS DOUBLE), 4) AS alpha_ratio
+              round(CAST(n_alpha AS DOUBLE) / NULLIF(CAST(n_chars_m AS DOUBLE), 0), 4) AS alpha_ratio
             FROM (
               SELECT doc_id,
               CAST(length(text) AS BIGINT) AS n_chars_m,
@@ -812,8 +812,8 @@ object TextOps {
           charClassCount(lower(col("text")), "[a-z0-9]").cast("long").as("n_word_chars"))
         .select(
           col("doc_id"), col("n_tokens"),
-          (col("stop_hits").cast("double") / col("n_tokens").cast("double")).as("stop_frac"),
-          (col("n_word_chars").cast("double") / col("n_tokens").cast("double")).as("mean_tok_len"))
+          safeFrac(col("stop_hits"), col("n_tokens")).as("stop_frac"),
+          safeFrac(col("n_word_chars"), col("n_tokens")).as("mean_tok_len"))
         .withColumn("flags",
           when(col("n_tokens") < 20, 1L).otherwise(0L) +
             when(col("n_tokens") > 5000, 2L).otherwise(0L) +
@@ -830,8 +830,8 @@ object TextOps {
               FROM documents),
             g AS (
               SELECT doc_id, n_tokens,
-                CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_frac,
-                CAST(n_word_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_tok_len
+                CAST(stop_hits AS DOUBLE) / NULLIF(CAST(n_tokens AS DOUBLE), 0) AS stop_frac,
+                CAST(n_word_chars AS DOUBLE) / NULLIF(CAST(n_tokens AS DOUBLE), 0) AS mean_tok_len
               FROM f),
             h AS (
               SELECT doc_id, n_tokens, stop_frac, mean_tok_len,
@@ -928,8 +928,8 @@ object TextOps {
           charClassCount(lower(col("text")), "[a-z0-9]").cast("long").as("n_word_chars"))
         .select(
           col("source"), col("lang"), col("n_tokens"),
-          (col("stop_hits").cast("double") / col("n_tokens").cast("double")).as("stop_frac"),
-          (col("n_word_chars").cast("double") / col("n_tokens").cast("double")).as("mean_tok_len"))
+          safeFrac(col("stop_hits"), col("n_tokens")).as("stop_frac"),
+          safeFrac(col("n_word_chars"), col("n_tokens")).as("mean_tok_len"))
         .groupBy("source", "lang")
         .agg(
           count(lit(1)).as("n_docs"),
@@ -949,8 +949,8 @@ object TextOps {
               FROM documents),
             g AS (
               SELECT source, lang, n_tokens,
-                CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_frac,
-                CAST(n_word_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_tok_len
+                CAST(stop_hits AS DOUBLE) / NULLIF(CAST(n_tokens AS DOUBLE), 0) AS stop_frac,
+                CAST(n_word_chars AS DOUBLE) / NULLIF(CAST(n_tokens AS DOUBLE), 0) AS mean_tok_len
               FROM f)
             SELECT source, lang,
               CAST(count(*) AS BIGINT) AS n_docs,
@@ -1824,9 +1824,9 @@ object TextOps {
           charClassCount(lower(col("text")), "[a-z0-9]").cast("long").as("n_word_chars"))
         .select(col("doc_id"),
           (col("n_tokens") >= 20 && col("n_tokens") <= 5000 &&
-            col("stop_hits").cast("double") / col("n_tokens").cast("double") >= 0.02 &&
-            col("n_word_chars").cast("double") / col("n_tokens").cast("double") >= 3.0 &&
-            col("n_word_chars").cast("double") / col("n_tokens").cast("double") <= 10.0)
+            safeFrac(col("stop_hits"), col("n_tokens")) >= 0.02 &&
+            safeFrac(col("n_word_chars"), col("n_tokens")) >= 3.0 &&
+            safeFrac(col("n_word_chars"), col("n_tokens")) <= 10.0)
             .as("gate_pass"))
       scored.join(gated, Seq("doc_id"))
         .withColumn("score_bin", floor(col("score") * 10).cast("long"))
@@ -1869,9 +1869,9 @@ object TextOps {
             gated AS (
               SELECT doc_id,
                 (n_tokens >= 20 AND n_tokens <= 5000
-                 AND CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.02
-                 AND CAST(n_word_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 3.0
-                 AND CAST(n_word_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 10.0)
+                 AND CAST(stop_hits AS DOUBLE) / NULLIF(CAST(n_tokens AS DOUBLE), 0) >= 0.02
+                 AND CAST(n_word_chars AS DOUBLE) / NULLIF(CAST(n_tokens AS DOUBLE), 0) >= 3.0
+                 AND CAST(n_word_chars AS DOUBLE) / NULLIF(CAST(n_tokens AS DOUBLE), 0) <= 10.0)
                   AS gate_pass
               FROM f),
             b AS (
