@@ -436,7 +436,11 @@ object Dedup {
         .filter(col("jaccard") >= 0.12)
         .orderBy("a", "b")
     },
-    Some("""WITH sh AS (
+    // The oracle mirrors the df-cap (`dfq` + `n_rare > 0`): a pair
+    // qualifies only on ≥1 shared sub-cap shingle while the Jaccard stays
+    // exact over ALL shingles — the executed capped semantics at any df
+    // distribution, not just corpora where max df < cap.
+    Some(s"""WITH sh AS (
               SELECT DISTINCT doc_id, shingle FROM (
                 SELECT doc_id,
                   ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
@@ -447,16 +451,20 @@ object Dedup {
                   FROM documents),
                 UNNEST(range(1, len(ts) - 1)) AS r(i))),
             sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            dfq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
             inter AS (
-              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common,
+                sum(CASE WHEN f.df <= $ShingleDfCap THEN 1 ELSE 0 END) AS n_rare
               FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                        JOIN dfq f ON f.shingle = x.shingle
               GROUP BY 1, 2)
             SELECT a, b,
               round(CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE), 4) AS jaccard
             FROM inter
             JOIN sizes sa ON sa.doc_id = a
             JOIN sizes sb ON sb.doc_id = b
-            WHERE round(CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE), 4) >= 0.12
+            WHERE n_rare > 0
+              AND round(CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE), 4) >= 0.12
             ORDER BY a, b"""))
 
   // ------------------------------------------------------- embedding cosine
@@ -1028,8 +1036,12 @@ object Dedup {
     (s, d) => {
       val docs = Tables.documents(s, d)
       // Deterministic append split: the newest fifth of doc ids is "today's
-      // delta", everything before it the immutable corpus.
-      val split = docs.agg(max("doc_id")).head().getLong(0) * 4 / 5
+      // delta", everything before it the immutable corpus. max over a
+      // ZERO-ROW corpus is NULL (the empty daily-refresh case d10's own
+      // docs call the norm) — split 0 then makes both sides empty and the
+      // keep-list is the empty manifest, not a ROW_VALUE_IS_NULL crash.
+      val mx = docs.agg(max("doc_id")).head()
+      val split = if (mx.isNullAt(0)) 0L else mx.getLong(0) * 4 / 5
       incrementalKeepList(
         docs.filter(col("doc_id") < split),
         docs.filter(col("doc_id") >= split), 0.5)
@@ -1584,6 +1596,12 @@ object Dedup {
     * the rounded similarity break to the lowest eval id. */
   def scoreAgainstEval(vecs: DataFrame, evalSet: Array[(Long, Array[Float])],
       threshold: Double): DataFrame = {
+    // Empty eval set (a release with no held-out vectors yet, or an empty
+    // daily slice): nothing can be contaminated — the no-match frame, not
+    // an unconstructible zero-arm array_max expression.
+    if (evalSet.isEmpty)
+      return vecs.select(col("vec_id"), lit(null).cast("double").as("max_cos"),
+        lit(null).cast("long").as("nearest_eval")).filter(lit(false))
     val best = array_max(array(evalSet.map { case (eid, ev) =>
       struct(
         round(VectorFns.cosine(col("embedding"), lit(ev)), 6).as("c"),
@@ -1713,7 +1731,8 @@ object Dedup {
   val containment = Q(
     "d18_containment_pairs",
     (s, d) => containmentPairs(Tables.documents(s, d), 0.5),
-    Some("""WITH sh AS (
+    // df-cap mirrored in the oracle (`dfq` + `n_rare > 0`) — see d04.
+    Some(s"""WITH sh AS (
               SELECT DISTINCT doc_id, shingle FROM (
                 SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
                 FROM (SELECT doc_id,
@@ -1722,16 +1741,20 @@ object Dedup {
                       FROM documents),
                 UNNEST(range(1, len(ts) - 1)) AS r(i))),
             sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            dfq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
             inter AS (
-              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common,
+                sum(CASE WHEN f.df <= $ShingleDfCap THEN 1 ELSE 0 END) AS n_rare
               FROM sh x JOIN sh y ON y.shingle = x.shingle AND x.doc_id < y.doc_id
+                        JOIN dfq f ON f.shingle = x.shingle
               GROUP BY 1, 2),
             m AS (
               SELECT a, b,
                 round(CAST(n_common AS DOUBLE) / CAST(sa.n AS DOUBLE), 4) AS cont_a,
                 round(CAST(n_common AS DOUBLE) / CAST(sb.n AS DOUBLE), 4) AS cont_b
               FROM inter JOIN sizes sa ON sa.doc_id = a
-                         JOIN sizes sb ON sb.doc_id = b)
+                         JOIN sizes sb ON sb.doc_id = b
+              WHERE n_rare > 0)
             SELECT a, b, cont_a, cont_b, greatest(cont_a, cont_b) AS max_cont
             FROM m WHERE greatest(cont_a, cont_b) >= 0.5 ORDER BY a, b"""))
 
@@ -1876,24 +1899,56 @@ object Dedup {
     * reports share the 5-gram scale.
     *
     * Scale shape: the split decision is map-only (pure function of
-    * doc_id); the overlap join is d09's single shingle equi-join with the
-    * 10% validation side as the probe; output is validation-sized. At
-    * 100 TB the validation side is still corpus-proportional (unlike
-    * d09's bounded eval set), so the join is a plain shuffle equi-join on
-    * the shingle hash — no broadcast hint, AQE decides (d09's rule).
+    * doc_id); the overlap join is the DF-CAPPED shingle equi-join
+    * ([[cappedPairCounts]]'s shape specialized to the val×train
+    * bipartition). Unlike d09/d19, BOTH sides here are corpus-
+    * proportional (10%/90% of the corpus), so an uncapped join is the
+    * exact k² boilerplate detonator the d04/d18 kernel eliminates: one
+    * shingle on every doc yields 0.09·n² candidate rows. The cap removes
+    * that structurally — hot shingles (corpus df > dfCap) never reach the
+    * pairing join; a (val, train) pair qualifies on ≥1 shared SUB-CAP
+    * shingle, and the hot-shingle overlap mass of qualifying pairs is
+    * recovered EXACTLY from per-doc hot arrays (two doc-keyed left joins
+    * + array_intersect), so every emitted count equals the uncapped
+    * arithmetic. A pair sharing ONLY corpus-hot boilerplate is,
+    * definitionally, boilerplate — not split leakage (d04's cap
+    * argument); the oracle mirrors the same qualification, so stated
+    * contract and executed semantics coincide at any df distribution.
+    * Capped ≡ uncapped on healthy corpora is spec-asserted
+    * (DedupCapSpec), same as d04/d18. The pairing join is merge-hinted:
+    * both sides are corpus-derived checkpoint-scan branches, so a
+    * broadcast is never right at target scale.
     */
   def splitLeakage(docs: DataFrame, valPct: Int = 10, n: Int = 5,
-      severeAt: Long = 3L): DataFrame = {
+      severeAt: Long = 3L, dfCap: Int = ShingleDfCap): DataFrame = {
     val bucketed = docs.withColumn("bucket", Sampling.hashBucket(col("doc_id")))
+    // One shingle pass, materialized: read by the df aggregate, the rare
+    // carve-out, and the hot-set recovery (execution rule 2).
     val sh = hashedShingles(shingleSets(bucketed.drop("bucket"), n))
       .join(bucketed.select(col("doc_id"), col("bucket")), Seq("doc_id"))
-    val train = sh.filter(col("bucket") >= valPct)
+      .localCheckpoint()
+    val hot = sh.groupBy("sh_h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("sh_h").localCheckpoint()
+    val rare = sh.join(hot, Seq("sh_h"), "left_anti")
+    val train = rare.filter(col("bucket") >= valPct)
       .select(col("doc_id").as("train_doc"), col("sh_h"))
-    val valSide = sh.filter(col("bucket") < valPct)
+    val valSide = rare.filter(col("bucket") < valPct)
       .select(col("doc_id").as("val_doc"), col("sh_h"))
-    valSide.join(train, Seq("sh_h"))
+    val rarePairs = valSide.hint("merge").join(train.hint("merge"), Seq("sh_h"))
       .groupBy("val_doc", "train_doc")
-      .agg(count(lit(1)).as("n_shared"))
+      .agg(count(lit(1)).as("n_rare"))
+    val hotSets = sh.join(hot, Seq("sh_h"))
+      .groupBy("doc_id").agg(sort_array(collect_set(col("sh_h"))).as("hot_set"))
+      .localCheckpoint()
+    rarePairs
+      .join(hotSets.select(col("doc_id").as("val_doc"), col("hot_set").as("hot_v")),
+        Seq("val_doc"), "left")
+      .join(hotSets.select(col("doc_id").as("train_doc"), col("hot_set").as("hot_t")),
+        Seq("train_doc"), "left")
+      .select(col("val_doc"), col("train_doc"),
+        (col("n_rare") +
+          coalesce(size(array_intersect(col("hot_v"), col("hot_t"))), lit(0)).cast("long"))
+          .as("n_shared"))
       .groupBy("val_doc")
       .agg(
         count(lit(1)).as("n_train_neighbors"),
@@ -1906,7 +1961,13 @@ object Dedup {
   val splitLeak = Q(
     "d21_split_leakage",
     (s, d) => splitLeakage(Tables.documents(s, d)),
-    Some("""WITH toks AS (
+    // The oracle mirrors the df-cap (the `dfq` CTE + `n_rare > 0`
+    // qualification): a (val, train) pair counts only when it shares ≥1
+    // shingle with corpus df ≤ ShingleDfCap, while n_shared stays exact
+    // over ALL shingles — identical semantics to the capped execution at
+    // any df distribution, not just the shipped corpora (where max df <
+    // cap makes capped ≡ uncapped).
+    Some(s"""WITH toks AS (
               SELECT doc_id, list_filter(
                 regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
               FROM documents),
@@ -1915,6 +1976,7 @@ object Dedup {
                 ('0x' || substr(md5(list_aggregate(ts[i:i+4], 'string_agg', ' ')), 1, 15))::BIGINT AS sh_h
               FROM toks, UNNEST(range(1, len(ts) - 3)) r(i)
               WHERE len(ts) >= 5),
+            dfq AS (SELECT sh_h, count(*) AS df FROM sh GROUP BY sh_h),
             split AS (
               SELECT doc_id,
                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
@@ -1927,15 +1989,17 @@ object Dedup {
               SELECT s.doc_id AS val_doc, s.sh_h
               FROM sh s JOIN split p ON p.doc_id = s.doc_id WHERE p.bucket < 10),
             pair AS (
-              SELECT v.val_doc, t.train_doc, count(*) AS n_shared
+              SELECT v.val_doc, t.train_doc, count(*) AS n_shared,
+                sum(CASE WHEN f.df <= $ShingleDfCap THEN 1 ELSE 0 END) AS n_rare
               FROM val v JOIN train t ON t.sh_h = v.sh_h
+                         JOIN dfq f ON f.sh_h = v.sh_h
               GROUP BY 1, 2)
             SELECT val_doc,
               CAST(count(*) AS BIGINT) AS n_train_neighbors,
               CAST(sum(n_shared) AS BIGINT) AS n_shared_ngrams,
               CAST(max(n_shared) AS BIGINT) AS max_doc_overlap,
               (max(n_shared) >= 3) AS severe
-            FROM pair GROUP BY val_doc ORDER BY val_doc"""))
+            FROM pair WHERE n_rare > 0 GROUP BY val_doc ORDER BY val_doc"""))
 
   // --------------------------------------------- sketch calibration (d22)
   /** d22: MinHash sketch calibration — estimated vs exact Jaccard over the
@@ -2087,8 +2151,12 @@ object Dedup {
         col("source"), col("n_docs"), col("n_redundant"),
         round(col("n_redundant").cast("double") / col("n_docs").cast("double"), 6)
           .as("dup_rate"),
-        round(col("n_docs").cast("double") /
-          (col("n_docs") - col("n_redundant")).cast("double"), 6).as("inflation"))
+        // safeFrac: a fully-mirrored feed — every doc a redundant copy of a
+        // lower-id doc from ANOTHER source — has zero surviving
+        // representatives, so the inflation denominator is 0; NULL (mirrored
+        // via NULLIF in the oracle) is the honest readout, not a crash.
+        round(safeFrac(col("n_docs"), col("n_docs") - col("n_redundant")), 6)
+          .as("inflation"))
       .orderBy("source")
   }
 
@@ -2113,7 +2181,7 @@ object Dedup {
               round(CAST(n_redundant AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
                 AS dup_rate,
               round(CAST(n_docs AS DOUBLE)
-                / CAST(n_docs - n_redundant AS DOUBLE), 6) AS inflation
+                / NULLIF(CAST(n_docs - n_redundant AS DOUBLE), 0.0), 6) AS inflation
             FROM agg ORDER BY source"""))
 
   // ----------------------------------------- cluster spectrum (d25)

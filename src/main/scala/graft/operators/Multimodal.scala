@@ -665,11 +665,37 @@ object Multimodal {
     * corpus scan. Exact — banding (m06's shape) is not needed because
     * the eval side is bounded, and unlike banding this misses nothing at
     * any Hamming radius. */
-  def mediaDecontaminate(media: Dataset[MediaRecord], maxDist: Int): DataFrame = {
+  /** Hard ceiling on eval signatures either decontaminate variant will
+    * drive through one driver collect + inline plan. The collect is 8
+    * bytes/signature (8 MiB at the bound) and the array-literal plan is
+    * O(1) in |eval|, so the bound is about making the contract EXPLICIT:
+    * per-row cost is |eval| xor+popcounts — unavoidable for an exact scan
+    * at Hamming radius 14/64, where pigeonhole banding cannot prune (see
+    * [[mediaDecontaminateArray]]) — so an eval side past ~10⁶ items is no
+    * longer "a benchmark suite" and needs a different contract (d17's
+    * cell-bucketed join on the embedding axis), not a silently 100×
+    * slower scan. */
+  val MaxInlineEval: Int = 1 << 20
+
+  /** The all-keep manifest: every non-eval record unflagged, min_hamming
+    * NULL — what decontamination against ZERO eval items means (an empty
+    * daily slice / a release with no benchmark media yet), rather than a
+    * crash at 3 a.m. */
+  private def noEvalManifest(sigs: DataFrame): DataFrame =
+    sigs.filter(col("doc_id") % 19 =!= 0)
+      .select(col("doc_id"), lit(null).cast("long").as("min_hamming"),
+        lit(0L).as("n_eval_matches"), lit(false).as("flagged"))
+      .orderBy("doc_id")
+
+  def mediaDecontaminate(media: Dataset[MediaRecord], maxDist: Int,
+      inlineEvalBound: Int = MaxInlineEval): DataFrame = {
     val sigs = mediaSignatures(media).localCheckpoint()
     val evalSigs = sigs.filter(col("doc_id") % 19 === 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    require(evalSigs.nonEmpty, "mediaDecontaminate: empty eval slice")
+    require(evalSigs.length <= inlineEvalBound,
+      s"mediaDecontaminate: ${evalSigs.length} eval signatures exceed the " +
+        s"inline bound $inlineEvalBound (see MaxInlineEval)")
+    if (evalSigs.isEmpty) return noEvalManifest(sigs)
     val hams = array(evalSigs.map { case (_, ph) =>
       bit_count(col("ph").bitwiseXOR(lit(ph))).cast("long")
     }.toIndexedSeq: _*)
@@ -705,11 +731,15 @@ object Multimodal {
     * band join prunes almost nothing at this radius. The linear scan IS
     * the right algorithm; the only thing that can break at scale is the
     * plan, and this variant fixes that axis. */
-  def mediaDecontaminateArray(media: Dataset[MediaRecord], maxDist: Int): DataFrame = {
+  def mediaDecontaminateArray(media: Dataset[MediaRecord], maxDist: Int,
+      inlineEvalBound: Int = MaxInlineEval): DataFrame = {
     val sigs = mediaSignatures(media).localCheckpoint()
     val evalSigs = sigs.filter(col("doc_id") % 19 === 0)
       .collect().map(r => r.getLong(1)).sorted // eval-sized (bounded)
-    require(evalSigs.nonEmpty, "mediaDecontaminateArray: empty eval slice")
+    require(evalSigs.length <= inlineEvalBound,
+      s"mediaDecontaminateArray: ${evalSigs.length} eval signatures exceed " +
+        s"the inline bound $inlineEvalBound (see MaxInlineEval)")
+    if (evalSigs.isEmpty) return noEvalManifest(sigs)
     val evalArr = typedLit(evalSigs.toIndexedSeq)
     val hams = transform(evalArr, e => bit_count(col("ph").bitwiseXOR(e)).cast("long"))
     sigs.filter(col("doc_id") % 19 =!= 0)

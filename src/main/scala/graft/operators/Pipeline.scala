@@ -51,10 +51,11 @@ object Pipeline {
         size(toks).cast("long").as("n_tokens"),
         stopwordHits(toks, stopwords("en")).cast("long").as("stop_hits"),
         charClassCount(lower(col("text")), "[a-z0-9]").cast("long").as("n_word_chars"))
-      .withColumn("stop_frac",
-        col("stop_hits").cast("double") / col("n_tokens").cast("double"))
-      .withColumn("mean_tok_len",
-        col("n_word_chars").cast("double") / col("n_tokens").cast("double"))
+      // safeFrac (not /): an empty or whitespace-only doc has n_tokens = 0
+      // and ANSI `/` throws DIVIDE_BY_ZERO; NULL fracs keep gate_keep FALSE
+      // via 3VL because the n_tokens >= 20 conjunct already failed.
+      .withColumn("stop_frac", safeFrac(col("stop_hits"), col("n_tokens")))
+      .withColumn("mean_tok_len", safeFrac(col("n_word_chars"), col("n_tokens")))
       .withColumn("gate_keep",
         col("n_tokens") >= 20 && col("n_tokens") <= 5000 &&
           col("stop_frac") >= 0.02 &&
@@ -100,9 +101,9 @@ object Pipeline {
             g AS (
               SELECT doc_id, n_tokens, fp,
                 (n_tokens >= 20 AND n_tokens <= 5000
-                 AND CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.02
-                 AND CAST(n_word_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 3.0
-                 AND CAST(n_word_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 10.0) AS gate_keep
+                 AND CAST(stop_hits AS DOUBLE) / NULLIF(CAST(n_tokens AS DOUBLE), 0.0) >= 0.02
+                 AND CAST(n_word_chars AS DOUBLE) / NULLIF(CAST(n_tokens AS DOUBLE), 0.0) >= 3.0
+                 AND CAST(n_word_chars AS DOUBLE) / NULLIF(CAST(n_tokens AS DOUBLE), 0.0) <= 10.0) AS gate_keep
               FROM f),
             r AS (
               SELECT doc_id, n_tokens, gate_keep,
@@ -156,8 +157,10 @@ object Pipeline {
     val totals = toks.groupBy("source").agg(sum("n_tokens").as("src_tokens"))
     val mn = totals.agg(min("src_tokens").as("min_tokens"))
     val rates = totals.crossJoin(mn)
-      .withColumn("rate",
-        sqrt(col("min_tokens").cast("double") / col("src_tokens").cast("double")))
+      // safeFrac: a source whose every doc is empty has src_tokens = 0 and
+      // ANSI `/` throws; rate/cut go NULL and `sampled` stays FALSE for its
+      // docs because the n_tokens > 0 conjunct already fails for all of them.
+      .withColumn("rate", sqrt(safeFrac(col("min_tokens"), col("src_tokens"))))
       .withColumn("cut", floor(col("rate") * 1000000.0).cast("long"))
     val bucket1M =
       conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
@@ -194,8 +197,8 @@ object Pipeline {
             mn AS (SELECT min(src_tokens) AS min_tokens FROM totals),
             rates AS (
               SELECT source,
-                sqrt(CAST(min_tokens AS DOUBLE) / CAST(src_tokens AS DOUBLE)) AS rate,
-                CAST(floor(sqrt(CAST(min_tokens AS DOUBLE) / CAST(src_tokens AS DOUBLE))
+                sqrt(CAST(min_tokens AS DOUBLE) / NULLIF(CAST(src_tokens AS DOUBLE), 0.0)) AS rate,
+                CAST(floor(sqrt(CAST(min_tokens AS DOUBLE) / NULLIF(CAST(src_tokens AS DOUBLE), 0.0))
                            * 1000000.0) AS BIGINT) AS cut
               FROM totals, mn),
             flagged AS (
@@ -521,10 +524,11 @@ object Pipeline {
       .crossJoin(dedup.agg(min("dedup_tokens").as("min_dedup")))
     joined.select(
       col("source"), col("raw_tokens"), col("dedup_tokens"),
-      round(sqrt(col("min_raw").cast("double") / col("raw_tokens").cast("double")), 6)
-        .as("raw_rate"),
-      round(sqrt(col("min_dedup").cast("double") / col("dedup_tokens").cast("double")), 6)
-        .as("dedup_rate"))
+      // safeFrac: an all-empty-doc source has raw_tokens = 0 (and therefore
+      // dedup_tokens = 0) — both rates go NULL instead of ANSI-throwing, and
+      // rate_shift NULL-propagates.
+      round(sqrt(safeFrac(col("min_raw"), col("raw_tokens"))), 6).as("raw_rate"),
+      round(sqrt(safeFrac(col("min_dedup"), col("dedup_tokens"))), 6).as("dedup_rate"))
       .withColumn("rate_shift", round(col("dedup_rate") - col("raw_rate"), 6))
       .orderBy("source")
   }
@@ -548,9 +552,9 @@ object Pipeline {
             md AS (SELECT CAST(min(dedup_tokens) AS BIGINT) AS min_dedup FROM ded),
             rates AS (
               SELECT r.source, r.raw_tokens, d.dedup_tokens,
-                round(sqrt(CAST(min_raw AS DOUBLE) / CAST(r.raw_tokens AS DOUBLE)), 6)
+                round(sqrt(CAST(min_raw AS DOUBLE) / NULLIF(CAST(r.raw_tokens AS DOUBLE), 0.0)), 6)
                   AS raw_rate,
-                round(sqrt(CAST(min_dedup AS DOUBLE) / CAST(d.dedup_tokens AS DOUBLE)), 6)
+                round(sqrt(CAST(min_dedup AS DOUBLE) / NULLIF(CAST(d.dedup_tokens AS DOUBLE), 0.0)), 6)
                   AS dedup_rate
               FROM raw r JOIN ded d USING (source), mr, md)
             SELECT source, raw_tokens, dedup_tokens, raw_rate, dedup_rate,
@@ -592,12 +596,14 @@ object Pipeline {
         stopwordHits(toks, stopwords("en")).cast("long").as("stop_hits"),
         charClassCount(lower(col("text")), "[a-z0-9]").cast("long").as("n_word_chars"))
       .withColumn("clean", regexp_count(col("text"), lit(blockPat)) === 0)
+      // safeFrac: zero-token docs would ANSI-throw on the frac conjuncts;
+      // 3VL keeps gate_keep FALSE because n_tokens >= 20 already failed.
       .withColumn("gate_keep",
         col("clean") &&
           col("n_tokens") >= 20 && col("n_tokens") <= 5000 &&
-          col("stop_hits").cast("double") / col("n_tokens").cast("double") >= 0.02 &&
-          col("n_word_chars").cast("double") / col("n_tokens").cast("double") >= 3.0 &&
-          col("n_word_chars").cast("double") / col("n_tokens").cast("double") <= 10.0)
+          safeFrac(col("stop_hits"), col("n_tokens")) >= 0.02 &&
+          safeFrac(col("n_word_chars"), col("n_tokens")) >= 3.0 &&
+          safeFrac(col("n_word_chars"), col("n_tokens")) <= 10.0)
       .withColumn("fp", md5(normText(col("text"))))
     val rep = min(when(col("gate_keep"), col("doc_id")))
       .over(Window.partitionBy("fp"))
@@ -610,7 +616,7 @@ object Pipeline {
         sum(when(col("gate_keep"), 1L).otherwise(0L)).as("n_quality"),
         sum(when(col("unique_keep"), 1L).otherwise(0L)).as("n_unique"))
       .withColumn("survival_rate",
-        round(col("n_unique").cast("double") / col("n_raw").cast("double"), 6))
+        round(safeFrac(col("n_unique"), col("n_raw")), 6))
       .orderBy("source")
   }
 
@@ -629,9 +635,9 @@ object Pipeline {
             g AS (
               SELECT doc_id, source, clean, fp,
                 (clean AND n_tokens >= 20 AND n_tokens <= 5000
-                 AND CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.02
-                 AND CAST(n_word_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 3.0
-                 AND CAST(n_word_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 10.0) AS gate_keep
+                 AND CAST(stop_hits AS DOUBLE) / NULLIF(CAST(n_tokens AS DOUBLE), 0.0) >= 0.02
+                 AND CAST(n_word_chars AS DOUBLE) / NULLIF(CAST(n_tokens AS DOUBLE), 0.0) >= 3.0
+                 AND CAST(n_word_chars AS DOUBLE) / NULLIF(CAST(n_tokens AS DOUBLE), 0.0) <= 10.0) AS gate_keep
               FROM f),
             r AS (
               SELECT source, clean, gate_keep,
@@ -646,7 +652,7 @@ object Pipeline {
                 CAST(sum(CASE WHEN unique_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
               FROM r GROUP BY source)
             SELECT source, n_raw, n_clean, n_quality, n_unique,
-              round(CAST(n_unique AS DOUBLE) / CAST(n_raw AS DOUBLE), 6)
+              round(CAST(n_unique AS DOUBLE) / NULLIF(CAST(n_raw AS DOUBLE), 0.0), 6)
                 AS survival_rate
             FROM agg ORDER BY source"""))
 
@@ -673,7 +679,9 @@ object Pipeline {
     val masses = docs
       .select(col("source"), size(tokens(col("text"))).cast("long").as("n_toks"))
       .groupBy("source").agg(sum("n_toks").as("src_tokens"))
-    val ratio = col("min_tokens").cast("double") / col("src_tokens").cast("double")
+    // safeFrac: an all-empty-doc source has src_tokens = 0 — the whole sqrt
+    // chain (and expected_tokens) NULL-propagates instead of ANSI-throwing.
+    val ratio = safeFrac(col("min_tokens"), col("src_tokens"))
     val rate =
       when(col("epoch") === 1, ratio)
         .when(col("epoch") === 2, sqrt(ratio))
@@ -705,7 +713,7 @@ object Pipeline {
             mn AS (SELECT CAST(min(src_tokens) AS BIGINT) AS min_tokens FROM masses),
             ep AS (
               SELECT source, src_tokens, min_tokens, CAST(e.i AS BIGINT) AS epoch,
-                CAST(min_tokens AS DOUBLE) / CAST(src_tokens AS DOUBLE) AS ratio
+                CAST(min_tokens AS DOUBLE) / NULLIF(CAST(src_tokens AS DOUBLE), 0.0) AS ratio
               FROM masses, mn, range(1, 5) e(i)),
             rated AS (
               SELECT epoch,
@@ -748,11 +756,13 @@ object Pipeline {
         .as("block_hits"),
       md5(normText(col("text"))).as("fp"))
     val row = feats
+      // safeFrac: zero-token docs would ANSI-throw on the frac conjuncts;
+      // 3VL keeps gate_pass FALSE because n_tokens >= 20 already failed.
       .withColumn("gate_pass",
         col("n_tokens") >= 20 && col("n_tokens") <= 5000 &&
-          col("stop_hits").cast("double") / col("n_tokens").cast("double") >= 0.02 &&
-          col("n_word_chars").cast("double") / col("n_tokens").cast("double") >= 3.0 &&
-          col("n_word_chars").cast("double") / col("n_tokens").cast("double") <= 10.0)
+          safeFrac(col("stop_hits"), col("n_tokens")) >= 0.02 &&
+          safeFrac(col("n_word_chars"), col("n_tokens")) >= 3.0 &&
+          safeFrac(col("n_word_chars"), col("n_tokens")) <= 10.0)
       .agg(
         count(lit(1)).as("n_docs"),
         sum("n_tokens").as("total_tokens"),
@@ -761,17 +771,20 @@ object Pipeline {
         countDistinct("fp").as("n_unique"),
         sum(when(col("gate_pass"), 1L).otherwise(0L)).as("n_gate_pass"),
         sum(when(col("block_hits") === 0L, 1L).otherwise(0L)).as("n_clean"))
+    // NULLIF(n_docs, 0): the zero-row corpus (an empty daily delta) still
+    // gets its 9-row card — the per-doc rates read NULL instead of the agg
+    // ANSI-throwing on 0/0.
     row.select(expr(
       """stack(9,
            'n_docs', CAST(n_docs AS DOUBLE),
            'total_tokens', CAST(total_tokens AS DOUBLE),
-           'mean_tokens_per_doc', round(CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 6),
+           'mean_tokens_per_doc', round(CAST(total_tokens AS DOUBLE) / NULLIF(CAST(n_docs AS DOUBLE), 0.0D), 6),
            'n_langs', CAST(n_langs AS DOUBLE),
            'n_sources', CAST(n_sources AS DOUBLE),
            'n_unique_docs', CAST(n_unique AS DOUBLE),
-           'exact_dup_rate', round(CAST(n_docs - n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE), 6),
-           'gate_pass_rate', round(CAST(n_gate_pass AS DOUBLE) / CAST(n_docs AS DOUBLE), 6),
-           'blocklist_clean_rate', round(CAST(n_clean AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+           'exact_dup_rate', round(CAST(n_docs - n_unique AS DOUBLE) / NULLIF(CAST(n_docs AS DOUBLE), 0.0D), 6),
+           'gate_pass_rate', round(CAST(n_gate_pass AS DOUBLE) / NULLIF(CAST(n_docs AS DOUBLE), 0.0D), 6),
+           'blocklist_clean_rate', round(CAST(n_clean AS DOUBLE) / NULLIF(CAST(n_docs AS DOUBLE), 0.0D), 6)
          ) AS (metric, value)"""))
       .orderBy("metric")
   }
@@ -791,9 +804,9 @@ object Pipeline {
             g AS (
               SELECT *,
                 (n_tokens >= 20 AND n_tokens <= 5000
-                 AND CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.02
-                 AND CAST(n_word_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 3.0
-                 AND CAST(n_word_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 10.0) AS gate_pass
+                 AND CAST(stop_hits AS DOUBLE) / NULLIF(CAST(n_tokens AS DOUBLE), 0.0) >= 0.02
+                 AND CAST(n_word_chars AS DOUBLE) / NULLIF(CAST(n_tokens AS DOUBLE), 0.0) >= 3.0
+                 AND CAST(n_word_chars AS DOUBLE) / NULLIF(CAST(n_tokens AS DOUBLE), 0.0) <= 10.0) AS gate_pass
               FROM f),
             agg AS (
               SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -808,16 +821,16 @@ object Pipeline {
               SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM agg
               UNION ALL SELECT 'total_tokens', CAST(total_tokens AS DOUBLE) FROM agg
               UNION ALL SELECT 'mean_tokens_per_doc',
-                round(CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) FROM agg
+                round(CAST(total_tokens AS DOUBLE) / NULLIF(CAST(n_docs AS DOUBLE), 0.0), 6) FROM agg
               UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM agg
               UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM agg
               UNION ALL SELECT 'n_unique_docs', CAST(n_unique AS DOUBLE) FROM agg
               UNION ALL SELECT 'exact_dup_rate',
-                round(CAST(n_docs - n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) FROM agg
+                round(CAST(n_docs - n_unique AS DOUBLE) / NULLIF(CAST(n_docs AS DOUBLE), 0.0), 6) FROM agg
               UNION ALL SELECT 'gate_pass_rate',
-                round(CAST(n_gate_pass AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) FROM agg
+                round(CAST(n_gate_pass AS DOUBLE) / NULLIF(CAST(n_docs AS DOUBLE), 0.0), 6) FROM agg
               UNION ALL SELECT 'blocklist_clean_rate',
-                round(CAST(n_clean AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) FROM agg)
+                round(CAST(n_clean AS DOUBLE) / NULLIF(CAST(n_docs AS DOUBLE), 0.0), 6) FROM agg)
             ORDER BY metric"""))
 
   // ---------------------------------- seed-reproducibility audit (p10)

@@ -98,6 +98,57 @@ class DedupCapSpec extends SparkSpec {
     assert(set1 == set2)
   }
 
+  test("capped d21 ≡ uncapped d21 on the sf0.001 corpus (shipped cap)") {
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count().toInt + 1
+    val un = Dedup.splitLeakage(docs, dfCap = n).collect().toSeq
+    val cp = Dedup.splitLeakage(docs).collect().toSeq
+    assert(cp == un, s"capped=${cp.size} rows, uncapped=${un.size} rows")
+    assert(un.nonEmpty, "vacuous equivalence: corpus produced no leakage rows")
+  }
+
+  test("d21 boilerplate corpus: cap kills the val×train fan-out, keeps real leaks exact") {
+    import spark.implicits._
+    // Every doc carries the same boilerplate sentence (its 5-gram shingles
+    // go hot at df = 60 > cap = 4); one val-bucket doc and one train-bucket
+    // doc additionally share a rare passage — the one REAL split leak.
+    // Capped d21 must emit exactly that val doc, with n_shared counting the
+    // hot boilerplate shingles too (recovered from the hot arrays), i.e.
+    // the uncapped pair's exact mass — while every boilerplate-only
+    // val×train pair (the 0.09·n² detonator) is gone.
+    val buckets = spark.range(0, 300)
+      .select(col("id"), graft.operators.Sampling.hashBucket(col("id")).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val valIds = (0L until 300L).filter(buckets(_) < 10)
+    val trainIds = (0L until 300L).filter(buckets(_) >= 10)
+    val leakVal = valIds.head
+    val leakTrain = trainIds.head
+    val boiler = "all rights reserved the template page body repeats verbatim"
+    val rarePassage = "zebra quark nebula vortex lattice prism glyph"
+    val ids = (valIds.take(6) ++ trainIds.take(54)).toSet
+    val docs = ids.toSeq.sorted.map { i =>
+      val extra =
+        if (i == leakVal || i == leakTrain) s" $rarePassage"
+        else s" unique$i filler$i words$i more$i stuff$i"
+      (i, s"$boiler$extra")
+    }.toDF("doc_id", "text")
+    val capped = Dedup.splitLeakage(docs, dfCap = 4).collect()
+    assert(capped.map(_.getLong(0)).toSeq == Seq(leakVal),
+      s"capped val set = ${capped.map(_.getLong(0)).toSeq}, want Seq($leakVal)")
+    val row = capped.head
+    assert(row.getLong(1) == 1L, s"n_train_neighbors = ${row.getLong(1)}")
+    // Exact hot-mass recovery: the leak pair's two texts are identical, so
+    // its shared-shingle mass must equal the doc's FULL distinct 5-gram
+    // count — including the boilerplate shingles the cap kept out of the
+    // pairing join (df = 60 > 4), which the hot arrays must add back.
+    val allShingles = Dedup.hashedShingles(
+      Dedup.shingleSets(Seq((leakVal, s"$boiler $rarePassage"))
+        .toDF("doc_id", "text"), 5)).count()
+    assert(row.getLong(2) == allShingles,
+      s"n_shared_ngrams capped=${row.getLong(2)}, full shingle count=$allShingles")
+    assert(row.getLong(2) > 3L, "leak pair should share rare AND hot shingles")
+  }
+
   test("boundary contract: a pair sharing ONLY hot shingles is not emitted") {
     import spark.implicits._
     // Docs 0 and 1 are exact copies (every shared shingle has df ≥ 2 and,

@@ -41,6 +41,16 @@ class DegenerateCorpusSpec extends SparkSpec {
     spark.createDataFrame(
         spark.sparkContext.parallelize(rows, math.max(1, rows.size / 4)), docSchema)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // Companion embeddings table (p03 reads it): one deterministic nonzero
+    // vector per document — EMPTY corpus ⇒ empty embeddings, the zero-row
+    // eval-set case p03's semantic leg must survive.
+    import spark.implicits._
+    rows.map { r =>
+      val id = r.getLong(0)
+      (id, Array.tabulate(8)(j => (((id * 31 + j * 17) % 97) + 1).toFloat),
+        (id % 10).toInt)
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     dir
   }
 
@@ -91,8 +101,13 @@ class DegenerateCorpusSpec extends SparkSpec {
 
   test("every document-family query survives a 40-clone storm; d01 collapses it") {
     runAll(cloneDir, "CLONE-STORM")
-    val kept = SparkEntry.queries("d01_dedup_exact")(spark, cloneDir)
-      .filter(col("keep")).collect()
-    assert(kept.length == 3, s"expected 3 representatives, got ${kept.length}")
+    // d01 emits one row per fingerprint GROUP (fp, keep_id, n_dups): the 40
+    // planted clones collapse to one group with representative doc_id 1.
+    val groups = SparkEntry.queries("d01_dedup_exact")(spark, cloneDir)
+      .select("keep_id", "n_dups").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(groups.length == 3, s"expected 3 groups, got ${groups.length}")
+    assert(groups.head == (1L, 40L),
+      s"clone cluster should collapse to (keep_id 1, n_dups 40), got ${groups.head}")
   }
 }
