@@ -34,7 +34,19 @@ import org.apache.spark.sql.functions._
   * disabled (merge-join hints) — the explicit-salt mitigation exercised
   * on a corpus where one key holds 90% of the rows.
   *
-  * `runMain graft.SkewRehearsal [sfDir] [outDir] [k]`
+  * Round 11 extends the boilerplate wave to EVERY other shingle-join
+  * consumer: d20/d21/d22/d23/t34 are RUN on the boiler corpus (d21
+  * through its new capped kernel; the others are structurally bounded —
+  * d20 by #sources², d22 by LSH banding, d23/t34 aggregates), d09/d19
+  * get their val×eval fan-out ACCOUNTED from the df table (the %19
+  * query-form eval slice is corpus-proportional, so executing the
+  * uncapped join is the same detonator the cap removed from d04 — the
+  * accounting shows the term; the production contract is a BOUNDED eval
+  * set, which is also run, with boilerplate appended to the eval side).
+  *
+  * `runMain graft.SkewRehearsal [sfDir] [outDir] [k] [sections] [reuse]`
+  *  - sections: csv of {skew, boiler, salt, boiler2}; default all.
+  *  - "reuse": skip corpus writes when outDir already holds them.
   */
 object SkewRehearsal {
 
@@ -68,19 +80,25 @@ object SkewRehearsal {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outDir = if (args.length > 1) args(1) else "target/skew10x"
     val k = if (args.length > 2) args(2).toInt else 10
+    val sections: Set[String] =
+      if (args.length > 3 && args(3) != "all") args(3).split(",").toSet
+      else Set("skew", "boiler", "salt", "boiler2")
+    val reuse = args.length > 4 && args(4) == "reuse"
     val spark = GraftSession.get("graft-skew-rehearsal")
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    ScaleRehearsal.scaledDocs(docs, k).write.mode("overwrite")
-      .parquet(s"$outDir/uniform/documents.parquet")
-    skewedDocs(docs, k).write.mode("overwrite")
-      .parquet(s"$outDir/skewed/documents.parquet")
-    boilerplateDocs(docs, k).write.mode("overwrite")
-      .parquet(s"$outDir/boiler/documents.parquet")
-    val skewShare = spark.read.parquet(s"$outDir/skewed/documents.parquet")
-      .groupBy("source").count().orderBy(desc("count")).head()
-    println(s"[skew] corpora written; hottest source = ${skewShare.getString(0)} " +
-      s"with ${skewShare.getLong(1)} docs of ${docs.count() * k}")
+    if (!reuse) {
+      ScaleRehearsal.scaledDocs(docs, k).write.mode("overwrite")
+        .parquet(s"$outDir/uniform/documents.parquet")
+      skewedDocs(docs, k).write.mode("overwrite")
+        .parquet(s"$outDir/skewed/documents.parquet")
+      boilerplateDocs(docs, k).write.mode("overwrite")
+        .parquet(s"$outDir/boiler/documents.parquet")
+      val skewShare = spark.read.parquet(s"$outDir/skewed/documents.parquet")
+        .groupBy("source").count().orderBy(desc("count")).head()
+      println(s"[skew] corpora written; hottest source = ${skewShare.getString(0)} " +
+        s"with ${skewShare.getLong(1)} docs of ${docs.count() * k}")
+    }
 
     def minOf2(f: => Long): (Double, Long) = {
       def once(): (Double, Long) = {
@@ -92,6 +110,7 @@ object SkewRehearsal {
       (math.min(tA, tB), rows)
     }
 
+    if (sections("skew")) {
     val names = Seq("d01_dedup_exact", "d02_dedup_minhash_lsh",
       "d04_ngram_jaccard", "d18_containment_pairs",
       "t22_source_profile", "q31_temperature_mix")
@@ -103,7 +122,9 @@ object SkewRehearsal {
       val (tS, rS) = minOf2(fn(spark, s"$outDir/skewed").count())
       println(f"[skew] $name%-24s $t1%7.2f $tU%8.2f $tS%8.2f ${tU / t1}%6.1fx ${tS / t1}%6.1fx ${tS / tU}%6.2f (rows u=$rU s=$rS)")
     }
+    }
 
+    if (sections("boiler")) {
     // ---- boilerplate wave: capped d04/d18 wall + pruned-work accounting
     Seq("d04_ngram_jaccard", "d18_containment_pairs").foreach { name =>
       val fn = SparkEntry.queries(name)
@@ -122,7 +143,11 @@ object SkewRehearsal {
     println(f"[skew] boiler candidate-join work: uncapped=${acct.getDouble(0)}%.3e " +
       f"pair-rows vs capped=${acct.getDouble(1)}%.3e " +
       f"(cap pruned ${100.0 * (1 - acct.getDouble(1) / acct.getDouble(0))}%.2f%%)")
+    }
 
+    if (sections("boiler2")) boilerWave2(spark, sfDir, outDir)
+
+    if (sections("salt")) {
     // ---- q35's per-key top-k window: single-window vs the two-phase
     // salted plan on the 90%-hot source (the regime where one key's sort
     // outgrows a partition; correctness equivalence is spec-asserted in
@@ -150,6 +175,83 @@ object SkewRehearsal {
         skewed.hint("merge"), perSource.hint("merge"), "source", 32).count())
     require(nPlain == nSalted, s"salted join changed cardinality: $nPlain vs $nSalted")
     println(f"[skew] source-join plain=$tPlain%.2fs salted(32)=$tSalted%.2fs on ${nPlain} rows")
+    }
     spark.stop()
+  }
+
+  /** Round-11 boilerplate wave: the remaining shingle-join consumers.
+    * Walls for the structurally-bounded/capped ones; df-table accounting
+    * (never executed) for the corpus×corpus terms d09/d19's %19 query
+    * slice would hit; a bounded-eval run for d09/d19's production
+    * contract with the boilerplate ON BOTH SIDES. */
+  private def boilerWave2(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, outDir: String): Unit = {
+    import spark.implicits._
+    def minOf2(f: => Long): (Double, Long) = {
+      def once(): (Double, Long) = {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime(); val rows = f
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      val (tA, rows) = once(); val (tB, _) = once()
+      (math.min(tA, tB), rows)
+    }
+    // Walls: d21 (capped kernel), d20 (≤ #sources² pairs), d22 (LSH-gated
+    // candidates), d23/t34 (shingle-keyed aggregates). Ratio baseline is
+    // the same query at 1× — the boiler corpus must stay in each query's
+    // uniform band.
+    Seq("d21_split_leakage", "d20_cross_source_overlap",
+      "d22_sketch_calibration", "d23_boilerplate_report",
+      "t34_templated_docs").foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val (t1, _) = minOf2(fn(spark, sfDir).count())
+      val (tB, rB) = minOf2(fn(spark, s"$outDir/boiler").count())
+      println(f"[skew] ${name + "_boiler"}%-30s $t1%7.2f ${tB}%8.2f ${tB / t1}%6.1fx (rows $rB)")
+    }
+    // Accounting (5-gram shingles — d09/d19/d21's scale): per shingle the
+    // val×train (d21) and corpus×eval (d09/d19 %19-slice form) pair terms,
+    // uncapped vs sub-cap-qualified. Computed from the df table; the
+    // uncapped corpus×corpus execution is unnecessary — that term IS the
+    // detonator.
+    val boilerDocs = spark.read.parquet(s"$outDir/boiler/documents.parquet")
+    val sh5 = operators.Dedup.hashedShingles(
+      operators.Dedup.shingleSets(boilerDocs, 5)).localCheckpoint()
+    val marked = sh5
+      .withColumn("val_side",
+        operators.Sampling.hashBucket(col("doc_id")) < 10)
+      .withColumn("eval_side", col("doc_id") % 19 === 0)
+    val perSh = marked.groupBy("sh_h").agg(
+      count(lit(1)).as("df"),
+      sum(when(col("val_side"), 1L).otherwise(0L)).as("df_v"),
+      sum(when(col("eval_side"), 1L).otherwise(0L)).as("df_e"))
+    val cap = operators.Dedup.ShingleDfCap
+    val acct = perSh.agg(
+      sum(expr("df_v * (df - df_v)")).as("d21_uncapped"),
+      sum(when(col("df") <= cap, expr("df_v * (df - df_v)")).otherwise(lit(0L)))
+        .as("d21_capped"),
+      sum(expr("df_e * (df - df_e)")).as("d09_slice_uncapped"),
+      sum(when(col("df") <= cap, expr("df_e * (df - df_e)")).otherwise(lit(0L)))
+        .as("d09_slice_capped")).head()
+    println(f"[skew] d21 val×train join work: uncapped=${acct.getLong(0).toDouble}%.3e " +
+      f"pair-rows vs capped=${acct.getLong(1).toDouble}%.3e " +
+      f"(${100.0 * (1 - acct.getLong(1).toDouble / acct.getLong(0))}%.2f%% pruned)")
+    println(f"[skew] d09/d19 %%19-slice join work (NOT the shipped contract): " +
+      f"uncapped=${acct.getLong(2).toDouble}%.3e pair-rows " +
+      f"(sub-cap ${acct.getLong(3).toDouble}%.3e) — corpus-proportional eval " +
+      "is the d21 detonator shape; production evals are bounded:")
+    // The production d09/d19 contract: eval set FIXED (the 1× corpus's %19
+    // slice, boilerplate appended like everything else) while the corpus
+    // scales. Fan-out ≤ |eval shingles| × max df — linear in corpus bytes.
+    val evalBase = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % 19 === 0)
+      .withColumn("text", concat(col("text"),
+        lit(" all rights reserved contact us terms of service apply to this site")))
+    val corpusSide = boilerDocs.filter(col("doc_id") % 19 =!= 0)
+    val (tD09, r09) = minOf2(
+      operators.Dedup.decontaminate(corpusSide, evalBase, 5).count())
+    val (tD19, r19) = minOf2(
+      operators.Dedup.evalLeakReport(corpusSide, evalBase, 5).count())
+    println(f"[skew] d09_bounded_eval_boiler          ${tD09}%8.2f s (rows $r09)")
+    println(f"[skew] d19_bounded_eval_boiler          ${tD19}%8.2f s (rows $r19)")
   }
 }

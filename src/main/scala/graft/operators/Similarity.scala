@@ -462,7 +462,10 @@ object Similarity {
       nCells: Int = 16, nProbe: Int = 4, kmeansIters: Int = 3): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
-    val split = e.agg(max("vec_id")).head().getLong(0) * 4 / 5
+    // max over a ZERO-ROW table is NULL (empty daily delta): split 0 keeps
+    // both halves empty instead of ROW_VALUE_IS_NULL.
+    val mxRow = e.agg(max("vec_id")).head()
+    val split = if (mxRow.isNullAt(0)) 0L else mxRow.getLong(0) * 4 / 5
     val codebook = ivfCodebookOf(spark, e.filter(col("vec_id") < split),
       nCells, kmeansIters)
     val bc = spark.sparkContext.broadcast(codebook)
@@ -559,7 +562,9 @@ object Similarity {
     import spark.implicits._
     val vecs = e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
     val seedVecs = vecs.filter(_._1 < k).collect().sortBy(_._1).map(v => unit(v._2))
-    require(seedVecs.nonEmpty, "pqTrain: empty corpus")
+    // Zero-row corpus (empty daily delta): no codebooks to train — the
+    // empty sentinel; pqTopKFrom maps it to the empty result frame.
+    if (seedVecs.isEmpty) return Array.empty
     val dim = seedVecs.head.length
     require(dim % m == 0, s"pqTrain: dim $dim not divisible by m=$m")
     val dsub = dim / m
@@ -657,6 +662,10 @@ object Similarity {
     import spark.implicits._
     val e = raw.select(col("vec_id"), col("embedding"))
     val cbs = pqTrain(spark, e, m, k, iters)
+    // Empty corpus ⇒ no codebooks and no queries: the empty top-k.
+    if (cbs.isEmpty)
+      return Seq.empty[(Long, Long, Double, Long)]
+        .toDF("query_id", "neighbor_id", "cos_sim", "rank")
     val dsub = cbs(0)(0).length
     val queries = e.as[(Long, Array[Float])].filter(_._1 < nQueries).collect()
       .sortBy(_._1).map { case (id, v) => (id, unit(v)) }

@@ -1629,6 +1629,58 @@ class OperatorSpec extends SparkSpec {
     assert(inline.exists(_._4) && inline.exists(!_._4), "degenerate fixture")
   }
 
+  test("d24 fully-mirrored feed: zero surviving representatives → inflation NULL, not a crash") {
+    import spark.implicits._
+    // Every `mirror` doc duplicates a lower-id `origin` doc from ANOTHER
+    // source — mirror keeps zero representatives under d01's min-doc_id
+    // rule, so its inflation denominator (n_docs − n_redundant) is 0: the
+    // guarded ratio must read NULL (NULLIF-mirrored in the oracle).
+    val docs = Seq(
+      (1L, "alpha beta gamma delta tokens", "en", "origin", 29L),
+      (2L, "epsilon zeta eta theta words", "en", "origin", 28L),
+      (10L, "alpha beta gamma delta tokens", "en", "mirror", 29L),
+      (11L, "epsilon zeta eta theta words", "en", "mirror", 28L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = Dedup.dupInflation(docs).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
+    assert(rows == Seq(
+      ("mirror", 2L, 2L, 1.0, None),
+      ("origin", 2L, 0L, 0.0, Some(1.0))))
+  }
+
+  test("m11 eval-size contract: empty → no-op manifest, 1 → scores, bound ok, bound+1 refuses") {
+    import spark.implicits._
+    def media(ids: Seq[Long]) = ids.map(i =>
+      Multimodal.MediaRecord(i, "image/stub",
+        s"payload $i with some distinguishing content ${i * 31}".getBytes("UTF-8")))
+      .toDS()
+    def run(ids: Seq[Long], bound: Int) = Seq(
+      Multimodal.mediaDecontaminate(media(ids), 14, bound).collect(),
+      Multimodal.mediaDecontaminateArray(media(ids), 14, bound).collect())
+    // EMPTY eval (no doc_id % 19 == 0): every corpus row keeps, min_hamming
+    // NULL, flagged false — both variants.
+    run(Seq(1L, 2L, 3L, 4L, 5L), 4).foreach { rows =>
+      assert(rows.length == 5)
+      assert(rows.forall(r => r.isNullAt(1) && r.getLong(2) == 0L && !r.getBoolean(3)))
+    }
+    // ONE eval item: real hamming scores, variants row-identical.
+    val Seq(one1, one2) = run(Seq(0L, 1L, 2L, 3L), 4).map(_.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq)
+    assert(one1 == one2 && one1.length == 3 && one1.forall(_._3 <= 1L))
+    // Eval size == bound executes; bound+1 refuses with the explicit
+    // contract error (not a silent 100×-slower scan) — both variants.
+    run(Seq(0L, 19L, 1L, 2L), 2).foreach(rows => assert(rows.length == 2))
+    Seq[(org.apache.spark.sql.Dataset[Multimodal.MediaRecord], Int) =>
+        org.apache.spark.sql.DataFrame](
+      (m, b) => Multimodal.mediaDecontaminate(m, 14, b),
+      (m, b) => Multimodal.mediaDecontaminateArray(m, 14, b)).foreach { f =>
+      val e = intercept[IllegalArgumentException](
+        f(media(Seq(0L, 19L, 38L, 1L, 2L)), 2).collect())
+      assert(e.getMessage.contains("inline bound"))
+    }
+  }
+
   test("d26 template scrub: planted boilerplate cut exactly, full-scrub digest = md5('')") {
     import spark.implicits._
     // "all rights reserved" appears in 4 distinct docs -> df 4 = hot;
