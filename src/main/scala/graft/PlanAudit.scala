@@ -66,7 +66,12 @@ object PlanAudit {
       // t37: the corpus scan crossJoins the 1-row top-K vocab array
       // (TakeOrdered-K → one collect_list row) — bounded × 1 row;
       // scoring stays map-only against the array.
-      "t37_vocab_coverage")
+      "t37_vocab_coverage",
+      // q42: the path rollup crossJoins its 1-row session-total aggregate
+      // (q38/q41's bounded × 1 row shape).
+      "q42_session_paths",
+      // s14: s13's broadcast-probe scan (vec_id < 20 query set).
+      "s14_knn_label_confusion")
 
   /** Tables that are corpus-/fact-scale at the 100 TB target — anything
     * derived from one of these is presumed unbounded unless the deriving
@@ -113,6 +118,9 @@ object PlanAudit {
     "s13_knn_label_purity" -> ("probe side is the vec_id < 20 literal-bounded " +
       "query set carrying its label — s01's argument; the purity aggregate " +
       "runs over the k-row-per-query shortlist"),
+    "s14_knn_label_confusion" -> ("probe side is the vec_id < 20 " +
+      "literal-bounded query set carrying its label — s13's argument; the " +
+      "confusion rollup runs over the ≤ |labels|² vote table"),
     "t08_tfidf_topterms" -> ("docFreq is vocabulary-sized (distinct unigrams " +
       "plateau ~10^7) + a 1-row corpus count"),
     "t11_cooccur_pmi" -> ("docFreq is vocabulary-sized (distinct unigrams " +

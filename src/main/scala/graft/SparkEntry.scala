@@ -42,7 +42,10 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    qualifying-purchase latency per user, bucketed into operational
   *    bands plus the no-conversion band (the evidence behind q32's
   *    attribution-window choice), in one user-keyed window pass.
-  *  - t01..t37: text query library (grep, wordcount, token counting,
+  *  - q42: top session event-type paths — q12's sessionization rolled up
+  *    to the whole-walk grain (first ≤8 events per session), the
+  *    behavioral complement of q33's per-step transitions.
+  *  - t01..t38: text query library (grep, wordcount, token counting,
   *    quality scoring, language-ID, fingerprinting, winnowing, TF-IDF,
   *    langid eval, context chunking, co-occurrence PMI, bigram LM,
   *    bigram perplexity quality filter, vocabulary growth, Gopher-style
@@ -65,8 +68,10 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    language confusion audit — the metadata-trust readout,
   *    classifier-vs-gate calibration — the threshold-picking table,
   *    vocabulary-coverage / OOV audit against the corpus's own top-K
-  *    reference vocab — the "will my tokenizer cover this doc" triage).
-  *  - d01..d26: dedup & corpus hygiene (exact, MinHash-LSH, SimHash,
+  *    reference vocab — the "will my tokenizer cover this doc" triage,
+  *    per-document sentence profile — counts, mean/max sentence tokens
+  *    and the run-on fraction, the sentence axis token-level gates miss).
+  *  - d01..d27: dedup & corpus hygiene (exact, MinHash-LSH, SimHash,
   *    n-gram Jaccard, embedding-cosine, connected-component clusters,
   *    keep-list, near-dup triangles, benchmark decontamination,
   *    incremental delta dedup, exact-substring repeated spans, near-dup
@@ -84,8 +89,10 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    exact-dup inflation factors, exact-dup cluster-size spectrum —
   *    the duplication-shape histogram behind d24's rates, corpus
   *    template scrub — the APPLY step for d23's hot vocabulary, d13's
-  *    report→edit relationship on the n-gram axis).
-  *  - s01..s13: similarity search (brute-force ANN, LSH-bucketed ANN,
+  *    report→edit relationship on the n-gram axis, near-dup clusters at
+  *    cluster grain with their source composition — the per-cluster
+  *    triage row between d16's pairwise matrix and d25's histogram).
+  *  - s01..s14: similarity search (brute-force ANN, LSH-bucketed ANN,
   *    per-label centroid stats, IVF ANN, recall@k evaluation, int8
   *    quantization error audit, incremental IVF ingest serving state,
   *    PQ-ADC with exact rerank, exact cosine radius search, MMR
@@ -93,7 +100,9 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    ANN, tombstone-delete serving state — the index lifecycle's third
   *    verb: delete is one O(|deletes|) side-table write, probes mask at
   *    read time, compaction folds and resets; kNN label-purity audit —
-  *    the embedding-space label-noise triage list).
+  *    the embedding-space label-noise triage list; kNN label CONFUSION
+  *    matrix — which labels blur together in embedding space, the
+  *    relabel-vs-merge decision table).
   *  - m01..m11: multimodal binary-column plumbing (metadata, stub-decode
   *    features, frame sampling, strided resize, windowed frame energy,
   *    perceptual-hash near-dup pairs, scene-change detection over frame
@@ -136,6 +145,9 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    set and token mass seed-invariant (set_equal), order genuinely
   *    moved (frac_moved, mean/max |Δposition|) — the pre-flight
   *    determinism table a run checks before burning compute.
+  *  - p11: p07's survival funnel in TOKEN terms — per-source token mass
+  *    through raw → clean → gate → dedup representative, the unit the
+  *    mixing weights (q31/p06/p08) actually sample.
   */
 object SparkEntry {
   val inventory: Seq[Q] =

@@ -2351,9 +2351,68 @@ object Dedup {
               coalesce(kept_md5, md5('')) AS kept_md5
             FROM tot t LEFT JOIN ka USING (doc_id) ORDER BY doc_id"""))
 
+  // ------------------------------------------ cluster source mix (d27)
+  /** d27: NEAR-dup clusters at CLUSTER grain with their source
+    * composition — for every d06 connected component: its size, how many
+    * distinct sources its members span, the representative's source
+    * (min_by over the unique doc_id — deterministic in both engines), and
+    * the cross_source flag. d16's provenance matrix answers "which source
+    * PAIRS copy each other" (pairwise, source-grain); d25 answers "what
+    * sizes do clusters come in" (histogram); this is the middle grain —
+    * the per-cluster triage row a curation run reads to decide
+    * mirror-blocklist vs template-scrub per ACTUAL cluster, with the
+    * representative to keep. (Cluster grain is the near-dup components:
+    * the shipped corpora contain no byte-exact dup groups, so the exact
+    * fingerprint grain would be a vacuous report here — the clone-storm
+    * gate covers that regime.)
+    *
+    * Scale shape: d06's banded pipeline (its scale story), then one
+    * doc-keyed join of the cluster membership (≪ corpus — AQE broadcasts)
+    * against a source projection and a cluster-keyed aggregate. Output =
+    * #clusters; nothing new grows with the corpus. */
+  val clusterSourceMix = Q(
+    "d27_cluster_source_mix",
+    (s, d) => {
+      val members = dedupClusters(s, d, 0.5)
+      val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      members.join(src, "doc_id")
+        .groupBy("cluster_rep", "cluster_size")
+        .agg(
+          countDistinct("source").as("n_sources"),
+          expr("min_by(source, doc_id)").as("rep_source"))
+        .withColumn("cross_source", col("n_sources") >= 2)
+        .orderBy("cluster_rep")
+    },
+    Some(s"""WITH RECURSIVE $minhashOracleCtes,
+            pairs AS (
+              SELECT a, b
+              FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+              WHERE round(CAST(n_common AS DOUBLE) /
+                          CAST(sa.n + sb.n - n_common AS DOUBLE), 4) >= 0.5),
+            edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+            reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+            labels AS (
+              SELECT a AS doc_id, min(b) AS label
+              FROM (SELECT a, b FROM reach UNION ALL SELECT DISTINCT a, a FROM edges)
+              GROUP BY a),
+            cl AS (SELECT label, CAST(count(*) AS BIGINT) AS cluster_size
+                   FROM labels GROUP BY label HAVING count(*) > 1),
+            m AS (SELECT l.label AS cluster_rep, l.doc_id, c.cluster_size
+                  FROM labels l JOIN cl c USING (label))
+            SELECT m.cluster_rep, m.cluster_size,
+              CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources,
+              arg_min(d.source, m.doc_id) AS rep_source,
+              (count(DISTINCT d.source) >= 2) AS cross_source
+            FROM m JOIN documents d ON d.doc_id = m.doc_id
+            GROUP BY m.cluster_rep, m.cluster_size
+            ORDER BY m.cluster_rep"""))
+
   val all: Seq[Q] =
     Seq(exact, minhash, simhash, ngramJaccard, embedding, clusters, keep, triangles,
       decontam, incremental, repeated, consensus, chunkDedup, semantic, bestKeep,
       provenance, embeddingDecontam, containment, evalLeak, crossSource, splitLeak,
-      calibration, hotReport, inflation, spectrum, templateScrubQ)
+      calibration, hotReport, inflation, spectrum, templateScrubQ, clusterSourceMix)
 }

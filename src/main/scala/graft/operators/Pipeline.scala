@@ -941,7 +941,91 @@ object Pipeline {
               CAST(max(abs(pos_a - pos_b)) AS BIGINT) AS max_abs_shift
             FROM j GROUP BY source ORDER BY source"""))
 
+  // ------------------------------------------- token funnel (p11)
+  /** p11: p07's survival funnel in TOKEN terms — per source the token
+    * mass surviving each stage (raw → blocklist-clean → quality gate →
+    * dedup representative) and the end-to-end token survival rate. p07
+    * counts DOCUMENTS; the mixing weights downstream (q31/p06/p08) sample
+    * TOKENS — a source whose survivors are many-but-short and one whose
+    * survivors are few-but-long have identical p07 funnels and very
+    * different training mass, and this is the table that tells them
+    * apart. Same stage definitions and composition argument as p07 (all
+    * members of a fingerprint group share their gate status, so the
+    * representative choice can't flip), so the two funnels cross-check.
+    *
+    * Scale shape: p07's exactly — map-only feature scan, ONE fingerprint
+    * window, one source-keyed aggregate with map-side partials; output =
+    * #sources rows. Every ratio rides safeFrac/NULLIF (an all-empty-doc
+    * source has raw_tokens 0). */
+  def tokenFunnel(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val blockPat = "\\b(customer|supplier|order)\\b"
+    val feats = docs
+      .select(
+        col("doc_id"), col("source"), col("text"),
+        size(toks).cast("long").as("n_tokens"),
+        stopwordHits(toks, stopwords("en")).cast("long").as("stop_hits"),
+        charClassCount(lower(col("text")), "[a-z0-9]").cast("long").as("n_word_chars"))
+      .withColumn("clean", regexp_count(col("text"), lit(blockPat)) === 0)
+      .withColumn("gate_keep",
+        col("clean") &&
+          col("n_tokens") >= 20 && col("n_tokens") <= 5000 &&
+          safeFrac(col("stop_hits"), col("n_tokens")) >= 0.02 &&
+          safeFrac(col("n_word_chars"), col("n_tokens")) >= 3.0 &&
+          safeFrac(col("n_word_chars"), col("n_tokens")) <= 10.0)
+      .withColumn("fp", md5(normText(col("text"))))
+    val rep = min(when(col("gate_keep"), col("doc_id")))
+      .over(Window.partitionBy("fp"))
+    feats
+      .withColumn("unique_keep", col("gate_keep") && col("doc_id") === rep)
+      .groupBy("source")
+      .agg(
+        sum("n_tokens").as("raw_tokens"),
+        sum(when(col("clean"), col("n_tokens")).otherwise(0L)).as("clean_tokens"),
+        sum(when(col("gate_keep"), col("n_tokens")).otherwise(0L)).as("quality_tokens"),
+        sum(when(col("unique_keep"), col("n_tokens")).otherwise(0L)).as("unique_tokens"))
+      .withColumn("token_survival",
+        round(safeFrac(col("unique_tokens"), col("raw_tokens")), 6))
+      .orderBy("source")
+  }
+
+  val tokenFunnelQ = Q(
+    "p11_token_funnel",
+    (s, d) => tokenFunnel(Tables.documents(s, d)),
+    Some("""WITH f AS (
+              SELECT doc_id, source,
+                CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS BIGINT) AS n_tokens,
+                CAST(len(list_filter(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> ''),
+                     t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'you', 'that'))) AS BIGINT) AS stop_hits,
+                CAST(length(text) - length(regexp_replace(lower(text), '[a-z0-9]', '', 'g')) AS BIGINT) AS n_word_chars,
+                (len(regexp_extract_all(text, '\b(customer|supplier|order)\b')) = 0) AS clean,
+                md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+              FROM documents),
+            g AS (
+              SELECT doc_id, source, n_tokens, clean, fp,
+                (clean AND n_tokens >= 20 AND n_tokens <= 5000
+                 AND CAST(stop_hits AS DOUBLE) / NULLIF(CAST(n_tokens AS DOUBLE), 0.0) >= 0.02
+                 AND CAST(n_word_chars AS DOUBLE) / NULLIF(CAST(n_tokens AS DOUBLE), 0.0) >= 3.0
+                 AND CAST(n_word_chars AS DOUBLE) / NULLIF(CAST(n_tokens AS DOUBLE), 0.0) <= 10.0) AS gate_keep
+              FROM f),
+            r AS (
+              SELECT source, n_tokens, clean, gate_keep,
+                (gate_keep AND doc_id = min(CASE WHEN gate_keep THEN doc_id END)
+                   OVER (PARTITION BY fp)) AS unique_keep
+              FROM g),
+            agg AS (
+              SELECT source,
+                CAST(sum(n_tokens) AS BIGINT) AS raw_tokens,
+                CAST(sum(CASE WHEN clean THEN n_tokens ELSE 0 END) AS BIGINT) AS clean_tokens,
+                CAST(sum(CASE WHEN gate_keep THEN n_tokens ELSE 0 END) AS BIGINT) AS quality_tokens,
+                CAST(sum(CASE WHEN unique_keep THEN n_tokens ELSE 0 END) AS BIGINT) AS unique_tokens
+              FROM r GROUP BY source)
+            SELECT source, raw_tokens, clean_tokens, quality_tokens, unique_tokens,
+              round(CAST(unique_tokens AS DOUBLE)
+                / NULLIF(CAST(raw_tokens AS DOUBLE), 0.0), 6) AS token_survival
+            FROM agg ORDER BY source"""))
+
   val all: Seq[Q] =
     Seq(pipeline, mix, audit, epoch, refresh, dedupMix, funnel, curriculum, card,
-      seedAudit)
+      seedAudit, tokenFunnelQ)
 }

@@ -1240,8 +1240,80 @@ object Relational {
               round(CAST(n_users AS DOUBLE) / CAST(n_viewers AS DOUBLE), 6) AS share
             FROM c, t ORDER BY bucket_id"""))
 
+  // ------------------------------------------------ session paths (q42)
+  /** q42: top session event-type paths — q12's sessionization rolled up to
+    * the PATH grain: each session's first ≤8 events in (ts, event_id)
+    * order joined with '>' ("view>click>purchase"), then the corpus-wide
+    * top-25 paths with session counts and share. The behavioral complement
+    * of q33's per-STEP Markov transitions: the whole-walk readout a funnel
+    * designer and a bot detector both read (a scripted scraper is one
+    * dominant path; organic traffic is a long tail).
+    *
+    * Determinism: within-session order is the total order (ts, event_id);
+    * the path string is the group key; the final (n_sessions DESC, path)
+    * sort is total, so LIMIT 25 is stable in both engines.
+    *
+    * Scale shape: q12's ONE user-keyed window shuffle, a (user, session)
+    * aggregate whose per-group state is one session's events (the bound
+    * q12/q32 already carry; the ≤8 slice keeps the OUTPUT constant), a
+    * path-keyed aggregate with map-side partials, and the 1-row total
+    * attached by bounded crossJoin (q38's allowlisted shape). Output is
+    * 25 rows at any corpus size. */
+  val q42 = Q(
+    "q42_session_paths",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val sess = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+        .withColumn("prev_ts", lag("ts", 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum("new_session").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val paths = sess.groupBy("user_id", "session_id")
+        .agg(
+          concat_ws(">", slice(transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+            e => e.getField("event_type")), 1, 8)).as("path"),
+          count(lit(1)).as("n_events"))
+      val byPath = paths.groupBy("path").agg(
+        count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+      byPath.crossJoin(byPath.agg(sum("n_sessions").as("n_total")))
+        .select(col("path"), col("n_sessions"), col("n_events"),
+          round(col("n_sessions").cast("double") / col("n_total").cast("double"), 6)
+            .as("session_share"))
+        .orderBy(desc("n_sessions"), col("path")).limit(25)
+    },
+    Some("""WITH g AS (
+              SELECT user_id, ts, event_id, event_type,
+                CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                     THEN 1 ELSE 0 END AS new_session
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            se AS (
+              SELECT user_id, ts, event_id, event_type,
+                CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+              FROM g),
+            p AS (
+              SELECT user_id, session_id,
+                array_to_string((array_agg(event_type ORDER BY ts, event_id))[1:8], '>') AS path,
+                CAST(count(*) AS BIGINT) AS n_events
+              FROM se GROUP BY 1, 2),
+            bp AS (
+              SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+                CAST(sum(n_events) AS BIGINT) AS n_events
+              FROM p GROUP BY path),
+            t AS (SELECT CAST(sum(n_sessions) AS BIGINT) AS n_total FROM bp)
+            SELECT path, n_sessions, n_events,
+              round(CAST(n_sessions AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS session_share
+            FROM bp, t ORDER BY n_sessions DESC, path LIMIT 25"""))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
       q18, q19, q20, q21, q22, q25, q26, q27, q29, q30, q32, q33, q34, q36, q37,
-      q38, q39, q40, q41)
+      q38, q39, q40, q41, q42)
 }

@@ -1061,7 +1061,72 @@ object Similarity {
             FROM ranked WHERE rank <= 10
             GROUP BY query_id, label ORDER BY query_id"""))
 
+  // ------------------------------------ kNN label confusion (s14)
+  /** s14: the embedding-space label CONFUSION matrix — s13's per-query
+    * kNN votes aggregated to (query label, neighbor label) cells with
+    * each cell's share of its label's total votes. s13 answers "which
+    * INSTANCES look mislabeled"; this answers "which LABELS blur into
+    * each other in embedding space" — the readout that distinguishes
+    * instance-level noise (off-diagonal spread across many labels) from
+    * genuinely overlapping classes (one dominant off-diagonal cell),
+    * which decide relabeling vs class-merging respectively. Shares t35's
+    * confusion-matrix stance on the embedding axis.
+    *
+    * Scale shape: s13's plan verbatim (broadcast bounded query set, ONE
+    * corpus pass, k-row window) — then a (label, label) aggregate and a
+    * label-partitioned window over that ≤ |labels|² table. Nothing new
+    * grows with the corpus. `share` divides votes by the label's total —
+    * ≥ 1 whenever the row exists, so no guard needed. */
+  def knnLabelConfusion(spark: SparkSession, d: String,
+      nQueries: Int, k: Int): DataFrame =
+    knnLabelConfusionFrom(Tables.embeddings(spark, d), nQueries, k)
+
+  def knnLabelConfusionFrom(e: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("label").cast("long").as("label"))
+    val corpus = e.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ne"), col("label").cast("long").as("n_label"))
+    val sims = corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("label"), col("n_label"),
+        col("neighbor_id"), cosine(col("qe"), col("ne")).as("c"))
+    val w = Window.partitionBy("query_id").orderBy(col("c").desc, col("neighbor_id"))
+    val votes = sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .groupBy("label", "n_label").agg(count(lit(1)).as("votes"))
+    votes
+      .withColumn("label_votes",
+        sum("votes").over(Window.partitionBy("label")))
+      .select(col("label"), col("n_label").as("neighbor_label"), col("votes"),
+        round(col("votes").cast("double") / col("label_votes").cast("double"), 6)
+          .as("share"))
+      .orderBy("label", "neighbor_label")
+  }
+
+  val knnConfusion = Q(
+    "s14_knn_label_confusion",
+    (s, d) => knnLabelConfusion(s, d, 20, 10),
+    Some("""WITH sims AS (
+              SELECT q.vec_id AS query_id, CAST(q.label AS BIGINT) AS label,
+                CAST(n.label AS BIGINT) AS n_label, n.vec_id AS neighbor_id,
+                list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                       CAST(n.embedding AS DOUBLE[])) AS c
+              FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+              WHERE q.vec_id < 20),
+            ranked AS (
+              SELECT query_id, label, n_label,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY c DESC, neighbor_id) AS rank
+              FROM sims),
+            v AS (
+              SELECT label, n_label, CAST(count(*) AS BIGINT) AS votes
+              FROM ranked WHERE rank <= 10 GROUP BY 1, 2)
+            SELECT label, n_label AS neighbor_label, votes,
+              round(CAST(votes AS DOUBLE)
+                / CAST(sum(votes) OVER (PARTITION BY label) AS DOUBLE), 6) AS share
+            FROM v ORDER BY label, neighbor_label"""))
+
   val all: Seq[Q] =
     Seq(annBruteForce, annLsh, centroids, annIvf, annRecall, quantError, annAppend,
-      annPq, radius, mmr, filteredAnn, annDelete, knnPurity)
+      annPq, radius, mmr, filteredAnn, annDelete, knnPurity, knnConfusion)
 }

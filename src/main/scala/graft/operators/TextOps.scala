@@ -1959,11 +1959,71 @@ object TextOps {
               coalesce(oov_frac >= 0.5, false) AS low_coverage
             FROM fr ORDER BY doc_id"""))
 
+  // --------------------------------------------- sentence profile (t38)
+  /** t38: per-document sentence profile — sentences split on [.!?]+ runs
+    * (trimmed, nonempty), with counts, token mass, mean/max sentence
+    * length and the run-on fraction (> 40 tokens). The sentence axis is
+    * the one t04/t20's token-level features miss: machine-generated and
+    * OCR'd text often passes token-level gates while being one unbroken
+    * 500-token "sentence", and chunkers (t10) and readability-based
+    * curricula (p08's ordering) both want this readout. Degenerate docs
+    * (empty / whitespace-only) yield 0 or punctuation-free sentences —
+    * every ratio rides safeFrac/NULLIF.
+    *
+    * Scale shape: map-only (split + two higher-order transforms per row,
+    * all codegen'd) — embarrassingly parallel, no shuffle before the
+    * output sort. */
+  val sentenceProfile = Q(
+    "t38_sentence_profile",
+    (s, d) => {
+      val sents = filter(
+        transform(split(col("text"), "[.!?]+"), x => trim(x)),
+        x => x =!= lit(""))
+      Tables.documents(s, d)
+        .select(col("doc_id"), sents.as("sents"))
+        .select(col("doc_id"),
+          transform(col("sents"),
+            x => size(filter(split(lower(x), "[^a-z0-9]+"), t => t =!= lit("")))
+              .cast("long")).as("lens"))
+        .select(
+          col("doc_id"),
+          size(col("lens")).cast("long").as("n_sentences"),
+          expr("aggregate(lens, CAST(0 AS BIGINT), (a, x) -> a + x)").as("n_tokens"),
+          array_max(col("lens")).as("max_sentence_tokens"),
+          size(filter(col("lens"), l => l > 40L)).cast("long").as("n_run_on"))
+        .withColumn("mean_sentence_tokens",
+          round(safeFrac(col("n_tokens"), col("n_sentences")), 6))
+        .withColumn("run_on_frac",
+          round(safeFrac(col("n_run_on"), col("n_sentences")), 6))
+        .orderBy("doc_id")
+    },
+    Some("""WITH s AS (
+              SELECT doc_id,
+                list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'),
+                  x -> trim(x)), x -> x <> '') AS sents
+              FROM documents),
+            l AS (
+              SELECT doc_id,
+                list_transform(sents, x -> CAST(len(list_filter(
+                  regexp_split_to_array(lower(x), '[^a-z0-9]+'), t -> t <> ''))
+                  AS BIGINT)) AS lens
+              FROM s)
+            SELECT doc_id,
+              CAST(len(lens) AS BIGINT) AS n_sentences,
+              CAST(coalesce(list_sum(lens), 0) AS BIGINT) AS n_tokens,
+              CAST(list_max(lens) AS BIGINT) AS max_sentence_tokens,
+              CAST(len(list_filter(lens, x -> x > 40)) AS BIGINT) AS n_run_on,
+              round(CAST(coalesce(list_sum(lens), 0) AS DOUBLE)
+                / NULLIF(CAST(len(lens) AS DOUBLE), 0.0), 6) AS mean_sentence_tokens,
+              round(CAST(len(list_filter(lens, x -> x > 40)) AS DOUBLE)
+                / NULLIF(CAST(len(lens) AS DOUBLE), 0.0), 6) AS run_on_frac
+            FROM l ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(grep, wordcount, tokenCount, quality, langid, fingerprint, winnow, tfidf,
       langidEval, chunk, cooccur, bigrams, perplexity, vocabGrowth, repetition,
       novelty, pack, spectrum, scrub, qualityGate, bpeTrain, sourceProfile,
       hitters, classifierScore, bpeApply, nfcAudit, dsirWeights, lengthOutliers,
       tokenEntropy, piiScrubQ, encodingAuditQ, zipfFit, epochShuffleQ, templated,
-      langMismatchQ, calibration, vocabCoverage)
+      langMismatchQ, calibration, vocabCoverage, sentenceProfile)
 }

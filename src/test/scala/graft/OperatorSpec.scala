@@ -232,6 +232,85 @@ class OperatorSpec extends SparkSpec {
       got.toString)
   }
 
+  test("q42 session paths: planted sessions yield exact paths, shares, and the ≤8 truncation") {
+    import spark.implicits._
+    val m = 60L * 1000000L
+    // user 1: [view,click,purchase], a >30-min gap, then [error];
+    // user 2: ten 1-min-spaced views — ONE session whose path truncates at 8.
+    val ev = (Seq(
+      (1L, 1L, "view", 0L), (2L, 1L, "click", m), (3L, 1L, "purchase", 2L * m),
+      (4L, 1L, "error", 40L * m)) ++
+      (0 until 10).map(i => (10L + i, 2L, "view", i.toLong * m)))
+      .toDF("event_id", "user_id", "event_type", "us")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("timestamp_micros(us)").as("ts"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-paths").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Relational.q42.fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq(
+      ("error", 1L, 1L, 0.333333),
+      ("view>click>purchase", 1L, 3L, 0.333333),
+      ("view>view>view>view>view>view>view>view", 1L, 10L, 0.333333)), got.toString)
+  }
+
+  test("t38 sentence profile: planted docs score exact sentence stats; empty text is NULL-safe") {
+    import spark.implicits._
+    val runOn = Seq.fill(41)("w").mkString(" ")
+    val docs = Seq(
+      (1L, "one two three. four five! six?", "en", "srcA", 30L),
+      (2L, "", "en", "srcA", 0L),
+      (3L, "no punctuation here at all", "en", "srcA", 26L),
+      (4L, s"$runOn. ok", "en", "srcA", 90L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-sent").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("t38_sentence_profile")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6)))).toSeq
+    assert(got == Seq(
+      (1L, 3L, 6L, Some(3L), 0L, Some(2.0), Some(0.0)),
+      (2L, 0L, 0L, None, 0L, None, None),
+      (3L, 1L, 5L, Some(5L), 0L, Some(5.0), Some(0.0)),
+      (4L, 2L, 42L, Some(41L), 1L, Some(21.0), Some(0.5))), got.toString)
+  }
+
+  test("p11 token funnel: planted stages attribute token mass exactly, incl. cross-source dup") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again"
+    val good = s"$base $base" // 20 tokens, stop 6/20, mean word len 4.0 -> passes gate
+    val docs = Seq(
+      (1L, good, "en", "srcA", 99L),             // unique representative
+      (2L, good, "en", "srcA", 99L),             // exact dup of 1 -> not unique
+      (3L, s"$good customer", "en", "srcA", 108L), // blocklist hit -> not clean
+      (4L, "tiny doc", "en", "srcA", 8L),        // clean but fails the gate
+      (5L, good, "en", "srcB", 99L)              // cross-source dup: rep is doc 1
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.operators.Pipeline.tokenFunnel(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == Seq(
+      ("srcA", 63L, 42L, 40L, 20L, 0.31746),
+      ("srcB", 20L, 20L, 20L, 0L, 0.0)), got.toString)
+  }
+
+  test("s14 knn label confusion: planted neighborhood produces exact cells and shares") {
+    import spark.implicits._
+    // s13's planted fixture: query 0 (label 1) has 3-NN labels (1, 0, 1).
+    val e = Seq(
+      (0L, Array(1f, 0f), 1),
+      (1L, Array(0.99f, 0.01f), 1),
+      (2L, Array(0.95f, 0.05f), 0),
+      (3L, Array(0.9f, 0.1f), 1),
+      (4L, Array(-1f, 0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnLabelConfusionFrom(e, 1, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq((1L, 0L, 1L, 0.333333), (1L, 1L, 2L, 0.666667)), got.toString)
+  }
+
   test("t37 vocab coverage: planted rare-token doc is flagged, vocab docs score 0") {
     import spark.implicits._
     // 16 common tokens (freq 5 each) fill the top-K vocab exactly; the

@@ -158,7 +158,16 @@ class PartitionInvarianceSpec extends SparkSpec {
     // scans and a merge-hinted full-outer join; its stats are exact
     // BIGINT sums — gated to prove the whole composition holds the
     // partition-count-independence claim.
-    "p10_seed_reproducibility")
+    "p10_seed_reproducibility",
+    // Round-11 wave: q42's collect_list arrives in partition order — the
+    // array_sort over the total (ts, event_id, type) struct order is what
+    // makes the path deterministic, and this gate proves it; t38 is
+    // map-only (control); d27 rolls the d02-gated cluster set up with a
+    // min_by over the unique doc_id; p11 is p07's gated shapes with
+    // exact BIGINT token sums; s14 rolls s13's gated (cos desc,
+    // neighbor_id) ranking into exact integer vote cells.
+    "q42_session_paths", "t38_sentence_profile", "d27_cluster_source_mix",
+    "p11_token_funnel", "s14_knn_label_confusion")
 
   test("round-5/6 queries return identical rows at shuffle.partitions = 3 and 17") {
     val conf = spark.conf
