@@ -254,7 +254,16 @@ object ScaleRehearsal {
       // p08 is q31's mass aggregate × a bounded epoch explode; p09 is
       // one feature scan into one multi-distinct 1-row aggregate — its
       // fingerprint distinct rides the same Expand as lang/source.
-      "p08_curriculum_schedule", "p09_data_card")
+      "p08_curriculum_schedule", "p09_data_card",
+      // Round-11 wave: t38 is a map-only two-transform sentence scan
+      // (t19/t30's no-shuffle scan-floor band); p11 is p07's funnel with
+      // token-mass sums (same window + source aggregate — must ride
+      // p07's band); d27 is d06's banded pipeline plus ONE doc-keyed
+      // membership join and a cluster-grain aggregate (d06's band);
+      // s14 is s13's broadcast-probe scan into a ≤|labels|² rollup
+      // (reads the k× embeddings twin — s13's band).
+      "t38_sentence_profile", "p11_token_funnel", "d27_cluster_source_mix",
+      "s14_knn_label_confusion")
     def timeQuery(name: String, dir: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
       def once(): (Double, Long) = {
@@ -399,7 +408,20 @@ object ScaleRehearsal {
     // behavior — growth by users) and measures the event-keyed family.
     // Runs in the full sweep OR targeted via the special name
     // "events_axis".
-    if (only.isEmpty || only("events_axis")) {
+    val evNames = Seq("q11_events_hourly", "q12_sessionize",
+      "q13_daily_active_users", "q29_funnel_conversion",
+      "q30_cohort_retention", "q32_last_touch_attribution",
+      "q33_event_transitions", "q39_rate_anomaly", "q40_wau_stickiness",
+      // q16: probe (events) grows k×, build (orders) fixed; q17: the
+      // honest quadratic — pair OUTPUT grows ~k² with event density
+      // (the semantics, not the plan; the bucketed join must stay
+      // output-bound).
+      "q16_asof_join", "q17_range_join",
+      // Round-11: q42 rides q12's ONE user-keyed session window into a
+      // path-keyed aggregate — session count grows k× (disjoint user
+      // populations), output fixed at 25 rows.
+      "q42_session_paths")
+    if (only.isEmpty || only("events_axis") || evNames.exists(only)) {
       val ev1 = graft.sources.Tables.events(spark, sfDir)
       val evDir = s"$outDir/events_axis"
       val reuseEv = reuseReq && {
@@ -431,15 +453,8 @@ object ScaleRehearsal {
         val (tK, rK) = minOf2(evDir)
         println(f"[scale] $name%-26s $t1%8.2f $r1%8d $tK%8.2f $rK%9d ${tK / t1}%5.1fx")
       }
-      Seq("q11_events_hourly", "q12_sessionize", "q13_daily_active_users",
-        "q29_funnel_conversion", "q30_cohort_retention",
-        "q32_last_touch_attribution", "q33_event_transitions",
-        "q39_rate_anomaly", "q40_wau_stickiness",
-        // q16: probe (events) grows k×, build (orders) fixed; q17: the
-        // honest quadratic — pair OUTPUT grows ~k² with event density
-        // (the semantics, not the plan; the bucketed join must stay
-        // output-bound).
-        "q16_asof_join", "q17_range_join").foreach(evRow)
+      (if (only.isEmpty || only("events_axis")) evNames
+       else evNames.filter(only)).foreach(evRow)
     }
     if (only.nonEmpty) { spark.stop(); return }
 
