@@ -71,7 +71,10 @@ object PlanAudit {
       // (q38/q41's bounded × 1 row shape).
       "q42_session_paths",
       // s14: s13's broadcast-probe scan (vec_id < 20 query set).
-      "s14_knn_label_confusion")
+      "s14_knn_label_confusion",
+      // s15: the k-row cluster table crossJoins its 1-row total aggregate
+      // (q38/q42's bounded × 1 row shape).
+      "s15_kmeans_cartography")
 
   /** Tables that are corpus-/fact-scale at the 100 TB target — anything
     * derived from one of these is presumed unbounded unless the deriving

@@ -263,7 +263,18 @@ object ScaleRehearsal {
       // s14 is s13's broadcast-probe scan into a ≤|labels|² rollup
       // (reads the k× embeddings twin — s13's band).
       "t38_sentence_profile", "p11_token_funnel", "d27_cluster_source_mix",
-      "s14_knn_label_confusion")
+      "s14_knn_label_confusion",
+      // Round-11 second wave: p12 rides t24's scoring scan into the
+      // t17/t33 two-phase prefix machinery (the q35 hot-key hazard
+      // avoided by construction); s15 is 4 map-only scans of the k×
+      // embeddings twin + (k·dim)-key aggregates (corpus-independent
+      // shuffle bytes); m12 is m06's banded self-join + d06's
+      // size-adaptive component closure + two cluster-keyed aggregates.
+      "p12_budget_fill", "s15_kmeans_cartography",
+      "m12_media_neardup_clusters",
+      // t39 is a map-only multi-regex scan into a bounded (source, band)
+      // aggregate — the t19/t30 scan-floor band.
+      "t39_readability_bands")
     def timeQuery(name: String, dir: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
       def once(): (Double, Long) = {

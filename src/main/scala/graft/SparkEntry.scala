@@ -45,7 +45,7 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *  - q42: top session event-type paths — q12's sessionization rolled up
   *    to the whole-walk grain (first ≤8 events per session), the
   *    behavioral complement of q33's per-step transitions.
-  *  - t01..t38: text query library (grep, wordcount, token counting,
+  *  - t01..t39: text query library (grep, wordcount, token counting,
   *    quality scoring, language-ID, fingerprinting, winnowing, TF-IDF,
   *    langid eval, context chunking, co-occurrence PMI, bigram LM,
   *    bigram perplexity quality filter, vocabulary growth, Gopher-style
@@ -70,7 +70,9 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    vocabulary-coverage / OOV audit against the corpus's own top-K
   *    reference vocab — the "will my tokenizer cover this doc" triage,
   *    per-document sentence profile — counts, mean/max sentence tokens
-  *    and the run-on fraction, the sentence axis token-level gates miss).
+  *    and the run-on fraction, the sentence axis token-level gates miss,
+  *    per-source readability banding — Flesch-Kincaid-style grades in
+  *    exact micro-units, the difficulty axis p08's curriculum orders by).
   *  - d01..d27: dedup & corpus hygiene (exact, MinHash-LSH, SimHash,
   *    n-gram Jaccard, embedding-cosine, connected-component clusters,
   *    keep-list, near-dup triangles, benchmark decontamination,
@@ -92,7 +94,7 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    report→edit relationship on the n-gram axis, near-dup clusters at
   *    cluster grain with their source composition — the per-cluster
   *    triage row between d16's pairwise matrix and d25's histogram).
-  *  - s01..s14: similarity search (brute-force ANN, LSH-bucketed ANN,
+  *  - s01..s15: similarity search (brute-force ANN, LSH-bucketed ANN,
   *    per-label centroid stats, IVF ANN, recall@k evaluation, int8
   *    quantization error audit, incremental IVF ingest serving state,
   *    PQ-ADC with exact rerank, exact cosine radius search, MMR
@@ -102,15 +104,21 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    read time, compaction folds and resets; kNN label-purity audit —
   *    the embedding-space label-noise triage list; kNN label CONFUSION
   *    matrix — which labels blur together in embedding space, the
-  *    relabel-vs-merge decision table).
-  *  - m01..m11: multimodal binary-column plumbing (metadata, stub-decode
+  *    relabel-vs-merge decision table; spherical k-means corpus
+  *    cartography — the unsupervised "what is actually in this corpus"
+  *    map with per-cluster size/label-purity/tightness, exact across
+  *    engines via integer-milli vectors and division-free sum-vector
+  *    centroids).
+  *  - m01..m12: multimodal binary-column plumbing (metadata, stub-decode
   *    features, frame sampling, strided resize, windowed frame energy,
   *    perceptual-hash near-dup pairs, scene-change detection over frame
   *    energies, VAD-style voiced-segment runs, WebDataset-style
   *    shard-manifest packing on the byte axis, per-shard fill/integrity
   *    audit of that manifest, perceptual-hash eval-set decontamination
-  *    — d17's literal-inline stance on the media axis; binaryFile
-  *    ingest in Multimodal).
+  *    — d17's literal-inline stance on the media axis; media near-dup
+  *    CLUSTERS — m06's pairs closed into components with size/edge/
+  *    worst-Hamming readout, the d06→d27 move on the perceptual axis;
+  *    binaryFile ingest in Multimodal).
   *  - p01: the composed curation pipeline (gate → dedup-among-survivors →
   *    sequence packing) emitting every document's final disposition and
   *    packed window range — the lineage record of a training-data run.
@@ -148,6 +156,10 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *  - p11: p07's survival funnel in TOKEN terms — per-source token mass
   *    through raw → clean → gate → dedup representative, the unit the
   *    mixing weights (q31/p06/p08) actually sample.
+  *  - p12: quality-sorted token-budget fill — per source, admit documents
+  *    best-first by t24's score (shared kernel) until 25% of the raw
+  *    token mass is spent; the FineWeb-style SELECTION step that decides
+  *    WHICH documents carry the contribution the mixing queries size.
   */
 object SparkEntry {
   val inventory: Seq[Q] =

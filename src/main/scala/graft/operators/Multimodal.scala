@@ -340,10 +340,11 @@ object Multimodal {
       .orderBy("a", "b")
   }
 
-  val mediaNeardup = Q(
-    "m06_media_neardup",
-    (s, d) => mediaNeardupPairs(mediaTable(s, d), 14),
-    Some("""WITH chars AS (
+  /** m06's oracle pipeline (stub blockhash from documents.text bytes →
+    * banded candidate pairs with Hamming distances), factored so m12's
+    * cluster oracle closes over the SAME pair definition. */
+  private val phashPairCtes =
+    """chars AS (
               SELECT doc_id, i, ord(substr(text, CAST(i AS INT), 1)) AS b,
                      length(text) AS n
               FROM documents, UNNEST(range(1, length(text) + 1)) AS r(i)
@@ -366,7 +367,12 @@ object Multimodal {
               SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
                      CAST(bit_count(xor(x.ph, y.ph)) AS BIGINT) AS hamming
               FROM chunks x JOIN chunks y
-                ON x.c = y.c AND x.ck = y.ck AND x.doc_id < y.doc_id)
+                ON x.c = y.c AND x.ck = y.ck AND x.doc_id < y.doc_id)"""
+
+  val mediaNeardup = Q(
+    "m06_media_neardup",
+    (s, d) => mediaNeardupPairs(mediaTable(s, d), 14),
+    Some(s"""WITH $phashPairCtes
             SELECT a, b, hamming FROM pairs WHERE hamming <= 14 ORDER BY a, b"""))
 
   /** Scene-change (shot-boundary) detection — the video-curation step
@@ -790,7 +796,64 @@ object Multimodal {
               (min(h) <= 14) AS flagged
             FROM hams GROUP BY doc_id ORDER BY doc_id"""))
 
+  // ------------------------------- media near-dup clusters (m12)
+  /** m12: m06's pairwise verdicts closed into CLUSTERS — the d06→d27 move
+    * on the perceptual-hash axis. A re-encoded image fans out into MANY
+    * pairs (k copies → k(k−1)/2 rows); the curation decision ("keep one,
+    * drop k−1") is per-cluster, and this is that grain: each connected
+    * component of the m06 pair graph with its representative (component
+    * min doc_id), size, edge count, and worst intra-cluster Hamming
+    * distance (how loose the cluster is — a high max on a big cluster
+    * flags a banding false-positive chain worth re-verifying).
+    *
+    * Scale shape: m06's banded self-join builds the edge list (pair
+    * volume bucket-bounded, its scale story), then [[Dedup
+    * .connectedComponents]]'s size-adaptive closure (LIMIT-probe driver
+    * union-find under the bounded threshold, min-label propagation
+    * above — d06's machinery verbatim) and two cluster-keyed aggregates.
+    * Output = #clusters. Degenerates: no pairs → empty result. */
+  def mediaNeardupClusters(media: Dataset[MediaRecord], maxDist: Int): DataFrame = {
+    val pairs = mediaNeardupPairs(media, maxDist)
+      .select(col("a"), col("b"), col("hamming")).localCheckpoint()
+    val labels = Dedup.connectedComponents(pairs.select(col("a"), col("b")))
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    val edgeStats = pairs
+      .join(labels.withColumnRenamed("doc_id", "a"), Seq("a"))
+      .groupBy("label").agg(
+        count(lit(1)).as("n_edges"),
+        max("hamming").as("max_edge_hamming"))
+    sizes.join(edgeStats, Seq("label"))
+      .select(col("label").as("cluster_rep"), col("cluster_size"),
+        col("n_edges"), col("max_edge_hamming"))
+      .orderBy("cluster_rep")
+  }
+
+  val mediaClusters = Q(
+    "m12_media_neardup_clusters",
+    (s, d) => mediaNeardupClusters(mediaTable(s, d), 14),
+    Some(s"""WITH RECURSIVE $phashPairCtes,
+            ep AS (SELECT a, b, hamming FROM pairs WHERE hamming <= 14),
+            edges AS (SELECT a, b FROM ep UNION ALL SELECT b, a FROM ep),
+            reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+            labels AS (
+              SELECT a AS doc_id, min(b) AS label
+              FROM (SELECT a, b FROM reach UNION ALL SELECT DISTINCT a, a FROM edges)
+              GROUP BY a),
+            cl AS (SELECT label, CAST(count(*) AS BIGINT) AS cluster_size
+                   FROM labels GROUP BY label),
+            es AS (SELECT l.label, p.hamming
+                   FROM ep p JOIN labels l ON l.doc_id = p.a)
+            SELECT c.label AS cluster_rep, c.cluster_size,
+              CAST(count(*) AS BIGINT) AS n_edges,
+              CAST(max(e.hamming) AS BIGINT) AS max_edge_hamming
+            FROM cl c JOIN es e ON e.label = c.label
+            GROUP BY c.label, c.cluster_size
+            ORDER BY cluster_rep"""))
+
   val all: Seq[Q] =
     Seq(mediaMeta, mediaFeatures, frameSample, mediaResize, frameEnergy, mediaNeardup,
-      scenes, voiced, shardManifestQ, shardFillQ, mediaDecontam)
+      scenes, voiced, shardManifestQ, shardFillQ, mediaDecontam, mediaClusters)
 }

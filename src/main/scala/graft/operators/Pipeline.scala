@@ -1025,7 +1025,111 @@ object Pipeline {
                 / NULLIF(CAST(raw_tokens AS DOUBLE), 0.0), 6) AS token_survival
             FROM agg ORDER BY source"""))
 
+  // ------------------------------------------- budget fill (p12)
+  /** p12: quality-sorted token-budget fill — the FineWeb-style selection
+    * step the mixing queries assume has already happened: per source, rank
+    * documents by t24's model score (the IDENTICAL kernel —
+    * [[TextOps.classifierDocScores]] — so t24 and this query cross-check)
+    * and admit them best-first until the source's token budget (25% of
+    * its raw token mass) is spent. Reports per source the candidate
+    * count, raw/budget/selected token masses, the admission cutoff score,
+    * and the budget fill rate. q31/p06/p08 decide how much each source
+    * SHOULD contribute; this is the operator that decides WHICH documents
+    * carry that contribution.
+    *
+    * Determinism: admission order is (score DESC, doc_id) — score is
+    * round(·, 6) of an exact-integer ratio (t24's contract) and doc_id
+    * breaks ties, so the running sum admits the same prefix in both
+    * engines; token masses are exact BIGINTs.
+    *
+    * Scale shape: t24's scoring scan (map-only + one doc-keyed agg with
+    * map-side partials), then the admission prefix rides
+    * [[TextOps.prefixSummedBy]]'s two-phase range-partitioned scan keyed
+    * (source, -score, doc_id) — the t17/t33 machinery, so one source's
+    * documents spread across MANY partitions instead of one window
+    * partition's sort (the q35 hot-key hazard this formulation avoids);
+    * per-source bases/budgets come from one #sources-row aggregate
+    * (AQE-broadcast back). Output = #sources rows. Degenerate inputs:
+    * zero-token docs are non-candidates by the kernel's contract; an
+    * empty corpus yields an empty result; a budget of 0 admits nothing
+    * and fill_frac rides safeFrac/NULLIF. */
+  def budgetFill(docs: DataFrame, frac: Double = 0.25): DataFrame = {
+    val scored = TextOps.classifierDocScores(docs, Seq("source"))
+      .withColumn("neg_score", -col("score"))
+    val cum = TextOps.prefixSummedBy(
+      scored.select(col("source"), col("neg_score"), col("doc_id"), col("n_tokens")),
+      Seq("source", "neg_score", "doc_id"), "n_tokens", "cum")
+    val bySource = cum.groupBy("source").agg(
+      min(col("cum") - col("n_tokens")).as("base"),
+      count(lit(1)).as("n_candidates"),
+      sum("n_tokens").as("total_tokens"))
+      .withColumn("budget_tokens",
+        floor(col("total_tokens").cast("double") * frac).cast("long"))
+    cum.join(bySource, Seq("source"))
+      .withColumn("selected", col("cum") - col("base") <= col("budget_tokens"))
+      .groupBy("source")
+      .agg(
+        max("n_candidates").as("n_candidates"),
+        max("total_tokens").as("total_tokens"),
+        max("budget_tokens").as("budget_tokens"),
+        sum(when(col("selected"), 1L).otherwise(0L)).as("n_selected"),
+        sum(when(col("selected"), col("n_tokens")).otherwise(0L)).as("selected_tokens"),
+        min(when(col("selected"), -col("neg_score"))).as("cutoff_score"))
+      .withColumn("fill_frac",
+        round(safeFrac(col("selected_tokens"), col("budget_tokens")), 6))
+      .orderBy("source")
+  }
+
+  val budgetFillQ = Q(
+    "p12_budget_fill",
+    (s, d) => budgetFill(Tables.documents(s, d)),
+    Some("""WITH toks AS (
+              SELECT doc_id, source, unnest(list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS w
+              FROM documents),
+            feat AS (
+              SELECT doc_id, source,
+                CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 1024 AS bucket
+              FROM toks),
+            wts AS (
+              SELECT doc_id, source,
+                (bucket * 2654435761 + 40503) % 1000003 % 2001 - 1000 AS w_milli
+              FROM feat),
+            agg AS (
+              SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(sum(w_milli) AS BIGINT) AS score_milli
+              FROM wts GROUP BY doc_id, source),
+            sc AS (
+              SELECT doc_id, source, n_tokens,
+                round(CAST(score_milli AS DOUBLE)
+                  / (CAST(n_tokens AS DOUBLE) * 1000.0), 6) AS score
+              FROM agg),
+            tot AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_candidates,
+                CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                CAST(floor(CAST(sum(n_tokens) AS DOUBLE) * 0.25) AS BIGINT) AS budget_tokens
+              FROM sc GROUP BY source),
+            cm AS (
+              SELECT source, doc_id, n_tokens, score,
+                CAST(sum(n_tokens) OVER (PARTITION BY source
+                  ORDER BY score DESC, doc_id) AS BIGINT) AS cum
+              FROM sc),
+            sel AS (
+              SELECT c.source, c.n_tokens, c.score,
+                (c.cum <= t.budget_tokens) AS selected
+              FROM cm c JOIN tot t ON c.source = t.source)
+            SELECT t.source, t.n_candidates, t.total_tokens, t.budget_tokens,
+              CAST(sum(CASE WHEN s.selected THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+              CAST(sum(CASE WHEN s.selected THEN s.n_tokens ELSE 0 END) AS BIGINT)
+                AS selected_tokens,
+              min(CASE WHEN s.selected THEN s.score END) AS cutoff_score,
+              round(CAST(sum(CASE WHEN s.selected THEN s.n_tokens ELSE 0 END) AS DOUBLE)
+                / NULLIF(CAST(t.budget_tokens AS DOUBLE), 0.0), 6) AS fill_frac
+            FROM sel s JOIN tot t ON s.source = t.source
+            GROUP BY t.source, t.n_candidates, t.total_tokens, t.budget_tokens
+            ORDER BY t.source"""))
+
   val all: Seq[Q] =
     Seq(pipeline, mix, audit, epoch, refresh, dedupMix, funnel, curriculum, card,
-      seedAudit, tokenFunnelQ)
+      seedAudit, tokenFunnelQ, budgetFillQ)
 }

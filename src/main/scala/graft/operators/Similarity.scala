@@ -1126,7 +1126,198 @@ object Similarity {
                 / CAST(sum(votes) OVER (PARTITION BY label) AS DOUBLE), 6) AS share
             FROM v ORDER BY label, neighbor_label"""))
 
+  // ------------------------------------ k-means cartography (s15)
+  /** s15: unsupervised corpus cartography — spherical k-means over the
+    * embedding table (k deterministic seeds = the k lowest vec_ids, 3
+    * Lloyd iterations), reported at CLUSTER grain: size, corpus share,
+    * dominant label with its purity, and the mean cosine to the cluster's
+    * centroid (the tightness readout). s03 maps the corpus by its GIVEN
+    * labels; this is the map when labels don't exist or can't be trusted
+    * — the "what is actually in this corpus" view a curation run reads
+    * before deciding mixing weights, and the first exact-parity
+    * clustering in the inventory (the IVF codebook's [[refineCodebook]]
+    * k-means is float-space and rows-only by design).
+    *
+    * EXACT cross-engine parity for an iterative clusterer, by
+    * construction: (1) vectors are quantized once to integer milli-units
+    * (floor(x·1000 + 0.5) — per-row, both engines identical); (2)
+    * spherical assignment needs NO centroid division — cos(x, s/|S|·…)
+    * = cos(x, s), so a centroid IS its cluster's elementwise BIGINT sum,
+    * exact under any partial-aggregation order (the avg(double)
+    * divergence that forced t36's integer units can never appear);
+    * (3) per-pair cosines are round(·, 9)-stabilized before the argmax
+    * (ties → lowest centroid id), and zero-norm pairings score −2 so a
+    * degenerate all-zero vector or a cancelled-out centroid assigns
+    * deterministically instead of riding engine NaN order; (4) the
+    * tightness mean is summed in exact micro-units. Component sums stay
+    * exact while 1000·n_vecs < 2^53 — ~9·10^12 vectors per cluster, far
+    * past the 100 TB target.
+    *
+    * Scale shape: one quantization pass (localCheckpoint — scanned
+    * iters+1 times, d06's lineage stance); per iteration ONE map-only
+    * scan (k codegen'd vec_dot calls against constant-folded centroid
+    * literals — no join, no explode) into a (k·dim)-key aggregate with
+    * map-side partials (shuffle bytes O(k·dim·partitions), corpus-
+    * independent) and a k·dim-row driver collect (codebook-sized, the
+    * s04 bound); the final pass is the same scan plus two k-row
+    * aggregates. Empty clusters keep their previous centroid (standard
+    * Lloyd fallback, mirrored in the oracle). */
+  def kmeansCartography(e: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    val spark = e.sparkSession
+    val q = e.select(
+        col("vec_id"), col("label").cast("long").as("label"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))")
+          .as("qe"))
+      .localCheckpoint()
+    val qd = col("qe").cast("array<double>")
+    // Deterministic seeds: the k lowest vec_ids (codebook-sized collect).
+    var cents: Seq[(Long, Seq[Long])] = q.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("qe")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cluster_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_vecs",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("share",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("top_label",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("label_share",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("mean_cos",
+        org.apache.spark.sql.types.DoubleType)))
+    if (cents.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    // (assigned cluster, its round-9 cosine): min over struct(-cos, id)
+    // — max cosine, ties to the lowest centroid id; zero-norm pairings
+    // pinned to −2 (below any true cosine) in BOTH engines.
+    def best(cs: Seq[(Long, Seq[Long])]): org.apache.spark.sql.Column = {
+      val scored = array(cs.map { case (cid, v) =>
+        val cd = typedLit(v).cast("array<double>")
+        // ANSI-safe: a zero-norm side NULLs the quotient (never divides),
+        // and NULL pins to the −2 sentinel below any true cosine.
+        val den = norm(qd) * norm(cd)
+        val raw = round(when(den =!= 0.0, dot(qd, cd) / den), 9)
+        val rc = coalesce(raw, lit(-2.0))
+        struct((-rc).as("nc"), lit(cid).as("c"))
+      }: _*)
+      array_min(scored)
+    }
+    for (_ <- 1 to iters) {
+      val sums = q.withColumn("c", best(cents).getField("c"))
+        .select(col("c"), posexplode(col("qe")))
+        .groupBy("c", "pos").agg(sum("col").as("s"))
+        .collect().groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+      cents = cents.map { case (cid, old) => (cid, sums.getOrElse(cid, old)) }
+    }
+    val asg = q
+      .withColumn("b", best(cents))
+      .select(col("label"), col("b.c").as("cluster_id"),
+        // exact micro-units for the cross-row tightness sum; −2 stays −2.
+        floor(-col("b.nc") * 1e6 + 0.5).cast("long").as("cos_micro"))
+      .localCheckpoint() // two consumers below; one scan each, no re-assign
+    val byCluster = asg.groupBy("cluster_id").agg(
+      count(lit(1)).as("n_vecs"), sum("cos_micro").as("cos_sum"))
+    val topLabel = asg.groupBy("cluster_id", "label")
+      .agg(count(lit(1)).as("n_label"))
+      .groupBy("cluster_id").agg(
+        max(struct(col("n_label"), (-col("label")).as("neg"))).as("m"))
+      .select(col("cluster_id"), (-col("m.neg")).as("top_label"),
+        col("m.n_label").as("n_top"))
+    byCluster.join(topLabel, Seq("cluster_id"))
+      .crossJoin(byCluster.agg(sum("n_vecs").as("n_total")))
+      .select(
+        col("cluster_id"), col("n_vecs"),
+        round(col("n_vecs").cast("double") / col("n_total").cast("double"), 6)
+          .as("share"),
+        col("top_label"),
+        round(col("n_top").cast("double") / col("n_vecs").cast("double"), 6)
+          .as("label_share"),
+        round(col("cos_sum").cast("double") / (col("n_vecs").cast("double") * 1e6), 6)
+          .as("mean_cos"))
+      .orderBy("cluster_id")
+  }
+
+  /** One round-9-stabilized sanitized cosine between pair columns (the
+    * shared fragment of every oracle iteration below): NaN AND NULL
+    * pairings (a zero-norm side — DuckDB may emit either for 0/0
+    * depending on its IEEE division setting) pin to −2, mirroring the
+    * Spark side exactly. */
+  private def rcSql(a: String, b: String): String = {
+    val raw = s"""round(
+        list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))
+        / (sqrt(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[])))
+           * sqrt(list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[])))), 9)"""
+    s"(CASE WHEN coalesce(isnan($raw), true) THEN -2.0 ELSE $raw END)"
+  }
+
+  private val kmeansIterSql: Int => String = i => {
+    val prev = if (i == 1) "c0" else s"c${i - 1}"
+    s"""a$i AS (
+         SELECT vec_id, label, qe, c FROM (
+           SELECT vec_id, label, qe, c,
+             row_number() OVER (PARTITION BY vec_id ORDER BY rc DESC, c) AS rn
+           FROM (
+             SELECT v.vec_id, v.label, v.qe, cc.c,
+               ${rcSql("v.qe", "cc.qe")} AS rc
+             FROM q v CROSS JOIN $prev cc)) WHERE rn = 1),
+       s$i AS (
+         SELECT c, pos, CAST(sum(v) AS BIGINT) AS s FROM (
+           SELECT c, unnest(generate_series(1, len(qe))) AS pos,
+             unnest(qe) AS v
+           FROM a$i) GROUP BY c, pos),
+       l$i AS (SELECT c, list(s ORDER BY pos) AS qe FROM s$i GROUP BY c),
+       c$i AS (SELECT p.c, coalesce(l.qe, p.qe) AS qe
+               FROM $prev p LEFT JOIN l$i l ON l.c = p.c)"""
+  }
+
+  val kmeansCarto = Q(
+    "s15_kmeans_cartography",
+    (s, d) => kmeansCartography(Tables.embeddings(s, d)),
+    Some(s"""WITH q AS (
+              SELECT vec_id, CAST(label AS BIGINT) AS label,
+                list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS qe
+              FROM embeddings),
+            c0 AS (SELECT vec_id AS c, qe FROM q WHERE vec_id < 8),
+            ${kmeansIterSql(1)},
+            ${kmeansIterSql(2)},
+            ${kmeansIterSql(3)},
+            fin AS (
+              SELECT vec_id, label, c AS cluster_id,
+                CAST(floor(rc * 1e6 + 0.5) AS BIGINT) AS cos_micro
+              FROM (
+                SELECT vec_id, label, c, rc,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY rc DESC, c) AS rn
+                FROM (
+                  SELECT v.vec_id, v.label, cc.c,
+                    ${rcSql("v.qe", "cc.qe")} AS rc
+                  FROM q v CROSS JOIN c3 cc)) WHERE rn = 1),
+            bc AS (
+              SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_vecs,
+                CAST(sum(cos_micro) AS BIGINT) AS cos_sum
+              FROM fin GROUP BY cluster_id),
+            tl AS (
+              SELECT cluster_id, label AS top_label, n_label FROM (
+                SELECT cluster_id, label, CAST(count(*) AS BIGINT) AS n_label,
+                  row_number() OVER (PARTITION BY cluster_id
+                    ORDER BY count(*) DESC, label) AS rn
+                FROM fin GROUP BY cluster_id, label) WHERE rn = 1),
+            tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n_total FROM bc)
+            SELECT b.cluster_id, b.n_vecs,
+              round(CAST(b.n_vecs AS DOUBLE) / CAST(t.n_total AS DOUBLE), 6) AS share,
+              l.top_label,
+              round(CAST(l.n_label AS DOUBLE) / CAST(b.n_vecs AS DOUBLE), 6) AS label_share,
+              round(CAST(b.cos_sum AS DOUBLE) / (CAST(b.n_vecs AS DOUBLE) * 1e6), 6) AS mean_cos
+            FROM bc b JOIN tl l ON l.cluster_id = b.cluster_id, tot t
+            ORDER BY b.cluster_id"""))
+
   val all: Seq[Q] =
     Seq(annBruteForce, annLsh, centroids, annIvf, annRecall, quantError, annAppend,
-      annPq, radius, mmr, filteredAnn, annDelete, knnPurity, knnConfusion)
+      annPq, radius, mmr, filteredAnn, annDelete, knnPurity, knnConfusion,
+      kmeansCarto)
 }

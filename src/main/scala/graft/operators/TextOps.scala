@@ -1025,27 +1025,37 @@ object TextOps {
     * production the lit-array would be the trained vector; swapping it
     * changes no plan shape.
     */
+  /** t24's per-document scoring kernel, factored so p12's budget fill
+    * consumes the IDENTICAL score definition (shared code path — the
+    * d12/p01 cross-check stance). `keyCols` lets a caller carry extra
+    * functionally-dependent columns (e.g. `source`) through the per-doc
+    * aggregate. Docs with zero tokens produce NO row (the explode emits
+    * nothing) — callers treat them as non-candidates. */
+  def classifierDocScores(docs: DataFrame, keyCols: Seq[String] = Nil): DataFrame = {
+    val bucket = conv(substring(md5(col("w")), 1, 8), 16, 10)
+      .cast("long") % 1024L
+    // w_milli ∈ [-1000, 1000]: LCG over the bucket id, integer end-to-end.
+    val wMilli = (col("bucket") * lit(2654435761L) + lit(40503L)) % lit(1000003L) % lit(2001L) - lit(1000L)
+    docs
+      .select((col("doc_id") +: keyCols.map(col)) :+ explode(tokens(col("text"))).as("w"): _*)
+      .withColumn("bucket", bucket)
+      .withColumn("w_milli", wMilli)
+      .groupBy("doc_id", keyCols: _*)
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum("w_milli").as("score_milli"))
+      .withColumn("score",
+        round(col("score_milli").cast("double") / (col("n_tokens").cast("double") * 1000.0), 6))
+  }
+
   val classifierScore = Q(
     "t24_classifier_score",
-    (s, d) => {
-      val bucket = conv(substring(md5(col("w")), 1, 8), 16, 10)
-        .cast("long") % 1024L
-      // w_milli ∈ [-1000, 1000]: LCG over the bucket id, integer end-to-end.
-      val wMilli = (col("bucket") * lit(2654435761L) + lit(40503L)) % lit(1000003L) % lit(2001L) - lit(1000L)
-      Tables.documents(s, d)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-        .withColumn("bucket", bucket)
-        .withColumn("w_milli", wMilli)
-        .groupBy("doc_id")
-        .agg(
-          count(lit(1)).as("n_tokens"),
-          sum("w_milli").as("score_milli"))
+    (s, d) =>
+      classifierDocScores(Tables.documents(s, d))
         .select(
-          col("doc_id"), col("n_tokens"), col("score_milli"),
-          round(col("score_milli").cast("double") / (col("n_tokens").cast("double") * 1000.0), 6).as("score"),
+          col("doc_id"), col("n_tokens"), col("score_milli"), col("score"),
           (col("score_milli") > 0L).as("keep"))
-        .orderBy("doc_id")
-    },
+        .orderBy("doc_id"),
     Some("""WITH toks AS (
               SELECT doc_id, unnest(list_filter(
                 regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS w
@@ -2019,11 +2029,108 @@ object TextOps {
                 / NULLIF(CAST(len(lens) AS DOUBLE), 0.0), 6) AS run_on_frac
             FROM l ORDER BY doc_id"""))
 
+  // --------------------------------------------- readability bands (t39)
+  /** t39: per-source readability banding — a Flesch-Kincaid-style grade
+    * (0.39·tokens/sentence + 11.8·syllables/token − 15.59, syllables
+    * proxied by vowel-run count — the standard heuristic when no
+    * dictionary is at hand) bucketed into grade bands and rolled up per
+    * source. This is the axis p08's curriculum ORDERS by difficulty but
+    * never measures, and the per-source shape a mixing decision reads
+    * next to t22's profile: a source that is 80% `advanced` trains a
+    * different model than one that is 80% `elementary` at the same token
+    * mass. Docs where the grade is undefined (no sentences or no tokens)
+    * land in an explicit `unscored` band rather than vanishing — the
+    * degenerate-input stance everywhere else in the inventory.
+    *
+    * Determinism: the three counts are exact integers, the grade is
+    * per-row IEEE double math (identical in both engines), and the band
+    * compare happens on the round(·, 6) grid per the round-before-
+    * boolean parity rule.
+    *
+    * Scale shape: map-only feature scan (two regex counts + the t38
+    * sentence split per row) into ONE (source, band)-keyed aggregate
+    * with map-side partials and a source-windowed share over the ≤
+    * #sources×5 result — nothing grows with the corpus. */
+  def readabilityBands(docs: DataFrame): DataFrame = {
+    val sents = filter(
+      transform(split(col("text"), "[.!?]+"), x => trim(x)),
+      x => x =!= lit(""))
+    val graded = docs
+      .select(
+        col("source"),
+        size(sents).cast("long").as("n_sentences"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        regexp_count(lower(col("text")), lit("[aeiou]+")).cast("long")
+          .as("n_syllables"))
+      .withColumn("grade",
+        round(lit(0.39) * safeFrac(col("n_tokens"), col("n_sentences"))
+          + lit(11.8) * safeFrac(col("n_syllables"), col("n_tokens"))
+          - lit(15.59), 6))
+      .withColumn("band",
+        when(col("grade").isNull, "unscored")
+          .when(col("grade") < 5.0, "elementary")
+          .when(col("grade") < 8.0, "middle")
+          .when(col("grade") < 12.0, "secondary")
+          .otherwise("advanced"))
+    graded.groupBy("source", "band")
+      .agg(count(lit(1)).as("n_docs"),
+        // exact micro-units: avg(double) diverges at partial-agg order
+        // (the t36 lesson); the band mean sums BIGINTs instead. The
+        // unscored band has zero non-null grades → NULL via safeFrac.
+        round(safeFrac(
+          sum(floor(col("grade") * 1e6 + 0.5).cast("long")),
+          count(col("grade")) * lit(1000000L)), 4).as("mean_grade"))
+      .withColumn("share", round(
+        col("n_docs").cast("double")
+          / sum("n_docs").over(Window.partitionBy("source")).cast("double"), 6))
+      .orderBy("source", "band")
+  }
+
+  val readability = Q(
+    "t39_readability_bands",
+    (s, d) => readabilityBands(Tables.documents(s, d)),
+    Some("""WITH f AS (
+              SELECT source,
+                CAST(len(list_filter(list_transform(
+                  regexp_split_to_array(text, '[.!?]+'), x -> trim(x)),
+                  x -> x <> '')) AS BIGINT) AS n_sentences,
+                CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                  t -> t <> '')) AS BIGINT) AS n_tokens,
+                CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS BIGINT)
+                  AS n_syllables
+              FROM documents),
+            g AS (
+              SELECT source,
+                round(0.39 * (CAST(n_tokens AS DOUBLE)
+                    / NULLIF(CAST(n_sentences AS DOUBLE), 0.0))
+                  + 11.8 * (CAST(n_syllables AS DOUBLE)
+                    / NULLIF(CAST(n_tokens AS DOUBLE), 0.0))
+                  - 15.59, 6) AS grade
+              FROM f),
+            b AS (
+              SELECT source,
+                CASE WHEN grade IS NULL THEN 'unscored'
+                     WHEN grade < 5.0 THEN 'elementary'
+                     WHEN grade < 8.0 THEN 'middle'
+                     WHEN grade < 12.0 THEN 'secondary'
+                     ELSE 'advanced' END AS band,
+                grade
+              FROM g),
+            a AS (
+              SELECT source, band, CAST(count(*) AS BIGINT) AS n_docs,
+                round(CAST(sum(CAST(floor(grade * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+                  / NULLIF(CAST(count(grade) AS DOUBLE) * 1e6, 0.0), 4) AS mean_grade
+              FROM b GROUP BY source, band)
+            SELECT source, band, n_docs, mean_grade,
+              round(CAST(n_docs AS DOUBLE) / CAST(sum(n_docs)
+                OVER (PARTITION BY source) AS DOUBLE), 6) AS share
+            FROM a ORDER BY source, band"""))
+
   val all: Seq[Q] =
     Seq(grep, wordcount, tokenCount, quality, langid, fingerprint, winnow, tfidf,
       langidEval, chunk, cooccur, bigrams, perplexity, vocabGrowth, repetition,
       novelty, pack, spectrum, scrub, qualityGate, bpeTrain, sourceProfile,
       hitters, classifierScore, bpeApply, nfcAudit, dsirWeights, lengthOutliers,
       tokenEntropy, piiScrubQ, encodingAuditQ, zipfFit, epochShuffleQ, templated,
-      langMismatchQ, calibration, vocabCoverage, sentenceProfile)
+      langMismatchQ, calibration, vocabCoverage, sentenceProfile, readability)
 }

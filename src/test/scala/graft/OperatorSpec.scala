@@ -1783,4 +1783,122 @@ class OperatorSpec extends SparkSpec {
       (4L, 5L, 3L, 0.6, md5s("baz qux")),
       (5L, 5L, 0L, 0.0, md5s("totally unrelated clean text tokens"))))
   }
+
+  test("t39 readability: planted grades land in their exact bands, punctless junk is unscored") {
+    import spark.implicits._
+    val docs = Seq(
+      // 2 sentences, 6 tokens, 6 vowel runs → grade 0.39·3 + 11.8·1 − 15.59
+      // = −2.62 → elementary.
+      (0L, "srcA", "The cat sat. The dog ran."),
+      // 1 sentence, 4 tokens, 16 vowel runs → 0.39·4 + 11.8·4 − 15.59
+      // = 33.17 → advanced.
+      (1L, "srcA", "Encyclopedia bioluminescence azalea oceania."),
+      // no sentences, no tokens → unscored, NULL mean.
+      (2L, "srcA", "!!! ..."),
+      (3L, "srcB", "The cat sat. The dog ran.")
+    ).toDF("doc_id", "source", "text")
+    val got = TextOps.readabilityBands(docs).collect().map { r =>
+      (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getDouble(4))
+    }
+    assert(got.toSeq == Seq(
+      ("srcA", "advanced", 1L, Some(33.17), 0.333333),
+      ("srcA", "elementary", 1L, Some(-2.62), 0.333333),
+      ("srcA", "unscored", 1L, None, 0.333333),
+      ("srcB", "elementary", 1L, Some(-2.62), 1.0)))
+  }
+
+  test("m12 media clusters: planted copy groups close into exact components") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val base = Array.tabulate(512)(i => (((i * 37) ^ (i >> 3)) & 0xff).toByte)
+    def jiggle(n: Int) = {
+      val a = base.clone(); (0 until n).foreach(i => a(i * 90 + 7) = (a(i * 90 + 7) + 1).toByte); a
+    }
+    val far = base.map(b => (255 - (b & 0xff)).toByte)
+    // Component A: 1–2–3 (copies/near-copies chain); component B: 10–11
+    // (identical inverted payloads); 20 is isolated — no cluster row.
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image/stub", base),
+      Multimodal.MediaRecord(2L, "image/stub", base.clone()),
+      Multimodal.MediaRecord(3L, "image/stub", jiggle(3)),
+      Multimodal.MediaRecord(10L, "image/stub", far),
+      Multimodal.MediaRecord(11L, "image/stub", far.clone()),
+      Multimodal.MediaRecord(20L, "image/stub",
+        Array.tabulate(512)(i => ((i * 201 + 17) & 0xff).toByte))).toDS()
+    val rows = Multimodal.mediaNeardupClusters(media, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(t => (t._1, t._2)).toSeq == Seq((1L, 3L), (10L, 2L)),
+      s"components wrong: ${rows.toSeq}")
+    // Identical-payload edges are Hamming 0; the A-chain's worst edge ≤ 3.
+    val byRep = rows.map(t => t._1 -> t).toMap
+    assert(byRep(10L)._3 == 1L && byRep(10L)._4 == 0L)
+    assert(byRep(1L)._4 <= 3L && byRep(1L)._3 >= 2L)
+    // Degenerate: no pairs at distance 0 among unrelated payloads → empty.
+    val lone = Seq(Multimodal.MediaRecord(1L, "image/stub", base),
+      Multimodal.MediaRecord(2L, "image/stub", far)).toDS()
+    assert(Multimodal.mediaNeardupClusters(lone, 0).count() == 0)
+  }
+
+  test("s15 kmeans cartography: planted directions cluster exactly, zero corpus degenerates safely") {
+    import spark.implicits._
+    // Three well-separated directions; seeds (vec_id 0/1/2) are the axes,
+    // members lean toward one axis. Labels equal the planted direction, so
+    // every cluster must come out pure.
+    def v(a: Float, b: Float, c: Float) = Array(a, b, c)
+    val e = Seq(
+      (0L, v(10, 0, 0), 0), (1L, v(0, 10, 0), 1), (2L, v(0, 0, 10), 2),
+      (3L, v(9, 1, 0), 0), (4L, v(8, 0, 1), 0),
+      (5L, v(1, 9, 0), 1), (6L, v(0, 8, 1), 1), (7L, v(1, 0, 9), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.kmeansCartography(e, k = 3, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq((0L, 3L, 0L, 1.0), (1L, 3L, 1L, 1.0), (2L, 2L, 2L, 1.0)))
+    val shares = Similarity.kmeansCartography(e, k = 3, iters = 3)
+      .agg(sum("share")).head().getDouble(0)
+    assert(math.abs(shares - 1.0) < 1e-6)
+    // Tightness: same-direction members sit close to their centroid.
+    Similarity.kmeansCartography(e, k = 3, iters = 3).collect()
+      .foreach(r => assert(r.getDouble(5) > 0.9, s"loose cluster: $r"))
+    // Degenerate: all-zero vectors — every pairing scores the −2 sentinel,
+    // everything lands in cluster 0, no NaN/NULL crash in either engine's
+    // semantics.
+    val zeros = Seq((0L, v(0, 0, 0), 0), (1L, v(0, 0, 0), 1), (2L, v(0, 0, 0), 0))
+      .toDF("vec_id", "embedding", "label")
+    val z = Similarity.kmeansCartography(zeros, k = 3, iters = 3).collect()
+    assert(z.map(r => (r.getLong(0), r.getLong(1), r.getDouble(5))).toSeq ==
+      Seq((0L, 3L, -2.0)))
+    // Degenerate: empty corpus → empty result, stable schema.
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], e.schema)
+    assert(Similarity.kmeansCartography(empty, k = 3, iters = 3).count() == 0)
+  }
+
+  test("p12 budget fill equals the driver-side greedy prefix per source, never overshoots") {
+    import graft.operators.Pipeline
+    val docs = Tables.documents(spark, sf)
+    // Expected: per source, admit docs in (score DESC, doc_id) order while
+    // the running token sum stays within floor(0.25 * total) — recomputed
+    // driver-side from the SAME scoring kernel p12 shares with t24.
+    val scored = TextOps.classifierDocScores(docs, Seq("source"))
+      .select("source", "doc_id", "n_tokens", "score").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expected = scored.groupBy(_._1).map { case (src, rows) =>
+      val total = rows.map(_._3).sum
+      val budget = math.floor(total.toDouble * 0.25).toLong
+      val ordered = rows.sortBy { case (_, id, _, s) => (-s, id) }
+      var cum = 0L
+      val sel = ordered.takeWhile { case (_, _, n, _) => cum += n; cum <= budget }
+      (src, (rows.length.toLong, total, budget, sel.length.toLong,
+        sel.map(_._3).sum, if (sel.isEmpty) None else Some(sel.map(_._4).min)))
+    }
+    val got = Pipeline.budgetFill(docs).collect().map { r =>
+      (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), if (r.isNullAt(6)) None else Some(r.getDouble(6))))
+    }.toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (src, e) => assert(got(src) == e, s"source $src") }
+    // The admission rule can never overshoot the budget.
+    got.values.foreach { case (_, _, budget, _, selTok, _) => assert(selTok <= budget) }
+  }
 }

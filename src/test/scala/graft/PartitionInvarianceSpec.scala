@@ -167,7 +167,17 @@ class PartitionInvarianceSpec extends SparkSpec {
     // exact BIGINT token sums; s14 rolls s13's gated (cos desc,
     // neighbor_id) ranking into exact integer vote cells.
     "q42_session_paths", "t38_sentence_profile", "d27_cluster_source_mix",
-    "p11_token_funnel", "s14_knn_label_confusion")
+    "p11_token_funnel", "s14_knn_label_confusion",
+    // Round-11 second wave: p12 rides the range-exchange prefix scan
+    // (p04's claim) ordered by the pre-rounded (score, doc_id) total
+    // order with exact BIGINT token sums; s15's Lloyd loop is the
+    // division-free integer design — assignments tie-break on the
+    // rounded-9 cosine grid and centroid sums are exact BIGINTs, so no
+    // reduce geometry can move a label (this gate proves it); m12 closes
+    // m06's gated pair set with min-label components (exact longs); t39
+    // is a map-only scan into exact micro-unit sums (control).
+    "p12_budget_fill", "s15_kmeans_cartography",
+    "m12_media_neardup_clusters", "t39_readability_bands")
 
   test("round-5/6 queries return identical rows at shuffle.partitions = 3 and 17") {
     val conf = spark.conf
