@@ -113,7 +113,13 @@ object SkewRehearsal {
     if (sections("skew")) {
     val names = Seq("d01_dedup_exact", "d02_dedup_minhash_lsh",
       "d04_ngram_jaccard", "d18_containment_pairs",
-      "t22_source_profile", "q31_temperature_mix")
+      "t22_source_profile", "q31_temperature_mix",
+      // Round 11: p12's admission prefix is range-partitioned by
+      // (source, -score, doc_id), so a 90%-one-source corpus is its
+      // adversarial direction — the design claim is that the hot source
+      // spreads across range partitions instead of pinning one window
+      // partition's sort.
+      "p12_budget_fill")
     println(f"[skew] ${"query"}%-24s ${"1x"}%7s ${"unif" + k + "x"}%8s ${"skew" + k + "x"}%8s ${"r_unif"}%7s ${"r_skew"}%7s  skew/unif")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)

@@ -813,18 +813,59 @@ object Multimodal {
     * above — d06's machinery verbatim) and two cluster-keyed aggregates.
     * Output = #clusters. Degenerates: no pairs → empty result. */
   def mediaNeardupClusters(media: Dataset[MediaRecord], maxDist: Int): DataFrame = {
-    val pairs = mediaNeardupPairs(media, maxDist)
-      .select(col("a"), col("b"), col("hamming")).localCheckpoint()
-    val labels = Dedup.connectedComponents(pairs.select(col("a"), col("b")))
-    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
-    val edgeStats = pairs
-      .join(labels.withColumnRenamed("doc_id", "a"), Seq("a"))
-      .groupBy("label").agg(
-        count(lit(1)).as("n_edges"),
-        max("hamming").as("max_edge_hamming"))
-    sizes.join(edgeStats, Seq("label"))
+    // SIGNATURE-grain pre-collapse (the d01-before-d02 move on the media
+    // axis, and the reason this query beats running CC over m06's raw
+    // pair set): identical payload signatures are hamming-0 cliques — at
+    // 100× this corpus holds 500k docs but only ~25k distinct signatures,
+    // and 14.4M of m06's 26.4M doc pairs are inside those cliques. Doc
+    // components are EXACTLY sig components expanded (same-sig docs share
+    // every band; a cross-sig edge multiplies out to all m_a·m_b doc
+    // pairs), so cluster size, edge count, and worst Hamming reconstruct
+    // arithmetically: size = Σm, edges = ΣC(m,2) within + Σ m_a·m_b
+    // across, max = max cross Hamming (within edges are 0). The banded
+    // quadratic now applies to distinct CONTENT, not to duplication —
+    // the regime a 100 TB mirror-heavy media corpus is actually in.
+    val sigGroups = mediaSignatures(media)
+      .groupBy("ph").agg(count(lit(1)).as("m"), min("doc_id").as("min_doc"))
+      .localCheckpoint()
+    val chunkArr = array((0 until 4).map(c =>
+      shiftrightunsigned(col("ph"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)
+    val chunked = sigGroups.select(col("ph"), col("m"), col("min_doc"),
+      posexplode(chunkArr).as(Seq("chunk", "ck")))
+    val sigPairs = chunked.as("x")
+      .join(chunked.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.ck") === col("y.ck") &&
+          col("x.min_doc") < col("y.min_doc"))
+      .select(col("x.min_doc").as("a"), col("y.min_doc").as("b"),
+        col("x.m").as("ma"), col("y.m").as("mb"),
+        bit_count(col("x.ph").bitwiseXOR(col("y.ph"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+      .localCheckpoint()
+    // Node id = the signature's min doc_id (unique per sig), so the
+    // component min label IS the cluster representative doc.
+    val labels = Dedup.connectedComponents(sigPairs.select(col("a"), col("b")))
+    val nodes = sigGroups
+      .join(labels.withColumnRenamed("doc_id", "min_doc")
+          .withColumnRenamed("label", "cc_label"),
+        Seq("min_doc"), "left")
+      // a sig is in the pair graph iff it self-cliques (m ≥ 2) or carries
+      // a cross edge; isolated unique payloads produce no cluster row.
+      .filter(col("m") >= 2 || col("cc_label").isNotNull)
+      .withColumn("label", coalesce(col("cc_label"), col("min_doc")))
+    val bySize = nodes.groupBy("label").agg(
+      sum("m").as("cluster_size"),
+      sum(expr("(m * (m - 1)) div 2")).as("within_edges"))
+    val cross = sigPairs
+      .join(labels.withColumnRenamed("doc_id", "a")
+          .withColumnRenamed("label", "clabel"), Seq("a"))
+      .groupBy("clabel").agg(
+        sum(col("ma") * col("mb")).as("cross_edges"),
+        max("hamming").as("cross_max"))
+    bySize.join(cross, col("label") === col("clabel"), "left")
       .select(col("label").as("cluster_rep"), col("cluster_size"),
-        col("n_edges"), col("max_edge_hamming"))
+        (col("within_edges") + coalesce(col("cross_edges"), lit(0L))).as("n_edges"),
+        coalesce(col("cross_max"), lit(0L)).as("max_edge_hamming"))
       .orderBy("cluster_rep")
   }
 
