@@ -74,7 +74,10 @@ object PlanAudit {
       "s14_knn_label_confusion",
       // s15: the k-row cluster table crossJoins its 1-row total aggregate
       // (q38/q42's bounded × 1 row shape).
-      "s15_kmeans_cartography")
+      "s15_kmeans_cartography",
+      // s16: the dim-bounded drift table crossJoins its 1-row LIMIT-6
+      // cutoff aggregate.
+      "s16_embedding_drift")
 
   /** Tables that are corpus-/fact-scale at the 100 TB target — anything
     * derived from one of these is presumed unbounded unless the deriving

@@ -274,7 +274,11 @@ object ScaleRehearsal {
       "m12_media_neardup_clusters",
       // t39 is a map-only multi-regex scan into a bounded (source, band)
       // aggregate — the t19/t30 scan-floor band.
-      "t39_readability_bands")
+      "t39_readability_bands",
+      // s16 is ONE posexplode pass over the k× embeddings twin into a
+      // (wave, dim)-keyed map-side-combined aggregate — dim-bounded
+      // everything after.
+      "s16_embedding_drift")
     def timeQuery(name: String, dir: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
       def once(): (Double, Long) = {

@@ -94,7 +94,7 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    report→edit relationship on the n-gram axis, near-dup clusters at
   *    cluster grain with their source composition — the per-cluster
   *    triage row between d16's pairwise matrix and d25's histogram).
-  *  - s01..s15: similarity search (brute-force ANN, LSH-bucketed ANN,
+  *  - s01..s16: similarity search (brute-force ANN, LSH-bucketed ANN,
   *    per-label centroid stats, IVF ANN, recall@k evaluation, int8
   *    quantization error audit, incremental IVF ingest serving state,
   *    PQ-ADC with exact rerank, exact cosine radius search, MMR
@@ -108,7 +108,9 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    cartography — the unsupervised "what is actually in this corpus"
   *    map with per-cluster size/label-purity/tightness, exact across
   *    engines via integer-milli vectors and division-free sum-vector
-  *    centroids).
+  *    centroids; per-dimension embedding drift between the resident
+  *    corpus and the newest ingest wave — the encoder-change tripwire
+  *    an ANN stack checks before folding a delta in).
   *  - m01..m12: multimodal binary-column plumbing (metadata, stub-decode
   *    features, frame sampling, strided resize, windowed frame energy,
   *    perceptual-hash near-dup pairs, scene-change detection over frame

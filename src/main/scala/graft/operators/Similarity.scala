@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Q
 import graft.functions.VectorFns._
+import graft.functions.TextFns.safeFrac
 import graft.sources.Tables
 
 /** Approximate-nearest-neighbor search over an embedding column.
@@ -1162,18 +1163,60 @@ object Similarity {
     * s04 bound); the final pass is the same scan plus two k-row
     * aggregates. Empty clusters keep their previous centroid (standard
     * Lloyd fallback, mirrored in the oracle). */
+  /** Embedding → exact integer-milli vector (s15/s16's shared
+    * quantization; per-row, identical in both engines). */
+  def quantMilli: org.apache.spark.sql.Column =
+    expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))")
+
+  /** s15's assignment: min over struct(−cos, id) against the frozen
+    * centroid sums — max round-9 cosine, ties to the lowest centroid id,
+    * zero-norm pairings pinned to −2. Shared verbatim by the batch Lloyd
+    * loop and the streaming [[graft.streaming.VectorStreams]] gate, so
+    * stream ≡ batch is the same column, not a reimplementation. */
+  def centroidBest(cs: Seq[(Long, Seq[Long])],
+      qe: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val qd = qe.cast("array<double>")
+    val scored = array(cs.map { case (cid, v) =>
+      val cd = typedLit(v).cast("array<double>")
+      // ANSI-safe: a zero-norm side NULLs the quotient (never divides),
+      // and NULL pins to the −2 sentinel below any true cosine.
+      val den = norm(qd) * norm(cd)
+      val raw = round(when(den =!= 0.0, dot(qd, cd) / den), 9)
+      val rc = coalesce(raw, lit(-2.0))
+      struct((-rc).as("nc"), lit(cid).as("c"))
+    }: _*)
+    array_min(scored)
+  }
+
+  /** The Lloyd loop alone: deterministic seeds (the k lowest vec_ids),
+    * `iters` division-free iterations, returns the final centroid SUM
+    * vectors — the frozen artifact the streaming gate assigns against.
+    * Empty corpus → empty seq. */
+  def kmeansCentroids(e: DataFrame, k: Int, iters: Int): Seq[(Long, Seq[Long])] = {
+    val q = e.select(col("vec_id"), quantMilli.as("qe")).localCheckpoint()
+    var cents: Seq[(Long, Seq[Long])] = q.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("qe")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
+    if (cents.isEmpty) return Nil
+    for (_ <- 1 to iters) {
+      val sums = q.withColumn("c", centroidBest(cents, col("qe")).getField("c"))
+        .select(col("c"), posexplode(col("qe")))
+        .groupBy("c", "pos").agg(sum("col").as("s"))
+        .collect().groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+      cents = cents.map { case (cid, old) => (cid, sums.getOrElse(cid, old)) }
+    }
+    cents
+  }
+
   def kmeansCartography(e: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
     val spark = e.sparkSession
     val q = e.select(
         col("vec_id"), col("label").cast("long").as("label"),
-        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))")
-          .as("qe"))
+        quantMilli.as("qe"))
       .localCheckpoint()
-    val qd = col("qe").cast("array<double>")
-    // Deterministic seeds: the k lowest vec_ids (codebook-sized collect).
-    var cents: Seq[(Long, Seq[Long])] = q.filter(col("vec_id") < k)
-      .select(col("vec_id"), col("qe")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
+    val cents: Seq[(Long, Seq[Long])] = kmeansCentroids(e, k, iters)
     val outSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("cluster_id",
         org.apache.spark.sql.types.LongType),
@@ -1190,32 +1233,8 @@ object Similarity {
     if (cents.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
-    // (assigned cluster, its round-9 cosine): min over struct(-cos, id)
-    // — max cosine, ties to the lowest centroid id; zero-norm pairings
-    // pinned to −2 (below any true cosine) in BOTH engines.
-    def best(cs: Seq[(Long, Seq[Long])]): org.apache.spark.sql.Column = {
-      val scored = array(cs.map { case (cid, v) =>
-        val cd = typedLit(v).cast("array<double>")
-        // ANSI-safe: a zero-norm side NULLs the quotient (never divides),
-        // and NULL pins to the −2 sentinel below any true cosine.
-        val den = norm(qd) * norm(cd)
-        val raw = round(when(den =!= 0.0, dot(qd, cd) / den), 9)
-        val rc = coalesce(raw, lit(-2.0))
-        struct((-rc).as("nc"), lit(cid).as("c"))
-      }: _*)
-      array_min(scored)
-    }
-    for (_ <- 1 to iters) {
-      val sums = q.withColumn("c", best(cents).getField("c"))
-        .select(col("c"), posexplode(col("qe")))
-        .groupBy("c", "pos").agg(sum("col").as("s"))
-        .collect().groupBy(_.getLong(0))
-        .map { case (cid, rows) =>
-          cid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
-      cents = cents.map { case (cid, old) => (cid, sums.getOrElse(cid, old)) }
-    }
     val asg = q
-      .withColumn("b", best(cents))
+      .withColumn("b", centroidBest(cents, col("qe")))
       .select(col("label"), col("b.c").as("cluster_id"),
         // exact micro-units for the cross-row tightness sum; −2 stays −2.
         floor(-col("b.nc") * 1e6 + 0.5).cast("long").as("cos_micro"))
@@ -1316,8 +1335,104 @@ object Similarity {
             FROM bc b JOIN tl l ON l.cluster_id = b.cluster_id, tot t
             ORDER BY b.cluster_id"""))
 
+  // ------------------------------------ embedding drift audit (s16)
+  /** s16: per-dimension embedding distribution drift between the resident
+    * corpus and the newest ingest wave (d10's newest-fifth append split,
+    * on the vector axis) — the index-health readout an ANN serving stack
+    * checks before folding a delta in: if the encoder changed (silently
+    * retrained, wrong checkpoint, fp16 vs fp32 export), the delta's
+    * per-dimension means shift and IVF cell routing degrades long before
+    * recall evals notice. Reports each dimension's side counts and means,
+    * the absolute mean shift, and a `drifted` flag for the top-6 shifted
+    * dimensions (a self-normalizing top-decile-of-64 cut — exact integer
+    * comparisons, no fp percentile boundary).
+    *
+    * Determinism: per-dim sums are quantized-milli BIGINTs (order-free);
+    * means/shifts are exact-integer quotients rounded per output rule;
+    * the flag cutoff is min-over-LIMIT-6 of the (shift DESC, dim) total
+    * order.
+    *
+    * Scale shape: ONE pass (posexplode → (wave, dim)-keyed aggregate with
+    * map-side partials, shuffle bytes O(2·dim·partitions) — corpus-
+    * independent), then dim-bounded joins and the allowlisted 1-row
+    * cutoff crossJoin. Degenerates: an empty side leaves NULL means and
+    * an unflagged row; an empty corpus yields an empty result. */
+  def embeddingDrift(e: DataFrame): DataFrame = {
+    val mxRow = e.agg(max("vec_id")).head()
+    val split = if (mxRow.isNullAt(0)) 0L else mxRow.getLong(0) * 4 / 5
+    val q = e.select(
+        when(col("vec_id") >= split, lit("delta")).otherwise(lit("resident"))
+          .as("wave"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))")
+          .as("qe"))
+    val perDim = q.select(col("wave"), posexplode(col("qe")).as(Seq("pos", "v")))
+      .groupBy("wave", "pos").agg(sum("v").as("s"), count(lit(1)).as("n"))
+    val res = perDim.filter(col("wave") === "resident")
+      .select(col("pos"), col("s").as("rs"), col("n").as("rn"))
+    val del = perDim.filter(col("wave") === "delta")
+      .select(col("pos"), col("s").as("ds"), col("n").as("dn"))
+    val drift = res.join(del, Seq("pos"), "full_outer")
+      .select(
+        col("pos").cast("long").as("dim"),
+        coalesce(col("rn"), lit(0L)).as("n_resident"),
+        coalesce(col("dn"), lit(0L)).as("n_delta"),
+        round(safeFrac(col("rs"), col("rn") * lit(1000L)), 6).as("mean_resident"),
+        round(safeFrac(col("ds"), col("dn") * lit(1000L)), 6).as("mean_delta"),
+        floor(abs(safeFrac(col("rs"), col("rn")) - safeFrac(col("ds"), col("dn")))
+          * 1000.0 + 0.5).cast("long").as("shift_micro"))
+    val cutoff = drift.orderBy(col("shift_micro").desc, col("dim"))
+      .limit(6).agg(min("shift_micro").as("cut"))
+    drift.crossJoin(cutoff)
+      .select(col("dim"), col("n_resident"), col("n_delta"),
+        col("mean_resident"), col("mean_delta"), col("shift_micro"),
+        coalesce(col("shift_micro") >= col("cut") && col("shift_micro") > 0L,
+          lit(false)).as("drifted"))
+      .orderBy("dim")
+  }
+
+  val drift = Q(
+    "s16_embedding_drift",
+    (s, d) => embeddingDrift(Tables.embeddings(s, d)),
+    Some("""WITH mx AS (SELECT max(vec_id) AS m FROM embeddings),
+            q AS (
+              SELECT CASE WHEN vec_id >= (SELECT m * 4 // 5 FROM mx)
+                          THEN 'delta' ELSE 'resident' END AS wave,
+                list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS qe
+              FROM embeddings),
+            pd AS (
+              SELECT wave, pos, CAST(sum(v) AS BIGINT) AS s,
+                CAST(count(*) AS BIGINT) AS n
+              FROM (
+                SELECT wave, unnest(generate_series(1, len(qe))) - 1 AS pos,
+                  unnest(qe) AS v
+                FROM q) GROUP BY wave, pos),
+            r AS (SELECT pos, s AS rs, n AS rn FROM pd WHERE wave = 'resident'),
+            dl AS (SELECT pos, s AS ds, n AS dn FROM pd WHERE wave = 'delta'),
+            dr AS (
+              SELECT CAST(coalesce(r.pos, dl.pos) AS BIGINT) AS dim,
+                coalesce(rn, 0) AS n_resident, coalesce(dn, 0) AS n_delta,
+                round(CAST(rs AS DOUBLE) / NULLIF(CAST(rn * 1000 AS DOUBLE), 0.0), 6)
+                  AS mean_resident,
+                round(CAST(ds AS DOUBLE) / NULLIF(CAST(dn * 1000 AS DOUBLE), 0.0), 6)
+                  AS mean_delta,
+                CAST(floor(abs(CAST(rs AS DOUBLE) / NULLIF(CAST(rn AS DOUBLE), 0.0)
+                  - CAST(ds AS DOUBLE) / NULLIF(CAST(dn AS DOUBLE), 0.0))
+                  * 1000.0 + 0.5) AS BIGINT) AS shift_micro
+              FROM r FULL OUTER JOIN dl ON r.pos = dl.pos),
+            cut AS (
+              SELECT min(shift_micro) AS cut FROM (
+                SELECT shift_micro FROM dr
+                ORDER BY shift_micro DESC NULLS LAST, dim LIMIT 6))
+            SELECT dim, CAST(n_resident AS BIGINT) AS n_resident,
+              CAST(n_delta AS BIGINT) AS n_delta, mean_resident, mean_delta,
+              shift_micro,
+              coalesce(shift_micro >= (SELECT cut FROM cut)
+                AND shift_micro > 0, false) AS drifted
+            FROM dr ORDER BY dim"""))
+
   val all: Seq[Q] =
     Seq(annBruteForce, annLsh, centroids, annIvf, annRecall, quantError, annAppend,
       annPq, radius, mmr, filteredAnn, annDelete, knnPurity, knnConfusion,
-      kmeansCarto)
+      kmeansCarto, drift)
 }

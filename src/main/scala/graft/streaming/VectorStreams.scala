@@ -56,4 +56,26 @@ object VectorStreams {
   def decontaminateStream(stream: DataFrame,
       evalSet: Array[(Long, Array[Float])], threshold: Double): DataFrame =
     graft.operators.Dedup.scoreAgainstEval(stream, evalSet, threshold)
+
+  /** Streaming twin of s15's assignment half: route every ARRIVING vector
+    * to its cluster under a FROZEN centroid table (the batch Lloyd loop's
+    * [[graft.operators.Similarity.kmeansCentroids]] output — training
+    * needs the closed corpus; serving doesn't). The assignment is the
+    * SHARED [[graft.operators.Similarity.centroidBest]] column over
+    * literal-inlined centroid sums: stateless per-row work — no
+    * watermark, no state store, no shuffle — so stream ≡ batch is the
+    * same codegen'd expression, not a reimplementation, and the
+    * micro-batch slicing cannot move any row's cluster. This is the
+    * corpus-cartography ingest gate: tag each new document's embedding
+    * with its topic cluster (and the −2 sentinel surfaces broken
+    * zero-norm vectors) before it reaches the index. */
+  def cartographyGate(stream: DataFrame,
+      cents: Seq[(Long, Seq[Long])]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    stream
+      .select(col("vec_id"), Similarity.quantMilli.as("qe"))
+      .withColumn("b", Similarity.centroidBest(cents, col("qe")))
+      .select(col("vec_id"), col("b.c").as("cluster_id"),
+        (-col("b.nc")).as("cos"))
+  }
 }

@@ -1808,6 +1808,32 @@ class OperatorSpec extends SparkSpec {
       ("srcB", "elementary", 1L, Some(-2.62), 1.0)))
   }
 
+  test("s16 embedding drift: a planted delta-side shift flags exactly its dimension") {
+    import spark.implicits._
+    // ids 0..9 → split = 9·4/5 = 7: delta = {7, 8, 9}. Delta vectors shift
+    // dim 0 by +1.0; every other dimension is identical across waves.
+    val e = (0L to 9L).map { id =>
+      val base = Array.fill(4)(1.0f)
+      if (id >= 7) base(0) = 2.0f
+      (id, base, 0)
+    }.toDF("vec_id", "embedding", "label")
+    val out = Similarity.embeddingDrift(e).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5), r.getBoolean(6)))
+    assert(out.toSeq == Seq(
+      (0L, 7L, 3L, 1000000L, true),
+      (1L, 7L, 3L, 0L, false),
+      (2L, 7L, 3L, 0L, false),
+      (3L, 7L, 3L, 0L, false)))
+    // All-identical corpus: zero shifts everywhere, nothing drifts.
+    val same = (0L to 9L).map(id => (id, Array.fill(4)(0.5f), 0))
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.embeddingDrift(same).filter(col("drifted")).count() == 0)
+    // Empty corpus: empty result, no crash.
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], e.schema)
+    assert(Similarity.embeddingDrift(empty).count() == 0)
+  }
+
   test("m12 media clusters: planted copy groups close into exact components") {
     import spark.implicits._
     import graft.operators.Multimodal

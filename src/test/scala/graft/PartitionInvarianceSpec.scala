@@ -177,7 +177,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     // m06's gated pair set with min-label components (exact longs); t39
     // is a map-only scan into exact micro-unit sums (control).
     "p12_budget_fill", "s15_kmeans_cartography",
-    "m12_media_neardup_clusters", "t39_readability_bands")
+    "m12_media_neardup_clusters", "t39_readability_bands",
+    // s16: quantized-BIGINT per-dim sums (order-free), a dim-bounded
+    // full-outer join, and a LIMIT-6 cutoff over the (shift DESC, dim)
+    // total order — gated to prove the flag set can't move.
+    "s16_embedding_drift")
 
   test("round-5/6 queries return identical rows at shuffle.partitions = 3 and 17") {
     val conf = spark.conf

@@ -364,6 +364,43 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty, "fixture degenerate: batch d17 flagged nothing at sf0.001")
   }
 
+  test("streaming cartography gate across micro-batches == batch s15 assignment") {
+    import java.nio.file.Files
+    import graft.streaming.VectorStreams
+    import graft.sources.Tables
+    import graft.operators.Similarity
+    val base = Files.createTempDirectory("graft-vec-carto").toString
+    val e = Tables.embeddings(spark, sf)
+    // Freeze centroids on the closed corpus (the batch trainer), then
+    // stream the SAME corpus through the gate in two micro-batches: the
+    // shared centroidBest column must assign every vector identically to
+    // the batch final pass.
+    val cents = Similarity.kmeansCentroids(e, 8, 3)
+    assert(cents.nonEmpty)
+    e.select(col("vec_id"), col("embedding")).repartition(2)
+      .write.mode("overwrite").parquet(s"$base/arrivals")
+    val gated = VectorStreams.cartographyGate(
+      VectorStreams.readVectorStream(
+        spark, s"$base/arrivals", e.select(col("vec_id"), col("embedding"))),
+      cents)
+    val q = gated.writeStream
+      .outputMode("append").format("memory").queryName("carto_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("carto_out")
+      .select("vec_id", "cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val batch = e.select(col("vec_id"), Similarity.quantMilli.as("qe"))
+      .withColumn("b", Similarity.centroidBest(cents, col("qe")))
+      .select(col("vec_id"), col("b.c")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(streamed == batch)
+    // The streamed cluster histogram equals s15's reported sizes.
+    val streamedSizes = streamed.groupBy(_._2).map { case (c, xs) => (c, xs.size.toLong) }
+    val s15 = Similarity.kmeansCartography(e, 8, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(streamedSizes == s15)
+  }
+
   test("streaming daily HLL == batch HLL bit-for-bit (merge order-independence)") {
     val stream = EventStreams.readEventStream(spark, sf)
     val q = EventStreams.runToMemory(
