@@ -278,7 +278,11 @@ object ScaleRehearsal {
       // s16 is ONE posexplode pass over the k× embeddings twin into a
       // (wave, dim)-keyed map-side-combined aggregate — dim-bounded
       // everything after.
-      "s16_embedding_drift")
+      "s16_embedding_drift",
+      // t40's model tables are distinct-bigram-sized per source and the
+      // tagged copies multiply the bigram vocabulary k× — the adversarial
+      // direction for its (to, w1, w2)-keyed model joins (t13's axis).
+      "t40_lm_transfer")
     def timeQuery(name: String, dir: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
       def once(): (Double, Long) = {

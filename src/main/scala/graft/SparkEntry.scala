@@ -45,7 +45,7 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *  - q42: top session event-type paths — q12's sessionization rolled up
   *    to the whole-walk grain (first ≤8 events per session), the
   *    behavioral complement of q33's per-step transitions.
-  *  - t01..t39: text query library (grep, wordcount, token counting,
+  *  - t01..t40: text query library (grep, wordcount, token counting,
   *    quality scoring, language-ID, fingerprinting, winnowing, TF-IDF,
   *    langid eval, context chunking, co-occurrence PMI, bigram LM,
   *    bigram perplexity quality filter, vocabulary growth, Gopher-style
@@ -72,7 +72,11 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    per-document sentence profile — counts, mean/max sentence tokens
   *    and the run-on fraction, the sentence axis token-level gates miss,
   *    per-source readability banding — Flesch-Kincaid-style grades in
-  *    exact micro-units, the difficulty axis p08's curriculum orders by).
+  *    exact micro-units, the difficulty axis p08's curriculum orders by,
+  *    cross-source LM transfer matrix — each source's bigram stream
+  *    scored under every other's Laplace bigram LM in exact micro-nats,
+  *    the model-likelihood answer to "are these sources interchangeable"
+  *    that d20's n-gram overlap can't give for paraphrased twins).
   *  - d01..d27: dedup & corpus hygiene (exact, MinHash-LSH, SimHash,
   *    n-gram Jaccard, embedding-cosine, connected-component clusters,
   *    keep-list, near-dup triangles, benchmark decontamination,

@@ -2126,11 +2126,126 @@ object TextOps {
                 OVER (PARTITION BY source) AS DOUBLE), 6) AS share
             FROM a ORDER BY source, band"""))
 
+  // ------------------------------------------- LM transfer matrix (t40)
+  /** t40: the cross-source language-model transfer matrix — per source
+    * pair (from, to): the cross-entropy (nats/bigram) of FROM's bigram
+    * stream under TO's Laplace-smoothed bigram LM (t12's model family,
+    * p = (c_ab+1)/(c_a+V)). The diagonal is each source's self-entropy;
+    * `transfer_gap` = H(from→to) − H(from→from) is the readout a mixing
+    * decision wants: a near-zero gap says two sources are linguistically
+    * interchangeable (deduplicate/merge their budgets — d20 asks this
+    * with n-gram OVERLAP, this asks it with model LIKELIHOOD, which also
+    * catches paraphrased/translated twins overlap misses); a huge gap
+    * says the source brings genuinely novel text.
+    *
+    * Determinism: counts are exact BIGINTs; p is one double expression
+    * over exact integers; each bigram's contribution n·(−ln p) quantizes
+    * to micro-nats BEFORE the cross-row sum (avg(double) over a
+    * source-sized group is the t36 divergence; t13's per-doc groups are
+    * small enough to dodge it, a source's are not); ln parity is the
+    * t08/t11 precedent.
+    *
+    * Scale shape: ONE tokenize pass into per-source distinct-bigram
+    * count tables (distinct-bigram-sized — t13's no-broadcast-hint
+    * argument, AQE decides); the FROM stream fans out ×#sources via one
+    * explode of the collected source list (a #sources-bounded driver
+    * collect, the codebook pattern) and joins the model tables on
+    * (to, w1[, w2]) — keyed shuffles, no cartesian; output = #sources².
+    * Degenerates: a source with <2 tokens has no bigrams and drops out
+    * of both axes in both engines. */
+  val lmTransfer = Q(
+    "t40_lm_transfer",
+    (s, d) => {
+      val ts = tokens(col("text"))
+      val bg = Tables.documents(s, d)
+        .select(col("source"), ts.as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(col("source"), explode(arrays_zip(
+          slice(col("ts"), lit(1), size(col("ts")) - 1),
+          slice(col("ts"), lit(2), size(col("ts")) - 1))).as("bg"))
+        .select(col("source"), col("bg.0").as("w1"), col("bg.1").as("w2"))
+        .localCheckpoint()
+      val ab = bg.groupBy("source", "w1", "w2").agg(count(lit(1)).as("n"))
+        .localCheckpoint() // feeds heads, vocab, FROM, and TO — one build
+      val heads = ab.groupBy("source", "w1").agg(sum("n").as("c1"))
+      val vocab = ab.select(col("source"), col("w2")).distinct()
+        .groupBy("source").agg(count(lit(1)).as("v"))
+      // #sources-bounded driver collect (codebook pattern) → one explode.
+      val toList = vocab.select("source").collect().map(_.getString(0)).sorted.toSeq
+      val tagged = ab
+        .select(col("source").as("from_source"), col("w1"), col("w2"), col("n"),
+          explode(typedLit(toList)).as("to_source"))
+      val scored = tagged
+        .join(ab.select(col("source").as("to_source"), col("w1"), col("w2"),
+          col("n").as("c_ab")), Seq("to_source", "w1", "w2"), "left")
+        .join(heads.select(col("source").as("to_source"), col("w1"),
+          col("c1").as("c_a")), Seq("to_source", "w1"), "left")
+        .join(vocab.select(col("source").as("to_source"), col("v")),
+          Seq("to_source"))
+        .select(col("from_source"), col("to_source"), col("n"),
+          ((coalesce(col("c_ab"), lit(0L)) + lit(1L)).cast("double")
+            / (coalesce(col("c_a"), lit(0L)) + col("v")).cast("double")).as("p"))
+        .select(col("from_source"), col("to_source"), col("n"),
+          floor(col("n").cast("double") * -log(col("p")) * 1e6 + 0.5)
+            .cast("long").as("q_micro"))
+      val h = scored.groupBy("from_source", "to_source")
+        .agg(sum("n").as("n_bigrams"), sum("q_micro").as("q_sum"))
+        .withColumn("cross_entropy",
+          round(safeFrac(col("q_sum"), col("n_bigrams") * lit(1000000L)), 6))
+      val self = h.filter(col("from_source") === col("to_source"))
+        .select(col("from_source"), col("cross_entropy").as("h_self"))
+      h.join(self, Seq("from_source"))
+        .select(col("from_source"), col("to_source"), col("n_bigrams"),
+          col("cross_entropy"),
+          round(col("cross_entropy") - col("h_self"), 6).as("transfer_gap"))
+        .orderBy("from_source", "to_source")
+    },
+    Some("""WITH toks AS (
+              SELECT source, list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
+              FROM documents),
+            bg AS (
+              SELECT source, ts[i] AS w1, ts[i+1] AS w2
+              FROM toks, UNNEST(range(1, len(ts))) r(i)
+              WHERE len(ts) >= 2),
+            ab AS (SELECT source, w1, w2, CAST(count(*) AS BIGINT) AS n
+                   FROM bg GROUP BY 1, 2, 3),
+            heads AS (SELECT source, w1, CAST(sum(n) AS BIGINT) AS c1
+                      FROM ab GROUP BY 1, 2),
+            vocab AS (SELECT source, CAST(count(DISTINCT w2) AS BIGINT) AS v
+                      FROM ab GROUP BY 1),
+            tagged AS (
+              SELECT f.source AS from_source, t.source AS to_source,
+                f.w1, f.w2, f.n
+              FROM ab f CROSS JOIN (SELECT DISTINCT source FROM ab) t),
+            scored AS (
+              SELECT g.from_source, g.to_source, g.n,
+                CAST(floor(CAST(g.n AS DOUBLE) * -ln(
+                  (coalesce(m.n, 0) + 1.0)
+                  / (coalesce(h.c1, 0) + v.v)) * 1e6 + 0.5) AS BIGINT) AS q_micro
+              FROM tagged g
+              LEFT JOIN ab m ON m.source = g.to_source
+                AND m.w1 = g.w1 AND m.w2 = g.w2
+              LEFT JOIN heads h ON h.source = g.to_source AND h.w1 = g.w1
+              JOIN vocab v ON v.source = g.to_source),
+            hh AS (
+              SELECT from_source, to_source,
+                CAST(sum(n) AS BIGINT) AS n_bigrams,
+                round(CAST(sum(q_micro) AS DOUBLE)
+                  / NULLIF(CAST(sum(n) AS DOUBLE) * 1e6, 0.0), 6) AS cross_entropy
+              FROM scored GROUP BY 1, 2)
+            SELECT a.from_source, a.to_source, a.n_bigrams, a.cross_entropy,
+              round(a.cross_entropy - b.cross_entropy, 6) AS transfer_gap
+            FROM hh a JOIN hh b
+              ON b.from_source = a.from_source AND b.to_source = a.from_source
+            ORDER BY a.from_source, a.to_source"""))
+
   val all: Seq[Q] =
     Seq(grep, wordcount, tokenCount, quality, langid, fingerprint, winnow, tfidf,
       langidEval, chunk, cooccur, bigrams, perplexity, vocabGrowth, repetition,
       novelty, pack, spectrum, scrub, qualityGate, bpeTrain, sourceProfile,
       hitters, classifierScore, bpeApply, nfcAudit, dsirWeights, lengthOutliers,
       tokenEntropy, piiScrubQ, encodingAuditQ, zipfFit, epochShuffleQ, templated,
-      langMismatchQ, calibration, vocabCoverage, sentenceProfile, readability)
+      langMismatchQ, calibration, vocabCoverage, sentenceProfile, readability,
+      lmTransfer)
 }

@@ -1808,6 +1808,33 @@ class OperatorSpec extends SparkSpec {
       ("srcB", "elementary", 1L, Some(-2.62), 1.0)))
   }
 
+  test("t40 lm transfer: identical sources transfer at zero gap, disjoint vocab at ln V") {
+    import spark.implicits._
+    import java.nio.file.Files
+    // srcA and srcB share the exact text (their models coincide); srcC's
+    // vocabulary is disjoint, so every A-bigram is unseen under C's model
+    // and scores p = 1/(0 + V_C) = 1/2: H(A→C) = ln 2 exactly.
+    val dir = Files.createTempDirectory("graft-t40").toString
+    Seq(
+      (0L, "srcA", "a b a b", "en", 7L),
+      (1L, "srcB", "a b a b", "en", 7L),
+      (2L, "srcC", "x y x y", "en", 7L)
+    ).toDF("doc_id", "source", "text", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val m = SparkEntry.queries("t40_lm_transfer")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(3), r.getDouble(4))).toMap
+    assert(m.size == 9)
+    // Diagonal gaps are zero by construction.
+    Seq("srcA", "srcB", "srcC").foreach(s => assert(m((s, s))._2 == 0.0))
+    // Identical sources: same model, same stream → same H, zero gap.
+    assert(m(("srcA", "srcB")) == m(("srcA", "srcA")))
+    assert(m(("srcA", "srcB"))._2 == 0.0)
+    // Disjoint vocabulary: every bigram unseen, V_C = 2 → H = ln 2.
+    assert(m(("srcA", "srcC"))._1 == 0.693147)
+    assert(m(("srcA", "srcC"))._2 > 0.3)
+  }
+
   test("s16 embedding drift: a planted delta-side shift flags exactly its dimension") {
     import spark.implicits._
     // ids 0..9 → split = 9·4/5 = 7: delta = {7, 8, 9}. Delta vectors shift

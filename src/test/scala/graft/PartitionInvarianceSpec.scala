@@ -181,7 +181,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     // s16: quantized-BIGINT per-dim sums (order-free), a dim-bounded
     // full-outer join, and a LIMIT-6 cutoff over the (shift DESC, dim)
     // total order — gated to prove the flag set can't move.
-    "s16_embedding_drift")
+    "s16_embedding_drift",
+    // t40: exact BIGINT bigram counts, per-row ln quantized to micro-nats
+    // BEFORE the cross-row sum — gated to prove the matrix can't drift
+    // with reduce geometry (the t36 avg(double) class, pre-empted).
+    "t40_lm_transfer")
 
   test("round-5/6 queries return identical rows at shuffle.partitions = 3 and 17") {
     val conf = spark.conf
