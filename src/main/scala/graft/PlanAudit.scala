@@ -77,7 +77,10 @@ object PlanAudit {
       "s15_kmeans_cartography",
       // s16: the dim-bounded drift table crossJoins its 1-row LIMIT-6
       // cutoff aggregate.
-      "s16_embedding_drift")
+      "s16_embedding_drift",
+      // d28: the delta-hot vocabulary crossJoins its 1-row wave-count
+      // aggregate (d23's shape).
+      "d28_boilerplate_drift")
 
   /** Tables that are corpus-/fact-scale at the 100 TB target — anything
     * derived from one of these is presumed unbounded unless the deriving

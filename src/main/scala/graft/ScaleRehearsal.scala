@@ -282,7 +282,11 @@ object ScaleRehearsal {
       // t40's model tables are distinct-bigram-sized per source and the
       // tagged copies multiply the bigram vocabulary k× — the adversarial
       // direction for its (to, w1, w2)-keyed model joins (t13's axis).
-      "t40_lm_transfer")
+      "t40_lm_transfer",
+      // d28 rides d23's shingle-df aggregate (vocabulary-keyed, the
+      // tagged copies grow the vocabulary k× — d23's adversarial axis)
+      // split by wave.
+      "d28_boilerplate_drift")
     def timeQuery(name: String, dir: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
       def once(): (Double, Long) = {

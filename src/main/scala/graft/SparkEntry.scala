@@ -77,7 +77,7 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    scored under every other's Laplace bigram LM in exact micro-nats,
   *    the model-likelihood answer to "are these sources interchangeable"
   *    that d20's n-gram overlap can't give for paraphrased twins).
-  *  - d01..d27: dedup & corpus hygiene (exact, MinHash-LSH, SimHash,
+  *  - d01..d28: dedup & corpus hygiene (exact, MinHash-LSH, SimHash,
   *    n-gram Jaccard, embedding-cosine, connected-component clusters,
   *    keep-list, near-dup triangles, benchmark decontamination,
   *    incremental delta dedup, exact-substring repeated spans, near-dup
@@ -97,7 +97,10 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    template scrub — the APPLY step for d23's hot vocabulary, d13's
   *    report→edit relationship on the n-gram axis, near-dup clusters at
   *    cluster grain with their source composition — the per-cluster
-  *    triage row between d16's pairwise matrix and d25's histogram).
+  *    triage row between d16's pairwise matrix and d25's histogram,
+  *    boilerplate DRIFT between the resident corpus and the newest
+  *    ingest wave — the new-template tripwire that re-arms d26's scrub
+  *    vocabulary and the d04/d18 df-cap, s16's stance on the text axis).
   *  - s01..s16: similarity search (brute-force ANN, LSH-bucketed ANN,
   *    per-label centroid stats, IVF ANN, recall@k evaluation, int8
   *    quantization error audit, incremental IVF ingest serving state,

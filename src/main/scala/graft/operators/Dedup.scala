@@ -2410,9 +2410,110 @@ object Dedup {
             GROUP BY m.cluster_rep, m.cluster_size
             ORDER BY m.cluster_rep"""))
 
+  // ------------------------------------------- boilerplate drift (d28)
+  /** d28: boilerplate DRIFT between the resident corpus and the newest
+    * ingest wave (d10's newest-fifth split) — every shingle that is hot
+    * in the delta (df ≥ 3), with both waves' document frequencies and
+    * rates and an `emerging` flag for shingles whose delta rate is ≥ 4×
+    * their resident rate. d23 answers "what boilerplate does the corpus
+    * carry"; this answers the operational question a daily ingest
+    * actually asks: "did TODAY's crawl bring a NEW template" — the
+    * signal that updates d26's scrub vocabulary and re-arms the d04/d18
+    * df-cap before the new template floods candidate generation. s16's
+    * stance (resident-vs-wave tripwire) on the text axis.
+    *
+    * Determinism: the emerging compare is pure BIGINT cross-
+    * multiplication (delta_df·resident_docs ≥ 4·resident_df·delta_docs)
+    * — no fp boundary anywhere; display rates ride safeFrac/NULLIF.
+    *
+    * Scale shape: d23's exactly — one shingle pass, one (shingle, wave)
+    * aggregate with map-side partials (vocabulary-bounded), a 2-row wave
+    * count attached by allowlisted 1-row crossJoin. Output ∝ the
+    * delta-hot vocabulary. Degenerates: an empty corpus is empty; an
+    * empty resident side makes every delta-hot shingle emerging (all of
+    * today's templates are new — the semantically right answer). */
+  def boilerplateDrift(docs: DataFrame, minDeltaDf: Int = 3,
+      ratio: Int = 4): DataFrame = {
+    val mx = docs.agg(max("doc_id")).head()
+    val split = if (mx.isNullAt(0)) 0L else mx.getLong(0) * 4 / 5
+    val tagged = docs.select(col("doc_id"),
+      when(col("doc_id") >= split, lit("delta")).otherwise(lit("resident"))
+        .as("wave"))
+    val waveCounts = tagged.agg(
+      sum(when(col("wave") === "resident", 1L).otherwise(0L)).as("resident_docs"),
+      sum(when(col("wave") === "delta", 1L).otherwise(0L)).as("delta_docs"))
+    val df = hashedShingles(shingleSets(docs))
+      .join(tagged, "doc_id")
+      .groupBy("sh_h", "wave").agg(count(lit(1)).as("df"))
+    val res = df.filter(col("wave") === "resident")
+      .select(col("sh_h"), col("df").as("rdf"))
+    val del = df.filter(col("wave") === "delta")
+      .select(col("sh_h"), col("df").as("ddf"))
+    del.filter(col("ddf") >= minDeltaDf)
+      .join(res, Seq("sh_h"), "left")
+      .crossJoin(waveCounts)
+      .select(
+        col("sh_h"),
+        coalesce(col("rdf"), lit(0L)).as("resident_df"),
+        col("ddf").as("delta_df"),
+        round(safeFrac(coalesce(col("rdf"), lit(0L)), col("resident_docs")), 6)
+          .as("resident_rate"),
+        round(safeFrac(col("ddf"), col("delta_docs")), 6).as("delta_rate"),
+        (col("ddf") * col("resident_docs") >=
+          lit(ratio.toLong) * coalesce(col("rdf"), lit(0L)) * col("delta_docs"))
+          .as("emerging"))
+      .orderBy(desc("delta_df"), col("sh_h"))
+  }
+
+  val boilerplateDriftQ = Q(
+    "d28_boilerplate_drift",
+    (s, d) => boilerplateDrift(Tables.documents(s, d)),
+    Some("""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+            tagged AS (
+              SELECT doc_id,
+                CASE WHEN doc_id >= (SELECT m * 4 // 5 FROM mx)
+                     THEN 'delta' ELSE 'resident' END AS wave
+              FROM documents),
+            wc AS (
+              SELECT CAST(sum(CASE WHEN wave = 'resident' THEN 1 ELSE 0 END) AS BIGINT)
+                       AS resident_docs,
+                     CAST(sum(CASE WHEN wave = 'delta' THEN 1 ELSE 0 END) AS BIGINT)
+                       AS delta_docs
+              FROM tagged),
+            sh AS (
+              SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+                FROM (SELECT doc_id,
+                        list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                    t -> t <> '') AS ts
+                      FROM documents),
+                UNNEST(range(1, len(ts) - 1)) AS r(i))),
+            hs AS (
+              SELECT ('0x' || substr(md5(s.shingle), 1, 15))::BIGINT AS sh_h,
+                t.wave
+              FROM sh s JOIN tagged t ON t.doc_id = s.doc_id),
+            df AS (
+              SELECT sh_h, wave, CAST(count(*) AS BIGINT) AS df
+              FROM hs GROUP BY 1, 2),
+            r AS (SELECT sh_h, df AS rdf FROM df WHERE wave = 'resident'),
+            dl AS (SELECT sh_h, df AS ddf FROM df WHERE wave = 'delta')
+            SELECT dl.sh_h,
+              CAST(coalesce(r.rdf, 0) AS BIGINT) AS resident_df,
+              dl.ddf AS delta_df,
+              round(CAST(coalesce(r.rdf, 0) AS DOUBLE)
+                / NULLIF(CAST(wc.resident_docs AS DOUBLE), 0.0), 6) AS resident_rate,
+              round(CAST(dl.ddf AS DOUBLE)
+                / NULLIF(CAST(wc.delta_docs AS DOUBLE), 0.0), 6) AS delta_rate,
+              (dl.ddf * wc.resident_docs >= 4 * coalesce(r.rdf, 0) * wc.delta_docs)
+                AS emerging
+            FROM dl LEFT JOIN r ON r.sh_h = dl.sh_h, wc
+            WHERE dl.ddf >= 3
+            ORDER BY dl.ddf DESC, dl.sh_h"""))
+
   val all: Seq[Q] =
     Seq(exact, minhash, simhash, ngramJaccard, embedding, clusters, keep, triangles,
       decontam, incremental, repeated, consensus, chunkDedup, semantic, bestKeep,
       provenance, embeddingDecontam, containment, evalLeak, crossSource, splitLeak,
-      calibration, hotReport, inflation, spectrum, templateScrubQ, clusterSourceMix)
+      calibration, hotReport, inflation, spectrum, templateScrubQ, clusterSourceMix,
+      boilerplateDriftQ)
 }

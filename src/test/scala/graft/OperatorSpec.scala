@@ -1808,6 +1808,31 @@ class OperatorSpec extends SparkSpec {
       ("srcB", "elementary", 1L, Some(-2.62), 1.0)))
   }
 
+  test("d28 boilerplate drift: a delta-only template emerges, the legacy one does not") {
+    import spark.implicits._
+    // ids 0..24 → split = 24·4/5 = 19: resident {0..18} (19 docs), delta
+    // {19..24} (6 docs). Every doc carries the legacy template (same rate
+    // in both waves → NOT emerging); delta docs additionally carry a new
+    // footer (resident df 0 → emerging).
+    val docs = (0L to 24L).map { id =>
+      val base = "legacy template alpha beta gamma"
+      val text = if (id >= 19) base + " brand new spam footer" else base
+      (id, s"src${id % 3}", text)
+    }.toDF("doc_id", "source", "text")
+    val rows = Dedup.boilerplateDrift(docs).collect().map(r =>
+      (r.getLong(1), r.getLong(2), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    // Legacy shingles: in all 19 resident and all 6 delta docs, flat rate.
+    val legacy = rows.filter(_._1 == 19L)
+    assert(legacy.nonEmpty && legacy.forall(t => t._2 == 6L && !t._3),
+      s"legacy shingles misflagged: ${legacy.toSeq}")
+    // Delta-only shingles: resident df 0, all 6 delta docs, emerging.
+    val fresh = rows.filter(_._1 == 0L)
+    assert(fresh.nonEmpty && fresh.forall(t => t._2 == 6L && t._3),
+      s"fresh shingles missed: ${fresh.toSeq}")
+    assert(rows.length == legacy.length + fresh.length)
+  }
+
   test("t40 lm transfer: identical sources transfer at zero gap, disjoint vocab at ln V") {
     import spark.implicits._
     import java.nio.file.Files

@@ -185,7 +185,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     // t40: exact BIGINT bigram counts, per-row ln quantized to micro-nats
     // BEFORE the cross-row sum — gated to prove the matrix can't drift
     // with reduce geometry (the t36 avg(double) class, pre-empted).
-    "t40_lm_transfer")
+    "t40_lm_transfer",
+    // d28: exact BIGINT df counts per wave and a cross-multiplied
+    // integer ratio compare — no fp boundary to move with geometry.
+    "d28_boilerplate_drift")
 
   test("round-5/6 queries return identical rows at shuffle.partitions = 3 and 17") {
     val conf = spark.conf
