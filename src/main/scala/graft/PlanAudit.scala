@@ -80,7 +80,10 @@ object PlanAudit {
       "s16_embedding_drift",
       // d28: the delta-hot vocabulary crossJoins its 1-row wave-count
       // aggregate (d23's shape).
-      "d28_boilerplate_drift")
+      "d28_boilerplate_drift",
+      // p13: three 1-row leg aggregates crossJoin into the one verdict
+      // row (plus d28's embedded wave-count crossJoin).
+      "p13_ingest_audit")
 
   /** Tables that are corpus-/fact-scale at the 100 TB target — anything
     * derived from one of these is presumed unbounded unless the deriving

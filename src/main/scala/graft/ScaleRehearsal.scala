@@ -286,7 +286,11 @@ object ScaleRehearsal {
       // d28 rides d23's shingle-df aggregate (vocabulary-keyed, the
       // tagged copies grow the vocabulary k× — d23's adversarial axis)
       // split by wave.
-      "d28_boilerplate_drift")
+      "d28_boilerplate_drift",
+      // p13 composes d01's fingerprint window + d28's vocabulary
+      // aggregate + s16's dim aggregate into three 1-row legs — output
+      // one row at any scale.
+      "p13_ingest_audit")
     def timeQuery(name: String, dir: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
       def once(): (Double, Long) = {

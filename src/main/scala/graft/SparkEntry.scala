@@ -169,6 +169,11 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    best-first by t24's score (shared kernel) until 25% of the raw
   *    token mass is spent; the FineWeb-style SELECTION step that decides
   *    WHICH documents carry the contribution the mixing queries size.
+  *  - p13: the composed ingest-readiness audit — ONE verdict row before
+  *    a daily delta folds in: d01-fingerprint dup rate, d28's major
+  *    emerging templates, s16's worst embedding drift, and the
+  *    fold_in_ready conjunction; p03's release-audit stance pointed at
+  *    the pipeline's intake end.
   */
 object SparkEntry {
   val inventory: Seq[Q] =

@@ -2465,22 +2465,24 @@ object Dedup {
       .orderBy(desc("delta_df"), col("sh_h"))
   }
 
-  val boilerplateDriftQ = Q(
-    "d28_boilerplate_drift",
-    (s, d) => boilerplateDrift(Tables.documents(s, d)),
-    Some("""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
-            tagged AS (
+  /** d28's oracle CTE chain, ending in relation `d28_rows(sh_h,
+    * resident_df, delta_df, resident_rate, delta_rate, emerging)` — CTE
+    * names b-prefixed so p13's composed oracle can mount this chain next
+    * to s16's without collisions. */
+  private[operators] val boilerplateDriftSqlCtes =
+    """bmx AS (SELECT max(doc_id) AS m FROM documents),
+            btag AS (
               SELECT doc_id,
-                CASE WHEN doc_id >= (SELECT m * 4 // 5 FROM mx)
+                CASE WHEN doc_id >= (SELECT m * 4 // 5 FROM bmx)
                      THEN 'delta' ELSE 'resident' END AS wave
               FROM documents),
-            wc AS (
+            bwc AS (
               SELECT CAST(sum(CASE WHEN wave = 'resident' THEN 1 ELSE 0 END) AS BIGINT)
                        AS resident_docs,
                      CAST(sum(CASE WHEN wave = 'delta' THEN 1 ELSE 0 END) AS BIGINT)
                        AS delta_docs
-              FROM tagged),
-            sh AS (
+              FROM btag),
+            bsh AS (
               SELECT DISTINCT doc_id, shingle FROM (
                 SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
                 FROM (SELECT doc_id,
@@ -2488,27 +2490,35 @@ object Dedup {
                                     t -> t <> '') AS ts
                       FROM documents),
                 UNNEST(range(1, len(ts) - 1)) AS r(i))),
-            hs AS (
+            bhs AS (
               SELECT ('0x' || substr(md5(s.shingle), 1, 15))::BIGINT AS sh_h,
                 t.wave
-              FROM sh s JOIN tagged t ON t.doc_id = s.doc_id),
-            df AS (
+              FROM bsh s JOIN btag t ON t.doc_id = s.doc_id),
+            bdf AS (
               SELECT sh_h, wave, CAST(count(*) AS BIGINT) AS df
-              FROM hs GROUP BY 1, 2),
-            r AS (SELECT sh_h, df AS rdf FROM df WHERE wave = 'resident'),
-            dl AS (SELECT sh_h, df AS ddf FROM df WHERE wave = 'delta')
-            SELECT dl.sh_h,
-              CAST(coalesce(r.rdf, 0) AS BIGINT) AS resident_df,
-              dl.ddf AS delta_df,
-              round(CAST(coalesce(r.rdf, 0) AS DOUBLE)
-                / NULLIF(CAST(wc.resident_docs AS DOUBLE), 0.0), 6) AS resident_rate,
-              round(CAST(dl.ddf AS DOUBLE)
-                / NULLIF(CAST(wc.delta_docs AS DOUBLE), 0.0), 6) AS delta_rate,
-              (dl.ddf * wc.resident_docs >= 4 * coalesce(r.rdf, 0) * wc.delta_docs)
-                AS emerging
-            FROM dl LEFT JOIN r ON r.sh_h = dl.sh_h, wc
-            WHERE dl.ddf >= 3
-            ORDER BY dl.ddf DESC, dl.sh_h"""))
+              FROM bhs GROUP BY 1, 2),
+            br AS (SELECT sh_h, df AS rdf FROM bdf WHERE wave = 'resident'),
+            bdl AS (SELECT sh_h, df AS ddf FROM bdf WHERE wave = 'delta'),
+            d28_rows AS (
+              SELECT bdl.sh_h,
+                CAST(coalesce(br.rdf, 0) AS BIGINT) AS resident_df,
+                bdl.ddf AS delta_df,
+                round(CAST(coalesce(br.rdf, 0) AS DOUBLE)
+                  / NULLIF(CAST(bwc.resident_docs AS DOUBLE), 0.0), 6) AS resident_rate,
+                round(CAST(bdl.ddf AS DOUBLE)
+                  / NULLIF(CAST(bwc.delta_docs AS DOUBLE), 0.0), 6) AS delta_rate,
+                (bdl.ddf * bwc.resident_docs >= 4 * coalesce(br.rdf, 0) * bwc.delta_docs)
+                  AS emerging
+              FROM bdl LEFT JOIN br ON br.sh_h = bdl.sh_h, bwc
+              WHERE bdl.ddf >= 3)"""
+
+  val boilerplateDriftQ = Q(
+    "d28_boilerplate_drift",
+    (s, d) => boilerplateDrift(Tables.documents(s, d)),
+    Some(s"""WITH $boilerplateDriftSqlCtes
+            SELECT sh_h, resident_df, delta_df, resident_rate, delta_rate,
+              emerging
+            FROM d28_rows ORDER BY delta_df DESC, sh_h"""))
 
   val all: Seq[Q] =
     Seq(exact, minhash, simhash, ngramJaccard, embedding, clusters, keep, triangles,

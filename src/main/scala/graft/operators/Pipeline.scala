@@ -1129,7 +1129,129 @@ object Pipeline {
             GROUP BY t.source, t.n_candidates, t.total_tokens, t.budget_tokens
             ORDER BY t.source"""))
 
+  // ------------------------------------------- ingest audit (p13)
+  /** p13: the composed INGEST-readiness audit — p03's stance (one
+    * verdict row with WHY) pointed at the other end of the pipeline:
+    * before a daily delta folds into the resident corpus, three
+    * tripwires fire or don't, and this query is the one-row record an
+    * ingest run reads to decide. The legs are the component operators'
+    * semantics verbatim, so their oracles and this one cross-check
+    * (d12/p01's composition discipline):
+    *   - duplication: delta docs whose d01 fingerprint already exists
+    *     (in the resident corpus or earlier in the delta) — `dup_ok`
+    *     iff the dup rate ≤ 25% (integer cross-multiply, no fp);
+    *   - templates: d28's emerging shingles restricted to MAJOR ones
+    *     (delta rate ≥ 10% — a template on a tenth of today's docs) —
+    *     `template_ok` iff none;
+    *   - embeddings: s16's per-dimension drift — `drift_ok` iff the
+    *     worst mean shift stays under 0.1 (100k micro-units; the
+    *     encoder-change scale, ~3× the noise band this corpus measures).
+    *   `fold_in_ready` = all three. Thresholds are named constants of
+    *   the audit, not tuning knobs hidden in dataflow.
+    *
+    * Scale shape: the doc leg is ONE fingerprint window (d01's shuffle)
+    * + a 1-row conditional aggregate; the template leg is d28's
+    * vocabulary-keyed aggregate collapsed to 1 row; the drift leg is
+    * s16's dim-bounded table collapsed to 1 row; three 1-row crossJoins
+    * (allowlisted). Output = exactly one row at any corpus size.
+    * Degenerates: empty corpus/embeddings → zero counts, NULL rates,
+    * all gates pass (an empty delta is safe to fold — and the zero-row
+    * gate proves it doesn't crash instead). */
+  def ingestAudit(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val mx = docs.agg(max("doc_id")).head()
+    val split = if (mx.isNullAt(0)) 0L else mx.getLong(0) * 4 / 5
+    val tagged = docs.select(col("doc_id"),
+      (col("doc_id") >= split).as("is_delta"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      md5(normText(col("text"))).as("fp"))
+    val withMin = tagged.withColumn("min_id",
+      min("doc_id").over(Window.partitionBy("fp")))
+    val docLeg = withMin.agg(
+      sum(when(!col("is_delta"), 1L).otherwise(0L)).as("n_resident_docs"),
+      sum(when(col("is_delta"), 1L).otherwise(0L)).as("n_delta_docs"),
+      sum(when(!col("is_delta"), col("n_tokens")).otherwise(0L)).as("resident_tokens"),
+      sum(when(col("is_delta"), col("n_tokens")).otherwise(0L)).as("delta_tokens"),
+      sum(when(col("is_delta") && col("doc_id") =!= col("min_id"), 1L)
+        .otherwise(0L)).as("n_delta_dup"))
+    val tmplLeg = Dedup.boilerplateDrift(docs).agg(
+      sum(when(col("emerging") && col("delta_rate") >= 0.1, 1L).otherwise(0L))
+        .as("n_emerging_major"))
+    val driftLeg = Similarity.embeddingDrift(emb).agg(
+      sum(when(col("drifted"), 1L).otherwise(0L)).as("n_drifted_dims"),
+      max("shift_micro").as("max_shift_micro"))
+    docLeg.crossJoin(tmplLeg).crossJoin(driftLeg)
+      .select(
+        coalesce(col("n_resident_docs"), lit(0L)).as("n_resident_docs"),
+        coalesce(col("n_delta_docs"), lit(0L)).as("n_delta_docs"),
+        coalesce(col("delta_tokens"), lit(0L)).as("delta_tokens"),
+        round(safeFrac(col("delta_tokens"), col("resident_tokens")), 6)
+          .as("token_growth"),
+        coalesce(col("n_delta_dup"), lit(0L)).as("n_delta_dup"),
+        round(safeFrac(col("n_delta_dup"), col("n_delta_docs")), 6).as("dup_rate"),
+        coalesce(col("n_emerging_major"), lit(0L)).as("n_emerging_major"),
+        coalesce(col("n_drifted_dims"), lit(0L)).as("n_drifted_dims"),
+        col("max_shift_micro"))
+      .withColumn("dup_ok",
+        col("n_delta_dup") * lit(4L) <= col("n_delta_docs"))
+      .withColumn("template_ok", col("n_emerging_major") === 0L)
+      .withColumn("drift_ok",
+        coalesce(col("max_shift_micro") < lit(100000L), lit(true)))
+      .withColumn("fold_in_ready",
+        col("dup_ok") && col("template_ok") && col("drift_ok"))
+  }
+
+  val ingestAuditQ = Q(
+    "p13_ingest_audit",
+    (s, d) => ingestAudit(Tables.documents(s, d), Tables.embeddings(s, d)),
+    Some(s"""WITH ${Dedup.boilerplateDriftSqlCtes},
+            ${Similarity.driftSqlCtes},
+            pmx AS (SELECT max(doc_id) AS m FROM documents),
+            ptag AS (
+              SELECT doc_id,
+                (doc_id >= (SELECT m * 4 // 5 FROM pmx)) AS is_delta,
+                CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                  t -> t <> '')) AS BIGINT) AS n_tokens,
+                md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+              FROM documents),
+            pmin AS (SELECT fp, min(doc_id) AS min_id FROM ptag GROUP BY fp),
+            dleg AS (
+              SELECT
+                CAST(coalesce(sum(CASE WHEN NOT is_delta THEN 1 END), 0) AS BIGINT)
+                  AS n_resident_docs,
+                CAST(coalesce(sum(CASE WHEN is_delta THEN 1 END), 0) AS BIGINT)
+                  AS n_delta_docs,
+                CAST(sum(CASE WHEN NOT is_delta THEN n_tokens END) AS BIGINT)
+                  AS resident_tokens,
+                CAST(coalesce(sum(CASE WHEN is_delta THEN n_tokens END), 0) AS BIGINT)
+                  AS delta_tokens,
+                CAST(coalesce(sum(CASE WHEN is_delta AND t.doc_id <> m.min_id
+                  THEN 1 END), 0) AS BIGINT) AS n_delta_dup
+              FROM ptag t JOIN pmin m ON m.fp = t.fp),
+            tleg AS (
+              SELECT CAST(coalesce(sum(CASE WHEN emerging AND delta_rate >= 0.1
+                THEN 1 END), 0) AS BIGINT) AS n_emerging_major
+              FROM d28_rows),
+            eleg AS (
+              SELECT CAST(coalesce(sum(CASE WHEN drifted THEN 1 END), 0) AS BIGINT)
+                  AS n_drifted_dims,
+                max(shift_micro) AS max_shift_micro
+              FROM s16_rows)
+            SELECT d.n_resident_docs, d.n_delta_docs, d.delta_tokens,
+              round(CAST(d.delta_tokens AS DOUBLE)
+                / NULLIF(CAST(d.resident_tokens AS DOUBLE), 0.0), 6) AS token_growth,
+              d.n_delta_dup,
+              round(CAST(d.n_delta_dup AS DOUBLE)
+                / NULLIF(CAST(d.n_delta_docs AS DOUBLE), 0.0), 6) AS dup_rate,
+              t.n_emerging_major, e.n_drifted_dims, e.max_shift_micro,
+              (d.n_delta_dup * 4 <= d.n_delta_docs) AS dup_ok,
+              (t.n_emerging_major = 0) AS template_ok,
+              coalesce(e.max_shift_micro < 100000, true) AS drift_ok,
+              ((d.n_delta_dup * 4 <= d.n_delta_docs)
+                AND t.n_emerging_major = 0
+                AND coalesce(e.max_shift_micro < 100000, true)) AS fold_in_ready
+            FROM dleg d, tleg t, eleg e"""))
+
   val all: Seq[Q] =
     Seq(pipeline, mix, audit, epoch, refresh, dedupMix, funnel, curriculum, card,
-      seedAudit, tokenFunnelQ, budgetFillQ)
+      seedAudit, tokenFunnelQ, budgetFillQ, ingestAuditQ)
 }

@@ -1390,27 +1390,29 @@ object Similarity {
       .orderBy("dim")
   }
 
-  val drift = Q(
-    "s16_embedding_drift",
-    (s, d) => embeddingDrift(Tables.embeddings(s, d)),
-    Some("""WITH mx AS (SELECT max(vec_id) AS m FROM embeddings),
-            q AS (
-              SELECT CASE WHEN vec_id >= (SELECT m * 4 // 5 FROM mx)
+  /** s16's oracle CTE chain, ending in relation `s16_rows(dim,
+    * n_resident, n_delta, mean_resident, mean_delta, shift_micro,
+    * drifted)` — CTE names e-prefixed so p13's composed oracle can mount
+    * this chain next to d28's without collisions. */
+  private[operators] val driftSqlCtes =
+    """emx AS (SELECT max(vec_id) AS m FROM embeddings),
+            eq AS (
+              SELECT CASE WHEN vec_id >= (SELECT m * 4 // 5 FROM emx)
                           THEN 'delta' ELSE 'resident' END AS wave,
                 list_transform(embedding,
                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS qe
               FROM embeddings),
-            pd AS (
+            epd AS (
               SELECT wave, pos, CAST(sum(v) AS BIGINT) AS s,
                 CAST(count(*) AS BIGINT) AS n
               FROM (
                 SELECT wave, unnest(generate_series(1, len(qe))) - 1 AS pos,
                   unnest(qe) AS v
-                FROM q) GROUP BY wave, pos),
-            r AS (SELECT pos, s AS rs, n AS rn FROM pd WHERE wave = 'resident'),
-            dl AS (SELECT pos, s AS ds, n AS dn FROM pd WHERE wave = 'delta'),
-            dr AS (
-              SELECT CAST(coalesce(r.pos, dl.pos) AS BIGINT) AS dim,
+                FROM eq) GROUP BY wave, pos),
+            er AS (SELECT pos, s AS rs, n AS rn FROM epd WHERE wave = 'resident'),
+            edl AS (SELECT pos, s AS ds, n AS dn FROM epd WHERE wave = 'delta'),
+            edr AS (
+              SELECT CAST(coalesce(er.pos, edl.pos) AS BIGINT) AS dim,
                 coalesce(rn, 0) AS n_resident, coalesce(dn, 0) AS n_delta,
                 round(CAST(rs AS DOUBLE) / NULLIF(CAST(rn * 1000 AS DOUBLE), 0.0), 6)
                   AS mean_resident,
@@ -1419,17 +1421,26 @@ object Similarity {
                 CAST(floor(abs(CAST(rs AS DOUBLE) / NULLIF(CAST(rn AS DOUBLE), 0.0)
                   - CAST(ds AS DOUBLE) / NULLIF(CAST(dn AS DOUBLE), 0.0))
                   * 1000.0 + 0.5) AS BIGINT) AS shift_micro
-              FROM r FULL OUTER JOIN dl ON r.pos = dl.pos),
-            cut AS (
+              FROM er FULL OUTER JOIN edl ON er.pos = edl.pos),
+            ecut AS (
               SELECT min(shift_micro) AS cut FROM (
-                SELECT shift_micro FROM dr
-                ORDER BY shift_micro DESC NULLS LAST, dim LIMIT 6))
-            SELECT dim, CAST(n_resident AS BIGINT) AS n_resident,
-              CAST(n_delta AS BIGINT) AS n_delta, mean_resident, mean_delta,
-              shift_micro,
-              coalesce(shift_micro >= (SELECT cut FROM cut)
-                AND shift_micro > 0, false) AS drifted
-            FROM dr ORDER BY dim"""))
+                SELECT shift_micro FROM edr
+                ORDER BY shift_micro DESC NULLS LAST, dim LIMIT 6)),
+            s16_rows AS (
+              SELECT dim, CAST(n_resident AS BIGINT) AS n_resident,
+                CAST(n_delta AS BIGINT) AS n_delta, mean_resident, mean_delta,
+                shift_micro,
+                coalesce(shift_micro >= (SELECT cut FROM ecut)
+                  AND shift_micro > 0, false) AS drifted
+              FROM edr)"""
+
+  val drift = Q(
+    "s16_embedding_drift",
+    (s, d) => embeddingDrift(Tables.embeddings(s, d)),
+    Some(s"""WITH $driftSqlCtes
+            SELECT dim, n_resident, n_delta, mean_resident, mean_delta,
+              shift_micro, drifted
+            FROM s16_rows ORDER BY dim"""))
 
   val all: Seq[Q] =
     Seq(annBruteForce, annLsh, centroids, annIvf, annRecall, quantError, annAppend,

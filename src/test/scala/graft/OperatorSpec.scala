@@ -1808,6 +1808,53 @@ class OperatorSpec extends SparkSpec {
       ("srcB", "elementary", 1L, Some(-2.62), 1.0)))
   }
 
+  test("p13 ingest audit: each tripwire fires on its planted hazard") {
+    import spark.implicits._
+    import graft.operators.Pipeline
+    def docsOf(delta: Long => String) = (0L to 24L).map { id =>
+      val text =
+        if (id >= 19) delta(id)
+        else s"resident doc r$id alpha$id beta$id gamma$id delta$id eps$id"
+      (id, s"src${id % 3}", text)
+    }.toDF("doc_id", "source", "text")
+    val benignEmb = (0L to 9L).map(id => (id, Array.fill(4)(0.5f), 0))
+      .toDF("vec_id", "embedding", "label")
+    def verdict(docs: org.apache.spark.sql.DataFrame,
+        emb: org.apache.spark.sql.DataFrame) = {
+      val r = Pipeline.ingestAudit(docs, emb).head()
+      (r.getBoolean(9), r.getBoolean(10), r.getBoolean(11), r.getBoolean(12))
+    }
+    // Healthy: unique texts, identical embeddings → every gate passes.
+    val healthy = docsOf(id => s"fresh doc f$id one$id two$id three$id four$id five$id")
+    assert(verdict(healthy, benignEmb) == (true, true, true, true))
+    // (a) Dup storm: every delta doc copies doc 0 → dup gate fires (and
+    // the copied text's shingles flood the delta → template gate too).
+    val dupStorm = docsOf(_ => "resident doc r0 alpha0 beta0 gamma0 delta0 eps0")
+    val (dupOk, _, driftOk, ready) = verdict(dupStorm, benignEmb)
+    assert(!dupOk && driftOk && !ready)
+    // (b) Template-only: unique bodies share one new footer → dup gate
+    // passes, template gate fires.
+    val template = docsOf(id =>
+      s"fresh doc f$id one$id two$id brand new spam footer")
+    val v2 = verdict(template, benignEmb)
+    assert(v2 == (true, false, true, false), s"template verdict: $v2")
+    // (c) Encoder change: delta vectors shift a dimension by +1.0 →
+    // drift gate fires, the others pass.
+    val shifted = (0L to 9L).map { id =>
+      val b = Array.fill(4)(0.5f); if (id >= 7) b(0) = 1.5f
+      (id, b, 0)
+    }.toDF("vec_id", "embedding", "label")
+    val v3 = verdict(healthy, shifted)
+    assert(v3 == (true, true, false, false), s"drift verdict: $v3")
+    // Degenerate: empty corpus and embeddings → one all-clear row.
+    val emptyDocs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], healthy.schema)
+    val emptyEmb = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], benignEmb.schema)
+    val er = Pipeline.ingestAudit(emptyDocs, emptyEmb).collect()
+    assert(er.length == 1 && er(0).getBoolean(12))
+  }
+
   test("d28 boilerplate drift: a delta-only template emerges, the legacy one does not") {
     import spark.implicits._
     // ids 0..24 → split = 24·4/5 = 19: resident {0..18} (19 docs), delta

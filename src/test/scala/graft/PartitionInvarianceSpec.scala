@@ -188,7 +188,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     "t40_lm_transfer",
     // d28: exact BIGINT df counts per wave and a cross-multiplied
     // integer ratio compare — no fp boundary to move with geometry.
-    "d28_boilerplate_drift")
+    "d28_boilerplate_drift",
+    // p13: the composed verdict — every leg is exact integers (gated
+    // components) and every gate compare is integer or pre-rounded.
+    "p13_ingest_audit")
 
   test("round-5/6 queries return identical rows at shuffle.partitions = 3 and 17") {
     val conf = spark.conf
