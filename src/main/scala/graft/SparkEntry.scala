@@ -45,6 +45,12 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *  - q42: top session event-type paths — q12's sessionization rolled up
   *    to the whole-walk grain (first ≤8 events per session), the
   *    behavioral complement of q33's per-step transitions.
+  *  - q43: incremental materialized-view maintenance — q02's pricing
+  *    summary refreshed by a delta-proportional scan + a #groups-sized
+  *    partial-state merge, in centi-unit BIGINTs so the merge is
+  *    associative and the view can NEVER drift from its own definition;
+  *    the oracle is the full recompute, so the hash equality is the
+  *    merge-≡-recompute theorem itself.
   *  - t01..t40: text query library (grep, wordcount, token counting,
   *    quality scoring, language-ID, fingerprinting, winnowing, TF-IDF,
   *    langid eval, context chunking, co-occurrence PMI, bigram LM,

