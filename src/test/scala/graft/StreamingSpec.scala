@@ -401,6 +401,35 @@ class StreamingSpec extends SparkSpec {
     assert(streamedSizes == s15)
   }
 
+  test("streaming view maintenance converges to the recompute under any batch slicing") {
+    import java.nio.file.Files
+    import graft.streaming.ViewStreams
+    import graft.sources.Tables
+    val li = Tables.lineitem(spark, sf)
+    val recompute = li.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum(floor(col("l_quantity") * 100 + 0.5).cast("long"))
+          .cast("double") / 100.0, 2).as("sum_qty"),
+        count(lit(1)).as("count_rows"))
+      .orderBy("l_returnflag", "l_linestatus")
+      .collect().map(_.toString).toSeq
+    // Two different micro-batch slicings of the SAME rows must both
+    // converge the persisted state to the recompute (associativity).
+    Seq(2, 5).foreach { nBatches =>
+      val base = Files.createTempDirectory(s"graft-view-$nBatches").toString
+      li.repartition(nBatches).write.mode("overwrite").parquet(s"$base/arrivals")
+      val q = ViewStreams.maintainPricingView(
+        ViewStreams.readLineitemStream(spark, s"$base/arrivals", li),
+        s"$base/state", s"$base/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      val maintained = ViewStreams.pricingView(spark, s"$base/state")
+        .collect().map(_.toString).toSeq
+      assert(maintained == recompute,
+        s"view drifted at $nBatches batches: " +
+          s"${maintained.diff(recompute).take(2)} vs ${recompute.diff(maintained).take(2)}")
+    }
+  }
+
   test("streaming daily HLL == batch HLL bit-for-bit (merge order-independence)") {
     val stream = EventStreams.readEventStream(spark, sf)
     val q = EventStreams.runToMemory(
