@@ -397,8 +397,20 @@ object ScaleRehearsal {
     // Facts (orders/lineitem) scale k×; dimensions stay 1× — the star
     // schema's growth direction, and the regime where the broadcast
     // sides of q03–q05 must stay bounded while the fact scans grow.
-    // Targeted via the special name "tpch_axis".
-    if (only.isEmpty || only("tpch_axis")) {
+    // Targeted via the special name "tpch_axis" or any member query name.
+    val thNames = Seq("q01_scan_filter_project", "q02_agg_pricing_summary",
+      "q03_join_orders_customer", "q04_broadcast_join_part",
+      "q05_local_supplier_revenue", "q06_topk_customers",
+      "q07_window_top_orders", "q08_distinct_parts_per_flag",
+      "q09_semi_anti_join", "q10_rollup_order_status",
+      "q15_approx_distinct",
+      // q43: the IVM refresh — the claim is delta-proportional update
+      // cost; at k× facts the delta is k× too, but the merge stays
+      // #groups-sized (the full-recompute oracle is the k×-scan
+      // baseline it beats in production, where resident state is read,
+      // not recomputed).
+      "q43_incremental_agg")
+    if (only.isEmpty || only("tpch_axis") || thNames.exists(only)) {
       val tDir = s"$outDir/tpch_axis"
       val reuseT = reuseReq && {
         try spark.read.parquet(s"$tDir/orders.parquet").count() ==
@@ -421,18 +433,8 @@ object ScaleRehearsal {
         val (tK, rK) = minOf2(tDir)
         println(f"[scale] $name%-26s $t1%8.2f $r1%8d $tK%8.2f $rK%9d ${tK / t1}%5.1fx")
       }
-      Seq("q01_scan_filter_project", "q02_agg_pricing_summary",
-        "q03_join_orders_customer", "q04_broadcast_join_part",
-        "q05_local_supplier_revenue", "q06_topk_customers",
-        "q07_window_top_orders", "q08_distinct_parts_per_flag",
-        "q09_semi_anti_join", "q10_rollup_order_status",
-        "q15_approx_distinct",
-        // q43: the IVM refresh — the claim is delta-proportional update
-        // cost; at k× facts the delta is k× too, but the merge stays
-        // #groups-sized (the full-recompute oracle is the k×-scan
-        // baseline it beats in production, where resident state is read,
-        // not recomputed).
-        "q43_incremental_agg").foreach(thRow)
+      (if (only.isEmpty || only("tpch_axis")) thNames
+       else thNames.filter(only)).foreach(thRow)
     }
 
     // ------------------------- events axis: the relational-event family

@@ -586,7 +586,13 @@ object Pipeline {
     * one source-keyed aggregate with map-side partials. Output =
     * #sources rows.
     */
-  def survivalFunnel(docs: DataFrame): DataFrame = {
+  /** The raw→clean→gate→unique staging shared VERBATIM by p07 (doc
+    * counts) and p11 (token masses): one map-only feature scan, the t20
+    * gate, d01's normalized fingerprint, and the per-group surviving
+    * representative — factored so the two funnels' "same stage
+    * definitions" cross-check is one code path, not four copies to patch
+    * in lockstep (the classifierDocScores/t24-p12 stance). */
+  private def stagedDocs(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val blockPat = "\\b(customer|supplier|order)\\b"
     val feats = docs
@@ -607,8 +613,11 @@ object Pipeline {
       .withColumn("fp", md5(normText(col("text"))))
     val rep = min(when(col("gate_keep"), col("doc_id")))
       .over(Window.partitionBy("fp"))
-    feats
-      .withColumn("unique_keep", col("gate_keep") && col("doc_id") === rep)
+    feats.withColumn("unique_keep", col("gate_keep") && col("doc_id") === rep)
+  }
+
+  def survivalFunnel(docs: DataFrame): DataFrame =
+    stagedDocs(docs)
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_raw"),
@@ -618,7 +627,6 @@ object Pipeline {
       .withColumn("survival_rate",
         round(safeFrac(col("n_unique"), col("n_raw")), 6))
       .orderBy("source")
-  }
 
   val funnel = Q(
     "p07_survival_funnel",
@@ -957,27 +965,8 @@ object Pipeline {
     * window, one source-keyed aggregate with map-side partials; output =
     * #sources rows. Every ratio rides safeFrac/NULLIF (an all-empty-doc
     * source has raw_tokens 0). */
-  def tokenFunnel(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val blockPat = "\\b(customer|supplier|order)\\b"
-    val feats = docs
-      .select(
-        col("doc_id"), col("source"), col("text"),
-        size(toks).cast("long").as("n_tokens"),
-        stopwordHits(toks, stopwords("en")).cast("long").as("stop_hits"),
-        charClassCount(lower(col("text")), "[a-z0-9]").cast("long").as("n_word_chars"))
-      .withColumn("clean", regexp_count(col("text"), lit(blockPat)) === 0)
-      .withColumn("gate_keep",
-        col("clean") &&
-          col("n_tokens") >= 20 && col("n_tokens") <= 5000 &&
-          safeFrac(col("stop_hits"), col("n_tokens")) >= 0.02 &&
-          safeFrac(col("n_word_chars"), col("n_tokens")) >= 3.0 &&
-          safeFrac(col("n_word_chars"), col("n_tokens")) <= 10.0)
-      .withColumn("fp", md5(normText(col("text"))))
-    val rep = min(when(col("gate_keep"), col("doc_id")))
-      .over(Window.partitionBy("fp"))
-    feats
-      .withColumn("unique_keep", col("gate_keep") && col("doc_id") === rep)
+  def tokenFunnel(docs: DataFrame): DataFrame =
+    stagedDocs(docs)
       .groupBy("source")
       .agg(
         sum("n_tokens").as("raw_tokens"),
@@ -987,7 +976,6 @@ object Pipeline {
       .withColumn("token_survival",
         round(safeFrac(col("unique_tokens"), col("raw_tokens")), 6))
       .orderBy("source")
-  }
 
   val tokenFunnelQ = Q(
     "p11_token_funnel",

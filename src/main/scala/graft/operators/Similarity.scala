@@ -1192,8 +1192,16 @@ object Similarity {
     * `iters` division-free iterations, returns the final centroid SUM
     * vectors — the frozen artifact the streaming gate assigns against.
     * Empty corpus → empty seq. */
-  def kmeansCentroids(e: DataFrame, k: Int, iters: Int): Seq[(Long, Seq[Long])] = {
-    val q = e.select(col("vec_id"), quantMilli.as("qe")).localCheckpoint()
+  def kmeansCentroids(e: DataFrame, k: Int, iters: Int): Seq[(Long, Seq[Long])] =
+    kmeansCentroidsFromQuant(
+      e.select(col("vec_id"), quantMilli.as("qe")).localCheckpoint(), k, iters)
+
+  /** The Lloyd loop over an ALREADY-quantized (vec_id, qe) frame — the
+    * caller owns the materialization, so kmeansCartography's shared
+    * checkpoint is scanned by both the loop and the final pass instead
+    * of being quantized twice. */
+  def kmeansCentroidsFromQuant(q: DataFrame, k: Int,
+      iters: Int): Seq[(Long, Seq[Long])] = {
     var cents: Seq[(Long, Seq[Long])] = q.filter(col("vec_id") < k)
       .select(col("vec_id"), col("qe")).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
@@ -1216,7 +1224,8 @@ object Similarity {
         col("vec_id"), col("label").cast("long").as("label"),
         quantMilli.as("qe"))
       .localCheckpoint()
-    val cents: Seq[(Long, Seq[Long])] = kmeansCentroids(e, k, iters)
+    val cents: Seq[(Long, Seq[Long])] =
+      kmeansCentroidsFromQuant(q.select(col("vec_id"), col("qe")), k, iters)
     val outSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("cluster_id",
         org.apache.spark.sql.types.LongType),

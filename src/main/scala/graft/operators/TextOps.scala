@@ -2164,7 +2164,9 @@ object TextOps {
           slice(col("ts"), lit(1), size(col("ts")) - 1),
           slice(col("ts"), lit(2), size(col("ts")) - 1))).as("bg"))
         .select(col("source"), col("bg.0").as("w1"), col("bg.1").as("w2"))
-        .localCheckpoint()
+      // bg has ONE consumer (the ab aggregate) — no checkpoint: the
+      // map-side combine runs straight off the scan, and the frame all
+      // four downstream consumers share is ab itself.
       val ab = bg.groupBy("source", "w1", "w2").agg(count(lit(1)).as("n"))
         .localCheckpoint() // feeds heads, vocab, FROM, and TO — one build
       val heads = ab.groupBy("source", "w1").agg(sum("n").as("c1"))

@@ -72,10 +72,18 @@ object VectorStreams {
   def cartographyGate(stream: DataFrame,
       cents: Seq[(Long, Seq[Long])]): DataFrame = {
     import org.apache.spark.sql.functions._
-    stream
-      .select(col("vec_id"), Similarity.quantMilli.as("qe"))
-      .withColumn("b", Similarity.centroidBest(cents, col("qe")))
-      .select(col("vec_id"), col("b.c").as("cluster_id"),
-        (-col("b.nc")).as("cos"))
+    // No centroids yet (kmeansCentroids on an empty resident corpus
+    // returns Nil — the first deployment day): every vector passes
+    // through UNASSIGNED (cluster −1, NULL cosine) instead of the
+    // zero-arg array_min analysis error a naive centroidBest call hits.
+    if (cents.isEmpty)
+      stream.select(col("vec_id"),
+        lit(-1L).as("cluster_id"), lit(null).cast("double").as("cos"))
+    else
+      stream
+        .select(col("vec_id"), Similarity.quantMilli.as("qe"))
+        .withColumn("b", Similarity.centroidBest(cents, col("qe")))
+        .select(col("vec_id"), col("b.c").as("cluster_id"),
+          (-col("b.nc")).as("cos"))
   }
 }

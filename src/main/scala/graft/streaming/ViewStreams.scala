@@ -64,12 +64,16 @@ object ViewStreams {
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           val delta = partialState(batch.toDF())
+          // First-batch detection is an explicit existence check, NOT a
+          // catch-all: a corrupt or half-written state file (the
+          // documented crash window) must FAIL the batch loudly, never
+          // silently reset the view to this batch's rows.
+          val path = new org.apache.hadoop.fs.Path(statePath)
+          val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
           val prev =
-            try spark.read.parquet(statePath)
-            catch { case _: Exception => // first batch: empty state
-              spark.createDataFrame(
-                spark.sparkContext.emptyRDD[Row], delta.schema)
-            }
+            if (fs.exists(path)) spark.read.parquet(statePath)
+            else spark.createDataFrame(
+              spark.sparkContext.emptyRDD[Row], delta.schema)
           merge(prev, delta).localCheckpoint()
             .write.mode("overwrite").parquet(statePath)
         }

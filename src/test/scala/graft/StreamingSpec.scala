@@ -399,6 +399,13 @@ class StreamingSpec extends SparkSpec {
     val s15 = Similarity.kmeansCartography(e, 8, 3).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(streamedSizes == s15)
+    // No centroids yet (empty resident corpus trained Nil): the gate
+    // passes vectors through UNASSIGNED instead of failing analysis.
+    val unassigned = graft.streaming.VectorStreams
+      .cartographyGate(e.select(col("vec_id"), col("embedding")), Nil)
+      .collect()
+    assert(unassigned.nonEmpty &&
+      unassigned.forall(r => r.getLong(1) == -1L && r.isNullAt(2)))
   }
 
   test("streaming view maintenance converges to the recompute under any batch slicing") {
