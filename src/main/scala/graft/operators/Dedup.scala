@@ -1084,52 +1084,113 @@ object Dedup {
             ORDER BY d.doc_id"""))
 
   // ------------------------------------------------------- decontamination
+  /** (doc_id, eval_doc, n_shared) for every (corpus, eval) document pair
+    * sharing at least one shingle whose document frequency over BOTH
+    * sides is ≤ dfCap, with n_shared EXACT over ALL shared shingles (hot
+    * ones included) — the BIPARTITE specialization of
+    * [[cappedPairCounts]] (d04/d18/d21's kernel) for the decontamination
+    * family (d09/d19/p03). Same three-step shape: one shingle-keyed df
+    * aggregate carves out hot shingles (checkpointed — empty on healthy
+    * corpora, so the planner sees its true size); candidate pairs come
+    * from a merge-pinned equi-join over the RARE rows only (both sides
+    * can be corpus-proportional — d09's shipped `%19` instantiation is —
+    * so a broadcast is never safe to hard-code; fan-out per shingle is
+    * dfCap²-bounded always); hot shared counts are recovered per
+    * CANDIDATE pair from per-doc hot arrays via two doc-keyed left joins
+    * + array_intersect. A (corpus, eval) pair sharing ONLY corpus-hot
+    * shingles is, definitionally, boilerplate coincidence — not eval
+    * leakage (the d04/d21 cap argument, and the same frequent-n-gram
+    * exclusion the published decontamination recipes apply); every
+    * emitted count still equals the uncapped arithmetic. Capped ≡
+    * uncapped on sub-cap corpora is spec-asserted (DedupCapSpec), and
+    * both the d09 and d19 oracles mirror the qualification, so stated
+    * contract = executed semantics at any df distribution.
+    *
+    * Inputs are distinct (doc_id, sh_h) / (eval_doc, sh_h) rows; callers
+    * checkpoint them (each side is consumed by the df union, the rare
+    * carve-out, and the hot-set recovery). */
+  private def cappedContamPairs(corpusSh: DataFrame, evalSh: DataFrame,
+      dfCap: Int): DataFrame = {
+    val hot = corpusSh.select("sh_h").union(evalSh.select("sh_h"))
+      .groupBy("sh_h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("sh_h").localCheckpoint()
+    val rareC = corpusSh.join(hot, Seq("sh_h"), "left_anti")
+    val rareE = evalSh.join(hot, Seq("sh_h"), "left_anti")
+    val rarePairs = rareC.hint("merge").join(rareE.hint("merge"), Seq("sh_h"))
+      .groupBy("doc_id", "eval_doc").agg(count(lit(1)).as("n_rare"))
+    val hotC = corpusSh.join(hot, Seq("sh_h"))
+      .groupBy("doc_id").agg(sort_array(collect_set(col("sh_h"))).as("hot_c"))
+      .localCheckpoint()
+    val hotE = evalSh.join(hot, Seq("sh_h"))
+      .groupBy("eval_doc").agg(sort_array(collect_set(col("sh_h"))).as("hot_e"))
+      .localCheckpoint()
+    rarePairs
+      .join(hotC, Seq("doc_id"), "left")
+      .join(hotE, Seq("eval_doc"), "left")
+      .select(col("doc_id"), col("eval_doc"),
+        (col("n_rare") +
+          coalesce(size(array_intersect(col("hot_c"), col("hot_e"))), lit(0)).cast("long"))
+          .as("n_shared"))
+  }
+
+  /** d09's rollup over the pair kernel: corpus-doc grain. */
+  private def decontamRollup(pairs: DataFrame): DataFrame =
+    pairs.groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_eval_docs"),
+        sum("n_shared").as("n_shared_ngrams"))
+      .orderBy("doc_id")
+
+  /** The shipped d09/d19 instantiation's pair table: the deterministic
+    * `doc_id % 19 == 0` slice stands in for the external benchmark table;
+    * the other 18/19 are the corpus. ONE shingle pass, checkpointed, with
+    * the split applied as cheap filters over the checkpoint blocks (d21's
+    * single-scan trick) — and, because this eval side is
+    * corpus-PROPORTIONAL, routed through the df-capped kernel: uncapped,
+    * one corpus-hot shingle on both sides of the split yields
+    * df_corpus·df_eval pair rows (the builder's boiler-corpus accounting
+    * measured 9.978e8 such rows at 10× before the cap). */
+  private def contamSplitPairs(spark: SparkSession, d: String, n: Int): DataFrame = {
+    val sh = hashedShingles(shingleSets(Tables.documents(spark, d), n))
+      .localCheckpoint()
+    cappedContamPairs(
+      sh.filter(col("doc_id") % 19 =!= 0),
+      sh.filter(col("doc_id") % 19 === 0)
+        .select(col("doc_id").as("eval_doc"), col("sh_h")),
+      ShingleDfCap)
+  }
+
   /** Benchmark decontamination: find training-corpus documents sharing any
     * word-n-gram with a held-out eval suite — the standard pre-training
     * hygiene check (eval contamination inflates benchmark scores). The
     * eval set is an EXTERNAL table (the benchmark suite itself), passed in
-    * as `evalDocs` — the signature carries the scale contract: `evalDocs`
-    * is benchmark-sized (thousands of docs), `docs` is the corpus.
-    *
-    * Scale shape: both sides shingle in one per-doc flatMap (no shuffle);
-    * the probe is one join on hashed shingle + one aggregate keyed by
-    * doc_id. No broadcast HINT on either side — a hard hint on a
-    * plan-time-unknown relation is how jobs die at 100 TB; AQE sees the
-    * eval side's actual (benchmark-sized) bytes at runtime and converts
-    * the join to a broadcast itself, while an unexpectedly large eval set
-    * degrades to a shuffle join instead of an executor OOM. The corpus is
-    * never shuffled except on its own shingles, and nothing here is
-    * quadratic: cost = corpus shingle volume, same as a tokenizing scan.
-    * 5-grams (vs the classic 13-gram rule) suit this corpus's short docs;
-    * the n is a parameter.
+    * as `evalDocs` — typically benchmark-sized, but the plan no longer
+    * DEPENDS on that: the probe rides [[cappedContamPairs]], so cost is
+    * corpus shingle volume + a dfCap²-bounded pairing join at any eval
+    * size and any df distribution. 5-grams (vs the classic 13-gram rule)
+    * suit this corpus's short docs; the n is a parameter.
     */
-  def decontaminate(spark: SparkSession, d: String, n: Int): DataFrame = {
-    // Demo/oracle instantiation: the deterministic `doc_id % 19 == 0`
-    // slice stands in for the external benchmark table; the other 18/19
-    // are the corpus. Production callers pass the real eval suite.
-    val docs = Tables.documents(spark, d)
-    decontaminate(
-      docs.filter(col("doc_id") % 19 =!= 0),
-      docs.filter(col("doc_id") % 19 === 0),
-      n)
-  }
+  def decontaminate(spark: SparkSession, d: String, n: Int): DataFrame =
+    decontamRollup(contamSplitPairs(spark, d, n))
 
-  def decontaminate(docs: DataFrame, evalDocs: DataFrame, n: Int): DataFrame = {
-    val eval_ = hashedShingles(shingleSets(evalDocs, n))
-      .select(col("doc_id").as("eval_doc"), col("sh_h"))
-    val corpus = hashedShingles(shingleSets(docs, n))
-    corpus.join(eval_, Seq("sh_h"))
-      .groupBy("doc_id")
-      .agg(
-        countDistinct(col("eval_doc")).as("n_eval_docs"),
-        count(lit(1)).as("n_shared_ngrams"))
-      .orderBy("doc_id")
+  def decontaminate(docs: DataFrame, evalDocs: DataFrame, n: Int,
+      dfCap: Int = ShingleDfCap): DataFrame = {
+    val cs = hashedShingles(shingleSets(docs, n)).localCheckpoint()
+    val es = hashedShingles(shingleSets(evalDocs, n))
+      .select(col("doc_id").as("eval_doc"), col("sh_h")).localCheckpoint()
+    decontamRollup(cappedContamPairs(cs, es, dfCap))
   }
 
   val decontam = Q(
     "d09_decontaminate",
     (s, d) => decontaminate(s, d, 5),
-    Some("""WITH toks AS (
+    // The oracle mirrors the df-cap (the `dfq` CTE + `n_rare > 0`
+    // qualification, d21's convention): a (corpus, eval) pair counts only
+    // when it shares ≥1 shingle with df ≤ ShingleDfCap over the whole
+    // table, while n_shared stays exact over ALL shingles — identical
+    // semantics to the capped execution at any df distribution, not just
+    // the shipped corpora (where max df < cap makes capped ≡ uncapped).
+    Some(s"""WITH toks AS (
               SELECT doc_id, list_filter(
                 regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
               FROM documents),
@@ -1138,13 +1199,20 @@ object Dedup {
                 ('0x' || substr(md5(list_aggregate(ts[i:i+4], 'string_agg', ' ')), 1, 15))::BIGINT AS sh_h
               FROM toks, UNNEST(range(1, len(ts) - 3)) r(i)
               WHERE len(ts) >= 5),
+            dfq AS (SELECT sh_h, count(*) AS df FROM sh GROUP BY sh_h),
             eval AS (SELECT doc_id AS eval_doc, sh_h FROM sh WHERE doc_id % 19 = 0),
-            corpus AS (SELECT * FROM sh WHERE doc_id % 19 <> 0)
-            SELECT c.doc_id,
-                   count(DISTINCT e.eval_doc) AS n_eval_docs,
-                   count(*) AS n_shared_ngrams
-            FROM corpus c JOIN eval e ON c.sh_h = e.sh_h
-            GROUP BY c.doc_id ORDER BY c.doc_id"""))
+            corpus AS (SELECT * FROM sh WHERE doc_id % 19 <> 0),
+            pair AS (
+              SELECT c.doc_id, e.eval_doc, count(*) AS n_shared,
+                sum(CASE WHEN f.df <= $ShingleDfCap THEN 1 ELSE 0 END) AS n_rare
+              FROM corpus c JOIN eval e ON e.sh_h = c.sh_h
+                            JOIN dfq f ON f.sh_h = c.sh_h
+              GROUP BY 1, 2)
+            SELECT doc_id,
+              CAST(count(*) AS BIGINT) AS n_eval_docs,
+              CAST(sum(n_shared) AS BIGINT) AS n_shared_ngrams
+            FROM pair WHERE n_rare > 0
+            GROUP BY doc_id ORDER BY doc_id"""))
 
   // ---------------------------------------- repeated spans (exact substring)
   /** Maximal repeated token spans — the core of exact-substring dedup
@@ -1769,34 +1837,34 @@ object Dedup {
     * corpus owner's question ("which of my docs are contaminated") — same
     * evidence, opposite grouping, both needed by a release process.
     *
-    * Scale shape: identical to d09 — one shingle equi-join against the
-    * bounded eval side, then a (eval_doc, doc_id) pair agg feeding an
-    * eval-keyed rollup; output is eval-sized (structurally tiny) at any
-    * corpus scale. */
-  def evalLeakReport(docs: DataFrame, evalDocs: DataFrame, n: Int): DataFrame = {
-    val eval_ = hashedShingles(shingleSets(evalDocs, n))
-      .select(col("doc_id").as("eval_doc"), col("sh_h"))
-    val corpus = hashedShingles(shingleSets(docs, n))
-    corpus.join(eval_, Seq("sh_h"))
-      .groupBy("eval_doc", "doc_id")
-      .agg(count(lit(1)).as("n_shared"))
-      .groupBy("eval_doc")
+    * Scale shape: identical to d09 — the same [[cappedContamPairs]]
+    * bipartite df-capped kernel, rolled up the other way (eval-keyed);
+    * output is eval-sized (structurally tiny) at any corpus scale, and
+    * the pairing join is dfCap²-bounded per shingle even when the eval
+    * side is corpus-proportional (the shipped `%19` instantiation). */
+  def evalLeakReport(docs: DataFrame, evalDocs: DataFrame, n: Int,
+      dfCap: Int = ShingleDfCap): DataFrame = {
+    val cs = hashedShingles(shingleSets(docs, n)).localCheckpoint()
+    val es = hashedShingles(shingleSets(evalDocs, n))
+      .select(col("doc_id").as("eval_doc"), col("sh_h")).localCheckpoint()
+    leakRollup(cappedContamPairs(cs, es, dfCap))
+  }
+
+  /** d19's rollup over the pair kernel: eval-item grain. */
+  private def leakRollup(pairs: DataFrame): DataFrame =
+    pairs.groupBy("eval_doc")
       .agg(
         count(lit(1)).as("n_leaking_docs"),
         sum("n_shared").as("n_shared_ngrams"),
         max("n_shared").as("max_doc_overlap"))
       .orderBy("eval_doc")
-  }
 
   val evalLeak = Q(
     "d19_eval_leak_report",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      evalLeakReport(
-        docs.filter(col("doc_id") % 19 =!= 0),
-        docs.filter(col("doc_id") % 19 === 0), 5)
-    },
-    Some("""WITH toks AS (
+    (s, d) => leakRollup(contamSplitPairs(s, d, 5)),
+    // Cap mirrored exactly as in d09 (dfq + `n_rare > 0`) — see the d09
+    // oracle comment; d19 is the same pair table rolled up the other way.
+    Some(s"""WITH toks AS (
               SELECT doc_id, list_filter(
                 regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
               FROM documents),
@@ -1805,17 +1873,21 @@ object Dedup {
                 ('0x' || substr(md5(list_aggregate(ts[i:i+4], 'string_agg', ' ')), 1, 15))::BIGINT AS sh_h
               FROM toks, UNNEST(range(1, len(ts) - 3)) r(i)
               WHERE len(ts) >= 5),
+            dfq AS (SELECT sh_h, count(*) AS df FROM sh GROUP BY sh_h),
             eval AS (SELECT doc_id AS eval_doc, sh_h FROM sh WHERE doc_id % 19 = 0),
             corpus AS (SELECT * FROM sh WHERE doc_id % 19 <> 0),
             pair AS (
-              SELECT e.eval_doc, c.doc_id, count(*) AS n_shared
+              SELECT e.eval_doc, c.doc_id, count(*) AS n_shared,
+                sum(CASE WHEN f.df <= $ShingleDfCap THEN 1 ELSE 0 END) AS n_rare
               FROM corpus c JOIN eval e ON c.sh_h = e.sh_h
+                            JOIN dfq f ON f.sh_h = c.sh_h
               GROUP BY 1, 2)
             SELECT eval_doc,
               CAST(count(*) AS BIGINT) AS n_leaking_docs,
               CAST(sum(n_shared) AS BIGINT) AS n_shared_ngrams,
               CAST(max(n_shared) AS BIGINT) AS max_doc_overlap
-            FROM pair GROUP BY eval_doc ORDER BY eval_doc"""))
+            FROM pair WHERE n_rare > 0
+            GROUP BY eval_doc ORDER BY eval_doc"""))
 
   // ---------------------------------------------- cross-source duplication
   /** d20: the cross-source duplication matrix — for every pair of SOURCES,

@@ -247,8 +247,9 @@ object Pipeline {
     * shingle hash, same scoring pass, same matcher), so
     * the component oracles and this oracle cross-check each other.
     *
-    * Scale shape: the d09 leg is one shingle-keyed equi-join against the
-    * bounded eval shingle set; the d17 leg is SIZE-ADAPTIVE, mirroring
+    * Scale shape: the d09 leg rides the df-capped bipartite shingle
+    * kernel (cost bounded at any eval size and df distribution; the
+    * oracle mirrors the cap as d09's does); the d17 leg is SIZE-ADAPTIVE, mirroring
     * d17's own two paths — the map-only literal-inline scan while the
     * eval set fits the inline bound, switching to
     * [[Dedup.embeddingDecontaminateBucketed]] (cell-bucketed exact join,
@@ -305,7 +306,7 @@ object Pipeline {
   val audit = Q(
     "p03_release_audit",
     (s, d) => releaseAudit(s, d),
-    Some("""WITH toks AS (
+    Some(s"""WITH toks AS (
               SELECT doc_id, list_filter(
                 regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
               FROM documents),
@@ -316,9 +317,16 @@ object Pipeline {
               WHERE len(ts) >= 5),
             evs AS (SELECT doc_id AS eval_doc, sh_h FROM sh WHERE doc_id < 25),
             csh AS (SELECT * FROM sh WHERE doc_id >= 25),
+            dfq AS (SELECT sh_h, count(*) AS df FROM sh GROUP BY sh_h),
+            tokpair AS (
+              SELECT c.doc_id, e.eval_doc, count(*) AS n_shared,
+                sum(CASE WHEN f.df <= ${Dedup.ShingleDfCap} THEN 1 ELSE 0 END) AS n_rare
+              FROM csh c JOIN evs e ON e.sh_h = c.sh_h
+                         JOIN dfq f ON f.sh_h = c.sh_h
+              GROUP BY 1, 2),
             tok AS (
-              SELECT c.doc_id, CAST(count(*) AS BIGINT) AS token_ngrams
-              FROM csh c JOIN evs e ON c.sh_h = e.sh_h GROUP BY c.doc_id),
+              SELECT doc_id, CAST(sum(n_shared) AS BIGINT) AS token_ngrams
+              FROM tokpair WHERE n_rare > 0 GROUP BY doc_id),
             ev AS (SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS ee
                    FROM embeddings WHERE vec_id < 25),
             cv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
@@ -329,7 +337,7 @@ object Pipeline {
               FROM cv CROSS JOIN ev GROUP BY vec_id),
             scrub AS (
               SELECT doc_id,
-                CAST(len(regexp_extract_all(text, '\b(customer|supplier|order)\b')) AS BIGINT) AS n_hits
+                CAST(len(regexp_extract_all(text, '\\b(customer|supplier|order)\\b')) AS BIGINT) AS n_hits
               FROM documents WHERE doc_id >= 25),
             m AS (
               SELECT s.doc_id,

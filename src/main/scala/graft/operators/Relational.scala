@@ -1253,18 +1253,20 @@ object Relational {
     * the path string is the group key; the final (n_sessions DESC, path)
     * sort is total, so LIMIT 25 is stable in both engines.
     *
-    * Scale shape: q12's ONE user-keyed window shuffle, a (user, session)
-    * aggregate whose per-group state is one session's events (the bound
-    * q12/q32 already carry; the ≤8 slice keeps the OUTPUT constant), a
+    * Scale shape: q12's ONE user-keyed window shuffle (the session pass
+    * and the within-session row_number share it — hash(user_id)
+    * satisfies the (user_id, session_id) clustering, so no second
+    * exchange), a (user, session) aggregate whose per-group state is ≤8
+    * structs (the rn≤8 gate runs BEFORE collect, so even a gap-free
+    * bot mega-session stays O(1) state; n_events is a plain count), a
     * path-keyed aggregate with map-side partials, and the 1-row total
     * attached by bounded crossJoin (q38's allowlisted shape). Output is
     * 25 rows at any corpus size. */
-  val q42 = Q(
-    "q42_session_paths",
-    (s, d) => {
+  def sessionPaths(events: org.apache.spark.sql.DataFrame,
+      maxPathLen: Int = 8, topK: Int = 25): org.apache.spark.sql.DataFrame = {
       import org.apache.spark.sql.expressions.Window
       val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val sess = Tables.events(s, d)
+      val sess = events
         .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
         .withColumn("prev_ts", lag("ts", 1).over(byUser))
         .withColumn("new_session",
@@ -1273,11 +1275,23 @@ object Relational {
             .otherwise(0L))
         .withColumn("session_id", sum("new_session").over(
           byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      val paths = sess.groupBy("user_id", "session_id")
+      // Rank within the session BEFORE collecting, so the aggregation
+      // buffer holds ≤8 structs per session instead of the whole session:
+      // the one session shape that breaks the 30-minute-gap bound — a bot
+      // that never pauses — is precisely the one this query exists to
+      // surface, so the per-group state must not scale with session
+      // length. The rn window re-uses the user-keyed shuffle (hash
+      // partitioning on user_id satisfies the (user_id, session_id)
+      // clustering requirement — no second exchange, one extra local
+      // sort); collect_list drops the null that `when` leaves for rn > 8.
+      val ranked = sess.withColumn("rn", row_number().over(
+        Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")))
+      val paths = ranked.groupBy("user_id", "session_id")
         .agg(
-          concat_ws(">", slice(transform(
-            array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
-            e => e.getField("event_type")), 1, 8)).as("path"),
+          concat_ws(">", transform(
+            array_sort(collect_list(when(col("rn") <= maxPathLen,
+              struct(col("ts"), col("event_id"), col("event_type"))))),
+            e => e.getField("event_type"))).as("path"),
           count(lit(1)).as("n_events"))
       val byPath = paths.groupBy("path").agg(
         count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
@@ -1285,8 +1299,12 @@ object Relational {
         .select(col("path"), col("n_sessions"), col("n_events"),
           round(col("n_sessions").cast("double") / col("n_total").cast("double"), 6)
             .as("session_share"))
-        .orderBy(desc("n_sessions"), col("path")).limit(25)
-    },
+        .orderBy(desc("n_sessions"), col("path")).limit(topK)
+  }
+
+  val q42 = Q(
+    "q42_session_paths",
+    (s, d) => sessionPaths(Tables.events(s, d)),
     Some("""WITH g AS (
               SELECT user_id, ts, event_id, event_type,
                 CASE WHEN lag(ts) OVER w IS NULL

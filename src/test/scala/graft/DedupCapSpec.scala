@@ -166,4 +166,62 @@ class DedupCapSpec extends SparkSpec {
     assert(!cands.contains((0L, 1L)), "hot-only pair leaked through the cap")
     assert(cands.contains((100L, 101L)), "rare-shingle pair wrongly pruned")
   }
+
+  test("capped d09/d19 ≡ uncapped on the sf0.001 corpus (shipped cap)") {
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 19 =!= 0)
+    val evalD = docs.filter(col("doc_id") % 19 === 0)
+    val n = docs.count().toInt + 1
+    val un09 = Dedup.decontaminate(corpus, evalD, 5, dfCap = n).collect().toSeq
+    val cp09 = Dedup.decontaminate(corpus, evalD, 5).collect().toSeq
+    assert(cp09 == un09, s"d09 capped=${cp09.size} rows, uncapped=${un09.size} rows")
+    assert(un09.nonEmpty, "vacuous equivalence: no contamination rows at sf0.001")
+    val un19 = Dedup.evalLeakReport(corpus, evalD, 5, dfCap = n).collect().toSeq
+    val cp19 = Dedup.evalLeakReport(corpus, evalD, 5).collect().toSeq
+    assert(cp19 == un19, s"d19 capped=${cp19.size} rows, uncapped=${un19.size} rows")
+    assert(un19.nonEmpty, "vacuous equivalence: no leak-report rows at sf0.001")
+  }
+
+  test("d09/d19 boilerplate corpus: cap kills corpus×eval fan-out, keeps real contamination exact") {
+    import spark.implicits._
+    // Every doc carries the same boilerplate sentence (its 5-gram shingles
+    // go hot at df = 60 > cap = 4); eval slice = doc_id % 19 == 0 (the
+    // shipped d09/d19 split), and corpus doc 20 is an exact copy of eval
+    // doc 19 — the one REAL contamination. Capped d09 must emit exactly
+    // doc 20, with n_shared_ngrams counting the hot boilerplate shingles
+    // too (recovered from the hot arrays) — the uncapped pair's exact
+    // mass — while every boilerplate-only corpus×eval pair (the
+    // df_corpus·df_eval detonator) is gone.
+    val boiler = "all rights reserved the template page body repeats verbatim"
+    val rarePassage = "zebra quark nebula vortex lattice prism glyph"
+    val docs = (0L until 60L).map { i =>
+      val extra =
+        if (i == 19L || i == 20L) s" $rarePassage"
+        else s" unique$i filler$i words$i more$i stuff$i"
+      (i, s"$boiler$extra")
+    }.toDF("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 19 =!= 0)
+    val evalD = docs.filter(col("doc_id") % 19 === 0)
+    val cp09 = Dedup.decontaminate(corpus, evalD, 5, dfCap = 4).collect()
+    assert(cp09.map(_.getLong(0)).toSeq == Seq(20L),
+      s"capped corpus set = ${cp09.map(_.getLong(0)).toSeq}, want Seq(20)")
+    val row = cp09.head
+    assert(row.getLong(1) == 1L, s"n_eval_docs = ${row.getLong(1)}")
+    // Exact hot-mass recovery: docs 19/20 are identical, so the shared
+    // mass must equal the doc's FULL distinct 5-gram count — including
+    // the boilerplate shingles the cap kept out of the pairing join.
+    val allShingles = Dedup.hashedShingles(
+      Dedup.shingleSets(Seq((20L, s"$boiler $rarePassage"))
+        .toDF("doc_id", "text"), 5)).count()
+    assert(row.getLong(2) == allShingles,
+      s"n_shared_ngrams capped=${row.getLong(2)}, full shingle count=$allShingles")
+    assert(row.getLong(2) > 3L, "leak pair should share rare AND hot shingles")
+    // d19 reads the same pair table the other way: exactly eval doc 19,
+    // one leaking doc, the same exact mass.
+    val cp19 = Dedup.evalLeakReport(corpus, evalD, 5, dfCap = 4).collect()
+    assert(cp19.map(_.getLong(0)).toSeq == Seq(19L),
+      s"capped eval set = ${cp19.map(_.getLong(0)).toSeq}, want Seq(19)")
+    assert(cp19.head.getLong(1) == 1L && cp19.head.getLong(2) == allShingles &&
+      cp19.head.getLong(3) == allShingles, s"wrong d19 row: ${cp19.head}")
+  }
 }

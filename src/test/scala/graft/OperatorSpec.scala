@@ -254,6 +254,29 @@ class OperatorSpec extends SparkSpec {
       ("view>view>view>view>view>view>view>view", 1L, 10L, 0.333333)), got.toString)
   }
 
+  test("q42 mega-session: a gap-free 10^5-event bot session stays O(1) state and exact") {
+    import spark.implicits._
+    // One user firing every second for 10^5 events — never a 30-minute
+    // gap, so sessionization CANNOT split it: the exact shape the rn≤8
+    // pre-collect gate exists for (the aggregation buffer holds ≤8
+    // structs, not the whole session). The run must both complete and be
+    // exact: one path row = the first 8 event types in (ts, event_id)
+    // order, n_events = the full session length.
+    val n = 100000L
+    val types = Seq("view", "click", "purchase", "error")
+    val ev = spark.range(0, n)
+      .select(
+        col("id").as("event_id"),
+        lit(7L).as("user_id"),
+        element_at(typedLit(types), (col("id") % 4 + 1).cast("int")).as("event_type"),
+        expr("timestamp_micros(id * 1000000)").as("ts"))
+    val got = Relational.sessionPaths(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq(
+      ("view>click>purchase>error>view>click>purchase>error", 1L, n, 1.0)),
+      got.toString)
+  }
+
   test("t38 sentence profile: planted docs score exact sentence stats; empty text is NULL-safe") {
     import spark.implicits._
     val runOn = Seq.fill(41)("w").mkString(" ")
