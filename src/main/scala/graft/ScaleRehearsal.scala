@@ -404,11 +404,13 @@ object ScaleRehearsal {
       "q07_window_top_orders", "q08_distinct_parts_per_flag",
       "q09_semi_anti_join", "q10_rollup_order_status",
       "q15_approx_distinct",
-      // q43: the IVM refresh — the claim is delta-proportional update
-      // cost; at k× facts the delta is k× too, but the merge stays
-      // #groups-sized (the full-recompute oracle is the k×-scan
-      // baseline it beats in production, where resident state is read,
-      // not recomputed).
+      // q43 HERE is the FULL-RECOMPUTE BASELINE: the registered query
+      // recomputes the resident leg from lineitem (so the oracle can
+      // hash-check it self-contained), hence this row grows ~k× BY
+      // CONSTRUCTION. The refresh claim itself — resident state read
+      // from storage, one delta scan + #groups merge — is measured by
+      // the dedicated q43_refresh row after this table (resident k×,
+      // delta pinned, expected flat).
       "q43_incremental_agg")
     if (only.isEmpty || only("tpch_axis") || thNames.exists(only)) {
       val tDir = s"$outDir/tpch_axis"
@@ -435,6 +437,47 @@ object ScaleRehearsal {
       }
       (if (only.isEmpty || only("tpch_axis")) thNames
        else thNames.filter(only)).foreach(thRow)
+
+      // q43's REFRESH path, benched as deployed (the thRow above is the
+      // self-contained full-recompute form — it rescans the resident leg
+      // by construction, so its k× ratio is a recompute baseline, not
+      // the refresh claim). Here the resident partial state is
+      // materialized to parquet UNTIMED (production reads it from
+      // storage), the delta is pinned to the 1× slice, and the timed
+      // path is Relational.refreshFromState: one delta scan + a
+      // #groups merge. Resident 1× → k× with the SAME delta must be
+      // ~flat — that is the resident-independence the q43 scaladoc
+      // claims, now measured instead of inferred.
+      if (only.isEmpty || only("tpch_axis") || only("q43_incremental_agg")) {
+        import graft.sources.Tables
+        def buildState(dir: String, out: String): Unit = {
+          val li = Tables.lineitem(spark, dir)
+          val split = li.agg(max("l_orderkey")).head().getLong(0) * 4 / 5
+          li.filter(col("l_orderkey") < split)
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(sum(floor(col("l_quantity") * 100 + 0.5).cast("long")).as("qc"),
+              count(lit(1)).as("c"))
+            .write.mode("overwrite").parquet(out)
+        }
+        val li1 = Tables.lineitem(spark, sfDir)
+        val split1 = li1.agg(max("l_orderkey")).head().getLong(0) * 4 / 5
+        val delta1 = li1.filter(col("l_orderkey") >= split1).localCheckpoint()
+        val nDelta = delta1.count()
+        buildState(sfDir, s"$tDir/state_1x")
+        buildState(tDir, s"$tDir/state_${k}x")
+        def refreshOnce(statePath: String): Double = {
+          spark.catalog.clearCache(); System.gc()
+          val t0 = System.nanoTime()
+          graft.operators.Relational.refreshFromState(
+            spark.read.parquet(statePath), delta1).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        def minOf2(p: String): Double = math.min(refreshOnce(p), refreshOnce(p))
+        val t1 = minOf2(s"$tDir/state_1x")
+        val tK = minOf2(s"$tDir/state_${k}x")
+        println(f"[scale] q43_refresh(delta+merge)  $t1%8.2f $nDelta%8d $tK%8.2f $nDelta%9d ${tK / t1}%5.1fx" +
+          f"  (resident 1x -> ${k}x, delta pinned; flat = resident-independent)")
+      }
     }
 
     // ------------------------- events axis: the relational-event family

@@ -683,6 +683,19 @@ object Multimodal {
     * slower scan. */
   val MaxInlineEval: Int = 1 << 20
 
+  /** PLAN-SIZE ceiling for the UNROLLED variant specifically: past this,
+    * [[mediaDecontaminate]] silently switches to the packed-array plan
+    * ([[mediaDecontaminateArray]]'s shape, spec-asserted row-identical).
+    * The unrolled plan builds one xor+bit_count expression node per eval
+    * item, so |eval| near [[MaxInlineEval]] would mean a ~10⁶-node
+    * expression tree — Catalyst analysis and Janino compilation break
+    * long before the 8 MiB collect does (the 100× rehearsal measured the
+    * fallback cliff at 26k nodes: 5.42 s vs 0.67 s packed). 2¹⁴ keeps
+    * the unrolled plan comfortably inside whole-stage codegen's method
+    * limits while benchmark-sized eval sets still get the fully-unrolled
+    * fastest path. */
+  val MaxUnrolledEval: Int = 1 << 14
+
   /** The all-keep manifest: every non-eval record unflagged, min_hamming
     * NULL — what decontamination against ZERO eval items means (an empty
     * daily slice / a release with no benchmark media yet), rather than a
@@ -694,7 +707,8 @@ object Multimodal {
       .orderBy("doc_id")
 
   def mediaDecontaminate(media: Dataset[MediaRecord], maxDist: Int,
-      inlineEvalBound: Int = MaxInlineEval): DataFrame = {
+      inlineEvalBound: Int = MaxInlineEval,
+      maxUnrolledEval: Int = MaxUnrolledEval): DataFrame = {
     val sigs = mediaSignatures(media).localCheckpoint()
     val evalSigs = sigs.filter(col("doc_id") % 19 === 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
@@ -702,9 +716,25 @@ object Multimodal {
       s"mediaDecontaminate: ${evalSigs.length} eval signatures exceed the " +
         s"inline bound $inlineEvalBound (see MaxInlineEval)")
     if (evalSigs.isEmpty) return noEvalManifest(sigs)
-    val hams = array(evalSigs.map { case (_, ph) =>
-      bit_count(col("ph").bitwiseXOR(lit(ph))).cast("long")
-    }.toIndexedSeq: _*)
+    // Unrolled per-item expressions only while the PLAN stays small
+    // (see MaxUnrolledEval); above that, the same arithmetic rides one
+    // packed array literal — per-row work identical, plan size O(1).
+    val hams =
+      if (evalSigs.length <= maxUnrolledEval)
+        array(evalSigs.map { case (_, ph) =>
+          bit_count(col("ph").bitwiseXOR(lit(ph))).cast("long")
+        }.toIndexedSeq: _*)
+      else
+        transform(typedLit(evalSigs.map(_._2).toIndexedSeq),
+          e => bit_count(col("ph").bitwiseXOR(e)).cast("long"))
+    manifestFromHams(sigs, hams, maxDist)
+  }
+
+  /** The shared manifest tail of both decontaminate variants: per
+    * non-eval record, min Hamming / within-radius count / flag over the
+    * per-row `hams` array. */
+  private def manifestFromHams(sigs: DataFrame,
+      hams: org.apache.spark.sql.Column, maxDist: Int): DataFrame =
     sigs.filter(col("doc_id") % 19 =!= 0)
       .select(col("doc_id"), hams.as("hams"))
       .select(
@@ -714,7 +744,6 @@ object Multimodal {
           h => h <= lit(maxDist.toLong))).cast("long").as("n_eval_matches"))
       .withColumn("flagged", col("min_hamming") <= maxDist)
       .orderBy("doc_id")
-  }
 
   /** The array-literal variant of [[mediaDecontaminate]] — same output,
     * different compilation story. The inline path unrolls one
@@ -748,15 +777,7 @@ object Multimodal {
     if (evalSigs.isEmpty) return noEvalManifest(sigs)
     val evalArr = typedLit(evalSigs.toIndexedSeq)
     val hams = transform(evalArr, e => bit_count(col("ph").bitwiseXOR(e)).cast("long"))
-    sigs.filter(col("doc_id") % 19 =!= 0)
-      .select(col("doc_id"), hams.as("hams"))
-      .select(
-        col("doc_id"),
-        array_min(col("hams")).as("min_hamming"),
-        size(filter(col("hams"),
-          h => h <= lit(maxDist.toLong))).cast("long").as("n_eval_matches"))
-      .withColumn("flagged", col("min_hamming") <= maxDist)
-      .orderBy("doc_id")
+    manifestFromHams(sigs, hams, maxDist)
   }
 
   val mediaDecontam = Q(

@@ -1202,7 +1202,11 @@ object Similarity {
     * of being quantized twice. */
   def kmeansCentroidsFromQuant(q: DataFrame, k: Int,
       iters: Int): Seq[(Long, Seq[Long])] = {
-    var cents: Seq[(Long, Seq[Long])] = q.filter(col("vec_id") < k)
+    // Seeds = the TRUE k lowest vec_ids (TakeOrdered — a k-row collect at
+    // any corpus size), not a `vec_id < k` literal: the table carries no
+    // dense-0-based id contract, and a corpus whose minimum vec_id is ≥ k
+    // must still seed k centroids rather than silently train none.
+    var cents: Seq[(Long, Seq[Long])] = q.orderBy("vec_id").limit(k)
       .select(col("vec_id"), col("qe")).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
     if (cents.isEmpty) return Nil
@@ -1311,7 +1315,7 @@ object Similarity {
                 list_transform(embedding,
                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS qe
               FROM embeddings),
-            c0 AS (SELECT vec_id AS c, qe FROM q WHERE vec_id < 8),
+            c0 AS (SELECT vec_id AS c, qe FROM q ORDER BY vec_id LIMIT 8),
             ${kmeansIterSql(1)},
             ${kmeansIterSql(2)},
             ${kmeansIterSql(3)},

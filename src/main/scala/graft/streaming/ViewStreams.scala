@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -15,11 +16,21 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * states are centi-unit BIGINTs, so the merge is ASSOCIATIVE and any
   * micro-batch slicing of the input converges to the full recompute —
   * the spec streams the same rows in different batchings and asserts
-  * the final state equals the one-shot aggregate row-for-row. Same
-  * exactly-once caveat as [[VectorStreams.appendToIndex]], stated not
-  * hidden: a crash between the state overwrite and the checkpoint
-  * advance replays one batch, which a production run absorbs with a
-  * transactional table format (or a batch-id column in the state).
+  * the final state equals the one-shot aggregate row-for-row.
+  *
+  * Durability is generation-numbered, not overwrite-in-place: each
+  * refresh writes a NEW state directory `gen=<batchId>` and the commit
+  * point is that write's `_SUCCESS` marker (a single atomic file
+  * create), so the previous committed state is never touched while the
+  * next one is being produced. A crash mid-write leaves an uncommitted
+  * generation that readers ignore and the replay overwrites; a crash
+  * AFTER the commit but before the stream checkpoint advances replays
+  * the batch into [[mergeBatch]], which sees a committed generation at
+  * ≥ that batch id and SKIPS — the merge is idempotent under
+  * exactly-once's at-least-once reality (the batch-id-in-state design
+  * [[VectorStreams.appendToIndex]] documents as the production fix,
+  * implemented). Old generations are pruned only after the new commit,
+  * so there is no moment with zero durable copies.
   */
 object ViewStreams {
 
@@ -51,41 +62,73 @@ object ViewStreams {
         (coalesce(col("aq"), lit(0L)) + coalesce(col("bq"), lit(0L))).as("qc"),
         (coalesce(col("ac"), lit(0L)) + coalesce(col("bc"), lit(0L))).as("c"))
 
-  /** Start the maintenance loop: per micro-batch, aggregate the batch,
-    * merge into the persisted state at `statePath`, overwrite. The
-    * `localCheckpoint` before the overwrite materializes the merged
-    * state off the files being replaced (Spark cannot overwrite a path
-    * an unmaterialized plan still reads). */
+  /** Committed state generations under `root`: `gen=<id>` directories
+    * whose parquet commit marker exists. A half-written generation (crash
+    * mid-write) has no `_SUCCESS` and is invisible here — that is the
+    * atomicity argument, so this listing IS the state-resolution rule. */
+  private def committedGens(fs: FileSystem, root: Path): Seq[(Long, Path)] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen="))
+      .flatMap { s =>
+        s.getPath.getName.stripPrefix("gen=").toLongOption.map(_ -> s.getPath)
+      }
+      .filter { case (_, p) => fs.exists(new Path(p, "_SUCCESS")) }
+      .sortBy(_._1)
+
+  /** Merge one micro-batch into the generation-numbered state at
+    * `statePath` — the `foreachBatch` body, factored out so the replay
+    * contract is directly testable. Idempotent by construction: a
+    * committed generation with id ≥ `batchId` means this batch (or a
+    * later one) is already folded in, and the call is a no-op — running
+    * the same batch twice cannot double-count. */
+  def mergeBatch(spark: SparkSession, batch: DataFrame, statePath: String,
+      batchId: Long): Unit = {
+    val root = new Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens = committedGens(fs, root)
+    if (gens.exists(_._1 >= batchId)) return
+    val delta = partialState(batch)
+    val prev = gens.lastOption match {
+      case Some((_, p)) => spark.read.parquet(p.toString)
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], delta.schema)
+    }
+    // New generation first (overwrite clears any uncommitted debris from
+    // a crashed attempt of the SAME batch), prune predecessors after the
+    // commit — a crash between the two leaves an extra committed
+    // generation, which readers resolve by max-id and the next batch
+    // prunes.
+    merge(prev, delta)
+      .write.mode("overwrite").parquet(new Path(root, s"gen=$batchId").toString)
+    gens.foreach { case (_, p) => fs.delete(p, true) }
+  }
+
+  /** Start the maintenance loop: per micro-batch, aggregate the batch and
+    * fold it into the committed state via [[mergeBatch]]. */
   def maintainPricingView(stream: DataFrame, statePath: String,
       checkpoint: String): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          val delta = partialState(batch.toDF())
-          // First-batch detection is an explicit existence check, NOT a
-          // catch-all: a corrupt or half-written state file (the
-          // documented crash window) must FAIL the batch loudly, never
-          // silently reset the view to this batch's rows.
-          val path = new org.apache.hadoop.fs.Path(statePath)
-          val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val prev =
-            if (fs.exists(path)) spark.read.parquet(statePath)
-            else spark.createDataFrame(
-              spark.sparkContext.emptyRDD[Row], delta.schema)
-          merge(prev, delta).localCheckpoint()
-            .write.mode("overwrite").parquet(statePath)
-        }
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          mergeBatch(batch.sparkSession, batch.toDF(), statePath, batchId)
       }
       .start()
 
   /** Read the maintained view in q43's output shape (sans the
-    * delta-attribution column, which is per-refresh bookkeeping). */
-  def pricingView(spark: SparkSession, statePath: String): DataFrame =
-    spark.read.parquet(statePath)
+    * delta-attribution column, which is per-refresh bookkeeping) from the
+    * newest COMMITTED generation. */
+  def pricingView(spark: SparkSession, statePath: String): DataFrame = {
+    val root = new Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val latest = committedGens(fs, root).lastOption.getOrElse(
+      throw new IllegalStateException(
+        s"no committed state generation under $statePath"))
+    spark.read.parquet(latest._2.toString)
       .select(col("l_returnflag"), col("l_linestatus"),
         round(col("qc").cast("double") / 100.0, 2).as("sum_qty"),
         col("c").as("count_rows"))
       .orderBy("l_returnflag", "l_linestatus")
+  }
 }

@@ -1729,6 +1729,11 @@ class OperatorSpec extends SparkSpec {
     val arr = rows(Multimodal.mediaDecontaminateArray(media, 14))
     assert(arr == inline, s"variant drift: ${arr.size} vs ${inline.size} rows")
     assert(inline.exists(_._4) && inline.exists(!_._4), "degenerate fixture")
+    // The plan-size gate: maxUnrolledEval = 0 forces mediaDecontaminate
+    // onto the packed-array plan at this eval size — rows must not move.
+    val packed = rows(Multimodal.mediaDecontaminate(media, 14,
+      maxUnrolledEval = 0))
+    assert(packed == inline, "plan-size fallback drifted from the unrolled plan")
   }
 
   test("d24 fully-mirrored feed: zero surviving representatives → inflation NULL, not a crash") {
@@ -2047,6 +2052,18 @@ class OperatorSpec extends SparkSpec {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], e.schema)
     assert(Similarity.kmeansCartography(empty, k = 3, iters = 3).count() == 0)
+    // Seeds are the k LOWEST vec_ids, not `vec_id < k`: a corpus whose
+    // minimum id is ≥ k must still train k centroids (keyed by those real
+    // ids) and cluster identically to the dense-id corpus.
+    val shifted = Seq(
+      (100L, v(10, 0, 0), 0), (101L, v(0, 10, 0), 1), (102L, v(0, 0, 10), 2),
+      (103L, v(9, 1, 0), 0), (104L, v(8, 0, 1), 0),
+      (105L, v(1, 9, 0), 1), (106L, v(0, 8, 1), 1), (107L, v(1, 0, 9), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val sh = Similarity.kmeansCartography(shifted, k = 3, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(4)))
+    assert(sh.toSeq == Seq((100L, 3L, 0L, 1.0), (101L, 3L, 1L, 1.0), (102L, 2L, 2L, 1.0)),
+      s"shifted-id corpus failed to seed: ${sh.toSeq}")
   }
 
   test("p12 budget fill equals the driver-side greedy prefix per source, never overshoots") {

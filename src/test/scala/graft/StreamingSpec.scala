@@ -437,6 +437,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("view maintenance replay: re-running a committed batch is a no-op (idempotent merge)") {
+    import java.nio.file.Files
+    import graft.streaming.ViewStreams
+    import graft.sources.Tables
+    // The crash-after-commit window: foreachBatch committed generation N
+    // but the stream checkpoint did not advance, so the engine re-delivers
+    // batch N. mergeBatch must recognize the committed generation and
+    // skip — state unchanged — for the replayed batch AND for any older
+    // batch id (a restart can re-deliver from further back).
+    val li = Tables.lineitem(spark, sf)
+    val base = Files.createTempDirectory("graft-view-replay").toString
+    val state = s"$base/state"
+    val b0 = li.filter(col("l_orderkey") % 2 === 0)
+    val b1 = li.filter(col("l_orderkey") % 2 =!= 0)
+    ViewStreams.mergeBatch(spark, b0, state, 0L)
+    ViewStreams.mergeBatch(spark, b1, state, 1L)
+    val once = ViewStreams.pricingView(spark, state)
+      .collect().map(_.toString).toSeq
+    ViewStreams.mergeBatch(spark, b1, state, 1L)
+    ViewStreams.mergeBatch(spark, b0, state, 0L)
+    val replayed = ViewStreams.pricingView(spark, state)
+      .collect().map(_.toString).toSeq
+    assert(replayed == once, "replayed batch was double-merged into the view")
+    // And the twice-replayed state still equals the one-shot recompute.
+    val recompute = li.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum(floor(col("l_quantity") * 100 + 0.5).cast("long"))
+          .cast("double") / 100.0, 2).as("sum_qty"),
+        count(lit(1)).as("count_rows"))
+      .orderBy("l_returnflag", "l_linestatus")
+      .collect().map(_.toString).toSeq
+    assert(replayed == recompute, "replayed state drifted from the recompute")
+  }
+
   test("streaming daily HLL == batch HLL bit-for-bit (merge order-independence)") {
     val stream = EventStreams.readEventStream(spark, sf)
     val q = EventStreams.runToMemory(
