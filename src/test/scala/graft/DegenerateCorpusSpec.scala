@@ -91,8 +91,19 @@ class DegenerateCorpusSpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  private lazy val oneDocDir = writeCorpus("onedoc", Seq(
+    Row(7L, "a single document rides the entire inventory alone today", "en",
+      "srcA", 57L)))
+
   test("every document-family query survives a zero-row corpus") {
     runAll(emptyDir, "EMPTY")
+  }
+
+  test("every document-family query survives a one-document corpus") {
+    // The smallest non-empty corpus: no pairs for any dedup join, no
+    // second doc for any ratio denominator, a single media payload for
+    // the m-family — every query must still plan and execute.
+    runAll(oneDocDir, "ONE-DOC")
   }
 
   test("every document-family query survives empty/whitespace/1-token docs") {
@@ -109,5 +120,16 @@ class DegenerateCorpusSpec extends SparkSpec {
     assert(groups.length == 3, s"expected 3 groups, got ${groups.length}")
     assert(groups.head == (1L, 40L),
       s"clone cluster should collapse to (keep_id 1, n_dups 40), got ${groups.head}")
+    // m12's clique path on the media axis: 40 byte-identical payloads are
+    // ONE signature with multiplicity 40 — the signature-grain
+    // pre-collapse must emit a single clique cluster (rep = min doc_id 1,
+    // all 780 pairwise edges at Hamming 0) rather than 780 pair rows
+    // through the band join.
+    val cliques = SparkEntry.queries("m12_media_neardup_clusters")(spark, cloneDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val clone = cliques.find(_._1 == 1L)
+    assert(clone.nonEmpty, s"no cluster with rep 1 in $cliques")
+    assert(clone.get._2 >= 40L && clone.get._3 >= 780L,
+      s"clone clique not collapsed at signature grain: ${clone.get}")
   }
 }

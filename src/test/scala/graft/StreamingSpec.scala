@@ -437,6 +437,65 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("empty FIRST micro-batch: view maintenance and index ingest pass through, then data lands") {
+    import java.nio.file.Files
+    import graft.streaming.{VectorStreams, ViewStreams}
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    // Day-one deployment where the first staged file is EMPTY (a source
+    // feed that shipped nothing): the maintenance loop must not mint
+    // state from it — and reading the view before any real batch must
+    // refuse loudly, not fabricate an empty table — while the first REAL
+    // batch still seeds the view normally.
+    val li = Tables.lineitem(spark, sf)
+    val base = Files.createTempDirectory("graft-empty-first").toString
+    li.limit(0).coalesce(1).write.mode("overwrite").parquet(s"$base/arrivals")
+    val q = ViewStreams.maintainPricingView(
+      ViewStreams.readLineitemStream(spark, s"$base/arrivals", li),
+      s"$base/state", s"$base/ckpt")
+    try {
+      q.processAllAvailable()
+      intercept[IllegalStateException](
+        ViewStreams.pricingView(spark, s"$base/state").collect())
+      li.coalesce(1).write.mode("append").parquet(s"$base/arrivals")
+      q.processAllAvailable()
+    } finally q.stop()
+    val maintained = ViewStreams.pricingView(spark, s"$base/state")
+      .collect().map(_.toString).toSeq
+    val recompute = li.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum(floor(col("l_quantity") * 100 + 0.5).cast("long"))
+          .cast("double") / 100.0, 2).as("sum_qty"),
+        count(lit(1)).as("count_rows"))
+      .orderBy("l_returnflag", "l_linestatus")
+      .collect().map(_.toString).toSeq
+    assert(maintained == recompute,
+      "view seeded from an empty-first-batch stream drifted from the recompute")
+    // Same shape for the vector ingest: an empty first arrival file must
+    // leave the persisted IVF index byte-identical, and the real batch
+    // must still append every vector exactly once.
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val split = e.agg(max("vec_id")).head().getLong(0) * 4 / 5
+    val idx = s"$base/index"
+    Similarity.ivfWriteIndexOf(spark, e.filter(col("vec_id") < split), idx,
+      nCells = 8, kmeansIters = 2)
+    val before = spark.read.parquet(idx).count()
+    e.limit(0).coalesce(1).write.mode("overwrite").parquet(s"$base/varrivals")
+    val q2 = VectorStreams.appendToIndex(
+      VectorStreams.readVectorStream(spark, s"$base/varrivals", e),
+      idx, s"$base/vckpt")
+    try {
+      q2.processAllAvailable()
+      assert(spark.read.parquet(idx).count() == before,
+        "empty first micro-batch mutated the index")
+      e.filter(col("vec_id") >= split).coalesce(1)
+        .write.mode("append").parquet(s"$base/varrivals")
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.read.parquet(idx).count() == e.count(),
+      "real batch after the empty one failed to append")
+  }
+
   test("view maintenance replay: re-running a committed batch is a no-op (idempotent merge)") {
     import java.nio.file.Files
     import graft.streaming.ViewStreams
