@@ -259,5 +259,15 @@ object SkewRehearsal {
       operators.Dedup.evalLeakReport(corpusSide, evalBase, 5).count())
     println(f"[skew] d09_bounded_eval_boiler          ${tD09}%8.2f s (rows $r09)")
     println(f"[skew] d19_bounded_eval_boiler          ${tD19}%8.2f s (rows $r19)")
+    // Round-12: the SHIPPED %19-slice query form itself, now riding the
+    // df-capped bipartite kernel — the exact shape the accounting above
+    // prices at ~1e9 uncapped pair rows EXECUTES here, and must land in
+    // the capped-dedup band (d21's boiler row), not detonate.
+    Seq("d09_decontaminate", "d19_eval_leak_report").foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val (t1, _) = minOf2(fn(spark, sfDir).count())
+      val (tB, rB) = minOf2(fn(spark, s"$outDir/boiler").count())
+      println(f"[skew] ${name + "_boiler_shipped"}%-30s $t1%7.2f ${tB}%8.2f ${tB / t1}%6.1fx (rows $rB)")
+    }
   }
 }
