@@ -289,8 +289,17 @@ object ScaleRehearsal {
       "d28_boilerplate_drift",
       // p13 composes d01's fingerprint window + d28's vocabulary
       // aggregate + s16's dim aggregate into three 1-row legs — output
-      // one row at any scale.
-      "p13_ingest_audit")
+      // one row at any scale. d01 itself is in the wave so the
+      // composition check (p13 ≈ d01 + d28 + s16 + ε — legs SUM, they
+      // don't multiply) can be read off one session's rows.
+      "p13_ingest_audit", "d01_dedup_exact",
+      // d29's chunking is one typed flatMap (no per-token shuffle);
+      // ownership is an associative min-struct aggregate over chunk
+      // keys (vocabulary-keyed — the tagged copies grow the chunk
+      // vocabulary k×, d23's adversarial axis) and the mark-kept join
+      // is 1:1 per occurrence, so no df cap is needed: a corpus-hot
+      // chunk collapses map-side instead of pairing quadratically.
+      "d29_cdc_dedup")
     def timeQuery(name: String, dir: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
       def once(): (Double, Long) = {

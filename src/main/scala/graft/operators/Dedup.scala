@@ -2592,10 +2592,153 @@ object Dedup {
               emerging
             FROM d28_rows ORDER BY delta_df DESC, sh_h"""))
 
+  // -------------------------- content-defined chunk dedup (d29)
+  /** d29: cross-document CONTENT-DEFINED chunk dedup — d13's edit
+    * semantics (corpus-first occurrence keeps, every later occurrence
+    * drops, documents reassembled from survivors) with the one change
+    * that matters for near-duplicate corpora: chunk boundaries are
+    * CONTENT-DEFINED (a chunk closes after any token whose 60-bit md5
+    * hash ≡ 0 mod `g` — the LBFS/rsync/FastCDC boundary rule), not
+    * aligned to fixed token offsets. d13's fixed `w`-token grid loses
+    * every chunk after a single leading insertion (all downstream
+    * boundaries shift by one token); content-defined boundaries
+    * RESYNCHRONIZE within ~g tokens of any edit, so two documents
+    * sharing a long run produce identical interior chunks wherever that
+    * run sits in either document — the property storage dedup systems
+    * buy with the same trick, applied to the token stream. Chunks under
+    * `minTokens` tokens never participate (a 1-token chunk appearing
+    * everywhere is vocabulary, not duplication) and are always kept.
+    * Output is the per-doc edit record: chunk counts, dropped count,
+    * drop fraction, and the md5 digest of the document reassembled from
+    * surviving chunks of the NORMALIZED token stream in original order
+    * (chunking is defined on the normalized stream, so the reassembly
+    * is too; the digest keeps the oracle compact — d13/d26's
+    * convention). Token-less docs still get a row (zero counts, digest
+    * of "") — the degenerate-input stance everywhere else.
+    *
+    * Scale shape: chunking is ONE typed flatMap (per-doc local walk —
+    * boundary hashes never shuffle, and unlike the SQL formulation
+    * there is no per-token window); ownership is a key-grouped
+    * min(struct(doc_id, chunk)) — associative, so map-side combine
+    * collapses a boilerplate chunk that appears in EVERY document to
+    * one row per partition before the shuffle; the mark-kept join is
+    * key-equi with 1:1 fan-out per occurrence (each occurrence meets
+    * exactly its one ownership row — a corpus-hot chunk never
+    * multiplies rows, unlike a shingle pair join, so this needs NO df
+    * cap to be boilerplate-immune); the rollup is doc-keyed with
+    * per-doc-bounded collect state (d26's reassembly bound). Everything
+    * is linear in token volume at any scale. */
+  def cdcDedup(docs: DataFrame, g: Int = 8, minTokens: Int = 3): DataFrame = {
+    import docs.sparkSession.implicits._
+    val occ0 = spread(docs).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String, Int)]
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def close(): Unit = if (buf.nonEmpty) {
+          out += ((id, out.length + 1L, buf.mkString(" "), buf.length))
+          buf.clear()
+        }
+        toks.foreach { t =>
+          buf += t
+          md.reset()
+          val hex = md.digest(t.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(15)
+          if (java.lang.Long.parseLong(hex, 16) % g == 0) close()
+        }
+        close()
+        out.iterator
+      }
+      .toDF("doc_id", "pos", "sent", "ntk")
+    val occ = occ0.select(col("doc_id"), col("pos"), col("sent"),
+      md5Hash60(col("sent")).as("sk"),
+      (col("ntk") >= minTokens).as("dedupable"))
+    val first = occ.filter(col("dedupable"))
+      .groupBy("sk").agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+      .select(col("sk"), col("f.doc_id").as("f_doc"), col("f.pos").as("f_pos"))
+    val marked = occ.join(first, Seq("sk"), "left")
+      .withColumn("kept",
+        not(col("dedupable")) ||
+          (col("doc_id") === col("f_doc") && col("pos") === col("f_pos")))
+    val per = marked.groupBy("doc_id").agg(
+      count(lit(1)).as("n_chunks"),
+      sum(when(col("dedupable"), 1L).otherwise(0L)).as("n_dedupable"),
+      sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"),
+      md5(concat_ws(" ",
+        transform(
+          sort_array(collect_list(
+            when(col("kept"), struct(col("pos"), col("sent"))))),
+          x => x.getField("sent")))).as("clean_digest"))
+    docs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_dedupable"), lit(0L)).as("n_dedupable"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        coalesce(col("clean_digest"), md5(lit(""))).as("clean_digest"))
+      .withColumn("drop_frac",
+        round(safeFrac(col("n_dropped"), col("n_dedupable")), 6))
+      .orderBy("doc_id")
+  }
+
+  val cdcDedupQ = Q(
+    "d29_cdc_dedup",
+    (s, d) => cdcDedup(Tables.documents(s, d), 8, 3),
+    Some("""WITH toks AS (
+              SELECT doc_id, list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+              FROM documents),
+            pt AS (
+              SELECT doc_id, i AS tpos, tk[i] AS tok,
+                (('0x' || substr(md5(tk[i]), 1, 15))::BIGINT % 8 = 0) AS bnd
+              FROM toks, UNNEST(range(1, len(tk) + 1)) r(i)),
+            cidx AS (
+              SELECT doc_id, tpos, tok,
+                coalesce(sum(CASE WHEN bnd THEN 1 ELSE 0 END) OVER (
+                  PARTITION BY doc_id ORDER BY tpos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+                  AS pos
+              FROM pt),
+            k AS (
+              SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                string_agg(tok, ' ' ORDER BY tpos) AS sent,
+                ('0x' || substr(md5(string_agg(tok, ' ' ORDER BY tpos)), 1, 15))::BIGINT AS sk,
+                count(*) >= 3 AS dedupable
+              FROM cidx GROUP BY doc_id, pos),
+            f AS (
+              SELECT sk, first(doc_id ORDER BY doc_id, pos) AS f_doc,
+                     first(pos ORDER BY doc_id, pos) AS f_pos
+              FROM k WHERE dedupable GROUP BY sk),
+            mk AS (
+              SELECT k.doc_id, k.pos, k.sent, k.dedupable,
+                (NOT k.dedupable) OR (k.doc_id = f.f_doc AND k.pos = f.f_pos)
+                  AS kept
+              FROM k LEFT JOIN f ON f.sk = k.sk),
+            per AS (
+              SELECT doc_id,
+                CAST(count(*) AS BIGINT) AS n_chunks,
+                CAST(sum(CASE WHEN dedupable THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_dedupable,
+                CAST(sum(CASE WHEN NOT kept THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_dropped,
+                md5(coalesce(string_agg(CASE WHEN kept THEN sent END, ' '
+                  ORDER BY pos), '')) AS clean_digest
+              FROM mk GROUP BY doc_id)
+            SELECT d.doc_id,
+              CAST(coalesce(p.n_chunks, 0) AS BIGINT) AS n_chunks,
+              CAST(coalesce(p.n_dedupable, 0) AS BIGINT) AS n_dedupable,
+              CAST(coalesce(p.n_dropped, 0) AS BIGINT) AS n_dropped,
+              coalesce(p.clean_digest, md5('')) AS clean_digest,
+              round(CAST(coalesce(p.n_dropped, 0) AS DOUBLE)
+                / NULLIF(CAST(coalesce(p.n_dedupable, 0) AS DOUBLE), 0.0), 6)
+                AS drop_frac
+            FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+            ORDER BY d.doc_id"""))
+
   val all: Seq[Q] =
     Seq(exact, minhash, simhash, ngramJaccard, embedding, clusters, keep, triangles,
       decontam, incremental, repeated, consensus, chunkDedup, semantic, bestKeep,
       provenance, embeddingDecontam, containment, evalLeak, crossSource, splitLeak,
       calibration, hotReport, inflation, spectrum, templateScrubQ, clusterSourceMix,
-      boilerplateDriftQ)
+      boilerplateDriftQ, cdcDedupQ)
 }

@@ -2093,4 +2093,43 @@ class OperatorSpec extends SparkSpec {
     // The admission rule can never overshoot the budget.
     got.values.foreach { case (_, _, budget, _, selTok, _) => assert(selTok <= budget) }
   }
+
+  test("d29 cdc dedup: content-defined boundaries resynchronize after an insertion where d13's fixed grid cannot") {
+    import spark.implicits._
+    // Doc 0: 200 DISTINCT tokens (no internal duplication). Doc 1: the
+    // same stream with ONE token prepended — the edit that shifts every
+    // fixed-w chunk boundary. Doc 2: doc 0's stream twice (within-doc
+    // repetition). Doc 3: degenerate (no tokens).
+    val base = (0 until 200).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (0L, base), (1L, "zzz " + base), (2L, base + " " + base), (3L, "??!")
+    ).toDF("doc_id", "text")
+    val out = Dedup.cdcDedup(docs, 8, 3).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    val (n0, ded0, drop0, dig0) = out(0L)
+    // First occurrence keeps everything; digest = md5 of the (already
+    // normalized) full text.
+    assert(drop0 == 0L && dig0 == md5Hex(base), s"doc0: ${out(0L)}")
+    assert(n0 >= 10L, s"expected ~25 chunks at g=8, got $n0")
+    // Doc 1: every chunk after the first is byte-identical to one of doc
+    // 0's (boundaries resync at the first boundary token), so all its
+    // dedupable chunks drop except possibly the unique zzz-prefixed first.
+    val (_, ded1, drop1, _) = out(1L)
+    assert(drop1 == ded1 || drop1 == ded1 - 1, s"doc1 must lose its shared chunks: ${out(1L)}")
+    assert(drop1 >= (ded1 * 4) / 5 && drop1 > 0L, s"resync failed: ${out(1L)}")
+    // d13's aligned grid on the SAME fixture: the one-token shift
+    // misaligns every 16-token chunk, so doc 1 keeps everything — the
+    // exact failure mode d29 exists to close.
+    val scrub = Dedup.chunkScrub(docs.filter(col("doc_id") <= 1L), 16).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(scrub(1L)._1 == scrub(1L)._2,
+      s"fixed-grid d13 unexpectedly matched (kept < chunks): $scrub")
+    // Doc 2: the second copy's chunks duplicate the first's (seam and
+    // tail chunks may be novel).
+    val (_, ded2, drop2, _) = out(2L)
+    assert(drop2 >= ded2 / 2 && drop2 > 0L, s"within-doc repeat missed: ${out(2L)}")
+    // Doc 3: no tokens → zero counts, digest of the empty string.
+    assert(out(3L) == ((0L, 0L, 0L, md5Hex(""))), s"degenerate: ${out(3L)}")
+  }
 }
