@@ -83,7 +83,13 @@ object PlanAudit {
       "d28_boilerplate_drift",
       // p13: three 1-row leg aggregates crossJoin into the one verdict
       // row (plus d28's embedded wave-count crossJoin).
-      "p13_ingest_audit")
+      "p13_ingest_audit",
+      // m13: the per-doc entropy table crossJoins its 1-row LIMIT-50
+      // cutoff aggregate (s16's min-over-LIMIT-k shape on the doc axis).
+      "m13_payload_entropy",
+      // s17: the k-row cell table crossJoins its 1-row storage/probe
+      // totals aggregate (s15's bounded × 1 row shape).
+      "s17_probe_traffic_balance")
 
   /** Tables that are corpus-/fact-scale at the 100 TB target — anything
     * derived from one of these is presumed unbounded unless the deriving

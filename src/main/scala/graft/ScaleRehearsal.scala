@@ -293,6 +293,15 @@ object ScaleRehearsal {
       // composition check (p13 ≈ d01 + d28 + s16 + ε — legs SUM, they
       // don't multiply) can be read off one session's rows.
       "p13_ingest_audit", "d01_dedup_exact",
+      // d30 is d29's chunk stream into ONE chunk-keyed aggregate (the
+      // same vocabulary axis; output ∝ duplicated-chunk vocabulary);
+      // m13 is the symbol-explode scan (m05's explode band) into a
+      // (doc, symbol) aggregate bounded at ≤ 37 rows/doc; p14 is p07's
+      // feature scan + the d01 fingerprint window into a ≤ sources×8
+      // rollup; s17 is s15's Lloyd loop + one assignment scan + a
+      // 32-row probe pass over the k× embeddings twin.
+      "d30_hot_chunks", "m13_payload_entropy", "p14_gate_attribution",
+      "s17_probe_traffic_balance",
       // d29's chunking is one typed flatMap (no per-token shuffle);
       // ownership is an associative min-struct aggregate over chunk
       // keys (vocabulary-keyed — the tagged copies grow the chunk
@@ -420,7 +429,12 @@ object ScaleRehearsal {
       // from storage, one delta scan + #groups merge — is measured by
       // the dedicated q43_refresh row after this table (resident k×,
       // delta pinned, expected flat).
-      "q43_incremental_agg")
+      "q43_incremental_agg",
+      // q44: five independent anti-join audit legs — each one distinct +
+      // left join + 1-row aggregate; facts grow k×, dimensions don't,
+      // so every leg is a fact-scan-bounded shuffle with a fixed-size
+      // output.
+      "q44_referential_audit")
     if (only.isEmpty || only("tpch_axis") || thNames.exists(only)) {
       val tDir = s"$outDir/tpch_axis"
       val reuseT = reuseReq && {

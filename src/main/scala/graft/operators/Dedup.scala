@@ -2628,7 +2628,11 @@ object Dedup {
     * cap to be boilerplate-immune); the rollup is doc-keyed with
     * per-doc-bounded collect state (d26's reassembly bound). Everything
     * is linear in token volume at any scale. */
-  def cdcDedup(docs: DataFrame, g: Int = 8, minTokens: Int = 3): DataFrame = {
+  /** The content-defined chunk stream shared by d29 (dedup) and d30 (hot-
+    * chunk provenance): one typed flatMap per doc — boundary hashes never
+    * shuffle. Columns: (doc_id, pos, sent, sk, dedupable). */
+  private[operators] def cdcChunks(docs: DataFrame, g: Int,
+      minTokens: Int): DataFrame = {
     import docs.sparkSession.implicits._
     val occ0 = spread(docs).as[(Long, String)]
       .flatMap { case (id, text) =>
@@ -2651,9 +2655,39 @@ object Dedup {
         out.iterator
       }
       .toDF("doc_id", "pos", "sent", "ntk")
-    val occ = occ0.select(col("doc_id"), col("pos"), col("sent"),
+    occ0.select(col("doc_id"), col("pos"), col("sent"),
       md5Hash60(col("sent")).as("sk"),
       (col("ntk") >= minTokens).as("dedupable"))
+  }
+
+  /** d29/d30's shared oracle CTE prefix: the content-defined chunk walk,
+    * ending in relation `k(doc_id, pos, sent, sk, dedupable)` — mirrors
+    * [[cdcChunks]] at g = 8, minTokens = 3 (the registered parameters). */
+  private[operators] val cdcChunkSqlCtes =
+    """toks AS (
+              SELECT doc_id, list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+              FROM documents),
+            pt AS (
+              SELECT doc_id, i AS tpos, tk[i] AS tok,
+                (('0x' || substr(md5(tk[i]), 1, 15))::BIGINT % 8 = 0) AS bnd
+              FROM toks, UNNEST(range(1, len(tk) + 1)) r(i)),
+            cidx AS (
+              SELECT doc_id, tpos, tok,
+                coalesce(sum(CASE WHEN bnd THEN 1 ELSE 0 END) OVER (
+                  PARTITION BY doc_id ORDER BY tpos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+                  AS pos
+              FROM pt),
+            k AS (
+              SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                string_agg(tok, ' ' ORDER BY tpos) AS sent,
+                ('0x' || substr(md5(string_agg(tok, ' ' ORDER BY tpos)), 1, 15))::BIGINT AS sk,
+                count(*) >= 3 AS dedupable
+              FROM cidx GROUP BY doc_id, pos)"""
+
+  def cdcDedup(docs: DataFrame, g: Int = 8, minTokens: Int = 3): DataFrame = {
+    val occ = cdcChunks(docs, g, minTokens)
     val first = occ.filter(col("dedupable"))
       .groupBy("sk").agg(min(struct(col("doc_id"), col("pos"))).as("f"))
       .select(col("sk"), col("f.doc_id").as("f_doc"), col("f.pos").as("f_pos"))
@@ -2684,27 +2718,7 @@ object Dedup {
   val cdcDedupQ = Q(
     "d29_cdc_dedup",
     (s, d) => cdcDedup(Tables.documents(s, d), 8, 3),
-    Some("""WITH toks AS (
-              SELECT doc_id, list_filter(
-                regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
-              FROM documents),
-            pt AS (
-              SELECT doc_id, i AS tpos, tk[i] AS tok,
-                (('0x' || substr(md5(tk[i]), 1, 15))::BIGINT % 8 = 0) AS bnd
-              FROM toks, UNNEST(range(1, len(tk) + 1)) r(i)),
-            cidx AS (
-              SELECT doc_id, tpos, tok,
-                coalesce(sum(CASE WHEN bnd THEN 1 ELSE 0 END) OVER (
-                  PARTITION BY doc_id ORDER BY tpos
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
-                  AS pos
-              FROM pt),
-            k AS (
-              SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-                string_agg(tok, ' ' ORDER BY tpos) AS sent,
-                ('0x' || substr(md5(string_agg(tok, ' ' ORDER BY tpos)), 1, 15))::BIGINT AS sk,
-                count(*) >= 3 AS dedupable
-              FROM cidx GROUP BY doc_id, pos),
+    Some(s"""WITH $cdcChunkSqlCtes,
             f AS (
               SELECT sk, first(doc_id ORDER BY doc_id, pos) AS f_doc,
                      first(pos ORDER BY doc_id, pos) AS f_pos
@@ -2735,10 +2749,64 @@ object Dedup {
             FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
             ORDER BY d.doc_id"""))
 
+  // -------------------------- hot-chunk provenance (d30)
+  /** d30: the scrub-vocabulary readout of d29's chunk stream — every
+    * content-defined chunk that appears in MORE THAN ONE document, with
+    * its occurrence count, document count, source spread, and a
+    * cross-source flag. This is the "what exactly is duplicated, and is
+    * it one feed's template or corpus-wide boilerplate" report a
+    * curation team reads before re-arming d26's scrub list: d23/d28
+    * answer it at shingle grain (fixed 5-gram lines), d30 at the edit
+    * grain d29 actually dedups at, so a row here IS a chunk d29 will
+    * drop everywhere but its first occurrence. Emitting the chunk text
+    * (not just the hash) is the point — the report is the actionable
+    * scrub list.
+    *
+    * Scale shape: the shared [[cdcChunks]] flatMap, then ONE chunk-keyed
+    * aggregate (count / distinct-doc / distinct-source all in one pass;
+    * map-side combine collapses corpus-hot chunks per partition) with a
+    * HAVING-style filter to n_docs ≥ 2 — output bounded by the
+    * DUPLICATED chunk vocabulary, which a healthy corpus keeps tiny and
+    * a templated one makes exactly the rows you want to read. No joins
+    * beyond the source attach, no windows, no df cap needed (occurrence
+    * rows never pair — d29's 1:1 argument). */
+  def hotChunks(docs: DataFrame, g: Int = 8, minTokens: Int = 3): DataFrame = {
+    val occ = cdcChunks(docs, g, minTokens).filter(col("dedupable"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    occ.groupBy("sk").agg(
+        first(col("sent")).as("chunk"),
+        count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"))
+      .filter(col("n_docs") >= 2)
+      .select(col("chunk"), col("n_occ"), col("n_docs"), col("n_sources"),
+        (col("n_sources") >= 2).as("cross_source"))
+      .orderBy(col("n_occ").desc, col("chunk"))
+  }
+
+  val hotChunksQ = Q(
+    "d30_hot_chunks",
+    (s, d) => hotChunks(Tables.documents(s, d), 8, 3),
+    Some(s"""WITH $cdcChunkSqlCtes,
+            occ AS (
+              SELECT k.sk, k.sent, k.doc_id, d.source
+              FROM k JOIN documents d ON d.doc_id = k.doc_id
+              WHERE k.dedupable),
+            agg AS (
+              SELECT sent AS chunk,
+                CAST(count(*) AS BIGINT) AS n_occ,
+                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+              FROM occ GROUP BY sent)
+            SELECT chunk, n_occ, n_docs, n_sources,
+              n_sources >= 2 AS cross_source
+            FROM agg WHERE n_docs >= 2
+            ORDER BY n_occ DESC, chunk"""))
+
   val all: Seq[Q] =
     Seq(exact, minhash, simhash, ngramJaccard, embedding, clusters, keep, triangles,
       decontam, incremental, repeated, consensus, chunkDedup, semantic, bestKeep,
       provenance, embeddingDecontam, containment, evalLeak, crossSource, splitLeak,
       calibration, hotReport, inflation, spectrum, templateScrubQ, clusterSourceMix,
-      boilerplateDriftQ, cdcDedupQ)
+      boilerplateDriftQ, cdcDedupQ, hotChunksQ)
 }

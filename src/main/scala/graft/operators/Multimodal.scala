@@ -915,7 +915,104 @@ object Multimodal {
             GROUP BY c.label, c.cluster_size
             ORDER BY cluster_rep"""))
 
+  /** m13: pre-decode payload entropy gate — the cheapest corruption/
+    * degenerate-asset detector a media pipeline runs BEFORE spending
+    * codec time: a blank frame, a solid-color image, a silence-only
+    * clip, or a truncated/zero-filled payload all collapse to a near-
+    * single-symbol byte stream, while healthy compressed or natural
+    * content keeps a broad symbol distribution. Per asset: payload size,
+    * distinct symbol count, Shannon entropy over the normalized symbol
+    * alphabet (nats), and a `flat_payload` flag for the corpus's 50
+    * flattest assets (the bounded review queue for the decode stage;
+    * min-over-LIMIT-50 cutoff, the sanctioned global-window
+    * replacement). Symbols are the payload's lowercased [a-z0-9 ]
+    * characters so both engines see the identical alphabet whatever the
+    * encoding of the bytes outside it (surrogate-pair vs codepoint
+    * splitting differences can never reach the histogram).
+    *
+    * EXACT parity: per-symbol ln terms are quantized to micro-nats
+    * (floor(c·ln c·1e6 + 0.5) BIGINT) BEFORE the per-doc sum — the sum
+    * is exact under any partial-aggregation order (t29/t40's integer-
+    * units rule); H = ln n − Σ/(n·1e6) is then one deterministic double
+    * expression, compared and output at micro precision.
+    *
+    * Scale shape: one symbol explode (rows ∝ payload bytes — m05's
+    * frame-explode band) into a (doc, symbol)-keyed aggregate with
+    * map-side combine (≤ 37 symbol rows per doc survive), a doc-keyed
+    * rollup, and the allowlisted 1-row cutoff crossJoin. Linear in
+    * payload volume; nothing global except the 50-row cutoff. */
+  def payloadEntropy(media: Dataset[MediaRecord]): DataFrame = {
+    val chars = media.toDF()
+      .select(col("doc_id"), col("media_type"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        explode(expr(
+          "filter(split(lower(cast(payload as string)), ''), c -> c rlike '^[a-z0-9 ]$')"))
+          .as("sym"))
+    val perSym = chars.groupBy("doc_id", "media_type", "n_bytes", "sym")
+      .agg(count(lit(1)).as("c"))
+    val perDoc = perSym.groupBy("doc_id", "media_type", "n_bytes")
+      .agg(count(lit(1)).as("n_symbols"), sum("c").as("n"),
+        sum(floor(col("c").cast("double") * log(col("c").cast("double")) * 1e6
+          + 0.5).cast("long")).as("term_micro"))
+      .select(col("doc_id"), col("media_type"), col("n_bytes"),
+        col("n_symbols"),
+        floor((log(col("n").cast("double"))
+          - col("term_micro").cast("double") / (col("n").cast("double") * 1e6))
+          * 1e6 + 0.5).cast("long").as("entropy_micro"))
+    val base = media.toDF().select(col("doc_id"),
+        col("media_type").as("mt"),
+        octet_length(col("payload")).cast("long").as("nb"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("mt").as("media_type"),
+        col("nb").as("n_bytes"),
+        coalesce(col("n_symbols"), lit(0L)).as("n_symbols"),
+        coalesce(col("entropy_micro"), lit(0L)).as("entropy_micro"))
+    val cutoff = base.orderBy(col("entropy_micro"), col("doc_id")).limit(50)
+      .agg(max("entropy_micro").as("cut"))
+    base.crossJoin(cutoff)
+      .select(col("doc_id"), col("media_type"), col("n_bytes"),
+        col("n_symbols"),
+        round(col("entropy_micro").cast("double") / 1e6, 6).as("entropy"),
+        (col("entropy_micro") <= col("cut")).as("flat_payload"))
+      .orderBy("doc_id")
+  }
+
+  val payloadEntropyQ = Q(
+    "m13_payload_entropy",
+    (s, d) => payloadEntropy(mediaTable(s, d)),
+    Some("""WITH ch AS (
+              SELECT doc_id, unnest(list_filter(
+                string_split(lower(text), ''),
+                c -> c SIMILAR TO '[a-z0-9 ]')) AS sym
+              FROM documents),
+            ps AS (
+              SELECT doc_id, sym, CAST(count(*) AS BIGINT) AS c
+              FROM ch GROUP BY doc_id, sym),
+            pd AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_symbols,
+                CAST(sum(c) AS BIGINT) AS n,
+                CAST(sum(CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                  * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS term_micro
+              FROM ps GROUP BY doc_id),
+            base AS (
+              SELECT d.doc_id, 'image/stub' AS media_type,
+                CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+                CAST(coalesce(p.n_symbols, 0) AS BIGINT) AS n_symbols,
+                CAST(coalesce(CAST(floor((ln(CAST(p.n AS DOUBLE))
+                  - CAST(p.term_micro AS DOUBLE) / (CAST(p.n AS DOUBLE) * 1e6))
+                  * 1e6 + 0.5) AS BIGINT), 0) AS BIGINT) AS entropy_micro
+              FROM documents d LEFT JOIN pd p ON p.doc_id = d.doc_id),
+            cut AS (
+              SELECT max(entropy_micro) AS cut FROM (
+                SELECT entropy_micro FROM base
+                ORDER BY entropy_micro, doc_id LIMIT 50))
+            SELECT doc_id, media_type, n_bytes, n_symbols,
+              round(CAST(entropy_micro AS DOUBLE) / 1e6, 6) AS entropy,
+              entropy_micro <= (SELECT cut FROM cut) AS flat_payload
+            FROM base ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(mediaMeta, mediaFeatures, frameSample, mediaResize, frameEnergy, mediaNeardup,
-      scenes, voiced, shardManifestQ, shardFillQ, mediaDecontam, mediaClusters)
+      scenes, voiced, shardManifestQ, shardFillQ, mediaDecontam, mediaClusters,
+      payloadEntropyQ)
 }

@@ -1247,7 +1247,96 @@ object Pipeline {
                 AND coalesce(e.max_shift_micro < 100000, true)) AS fold_in_ready
             FROM dleg d, tleg t, eleg e"""))
 
+  // ---------------------------------------- gate attribution (p14)
+  /** p14: order-INDEPENDENT gate attribution — the complement of p07's
+    * sequential funnel. The funnel reports cumulative survivors through
+    * a fixed stage order, which by construction hides overlap: a doc
+    * killed by the blocklist never reaches the quality gate, so the
+    * funnel cannot say whether removing one gate would change anything.
+    * p14 evaluates the SAME three gates (p07's blocklist, t20's quality
+    * cascade, d01's exact-dup non-representative rule) as independent
+    * predicates on every document and reports, per source, the count
+    * and share of each exclusive combination ('clean', 'B', 'Q', 'D',
+    * 'BQ', …) — the inclusion-exclusion readout that answers "which
+    * gate is load-bearing for this feed, and how much of its loss is
+    * double-counted". Gate formulas come from p07's [[stagedDocs]]
+    * verbatim (one code path, two reports), with two deliberate
+    * independence changes: the quality cascade drops its `clean`
+    * conjunct, and the dup representative is min(doc_id) over the
+    * fingerprint group UNCONDITIONALLY (d01's rule, not "among gate
+    * survivors").
+    *
+    * Scale shape: p07's map-only feature scan, the d01 fingerprint
+    * window (fp-partitioned), one (source, combo) aggregate with
+    * map-side partials joined to the #sources totals — output
+    * ≤ #sources × 8 rows at any corpus size. */
+  def gateAttribution(docs: DataFrame): DataFrame = {
+    val flagged = stagedDocs(docs)
+      .withColumn("rep_all",
+        min(col("doc_id")).over(Window.partitionBy("fp")))
+      .select(col("source"),
+        (!col("clean")).as("b"),
+        (!(col("n_tokens") >= 20 && col("n_tokens") <= 5000 &&
+           safeFrac(col("stop_hits"), col("n_tokens")) >= 0.02 &&
+           safeFrac(col("n_word_chars"), col("n_tokens")) >= 3.0 &&
+           safeFrac(col("n_word_chars"), col("n_tokens")) <= 10.0)).as("q"),
+        (col("doc_id") =!= col("rep_all")).as("dp"))
+      .withColumn("gates",
+        when(!col("b") && !col("q") && !col("dp"), lit("clean"))
+          .otherwise(concat(
+            when(col("b"), lit("B")).otherwise(lit("")),
+            when(col("q"), lit("Q")).otherwise(lit("")),
+            when(col("dp"), lit("D")).otherwise(lit("")))))
+    val combos = flagged.groupBy("source", "gates")
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = flagged.groupBy("source").agg(count(lit(1)).as("n_source"))
+    combos.join(totals, Seq("source"))
+      .select(col("source"), col("gates"), col("n_docs"),
+        round(safeFrac(col("n_docs"), col("n_source")), 6).as("share"))
+      .orderBy("source", "gates")
+  }
+
+  val gateAttributionQ = Q(
+    "p14_gate_attribution",
+    (s, d) => gateAttribution(Tables.documents(s, d)),
+    Some("""WITH f AS (
+              SELECT doc_id, source,
+                CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS BIGINT) AS n_tokens,
+                CAST(len(list_filter(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> ''),
+                     t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'you', 'that'))) AS BIGINT) AS stop_hits,
+                CAST(length(text) - length(regexp_replace(lower(text), '[a-z0-9]', '', 'g')) AS BIGINT) AS n_word_chars,
+                (len(regexp_extract_all(text, '\b(customer|supplier|order)\b')) = 0) AS clean,
+                md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+              FROM documents),
+            g AS (
+              SELECT source,
+                (NOT clean) AS b,
+                (NOT (n_tokens >= 20 AND n_tokens <= 5000
+                 AND CAST(stop_hits AS DOUBLE) / NULLIF(CAST(n_tokens AS DOUBLE), 0.0) >= 0.02
+                 AND CAST(n_word_chars AS DOUBLE) / NULLIF(CAST(n_tokens AS DOUBLE), 0.0) >= 3.0
+                 AND CAST(n_word_chars AS DOUBLE) / NULLIF(CAST(n_tokens AS DOUBLE), 0.0) <= 10.0)) AS q,
+                (doc_id <> min(doc_id) OVER (PARTITION BY fp)) AS dp
+              FROM f),
+            lab AS (
+              SELECT source,
+                CASE WHEN NOT (b OR q OR dp) THEN 'clean'
+                     ELSE concat(CASE WHEN b THEN 'B' ELSE '' END,
+                                 CASE WHEN q THEN 'Q' ELSE '' END,
+                                 CASE WHEN dp THEN 'D' ELSE '' END) END AS gates
+              FROM g),
+            combos AS (
+              SELECT source, gates, CAST(count(*) AS BIGINT) AS n_docs
+              FROM lab GROUP BY source, gates),
+            tot AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_source
+              FROM lab GROUP BY source)
+            SELECT c.source, c.gates, c.n_docs,
+              round(CAST(c.n_docs AS DOUBLE) / NULLIF(CAST(t.n_source AS DOUBLE), 0.0), 6)
+                AS share
+            FROM combos c JOIN tot t ON t.source = c.source
+            ORDER BY c.source, c.gates"""))
+
   val all: Seq[Q] =
     Seq(pipeline, mix, audit, epoch, refresh, dedupMix, funnel, curriculum, card,
-      seedAudit, tokenFunnelQ, budgetFillQ, ingestAuditQ)
+      seedAudit, tokenFunnelQ, budgetFillQ, ingestAuditQ, gateAttributionQ)
 }

@@ -1418,8 +1418,106 @@ object Relational {
                 AS n_delta_rows
             FROM q GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** q44: referential-integrity + participation audit over the warehouse
+    * star — the pre-ingest contract check an ETL gate runs before a
+    * snapshot is declared queryable: for each relationship, how many rows
+    * on the one side have NO partner on the other (orphaned lineitems /
+    * childless orders are corruption; never-ordered parts / never-used
+    * suppliers / orderless customers are legitimate but mix-shifting, and
+    * a sudden rate jump is the tripwire). One row per check with the
+    * violation count, the checked-side total, and the rate in exact
+    * round-6 units.
+    *
+    * Scale shape: each check is ONE left join of the checked table
+    * against the DISTINCT keys of the partner table (the distinct
+    * collapses the fact side map-side before its shuffle; the join is
+    * key-equi and AQE broadcasts whichever side is small — dimensions at
+    * any scale, the distinct-orderkey set only while it fits) folded
+    * immediately into a 1-row aggregate — no row ever survives the leg,
+    * so the union of five 1-row legs is five independent subtrees with
+    * nothing to co-partition. No crossJoin anywhere: total and violation
+    * counts ride the SAME aggregate (count vs null-partner sum). */
+  def referentialAudit(customer: org.apache.spark.sql.DataFrame,
+      orders: org.apache.spark.sql.DataFrame,
+      lineitem: org.apache.spark.sql.DataFrame,
+      part: org.apache.spark.sql.DataFrame,
+      supplier: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    def leg(name: String, checked: org.apache.spark.sql.DataFrame, key: String,
+        partnerKeys: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val pk = partnerKeys.columns.head
+      checked.join(partnerKeys.withColumn("hit", lit(1)),
+          checked(key) === partnerKeys(pk), "left")
+        .agg(
+          lit(name).as("check"),
+          count(lit(1)).as("n_checked"),
+          sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_violations"))
+    }
+    val orderKeys = orders.select(col("o_orderkey").as("k1")).distinct()
+    val liOrderKeys = lineitem.select(col("l_orderkey").as("k2")).distinct()
+    val liPartKeys = lineitem.select(col("l_partkey").as("k3")).distinct()
+    val liSuppKeys = lineitem.select(col("l_suppkey").as("k4")).distinct()
+    val custKeys = orders.select(col("o_custkey").as("k5")).distinct()
+    Seq(
+      leg("customer_without_order", customer, "c_custkey", custKeys),
+      leg("lineitem_orphaned", lineitem, "l_orderkey", orderKeys),
+      leg("order_without_lineitem", orders, "o_orderkey", liOrderKeys),
+      leg("part_never_ordered", part, "p_partkey", liPartKeys),
+      leg("supplier_never_used", supplier, "s_suppkey", liSuppKeys))
+      .reduce(_ unionAll _)
+      .select(col("check"), col("n_checked"), col("n_violations"),
+        round(graft.functions.TextFns.safeFrac(
+          col("n_violations"), col("n_checked")), 6)
+          .as("violation_rate"))
+      .orderBy("check")
+  }
+
+  val q44 = Q(
+    "q44_referential_audit",
+    (s, d) => referentialAudit(Tables.customer(s, d), Tables.orders(s, d),
+      Tables.lineitem(s, d), Tables.part(s, d), Tables.supplier(s, d)),
+    Some("""WITH legs AS (
+              SELECT 'customer_without_order' AS check,
+                CAST(count(*) AS BIGINT) AS n_checked,
+                CAST(coalesce(sum(CASE WHEN o.k IS NULL THEN 1 END), 0) AS BIGINT)
+                  AS n_violations
+              FROM customer c
+              LEFT JOIN (SELECT DISTINCT o_custkey AS k FROM orders) o
+                ON c.c_custkey = o.k
+              UNION ALL
+              SELECT 'lineitem_orphaned',
+                CAST(count(*) AS BIGINT),
+                CAST(coalesce(sum(CASE WHEN o.k IS NULL THEN 1 END), 0) AS BIGINT)
+              FROM lineitem l
+              LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders) o
+                ON l.l_orderkey = o.k
+              UNION ALL
+              SELECT 'order_without_lineitem',
+                CAST(count(*) AS BIGINT),
+                CAST(coalesce(sum(CASE WHEN li.k IS NULL THEN 1 END), 0) AS BIGINT)
+              FROM orders o
+              LEFT JOIN (SELECT DISTINCT l_orderkey AS k FROM lineitem) li
+                ON o.o_orderkey = li.k
+              UNION ALL
+              SELECT 'part_never_ordered',
+                CAST(count(*) AS BIGINT),
+                CAST(coalesce(sum(CASE WHEN li.k IS NULL THEN 1 END), 0) AS BIGINT)
+              FROM part p
+              LEFT JOIN (SELECT DISTINCT l_partkey AS k FROM lineitem) li
+                ON p.p_partkey = li.k
+              UNION ALL
+              SELECT 'supplier_never_used',
+                CAST(count(*) AS BIGINT),
+                CAST(coalesce(sum(CASE WHEN li.k IS NULL THEN 1 END), 0) AS BIGINT)
+              FROM supplier s
+              LEFT JOIN (SELECT DISTINCT l_suppkey AS k FROM lineitem) li
+                ON s.s_suppkey = li.k)
+            SELECT "check", n_checked, n_violations,
+              round(CAST(n_violations AS DOUBLE)
+                / NULLIF(CAST(n_checked AS DOUBLE), 0.0), 6) AS violation_rate
+            FROM legs ORDER BY "check""""))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
       q18, q19, q20, q21, q22, q25, q26, q27, q29, q30, q32, q33, q34, q36, q37,
-      q38, q39, q40, q41, q42, q43)
+      q38, q39, q40, q41, q42, q43, q44)
 }

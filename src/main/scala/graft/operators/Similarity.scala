@@ -1174,9 +1174,17 @@ object Similarity {
     * loop and the streaming [[graft.streaming.VectorStreams]] gate, so
     * stream ≡ batch is the same column, not a reimplementation. */
   def centroidBest(cs: Seq[(Long, Seq[Long])],
+      qe: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array_min(centroidScores(cs, qe))
+
+  /** The full scored array behind [[centroidBest]]: one struct(−cos, id)
+    * per centroid, so array_min = rank-1 assignment and a sorted slice =
+    * the nprobe routing list (s17). Total order: cosine DESC, ties to
+    * the lowest centroid id, zero-norm pairings pinned to −2. */
+  def centroidScores(cs: Seq[(Long, Seq[Long])],
       qe: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val qd = qe.cast("array<double>")
-    val scored = array(cs.map { case (cid, v) =>
+    array(cs.map { case (cid, v) =>
       val cd = typedLit(v).cast("array<double>")
       // ANSI-safe: a zero-norm side NULLs the quotient (never divides),
       // and NULL pins to the −2 sentinel below any true cosine.
@@ -1185,7 +1193,6 @@ object Similarity {
       val rc = coalesce(raw, lit(-2.0))
       struct((-rc).as("nc"), lit(cid).as("c"))
     }: _*)
-    array_min(scored)
   }
 
   /** The Lloyd loop alone: deterministic seeds (the k lowest vec_ids),
@@ -1455,8 +1462,132 @@ object Similarity {
               shift_micro, drifted
             FROM s16_rows ORDER BY dim"""))
 
+  // ------------------------------ probe-traffic cell balance (s17)
+  /** s17: probe-traffic vs storage balance of the routing codebook — the
+    * serving-load audit s15's cartography does not answer. A cell can be
+    * perfectly balanced in STORAGE (its share of the corpus) yet hot in
+    * TRAFFIC: query vectors are not uniform over the corpus, and under
+    * nprobe routing every query fans its scan over its top-`nprobe`
+    * cells, so the cells popular QUERIES route to absorb a
+    * disproportionate share of scan work — the IVF hotspot that sets
+    * tail latency on a 1000-executor serving fleet long before storage
+    * skew shows. Per cell of the s15-trained codebook (k = 8, 3 Lloyd
+    * iterations, exact integer-milli arithmetic): stored-vector count
+    * and share, probe count over the query slice (the `nQueries` = 32
+    * TRUE lowest vec_ids — robust to non-dense ids, the s15 seed
+    * stance) at nprobe = 2, probe share, and a `hot_cell` flag when the
+    * cell's probe share strictly exceeds its storage share (traffic
+    * amplification > 1 — the cell absorbs more than its fair share of
+    * scan work) — compared by exact integer cross-multiplication, never
+    * on rounded shares.
+    *
+    * Scale shape: the Lloyd loop's k map-only scans (corpus-independent
+    * shuffle, s15's bound); ONE assignment scan into a ≤ k-row count
+    * (map-side combined); the probe pass touches only the 32-row query
+    * slice (a bounded semi join) and sorts a k-element array per query;
+    * the final table is k rows with one allowlisted 1-row totals
+    * attachment. Nothing anywhere is corpus × corpus. */
+  def probeTrafficBalance(e: DataFrame, k: Int = 8, iters: Int = 3,
+      nQueries: Int = 32, nProbe: Int = 2): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val q = e.select(col("vec_id"), quantMilli.as("qe")).localCheckpoint()
+    val cents = kmeansCentroidsFromQuant(q, k, iters)
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_stored",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("storage_share",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("n_probes",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("probe_share",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("hot_cell",
+        org.apache.spark.sql.types.BooleanType)))
+    if (cents.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    val stored = q
+      .withColumn("c", centroidBest(cents, col("qe")).getField("c"))
+      .groupBy("c").agg(count(lit(1)).as("n_stored"))
+    val probes = q
+      .join(q.select(col("vec_id")).orderBy("vec_id").limit(nQueries),
+        Seq("vec_id"), "left_semi")
+      .select(explode(slice(array_sort(centroidScores(cents, col("qe"))),
+        1, nProbe)).as("s"))
+      .select(col("s.c").as("c"))
+      .groupBy("c").agg(count(lit(1)).as("n_probes"))
+    val base = cents.map(_._1).toDF("cell")
+      .join(stored.withColumnRenamed("c", "cell"), Seq("cell"), "left")
+      .join(probes.withColumnRenamed("c", "cell"), Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_stored"), lit(0L)).as("n_stored"),
+        coalesce(col("n_probes"), lit(0L)).as("n_probes"))
+    val totals = base.agg(sum("n_stored").as("st_tot"),
+      sum("n_probes").as("pr_tot"))
+    base.crossJoin(totals)
+      .select(col("cell"), col("n_stored"),
+        round(safeFrac(col("n_stored"), col("st_tot")), 6).as("storage_share"),
+        col("n_probes"),
+        round(safeFrac(col("n_probes"), col("pr_tot")), 6).as("probe_share"),
+        (col("n_probes") > 0L &&
+         col("n_probes") * col("st_tot") > col("n_stored") * col("pr_tot"))
+          .as("hot_cell"))
+      .orderBy("cell")
+  }
+
+  val probeBalance = Q(
+    "s17_probe_traffic_balance",
+    (s, d) => probeTrafficBalance(Tables.embeddings(s, d)),
+    Some(s"""WITH q AS (
+              SELECT vec_id, CAST(0 AS BIGINT) AS label,
+                list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS qe
+              FROM embeddings),
+            c0 AS (SELECT vec_id AS c, qe FROM q ORDER BY vec_id LIMIT 8),
+            ${kmeansIterSql(1)},
+            ${kmeansIterSql(2)},
+            ${kmeansIterSql(3)},
+            sc AS (
+              SELECT v.vec_id, cc.c, ${rcSql("v.qe", "cc.qe")} AS rc
+              FROM q v CROSS JOIN c3 cc),
+            st AS (
+              SELECT c, CAST(count(*) AS BIGINT) AS n_stored FROM (
+                SELECT vec_id, c,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY rc DESC, c) AS rn
+                FROM sc) WHERE rn = 1 GROUP BY c),
+            qv AS (SELECT vec_id FROM q ORDER BY vec_id LIMIT 32),
+            pr AS (
+              SELECT c, CAST(count(*) AS BIGINT) AS n_probes FROM (
+                SELECT s.vec_id, s.c,
+                  row_number() OVER (PARTITION BY s.vec_id ORDER BY s.rc DESC, s.c) AS rn
+                FROM sc s JOIN qv ON qv.vec_id = s.vec_id) WHERE rn <= 2 GROUP BY c),
+            cells AS (SELECT c AS cell FROM c3),
+            base AS (
+              SELECT cell,
+                CAST(coalesce(st.n_stored, 0) AS BIGINT) AS n_stored,
+                CAST(coalesce(pr.n_probes, 0) AS BIGINT) AS n_probes
+              FROM cells
+              LEFT JOIN st ON st.c = cells.cell
+              LEFT JOIN pr ON pr.c = cells.cell),
+            tot AS (
+              SELECT CAST(sum(n_stored) AS BIGINT) AS st_tot,
+                CAST(sum(n_probes) AS BIGINT) AS pr_tot
+              FROM base)
+            SELECT cell, n_stored,
+              round(CAST(n_stored AS DOUBLE) / NULLIF(CAST(st_tot AS DOUBLE), 0.0), 6)
+                AS storage_share,
+              n_probes,
+              round(CAST(n_probes AS DOUBLE) / NULLIF(CAST(pr_tot AS DOUBLE), 0.0), 6)
+                AS probe_share,
+              (n_probes > 0 AND n_probes * st_tot > n_stored * pr_tot)
+                AS hot_cell
+            FROM base, tot ORDER BY cell"""))
+
   val all: Seq[Q] =
     Seq(annBruteForce, annLsh, centroids, annIvf, annRecall, quantError, annAppend,
       annPq, radius, mmr, filteredAnn, annDelete, knnPurity, knnConfusion,
-      kmeansCarto, drift)
+      kmeansCarto, drift, probeBalance)
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextOps}
+import graft.operators.{Dedup, Multimodal, Pipeline, Relational, Similarity, TextOps}
 import graft.sources.Tables
 
 /** Per-operator sanity on sf0.001 (semantics the oracle can't see: plan
@@ -2131,5 +2131,111 @@ class OperatorSpec extends SparkSpec {
     assert(drop2 >= ded2 / 2 && drop2 > 0L, s"within-doc repeat missed: ${out(2L)}")
     // Doc 3: no tokens → zero counts, digest of the empty string.
     assert(out(3L) == ((0L, 0L, 0L, md5Hex(""))), s"degenerate: ${out(3L)}")
+  }
+
+  test("d30 hot chunks: cross-doc chunks are reported with provenance, within-doc repeats are not") {
+    import spark.implicits._
+    val s = (0 until 100).map(i => s"shared$i").mkString(" ")
+    val t = (0 until 60).map(i => s"inner$i").mkString(" ")
+    val docs = Seq(
+      (0L, s, "feedA"), (1L, s, "feedB"), // identical doc in two sources
+      (2L, t + " " + t, "feedA")          // repetition only WITHIN one doc
+    ).toDF("doc_id", "text", "source")
+    val rows = Dedup.hotChunks(docs, 8, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.nonEmpty, "shared chunks must be reported")
+    // Every reported chunk comes from the cross-source duplicate pair:
+    // n_docs = 2, both sources, cross_source set. Doc 2's internally
+    // repeated chunks (n_occ = 2 but n_docs = 1) never qualify.
+    rows.foreach { case (chunk, nOcc, nDocs, nSrc, cross) =>
+      assert(chunk.startsWith("shared"), s"within-doc repeat leaked: $chunk")
+      assert(nDocs == 2L && nSrc == 2L && cross && nOcc == 2L, rows.toSeq)
+    }
+  }
+
+  test("q44 referential audit: each orphan class is counted on its own check row") {
+    import spark.implicits._
+    val customer = Seq(1L, 2L, 3L).toDF("c_custkey")
+    val orders = Seq((10L, 1L), (11L, 2L), (12L, 1L))
+      .toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq((10L, 100L, 200L), (11L, 100L, 200L), (99L, 100L, 200L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+    val part = Seq(100L, 101L).toDF("p_partkey")
+    val supplier = Seq(200L, 201L).toDF("s_suppkey")
+    val got = Relational.referentialAudit(customer, orders, lineitem, part, supplier)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      "customer_without_order" -> ((3L, 1L)),   // custkey 3
+      "lineitem_orphaned" -> ((3L, 1L)),        // l_orderkey 99
+      "order_without_lineitem" -> ((3L, 1L)),   // order 12
+      "part_never_ordered" -> ((2L, 1L)),       // part 101
+      "supplier_never_used" -> ((2L, 1L))), got)
+  }
+
+  test("m13 payload entropy: single-symbol payloads score zero, uniform alphabets score ln(k)") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRecord(0L, "image/stub", "aaaaa".getBytes("UTF-8")),
+      Multimodal.MediaRecord(1L, "image/stub", "abcdefghij".getBytes("UTF-8")),
+      Multimodal.MediaRecord(2L, "image/stub", Array.empty[Byte])
+    ).toDS()
+    val out = Multimodal.payloadEntropy(media).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getDouble(4), r.getBoolean(5)))
+      .toMap
+    // Solid payload: one symbol, H = 0. Uniform 10-symbol alphabet:
+    // H = ln 10 at micro precision. Empty payload: zero symbols, H = 0.
+    assert(out(0L) == ((1L, 0.0, true)), out(0L))
+    assert(out(1L)._1 == 10L && out(1L)._2 == 2.302585, out(1L))
+    assert(out(2L) == ((0L, 0.0, true)), out(2L))
+    // A 3-doc corpus sits entirely inside the 50-row review queue: the
+    // cutoff is the corpus max, so every row is flagged (documented).
+    assert(out.values.forall(_._3))
+  }
+
+  test("p14 gate attribution: independent gates compose into exclusive combos that sum to the source totals") {
+    import spark.implicits._
+    val good = "the " + (1 to 23).map(i => s"wolf$i").mkString(" ")
+    val docs = Seq(
+      (0L, "a", good),                  // clean
+      (1L, "a", good),                  // exact dup of 0 → D
+      (2L, "a", good + " customer"),    // blocklist only → B
+      (3L, "a", "tiny text"),           // too short → Q
+      (4L, "b", "customer"),            // blocked AND too short → BQ
+      (5L, "b", good)                   // cross-source dup of 0 → D
+    ).toDF("doc_id", "source", "text")
+    val got = Pipeline.gateAttribution(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got == Map(
+      ("a", "clean") -> ((1L, 0.25)), ("a", "D") -> ((1L, 0.25)),
+      ("a", "B") -> ((1L, 0.25)), ("a", "Q") -> ((1L, 0.25)),
+      ("b", "BQ") -> ((1L, 0.5)), ("b", "D") -> ((1L, 0.5))), got)
+  }
+
+  test("s17 probe traffic balance: probe and storage mass reconcile and the flag is the exact fair-share line") {
+    import spark.implicits._
+    def v(a: Float, b: Float, c: Float) = Array(a, b, c)
+    val e = Seq(
+      (0L, v(10, 0, 0)), (1L, v(0, 10, 0)), (2L, v(0, 0, 10)),
+      (3L, v(9, 1, 0)), (4L, v(8, 0, 1)), (5L, v(9, 0, 1)),
+      (6L, v(8, 1, 0)), (7L, v(1, 9, 0))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.probeTrafficBalance(e, k = 3, iters = 1,
+      nQueries = 2, nProbe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getBoolean(5)))
+    assert(out.length == 3)
+    val stTot = out.map(_._2).sum
+    val prTot = out.map(_._3).sum
+    assert(stTot == 8L, s"all vectors stored once: ${out.toSeq}")
+    assert(prTot == 4L, s"2 queries x nprobe 2: ${out.toSeq}")
+    // The flag IS the integer fair-share inequality — recompute it.
+    out.foreach { case (_, st, pr, hot) =>
+      assert(hot == (pr > 0 && pr * stTot > st * prTot), out.toSeq)
+    }
+    // Empty corpus → empty result with the stable schema.
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], e.schema)
+    assert(Similarity.probeTrafficBalance(empty).collect().isEmpty)
   }
 }

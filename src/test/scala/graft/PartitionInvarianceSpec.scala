@@ -195,7 +195,26 @@ class PartitionInvarianceSpec extends SparkSpec {
     // q43: centi-unit BIGINT partial states merged by full-outer join —
     // associative by design; gated to prove no geometry can move the
     // maintained view off its recompute.
-    "q43_incremental_agg")
+    "q43_incremental_agg",
+    // d29/d30: chunk ownership is an associative min-struct aggregate and
+    // every count is BIGINT; d29's digest reassembles via sort_array (a
+    // per-doc total order), d30's report is pure counts — gated to prove
+    // chunk boundaries and ownership can't move with reduce geometry.
+    "d29_cdc_dedup", "d30_hot_chunks",
+    // q44: five 1-row integer-count legs; the only double is a round-6 of
+    // an exact integer ratio.
+    "q44_referential_audit",
+    // m13: per-symbol ln terms quantized to micro-nats BEFORE the per-doc
+    // sum (t40's rule), and a LIMIT-50 cutoff over the (entropy_micro,
+    // doc_id) total order — gated to prove the flag set can't move.
+    "m13_payload_entropy",
+    // p14: integer combo counts over deterministic boolean gates; the dup
+    // flag rides a fp-partitioned min window (exact), shares are round-6
+    // of exact ratios.
+    "p14_gate_attribution",
+    // s17: exact-integer Lloyd centroids (the s15 argument), BIGINT
+    // stored/probe counts, and an integer cross-multiplied flag.
+    "s17_probe_traffic_balance")
 
   test("round-5/6 queries return identical rows at shuffle.partitions = 3 and 17") {
     val conf = spark.conf
