@@ -942,6 +942,23 @@ object Multimodal {
     * rollup, and the allowlisted 1-row cutoff crossJoin. Linear in
     * payload volume; nothing global except the 50-row cutoff. */
   def payloadEntropy(media: Dataset[MediaRecord]): DataFrame = {
+    val base = entropyBase(media)
+    val cutoff = base.orderBy(col("entropy_micro"), col("doc_id")).limit(50)
+      .agg(max("entropy_micro").as("cut"))
+    base.crossJoin(cutoff)
+      .select(col("doc_id"), col("media_type"), col("n_bytes"),
+        col("n_symbols"),
+        round(col("entropy_micro").cast("double") / 1e6, 6).as("entropy"),
+        (col("entropy_micro") <= col("cut")).as("flat_payload"))
+      .orderBy("doc_id")
+  }
+
+  /** m13's doc-grain half: (doc_id, media_type, n_bytes, n_symbols,
+    * entropy_micro) for every asset, entropy in exact micro-nats. Shared
+    * by the batch query (which attaches the 50-flattest cutoff) and by
+    * [[payloadEntropyCutoff]] (which freezes that cutoff for the
+    * streaming gate). */
+  private[graft] def entropyBase(media: Dataset[MediaRecord]): DataFrame = {
     val chars = media.toDF()
       .select(col("doc_id"), col("media_type"),
         octet_length(col("payload")).cast("long").as("n_bytes"),
@@ -959,7 +976,7 @@ object Multimodal {
         floor((log(col("n").cast("double"))
           - col("term_micro").cast("double") / (col("n").cast("double") * 1e6))
           * 1e6 + 0.5).cast("long").as("entropy_micro"))
-    val base = media.toDF().select(col("doc_id"),
+    media.toDF().select(col("doc_id"),
         col("media_type").as("mt"),
         octet_length(col("payload")).cast("long").as("nb"))
       .join(perDoc, Seq("doc_id"), "left")
@@ -967,14 +984,21 @@ object Multimodal {
         col("nb").as("n_bytes"),
         coalesce(col("n_symbols"), lit(0L)).as("n_symbols"),
         coalesce(col("entropy_micro"), lit(0L)).as("entropy_micro"))
-    val cutoff = base.orderBy(col("entropy_micro"), col("doc_id")).limit(50)
-      .agg(max("entropy_micro").as("cut"))
-    base.crossJoin(cutoff)
-      .select(col("doc_id"), col("media_type"), col("n_bytes"),
-        col("n_symbols"),
-        round(col("entropy_micro").cast("double") / 1e6, 6).as("entropy"),
-        (col("entropy_micro") <= col("cut")).as("flat_payload"))
-      .orderBy("doc_id")
+  }
+
+  /** The frozen review-queue cutoff for the streaming entropy gate: the
+    * max entropy_micro among the resident corpus's 50 flattest assets —
+    * exactly the bound batch m13 attaches by its 1-row crossJoin, read
+    * out once (a 1-row collect, the [[graft.streaming.VectorStreams]]
+    * frozen-centroid convention). An EMPTY resident corpus (the first
+    * deployment day) returns −1: entropy_micro is always ≥ 0, so nothing
+    * is flagged until a corpus exists to define "flat", mirroring
+    * cartographyGate's UNASSIGNED day-one stance. */
+  def payloadEntropyCutoff(media: Dataset[MediaRecord]): Long = {
+    val r = entropyBase(media)
+      .orderBy(col("entropy_micro"), col("doc_id")).limit(50)
+      .agg(max("entropy_micro")).head()
+    if (r.isNullAt(0)) -1L else r.getLong(0)
   }
 
   val payloadEntropyQ = Q(

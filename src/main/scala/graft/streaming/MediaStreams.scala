@@ -7,7 +7,9 @@ import graft.operators.Multimodal
 
 /** Streaming twin of the multimodal ingest surface: media records
   * (opaque binary payloads + typed metadata) as an arriving stream, with
-  * the two at-ingest steps a media pipeline runs before anything heavier:
+  * the at-ingest steps a media pipeline runs before anything heavier
+  * (plus [[shardAssigned]]'s packing cursor and [[entropyGate]]'s
+  * pre-decode corruption screen):
   *
   *  1. **Stateless stamping** ([[signed]]) — byte length, payload digest,
   *     stub-decode dimensions (m01's projection) and the 64-bit
@@ -100,6 +102,59 @@ object MediaStreams {
       .withWatermark("arrival_ts", horizon)
       .dropDuplicatesWithinWatermark("arriving_id", "existing_id")
       .select("arriving_id", "existing_id", "hamming")
+  }
+
+  /** Streaming twin of m13's pre-decode entropy gate: score every
+    * ARRIVING payload's symbol entropy and flag it against a FROZEN
+    * review-queue cutoff ([[Multimodal.payloadEntropyCutoff]] over the
+    * resident corpus — the corpus defines "flat"; an arrival doesn't
+    * move the bar mid-stream). This is the cheapest corruption detector
+    * an ingest path can run: it rejects blank frames / silence / zero
+    * fill BEFORE codec time is spent, so it must be stateless — and it
+    * is: per-row higher-order-function arithmetic over the record's own
+    * symbols, no explode-shuffle, no watermark, no state store (the
+    * [[VectorStreams.cartographyGate]] pattern).
+    *
+    * Value-identity with batch m13 (spec-asserted): the per-symbol term
+    * is the SAME quantization — floor(c·ln c·1e6 + 0.5) as BIGINT — so
+    * the per-doc sum is exact under any evaluation order, whether the
+    * counts come from batch's (doc, symbol) aggregate or from this
+    * row's `transform(array_distinct(syms), …)` loop; H = ln n − Σ/(n·1e6)
+    * is then the identical deterministic double expression. Per-record
+    * cost is ≤ 37 filter passes over the symbol array (the [a-z0-9 ]
+    * alphabet bounds the distinct set) — the gate trades that bounded
+    * per-row factor for zero shuffle, the right side of the trade at
+    * ingest; corpus-scale recompute stays on batch m13's explode+agg
+    * shape. Empty/no-symbol payloads score entropy 0, same as batch's
+    * left-join coalesce. */
+  def entropyGate(stream: DataFrame, cutoffMicro: Long): DataFrame = {
+    // syms materialized in its own projection: lambda bodies get no
+    // common-subexpression elimination, so inlining it would re-split
+    // the payload once per distinct symbol.
+    val syms = stream.select(
+      col("doc_id"), col("media_type"),
+      octet_length(col("payload")).cast("long").as("n_bytes"),
+      expr("filter(split(lower(cast(payload as string)), ''), " +
+        "c -> c rlike '^[a-z0-9 ]$')").as("syms"))
+    val scored = syms
+      .withColumn("n", size(col("syms")).cast("long"))
+      .withColumn("n_symbols", size(array_distinct(col("syms"))).cast("long"))
+      .withColumn("term_micro", expr(
+        """aggregate(
+             transform(array_distinct(syms), s -> size(filter(syms, x -> x = s))),
+             cast(0 as bigint),
+             (acc, c) -> acc + cast(floor(cast(c as double) * ln(cast(c as double))
+               * 1e6 + 0.5) as bigint))"""))
+      .withColumn("entropy_micro",
+        when(col("n") > 0,
+          floor((log(col("n").cast("double"))
+            - col("term_micro").cast("double") / (col("n").cast("double") * 1e6))
+            * 1e6 + 0.5).cast("long"))
+          .otherwise(lit(0L)))
+    scored.select(col("doc_id"), col("media_type"), col("n_bytes"),
+      col("n_symbols"),
+      round(col("entropy_micro").cast("double") / 1e6, 6).as("entropy"),
+      (col("entropy_micro") <= lit(cutoffMicro)).as("flat_payload"))
   }
 
   /** One arriving payload's size, keyed by its writer stream. */

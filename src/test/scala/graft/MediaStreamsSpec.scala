@@ -88,6 +88,59 @@ class MediaStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming entropy gate == batch m13 scores under a frozen cutoff; day-one cutoff is -1") {
+    val (base, split) = staged()
+    val media = Multimodal.mediaTable(spark, sf)
+    val maxId = media.toDF().agg(max("doc_id")).head().getLong(0)
+    // Batch scores for the arrivals half (the cutoff-independent truth).
+    val batchScores = Multimodal.entropyBase(media)
+      .filter(col("doc_id") >= split)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap // media_type, n_bytes, n_symbols, entropy_micro
+    // Freeze a cutoff strictly between the arrivals' min and max entropy
+    // so BOTH flag values must appear — a max-anchored cutoff can go
+    // vacuous on a ≤50-doc fixture where the 50-flattest queue covers
+    // the whole corpus.
+    val micros = batchScores.values.map(_._4)
+    assert(micros.min < micros.max, "fixture degenerate: zero entropy spread")
+    val cutoff = (micros.min + micros.max) / 2
+    val gate = MediaStreams.entropyGate(
+      MediaStreams.readMediaStream(spark, s"$base/arrivals", media.toDF()), cutoff)
+    val q = EventStreams.runToMemory(gate, "media_entropy_out", OutputMode.Append)
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("media_entropy_out").collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getBoolean(5))).toMap
+      // The planted empty arrival is absent from the batch table: the
+      // gate must score it 0 symbols / 0.0 entropy (batch's left-join
+      // coalesce rule) and flag it flat (0 <= any corpus cutoff).
+      assert(streamed(maxId + 1) == (("image/stub", 0L, 0L, 0.0, true)),
+        s"planted empty arrival scored ${streamed(maxId + 1)}")
+      val real = streamed - (maxId + 1)
+      assert(real.keySet == batchScores.keySet, "row set drift vs batch m13")
+      real.foreach { case (id, (mt, nb, ns, ent, flat)) =>
+        val (bmt, bnb, bns, bmicro) = batchScores(id)
+        assert((mt, nb, ns) == ((bmt, bnb, bns)), s"metadata drift for doc $id")
+        assert(ent == math.round(bmicro.toDouble / 1e6 * 1e6) / 1e6,
+          s"entropy drift for doc $id: $ent vs micro $bmicro")
+        assert(flat == (bmicro <= cutoff), s"flag drift for doc $id")
+      }
+      assert(real.values.exists(_._5) && real.values.exists(!_._5),
+        "cutoff failed to split the arrivals")
+      // The production cutoff must equal an independent recompute of the
+      // 50-flattest bound: sort the corpus scores by (entropy, doc_id),
+      // take 50, read the max.
+      val full = Multimodal.entropyBase(media)
+        .select("entropy_micro", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.take(50).map(_._1).max
+      assert(Multimodal.payloadEntropyCutoff(media) == full)
+      // Day-one stance: empty resident corpus -> -1 -> nothing flagged.
+      assert(Multimodal.payloadEntropyCutoff(media.filter(_.doc_id < 0)) == -1L)
+    } finally q.stop()
+  }
+
   test("at-ingest shard assignment == batch m09 manifest, multi-writer, cursor survives batch boundary") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-media-shard").toString
