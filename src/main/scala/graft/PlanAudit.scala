@@ -89,7 +89,11 @@ object PlanAudit {
       "m13_payload_entropy",
       // s17: the k-row cell table crossJoins its 1-row storage/probe
       // totals aggregate (s15's bounded × 1 row shape).
-      "s17_probe_traffic_balance")
+      "s17_probe_traffic_balance",
+      // s18: the k-row cell table takes two 1-row attachments — the
+      // wave-totals aggregate (s15's shape) and the LIMIT-2 share-shift
+      // cutoff (s16's min-over-LIMIT-k shape on the cell axis).
+      "s18_cluster_population_drift")
 
   /** Tables that are corpus-/fact-scale at the 100 TB target — anything
     * derived from one of these is presumed unbounded unless the deriving

@@ -1586,8 +1586,199 @@ object Similarity {
                 AS hot_cell
             FROM base, tot ORDER BY cell"""))
 
+  // ------------------------------ cluster population drift (s18)
+  /** s18: cluster-population drift of an ingest wave under a FROZEN
+    * codebook — the rebalance trigger an ANN serving stack reads before
+    * deciding to retrain. s16 answers "did the encoder move?" at the
+    * per-dimension grain; s18 answers the operational question one level
+    * up: with the codebook the index is ALREADY routing on (trained on
+    * the resident corpus only — retraining per delta would silently
+    * re-shard the index), does the newest wave land in the same cells at
+    * the same rates? A delta whose population concentrates into cells
+    * the resident corpus barely used means those cells' posting lists
+    * are about to blow past their provisioned size — the capacity signal
+    * that matters at 100 TB, where a rebalance is a scheduled rebuild,
+    * not a hiccup.
+    *
+    * Per cell of the resident-trained codebook (k = 8, 3 Lloyd
+    * iterations, s15's exact integer-milli arithmetic): resident/delta
+    * member counts and shares, the absolute share shift, per-wave mean
+    * assignment cosine (tightness — a wave that lands FAR from its best
+    * centroid is drifting even if counts hold), and a `rebalance` flag
+    * on the top-2 cells by share shift. The flag path never touches
+    * floats: |Δshare| ranks by the exact BIGINT cross-product
+    * |n_delta·res_tot − n_res·delta_tot| (shares over a common positive
+    * denominator), and the cutoff is min-over-LIMIT-2 of that
+    * (xnum DESC, cluster_id) total order — the sanctioned global-window
+    * replacement.
+    *
+    * Split: the d10/s16 newest-fifth convention (vec_id ≥ max·4/5 is
+    * the delta).
+    *
+    * Scale shape: the Lloyd loop's k map-only scans over the RESIDENT
+    * slice (corpus-independent shuffle, s15's bound); ONE assignment
+    * scan over both waves into a k-row conditional aggregate with
+    * map-side partials; then k-row joins and two allowlisted 1-row
+    * attachments (totals, cutoff). Output pinned at k rows at any
+    * corpus size. Degenerates: an empty corpus returns the empty frame
+    * (no codebook, nothing to audit); an empty delta leaves NULL delta
+    * shares/means and an all-zero xnum column (every cell ties at the
+    * cutoff — an honest "nothing arrived" readout). */
+  def clusterPopulationDrift(e: DataFrame, k: Int = 8,
+      iters: Int = 3): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val mxRow = e.agg(max("vec_id")).head()
+    val split = if (mxRow.isNullAt(0)) 0L else mxRow.getLong(0) * 4 / 5
+    val q = e.select(col("vec_id"),
+        when(col("vec_id") >= split, lit("delta")).otherwise(lit("resident"))
+          .as("wave"),
+        quantMilli.as("qe"))
+      .localCheckpoint() // two consumers: the Lloyd loop and the assignment
+    val cents = kmeansCentroidsFromQuant(
+      q.filter(col("wave") === "resident").select(col("vec_id"), col("qe")),
+      k, iters)
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cluster_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_res",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_delta",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("res_share",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("delta_share",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("share_shift",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("res_mean_cos",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("delta_mean_cos",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("rebalance",
+        org.apache.spark.sql.types.BooleanType)))
+    if (cents.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    val asg = q
+      .withColumn("b", centroidBest(cents, col("qe")))
+      .select(col("wave"), col("b.c").as("cluster_id"),
+        floor(-col("b.nc") * 1e6 + 0.5).cast("long").as("cos_micro"))
+    val byC = asg.groupBy("cluster_id").agg(
+      sum(when(col("wave") === "resident", 1L).otherwise(0L)).as("n_res"),
+      sum(when(col("wave") === "delta", 1L).otherwise(0L)).as("n_delta"),
+      sum(when(col("wave") === "resident", col("cos_micro")).otherwise(0L))
+        .as("res_cs"),
+      sum(when(col("wave") === "delta", col("cos_micro")).otherwise(0L))
+        .as("delta_cs"))
+    // Row base = the k trained centroid ids: a cell with no members in
+    // EITHER wave still reports (that emptiness is the signal).
+    val base = cents.map(_._1).toDF("cluster_id")
+      .join(byC, Seq("cluster_id"), "left")
+      .select(col("cluster_id"),
+        coalesce(col("n_res"), lit(0L)).as("n_res"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+        coalesce(col("res_cs"), lit(0L)).as("res_cs"),
+        coalesce(col("delta_cs"), lit(0L)).as("delta_cs"))
+    val scored = base
+      .crossJoin(base.agg(sum("n_res").as("res_tot"),
+        sum("n_delta").as("delta_tot")))
+      .withColumn("xnum",
+        abs(col("n_delta") * col("res_tot") - col("n_res") * col("delta_tot")))
+    val cut = scored.orderBy(col("xnum").desc, col("cluster_id")).limit(2)
+      .agg(min("xnum").as("xcut"))
+    scored.crossJoin(cut)
+      .select(col("cluster_id"), col("n_res"), col("n_delta"),
+        round(when(col("res_tot") =!= 0,
+          col("n_res").cast("double") / col("res_tot").cast("double")), 6)
+          .as("res_share"),
+        round(when(col("delta_tot") =!= 0,
+          col("n_delta").cast("double") / col("delta_tot").cast("double")), 6)
+          .as("delta_share"),
+        round(when(col("res_tot") =!= 0 && col("delta_tot") =!= 0,
+          col("xnum").cast("double")
+            / (col("res_tot").cast("double") * col("delta_tot").cast("double"))), 6)
+          .as("share_shift"),
+        round(when(col("n_res") =!= 0,
+          col("res_cs").cast("double") / (col("n_res").cast("double") * 1e6)), 6)
+          .as("res_mean_cos"),
+        round(when(col("n_delta") =!= 0,
+          col("delta_cs").cast("double") / (col("n_delta").cast("double") * 1e6)), 6)
+          .as("delta_mean_cos"),
+        (col("xnum") >= col("xcut")).as("rebalance"))
+      .orderBy("cluster_id")
+  }
+
+  val populationDrift = Q(
+    "s18_cluster_population_drift",
+    (s, d) => clusterPopulationDrift(Tables.embeddings(s, d)),
+    Some(s"""WITH emx AS (SELECT max(vec_id) AS m FROM embeddings),
+            allq AS (
+              SELECT vec_id,
+                CASE WHEN vec_id >= (SELECT m * 4 // 5 FROM emx)
+                     THEN 'delta' ELSE 'resident' END AS wave,
+                CAST(0 AS BIGINT) AS label,
+                list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS qe
+              FROM embeddings),
+            q AS (SELECT vec_id, label, qe FROM allq WHERE wave = 'resident'),
+            c0 AS (SELECT vec_id AS c, qe FROM q ORDER BY vec_id LIMIT 8),
+            ${kmeansIterSql(1)},
+            ${kmeansIterSql(2)},
+            ${kmeansIterSql(3)},
+            fin AS (
+              SELECT wave, c AS cluster_id,
+                CAST(floor(rc * 1e6 + 0.5) AS BIGINT) AS cos_micro
+              FROM (
+                SELECT wave, c, rc,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY rc DESC, c) AS rn
+                FROM (
+                  SELECT v.vec_id, v.wave, cc.c,
+                    ${rcSql("v.qe", "cc.qe")} AS rc
+                  FROM allq v CROSS JOIN c3 cc)) WHERE rn = 1),
+            byc AS (
+              SELECT cluster_id,
+                CAST(sum(CASE WHEN wave = 'resident' THEN 1 ELSE 0 END) AS BIGINT) AS n_res,
+                CAST(sum(CASE WHEN wave = 'delta' THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+                CAST(sum(CASE WHEN wave = 'resident' THEN cos_micro ELSE 0 END) AS BIGINT) AS res_cs,
+                CAST(sum(CASE WHEN wave = 'delta' THEN cos_micro ELSE 0 END) AS BIGINT) AS delta_cs
+              FROM fin GROUP BY cluster_id),
+            cells AS (SELECT c AS cluster_id FROM c3),
+            base AS (
+              SELECT cells.cluster_id,
+                CAST(coalesce(n_res, 0) AS BIGINT) AS n_res,
+                CAST(coalesce(n_delta, 0) AS BIGINT) AS n_delta,
+                CAST(coalesce(res_cs, 0) AS BIGINT) AS res_cs,
+                CAST(coalesce(delta_cs, 0) AS BIGINT) AS delta_cs
+              FROM cells LEFT JOIN byc ON byc.cluster_id = cells.cluster_id),
+            tot AS (
+              SELECT CAST(sum(n_res) AS BIGINT) AS res_tot,
+                CAST(sum(n_delta) AS BIGINT) AS delta_tot
+              FROM base),
+            sc2 AS (
+              SELECT base.*, res_tot, delta_tot,
+                abs(n_delta * res_tot - n_res * delta_tot) AS xnum
+              FROM base, tot),
+            cut AS (
+              SELECT min(xnum) AS xcut FROM (
+                SELECT xnum FROM sc2 ORDER BY xnum DESC, cluster_id LIMIT 2))
+            SELECT cluster_id, n_res, n_delta,
+              round(CAST(n_res AS DOUBLE) / NULLIF(CAST(res_tot AS DOUBLE), 0.0), 6)
+                AS res_share,
+              round(CAST(n_delta AS DOUBLE) / NULLIF(CAST(delta_tot AS DOUBLE), 0.0), 6)
+                AS delta_share,
+              round(CAST(xnum AS DOUBLE)
+                / NULLIF(CAST(res_tot AS DOUBLE) * CAST(delta_tot AS DOUBLE), 0.0), 6)
+                AS share_shift,
+              round(CAST(res_cs AS DOUBLE) / NULLIF(CAST(n_res AS DOUBLE) * 1e6, 0.0), 6)
+                AS res_mean_cos,
+              round(CAST(delta_cs AS DOUBLE) / NULLIF(CAST(n_delta AS DOUBLE) * 1e6, 0.0), 6)
+                AS delta_mean_cos,
+              (xnum >= xcut) AS rebalance
+            FROM sc2, cut ORDER BY cluster_id"""))
+
   val all: Seq[Q] =
     Seq(annBruteForce, annLsh, centroids, annIvf, annRecall, quantError, annAppend,
       annPq, radius, mmr, filteredAnn, annDelete, knnPurity, knnConfusion,
-      kmeansCarto, drift, probeBalance)
+      kmeansCarto, drift, probeBalance, populationDrift)
 }

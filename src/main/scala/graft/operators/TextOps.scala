@@ -2242,6 +2242,132 @@ object TextOps {
               ON b.from_source = a.from_source AND b.to_source = a.from_source
             ORDER BY a.from_source, a.to_source"""))
 
+  // ---------------------------- gate threshold operating curve (t41)
+  /** t41: the classifier-threshold operating curve — the table that picks
+    * the DEPLOYED cutoff. t36 establishes the score is calibrated (high
+    * bins concentrate gate passes); this query answers the decision that
+    * follows: at each candidate threshold τ, how many documents and —
+    * the budget that actually matters — how many TOKENS survive, and at
+    * what agreement with the t20 heuristic gate (TP/FP/FN/TN, precision,
+    * recall). Sweeping τ trades retained-token budget against quality
+    * (the FineWeb-Edu/DCLM quality-vs-quantity curve); the deployment
+    * threshold is read straight off this table.
+    *
+    * τ is a per-token score in exact MICRO units and the keep decision
+    * never divides: `score_milli · 1000 ≥ τ · n_tokens` compares the
+    * doc's mean token score against τ by BIGINT cross-multiplication
+    * (n_tokens > 0 for every scored doc, so the inequality direction is
+    * stable), which both engines evaluate bit-identically — no float
+    * threshold boundary, no integer-division truncation asymmetry on
+    * negative scores. The 9-point grid spans the score distribution's
+    * 10th–90th percentile band (±0.15).
+    *
+    * Scale shape: t24's token explode + doc aggregate and t20's map-only
+    * feature scan, ONE doc-keyed equi-join (t36's shape), a 9-way
+    * literal-grid explode (rows 9 × docs, map-side combined into 9
+    * groups), and a 9-row sort. Tokenless docs are absent from the
+    * scored side and drop from the curve (t36's inner-join rule: the
+    * gate already rejects them at n_tokens < 20). */
+  val thresholdCurve = Q(
+    "t41_gate_threshold_curve",
+    (s, d) => {
+      val taus = Seq(-150000L, -100000L, -50000L, -20000L, 0L,
+        20000L, 50000L, 100000L, 150000L)
+      val toks = tokens(col("text"))
+      val gated = Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(toks).cast("long").as("gn_tokens"),
+          stopwordHits(toks, stopwords("en")).cast("long").as("stop_hits"),
+          charClassCount(lower(col("text")), "[a-z0-9]").cast("long").as("n_word_chars"))
+        .select(col("doc_id"),
+          (col("gn_tokens") >= 20 && col("gn_tokens") <= 5000 &&
+            safeFrac(col("stop_hits"), col("gn_tokens")) >= 0.02 &&
+            safeFrac(col("n_word_chars"), col("gn_tokens")) >= 3.0 &&
+            safeFrac(col("n_word_chars"), col("gn_tokens")) <= 10.0)
+            .as("gate_pass"))
+      classifierDocScores(Tables.documents(s, d))
+        .join(gated, Seq("doc_id"))
+        .select(col("n_tokens"), col("score_milli"), col("gate_pass"),
+          explode(typedLit(taus)).as("tau_micro"))
+        .withColumn("keep_pred",
+          col("score_milli") * 1000L >= col("tau_micro") * col("n_tokens"))
+        .groupBy("tau_micro")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("keep_pred"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("keep_pred"), col("n_tokens")).otherwise(0L))
+            .as("kept_tokens"),
+          sum(col("n_tokens")).as("all_tokens"),
+          sum(when(col("keep_pred") && col("gate_pass"), 1L).otherwise(0L))
+            .as("tp"),
+          sum(when(col("keep_pred") && !col("gate_pass"), 1L).otherwise(0L))
+            .as("fp"),
+          sum(when(!col("keep_pred") && col("gate_pass"), 1L).otherwise(0L))
+            .as("fn"),
+          sum(when(!col("keep_pred") && !col("gate_pass"), 1L).otherwise(0L))
+            .as("tn"))
+        .select(col("tau_micro"), col("n_kept"),
+          round(safeFrac(col("kept_tokens"), col("all_tokens")), 6)
+            .as("kept_token_share"),
+          col("tp"), col("fp"), col("fn"), col("tn"),
+          round(safeFrac(col("tp"), col("tp") + col("fp")), 6).as("precision"),
+          round(safeFrac(col("tp"), col("tp") + col("fn")), 6).as("recall"))
+        .orderBy("tau_micro")
+    },
+    Some(s"""WITH toks AS (
+              SELECT doc_id, unnest(list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS w
+              FROM documents),
+            wts AS (
+              SELECT doc_id,
+                (CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 1024
+                  * 2654435761 + 40503) % 1000003 % 2001 - 1000 AS w_milli
+              FROM toks),
+            scored AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(sum(w_milli) AS BIGINT) AS score_milli
+              FROM wts GROUP BY doc_id),
+            f AS (
+              SELECT doc_id,
+                CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS BIGINT) AS gn_tokens,
+                CAST(${hitsSql(stopwords("en"))} AS BIGINT) AS stop_hits,
+                CAST(length(text) - length(regexp_replace(lower(text), '[a-z0-9]', '', 'g')) AS BIGINT) AS n_word_chars
+              FROM documents),
+            gated AS (
+              SELECT doc_id,
+                (gn_tokens >= 20 AND gn_tokens <= 5000
+                 AND CAST(stop_hits AS DOUBLE) / NULLIF(CAST(gn_tokens AS DOUBLE), 0) >= 0.02
+                 AND CAST(n_word_chars AS DOUBLE) / NULLIF(CAST(gn_tokens AS DOUBLE), 0) >= 3.0
+                 AND CAST(n_word_chars AS DOUBLE) / NULLIF(CAST(gn_tokens AS DOUBLE), 0) <= 10.0)
+                  AS gate_pass
+              FROM f),
+            ex AS (
+              SELECT s.n_tokens, s.score_milli, g.gate_pass, t.tau_micro,
+                (s.score_milli * 1000 >= t.tau_micro * s.n_tokens) AS keep_pred
+              FROM scored s JOIN gated g ON g.doc_id = s.doc_id
+              CROSS JOIN (SELECT unnest([-150000, -100000, -50000, -20000, 0,
+                20000, 50000, 100000, 150000]) AS tau_micro) t),
+            agg AS (
+              SELECT CAST(tau_micro AS BIGINT) AS tau_micro,
+                CAST(sum(CASE WHEN keep_pred THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                CAST(sum(CASE WHEN keep_pred THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+                CAST(sum(n_tokens) AS BIGINT) AS all_tokens,
+                CAST(sum(CASE WHEN keep_pred AND gate_pass THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                CAST(sum(CASE WHEN keep_pred AND NOT gate_pass THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                CAST(sum(CASE WHEN NOT keep_pred AND gate_pass THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                CAST(sum(CASE WHEN NOT keep_pred AND NOT gate_pass THEN 1 ELSE 0 END) AS BIGINT) AS tn
+              FROM ex GROUP BY 1)
+            SELECT tau_micro, n_kept,
+              round(CAST(kept_tokens AS DOUBLE) / NULLIF(CAST(all_tokens AS DOUBLE), 0), 6)
+                AS kept_token_share,
+              tp, fp, fn, tn,
+              round(CAST(tp AS DOUBLE) / NULLIF(CAST(tp + fp AS DOUBLE), 0), 6)
+                AS precision,
+              round(CAST(tp AS DOUBLE) / NULLIF(CAST(tp + fn AS DOUBLE), 0), 6)
+                AS recall
+            FROM agg ORDER BY tau_micro"""))
+
   val all: Seq[Q] =
     Seq(grep, wordcount, tokenCount, quality, langid, fingerprint, winnow, tfidf,
       langidEval, chunk, cooccur, bigrams, perplexity, vocabGrowth, repetition,
@@ -2249,5 +2375,5 @@ object TextOps {
       hitters, classifierScore, bpeApply, nfcAudit, dsirWeights, lengthOutliers,
       tokenEntropy, piiScrubQ, encodingAuditQ, zipfFit, epochShuffleQ, templated,
       langMismatchQ, calibration, vocabCoverage, sentenceProfile, readability,
-      lmTransfer)
+      lmTransfer, thresholdCurve)
 }
