@@ -93,7 +93,10 @@ object PlanAudit {
       // s18: the k-row cell table takes two 1-row attachments — the
       // wave-totals aggregate (s15's shape) and the LIMIT-2 share-shift
       // cutoff (s16's min-over-LIMIT-k shape on the cell axis).
-      "s18_cluster_population_drift")
+      "s18_cluster_population_drift",
+      // p15: the #sources-row churn ledger crossJoins its 1-row global
+      // totals aggregate (s17's fair-share bounded x 1 row shape).
+      "p15_release_churn")
 
   /** Tables that are corpus-/fact-scale at the 100 TB target — anything
     * derived from one of these is presumed unbounded unless the deriving

@@ -1336,7 +1336,138 @@ object Pipeline {
             FROM combos c JOIN tot t ON t.source = c.source
             ORDER BY c.source, c.gates"""))
 
+  // ------------------------------- release churn ledger (p15)
+  /** p15: release-to-release churn ledger — the per-source diff report a
+    * data-ops team reads after cutting a new corpus release: which
+    * sources turned over, by how much, and what happened to the token
+    * budget. p05 answers "which NEW docs get admitted and where do they
+    * land"; p15 answers the retrospective question across two complete
+    * release manifests, including REMOVALS (a takedown, a license
+    * change, a source dropped from the mix) — the direction a monotone
+    * append ledger cannot see.
+    *
+    * Content grain is d01's normalized-text fingerprint (a re-crawled
+    * byte-identical page is the SAME content, not an add+remove), keeper
+    * = min doc_id per release (d01's rule); a retained fingerprint is
+    * attributed to the NEW release's source (the current view owns the
+    * row). Per source: added/removed/retained fingerprint counts, token
+    * totals per release and the net delta, churn =
+    * (added+removed)/(added+removed+retained) — and a `heavy_churn`
+    * flag when the source's churn STRICTLY exceeds the whole release's
+    * churn (the fair-share line, s17's hot-cell stance), compared by
+    * exact BIGINT cross-multiplication — never on rounded shares, so
+    * there is no float threshold boundary and near-uniform corpora
+    * split honestly instead of tie-flagging.
+    *
+    * Scale shape: two fingerprint-grain aggregates (one shuffle each,
+    * map-side combined — duplicates collapse before the join), ONE
+    * fp-keyed full-outer join (linear, AQE-planned), a source-grain
+    * rollup to a bounded row set, and one allowlisted 1-row cutoff
+    * attachment. Nothing is corpus × corpus; output is #sources rows at
+    * any scale.
+    *
+    * The operator takes the two release tables; the registered query
+    * instantiates them as deterministic overlapping doc_id slices
+    * (previous = `% 3 ≠ 0`, next = `% 3 ≠ 1`) so EVERY source sees
+    * adds, removals, and retentions on the test corpus (doc_id strides
+    * are coprime to the source assignment) — the d09 %-slice harness
+    * convention. */
+  def releaseChurn(relA: DataFrame, relB: DataFrame): DataFrame = {
+    def fpGrain(rel: DataFrame): DataFrame = rel
+      .select(md5(normText(col("text"))).as("fp"), col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy("fp")
+      .agg(min(struct(col("doc_id"), col("source"), col("n_tokens"))).as("k"))
+      .select(col("fp"), col("k.source").as("source"),
+        col("k.n_tokens").as("n_tokens"))
+    val a = fpGrain(relA).select(col("fp"),
+      col("source").as("src_a"), col("n_tokens").as("tok_a"))
+    val b = fpGrain(relB).select(col("fp"),
+      col("source").as("src_b"), col("n_tokens").as("tok_b"))
+    val scored = a.join(b, Seq("fp"), "full_outer")
+      .select(coalesce(col("src_b"), col("src_a")).as("source"),
+        when(col("src_a").isNull, 1L).otherwise(0L).as("is_added"),
+        when(col("src_b").isNull, 1L).otherwise(0L).as("is_removed"),
+        when(col("src_a").isNotNull && col("src_b").isNotNull, 1L)
+          .otherwise(0L).as("is_retained"),
+        coalesce(col("tok_a"), lit(0L)).as("tok_a"),
+        coalesce(col("tok_b"), lit(0L)).as("tok_b"))
+      .groupBy("source")
+      .agg(sum("is_added").as("n_added"), sum("is_removed").as("n_removed"),
+        sum("is_retained").as("n_retained"),
+        sum("tok_a").as("tokens_a"), sum("tok_b").as("tokens_b"))
+      .withColumn("n_churned", col("n_added") + col("n_removed"))
+      .withColumn("n_total",
+        col("n_added") + col("n_removed") + col("n_retained"))
+    val tot = scored.agg(sum("n_churned").as("g_churned"),
+      sum("n_total").as("g_total"))
+    scored.crossJoin(tot)
+      .select(col("source"), col("n_added"), col("n_removed"),
+        col("n_retained"), col("tokens_a"), col("tokens_b"),
+        (col("tokens_b") - col("tokens_a")).as("token_delta"),
+        round(col("n_churned").cast("double") / col("n_total").cast("double"), 6)
+          .as("churn"),
+        (col("n_churned") * col("g_total") > col("g_churned") * col("n_total"))
+          .as("heavy_churn"))
+      .orderBy("source")
+  }
+
+  private val churnFpSql =
+    """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+         doc_id, source,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+           t -> t <> '')) AS BIGINT) AS n_tokens
+       FROM documents"""
+
+  val releaseChurnQ = Q(
+    "p15_release_churn",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      releaseChurn(docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 3 =!= 1))
+    },
+    Some(s"""WITH fa AS ($churnFpSql WHERE doc_id % 3 <> 0),
+            fb AS ($churnFpSql WHERE doc_id % 3 <> 1),
+            ga AS (SELECT fp, min_by(source, doc_id) AS src_a,
+                     min_by(n_tokens, doc_id) AS tok_a
+                   FROM fa GROUP BY fp),
+            gb AS (SELECT fp, min_by(source, doc_id) AS src_b,
+                     min_by(n_tokens, doc_id) AS tok_b
+                   FROM fb GROUP BY fp),
+            j AS (
+              SELECT coalesce(src_b, src_a) AS source,
+                CASE WHEN ga.fp IS NULL THEN 1 ELSE 0 END AS is_added,
+                CASE WHEN gb.fp IS NULL THEN 1 ELSE 0 END AS is_removed,
+                CASE WHEN ga.fp IS NOT NULL AND gb.fp IS NOT NULL
+                     THEN 1 ELSE 0 END AS is_retained,
+                coalesce(tok_a, 0) AS tok_a, coalesce(tok_b, 0) AS tok_b
+              FROM ga FULL OUTER JOIN gb ON gb.fp = ga.fp),
+            sr AS (
+              SELECT source,
+                CAST(sum(is_added) AS BIGINT) AS n_added,
+                CAST(sum(is_removed) AS BIGINT) AS n_removed,
+                CAST(sum(is_retained) AS BIGINT) AS n_retained,
+                CAST(sum(tok_a) AS BIGINT) AS tokens_a,
+                CAST(sum(tok_b) AS BIGINT) AS tokens_b
+              FROM j GROUP BY source),
+            sc AS (
+              SELECT sr.*,
+                n_added + n_removed AS n_churned,
+                n_added + n_removed + n_retained AS n_total
+              FROM sr),
+            tot AS (
+              SELECT CAST(sum(n_churned) AS BIGINT) AS g_churned,
+                CAST(sum(n_total) AS BIGINT) AS g_total
+              FROM sc)
+            SELECT source, n_added, n_removed, n_retained, tokens_a, tokens_b,
+              tokens_b - tokens_a AS token_delta,
+              round(CAST(n_churned AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+                AS churn,
+              (n_churned * g_total > g_churned * n_total) AS heavy_churn
+            FROM sc, tot ORDER BY source"""))
+
   val all: Seq[Q] =
     Seq(pipeline, mix, audit, epoch, refresh, dedupMix, funnel, curriculum, card,
-      seedAudit, tokenFunnelQ, budgetFillQ, ingestAuditQ, gateAttributionQ)
+      seedAudit, tokenFunnelQ, budgetFillQ, ingestAuditQ, gateAttributionQ,
+      releaseChurnQ)
 }

@@ -214,7 +214,18 @@ class PartitionInvarianceSpec extends SparkSpec {
     "p14_gate_attribution",
     // s17: exact-integer Lloyd centroids (the s15 argument), BIGINT
     // stored/probe counts, and an integer cross-multiplied flag.
-    "s17_probe_traffic_balance")
+    "s17_probe_traffic_balance",
+    // s18: s15's exact-integer assignment against resident-trained
+    // centroids, BIGINT conditional counts, the share-shift ranked by a
+    // BIGINT cross-product with a LIMIT-2 cutoff over a total order.
+    "s18_cluster_population_drift",
+    // t41: BIGINT confusion counts per literal threshold (the keep
+    // decision is a BIGINT cross-multiplication); doubles are round-6
+    // of exact ratios.
+    "t41_gate_threshold_curve",
+    // p15: fingerprint-grain min-struct keepers (total order), BIGINT
+    // churn counts, and the s17-style cross-multiplied fair-share flag.
+    "p15_release_churn")
 
   test("round-5/6 queries return identical rows at shuffle.partitions = 3 and 17") {
     val conf = spark.conf
