@@ -308,7 +308,16 @@ object ScaleRehearsal {
       // vocabulary k×, d23's adversarial axis) and the mark-kept join
       // is 1:1 per occurrence, so no df cap is needed: a corpus-hot
       // chunk collapses map-side instead of pairing quadratically.
-      "d29_cdc_dedup")
+      "d29_cdc_dedup",
+      // Round-12 second wave: s18 is s15's Lloyd loop on the resident
+      // 4/5 of the k× embeddings twin + ONE assignment scan over both
+      // waves into a k-row conditional aggregate; t41 is t24's scoring
+      // scan + t20's map-only gate scan, one doc-keyed join, and a
+      // 9-way literal-grid explode into 9 groups (map-side combined);
+      // p15 is two fingerprint-grain aggregates + one fp-keyed full
+      // outer join (the d01 band) into a #sources rollup.
+      "s18_cluster_population_drift", "t41_gate_threshold_curve",
+      "p15_release_churn")
     def timeQuery(name: String, dir: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
       def once(): (Double, Long) = {
