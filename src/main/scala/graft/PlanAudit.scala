@@ -96,7 +96,13 @@ object PlanAudit {
       "s18_cluster_population_drift",
       // p15: the #sources-row churn ledger crossJoins its 1-row global
       // totals aggregate (s17's fair-share bounded x 1 row shape).
-      "p15_release_churn")
+      "p15_release_churn",
+      // t42: three bounded attachments — the (source, word) table and the
+      // distinct-source list each crossJoin the 1-row top-K vocab array
+      // (t37's shape), and the dense cell table crossJoins the 1-row
+      // alphabet-size aggregate; the pair join itself is cell-keyed and
+      // bounded by sources² × (K+1).
+      "t42_source_divergence")
 
   /** Tables that are corpus-/fact-scale at the 100 TB target — anything
     * derived from one of these is presumed unbounded unless the deriving

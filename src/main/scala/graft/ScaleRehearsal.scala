@@ -317,7 +317,12 @@ object ScaleRehearsal {
       // p15 is two fingerprint-grain aggregates + one fp-keyed full
       // outer join (the d01 band) into a #sources rollup.
       "s18_cluster_population_drift", "t41_gate_threshold_curve",
-      "p15_release_churn")
+      "p15_release_churn",
+      // t42 rides the (source, word) vocabulary aggregate (d23's axis —
+      // the tagged copies grow the word vocabulary k×) into a top-K
+      // collapse; everything after is sources² × (K+1), corpus-
+      // independent.
+      "t42_source_divergence")
     def timeQuery(name: String, dir: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
       def once(): (Double, Long) = {

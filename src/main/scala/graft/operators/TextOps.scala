@@ -2368,6 +2368,137 @@ object TextOps {
                 AS recall
             FROM agg ORDER BY tau_micro"""))
 
+  // ------------------------------ source divergence matrix (t42)
+  /** t42: pairwise KL divergence between per-source unigram
+    * distributions — the statistical-redundancy matrix a mixture
+    * designer reads before weighting sources (the DoReMi/SlimPajama
+    * question): two sources whose distributions nearly coincide
+    * contribute one source's worth of diversity at two sources' token
+    * cost, while a source with no near neighbor is irreplaceable. t22
+    * profiles each source alone and t27 weights docs against ONE target;
+    * this is the source×source view neither gives. Per ordered pair:
+    * KL(a‖b) over a fixed finite alphabet — the corpus's top-K words
+    * (K = [[SourceDivergenceK]], exact-count ranked with the t37
+    * lexicographic tie rule) plus one OOV catch-all cell — with add-one
+    * smoothing so every cell of every source is positive, and a
+    * `nearest` flag on each source's minimum-KL neighbor (its redundancy
+    * candidate), ranked by the exact nano-nat integer.
+    *
+    * Exactness: p_a and q_b are quotients of exact BIGINTs (deterministic
+    * IEEE doubles, identical in both engines); each cell's term
+    * p·ln(p/q) is quantized to nano-nats (floor(·1e9 + 0.5) BIGINT)
+    * BEFORE the cross-cell sum (t40's integer-units rule), so the
+    * per-pair sum is exact under any partial-aggregation order; the
+    * nearest rank and the output double both read the same integer.
+    *
+    * Scale shape: one token explode into the (source, word)-keyed
+    * aggregate (d23's vocabulary axis, map-side combined), the top-K
+    * vocab collapsed by TakeOrdered into ONE 1-row array (t37's shape),
+    * a map-side cell fold (rows ≤ sources × (K+1) after its aggregate),
+    * and a cell-keyed pair join bounded by sources² × (K+1) — source
+    * count plateaus (d20's ≤ #sources² argument) and K is a constant,
+    * so everything past the first aggregate is corpus-independent. The
+    * nearest window partitions by source_a (bounded partitions — never
+    * global). */
+  val SourceDivergenceK = 64
+
+  val sourceDivergence = Q(
+    "t42_source_divergence",
+    (s, d) => {
+      val wc = Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+        .localCheckpoint() // three consumers: vocab, cells, source list
+      val vocab = wc.groupBy("w").agg(sum("c").as("cnt"))
+        .orderBy(desc("cnt"), col("w")).limit(SourceDivergenceK)
+        .agg(collect_list("w").as("vocab"))
+      val cells = wc.crossJoin(vocab)
+        .select(col("source"),
+          when(array_contains(col("vocab"), col("w")), col("w"))
+            .otherwise(lit("<oov>")).as("cell"),
+          col("c"))
+        .groupBy("source", "cell").agg(sum("c").as("c"))
+      val dense = wc.select("source").distinct()
+        .crossJoin(vocab.select(
+          explode(concat(col("vocab"), array(lit("<oov>")))).as("cell")))
+        .join(cells, Seq("source", "cell"), "left")
+        .select(col("source"), col("cell"), coalesce(col("c"), lit(0L)).as("c"))
+      val withTot = dense
+        .join(dense.groupBy("source").agg(sum("c").as("n")), "source")
+      val alpha = vocab.select((size(col("vocab")) + 1).cast("long").as("alpha"))
+      val aSide = withTot.crossJoin(alpha)
+        .select(col("source").as("source_a"), col("cell"),
+          col("c").as("ca"), col("n").as("na"), col("alpha"))
+      val bSide = withTot.select(col("source").as("source_b"), col("cell"),
+        col("c").as("cb"), col("n").as("nb"))
+      val pa = col("ca").plus(1L).cast("double")
+        ./(col("na").plus(col("alpha")).cast("double"))
+      val qb = col("cb").plus(1L).cast("double")
+        ./(col("nb").plus(col("alpha")).cast("double"))
+      val kl = aSide.join(bSide, "cell")
+        .filter(col("source_a") =!= col("source_b"))
+        .select(col("source_a"), col("source_b"),
+          floor(pa * log(pa / qb) * 1e9 + 0.5).cast("long").as("term_nano"))
+        .groupBy("source_a", "source_b")
+        .agg(sum("term_nano").as("kl_nano"))
+      kl.withColumn("rn", row_number().over(org.apache.spark.sql.expressions
+          .Window.partitionBy("source_a").orderBy(col("kl_nano"), col("source_b"))))
+        .select(col("source_a"), col("source_b"),
+          round(col("kl_nano").cast("double") / 1e9, 6).as("kl"),
+          (col("rn") === 1).as("nearest"))
+        .orderBy("source_a", "source_b")
+    },
+    Some(s"""WITH toks AS (
+              SELECT source, unnest(list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS w
+              FROM documents),
+            wc AS (
+              SELECT source, w, CAST(count(*) AS BIGINT) AS c
+              FROM toks GROUP BY 1, 2),
+            vc AS (
+              SELECT w FROM (SELECT w, sum(c) AS cnt FROM wc GROUP BY w)
+              ORDER BY cnt DESC, w LIMIT $SourceDivergenceK),
+            vocab AS (SELECT list(w) AS v FROM vc),
+            alpha AS (SELECT CAST(len(v) + 1 AS BIGINT) AS alpha FROM vocab),
+            cells0 AS (
+              SELECT source,
+                CASE WHEN list_contains((SELECT v FROM vocab), w)
+                     THEN w ELSE '<oov>' END AS cell,
+                CAST(sum(c) AS BIGINT) AS c
+              FROM wc GROUP BY 1, 2),
+            dense AS (
+              SELECT s.source, cl.cell, CAST(coalesce(c0.c, 0) AS BIGINT) AS c
+              FROM (SELECT DISTINCT source FROM wc) s
+              CROSS JOIN (SELECT unnest(list_append((SELECT v FROM vocab),
+                '<oov>')) AS cell) cl
+              LEFT JOIN cells0 c0 ON c0.source = s.source AND c0.cell = cl.cell),
+            wt AS (
+              SELECT d.source, d.cell, d.c, t.n
+              FROM dense d JOIN (
+                SELECT source, CAST(sum(c) AS BIGINT) AS n
+                FROM dense GROUP BY source) t ON t.source = d.source),
+            kl AS (
+              SELECT source_a, source_b,
+                CAST(sum(term_nano) AS BIGINT) AS kl_nano
+              FROM (
+                SELECT a.source AS source_a, b.source AS source_b,
+                  CAST(floor(
+                    (CAST(a.c + 1 AS DOUBLE) / CAST(a.n + alpha AS DOUBLE))
+                    * ln((CAST(a.c + 1 AS DOUBLE) / CAST(a.n + alpha AS DOUBLE))
+                         / (CAST(b.c + 1 AS DOUBLE) / CAST(b.n + alpha AS DOUBLE)))
+                    * 1e9 + 0.5) AS BIGINT) AS term_nano
+                FROM wt a JOIN wt b ON b.cell = a.cell, alpha
+                WHERE a.source <> b.source)
+              GROUP BY 1, 2),
+            rk AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY source_a ORDER BY kl_nano, source_b) AS rn
+              FROM kl)
+            SELECT source_a, source_b,
+              round(CAST(kl_nano AS DOUBLE) / 1e9, 6) AS kl,
+              (rn = 1) AS nearest
+            FROM rk ORDER BY source_a, source_b"""))
+
   val all: Seq[Q] =
     Seq(grep, wordcount, tokenCount, quality, langid, fingerprint, winnow, tfidf,
       langidEval, chunk, cooccur, bigrams, perplexity, vocabGrowth, repetition,
@@ -2375,5 +2506,5 @@ object TextOps {
       hitters, classifierScore, bpeApply, nfcAudit, dsirWeights, lengthOutliers,
       tokenEntropy, piiScrubQ, encodingAuditQ, zipfFit, epochShuffleQ, templated,
       langMismatchQ, calibration, vocabCoverage, sentenceProfile, readability,
-      lmTransfer, thresholdCurve)
+      lmTransfer, thresholdCurve, sourceDivergence)
 }

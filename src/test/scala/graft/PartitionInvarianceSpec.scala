@@ -225,7 +225,12 @@ class PartitionInvarianceSpec extends SparkSpec {
     "t41_gate_threshold_curve",
     // p15: fingerprint-grain min-struct keepers (total order), BIGINT
     // churn counts, and the s17-style cross-multiplied fair-share flag.
-    "p15_release_churn")
+    "p15_release_churn",
+    // t42: exact-count top-K vocab (lexicographic ties), per-cell KL
+    // terms quantized to nano-nats BEFORE the pair sum, nearest rank
+    // over the exact integer — gated to prove the matrix and flag can't
+    // move with reduce geometry.
+    "t42_source_divergence")
 
   test("round-5/6 queries return identical rows at shuffle.partitions = 3 and 17") {
     val conf = spark.conf
