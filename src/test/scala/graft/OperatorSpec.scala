@@ -2238,4 +2238,86 @@ class OperatorSpec extends SparkSpec {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], e.schema)
     assert(Similarity.probeTrafficBalance(empty).collect().isEmpty)
   }
+
+  test("p15 release churn: a re-crawled page is retained at fingerprint grain, a takedown counts as removed") {
+    import spark.implicits._
+    // Release A: two src0 docs + one src1 doc. Release B: the first src0
+    // doc re-crawled under a NEW doc_id with whitespace-only changes
+    // (SAME content fingerprint → retained, NOT add+remove — the grain
+    // the ledger exists for), the second src0 doc taken down, and a new
+    // src1 doc added.
+    val relA = Seq(
+      (1L, "alpha beta gamma", "src0"),
+      (2L, "delta epsilon", "src0"),
+      (3L, "zeta eta theta", "src1")
+    ).toDF("doc_id", "text", "source")
+    val relB = Seq(
+      (9L, "  alpha   beta\tgamma ", "src0"), // re-crawl of doc 1
+      (3L, "zeta eta theta", "src1"),
+      (4L, "iota kappa", "src1")
+    ).toDF("doc_id", "text", "source")
+    val out = Pipeline.releaseChurn(relA, relB).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // src0: 0 added, 1 removed (doc 2), 1 retained (the re-crawl);
+    // token budget is carried by the keeper rows: A = 3+2, B = 3.
+    assert(out("src0") == ((0L, 1L, 1L, 5L, 3L, -2L)), out.toSeq.toString)
+    // src1: 1 added (doc 4), 0 removed, 1 retained; tokens A=3, B=3+2.
+    assert(out("src1") == ((1L, 0L, 1L, 3L, 5L, 2L)), out.toSeq.toString)
+  }
+
+  test("s18 population drift: an identically-distributed delta holds shares, a concentrated delta flags its cell") {
+    import spark.implicits._
+    def v(a: Float, b: Float, c: Float) = Array(a, b, c)
+    // Resident (ids 0-7, the 4/5 split of max id 9 puts >= 7.2 -> ids 8-9
+    // in the delta... use max 9: split = 9*4/5 = 7 -> delta is 7,8,9.
+    // Build so residents 0-6 spread over two directions and the delta
+    // (7,8,9) all land on the x-axis cell.
+    val e = Seq(
+      (0L, v(10, 0, 0)), (1L, v(0, 10, 0)), (2L, v(9, 1, 0)),
+      (3L, v(1, 9, 0)), (4L, v(10, 1, 0)), (5L, v(1, 10, 0)),
+      (6L, v(8, 0, 1)),
+      (7L, v(10, 0, 0)), (8L, v(9, 0, 1)), (9L, v(10, 1, 1))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.clusterPopulationDrift(e, k = 2, iters = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(8)))
+    assert(out.map(_._2).sum == 7L, s"resident mass: ${out.toSeq}")
+    assert(out.map(_._3).sum == 3L, s"delta mass: ${out.toSeq}")
+    // The whole delta routes to the x-axis cell (seeded by vec 0): that
+    // cell's delta share (3/3) strictly exceeds its resident share, so
+    // the exact cross-product ranks it first and it must carry the flag.
+    val xCell = out.maxBy(_._3)
+    assert(xCell._3 == 3L, s"delta should concentrate: ${out.toSeq}")
+    assert(xCell._4, s"concentrated cell must flag: ${out.toSeq}")
+    // An identically-distributed delta: clone the residents as the delta
+    // wave (ids shifted past the split of the new max).
+    val clone = Seq(
+      (0L, v(10, 0, 0)), (1L, v(0, 10, 0)), (2L, v(9, 1, 0)), (3L, v(1, 9, 0)),
+      (16L, v(10, 0, 0)), (17L, v(0, 10, 0)), (18L, v(9, 1, 0)), (19L, v(1, 9, 0))
+    ).toDF("vec_id", "embedding")
+    val cl = Similarity.clusterPopulationDrift(clone, k = 2, iters = 1).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(5)))
+    // Mirrored waves: per cell n_res == n_delta and share shift is 0.
+    cl.foreach { case (nr, nd, shift) =>
+      assert(nr == nd && shift == 0.0, cl.toSeq.toString)
+    }
+  }
+
+  test("t41 threshold curve: kept set shrinks monotonically in tau and the gate margin is tau-invariant") {
+    val out = SparkEntry.queries("t41_gate_threshold_curve")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+      .sortBy(_._1) // (tau, n_kept, tp, fp, fn, tn)
+    assert(out.length == 9)
+    // Raising tau can only shed kept docs; tp+fn (gate passes) and the
+    // total population are tau-invariant.
+    out.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._2 <= lo._2, s"kept grew with tau: $lo -> $hi")
+    }
+    assert(out.map(t => t._3 + t._5).distinct.length == 1, "gate mass moved with tau")
+    assert(out.map(t => t._3 + t._4 + t._5 + t._6).distinct.length == 1)
+    // The grid actually splits the corpus somewhere.
+    assert(out.head._2 > out.last._2, "grid never moved the kept set")
+  }
 }
