@@ -1673,6 +1673,10 @@ object Similarity {
         .as("delta_cs"))
     // Row base = the k trained centroid ids: a cell with no members in
     // EITHER wave still reports (that emptiness is the signal).
+    // Checkpointed: three consumers (the final select, the wave-totals
+    // aggregate, the cutoff) would otherwise each re-run the corpus
+    // assignment scan — the checkpoint is k rows, the saving is two
+    // full corpus passes.
     val base = cents.map(_._1).toDF("cluster_id")
       .join(byC, Seq("cluster_id"), "left")
       .select(col("cluster_id"),
@@ -1680,6 +1684,7 @@ object Similarity {
         coalesce(col("n_delta"), lit(0L)).as("n_delta"),
         coalesce(col("res_cs"), lit(0L)).as("res_cs"),
         coalesce(col("delta_cs"), lit(0L)).as("delta_cs"))
+      .localCheckpoint()
     val scored = base
       .crossJoin(base.agg(sum("n_res").as("res_tot"),
         sum("n_delta").as("delta_tot")))
