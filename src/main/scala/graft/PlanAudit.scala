@@ -103,6 +103,10 @@ object PlanAudit {
       // alphabet-size aggregate; the pair join itself is cell-keyed and
       // bounded by sources² × (K+1).
       "t42_source_divergence")
+      // m14 carries m13's 1-row cutoff crossJoin but needs NO entry: the
+      // planner turns the attach into a broadcast hash join under the
+      // composed plan (the staleness gate rejected the precautionary
+      // entry — the list can't rot in either direction).
 
   /** Tables that are corpus-/fact-scale at the 100 TB target — anything
     * derived from one of these is presumed unbounded unless the deriving

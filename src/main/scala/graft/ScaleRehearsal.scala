@@ -322,7 +322,11 @@ object ScaleRehearsal {
       // the tagged copies grow the word vocabulary k×) into a top-K
       // collapse; everything after is sources² × (K+1), corpus-
       // independent.
-      "t42_source_divergence")
+      "t42_source_divergence",
+      // m14 composes m13's symbol explode + m06's banded signature
+      // self-join + m09's prefix scan at doc-keyed joins — legs sum
+      // (the p13 contract), nothing multiplies.
+      "m14_media_pipeline")
     def timeQuery(name: String, dir: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
       def once(): (Double, Long) = {

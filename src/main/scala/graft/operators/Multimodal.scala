@@ -1001,10 +1001,11 @@ object Multimodal {
     if (r.isNullAt(0)) -1L else r.getLong(0)
   }
 
-  val payloadEntropyQ = Q(
-    "m13_payload_entropy",
-    (s, d) => payloadEntropy(mediaTable(s, d)),
-    Some("""WITH ch AS (
+  /** m13's entropy-score CTEs (doc-grain micro-nats + the 50-flattest
+    * cutoff), factored so m14's pipeline oracle closes over the SAME
+    * score and flag definition. */
+  private val entropyCtes =
+    """ch AS (
               SELECT doc_id, unnest(list_filter(
                 string_split(lower(text), ''),
                 c -> c SIMILAR TO '[a-z0-9 ]')) AS sym
@@ -1029,14 +1030,100 @@ object Multimodal {
             cut AS (
               SELECT max(entropy_micro) AS cut FROM (
                 SELECT entropy_micro FROM base
-                ORDER BY entropy_micro, doc_id LIMIT 50))
+                ORDER BY entropy_micro, doc_id LIMIT 50))"""
+
+  val payloadEntropyQ = Q(
+    "m13_payload_entropy",
+    (s, d) => payloadEntropy(mediaTable(s, d)),
+    Some(s"""WITH $entropyCtes
             SELECT doc_id, media_type, n_bytes, n_symbols,
               round(CAST(entropy_micro AS DOUBLE) / 1e6, 6) AS entropy,
               entropy_micro <= (SELECT cut FROM cut) AS flat_payload
             FROM base ORDER BY doc_id"""))
 
+  // ------------------------------- composed media pipeline (m14)
+  /** m14: the composed at-rest media pipeline — gate → dedup → pack in
+    * ONE manifest, the media-axis twin of p01's text pipeline. Per
+    * asset: the m13 entropy verdict (flat payloads never reach the
+    * codec), the m06 near-dup verdict (the b side of any verified pair
+    * is the duplicate — keep-lowest, d02's rule on the perceptual
+    * axis), the composed `kept` bit, and — for survivors only — the
+    * m09 shard slot, packed over the SURVIVING byte stream (the slot an
+    * asset gets after curation is not the slot it had before: dropping
+    * a flat or duplicate payload closes its gap, which is the point of
+    * repacking). Dropped assets carry NULL slots; the row stays, because
+    * the manifest must also answer "where did this asset GO".
+    *
+    * Composition contract (the p13 additive-legs stance): the three
+    * legs share one media scan and meet only at doc-keyed joins — the
+    * entropy explode (linear in payload bytes), the banded signature
+    * self-join (m06's band, never all-pairs), and the per-writer prefix
+    * scan (m09's two-phase machinery) never multiply into each other.
+    * One allowlisted 1-row cutoff attachment (m13's). Verdicts are
+    * checkpointed: the kept slice and the final join would otherwise
+    * each re-run the entropy + dedup legs. */
+  def mediaPipeline(media: Dataset[MediaRecord], maxDist: Int = 14,
+      shardBytes: Long = 4096L): DataFrame = {
+    import media.sparkSession.implicits._
+    val ent = entropyBase(media)
+    val cutoff = ent.orderBy(col("entropy_micro"), col("doc_id")).limit(50)
+      .agg(max("entropy_micro").as("cut"))
+    val dups = mediaNeardupPairs(media, maxDist)
+      .select(col("b").as("doc_id")).distinct()
+      .withColumn("dup", lit(true))
+    val verdicts = ent.crossJoin(cutoff)
+      .select(col("doc_id"), col("media_type"), col("n_bytes"),
+        (col("entropy_micro") <= col("cut")).as("flat_payload"))
+      .join(dups, Seq("doc_id"), "left")
+      .withColumn("is_dup", coalesce(col("dup"), lit(false)))
+      .withColumn("kept", !col("flat_payload") && !col("is_dup"))
+      .select("doc_id", "media_type", "n_bytes", "flat_payload", "is_dup", "kept")
+      .localCheckpoint()
+    val keptMedia = media.toDF()
+      .join(verdicts.filter(col("kept")).select("doc_id"), Seq("doc_id"), "left_semi")
+      .as[MediaRecord]
+    verdicts
+      .join(shardManifest(keptMedia, shardBytes)
+          .select("doc_id", "shard_first", "shard_last", "offset_in_shard",
+            "n_shards"),
+        Seq("doc_id"), "left")
+      .orderBy("doc_id")
+  }
+
+  val mediaPipelineQ = Q(
+    "m14_media_pipeline",
+    (s, d) => mediaPipeline(mediaTable(s, d)),
+    Some(s"""WITH $entropyCtes,
+            $phashPairCtes,
+            dup AS (SELECT DISTINCT b AS doc_id FROM pairs WHERE hamming <= 14),
+            verdicts AS (
+              SELECT base.doc_id, media_type, n_bytes,
+                entropy_micro <= (SELECT cut FROM cut) AS flat_payload,
+                (dup.doc_id IS NOT NULL) AS is_dup,
+                (NOT entropy_micro <= (SELECT cut FROM cut)
+                 AND dup.doc_id IS NULL) AS kept
+              FROM base LEFT JOIN dup ON dup.doc_id = base.doc_id),
+            cum AS (
+              SELECT doc_id, media_type, n_bytes,
+                sum(n_bytes) OVER (PARTITION BY media_type ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_bytes
+              FROM verdicts WHERE kept AND n_bytes > 0),
+            slots AS (
+              SELECT doc_id,
+                CAST((cum_bytes - n_bytes) // 4096 AS BIGINT) AS shard_first,
+                CAST((cum_bytes - 1) // 4096 AS BIGINT) AS shard_last,
+                CAST((cum_bytes - n_bytes) % 4096 AS BIGINT) AS offset_in_shard,
+                CAST((cum_bytes - 1) // 4096
+                     - (cum_bytes - n_bytes) // 4096 + 1 AS BIGINT) AS n_shards
+              FROM cum)
+            SELECT v.doc_id, v.media_type, v.n_bytes, v.flat_payload,
+              v.is_dup, v.kept,
+              s.shard_first, s.shard_last, s.offset_in_shard, s.n_shards
+            FROM verdicts v LEFT JOIN slots s ON s.doc_id = v.doc_id
+            ORDER BY v.doc_id"""))
+
   val all: Seq[Q] =
     Seq(mediaMeta, mediaFeatures, frameSample, mediaResize, frameEnergy, mediaNeardup,
       scenes, voiced, shardManifestQ, shardFillQ, mediaDecontam, mediaClusters,
-      payloadEntropyQ)
+      payloadEntropyQ, mediaPipelineQ)
 }

@@ -230,7 +230,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     // terms quantized to nano-nats BEFORE the pair sum, nearest rank
     // over the exact integer — gated to prove the matrix and flag can't
     // move with reduce geometry.
-    "t42_source_divergence")
+    "t42_source_divergence",
+    // m14: m13's micro-nat cutoff + m06's exact pair set + m09's
+    // prefix-scan slots, composed — every leg already integer-exact;
+    // gated to prove the composed verdicts and slots can't move.
+    "m14_media_pipeline")
 
   test("round-5/6 queries return identical rows at shuffle.partitions = 3 and 17") {
     val conf = spark.conf
