@@ -539,7 +539,11 @@ object ScaleRehearsal {
       // Round-11: q42 rides q12's ONE user-keyed session window into a
       // path-keyed aggregate — session count grows k× (disjoint user
       // populations), output fixed at 25 rows.
-      "q42_session_paths")
+      "q42_session_paths",
+      // q45 rides q37's user-keyed windows plus the as-of union window —
+      // two user-keyed Exchanges, output = #purchases; the naive
+      // intervals × purchases per-key product never materializes.
+      "q45_point_in_time_enrich")
     if (only.isEmpty || only("events_axis") || evNames.exists(only)) {
       val ev1 = graft.sources.Tables.events(spark, sfDir)
       val evDir = s"$outDir/events_axis"

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.Q
 import graft.sources.Tables
@@ -876,32 +877,36 @@ object Relational {
     * change-point filter shrinks the data before the version window.
     * Per-user rows bound each window buffer; nothing global.
     */
+  /** q37's SCD2 builder as a reusable operator (q45 probes it built from
+    * a filtered stream): per user, each maximal run of the same
+    * event_type becomes one versioned validity interval. */
+  def scd2History(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val changes = events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev_type", lag("event_type", 1).over(byUser))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    val byUserChanges = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    // Open intervals close at the standard far-future sentinel rather
+    // than NULL: every row then carries a concrete [from, to) range an
+    // as-of probe can compare against without null branches (and the
+    // value-hash compare never sees an engine-specific NULL encoding).
+    changes
+      .withColumn("next_ts", lead("ts", 1).over(byUserChanges))
+      .withColumn("version", row_number().over(byUserChanges).cast("long"))
+      .select(
+        col("user_id"), col("event_type").as("state"),
+        col("ts").as("valid_from"),
+        coalesce(col("next_ts"), lit("2200-01-01 00:00:00").cast("timestamp"))
+          .as("valid_to"),
+        col("next_ts").isNull.as("is_current"),
+        col("version"))
+  }
+
   val q37 = Q(
     "q37_scd2_history",
-    (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val changes = Tables.events(s, d)
-        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
-        .withColumn("prev_type", lag("event_type", 1).over(byUser))
-        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
-      val byUserChanges = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      // Open intervals close at the standard far-future sentinel rather
-      // than NULL: every row then carries a concrete [from, to) range an
-      // as-of probe can compare against without null branches (and the
-      // value-hash compare never sees an engine-specific NULL encoding).
-      changes
-        .withColumn("next_ts", lead("ts", 1).over(byUserChanges))
-        .withColumn("version", row_number().over(byUserChanges).cast("long"))
-        .select(
-          col("user_id"), col("event_type").as("state"),
-          col("ts").as("valid_from"),
-          coalesce(col("next_ts"), lit("2200-01-01 00:00:00").cast("timestamp"))
-            .as("valid_to"),
-          col("next_ts").isNull.as("is_current"),
-          col("version"))
-        .orderBy("user_id", "version")
-    },
+    (s, d) => scd2History(Tables.events(s, d)).orderBy("user_id", "version"),
     Some("""WITH marked AS (
               SELECT user_id, event_type, ts, event_id,
                 lag(event_type) OVER (PARTITION BY user_id
@@ -1516,8 +1521,101 @@ object Relational {
                 / NULLIF(CAST(n_checked AS DOUBLE), 0.0), 6) AS violation_rate
             FROM legs ORDER BY "check""""))
 
+  // ---------------------------- point-in-time enrichment (q45)
+  /** q45: point-in-time-correct enrichment — the feature-store
+    * primitive: enrich each fact with the dimension attribute that was
+    * VALID AT fact time, never the current one (training a model on
+    * today's attribute for yesterday's fact is label leakage, the
+    * temporal twin of d09's split leakage). The dimension is q37's SCD2
+    * history built from the user's sustained NON-purchase states (the
+    * engagement signal); each purchase probes it at its own ts: "what
+    * state was this user in when they bought".
+    *
+    * Execution: the naive formulation — equi-join on user plus a
+    * BETWEEN(valid_from, valid_to) filter — materializes the per-user
+    * intervals × purchases product before filtering (q17's per-key
+    * quadratic, with no pair-output semantics to justify it). Because
+    * SCD2 intervals are CONTIGUOUS per user, the containing interval IS
+    * the latest interval with valid_from ≤ ts, so the probe rides the
+    * shared [[AsOfJoin.asOf]] kernel: tagged union, ONE user-keyed
+    * shuffle, a running last() window — no row explosion at any
+    * interval or purchase density. `in_history` makes the containment
+    * claim visible (false only for purchases before the user's first
+    * recorded state, where state_at is NULL; ts < valid_to is the
+    * audited invariant, not an assumption).
+    *
+    * Scale shape: q37's user-keyed windows (one Exchange), the as-of
+    * union's user-keyed window (one Exchange), output rows = #purchase
+    * events. Nothing global, nothing pairwise. */
+  val q45 = Q(
+    "q45_point_in_time_enrich",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val dim = scd2History(ev.filter(col("event_type") =!= "purchase"))
+      val probes = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      AsOfJoin.asOf(probes, dim,
+        leftKey = "user_id", rightKey = "user_id",
+        leftTime = "ts", rightTime = "valid_from",
+        rightTiebreak = "version",
+        rightPayload = Seq("state", "valid_to", "version"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("state").as("state_at"),
+          col("version").as("state_version"),
+          (col("state").isNotNull && col("ts") < col("valid_to"))
+            .as("in_history"))
+        .orderBy("event_id")
+    },
+    Some("""WITH nev AS (
+              SELECT user_id, event_type, ts, event_id FROM events
+              WHERE event_type <> 'purchase'),
+            marked AS (
+              SELECT user_id, event_type, ts, event_id,
+                lag(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS prev_type
+              FROM nev),
+            changes AS (
+              SELECT user_id, event_type, ts, event_id
+              FROM marked
+              WHERE prev_type IS NULL OR prev_type <> event_type),
+            scd AS (
+              SELECT user_id, event_type AS state, ts AS valid_from,
+                coalesce(lead(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id),
+                  TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
+                CAST(row_number() OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS BIGINT) AS version
+              FROM changes),
+            l AS (
+              SELECT user_id AS k, ts AS t, 1 AS side, NULL::BIGINT AS tb,
+                     event_id,
+                     NULL::VARCHAR AS state, NULL::TIMESTAMP AS valid_to,
+                     NULL::BIGINT AS version
+              FROM events WHERE event_type = 'purchase'),
+            r AS (
+              SELECT user_id AS k, valid_from AS t, 0 AS side, version AS tb,
+                     NULL::BIGINT AS event_id,
+                     state, valid_to, version
+              FROM scd),
+            u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+            m AS (
+              SELECT *,
+                last_value(CASE WHEN side = 0 THEN state END IGNORE NULLS)
+                  OVER w AS m_state,
+                last_value(CASE WHEN side = 0 THEN valid_to END IGNORE NULLS)
+                  OVER w AS m_vt,
+                last_value(CASE WHEN side = 0 THEN version END IGNORE NULLS)
+                  OVER w AS m_version
+              FROM u
+              WINDOW w AS (PARTITION BY k ORDER BY t ASC, side ASC, tb ASC NULLS FIRST
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+            SELECT event_id, k AS user_id, t AS ts,
+              m_state AS state_at, m_version AS state_version,
+              (m_state IS NOT NULL AND t < m_vt) AS in_history
+            FROM m WHERE side = 1 ORDER BY event_id"""))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
       q18, q19, q20, q21, q22, q25, q26, q27, q29, q30, q32, q33, q34, q36, q37,
-      q38, q39, q40, q41, q42, q43, q44)
+      q38, q39, q40, q41, q42, q43, q44, q45)
 }

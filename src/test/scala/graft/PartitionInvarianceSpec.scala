@@ -234,7 +234,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     // m14: m13's micro-nat cutoff + m06's exact pair set + m09's
     // prefix-scan slots, composed — every leg already integer-exact;
     // gated to prove the composed verdicts and slots can't move.
-    "m14_media_pipeline")
+    "m14_media_pipeline",
+    // q45: q37's deterministic (ts, event_id)-ordered windows + the
+    // as-of kernel's explicit tie rule — no floats anywhere; gated to
+    // prove the matched interval can't move with reduce geometry.
+    "q45_point_in_time_enrich")
 
   test("round-5/6 queries return identical rows at shuffle.partitions = 3 and 17") {
     val conf = spark.conf
