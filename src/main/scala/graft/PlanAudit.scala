@@ -102,7 +102,10 @@ object PlanAudit {
       // (t37's shape), and the dense cell table crossJoins the 1-row
       // alphabet-size aggregate; the pair join itself is cell-keyed and
       // bounded by sources² × (K+1).
-      "t42_source_divergence")
+      "t42_source_divergence",
+      // q46: the per-user cadence table crossJoins the 1-row
+      // observation-horizon aggregate (q38/q41's bounded × 1 row shape).
+      "q46_purchase_cadence")
       // m14 carries m13's 1-row cutoff crossJoin but needs NO entry: the
       // planner turns the attach into a broadcast hash join under the
       // composed plan (the staleness gate rejected the precautionary

@@ -2803,10 +2803,95 @@ object Dedup {
             FROM agg WHERE n_docs >= 2
             ORDER BY n_occ DESC, chunk"""))
 
+  // --------------------------------------- soft-dedup weights (d31)
+  /** d31: soft deduplication — the "keep the copies but DOWNWEIGHT them"
+    * alternative to d01's hard drop, per source: raw token mass, unique
+    * (keeper-only) mass, and the EFFECTIVE mass when every document in
+    * an exact-dup cluster of size c samples at weight 1/c, so each
+    * distinct content contributes its token mass exactly once in
+    * expectation regardless of how many copies exist or which sources
+    * hold them. Hard dedup (d24/p06) assigns each content entirely to
+    * its keeper's source; soft dedup SPLITS the contribution across the
+    * sources that actually carry the copies — the fair attribution a
+    * mixing policy wants when two sources legitimately mirror the same
+    * content and neither should lose it. tokens_unique ≤
+    * tokens_effective ≤ tokens_raw per source is NOT guaranteed on the
+    * left (a source whose contents are keeper-attributed elsewhere has
+    * unique 0 but effective > 0) — which is precisely the information
+    * hard attribution destroys.
+    *
+    * Exactness: weights are integer MICRO-units (1000000 div c — one
+    * BIGINT division, identical in both engines), and per-doc
+    * contributions n_tokens · (10⁶ div c) are summed as BIGINTs, so no
+    * float enters before the final display ratio. Clusters with more
+    * than 10⁶ copies round to weight 0 (their expected contribution is
+    * < one micro-token per copy); per-source micro sums stay inside
+    * BIGINT below ~9·10¹² raw tokens per source — at a true 100 TB
+    * per-source mass you'd shift one unit down (milli), the same knob
+    * t39/t40 turn.
+    *
+    * Scale shape: d24's exactly — one fingerprint-keyed window shuffle
+    * (cluster size + keeper in the same pass), one source-keyed
+    * aggregate with map-side partials; output = #sources rows. */
+  def softDedupWeights(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("fp")
+    val marked = docs
+      .select(col("doc_id"), col("source"),
+        md5(normText(col("text"))).as("fp"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("csize", count(lit(1)).over(w))
+      .withColumn("keep_id", min("doc_id").over(w))
+    marked.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("tokens_raw"),
+        sum(when(col("doc_id") === col("keep_id"), col("n_tokens"))
+          .otherwise(0L)).as("tokens_unique"),
+        sum(expr("n_tokens * (1000000L div csize)")).as("tokens_soft_micro"))
+      .select(col("source"), col("n_docs"), col("tokens_raw"),
+        col("tokens_unique"), col("tokens_soft_micro"),
+        expr("tokens_soft_micro div 1000000L").as("tokens_effective"),
+        round(safeFrac(col("tokens_soft_micro"),
+          col("tokens_raw") * lit(1000000L)), 6).as("soft_frac"))
+      .orderBy("source")
+  }
+
+  val softDedupQ = Q(
+    "d31_soft_dedup",
+    (s, d) => softDedupWeights(Tables.documents(s, d)),
+    Some("""WITH fp AS (
+              SELECT doc_id, source,
+                md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+                CAST(len(list_filter(
+                  regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                  t -> t <> '')) AS BIGINT) AS n_tokens
+              FROM documents),
+            marked AS (
+              SELECT doc_id, source, n_tokens,
+                CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS csize,
+                min(doc_id) OVER (PARTITION BY fp) AS keep_id
+              FROM fp),
+            agg AS (
+              SELECT source,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS tokens_raw,
+                CAST(sum(CASE WHEN doc_id = keep_id THEN n_tokens ELSE 0 END)
+                  AS BIGINT) AS tokens_unique,
+                CAST(sum(n_tokens * CAST(1000000 // csize AS BIGINT))
+                  AS BIGINT) AS tokens_soft_micro
+              FROM marked GROUP BY source)
+            SELECT source, n_docs, tokens_raw, tokens_unique,
+              tokens_soft_micro,
+              CAST(tokens_soft_micro // 1000000 AS BIGINT) AS tokens_effective,
+              round(CAST(tokens_soft_micro AS DOUBLE) /
+                NULLIF(CAST(tokens_raw * 1000000 AS DOUBLE), 0.0), 6)
+                AS soft_frac
+            FROM agg ORDER BY source"""))
+
   val all: Seq[Q] =
     Seq(exact, minhash, simhash, ngramJaccard, embedding, clusters, keep, triangles,
       decontam, incremental, repeated, consensus, chunkDedup, semantic, bestKeep,
       provenance, embeddingDecontam, containment, evalLeak, crossSource, splitLeak,
       calibration, hotReport, inflation, spectrum, templateScrubQ, clusterSourceMix,
-      boilerplateDriftQ, cdcDedupQ, hotChunksQ)
+      boilerplateDriftQ, cdcDedupQ, hotChunksQ, softDedupQ)
 }

@@ -1466,8 +1466,102 @@ object Pipeline {
               (n_churned * g_total > g_churned * n_total) AS heavy_churn
             FROM sc, tot ORDER BY source"""))
 
+  // ------------------------------- release fingerprint stamp (p16)
+  /** p16: the release content-fingerprint manifest — the O(#sources)
+    * freeze stamp a data-ops team publishes WITH a corpus release and
+    * compares FIRST when asking "did anything change": per source (plus
+    * the `__ALL__` corpus row), raw document and token counts, distinct
+    * content counts and unique-token mass at d01's normalized-text
+    * fingerprint grain, the duplication fraction, and an
+    * order-independent 60-bit XOR digest of the content-fingerprint SET.
+    * Two releases with equal (n_contents, content_xor60) per source are
+    * content-identical with overwhelming probability; when the stamps
+    * differ, p15's churn ledger is the expensive diff you run second.
+    *
+    * Exactness: the digest XORs `conv(md5[0:15], 16, 10)` — 60 bits, so
+    * the BIGINT never overflows — over the DISTINCT fingerprint set
+    * (fp-grain first: XOR over raw docs would let an even number of
+    * copies cancel out of the stamp). XOR is commutative/associative,
+    * so the digest is reduce-order-free and re-aggregates exactly: the
+    * `__ALL__` row is the XOR of the per-source digests, which is why
+    * one ROLLUP pass can emit both grains (q10's Expand shape). Content
+    * rows are attributed to their keeper's source (min (doc_id) struct,
+    * p15's rule), so per-source content counts PARTITION the corpus and
+    * every column re-aggregates by plain sum/xor.
+    *
+    * Scale shape: one doc-grain aggregate (raw counts by the doc's own
+    * source), one fingerprint-grain aggregate (map-side combined — the
+    * duplicate collapse happens before any join), a #sources full-outer
+    * join, and a ROLLUP over #sources rows. Nothing is corpus × corpus;
+    * output is #sources + 1 rows at any scale. */
+  def releaseFingerprint(rel: DataFrame): DataFrame = {
+    val docGrain = rel
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens_raw"))
+    val fpGrain = rel
+      .select(md5(normText(col("text"))).as("fp"), col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy("fp")
+      .agg(min(struct(col("doc_id"), col("source"), col("n_tokens"))).as("k"))
+      .select(conv(substring(col("fp"), 1, 15), 16, 10).cast("long").as("fp60"),
+        col("k.source").as("source"), col("k.n_tokens").as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_contents"), sum("n_tokens").as("tokens_unique"),
+        expr("bit_xor(fp60)").as("content_xor60"))
+    docGrain.join(fpGrain, Seq("source"), "full_outer")
+      .rollup(col("source"))
+      .agg(sum("n_docs").as("n_docs"), sum("tokens_raw").as("tokens_raw"),
+        sum(coalesce(col("n_contents"), lit(0L))).as("n_contents"),
+        sum(coalesce(col("tokens_unique"), lit(0L))).as("tokens_unique"),
+        expr("bit_xor(coalesce(content_xor60, 0L))").as("content_xor60"))
+      .select(coalesce(col("source"), lit("__ALL__")).as("source"),
+        col("n_docs"), col("n_contents"), col("tokens_raw"),
+        col("tokens_unique"),
+        round((col("n_docs") - col("n_contents")).cast("double") /
+          col("n_docs").cast("double"), 6).as("dup_frac"),
+        col("content_xor60"))
+      .orderBy("source")
+  }
+
+  val releaseFingerprintQ = Q(
+    "p16_release_fingerprint",
+    (s, d) => releaseFingerprint(Tables.documents(s, d)),
+    Some(s"""WITH fg AS ($churnFpSql),
+            doc_grain AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS tokens_raw
+              FROM fg GROUP BY source),
+            keepers AS (
+              SELECT CAST(('0x' || substr(fp, 1, 15)) AS BIGINT) AS fp60,
+                min_by(source, doc_id) AS source,
+                min_by(n_tokens, doc_id) AS n_tokens
+              FROM fg GROUP BY fp),
+            fp_grain AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_contents,
+                CAST(sum(n_tokens) AS BIGINT) AS tokens_unique,
+                bit_xor(fp60) AS content_xor60
+              FROM keepers GROUP BY source),
+            j AS (
+              SELECT coalesce(d.source, f.source) AS source,
+                coalesce(n_docs, 0) AS n_docs,
+                coalesce(tokens_raw, 0) AS tokens_raw,
+                coalesce(n_contents, 0) AS n_contents,
+                coalesce(tokens_unique, 0) AS tokens_unique,
+                coalesce(content_xor60, 0) AS content_xor60
+              FROM doc_grain d FULL OUTER JOIN fp_grain f ON f.source = d.source)
+            SELECT coalesce(source, '__ALL__') AS source,
+              CAST(sum(n_docs) AS BIGINT) AS n_docs,
+              CAST(sum(n_contents) AS BIGINT) AS n_contents,
+              CAST(sum(tokens_raw) AS BIGINT) AS tokens_raw,
+              CAST(sum(tokens_unique) AS BIGINT) AS tokens_unique,
+              round(CAST(sum(n_docs) - sum(n_contents) AS DOUBLE) /
+                CAST(sum(n_docs) AS DOUBLE), 6) AS dup_frac,
+              bit_xor(content_xor60) AS content_xor60
+            FROM j GROUP BY ROLLUP (source) ORDER BY 1"""))
+
   val all: Seq[Q] =
     Seq(pipeline, mix, audit, epoch, refresh, dedupMix, funnel, curriculum, card,
       seedAudit, tokenFunnelQ, budgetFillQ, ingestAuditQ, gateAttributionQ,
-      releaseChurnQ)
+      releaseChurnQ, releaseFingerprintQ)
 }

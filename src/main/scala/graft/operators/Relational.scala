@@ -1036,6 +1036,20 @@ object Relational {
     * collapses the corpus to hours × types rows; the trailing windows
     * are PARTITIONED BY event_type (bounded partitions: hours per type),
     * never global. Output ∝ hours × types — tiny at any event volume. */
+  /** The z-score closer q39 and the streaming rate gate share: one
+    * identically-written double expression over BIGINT (n_events, n_base,
+    * s1, s2) columns, rounded to 6 BEFORE any flag compare (the t32
+    * discipline). Kept as ONE string so the streaming twin scores with
+    * the batch monitor's exact arithmetic — column math, no scalar
+    * mirror needed (the langGate precedent). */
+  val rateZExpr: String =
+    """CASE WHEN n_base >= 12 THEN
+         round((CAST(n_events AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n_base AS DOUBLE))
+           / NULLIF(sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(n_base AS DOUBLE)
+               - (CAST(s1 AS DOUBLE) / CAST(n_base AS DOUBLE))
+                 * (CAST(s1 AS DOUBLE) / CAST(n_base AS DOUBLE)), 0.0)), 0.0), 6)
+       ELSE NULL END"""
+
   val q39 = Q(
     "q39_rate_anomaly",
     (s, d) => {
@@ -1045,13 +1059,7 @@ object Relational {
         .agg(count(lit(1)).as("n_events"))
       val w = Window.partitionBy("event_type").orderBy("hour")
         .rowsBetween(-24, -1)
-      val zExpr =
-        """CASE WHEN n_base >= 12 THEN
-             round((CAST(n_events AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n_base AS DOUBLE))
-               / NULLIF(sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(n_base AS DOUBLE)
-                   - (CAST(s1 AS DOUBLE) / CAST(n_base AS DOUBLE))
-                     * (CAST(s1 AS DOUBLE) / CAST(n_base AS DOUBLE)), 0.0)), 0.0), 6)
-           ELSE NULL END"""
+      val zExpr = rateZExpr
       hourly
         .withColumn("n_base", count(lit(1)).over(w))
         .withColumn("s1", coalesce(sum("n_events").over(w), lit(0L)))
@@ -1614,8 +1622,79 @@ object Relational {
               (m_state IS NOT NULL AND t < m_vt) AS in_history
             FROM m WHERE side = 1 ORDER BY event_id"""))
 
+  // ---------------------------- purchase cadence & churn risk (q46)
+  /** q46: per-user purchase cadence and at-risk banding — the retention
+    * readout a growth team reads next to q30's cohort matrix: for every
+    * purchasing user, how often do they buy (mean inter-purchase gap)
+    * and how stale are they NOW relative to their own cadence. q41
+    * measures time-to-FIRST-conversion; this is the steady-state
+    * complement (time BETWEEN conversions, and time since the last one).
+    *
+    * Exactness: the mean of consecutive gaps telescopes — sum(gaps) =
+    * last − first — so `avg_gap_us = (last_us − first_us) div (n−1)` is
+    * one BIGINT integer division per user and needs NO lag window at
+    * all. The banding compares idle time against the user's own cadence
+    * division-free (idle·(n−1) vs span and 2·span, the s17/p15
+    * cross-multiplication stance), in MILLIsecond units so the product
+    * stays far from BIGINT overflow under ANSI mode (ms spans ≤ ~3·10¹⁰
+    * for a millennium × counts ≤ 2³¹ < 2⁶³). Single-purchase users have
+    * no cadence evidence and band as 'single' with a NULL gap.
+    *
+    * Scale shape: ONE filtered scan into a user-keyed aggregate (no
+    * window, no self-join — min/max/count suffice by the telescoping
+    * identity) plus a 1-row observation-horizon aggregate attached by
+    * bounded crossJoin (q38's shape). Output is #purchasing-users rows;
+    * linear in event volume, one shuffle. */
+  def purchaseCadence(ev: DataFrame): DataFrame = {
+      val perU = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("ts"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_purchases"),
+          min("us").as("first_us"), max("us").as("last_us"),
+          min("ts").as("first_purchase"), max("ts").as("last_purchase"))
+      val horizon = ev.agg(max(unix_micros(col("ts"))).as("now_us"))
+      perU.crossJoin(horizon)
+        .select(col("user_id"), col("n_purchases"),
+          col("first_purchase"), col("last_purchase"),
+          when(col("n_purchases") > 1,
+            expr("(last_us - first_us) div (n_purchases - 1)")).as("avg_gap_us"),
+          (col("now_us") - col("last_us")).as("idle_us"),
+          when(col("n_purchases") === 1, lit("single"))
+            .when(expr("((now_us - last_us) div 1000) * (n_purchases - 1)" +
+              " <= ((last_us - first_us) div 1000)"), lit("active"))
+            .when(expr("((now_us - last_us) div 1000) * (n_purchases - 1)" +
+              " <= 2 * ((last_us - first_us) div 1000)"), lit("cooling"))
+            .otherwise(lit("at_risk")).as("band"))
+        .orderBy("user_id")
+  }
+
+  val q46 = Q(
+    "q46_purchase_cadence",
+    (s, d) => purchaseCadence(Tables.events(s, d)),
+    Some("""WITH p AS (
+              SELECT user_id, epoch_us(ts) AS us, ts FROM events
+              WHERE event_type = 'purchase'),
+            per_u AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+                min(us) AS first_us, max(us) AS last_us,
+                min(ts) AS first_purchase, max(ts) AS last_purchase
+              FROM p GROUP BY user_id),
+            h AS (SELECT max(epoch_us(ts)) AS now_us FROM events)
+            SELECT user_id, n_purchases, first_purchase, last_purchase,
+              CASE WHEN n_purchases > 1 THEN
+                CAST((last_us - first_us) // (n_purchases - 1) AS BIGINT)
+              END AS avg_gap_us,
+              now_us - last_us AS idle_us,
+              CASE WHEN n_purchases = 1 THEN 'single'
+                   WHEN ((now_us - last_us) // 1000) * (n_purchases - 1)
+                        <= ((last_us - first_us) // 1000) THEN 'active'
+                   WHEN ((now_us - last_us) // 1000) * (n_purchases - 1)
+                        <= 2 * ((last_us - first_us) // 1000) THEN 'cooling'
+                   ELSE 'at_risk' END AS band
+            FROM per_u, h ORDER BY user_id"""))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
       q18, q19, q20, q21, q22, q25, q26, q27, q29, q30, q32, q33, q34, q36, q37,
-      q38, q39, q40, q41, q42, q43, q44, q45)
+      q38, q39, q40, q41, q42, q43, q44, q45, q46)
 }

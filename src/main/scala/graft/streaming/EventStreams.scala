@@ -100,6 +100,50 @@ object EventStreams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type", "value")
 
+  /** Per-type ingest-rate profile from the RESIDENT corpus: observation
+    * count and BIGINT Σ/Σ² over its hourly (event_type, hour) counts —
+    * the frozen model `rateAnomalyGate` scores arrivals against (m13's
+    * frozen-cutoff / s15's frozen-codebook stance on the rate axis).
+    * Output is #event-types rows; rebuilding it is one batch aggregate
+    * whenever the resident corpus rolls forward. */
+  def rateProfile(batchEvents: DataFrame): DataFrame =
+    batchEvents
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_base"),
+        sum("n_events").as("s1"),
+        sum(col("n_events") * col("n_events")).as("s2"))
+
+  /** Streaming ingest-rate anomaly gate — the at-the-edge twin of batch
+    * q39: every watermark-closed hourly (event_type, window) count is
+    * z-scored against the frozen per-type profile THROUGH THE SAME
+    * `Relational.rateZExpr` column expression the batch monitor closes
+    * with (shared code path, so stream ≡ batch needs no scalar mirror),
+    * and flagged at the same rounded |z| ≥ 3 line. The deliberate model
+    * difference, stated: q39's baseline TRAILS (the last 24 observations
+    * of the same type — a backfill-order artifact streaming cannot
+    * replay); the gate's baseline is the resident profile, frozen at
+    * deploy time — scoring a feed doubling overnight BEFORE it poisons
+    * q31's mixing weights is exactly the frozen model's job, and the
+    * profile refresh rides the resident corpus roll, not the stream.
+    *
+    * Scale shape: one watermarked windowed count (state bounded by the
+    * 2 h horizon × #types), then a stream–static join against a
+    * #types-row profile — broadcast, no stream-side shuffle beyond the
+    * windowed aggregate's own. */
+  def rateAnomalyGate(events: DataFrame, profile: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n_events"))
+      .join(broadcast(profile), Seq("event_type"), "left")
+      .withColumn("z", expr(graft.operators.Relational.rateZExpr))
+      .withColumn("is_spike", coalesce(abs(col("z")) >= 3.0, lit(false)))
+      .select("hour", "event_type", "n_events", "n_base", "z", "is_spike")
+
   /** Stream–static enrichment: the event stream joined to the (batch)
     * customer→nation dimension chain, then aggregated per watermarked
     * 1-hour window × nation. The static side is broadcast to every task —

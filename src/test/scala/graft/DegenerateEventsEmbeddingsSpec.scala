@@ -81,7 +81,8 @@ class DegenerateEventsEmbeddingsSpec extends SparkSpec {
     "q14_json_props", "q17_range_join", "q29_funnel_conversion",
     "q30_cohort_retention", "q32_last_touch_attribution",
     "q33_event_transitions", "q34_rfm_segments", "q39_rate_anomaly",
-    "q40_wau_stickiness", "q41_conversion_latency", "q42_session_paths")
+    "q40_wau_stickiness", "q41_conversion_latency", "q42_session_paths",
+    "q45_point_in_time_enrich", "q46_purchase_cadence")
 
   /** The embeddings-fed inventory: the whole similarity family plus the
     * embedding-side dedup/decontamination queries the documents gate

@@ -2320,4 +2320,79 @@ class OperatorSpec extends SparkSpec {
     // The grid actually splits the corpus somewhere.
     assert(out.head._2 > out.last._2, "grid never moved the kept set")
   }
+
+  test("q46 cadence: telescoped mean gap and the division-free banding against a user's own cadence") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $s")
+    val ev = Seq(
+      // u1: three purchases, span 58 m, idle 2 m -> active.
+      (1L, "purchase", t("00:00:00")), (1L, "purchase", t("00:30:00")),
+      (1L, "purchase", t("00:58:00")),
+      // u2: span 10 m, idle 50 m -> idle*(n-1) > 2*span -> at_risk.
+      (2L, "purchase", t("00:00:00")), (2L, "purchase", t("00:10:00")),
+      // u3: one purchase -> 'single', NULL gap.
+      (3L, "purchase", t("00:30:00")),
+      // u4: span 25 m, idle 35 m -> span < idle <= 2*span -> cooling.
+      (4L, "purchase", t("00:00:00")), (4L, "purchase", t("00:25:00")),
+      // u9: a non-purchase fixes the observation horizon at 01:00.
+      (9L, "view", t("01:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val out = Relational.purchaseCadence(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        Option(r.get(4)).map(_.asInstanceOf[Long]), r.getLong(5),
+        r.getString(6))).toMap
+    assert(out(1L) == ((3L, Some(29L * 60000000L), 2L * 60000000L, "active")), out.toSeq.toString)
+    assert(out(2L) == ((2L, Some(10L * 60000000L), 50L * 60000000L, "at_risk")), out.toSeq.toString)
+    assert(out(3L) == ((1L, None, 30L * 60000000L, "single")), out.toSeq.toString)
+    assert(out(4L) == ((2L, Some(25L * 60000000L), 35L * 60000000L, "cooling")), out.toSeq.toString)
+    assert(!out.contains(9L), "non-purchasing user leaked into the cadence table")
+  }
+
+  test("p16 fingerprint stamp: whitespace re-crawl keeps the stamp, one added doc moves it, ALL row is the XOR of sources") {
+    import spark.implicits._
+    val relA = Seq(
+      (1L, "alpha beta", "src0"), (2L, "gamma delta", "src1")
+    ).toDF("doc_id", "text", "source")
+    // Same contents re-crawled under new ids with whitespace-only edits.
+    val relB = Seq(
+      (9L, "  alpha   beta ", "src0"), (8L, "gamma\tdelta", "src1")
+    ).toDF("doc_id", "text", "source")
+    val relC = relB.unionByName(
+      Seq((4L, "epsilon", "src1")).toDF("doc_id", "text", "source"))
+    def stamp(df: org.apache.spark.sql.DataFrame) =
+      Pipeline.releaseFingerprint(df).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(6)))
+        .toMap
+    val a = stamp(relA); val b = stamp(relB); val c = stamp(relC)
+    // Content-identical releases stamp identically (docs/contents/xor).
+    assert(a == b, s"whitespace re-crawl moved the stamp: $a vs $b")
+    // One added content must move exactly the touched source and ALL.
+    assert(c("src0") == a("src0"), c.toSeq.toString)
+    assert(c("src1") != a("src1") && c("__ALL__") != a("__ALL__"), c.toSeq.toString)
+    // The ALL digest re-aggregates: XOR of the per-source digests.
+    assert(c("__ALL__")._3 == (c("src0")._3 ^ c("src1")._3), c.toSeq.toString)
+    assert(c("__ALL__")._1 == c("src0")._1 + c("src1")._1)
+  }
+
+  test("d31 soft dedup: cross-source copies split mass that hard attribution destroys, and soft mass conserves unique mass") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c", "s0"),   // unique, 3 tokens
+      (2L, "x y", "s0"),     // copy pair across sources: csize 2
+      (3L, "x y", "s1"),
+      (4L, "z", "s1")        // unique, 1 token
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.softDedupWeights(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    // s0 keeps both its contents (doc 2 is the pair's keeper): unique =
+    // raw = 5; soft = 3 + 2/2 = 4 — the copy contributes HALF here.
+    assert(out("s0") == ((2L, 5L, 5L, 4000000L, 4L)), out.toSeq.toString)
+    // s1's copy is keeper-attributed to s0 — hard unique sees 1 token,
+    // soft attribution restores the half share: 1 + 2/2 = 2.
+    assert(out("s1") == ((2L, 3L, 1L, 2000000L, 2L)), out.toSeq.toString)
+    // Conservation: total soft micro mass == total unique mass × 10⁶
+    // (exact whenever every cluster size divides 10⁶ — here csize = 2).
+    assert(out.values.map(_._4).sum == (out.values.map(_._3).sum * 1000000L))
+  }
 }

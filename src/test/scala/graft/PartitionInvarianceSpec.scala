@@ -238,7 +238,15 @@ class PartitionInvarianceSpec extends SparkSpec {
     // q45: q37's deterministic (ts, event_id)-ordered windows + the
     // as-of kernel's explicit tie rule — no floats anywhere; gated to
     // prove the matched interval can't move with reduce geometry.
-    "q45_point_in_time_enrich")
+    "q45_point_in_time_enrich",
+    // Round-12 second wave: q46 is exact BIGINT min/max/count per user
+    // closed by integer division and a cross-multiplied band — order-free
+    // by construction; d31 rides d24's gated fp window into BIGINT
+    // micro-weight sums; p16's digest is a commutative/associative XOR
+    // over the d01 keeper grain (min-struct total order) re-aggregated
+    // through one ROLLUP — gated to prove the stamp can't move with
+    // reduce geometry (a digest that moved would be worse than none).
+    "q46_purchase_cadence", "d31_soft_dedup", "p16_release_fingerprint")
 
   test("round-5/6 queries return identical rows at shuffle.partitions = 3 and 17") {
     val conf = spark.conf

@@ -32,6 +32,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming rate-anomaly gate == batch hourly scoring vs the frozen profile") {
+    val batchEv = Tables.events(spark, sf)
+    val profile = EventStreams.rateProfile(batchEv).cache()
+    val stream = EventStreams.readEventStream(spark, sf)
+    val q = EventStreams.runToMemory(
+      EventStreams.rateAnomalyGate(stream, profile), "rate_gate_out",
+      OutputMode.Append)
+    try {
+      // The gate shares Relational.rateZExpr with batch q39, so the batch
+      // twin here is the same hourly count joined to the same frozen
+      // profile closed with the same expression — emitted rows must match
+      // it EXACTLY (same doubles, same flags), not approximately.
+      val streamed = spark.table("rate_gate_out")
+        .collect().map(_.toString).toSet
+      val batch = batchEv
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .join(profile, Seq("event_type"), "left")
+        .withColumn("z", expr(Relational.rateZExpr))
+        .withColumn("is_spike", coalesce(abs(col("z")) >= 3.0, lit(false)))
+        .select("hour", "event_type", "n_events", "n_base", "z", "is_spike")
+        .collect().map(_.toString).toSet
+      assert(streamed.nonEmpty, "watermarked stream emitted no closed windows")
+      assert(streamed.subsetOf(batch),
+        s"streamed rows disagree with batch: ${streamed.diff(batch).take(3)}")
+      // Non-vacuous: the profile has >= 12 observations per type at this
+      // SF, so every emitted row must carry a real z, not the NULL arm.
+      val emptyZ = spark.table("rate_gate_out").filter(col("z").isNull).count()
+      assert(emptyZ == 0, s"$emptyZ emitted rows fell into the NULL-z arm")
+    } finally { q.stop(); profile.unpersist() }
+  }
+
   test("streaming dedup: no duplicate signatures within the watermark horizon") {
     val stream = EventStreams.readEventStream(spark, sf)
     val q = EventStreams.runToMemory(
