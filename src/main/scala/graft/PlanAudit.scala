@@ -105,7 +105,10 @@ object PlanAudit {
       "t42_source_divergence",
       // q46: the per-user cadence table crossJoins the 1-row
       // observation-horizon aggregate (q38/q41's bounded × 1 row shape).
-      "q46_purchase_cadence")
+      "q46_purchase_cadence",
+      // s19: s01's broadcast-probe scan (the bounded LIMIT-16 query slice
+      // × corpus, map-side) plus the ≤ 4-row curve's 1-row totals attach.
+      "s19_nprobe_curve")
       // m14 carries m13's 1-row cutoff crossJoin but needs NO entry: the
       // planner turns the attach into a broadcast hash join under the
       // composed plan (the staleness gate rejected the precautionary

@@ -1122,8 +1122,129 @@ object Multimodal {
             FROM verdicts v LEFT JOIN slots s ON s.doc_id = v.doc_id
             ORDER BY v.doc_id"""))
 
+  // ---------------------------------- interleaved sample packing (m15)
+  /** m15: interleaved multimodal sample packing — the OBELICS/MMC4-style
+    * training layout: each document becomes ONE sample holding its text
+    * tokens followed by a fixed `slotTokens`-position media placeholder
+    * (the token budget an image occupies after the vision encoder),
+    * packed greedily into fixed `window`-token training windows, then
+    * rolled up to the WINDOW axis: samples touching each window, text vs
+    * media token occupancy, the media fraction, and the fill ratio.
+    * t17 packs pure text and m09 packs raw bytes; this is the layout a
+    * multimodal loader actually reads, and the per-window media_frac is
+    * the batch-composition audit that catches "this shard's windows are
+    * 80% image slots" BEFORE a training run destabilizes on it.
+    *
+    * The within-sample layout is pinned (text first, then the media
+    * slot), so each sample contributes up to two disjoint [start, end)
+    * token intervals and per-window occupancy is m10's pure interval
+    * arithmetic on the interleaved token axis — tokens land in windows
+    * deterministically, with straddling samples split exactly.
+    *
+    * Scale shape: one doc-grain scan, the t17/m09 two-phase
+    * range-partitioned prefix scan (never a global window), a ≤
+    * 2·⌈sample/window⌉-row explode per sample, and one window-keyed
+    * aggregate with map-side partials — output ∝ total tokens / window.
+    * Documents with no tokens AND no payload bytes pack nothing and are
+    * dropped before the cursor (the t17 rule). */
+  def interleavePack(docs: DataFrame, window: Long = 2048L,
+      slotTokens: Long = 64L): DataFrame = {
+    import graft.functions.TextFns
+    val perDoc = docs
+      .select(col("doc_id"),
+        size(TextFns.tokens(col("text"))).cast("long").as("text_tokens"),
+        octet_length(col("text").cast("binary")).cast("long").as("n_bytes"))
+      .withColumn("media_tokens",
+        when(col("n_bytes") > 0, lit(slotTokens)).otherwise(lit(0L)))
+      .withColumn("sample_tokens", col("text_tokens") + col("media_tokens"))
+      .filter(col("sample_tokens") > 0)
+      .select("doc_id", "text_tokens", "media_tokens", "sample_tokens")
+    // doc_id is unique, so carrying the per-modality sizes as secondary
+    // order columns keeps them through the scan without a join-back.
+    val cum = TextOps.prefixSummedBy(perDoc,
+      Seq("doc_id", "text_tokens", "media_tokens"), "sample_tokens", "cum")
+    val spans = cum
+      .withColumn("start", col("cum") - col("sample_tokens"))
+      .select(col("doc_id"), explode(array(
+        struct(lit("text").as("modality"), col("start").as("s"),
+          (col("start") + col("text_tokens")).as("e")),
+        struct(lit("media").as("modality"),
+          (col("cum") - col("media_tokens")).as("s"), col("cum").as("e"))))
+        .as("sp"))
+      .select(col("doc_id"), col("sp.modality").as("modality"),
+        col("sp.s").as("s"), col("sp.e").as("e"))
+      .filter(col("e") > col("s"))
+    spans
+      .select(col("doc_id"), col("modality"), col("s"), col("e"),
+        explode(sequence(expr(s"s div $window"), expr(s"(e - 1) div $window")))
+          .as("w"))
+      .withColumn("in_w",
+        least(col("e"), (col("w") + 1) * lit(window)) -
+          greatest(col("s"), col("w") * lit(window)))
+      .groupBy("w")
+      .agg(countDistinct("doc_id").as("n_samples"),
+        sum(when(col("modality") === "text", col("in_w")).otherwise(0L))
+          .as("text_tokens"),
+        sum(when(col("modality") === "media", col("in_w")).otherwise(0L))
+          .as("media_tokens"))
+      .select(col("w").as("window_id"), col("n_samples"),
+        col("text_tokens"), col("media_tokens"),
+        round(col("media_tokens").cast("double") /
+          (col("text_tokens") + col("media_tokens")).cast("double"), 6)
+          .as("media_frac"),
+        round((col("text_tokens") + col("media_tokens")).cast("double") /
+          lit(window.toDouble), 6).as("fill_ratio"))
+      .orderBy("window_id")
+  }
+
+  val interleavePackQ = Q(
+    "m15_interleave_pack",
+    (s, d) => interleavePack(Tables.documents(s, d)),
+    Some("""WITH sizes AS (
+              SELECT doc_id,
+                CAST(len(list_filter(
+                  regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                  t -> t <> '')) AS BIGINT) AS text_tokens,
+                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+              FROM documents),
+            samp AS (
+              SELECT doc_id, text_tokens,
+                CAST(CASE WHEN n_bytes > 0 THEN 64 ELSE 0 END AS BIGINT)
+                  AS media_tokens,
+                text_tokens + CASE WHEN n_bytes > 0 THEN 64 ELSE 0 END
+                  AS sample_tokens
+              FROM sizes),
+            cum AS (
+              SELECT doc_id, text_tokens, media_tokens, sample_tokens,
+                CAST(sum(sample_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+              FROM samp WHERE sample_tokens > 0),
+            spans AS (
+              SELECT doc_id, 'text' AS modality,
+                cum - sample_tokens AS s,
+                cum - sample_tokens + text_tokens AS e
+              FROM cum
+              UNION ALL
+              SELECT doc_id, 'media', cum - media_tokens, cum FROM cum),
+            nz AS (SELECT * FROM spans WHERE e > s),
+            per AS (
+              SELECT doc_id, modality, CAST(r.w AS BIGINT) AS w,
+                least(e, (r.w + 1) * 2048) - greatest(s, r.w * 2048) AS in_w
+              FROM nz, UNNEST(range(s // 2048, (e - 1) // 2048 + 1)) AS r(w))
+            SELECT w AS window_id,
+              CAST(count(DISTINCT doc_id) AS BIGINT) AS n_samples,
+              CAST(sum(CASE WHEN modality = 'text' THEN in_w ELSE 0 END)
+                AS BIGINT) AS text_tokens,
+              CAST(sum(CASE WHEN modality = 'media' THEN in_w ELSE 0 END)
+                AS BIGINT) AS media_tokens,
+              round(CAST(sum(CASE WHEN modality = 'media' THEN in_w ELSE 0 END)
+                  AS DOUBLE) / CAST(sum(in_w) AS DOUBLE), 6) AS media_frac,
+              round(CAST(sum(in_w) AS DOUBLE) / 2048.0, 6) AS fill_ratio
+            FROM per GROUP BY w ORDER BY window_id"""))
+
   val all: Seq[Q] =
     Seq(mediaMeta, mediaFeatures, frameSample, mediaResize, frameEnergy, mediaNeardup,
       scenes, voiced, shardManifestQ, shardFillQ, mediaDecontam, mediaClusters,
-      payloadEntropyQ, mediaPipelineQ)
+      payloadEntropyQ, mediaPipelineQ, interleavePackQ)
 }

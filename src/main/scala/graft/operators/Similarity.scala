@@ -1782,8 +1782,167 @@ object Similarity {
               (xnum >= xcut) AS rebalance
             FROM sc2, cut ORDER BY cluster_id"""))
 
+  // ------------------------------------ nprobe operating curve (s19)
+  /** s19: the nprobe operating curve — the table that PICKS the serving
+    * knob the rest of the IVF family assumes: for each candidate
+    * nprobe, the exact recall@k against the brute-force ground truth
+    * and the fraction of the corpus a query actually scans. s05
+    * measures recall for ONE configuration of the float-k-means index
+    * (rows-only, floor-checked); this is the full curve, and it is
+    * ORACLE-EXACT because everything — codebook, routing, scoring —
+    * rides s15's integer-milli arithmetic: quantized vectors, BIGINT
+    * sum-vector centroids, round-9 cosines with the (rc DESC, id)
+    * total order. The nprobe = k row is a built-in proof anchor:
+    * scanning every cell IS brute force, so its recall must be exactly
+    * 1.0 and its scan_frac exactly 1.0 (the spec asserts both).
+    *
+    * Semantics: queries = the nQueries TRUE lowest vec_ids (s17's
+    * robust-to-sparse-ids stance); ground truth = exact top-`topK`
+    * neighbors (self excluded) over the quantized vectors; the IVF
+    * answer at nprobe p keeps only neighbors whose rank-1 cell sits in
+    * the query's top-p routing cells (the [[centroidScores]] order
+    * shared with s15/s17/the streaming gate), then takes the same
+    * top-`topK`. A hit is a neighbor in both top-k sets; recall =
+    * hits / (nQueries · topK).
+    *
+    * Scale shape: the Lloyd loop's corpus-independent shuffles (s15's
+    * bound); ONE map-only assignment scan; the scoring pass is s01's
+    * broadcast-probe shape (bounded query slice × corpus — map-side,
+    * no corpus self-join) exploded over |probes| levels (≤ 4×), into
+    * per-(level, query) window ranks on bounded partitions and a
+    * ≤ |probes|-row aggregate with one allowlisted 1-row totals
+    * attachment. At a 100 TB corpus the curve runs on a SAMPLE of
+    * queries by construction (nQueries bounds the probe side). */
+  def nprobeCurve(e: DataFrame, k: Int = 8, iters: Int = 3,
+      nQueries: Int = 16, topK: Int = 10,
+      probes: Seq[Long] = Seq(1L, 2L, 4L, 8L)): DataFrame = {
+    val spark = e.sparkSession
+    val q = e.select(col("vec_id"), quantMilli.as("qe")).localCheckpoint()
+    val cents = kmeansCentroidsFromQuant(q, k, iters)
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("nprobe",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("scanned_rows",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("scan_frac",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("n_hits",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("recall",
+        org.apache.spark.sql.types.DoubleType)))
+    if (cents.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    def rcPair(a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val ad = a.cast("array<double>"); val bd = b.cast("array<double>")
+      val den = norm(ad) * norm(bd)
+      coalesce(round(when(den =!= 0.0, dot(ad, bd) / den), 9), lit(-2.0))
+    }
+    val corpus = q.select(col("vec_id").as("neighbor_id"), col("qe").as("ne"))
+      .withColumn("ncell", centroidBest(cents, col("ne")).getField("c"))
+    val queries = q
+      .join(q.select(col("vec_id")).orderBy("vec_id").limit(nQueries),
+        Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("query_id"), col("qe").as("qv"))
+      .withColumn("route",
+        transform(array_sort(centroidScores(cents, col("qv"))),
+          s => s.getField("c")))
+    val pairs = corpus.join(broadcast(queries),
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        rcPair(col("qv"), col("ne")).as("rc"),
+        array_position(col("route"), col("ncell")).as("probe_rank"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("rc").desc, col("neighbor_id"))
+    val exact = pairs
+      .withColumn("exact_rank", row_number().over(wq).cast("long"))
+    val wl = Window.partitionBy("nprobe", "query_id")
+      .orderBy(col("rc").desc, col("neighbor_id"))
+    val ranked = exact
+      .select(col("*"), explode(typedLit(probes)).as("nprobe"))
+      .filter(col("probe_rank") <= col("nprobe"))
+      .withColumn("ivf_rank", row_number().over(wl).cast("long"))
+    val totals = queries.agg(count(lit(1)).as("nq"))
+      .crossJoin(corpus.agg(count(lit(1)).as("nc")))
+    ranked.groupBy("nprobe")
+      .agg(count(lit(1)).as("scanned_rows"),
+        sum(when(col("ivf_rank") <= topK && col("exact_rank") <= topK, 1L)
+          .otherwise(0L)).as("n_hits"))
+      .crossJoin(totals)
+      .select(col("nprobe"), col("scanned_rows"),
+        round(safeFrac(col("scanned_rows"), col("nq") * (col("nc") - 1)), 6)
+          .as("scan_frac"),
+        col("n_hits"),
+        round(safeFrac(col("n_hits"), col("nq") * lit(topK.toLong)), 6)
+          .as("recall"))
+      .orderBy("nprobe")
+  }
+
+  val nprobeCurveQ = Q(
+    "s19_nprobe_curve",
+    (s, d) => nprobeCurve(Tables.embeddings(s, d)),
+    Some(s"""WITH q AS (
+              SELECT vec_id, CAST(0 AS BIGINT) AS label,
+                list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS qe
+              FROM embeddings),
+            c0 AS (SELECT vec_id AS c, qe FROM q ORDER BY vec_id LIMIT 8),
+            ${kmeansIterSql(1)},
+            ${kmeansIterSql(2)},
+            ${kmeansIterSql(3)},
+            sc AS (
+              SELECT v.vec_id, cc.c, ${rcSql("v.qe", "cc.qe")} AS rc
+              FROM q v CROSS JOIN c3 cc),
+            cellof AS (
+              SELECT vec_id, c AS ncell FROM (
+                SELECT vec_id, c,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY rc DESC, c) AS rn
+                FROM sc) WHERE rn = 1),
+            qv AS (SELECT vec_id FROM q ORDER BY vec_id LIMIT 16),
+            route AS (
+              SELECT s.vec_id AS query_id, s.c,
+                CAST(row_number() OVER (PARTITION BY s.vec_id
+                  ORDER BY s.rc DESC, s.c) AS BIGINT) AS prank
+              FROM sc s JOIN qv ON qv.vec_id = s.vec_id),
+            pairs AS (
+              SELECT qq.vec_id AS query_id, n.vec_id AS neighbor_id,
+                ${rcSql("qq.qe", "n.qe")} AS rc, co.ncell
+              FROM q n
+              JOIN cellof co ON co.vec_id = n.vec_id
+              JOIN (SELECT v.vec_id, v.qe FROM q v
+                    JOIN qv ON qv.vec_id = v.vec_id) qq
+                ON qq.vec_id <> n.vec_id),
+            pr AS (
+              SELECT p.query_id, p.neighbor_id, p.rc, r.prank AS probe_rank,
+                CAST(row_number() OVER (PARTITION BY p.query_id
+                  ORDER BY p.rc DESC, p.neighbor_id) AS BIGINT) AS exact_rank
+              FROM pairs p
+              JOIN route r ON r.query_id = p.query_id AND r.c = p.ncell),
+            lv AS (SELECT CAST(unnest([1, 2, 4, 8]) AS BIGINT) AS nprobe),
+            cand AS (
+              SELECT l.nprobe, pr.query_id, pr.neighbor_id, pr.exact_rank,
+                CAST(row_number() OVER (PARTITION BY l.nprobe, pr.query_id
+                  ORDER BY pr.rc DESC, pr.neighbor_id) AS BIGINT) AS ivf_rank
+              FROM pr, lv l WHERE pr.probe_rank <= l.nprobe),
+            tot AS (
+              SELECT (SELECT CAST(count(*) AS BIGINT) FROM qv) AS nq,
+                     (SELECT CAST(count(*) AS BIGINT) FROM q) AS nc),
+            agg AS (
+              SELECT nprobe, CAST(count(*) AS BIGINT) AS scanned_rows,
+                CAST(sum(CASE WHEN ivf_rank <= 10 AND exact_rank <= 10
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+              FROM cand GROUP BY nprobe)
+            SELECT nprobe, scanned_rows,
+              round(CAST(scanned_rows AS DOUBLE)
+                / NULLIF(CAST(nq * (nc - 1) AS DOUBLE), 0.0), 6) AS scan_frac,
+              n_hits,
+              round(CAST(n_hits AS DOUBLE)
+                / NULLIF(CAST(nq * 10 AS DOUBLE), 0.0), 6) AS recall
+            FROM agg, tot ORDER BY nprobe"""))
+
   val all: Seq[Q] =
     Seq(annBruteForce, annLsh, centroids, annIvf, annRecall, quantError, annAppend,
       annPq, radius, mmr, filteredAnn, annDelete, knnPurity, knnConfusion,
-      kmeansCarto, drift, probeBalance, populationDrift)
+      kmeansCarto, drift, probeBalance, populationDrift, nprobeCurveQ)
 }

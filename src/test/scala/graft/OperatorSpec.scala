@@ -2374,6 +2374,49 @@ class OperatorSpec extends SparkSpec {
     assert(c("__ALL__")._1 == c("src0")._1 + c("src1")._1)
   }
 
+  test("m15 interleave pack: per-modality token mass is conserved and every interior window is exactly full") {
+    import graft.functions.TextFns
+    val docs = Tables.documents(spark, sf)
+    val out = SparkEntry.queries("m15_interleave_pack")(spark, sf).collect()
+    // Conservation: the window rollup must hold every text token exactly
+    // once and one 64-token slot per payload-bearing doc — interval
+    // splitting can neither drop nor double-count a position.
+    val totText = docs
+      .select(sum(size(TextFns.tokens(col("text"))).cast("long"))).head.getLong(0)
+    val nMedia = docs
+      .filter(octet_length(col("text").cast("binary")) > 0).count()
+    assert(out.map(_.getLong(2)).sum == totText, "text token mass moved")
+    assert(out.map(_.getLong(3)).sum == 64L * nMedia, "media slot mass moved")
+    // Greedy packing leaves no gaps: windows are contiguous from 0 and
+    // every window but the last is byte-exactly full.
+    assert(out.map(_.getLong(0)).toSeq == (0L until out.length).toSeq)
+    out.dropRight(1).foreach { r =>
+      assert(r.getDouble(5) == 1.0, s"interior window not full: $r")
+    }
+    // The interleave is real on this corpus: some window holds both
+    // modalities.
+    assert(out.exists(r => r.getLong(2) > 0 && r.getLong(3) > 0))
+  }
+
+  test("s19 nprobe curve: recall and scan are monotone in nprobe and the nprobe=k row IS brute force") {
+    val out = SparkEntry.queries("s19_nprobe_curve")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4))).sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L))
+    // More probes can only widen the candidate set: scanned rows and hits
+    // are non-decreasing in nprobe.
+    out.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._2 >= lo._2 && hi._4 >= lo._4, s"curve not monotone: $lo -> $hi")
+    }
+    // The proof anchor: probing all k cells scans everything and recovers
+    // the exact ground truth — recall and scan_frac are EXACTLY 1.0, not
+    // approximately (integer-milli arithmetic end to end).
+    val full = out.last
+    assert(full._3 == 1.0 && full._5 == 1.0, s"nprobe=k row not exact: $full")
+    // And the knob is real on this corpus: nprobe=1 scans strictly less.
+    assert(out.head._2 < full._2)
+  }
+
   test("d31 soft dedup: cross-source copies split mass that hard attribution destroys, and soft mass conserves unique mass") {
     import spark.implicits._
     val docs = Seq(

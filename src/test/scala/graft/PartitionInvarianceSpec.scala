@@ -246,7 +246,15 @@ class PartitionInvarianceSpec extends SparkSpec {
     // over the d01 keeper grain (min-struct total order) re-aggregated
     // through one ROLLUP — gated to prove the stamp can't move with
     // reduce geometry (a digest that moved would be worse than none).
-    "q46_purchase_cadence", "d31_soft_dedup", "p16_release_fingerprint")
+    "q46_purchase_cadence", "d31_soft_dedup", "p16_release_fingerprint",
+    // m15 rides the t33/m09 range-exchange prefix scan into exact
+    // interval arithmetic (BIGINT spans, integer window cuts) — gated to
+    // prove the window layout can't move with shuffle geometry.
+    "m15_interleave_pack",
+    // s19: s15's exact-integer codebook, round-9 cosines under the
+    // (rc DESC, id) total order in BOTH rank windows, BIGINT hit counts
+    // — gated to prove the operating curve can't move with geometry.
+    "s19_nprobe_curve")
 
   test("round-5/6 queries return identical rows at shuffle.partitions = 3 and 17") {
     val conf = spark.conf
