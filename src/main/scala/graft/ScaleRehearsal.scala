@@ -326,7 +326,20 @@ object ScaleRehearsal {
       // m14 composes m13's symbol explode + m06's banded signature
       // self-join + m09's prefix scan at doc-keyed joins — legs sum
       // (the p13 contract), nothing multiplies.
-      "m14_media_pipeline")
+      "m14_media_pipeline",
+      // Round-12 third wave: d31 rides d24's fingerprint window into
+      // BIGINT micro-weight sums (output #sources, group sizes scale-
+      // invariant under the tagged copies); p16 is p15's two
+      // fingerprint-grain aggregates + one fp-keyed join + a ROLLUP
+      // (the d01/p15 band); m15 is t17/m09's two-phase prefix scan +
+      // m10's bounded interval explode into a window-keyed aggregate
+      // (output ∝ tokens / 2048, grows k×); s19 is s15's Lloyd loop +
+      // s01's broadcast-probe scan over the k× embeddings twin,
+      // exploded ≤ 4× into bounded per-(level, query) rank windows
+      // (s13/s17's band — the probe side stays 16 queries at any k).
+      // q46 is events-keyed and rides the events axis below.
+      "d31_soft_dedup", "p16_release_fingerprint", "m15_interleave_pack",
+      "s19_nprobe_curve")
     def timeQuery(name: String, dir: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
       def once(): (Double, Long) = {
@@ -543,7 +556,11 @@ object ScaleRehearsal {
       // q45 rides q37's user-keyed windows plus the as-of union window —
       // two user-keyed Exchanges, output = #purchases; the naive
       // intervals × purchases per-key product never materializes.
-      "q45_point_in_time_enrich")
+      "q45_point_in_time_enrich",
+      // q46: ONE user-keyed min/max/count aggregate + a 1-row horizon
+      // attach — output = #purchasing-users, grows k× with the disjoint
+      // user populations while per-group state stays 5 BIGINTs.
+      "q46_purchase_cadence")
     if (only.isEmpty || only("events_axis") || evNames.exists(only)) {
       val ev1 = graft.sources.Tables.events(spark, sfDir)
       val evDir = s"$outDir/events_axis"

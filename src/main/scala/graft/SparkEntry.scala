@@ -51,7 +51,17 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    associative and the view can NEVER drift from its own definition;
   *    the oracle is the full recompute, so the hash equality is the
   *    merge-≡-recompute theorem itself.
-  *  - t01..t40: text query library (grep, wordcount, token counting,
+  *  - q44: referential-integrity + participation audit — five anti-join
+  *    legs over the warehouse's foreign keys, each one distinct + left
+  *    join + 1-row aggregate.
+  *  - q45: point-in-time-correct enrichment — every purchase joined to
+  *    the user's SCD2 state valid AT purchase time via the shared as-of
+  *    kernel (the feature-store primitive; no intervals × probes
+  *    product ever materializes).
+  *  - q46: per-user purchase cadence + at-risk banding — the telescoped
+  *    mean-gap identity (min/max/count, NO lag window) closed by a
+  *    division-free compare of idle time against the user's own cadence.
+  *  - t01..t42: text query library (grep, wordcount, token counting,
   *    quality scoring, language-ID, fingerprinting, winnowing, TF-IDF,
   *    langid eval, context chunking, co-occurrence PMI, bigram LM,
   *    bigram perplexity quality filter, vocabulary growth, Gopher-style
@@ -82,8 +92,13 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    cross-source LM transfer matrix — each source's bigram stream
   *    scored under every other's Laplace bigram LM in exact micro-nats,
   *    the model-likelihood answer to "are these sources interchangeable"
-  *    that d20's n-gram overlap can't give for paraphrased twins).
-  *  - d01..d28: dedup & corpus hygiene (exact, MinHash-LSH, SimHash,
+  *    that d20's n-gram overlap can't give for paraphrased twins,
+  *    classifier-threshold operating curve — per candidate τ the
+  *    surviving doc/token budget and the confusion cells against the
+  *    t20 gate, the table that PICKS the deployed cutoff,
+  *    cross-source divergence matrix — pairwise KL over the corpus's
+  *    own top-K vocabulary + OOV mass in exact nano-nat units).
+  *  - d01..d31: dedup & corpus hygiene (exact, MinHash-LSH, SimHash,
   *    n-gram Jaccard, embedding-cosine, connected-component clusters,
   *    keep-list, near-dup triangles, benchmark decontamination,
   *    incremental delta dedup, exact-substring repeated spans, near-dup
@@ -106,8 +121,17 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    triage row between d16's pairwise matrix and d25's histogram,
   *    boilerplate DRIFT between the resident corpus and the newest
   *    ingest wave — the new-template tripwire that re-arms d26's scrub
-  *    vocabulary and the d04/d18 df-cap, s16's stance on the text axis).
-  *  - s01..s16: similarity search (brute-force ANN, LSH-bucketed ANN,
+  *    vocabulary and the d04/d18 df-cap, s16's stance on the text axis;
+  *    content-defined chunk dedup — FastCDC boundaries on the token
+  *    stream that RESYNCHRONIZE within ~g tokens of an edit, closing
+  *    d13's fixed-grid misalignment; hot-chunk provenance — the
+  *    actionable scrub list at d29's edit grain with chunk text and
+  *    occurrence/document/source counts; soft deduplication — exact
+  *    integer micro-weights 10⁶ div cluster-size at d01's fingerprint
+  *    grain, the keep-but-downweight alternative whose per-source
+  *    effective mass restores the cross-source contribution hard keeper
+  *    attribution destroys).
+  *  - s01..s19: similarity search (brute-force ANN, LSH-bucketed ANN,
   *    per-label centroid stats, IVF ANN, recall@k evaluation, int8
   *    quantization error audit, incremental IVF ingest serving state,
   *    PQ-ADC with exact rerank, exact cosine radius search, MMR
@@ -123,8 +147,16 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    engines via integer-milli vectors and division-free sum-vector
   *    centroids; per-dimension embedding drift between the resident
   *    corpus and the newest ingest wave — the encoder-change tripwire
-  *    an ANN stack checks before folding a delta in).
-  *  - m01..m12: multimodal binary-column plumbing (metadata, stub-decode
+  *    an ANN stack checks before folding a delta in; probe-traffic vs
+  *    storage balance of the routing codebook — the serving-load audit
+  *    that catches cells balanced in storage but hot in traffic;
+  *    cluster-population drift of the newest wave under the FROZEN
+  *    resident-trained codebook — the rebalance trigger read before
+  *    retraining; the nprobe operating curve — exact recall@k and
+  *    scanned-fraction per candidate nprobe over the integer-milli
+  *    codebook, the first oracle-exact IVF quality curve, with the
+  *    nprobe=k row as its built-in brute-force proof anchor).
+  *  - m01..m15: multimodal binary-column plumbing (metadata, stub-decode
   *    features, frame sampling, strided resize, windowed frame energy,
   *    perceptual-hash near-dup pairs, scene-change detection over frame
   *    energies, VAD-style voiced-segment runs, WebDataset-style
@@ -133,6 +165,12 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    — d17's literal-inline stance on the media axis; media near-dup
   *    CLUSTERS — m06's pairs closed into components with size/edge/
   *    worst-Hamming readout, the d06→d27 move on the perceptual axis;
+  *    pre-decode payload entropy gate in exact micro-nats with the
+  *    corpus's flattest assets as the review queue; the composed media
+  *    pipeline — entropy gate → near-dup drop → shard repack in one
+  *    manifest; interleaved multimodal sample packing — text tokens +
+  *    fixed media slots packed into training windows with per-window
+  *    modality-mix and fill audits, the OBELICS-style loader layout;
   *    binaryFile ingest in Multimodal).
   *  - p01: the composed curation pipeline (gate → dedup-among-survivors →
   *    sequence packing) emitting every document's final disposition and
@@ -180,6 +218,16 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    emerging templates, s16's worst embedding drift, and the
   *    fold_in_ready conjunction; p03's release-audit stance pointed at
   *    the pipeline's intake end.
+  *  - p14: order-independent gate attribution — p07's three gates as
+  *    independent predicates with exclusive inclusion-exclusion combo
+  *    counts, the readout a sequential funnel structurally cannot give.
+  *  - p15: release-to-release churn ledger — the per-source diff of two
+  *    complete release manifests at d01's fingerprint grain, including
+  *    REMOVALS, with a cross-multiplied fair-share heavy_churn flag.
+  *  - p16: the release content-fingerprint manifest — per source + the
+  *    __ALL__ corpus row, an order-independent 60-bit XOR digest of the
+  *    content-fingerprint set with doc/content/token counts in one
+  *    ROLLUP; the O(#sources) freeze stamp compared BEFORE p15's diff.
   */
 object SparkEntry {
   val inventory: Seq[Q] =
