@@ -465,7 +465,11 @@ object ScaleRehearsal {
       // left join + 1-row aggregate; facts grow k×, dimensions don't,
       // so every leg is a fact-scan-bounded shuffle with a fixed-size
       // output.
-      "q44_referential_audit")
+      "q44_referential_audit",
+      // q47: the canonical fact-fact shuffle join (lineitem ⋈ orders,
+      // both sides growing k×) into a ≤ priorities × 5 aggregate —
+      // output pinned, cost is the join exchange, linear in facts.
+      "q47_fulfillment_latency")
     if (only.isEmpty || only("tpch_axis") || thNames.exists(only)) {
       val tDir = s"$outDir/tpch_axis"
       val reuseT = reuseReq && {

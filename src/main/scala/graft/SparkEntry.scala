@@ -60,7 +60,14 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    product ever materializes).
   *  - q46: per-user purchase cadence + at-risk banding — the telescoped
   *    mean-gap identity (min/max/count, NO lag window) closed by a
-  *    division-free compare of idle time against the user's own cadence.
+  *    division-free compare of idle time against the user's own cadence;
+  *    the per-user state triple is associative, so the cadence table is
+  *    also a MAINTAINED VIEW (ViewStreams.maintainCadenceView, the
+  *    second view on q43's generation-numbered merge protocol).
+  *  - q47: order-fulfillment latency bands per priority — the canonical
+  *    fact-fact shuffle join banded on integer day lag, including the
+  *    pre_order impossible-latency band (q44's data-quality stance on
+  *    the temporal axis).
   *  - t01..t42: text query library (grep, wordcount, token counting,
   *    quality scoring, language-ID, fingerprinting, winnowing, TF-IDF,
   *    langid eval, context chunking, co-occurrence PMI, bigram LM,

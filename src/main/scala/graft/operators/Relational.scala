@@ -1645,27 +1645,37 @@ object Relational {
     * identity) plus a 1-row observation-horizon aggregate attached by
     * bounded crossJoin (q38's shape). Output is #purchasing-users rows;
     * linear in event volume, one shuffle. */
+  /** q46's per-user state is EXACTLY mergeable — (count, min µs, max µs)
+    * per user is an associative/commutative triple, which is why the
+    * cadence view has a streaming maintenance twin
+    * ([[graft.streaming.ViewStreams.maintainCadenceView]]). This is the
+    * shared close: from (user_id, n_purchases, first_us, last_us,
+    * now_us) state rows to the published cadence table — one column
+    * expression set, so batch and maintained-view reads can never
+    * drift. */
+  def cadenceFromState(st: DataFrame): DataFrame =
+    st.select(col("user_id"), col("n_purchases"),
+        timestamp_micros(col("first_us")).as("first_purchase"),
+        timestamp_micros(col("last_us")).as("last_purchase"),
+        when(col("n_purchases") > 1,
+          expr("(last_us - first_us) div (n_purchases - 1)")).as("avg_gap_us"),
+        (col("now_us") - col("last_us")).as("idle_us"),
+        when(col("n_purchases") === 1, lit("single"))
+          .when(expr("((now_us - last_us) div 1000) * (n_purchases - 1)" +
+            " <= ((last_us - first_us) div 1000)"), lit("active"))
+          .when(expr("((now_us - last_us) div 1000) * (n_purchases - 1)" +
+            " <= 2 * ((last_us - first_us) div 1000)"), lit("cooling"))
+          .otherwise(lit("at_risk")).as("band"))
+      .orderBy("user_id")
+
   def purchaseCadence(ev: DataFrame): DataFrame = {
       val perU = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("ts"))
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_purchases"),
-          min("us").as("first_us"), max("us").as("last_us"),
-          min("ts").as("first_purchase"), max("ts").as("last_purchase"))
+          min("us").as("first_us"), max("us").as("last_us"))
       val horizon = ev.agg(max(unix_micros(col("ts"))).as("now_us"))
-      perU.crossJoin(horizon)
-        .select(col("user_id"), col("n_purchases"),
-          col("first_purchase"), col("last_purchase"),
-          when(col("n_purchases") > 1,
-            expr("(last_us - first_us) div (n_purchases - 1)")).as("avg_gap_us"),
-          (col("now_us") - col("last_us")).as("idle_us"),
-          when(col("n_purchases") === 1, lit("single"))
-            .when(expr("((now_us - last_us) div 1000) * (n_purchases - 1)" +
-              " <= ((last_us - first_us) div 1000)"), lit("active"))
-            .when(expr("((now_us - last_us) div 1000) * (n_purchases - 1)" +
-              " <= 2 * ((last_us - first_us) div 1000)"), lit("cooling"))
-            .otherwise(lit("at_risk")).as("band"))
-        .orderBy("user_id")
+      cadenceFromState(perU.crossJoin(horizon))
   }
 
   val q46 = Q(
@@ -1693,8 +1703,84 @@ object Relational {
                    ELSE 'at_risk' END AS band
             FROM per_u, h ORDER BY user_id"""))
 
+  // ---------------------------- fulfillment latency bands (q47)
+  /** q47: order-fulfillment latency bands — per order priority, the
+    * distribution of order-date → ship-date lag across operational bands,
+    * including the `pre_order` band (a line SHIPPED before its order was
+    * placed — impossible latency, so it is a data-quality tripwire, the
+    * temporal complement of q44's referential audit; this corpus has
+    * such rows, which is exactly why the band exists rather than being
+    * folded into `lt_30d`). q41 bands user-journey latency on the events
+    * axis; this is the same read on the warehouse's fact-fact axis — the
+    * "is priority actually honored" dashboard.
+    *
+    * Exactness: lag is an integer day difference (both engines cast to
+    * DATE and subtract — no timezone arithmetic under the UTC session);
+    * band cuts are integer compares; shares are round-6 of exact counts
+    * with the per-priority total from a window over the ≤ priorities × 5
+    * aggregate (bounded partitions — not a corpus window).
+    *
+    * Scale shape: THE canonical fact-fact shuffle join (lineitem ⋈
+    * orders on orderkey, both sides projected to 2-3 columns before the
+    * exchange, AQE free to pick sides), then one (priority, band)
+    * aggregate with map-side partials. Output ≤ priorities × 5 rows at
+    * any scale; linear in facts, one join shuffle + one agg shuffle. */
+  val q47 = Q(
+    "q47_fulfillment_latency",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      import org.apache.spark.sql.expressions.Window
+      val counts = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority").as("priority"),
+          datediff(col("l_shipdate"), col("o_orderdate")).as("lag_days"))
+        .select(col("priority"),
+          when(col("lag_days") < 0, lit(0))
+            .when(col("lag_days") < 30, lit(1))
+            .when(col("lag_days") < 60, lit(2))
+            .when(col("lag_days") < 90, lit(3))
+            .otherwise(lit(4)).as("band_id"))
+        .groupBy("priority", "band_id")
+        .agg(count(lit(1)).as("n_items"))
+      counts
+        .withColumn("n_priority",
+          sum("n_items").over(Window.partitionBy("priority")))
+        .select(col("priority"), col("band_id"),
+          element_at(lit(Array("pre_order", "lt_30d", "30_60d", "60_90d",
+            "ge_90d")), col("band_id") + 1).as("band"),
+          col("n_items"),
+          round(col("n_items").cast("double") /
+            col("n_priority").cast("double"), 6).as("share"))
+        .orderBy("priority", "band_id")
+    },
+    Some("""WITH j AS (
+              SELECT o.o_orderpriority AS priority,
+                date_diff('day', CAST(o.o_orderdate AS DATE),
+                  CAST(l.l_shipdate AS DATE)) AS lag_days
+              FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+            b AS (
+              SELECT priority,
+                CASE WHEN lag_days < 0 THEN 0
+                     WHEN lag_days < 30 THEN 1
+                     WHEN lag_days < 60 THEN 2
+                     WHEN lag_days < 90 THEN 3
+                     ELSE 4 END AS band_id
+              FROM j),
+            c AS (
+              SELECT priority, band_id, CAST(count(*) AS BIGINT) AS n_items
+              FROM b GROUP BY 1, 2)
+            SELECT priority, band_id,
+              ['pre_order', 'lt_30d', '30_60d', '60_90d', 'ge_90d'][band_id + 1]
+                AS band,
+              n_items,
+              round(CAST(n_items AS DOUBLE)
+                / CAST(sum(n_items) OVER (PARTITION BY priority) AS DOUBLE), 6)
+                AS share
+            FROM c ORDER BY priority, band_id"""))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
       q18, q19, q20, q21, q22, q25, q26, q27, q29, q30, q32, q33, q34, q36, q37,
-      q38, q39, q40, q41, q42, q43, q44, q45, q46)
+      q38, q39, q40, q41, q42, q43, q44, q45, q46, q47)
 }

@@ -83,12 +83,23 @@ object ViewStreams {
     * later one) is already folded in, and the call is a no-op — running
     * the same batch twice cannot double-count. */
   def mergeBatch(spark: SparkSession, batch: DataFrame, statePath: String,
-      batchId: Long): Unit = {
+      batchId: Long): Unit =
+    mergeBatchWith(spark, batch, statePath, batchId, partialState, merge)
+
+  /** The generation protocol with pluggable view algebra: `partial`
+    * collapses one batch to its partial state, `merge2` folds two
+    * partial states (MUST be associative + commutative on exact types —
+    * the q43 contract every maintained view here rides). Shared by the
+    * pricing view and the cadence view so a third view is one (partial,
+    * merge2) pair, not a re-implementation of crash-safety. */
+  def mergeBatchWith(spark: SparkSession, batch: DataFrame, statePath: String,
+      batchId: Long, partial: DataFrame => DataFrame,
+      merge2: (DataFrame, DataFrame) => DataFrame): Unit = {
     val root = new Path(statePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val gens = committedGens(fs, root)
     if (gens.exists(_._1 >= batchId)) return
-    val delta = partialState(batch)
+    val delta = partial(batch)
     val prev = gens.lastOption match {
       case Some((_, p)) => spark.read.parquet(p.toString)
       case None => spark.createDataFrame(
@@ -99,7 +110,7 @@ object ViewStreams {
     // commit — a crash between the two leaves an extra committed
     // generation, which readers resolve by max-id and the next batch
     // prunes.
-    merge(prev, delta)
+    merge2(prev, delta)
       .write.mode("overwrite").parquet(new Path(root, s"gen=$batchId").toString)
     gens.foreach { case (_, p) => fs.delete(p, true) }
   }
@@ -115,6 +126,67 @@ object ViewStreams {
           mergeBatch(batch.sparkSession, batch.toDF(), statePath, batchId)
       }
       .start()
+
+  // ------------------------- the cadence view (q46's maintenance twin)
+
+  /** One batch's cadence partial state: per user, purchase count and
+    * first/last purchase µs — q46's per-user triple, which is
+    * associative/commutative on exact BIGINTs (count adds, min/max
+    * fold), so the q43 merge-≡-recompute argument applies verbatim. */
+  private def partialCadence(rows: DataFrame): DataFrame =
+    rows.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        min(unix_micros(col("ts"))).as("first_us"),
+        max(unix_micros(col("ts"))).as("last_us"))
+
+  private def mergeCadence(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("user_id"), col("n_purchases").as("an"),
+        col("first_us").as("af"), col("last_us").as("al"))
+      .join(b.select(col("user_id"), col("n_purchases").as("bn"),
+        col("first_us").as("bf"), col("last_us").as("bl")),
+        Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        (coalesce(col("an"), lit(0L)) + coalesce(col("bn"), lit(0L)))
+          .as("n_purchases"),
+        least(coalesce(col("af"), col("bf")), coalesce(col("bf"), col("af")))
+          .as("first_us"),
+        greatest(coalesce(col("al"), col("bl")), coalesce(col("bl"), col("al")))
+          .as("last_us"))
+
+  /** Maintain q46's cadence state per micro-batch of arriving events —
+    * the second maintained view on the shared generation protocol
+    * ([[mergeBatchWith]]): per batch, one batch-proportional aggregate
+    * over its purchases plus a #users-sized merge; the resident event
+    * history is never rescanned. Crash-safety and replay-idempotence
+    * are [[mergeBatch]]'s, inherited, not re-argued. */
+  def maintainCadenceView(stream: DataFrame, statePath: String,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          mergeBatchWith(batch.sparkSession, batch.toDF(), statePath, batchId,
+            partialCadence, mergeCadence)
+      }
+      .start()
+
+  /** Read the maintained cadence view in q46's exact output shape. The
+    * observation horizon of a purchase-fed view is its newest purchase
+    * (max last_us in state — one #users-row aggregate), which equals
+    * batch q46's all-events horizon whenever the stream carries only
+    * purchases; the spec asserts exactly that equality through
+    * [[graft.operators.Relational.cadenceFromState]], the shared close. */
+  def cadenceView(spark: SparkSession, statePath: String): DataFrame = {
+    val root = new Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val latest = committedGens(fs, root).lastOption.getOrElse(
+      throw new IllegalStateException(
+        s"no committed state generation under $statePath"))
+    val st = spark.read.parquet(latest._2.toString)
+    graft.operators.Relational.cadenceFromState(
+      st.crossJoin(st.agg(max("last_us").as("now_us"))))
+  }
 
   /** Read the maintained view in q43's output shape (sans the
     * delta-attribution column, which is per-refresh bookkeeping) from the

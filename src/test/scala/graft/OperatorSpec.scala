@@ -2398,6 +2398,19 @@ class OperatorSpec extends SparkSpec {
     assert(out.exists(r => r.getLong(2) > 0 && r.getLong(3) > 0))
   }
 
+  test("q47 fulfillment latency: bands partition every lineitem, the pre_order tripwire fires, shares close per priority") {
+    val out = SparkEntry.queries("q47_fulfillment_latency")(spark, sf).collect()
+    // Every lineitem lands in exactly one (priority, band) cell.
+    assert(out.map(_.getLong(3)).sum == Tables.lineitem(spark, sf).count())
+    // The impossible-latency band is non-vacuous on this corpus — the
+    // data-quality tripwire the band exists for actually fires.
+    assert(out.filter(_.getInt(1) == 0).map(_.getLong(3)).sum > 0)
+    out.groupBy(_.getString(0)).foreach { case (p, rows) =>
+      val s = rows.map(_.getDouble(4)).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"priority $p shares sum to $s")
+    }
+  }
+
   test("s19 nprobe curve: recall and scan are monotone in nprobe and the nprobe=k row IS brute force") {
     val out = SparkEntry.queries("s19_nprobe_curve")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),

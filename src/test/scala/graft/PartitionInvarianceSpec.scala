@@ -254,7 +254,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     // s19: s15's exact-integer codebook, round-9 cosines under the
     // (rc DESC, id) total order in BOTH rank windows, BIGINT hit counts
     // — gated to prove the operating curve can't move with geometry.
-    "s19_nprobe_curve")
+    "s19_nprobe_curve",
+    // q47: one equi-join + exact (priority, band) counts; the share
+    // window partitions the BOUNDED aggregate (≤ priorities × 5 rows)
+    // and every cut is an integer compare — no geometry sensitivity.
+    "q47_fulfillment_latency")
 
   test("round-5/6 queries return identical rows at shuffle.partitions = 3 and 17") {
     val conf = spark.conf

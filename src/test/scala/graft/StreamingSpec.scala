@@ -440,6 +440,32 @@ class StreamingSpec extends SparkSpec {
       unassigned.forall(r => r.getLong(1) == -1L && r.isNullAt(2)))
   }
 
+  test("maintained cadence view == batch q46 over the same purchases under any batch slicing") {
+    import java.nio.file.Files
+    import graft.streaming.ViewStreams
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+    // The batch twin through the SHARED close: q46 over a purchase-only
+    // stream has horizon = newest purchase, exactly the view's contract.
+    val recompute = Relational.purchaseCadence(purchases)
+      .collect().map(_.toString).toSeq
+    Seq(3, 7).foreach { nBatches =>
+      val base = Files.createTempDirectory(s"graft-cadence-$nBatches").toString
+      purchases.repartition(nBatches)
+        .write.mode("overwrite").parquet(s"$base/arrivals")
+      val q = ViewStreams.maintainCadenceView(
+        ViewStreams.readLineitemStream(spark, s"$base/arrivals", purchases),
+        s"$base/state", s"$base/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      val maintained = ViewStreams.cadenceView(spark, s"$base/state")
+        .collect().map(_.toString).toSeq
+      assert(maintained == recompute,
+        s"cadence view drifted at $nBatches batches: " +
+          s"${maintained.diff(recompute).take(2)} vs ${recompute.diff(maintained).take(2)}")
+      assert(maintained.nonEmpty)
+    }
+  }
+
   test("streaming view maintenance converges to the recompute under any batch slicing") {
     import java.nio.file.Files
     import graft.streaming.ViewStreams
