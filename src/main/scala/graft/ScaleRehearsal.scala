@@ -469,7 +469,12 @@ object ScaleRehearsal {
       // q47: the canonical fact-fact shuffle join (lineitem ⋈ orders,
       // both sides growing k×) into a ≤ priorities × 5 aggregate —
       // output pinned, cost is the join exchange, linear in facts.
-      "q47_fulfillment_latency")
+      "q47_fulfillment_latency",
+      // q48: the range-exchange prefix rank over k× orders (t33's
+      // machinery on the money axis) + two segment-keyed aggregates —
+      // output pinned at #segments; the adversarial claim is the rank
+      // WITHOUT a corpus-partition window, at any k.
+      "q48_spend_concentration")
     if (only.isEmpty || only("tpch_axis") || thNames.exists(only)) {
       val tDir = s"$outDir/tpch_axis"
       val reuseT = reuseReq && {

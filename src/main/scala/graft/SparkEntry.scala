@@ -68,6 +68,11 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    fact-fact shuffle join banded on integer day lag, including the
   *    pre_order impossible-latency band (q44's data-quality stance on
   *    the temporal axis).
+  *  - q48: order-spend concentration per market segment — EXACT Gini +
+  *    top-decile share, with per-segment ranks from the range-exchange
+  *    prefix scan (a PARTITION BY segment rank window is the banned
+  *    corpus-window shape sharded #segments ways) and Σ(rank·cents) in
+  *    DECIMAL(38,0) so exactness survives past the BIGINT horizon.
   *  - t01..t42: text query library (grep, wordcount, token counting,
   *    quality scoring, language-ID, fingerprinting, winnowing, TF-IDF,
   *    langid eval, context chunking, co-occurrence PMI, bigram LM,

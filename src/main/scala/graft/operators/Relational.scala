@@ -1779,8 +1779,99 @@ object Relational {
                 AS share
             FROM c ORDER BY priority, band_id"""))
 
+  // ---------------------------- spend concentration (q48)
+  /** q48: order-spend concentration per market segment — exact Gini
+    * coefficient and top-decile spend share, the "how unequal is this
+    * revenue" readout next to q34's RFM segmentation. The interesting
+    * part is HOW: Gini needs every order's rank within its segment, and
+    * a rank window PARTITIONED BY segment is still a corpus-scale
+    * window (5 partitions of n/5 rows each — the one-reducer-per-key
+    * shape the global-window ban exists to prevent, just sharded 5
+    * ways). So ranks come from the t33/m09 TWO-PHASE range-partitioned
+    * prefix scan over the (segment, cents, o_orderkey) total order with
+    * m09's per-writer base subtraction — per-segment dense ranks at any
+    * partition count, no window wider than a partition.
+    *
+    * Exactness: spend is quantized once to BIGINT cents (q43's
+    * centi-unit move); ranks are exact longs; Σ(rank·cents) is summed
+    * in DECIMAL(38,0) — rank·cents alone can pass 2⁶³ near ~10⁹ orders
+    * per segment, and 38 digits cover n²·v̄ to ~10¹⁵ orders (DuckDB
+    * mirrors in HUGEINT) — so G = (2·Σ(r·v) − (n+1)·Σv) / (n·Σv) and
+    * the decile cut (rank > n − n div 10) are closed over exact
+    * integers with ONE identically-written double expression each.
+    *
+    * Scale shape: one broadcast dim join (customer→segment), the
+    * range-exchange prefix scan, one segment-keyed aggregate, one
+    * broadcast of the ≤ #segments-row totals back over the ranked
+    * stream for the decile sum, and a ≤ #segments join. Two passes over
+    * the ranked stream, no self-join, no corpus-partition window. */
+  val q48 = Q(
+    "q48_spend_concentration",
+    (s, d) => {
+      val o = Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      val seg = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+      val rows = o.join(broadcast(seg), col("o_custkey") === col("c_custkey"))
+        .select(col("segment"), col("cents"), col("o_orderkey"))
+        .withColumn("one", lit(1L))
+      val cum = TextOps.prefixSummedBy(rows,
+        Seq("segment", "cents", "o_orderkey"), "one", "cum")
+      val base = cum.groupBy("segment").agg((min("cum") - 1L).as("base"))
+      val ranked = cum.join(base, "segment")
+        .select(col("segment"), col("cents"), (col("cum") - col("base")).as("rnk"))
+        .localCheckpoint()
+      val a = ranked.groupBy("segment").agg(
+        count(lit(1)).as("n_orders"),
+        sum("cents").as("total_cents"),
+        sum(col("rnk").cast("decimal(38,0)") * col("cents").cast("decimal(38,0)"))
+          .as("srv"))
+      val top = ranked
+        .join(a.select(col("segment"), col("n_orders")), "segment")
+        .groupBy("segment").agg(
+          sum(when(expr("rnk > n_orders - (n_orders div 10)"), col("cents"))
+            .otherwise(0L)).as("top_cents"))
+      a.join(top, "segment")
+        .select(col("segment"), col("n_orders"), col("total_cents"),
+          round((lit(2.0) * col("srv").cast("double") -
+            (col("n_orders").cast("double") + 1.0) * col("total_cents").cast("double")) /
+            (col("n_orders").cast("double") * col("total_cents").cast("double")), 6)
+            .as("gini"),
+          round(col("top_cents").cast("double") / col("total_cents").cast("double"), 6)
+            .as("top10_share"))
+        .orderBy("segment")
+    },
+    Some("""WITH o AS (
+              SELECT c.c_mktsegment AS segment,
+                CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+                o.o_orderkey
+              FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+            r AS (
+              SELECT segment, cents,
+                CAST(row_number() OVER (PARTITION BY segment
+                  ORDER BY cents, o_orderkey) AS BIGINT) AS rnk
+              FROM o),
+            a AS (
+              SELECT segment, CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(cents) AS BIGINT) AS total_cents,
+                sum(rnk * cents) AS srv
+              FROM r GROUP BY segment),
+            t AS (
+              SELECT r.segment,
+                CAST(sum(CASE WHEN r.rnk > a.n_orders - a.n_orders // 10
+                  THEN r.cents ELSE 0 END) AS BIGINT) AS top_cents
+              FROM r JOIN a ON a.segment = r.segment GROUP BY r.segment)
+            SELECT a.segment, a.n_orders, a.total_cents,
+              round((2.0 * CAST(srv AS DOUBLE)
+                  - (CAST(n_orders AS DOUBLE) + 1.0) * CAST(total_cents AS DOUBLE))
+                / (CAST(n_orders AS DOUBLE) * CAST(total_cents AS DOUBLE)), 6)
+                AS gini,
+              round(CAST(top_cents AS DOUBLE) / CAST(total_cents AS DOUBLE), 6)
+                AS top10_share
+            FROM a JOIN t ON t.segment = a.segment ORDER BY 1"""))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
       q18, q19, q20, q21, q22, q25, q26, q27, q29, q30, q32, q33, q34, q36, q37,
-      q38, q39, q40, q41, q42, q43, q44, q45, q46, q47)
+      q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48)
 }

@@ -2411,6 +2411,22 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q48 spend concentration: gini in [0,1), top decile carries at least its proportional share, orders partition") {
+    val out = SparkEntry.queries("q48_spend_concentration")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(out.map(_._2).sum == Tables.orders(spark, sf).count())
+    out.foreach { case (seg, n, tot, gini, top) =>
+      assert(gini >= 0.0 && gini < 1.0, s"$seg gini out of range: $gini")
+      // The top (n div 10) orders BY VALUE hold at least their count
+      // share of spend (their mean >= the overall mean) — rounded-6
+      // share, so allow the rounding grid.
+      assert(top + 5e-7 >= (n / 10).toDouble / n.toDouble,
+        s"$seg top decile under proportional: $top vs ${(n / 10).toDouble / n}")
+      assert(tot > 0L)
+    }
+  }
+
   test("s19 nprobe curve: recall and scan are monotone in nprobe and the nprobe=k row IS brute force") {
     val out = SparkEntry.queries("s19_nprobe_curve")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),

@@ -258,7 +258,13 @@ class PartitionInvarianceSpec extends SparkSpec {
     // q47: one equi-join + exact (priority, band) counts; the share
     // window partitions the BOUNDED aggregate (≤ priorities × 5 rows)
     // and every cut is an integer compare — no geometry sensitivity.
-    "q47_fulfillment_latency")
+    "q47_fulfillment_latency",
+    // q48: ranks ride the range-exchange prefix scan over the
+    // (segment, cents, o_orderkey) total order (t33's partition-count-
+    // independence claim), Σ(rank·cents) is an exact DECIMAL(38,0) sum,
+    // and both closers are single double expressions over exact
+    // integers — gated to prove Gini can't move with geometry.
+    "q48_spend_concentration")
 
   test("round-5/6 queries return identical rows at shuffle.partitions = 3 and 17") {
     val conf = spark.conf
