@@ -1817,8 +1817,14 @@ object Relational {
         .withColumn("one", lit(1L))
       val cum = TextOps.prefixSummedBy(rows,
         Seq("segment", "cents", "o_orderkey"), "one", "cum")
+      // The per-segment tables below are ≤ #segments rows but derive from
+      // a checkpoint scan (no stats), so the static planner would pick a
+      // sort-merge join HASHED ON SEGMENT — ≤ #segments reducers for the
+      // corpus-sized probe side, the sharded-hot-reducer shape. Hint the
+      // broadcast (structural bound: grouped-by-segment aggregates,
+      // plateauing cardinality — PlanAudit broadcastAllowlist entry).
       val base = cum.groupBy("segment").agg((min("cum") - 1L).as("base"))
-      val ranked = cum.join(base, "segment")
+      val ranked = cum.join(broadcast(base), "segment")
         .select(col("segment"), col("cents"), (col("cum") - col("base")).as("rnk"))
         .localCheckpoint()
       val a = ranked.groupBy("segment").agg(
@@ -1827,7 +1833,7 @@ object Relational {
         sum(col("rnk").cast("decimal(38,0)") * col("cents").cast("decimal(38,0)"))
           .as("srv"))
       val top = ranked
-        .join(a.select(col("segment"), col("n_orders")), "segment")
+        .join(broadcast(a.select(col("segment"), col("n_orders"))), "segment")
         .groupBy("segment").agg(
           sum(when(expr("rnk > n_orders - (n_orders div 10)"), col("cents"))
             .otherwise(0L)).as("top_cents"))
