@@ -339,7 +339,11 @@ object ScaleRehearsal {
       // (s13/s17's band — the probe side stays 16 queries at any k).
       // q46 is events-keyed and rides the events axis below.
       "d31_soft_dedup", "p16_release_fingerprint", "m15_interleave_pack",
-      "s19_nprobe_curve")
+      "s19_nprobe_curve",
+      // t43 composes the t21 trainer (vocabulary-sized iterations — the
+      // tagged copies grow the vocabulary k×, its adversarial axis) with
+      // t25's word-memoized encode and a ≤ sources × langs rollup.
+      "t43_bpe_fertility")
     def timeQuery(name: String, dir: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
       def once(): (Double, Long) = {

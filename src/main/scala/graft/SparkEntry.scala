@@ -73,7 +73,7 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    prefix scan (a PARTITION BY segment rank window is the banned
   *    corpus-window shape sharded #segments ways) and Σ(rank·cents) in
   *    DECIMAL(38,0) so exactness survives past the BIGINT horizon.
-  *  - t01..t42: text query library (grep, wordcount, token counting,
+  *  - t01..t43: text query library (grep, wordcount, token counting,
   *    quality scoring, language-ID, fingerprinting, winnowing, TF-IDF,
   *    langid eval, context chunking, co-occurrence PMI, bigram LM,
   *    bigram perplexity quality filter, vocabulary growth, Gopher-style
@@ -109,7 +109,10 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    surviving doc/token budget and the confusion cells against the
   *    t20 gate, the table that PICKS the deployed cutoff,
   *    cross-source divergence matrix — pairwise KL over the corpus's
-  *    own top-K vocabulary + OOV mass in exact nano-nat units).
+  *    own top-K vocabulary + OOV mass in exact nano-nat units,
+  *    tokenizer fertility per (source, lang) under the t21-trained
+  *    merge table — the deployment metric that completes the
+  *    train/encode/measure tokenizer triple).
   *  - d01..d31: dedup & corpus hygiene (exact, MinHash-LSH, SimHash,
   *    n-gram Jaccard, embedding-cosine, connected-component clusters,
   *    keep-list, near-dup triangles, benchmark decontamination,

@@ -1100,7 +1100,13 @@ object TextOps {
     * planted corpus and that symbol counts are monotone non-increasing in
     * the number of merges applied.
     */
-  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    bpeEncoded(docs, merges).orderBy("doc_id")
+
+  /** [[bpeEncode]] without the output ordering — for consumers that
+    * re-aggregate (t43's fertility rollup), where a pre-aggregate sort
+    * would be dead work. */
+  private def bpeEncoded(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     // chars(w): one-char symbols of a word; then fold each (l, r) merge.
     // Symbols are [a-z0-9]+ so inlining them in the expr is safe.
     val base = "filter(split(w, ''), s -> s <> '')"
@@ -1130,7 +1136,6 @@ object TextOps {
         sum(col("n_occ") * col("n_syms")).as("n_symbols"))
       .withColumn("symbols_per_token",
         round(col("n_symbols").cast("double") / col("n_tokens").cast("double"), 6))
-      .orderBy("doc_id")
   }
 
   val bpeApply = Q(
@@ -2499,6 +2504,48 @@ object TextOps {
               (rn = 1) AS nearest
             FROM rk ORDER BY source_a, source_b"""))
 
+  // ------------------------------------------------- BPE fertility (t43)
+  /** t43: tokenizer fertility per (source, lang) — BPE symbols emitted
+    * per whitespace word under the t21-trained merge table (t25's encode
+    * kernel re-aggregated at the cell a tokenizer team actually reads).
+    * Fertility is THE deployment metric for a tokenizer over a corpus
+    * mix: a cell far above the corpus line pays that many more sequence
+    * positions per word of content (context budget, training cost), and
+    * a new source/lang cell with outlier fertility is the retrain-or-
+    * re-mix tripwire. Completes the tokenizer-ops triple: t21 trains,
+    * t25 encodes, t43 reads the operating metric.
+    *
+    * Rows-only in the driver gate (t21/t25's iterative-trainer
+    * provenance); the spec pins what the oracle can't: fertility ≥ 1 in
+    * every cell (merges never cross word boundaries), training can only
+    * LOWER a cell's fertility vs the unmerged baseline, and the rollup
+    * conserves t25's corpus totals exactly.
+    *
+    * Scale shape: t25's encode (the word-vocabulary memoized fold — the
+    * interpreted work touches vocabulary, not occurrences) plus one
+    * doc-keyed join to (source, lang) and a ≤ sources × langs
+    * aggregate with map-side partials. */
+  def bpeFertility(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    bpeEncoded(docs, merges)
+      .join(docs.select("doc_id", "source", "lang"), "doc_id")
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_words"),
+        sum("n_symbols").as("n_bpe_tokens"))
+      .withColumn("fertility",
+        round(safeFrac(col("n_bpe_tokens"), col("n_words")), 6))
+      .orderBy("source", "lang")
+
+  val bpeFertilityQ = Q(
+    "t43_bpe_fertility",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = bpeMerges(docs, 8).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      bpeFertility(docs, merges)
+    },
+    None)
+
   val all: Seq[Q] =
     Seq(grep, wordcount, tokenCount, quality, langid, fingerprint, winnow, tfidf,
       langidEval, chunk, cooccur, bigrams, perplexity, vocabGrowth, repetition,
@@ -2506,5 +2553,5 @@ object TextOps {
       hitters, classifierScore, bpeApply, nfcAudit, dsirWeights, lengthOutliers,
       tokenEntropy, piiScrubQ, encodingAuditQ, zipfFit, epochShuffleQ, templated,
       langMismatchQ, calibration, vocabCoverage, sentenceProfile, readability,
-      lmTransfer, thresholdCurve, sourceDivergence)
+      lmTransfer, thresholdCurve, sourceDivergence, bpeFertilityQ)
 }

@@ -2411,6 +2411,32 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("t43 fertility: >= 1 per cell, training only lowers it, and the rollup conserves t25's totals") {
+    import graft.operators.TextOps
+    val docs = Tables.documents(spark, sf)
+    val merges = TextOps.bpeMerges(docs, 8).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.nonEmpty)
+    val trained = TextOps.bpeFertility(docs, merges).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // Merges never cross word boundaries: every word is >= 1 symbol.
+    trained.foreach { case (cell, (w, b, f)) =>
+      assert(b >= w && f >= 1.0, s"$cell fertility below 1: $f")
+    }
+    // The unmerged baseline is chars-per-word; training can only lower
+    // each cell (a merge never increases any word's symbol count).
+    val baseline = TextOps.bpeFertility(docs, Seq.empty).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(5))).toMap
+    trained.foreach { case (cell, (_, _, f)) =>
+      assert(f <= baseline(cell) + 1e-9, s"$cell rose over baseline")
+    }
+    // Conservation: the cell rollup holds exactly t25's corpus totals.
+    val t25 = SparkEntry.queries("t25_bpe_encode")(spark, sf).collect()
+    assert(trained.values.map(_._1).sum == t25.map(_.getLong(1)).sum)
+    assert(trained.values.map(_._2).sum == t25.map(_.getLong(2)).sum)
+  }
+
   test("q48 spend concentration: gini in [0,1), top decile carries at least its proportional share, orders partition") {
     val out = SparkEntry.queries("q48_spend_concentration")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),

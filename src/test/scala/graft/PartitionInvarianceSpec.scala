@@ -264,7 +264,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     // independence claim), Σ(rank·cents) is an exact DECIMAL(38,0) sum,
     // and both closers are single double expressions over exact
     // integers — gated to prove Gini can't move with geometry.
-    "q48_spend_concentration")
+    "q48_spend_concentration",
+    // t43 composes the gated t21 trainer with t25's map-only encode and
+    // exact BIGINT cell sums — gated to prove the fertility table can't
+    // move with reduce geometry.
+    "t43_bpe_fertility")
 
   test("round-5/6 queries return identical rows at shuffle.partitions = 3 and 17") {
     val conf = spark.conf
