@@ -108,7 +108,11 @@ object PlanAudit {
       "q46_purchase_cadence",
       // s19: s01's broadcast-probe scan (the bounded LIMIT-16 query slice
       // × corpus, map-side) plus the ≤ 4-row curve's 1-row totals attach.
-      "s19_nprobe_curve")
+      "s19_nprobe_curve",
+      // p17: two 1-row attaches over the ≤ #sources reweighting table
+      // (token total, then the nano-weight normalizer — q31's shape
+      // twice); the t40 kernel underneath is keyed joins only.
+      "p17_mix_reweight")
       // m14 carries m13's 1-row cutoff crossJoin but needs NO entry: the
       // planner turns the attach into a broadcast hash join under the
       // composed plan (the staleness gate rejected the precautionary

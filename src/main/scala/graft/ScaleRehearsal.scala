@@ -343,7 +343,11 @@ object ScaleRehearsal {
       // t43 composes the t21 trainer (vocabulary-sized iterations — the
       // tagged copies grow the vocabulary k×, its adversarial axis) with
       // t25's word-memoized encode and a ≤ sources × langs rollup.
-      "t43_bpe_fertility")
+      "t43_bpe_fertility",
+      // p17 is t40's kernel (distinct-bigram model tables — the tagged
+      // copies grow the bigram vocabulary k×, t40's adversarial axis)
+      // plus #sources rows of decision arithmetic.
+      "p17_mix_reweight")
     def timeQuery(name: String, dir: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
       def once(): (Double, Long) = {

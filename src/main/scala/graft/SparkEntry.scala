@@ -243,6 +243,12 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    __ALL__ corpus row, an order-independent 60-bit XOR digest of the
   *    content-fingerprint set with doc/content/token counts in one
   *    ROLLUP; the O(#sources) freeze stamp compared BEFORE p15's diff.
+  *  - p17: DoReMi-style mix reweighting — one exponentiated-gradient
+  *    step over t40's novelty signal (mean transfer gap vs every other
+  *    source's bigram LM): w′(s) ∝ share(s)·exp(η·novelty(s)),
+  *    nano-quantized before the exact normalizing sum, so the published
+  *    mix is reduce-order-proof; the query that turns the measurement
+  *    matrix into the mixing DECISION.
   */
 object SparkEntry {
   val inventory: Seq[Q] =

@@ -1560,8 +1560,107 @@ object Pipeline {
               bit_xor(content_xor60) AS content_xor60
             FROM j GROUP BY ROLLUP (source) ORDER BY 1"""))
 
+  // ------------------------------- novelty-driven mix reweighting (p17)
+  /** p17: one DoReMi-style exponentiated-gradient step of domain
+    * reweighting — the query that turns t40's measurement into a mixing
+    * DECISION. Per source: its baseline share (exact token-mass ratio,
+    * q31's ingredient), its NOVELTY (mean t40 transfer gap against every
+    * OTHER source's bigram LM — how surprising this source is to models
+    * trained on the rest of the mix; near 0 = interchangeable, large =
+    * genuinely new text), and the reweighted share
+    * w′(s) ∝ share(s) · exp(η · novelty(s)) with η = 0.25 — upweight
+    * what the rest of the corpus cannot predict, exactly DoReMi's
+    * excess-loss move with t40's exact micro-nat gaps standing in for
+    * proxy-model loss. `shift` = w′ − w is the readout a mix owner
+    * scans: the sources the step actually moves.
+    *
+    * Determinism: novelty is a mean of round-6 gaps re-quantized to
+    * micro (floor(gap·10⁶ + 0.5) — exact BIGINT sum over the ≤ #sources
+    * group, no avg(double) partial-order drift); the single exp per
+    * source runs on that round-6 grid (ln parity is the t08/t11
+    * precedent, exp rides the same libm claim) and its result is
+    * immediately quantized to nano-units, so the normalizing sum is an
+    * exact BIGINT and the published shares are round-6 of exact-integer
+    * ratios — reduce order cannot move them.
+    *
+    * Scale shape: t40's kernel end to end (distinct-bigram model
+    * tables, keyed shuffles, #sources² output) plus one doc-grain mass
+    * aggregate and three bounded-×-1-row attaches over the ≤ #sources
+    * table. The expensive thing is the measurement; the decision is
+    * #sources rows of arithmetic. */
+  def mixReweight(docs: DataFrame, eta: Double = 0.25): DataFrame = {
+    val novelty = TextOps.lmTransferMatrix(docs)
+      .filter(col("from_source") =!= col("to_source"))
+      .groupBy(col("from_source").as("source"))
+      .agg(round(safeFrac(
+        sum(floor(col("transfer_gap") * 1e6 + 0.5).cast("long")),
+        count(lit(1)) * lit(1000000L)), 6).as("novelty"))
+    val masses = docs
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("nt"))
+      .groupBy("source").agg(sum("nt").as("tok_mass"))
+    val j = masses.join(novelty, Seq("source"), "left")
+      .withColumn("novelty", coalesce(col("novelty"), lit(0.0)))
+    val tot = j.agg(sum("tok_mass").as("tok_tot"))
+    val weighted = j.crossJoin(tot)
+      .withColumn("base_share",
+        col("tok_mass").cast("double") / col("tok_tot").cast("double"))
+      .withColumn("w_nano",
+        floor(col("base_share") * exp(lit(eta) * col("novelty")) * 1e9 + 0.5)
+          .cast("long"))
+    val norm = weighted.agg(sum("w_nano").as("w_tot"))
+    weighted.crossJoin(norm)
+      .select(col("source"), col("tok_mass"),
+        round(col("base_share"), 6).as("base_share"),
+        col("novelty"),
+        round(safeFrac(col("w_nano"), col("w_tot")), 6).as("new_share"),
+        round(safeFrac(col("w_nano"), col("w_tot")) - col("base_share"), 6)
+          .as("shift"))
+      .orderBy("source")
+  }
+
+  val mixReweightQ = Q(
+    "p17_mix_reweight",
+    (s, d) => mixReweight(Tables.documents(s, d)),
+    Some(s"""WITH ${TextOps.lmTransferCtes},
+            gaps AS (
+              SELECT a.from_source AS source,
+                round(a.cross_entropy - b.cross_entropy, 6) AS transfer_gap
+              FROM hh a JOIN hh b
+                ON b.from_source = a.from_source AND b.to_source = a.from_source
+              WHERE a.to_source <> a.from_source),
+            nov AS (
+              SELECT source,
+                round(CAST(sum(CAST(floor(transfer_gap * 1e6 + 0.5) AS BIGINT))
+                    AS DOUBLE)
+                  / NULLIF(CAST(count(*) AS DOUBLE) * 1e6, 0.0), 6) AS novelty
+              FROM gaps GROUP BY source),
+            masses AS (
+              SELECT source,
+                CAST(sum(len(list_filter(
+                  regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                  t -> t <> ''))) AS BIGINT) AS tok_mass
+              FROM documents GROUP BY source),
+            jn AS (
+              SELECT m.source, m.tok_mass, coalesce(n.novelty, 0.0) AS novelty
+              FROM masses m LEFT JOIN nov n ON n.source = m.source),
+            tt AS (SELECT CAST(sum(tok_mass) AS BIGINT) AS tok_tot FROM jn),
+            w AS (
+              SELECT source, tok_mass, novelty,
+                CAST(tok_mass AS DOUBLE) / CAST(tok_tot AS DOUBLE) AS base_share,
+                CAST(floor((CAST(tok_mass AS DOUBLE) / CAST(tok_tot AS DOUBLE))
+                  * exp(0.25 * novelty) * 1e9 + 0.5) AS BIGINT) AS w_nano
+              FROM jn, tt),
+            wt AS (SELECT CAST(sum(w_nano) AS BIGINT) AS w_tot FROM w)
+            SELECT source, tok_mass,
+              round(base_share, 6) AS base_share, novelty,
+              round(CAST(w_nano AS DOUBLE) / NULLIF(CAST(w_tot AS DOUBLE), 0.0), 6)
+                AS new_share,
+              round(CAST(w_nano AS DOUBLE) / NULLIF(CAST(w_tot AS DOUBLE), 0.0)
+                - base_share, 6) AS shift
+            FROM w, wt ORDER BY source"""))
+
   val all: Seq[Q] =
     Seq(pipeline, mix, audit, epoch, refresh, dedupMix, funnel, curriculum, card,
       seedAudit, tokenFunnelQ, budgetFillQ, ingestAuditQ, gateAttributionQ,
-      releaseChurnQ, releaseFingerprintQ)
+      releaseChurnQ, releaseFingerprintQ, mixReweightQ)
 }

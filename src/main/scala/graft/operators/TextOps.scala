@@ -2158,11 +2158,12 @@ object TextOps {
     * (to, w1[, w2]) — keyed shuffles, no cartesian; output = #sources².
     * Degenerates: a source with <2 tokens has no bigrams and drops out
     * of both axes in both engines. */
-  val lmTransfer = Q(
-    "t40_lm_transfer",
-    (s, d) => {
+  /** t40's matrix as a reusable operator (p17's reweighting step reads
+    * it): (from_source, to_source, n_bigrams, cross_entropy,
+    * transfer_gap) per source pair. */
+  def lmTransferMatrix(docs: DataFrame): DataFrame = {
       val ts = tokens(col("text"))
-      val bg = Tables.documents(s, d)
+      val bg = docs
         .select(col("source"), ts.as("ts"))
         .filter(size(col("ts")) >= 2)
         .select(col("source"), explode(arrays_zip(
@@ -2206,8 +2207,22 @@ object TextOps {
           col("cross_entropy"),
           round(col("cross_entropy") - col("h_self"), 6).as("transfer_gap"))
         .orderBy("from_source", "to_source")
-    },
-    Some("""WITH toks AS (
+  }
+
+  val lmTransfer = Q(
+    "t40_lm_transfer",
+    (s, d) => lmTransferMatrix(Tables.documents(s, d)),
+    Some(s"""WITH $lmTransferCtes
+            SELECT a.from_source, a.to_source, a.n_bigrams, a.cross_entropy,
+              round(a.cross_entropy - b.cross_entropy, 6) AS transfer_gap
+            FROM hh a JOIN hh b
+              ON b.from_source = a.from_source AND b.to_source = a.from_source
+            ORDER BY a.from_source, a.to_source"""))
+
+  /** The t40 oracle's CTE chain up to `hh` (per-pair cross-entropy),
+    * shared with p17's reweighting oracle so the matrix both queries
+    * cross-check is literally the same SQL. */
+  private[operators] lazy val lmTransferCtes: String = """toks AS (
               SELECT source, list_filter(
                 regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
               FROM documents),
@@ -2240,12 +2255,7 @@ object TextOps {
                 CAST(sum(n) AS BIGINT) AS n_bigrams,
                 round(CAST(sum(q_micro) AS DOUBLE)
                   / NULLIF(CAST(sum(n) AS DOUBLE) * 1e6, 0.0), 6) AS cross_entropy
-              FROM scored GROUP BY 1, 2)
-            SELECT a.from_source, a.to_source, a.n_bigrams, a.cross_entropy,
-              round(a.cross_entropy - b.cross_entropy, 6) AS transfer_gap
-            FROM hh a JOIN hh b
-              ON b.from_source = a.from_source AND b.to_source = a.from_source
-            ORDER BY a.from_source, a.to_source"""))
+              FROM scored GROUP BY 1, 2)"""
 
   // ---------------------------- gate threshold operating curve (t41)
   /** t41: the classifier-threshold operating curve — the table that picks

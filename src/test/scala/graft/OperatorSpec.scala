@@ -29,6 +29,7 @@ class OperatorSpec extends SparkSpec {
       "q15_approx_distinct", "q27_percentile_sketch",
       "t21_bpe_merges", // iterative arg-max: merge i depends on 1..i-1
       "t25_bpe_encode", // consumes t21's iteratively-trained merge table
+      "t43_bpe_fertility", // t25's rollup — same trainer provenance
       "s10_ann_mmr_diversify", // iterative greedy argmax per query (t21's contract)
       "s12_ann_ivf_delete") // probe over the tombstone-masked index (s07's contract)
     assert(SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet) == rowsOnly)
@@ -2435,6 +2436,25 @@ class OperatorSpec extends SparkSpec {
     val t25 = SparkEntry.queries("t25_bpe_encode")(spark, sf).collect()
     assert(trained.values.map(_._1).sum == t25.map(_.getLong(1)).sum)
     assert(trained.values.map(_._2).sum == t25.map(_.getLong(2)).sum)
+  }
+
+  test("p17 mix reweight: shares renormalize, the step moves mass toward novelty, eta=0 is the identity") {
+    val docs = Tables.documents(spark, sf)
+    val out = Pipeline.mixReweight(docs).collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    // Round-6 shares renormalize: both columns sum to 1 on the grid.
+    assert(math.abs(out.map(_._2).sum - 1.0) < out.length * 5e-7)
+    assert(math.abs(out.map(_._4).sum - 1.0) < out.length * 5e-7)
+    // exp(η·nov_max) is ≥ the share-weighted mean factor, so the most
+    // novel source can only gain; the least novel can only lose.
+    val maxNov = out.maxBy(_._3); val minNov = out.minBy(_._3)
+    assert(maxNov._5 >= -2e-6, s"most novel source lost mass: $maxNov")
+    assert(minNov._5 <= 2e-6, s"least novel source gained mass: $minNov")
+    // η = 0 is the identity step on the rounding grid.
+    Pipeline.mixReweight(docs, eta = 0.0).collect().foreach { r =>
+      assert(math.abs(r.getDouble(5)) <= 2e-6, s"eta=0 moved ${r.getString(0)}")
+    }
   }
 
   test("q48 spend concentration: gini in [0,1), top decile carries at least its proportional share, orders partition") {

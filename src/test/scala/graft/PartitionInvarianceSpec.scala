@@ -268,7 +268,12 @@ class PartitionInvarianceSpec extends SparkSpec {
     // t43 composes the gated t21 trainer with t25's map-only encode and
     // exact BIGINT cell sums — gated to prove the fertility table can't
     // move with reduce geometry.
-    "t43_bpe_fertility")
+    "t43_bpe_fertility",
+    // p17 rides t40's gated micro-nat matrix into a micro-quantized
+    // novelty mean, ONE exp per source on the round-6 grid, and
+    // nano-quantized weights normalized by exact BIGINT sums — gated to
+    // prove the published mix can't move with reduce geometry.
+    "p17_mix_reweight")
 
   test("round-5/6 queries return identical rows at shuffle.partitions = 3 and 17") {
     val conf = spark.conf
