@@ -347,7 +347,12 @@ object ScaleRehearsal {
       // p17 is t40's kernel (distinct-bigram model tables — the tagged
       // copies grow the bigram vocabulary k×, t40's adversarial axis)
       // plus #sources rows of decision arithmetic.
-      "p17_mix_reweight")
+      "p17_mix_reweight",
+      // d32: d02's signature machinery probed BIPARTITE (wave bands ×
+      // resident bands); the tagged copies keep near-dups within-copy,
+      // so candidates and verdict rows both scale k× — the d02 band
+      // with a wave-proportional (1/7 corpus) probe side.
+      "d32_incremental_neardup")
     def timeQuery(name: String, dir: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
       def once(): (Double, Long) = {

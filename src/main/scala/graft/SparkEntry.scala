@@ -113,7 +113,7 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    tokenizer fertility per (source, lang) under the t21-trained
   *    merge table — the deployment metric that completes the
   *    train/encode/measure tokenizer triple).
-  *  - d01..d31: dedup & corpus hygiene (exact, MinHash-LSH, SimHash,
+  *  - d01..d32: dedup & corpus hygiene (exact, MinHash-LSH, SimHash,
   *    n-gram Jaccard, embedding-cosine, connected-component clusters,
   *    keep-list, near-dup triangles, benchmark decontamination,
   *    incremental delta dedup, exact-substring repeated spans, near-dup
@@ -145,7 +145,11 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    integer micro-weights 10⁶ div cluster-size at d01's fingerprint
   *    grain, the keep-but-downweight alternative whose per-source
   *    effective mass restores the cross-source contribution hard keeper
-  *    attribution destroys).
+  *    attribution destroys; the incremental NEAR-dup admission gate —
+  *    d10's daily-delta move on d02's MinHash-LSH axis, wave bands
+  *    probed bipartite against resident bands only, per-wave-doc
+  *    verdict with best resident match — the gate that bounces the
+  *    re-crawl-with-new-footer the exact gate structurally misses).
   *  - s01..s19: similarity search (brute-force ANN, LSH-bucketed ANN,
   *    per-label centroid stats, IVF ANN, recall@k evaluation, int8
   *    quantization error audit, incremental IVF ingest serving state,

@@ -322,7 +322,11 @@ object Dedup {
     * lane minima → 16 bands joined on exact 4-lane signature equality →
     * exact-Jaccard verification. Everything is arithmetic both engines
     * define identically (BIGINT ops stay < 2^62). */
-  private val minhashOracleCtes =
+  /** The signature half of the MinHash oracle (shingles → hashes → lane
+    * minima → band signatures + set sizes) — shared by the self-join
+    * pairing tail below (d02/d06) and d32's bipartite wave-vs-resident
+    * tail, so every consumer reads literally the same signature SQL. */
+  private val minhashSigCtes =
     """sh AS (
          SELECT DISTINCT doc_id, shingle FROM (
            SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
@@ -342,10 +346,13 @@ object Dedup {
                FROM base CROSS JOIN lanes GROUP BY doc_id, i),
        bands AS (SELECT doc_id, i // 4 AS band, list(m ORDER BY i) AS bsig
                  FROM sig GROUP BY doc_id, i // 4),
+       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)"""
+
+  private val minhashOracleCtes =
+    s"""$minhashSigCtes,
        cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
                 FROM bands x JOIN bands y
                   ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
-       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        inter AS (SELECT c.a, c.b, count(*) AS n_common
                  FROM cand c
                  JOIN hs x ON x.doc_id = c.a
@@ -2888,10 +2895,101 @@ object Dedup {
                 AS soft_frac
             FROM agg ORDER BY source"""))
 
+  // ---------------------------------- incremental near-dup gate (d32)
+  /** d32: the incremental NEAR-dup admission gate — d10's daily-delta
+    * move lifted from exact fingerprints to MinHash-LSH: every wave
+    * document (the `doc_id % 7 == 0` slice, the %-slice harness
+    * convention) is screened against the RESIDENT corpus only, and gets
+    * a verdict row: how many resident near-dups (exact Jaccard ≥ 0.5
+    * over verified LSH candidates, d02's contract), its best resident
+    * match, and the admit bit. d10 admits a delta that isn't a BYTE
+    * copy; this is the gate that also bounces the re-crawl with a new
+    * timestamp footer — the near-dup the exact gate structurally
+    * misses. Wave docs with no candidates (including shingle-less tiny
+    * docs) still get their row — a gate that drops silent rows isn't a
+    * gate.
+    *
+    * Scale shape: ONE shingle pass over both populations feeds
+    * signatures, sizes, and the verify join (the d02 sharing rule); the
+    * banded table is checkpointed once and probed BIPARTITE — wave
+    * bands × resident bands only, never resident × resident, so the
+    * candidate volume is delta-proportional (in production the wave IS
+    * the daily delta and the resident bands come from d10's persisted
+    * index — same layout, probed from disk). Verification touches only
+    * candidate pairs; the verdict rollup is wave-keyed with a bounded
+    * struct-max. Tie rule: best match = max (jaccard, lowest resident
+    * id) on the round-4 grid — d15's deterministic-representative
+    * stance. */
+  def incrementalNearDup(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val isWave = col("doc_id") % 7 === 0
+    val hs = materializedShingleHashes(docs)
+    val banded = bandBuckets(signaturesFromHashes(hs)).localCheckpoint()
+    val cand = banded.filter(isWave).as("x")
+      .join(banded.filter(col("doc_id") % 7 =!= 0).as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val verified = jaccardPairsHashed(hs, Some(cand))
+      .filter(col("jaccard") >= threshold)
+    val best = verified
+      .groupBy(col("a").as("doc_id"))
+      .agg(count(lit(1)).as("nm"),
+        max(struct(col("jaccard"), (-col("b")).as("nb"), col("b"))).as("k"))
+      .select(col("doc_id"), col("nm"), col("k.b").as("best_match"),
+        col("k.jaccard").as("best_jaccard"))
+    docs.filter(isWave).select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nm"), lit(0L)).as("n_matches"),
+        col("best_match"), col("best_jaccard"),
+        (coalesce(col("nm"), lit(0L)) === 0L).as("admit"))
+      .orderBy("doc_id")
+  }
+
+  val incrementalNearDupQ = Q(
+    "d32_incremental_neardup",
+    (s, d) => incrementalNearDup(Tables.documents(s, d)),
+    Some(s"""WITH $minhashSigCtes,
+            candw AS (
+              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              FROM bands x JOIN bands y
+                ON x.band = y.band AND x.bsig = y.bsig
+              WHERE x.doc_id % 7 = 0 AND y.doc_id % 7 <> 0),
+            interw AS (
+              SELECT c.a, c.b, count(*) AS n_common
+              FROM candw c
+              JOIN hs x ON x.doc_id = c.a
+              JOIN hs y ON y.doc_id = c.b AND y.sh_h = x.sh_h
+              GROUP BY c.a, c.b),
+            ver AS (
+              SELECT a, b,
+                round(CAST(n_common AS DOUBLE)
+                  / CAST(sa.n + sb.n - n_common AS DOUBLE), 4) AS jaccard
+              FROM interw
+              JOIN sizes sa ON sa.doc_id = a
+              JOIN sizes sb ON sb.doc_id = b),
+            vv AS (SELECT * FROM ver WHERE jaccard >= 0.5),
+            rk AS (
+              SELECT a, b, jaccard,
+                row_number() OVER (PARTITION BY a
+                  ORDER BY jaccard DESC, b) AS rn,
+                CAST(count(*) OVER (PARTITION BY a) AS BIGINT) AS nm
+              FROM vv),
+            best AS (
+              SELECT a AS doc_id, nm, b AS best_match, jaccard AS best_jaccard
+              FROM rk WHERE rn = 1),
+            wave AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 0)
+            SELECT w.doc_id,
+              CAST(coalesce(nm, 0) AS BIGINT) AS n_matches,
+              best_match, best_jaccard,
+              coalesce(nm, 0) = 0 AS admit
+            FROM wave w LEFT JOIN best ON best.doc_id = w.doc_id
+            ORDER BY w.doc_id"""))
+
   val all: Seq[Q] =
     Seq(exact, minhash, simhash, ngramJaccard, embedding, clusters, keep, triangles,
       decontam, incremental, repeated, consensus, chunkDedup, semantic, bestKeep,
       provenance, embeddingDecontam, containment, evalLeak, crossSource, splitLeak,
       calibration, hotReport, inflation, spectrum, templateScrubQ, clusterSourceMix,
-      boilerplateDriftQ, cdcDedupQ, hotChunksQ, softDedupQ)
+      boilerplateDriftQ, cdcDedupQ, hotChunksQ, softDedupQ, incrementalNearDupQ)
 }

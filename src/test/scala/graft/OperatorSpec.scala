@@ -2438,6 +2438,26 @@ class OperatorSpec extends SparkSpec {
     assert(trained.values.map(_._2).sum == t25.map(_.getLong(2)).sum)
   }
 
+  test("d32 incremental near-dup: the re-crawl the exact gate misses bounces, novelty admits, residents emit no rows") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base, "en", "s0", 10L),                     // resident
+      (2L, "one two three four five six", "en", "s0", 6L), // resident
+      (7L, base + " lambda", "en", "s0", 11L),         // wave: near-dup of 1 (J≈0.89), NOT byte-equal
+      (14L, "red orange yellow green blue indigo violet", "en", "s0", 7L) // wave: novel
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.incrementalNearDup(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), Option(r.get(2)), r.getBoolean(4)))
+      .toMap
+    // Only wave docs get verdict rows.
+    assert(out.keySet == Set(7L, 14L), out.toString)
+    // The whitespace-edited re-crawl is exactly what d10's byte gate
+    // misses — here it must bounce, naming its resident original.
+    assert(out(7L) == ((1L, Some(1L), false)), out.toString)
+    assert(out(14L) == ((0L, None, true)), out.toString)
+  }
+
   test("p17 mix reweight: shares renormalize, the step moves mass toward novelty, eta=0 is the identity") {
     val docs = Tables.documents(spark, sf)
     val out = Pipeline.mixReweight(docs).collect()

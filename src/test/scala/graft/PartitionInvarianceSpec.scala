@@ -273,7 +273,12 @@ class PartitionInvarianceSpec extends SparkSpec {
     // novelty mean, ONE exp per source on the round-6 grid, and
     // nano-quantized weights normalized by exact BIGINT sums — gated to
     // prove the published mix can't move with reduce geometry.
-    "p17_mix_reweight")
+    "p17_mix_reweight",
+    // d32: d02's gated signature/candidate machinery probed bipartite,
+    // exact counts, and a struct-max best match tie-broken on the
+    // round-4 Jaccard grid then lowest resident id (d15's rule) —
+    // gated to prove the admit set can't move with geometry.
+    "d32_incremental_neardup")
 
   test("round-5/6 queries return identical rows at shuffle.partitions = 3 and 17") {
     val conf = spark.conf
