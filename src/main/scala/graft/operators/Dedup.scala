@@ -546,7 +546,11 @@ object Dedup {
     val spark = ev.sparkSession
     import spark.implicits._
     import Similarity.{dotd, unit}
-    val seeds = ev.filter(_._1 < nCells).collect() // codebook-sized, not corpus
+    // Seeds = the TRUE nCells lowest ids (TakeOrdered — an nCells-row
+    // collect at any corpus size; `ev.columns.head` is the id column in
+    // both call shapes, named or `_1`), not an `id < nCells` literal: a
+    // sparse-id corpus must still seed a full codebook.
+    val seeds = ev.orderBy(col(ev.columns.head)).limit(nCells).collect()
       .sortBy(_._1).map { case (id, v) => (id.toInt, unit(v)) }
     val codebook = Similarity.refineCodebook(spark, ev, seeds, kmeansIters)
     val bc = spark.sparkContext.broadcast(codebook)
@@ -1715,7 +1719,10 @@ object Dedup {
     import spark.implicits._
     import Similarity.{dotd, unit}
     val ev = e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-    val seeds = ev.filter(_._1 < nCells).collect() // codebook-sized, not corpus
+    // Seeds = the TRUE nCells lowest vec_ids (TakeOrdered, nCells-row
+    // collect), not a `vec_id < nCells` literal — sparse-id corpora must
+    // still seed a full codebook (same contract as kmeansCentroids).
+    val seeds = ev.orderBy(col("vec_id")).limit(nCells).collect()
       .sortBy(_._1).map { case (id, v) => (id.toInt, unit(v)) }
     val codebook = Similarity.refineCodebook(spark, ev, seeds, kmeansIters)
     val bc = spark.sparkContext.broadcast(codebook)

@@ -220,8 +220,13 @@ object Similarity {
   def ivfCodebookOf(spark: SparkSession, e: DataFrame,
       nCells: Int, kmeansIters: Int): Array[(Int, Array[Double])] = {
     import spark.implicits._
+    // Seeds = the TRUE nCells lowest vec_ids (TakeOrdered — an nCells-row
+    // collect at any corpus size), not a `vec_id < nCells` literal: a
+    // sparse-id corpus (min vec_id ≥ nCells) must still seed a full
+    // codebook. Cell ids are the (opaque) seed vec_ids.
     val seeds = e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .filter(_._1 < nCells).collect().sortBy(_._1).map { case (id, v) => (id.toInt, unit(v)) }
+      .orderBy(col("vec_id")).limit(nCells)
+      .collect().sortBy(_._1).map { case (id, v) => (id.toInt, unit(v)) }
     refineCodebook(spark, e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])],
       seeds, kmeansIters)
   }
@@ -562,7 +567,12 @@ object Similarity {
       m: Int, k: Int, iters: Int): Array[Array[Array[Double]]] = {
     import spark.implicits._
     val vecs = e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-    val seedVecs = vecs.filter(_._1 < k).collect().sortBy(_._1).map(v => unit(v._2))
+    // Seeds = the TRUE k lowest vec_ids (TakeOrdered — a k-row collect at
+    // any corpus size), not a `vec_id < k` literal: the table carries no
+    // dense-0-based id contract, and a sparse-id corpus (min vec_id ≥ k)
+    // must still seed k codebook entries rather than silently train none.
+    val seedVecs = vecs.orderBy(col("vec_id")).limit(k)
+      .collect().sortBy(_._1).map(v => unit(v._2))
     // Zero-row corpus (empty daily delta): no codebooks to train — the
     // empty sentinel; pqTopKFrom maps it to the empty result frame.
     if (seedVecs.isEmpty) return Array.empty

@@ -117,4 +117,53 @@ class DegenerateEventsEmbeddingsSpec extends SparkSpec {
   test("every embedding-family query survives an all-identical embedding corpus") {
     runAll(embeddingQueries, identicalEmbDir, "IDENTICAL-EMBEDDINGS")
   }
+
+  /** Sparse, non-dense ids: every vec_id ≥ 1000, far above any codebook
+    * size used in the inventory. The table carries no dense-0-based id
+    * contract, so every k-means/PQ/IVF seed selection must come from the
+    * TRUE k lowest ids (TakeOrdered), never a `vec_id < k` literal — on
+    * this corpus the literal form silently trains ZERO codebooks. */
+  private lazy val sparseIdEmbDir = writeEmbeddings("emb-sparse-ids", {
+    def lcg(seed: Long): Float = {
+      val x = (seed * 6364136223846793005L + 1442695040888963407L) >>> 33
+      (x % 1000L).toFloat / 1000000.0f // noise in [0, 1e-3)
+    }
+    val base = (0L until 118L).map { i =>
+      val cluster = (i % 4).toInt
+      (1000L + i, Array.tabulate(8)(j =>
+        (if (j == cluster * 2) 1.0f else 0.0f) + lcg(i * 8 + j)), cluster)
+    }
+    // One planted near-identical pair (ids 2000/2001) for the d05 kernel.
+    val dup = Array.tabulate(8)(j => if (j == 1) 1.0f else 0.001f * j)
+    base ++ Seq((2000L, dup, 0), (2001L, dup.clone(), 0))
+  })
+
+  test("every embedding-family query survives a sparse-id corpus (min vec_id >= 1000)") {
+    runAll(embeddingQueries, sparseIdEmbDir, "SPARSE-IDS")
+  }
+
+  test("codebook seeds come from the true k lowest vec_ids on a sparse-id corpus") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{Dedup, Similarity}
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sparseIdEmbDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // PQ: m=2 subspaces × k=4 centroids over dim-8 vectors — non-empty
+    // and fully shaped even though min vec_id (1000) >> k.
+    val pq = Similarity.pqTrain(spark, e, m = 2, k = 4, iters = 2)
+    assert(pq.length == 2 && pq.forall(_.length == 4) &&
+      pq.forall(_.forall(_.length == 4)),
+      s"pqTrain trained ${pq.length} subspaces on the sparse-id corpus")
+    // IVF: a full nCells-entry codebook, cell ids = the seed vec_ids.
+    val ivf = Similarity.ivfCodebookOf(spark, e, nCells = 6, kmeansIters = 2)
+    assert(ivf.length == 6, s"ivfCodebookOf seeded ${ivf.length}/6 cells")
+    assert(ivf.map(_._1).min == 1000, "IVF seeds are not the lowest vec_ids")
+    // d05 kernel: codebook seeds AND output both survive sparse ids — the
+    // planted byte-identical pair (2000, 2001) is found.
+    val ev = e.as[(Long, Array[Float])]
+    val (pairs, _) = Dedup.embeddingPairsFrom(ev, 0.99, nCells = 6, kmeansIters = 2)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((2000L, 2001L)) || got.contains((2001L, 2000L)),
+      s"planted near-dup pair missing from $got")
+  }
 }
