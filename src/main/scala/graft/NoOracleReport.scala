@@ -177,6 +177,29 @@ object NoOracleReport {
     row("t25_bpe_encode", "encode_matches_sequential_reference==1.0", 1.0,
       matched.toDouble / corpus.size, matched == corpus.size)
 
+    // t43: fertility invariants on the sfDir corpus — every (source, lang)
+    // cell >= 1 symbol/word (merges never cross word boundaries), training
+    // only LOWERS each cell vs the unmerged baseline, and the rollup
+    // conserves t25's corpus totals exactly. measured = min cell fertility;
+    // pass additionally requires the monotonicity + conservation checks.
+    val sfDocs = graft.sources.Tables.documents(spark, sfDir)
+    val t43merges = TextOps.bpeMerges(sfDocs, 8).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val t43cells = TextOps.bpeFertility(sfDocs, t43merges).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    val t43base = TextOps.bpeFertility(sfDocs, Seq.empty).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(5))).toMap
+    val t43minF = t43cells.values.map(_._3).min
+    val t43mono = t43cells.forall { case (c, (_, _, f)) => f <= t43base(c) + 1e-9 }
+    val t25tot = TextOps.bpeEncode(sfDocs, t43merges)
+      .agg(sum("n_tokens"), sum("n_symbols")).head()
+    val t43cons = t43cells.values.map(_._1).sum == t25tot.getLong(0) &&
+      t43cells.values.map(_._2).sum == t25tot.getLong(1)
+    row("t43_bpe_fertility",
+      "min_cell_fertility>=1.0_and_trained<=baseline_and_conserves_t25_totals",
+      1.0, t43minF, t43minF >= 1.0 && t43mono && t43cons)
+
     val json = out.map { case (name, (metric, floor, measured, pass)) =>
       f""""$name": {"metric": "$metric", "floor": $floor%.4f, "measured": $measured%.4f, "pass": $pass}"""
     }.mkString("{\n  ", ",\n  ", "\n}")
