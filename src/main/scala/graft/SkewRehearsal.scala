@@ -82,7 +82,7 @@ object SkewRehearsal {
     val k = if (args.length > 2) args(2).toInt else 10
     val sections: Set[String] =
       if (args.length > 3 && args(3) != "all") args(3).split(",").toSet
-      else Set("skew", "boiler", "salt", "boiler2")
+      else Set("skew", "boiler", "salt", "boiler2", "bandcap")
     val reuse = args.length > 4 && args(4) == "reuse"
     val spark = GraftSession.get("graft-skew-rehearsal")
 
@@ -153,6 +153,8 @@ object SkewRehearsal {
 
     if (sections("boiler2")) boilerWave2(spark, sfDir, outDir)
 
+    if (sections("bandcap")) bandCapWave(spark, sfDir, outDir, reuse)
+
     if (sections("salt")) {
     // ---- q35's per-key top-k window: single-window vs the two-phase
     // salted plan on the 90%-hot source (the regime where one key's sort
@@ -183,6 +185,74 @@ object SkewRehearsal {
     println(f"[skew] source-join plain=$tPlain%.2fs salted(32)=$tSalted%.2fs on ${nPlain} rows")
     }
     spark.stop()
+  }
+
+  /** Round-13 band-bucket wave: the LSH analogue of the hot shingle. A
+    * "hotdup" corpus = the uniform 10× corpus plus H ≫ [[operators.Dedup
+    * .BandBucketCap]] byte-identical copies of one base doc — every copy
+    * minhashes to the SAME bucket in ALL bands, so uncapped candidate
+    * generation materializes H²/2 pair rows per band (and d02's verified
+    * OUTPUT itself would be quadratic: the copies genuinely are dups —
+    * which is exactly why candidate generation, not verification, must
+    * carry the bound; byte-copies are the exact-fingerprint gate's
+    * catch). Accounting (from the bucket-size table, never executed)
+    * shows the H² term the cap removes; walls show capped d02 and d32's
+    * bipartite probe staying in-band on the corpus that detonates the
+    * uncapped plan. */
+  private def bandCapWave(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, outDir: String, reuse: Boolean): Unit = {
+    def minOf2(f: => Long): (Double, Long) = {
+      def once(): (Double, Long) = {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime(); val rows = f
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      val (tA, rows) = once(); val (tB, _) = once()
+      (math.min(tA, tB), rows)
+    }
+    val hot = s"$outDir/hotdup"
+    val H = 2048L
+    if (!reuse ||
+        !java.nio.file.Files.exists(java.nio.file.Paths.get(s"$hot/documents.parquet"))) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val base = docs.orderBy("doc_id").limit(1)
+        .select("text", "lang", "source").head()
+      val stride = (docs.agg(max("doc_id")).head().getLong(0) + 1L) * 16L
+      val clones = spark.range(H).select(
+        (col("id") + lit(stride)).as("doc_id"),
+        lit(base.getString(0)).as("text"),
+        lit(base.getString(1)).as("lang"),
+        lit(base.getString(2)).as("source"),
+        lit(base.getString(0).length.toLong).as("n_chars"))
+      ScaleRehearsal.scaledDocs(docs, 10).unionAll(clones)
+        .write.mode("overwrite").parquet(s"$hot/documents.parquet")
+    }
+    // Accounting: per-(band, bucket) population → candidate pair rows,
+    // uncapped vs sub-cap. The hot cluster contributes Bands · H·(H−1)/2
+    // to the uncapped term; the capped term must not carry it.
+    val banded = operators.Dedup.bandBuckets(
+      operators.Dedup.signaturesFromHashes(
+        operators.Dedup.materializedShingleHashes(
+          spark.read.parquet(s"$hot/documents.parquet"))))
+    val acct = banded.groupBy("band", "bucket").agg(count(lit(1)).as("bn"))
+      .agg(
+        sum(expr("bn * (bn - 1) div 2")).as("pairs_uncapped"),
+        sum(when(col("bn") <= operators.Dedup.BandBucketCap,
+          expr("bn * (bn - 1) div 2")).otherwise(lit(0L))).as("pairs_capped"),
+        max("bn").as("max_bucket"))
+      .head()
+    println(f"[skew] hotdup band-candidate work: uncapped=${acct.getLong(0).toDouble}%.3e " +
+      f"pair-rows vs capped=${acct.getLong(1).toDouble}%.3e " +
+      f"(max bucket ${acct.getLong(2)}; cap pruned " +
+      f"${100.0 * (1 - acct.getLong(1).toDouble / acct.getLong(0))}%.2f%%)")
+    // Walls: the shipped (capped) d02 self-join and d32 bipartite probe on
+    // the corpus that detonates the uncapped plans. Ratio baseline = 1×.
+    Seq("d02_dedup_minhash_lsh", "d32_incremental_neardup").foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val (t1, _) = minOf2(fn(spark, sfDir).count())
+      val (tB, rB) = minOf2(fn(spark, hot).count())
+      println(f"[skew] ${name + "_hotdup"}%-30s $t1%7.2f ${tB}%8.2f ${tB / t1}%6.1fx (rows $rB)")
+    }
   }
 
   /** Round-11 boilerplate wave: the remaining shingle-join consumers.

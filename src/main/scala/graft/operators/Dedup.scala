@@ -166,16 +166,52 @@ object Dedup {
   def lshCandidates(sigs: DataFrame): DataFrame =
     lshCandidatesFromBanded(bandBuckets(sigs))
 
+  /** Bucket-population cap for LSH band-bucket candidate generation —
+    * [[ShingleDfCap]]'s move on the banding axis. A band bucket holding k
+    * documents emits k² candidate pairs from the banded self-join; on a
+    * boilerplate-heavy corpus one corpus-hot band signature (thousands of
+    * byte-near-identical template pages minhashing to the same 4-lane
+    * band) turns candidate GENERATION quadratic even though the verified
+    * output is what it is. The mitigation is the standard LSH one: drop
+    * buckets with more than cap member docs from candidate generation.
+    * A bucket that hot is, definitionally, a boilerplate/exact-dup
+    * cluster — the exact-fingerprint gate (d01/d07's exact stage) already
+    * drops its byte-copies, and each member still has [[Bands]]−1 other
+    * chances to band with its true near-dups through a healthy bucket.
+    * Capped ≡ uncapped whenever no bucket exceeds cap (true of all three
+    * test SFs — max observed bucket is 7 docs — and spec-asserted in
+    * DedupCapSpec, alongside a planted boiler corpus showing the k²
+    * candidate collapse). Every consumer's DuckDB oracle mirrors the cap
+    * (the shared `cand` CTE), so the contract stays value-exact. */
+  val BandBucketCap = 64
+
+  /** The (doc_id, band, bucket) rows restricted to healthy buckets
+    * (≤ cap member docs) — the candidate-generation form of a banded
+    * table. One (band, bucket)-keyed count with map-side partials, then a
+    * semi-join back on the same keys: the banded table shuffles once on
+    * (band, bucket) and the aggregate + semi-join colocate on it; a
+    * corpus-hot bucket costs a linear COUNT instead of a quadratic pair
+    * materialization. */
+  def cappedBanded(banded: DataFrame, cap: Int = BandBucketCap): DataFrame =
+    banded.join(
+      banded.groupBy("band", "bucket").agg(count(lit(1)).as("bn"))
+        .filter(col("bn") <= cap).select("band", "bucket"),
+      Seq("band", "bucket"), "leftsemi")
+
   /** Candidate pairs from an ALREADY-MATERIALIZED (doc_id, band, bucket)
     * table (see [[bandBuckets]]) — lets pipelines that also probe the band
-    * table elsewhere (d10) pay for its materialization once. */
-  def lshCandidatesFromBanded(banded: DataFrame): DataFrame =
-    banded.as("x")
-      .join(banded.as("y"),
+    * table elsewhere (d10) pay for its materialization once. Buckets over
+    * [[BandBucketCap]] docs are excluded from candidate generation (see
+    * the cap's scaladoc; mirrored in every consumer's oracle). */
+  def lshCandidatesFromBanded(banded: DataFrame): DataFrame = {
+    val ok = cappedBanded(banded)
+    ok.as("x")
+      .join(ok.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
+  }
 
   /** Document-frequency cap for exact-shingle candidate generation (d04 /
     * d18). At web scale a boilerplate shingle ("all rights reserved …")
@@ -348,10 +384,22 @@ object Dedup {
                  FROM sig GROUP BY doc_id, i // 4),
        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)"""
 
+  // Equivalence note (here and in every consumer of these CTEs): the Scala
+  // side buckets on xxhash64(band-signature) while the oracle joins on
+  // exact 4-lane signature equality — identical candidate sets unless two
+  // DISTINCT band signatures collide in xxhash64 (probability ~2⁻⁶⁴ per
+  // bucket pair; a collision could admit a candidate the oracle lacks, or
+  // push a merged bucket over BandBucketCap where the oracle's separate
+  // groups stay under). Accepted: the 8-byte bucket key is the scalable
+  // join shape; the exact-array key would double the shuffle width.
   private val minhashOracleCtes =
     s"""$minhashSigCtes,
+       okb AS (SELECT band, bsig FROM bands GROUP BY band, bsig
+               HAVING count(*) <= $BandBucketCap),
        cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-                FROM bands x JOIN bands y
+                FROM bands x
+                JOIN okb ON okb.band = x.band AND okb.bsig = x.bsig
+                JOIN bands y
                   ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
        inter AS (SELECT c.a, c.b, count(*) AS n_common
                  FROM cand c
@@ -987,17 +1035,34 @@ object Dedup {
     // than a dedicated materialization job.
     val dHs = hashedShingles(shingleSets(delta))
     val dBanded = bandBuckets(signaturesFromHashes(dHs)).localCheckpoint()
+    // BandBucketCap, incremental form: the recompute path caps on bucket
+    // population over corpus ∪ delta, so the probe must too (the d10
+    // oracle IS the equivalence claim). Only delta-touched buckets can
+    // produce delta-adjacent candidates, so corpus populations are counted
+    // AFTER a semi-join against the (broadcast) delta bucket set — a
+    // corpus-hot bucket the delta lands in costs one linear COUNT, never a
+    // wave × corpus candidate materialization; buckets the delta never
+    // touches are never counted. okBuckets is delta-bucket-sized →
+    // broadcastable.
+    val dCnt = dBanded.groupBy("band", "bucket").agg(count(lit(1)).as("dn"))
+    val cCnt = cBands
+      .join(broadcast(dCnt.select("band", "bucket")), Seq("band", "bucket"), "leftsemi")
+      .groupBy("band", "bucket").agg(count(lit(1)).as("cn"))
+    val okBuckets = dCnt.join(cCnt, Seq("band", "bucket"), "left")
+      .filter(coalesce(col("cn"), lit(0L)) + col("dn") <= lit(BandBucketCap.toLong))
+      .select("band", "bucket").localCheckpoint()
+    val dOk = dBanded.join(broadcast(okBuckets), Seq("band", "bucket"), "leftsemi")
     // One distinct AFTER the union — pre-distincting each branch would add
     // an exchange (and an AQE stage job) per branch for rows the final
     // distinct re-shuffles anyway. Candidate distinctness itself is load-
     // bearing: the verify join counts (a, b, sh_h) rows, so a duplicate
     // pair would double-count its intersection.
     val crossCands = cBands
-      .join(broadcast(dBanded
+      .join(broadcast(dOk
         .select(col("band"), col("bucket"), col("doc_id").as("b"))), Seq("band", "bucket"))
       .select(col("doc_id").as("a"), col("b"))
-    val deltaDelta = dBanded.as("x")
-      .join(dBanded.as("y"),
+    val deltaDelta = dOk.as("x")
+      .join(dOk.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
@@ -2930,7 +2995,15 @@ object Dedup {
   def incrementalNearDup(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     val isWave = col("doc_id") % 7 === 0
     val hs = materializedShingleHashes(docs)
-    val banded = bandBuckets(signaturesFromHashes(hs)).localCheckpoint()
+    // Bucket cap BEFORE the bipartite split (population = wave + resident,
+    // the same total-size rule as the self-join family): a boiler-heavy
+    // resident corpus where one band signature is corpus-hot would
+    // otherwise make the probe wave × corpus; capped it is wave ×
+    // BandBucketCap, and the hot bucket costs one linear COUNT. The base
+    // is checkpointed, so the cap's two reads (count + semi-join) re-scan
+    // the checkpoint, not the shingle pipeline.
+    val banded = cappedBanded(
+      bandBuckets(signaturesFromHashes(hs)).localCheckpoint())
     val cand = banded.filter(isWave).as("x")
       .join(banded.filter(col("doc_id") % 7 =!= 0).as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
@@ -2957,9 +3030,13 @@ object Dedup {
     "d32_incremental_neardup",
     (s, d) => incrementalNearDup(Tables.documents(s, d)),
     Some(s"""WITH $minhashSigCtes,
+            okbw AS (SELECT band, bsig FROM bands GROUP BY band, bsig
+                     HAVING count(*) <= $BandBucketCap),
             candw AS (
               SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-              FROM bands x JOIN bands y
+              FROM bands x
+              JOIN okbw ON okbw.band = x.band AND okbw.bsig = x.bsig
+              JOIN bands y
                 ON x.band = y.band AND x.bsig = y.bsig
               WHERE x.doc_id % 7 = 0 AND y.doc_id % 7 <> 0),
             interw AS (

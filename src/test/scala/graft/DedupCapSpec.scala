@@ -224,4 +224,99 @@ class DedupCapSpec extends SparkSpec {
     assert(cp19.head.getLong(1) == 1L && cp19.head.getLong(2) == allShingles &&
       cp19.head.getLong(3) == allShingles, s"wrong d19 row: ${cp19.head}")
   }
+
+  // -------------------------------------------- LSH band-bucket cap (d02/d32)
+
+  test("band-capped LSH candidates ≡ uncapped on the sf0.001 corpus (shipped cap)") {
+    val docs = Tables.documents(spark, sf)
+    val banded = Dedup.bandBuckets(
+      Dedup.signaturesFromHashes(Dedup.materializedShingleHashes(docs)))
+      .localCheckpoint()
+    // Uncapped candidate set = the raw banded self-join (the pre-cap plan).
+    val un = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cp = Dedup.lshCandidatesFromBanded(banded)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cp == un, s"capped=${cp.size} uncapped=${un.size}")
+    assert(un.nonEmpty, "vacuous equivalence: corpus produced no candidates")
+  }
+
+  test("planted boiler bucket: band cap collapses the k² candidate term") {
+    import spark.implicits._
+    // k byte-identical docs: identical signatures ⇒ all k land in the same
+    // bucket in EVERY band. Uncapped candidates = k·(k−1)/2; capped
+    // (k > BandBucketCap) = 0 — the quadratic term the cap exists to kill.
+    // (A cluster this hot is the exact-fingerprint gate's catch, not LSH's.)
+    val k = Dedup.BandBucketCap + 16
+    val docs = (0 until k).map(i =>
+      (i.toLong, "the same boilerplate template page body repeats verbatim here"))
+      .toDF("doc_id", "text")
+    val banded = Dedup.bandBuckets(
+      Dedup.signaturesFromHashes(Dedup.materializedShingleHashes(docs)))
+      .localCheckpoint()
+    val un = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct().count()
+    assert(un == k.toLong * (k - 1) / 2, s"planted corpus malformed: $un")
+    assert(Dedup.lshCandidatesFromBanded(banded).count() == 0,
+      "band cap failed to prune the boiler bucket")
+  }
+
+  test("d32 bipartite probe: boiler-hot resident bucket generates zero candidates; healthy near-dup still bounces") {
+    import spark.implicits._
+    val boiler = "the same boilerplate template page body repeats verbatim here"
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // Residents: BandBucketCap+10 boiler copies (ids ≢ 0 mod 7) + one
+    // healthy doc. Wave: one boiler copy (would match every resident
+    // through the hot bucket — the wave × corpus detonator) and one
+    // near-dup of the healthy resident (J ≈ 0.89 through healthy buckets).
+    val nBoiler = Dedup.BandBucketCap + 10
+    val boilerIds = Iterator.from(1).filter(_ % 7 != 0).take(nBoiler).map(_.toLong).toSeq
+    val docs = (boilerIds.map(i => (i, boiler)) ++ Seq(
+      (9999L, base),                    // healthy resident (9999 % 7 = 3)
+      (7007L, boiler),                  // wave boiler copy (7007 % 7 = 0)
+      (7000L, base + " lambda")         // wave near-dup of 9999
+    )).map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.incrementalNearDup(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(4))).toMap
+    // The boiler wave doc's only matches run through the over-cap bucket:
+    // the near gate admits it with zero candidates (the exact gate d01/d10
+    // owns byte-copies), instead of materializing wave × corpus pairs.
+    assert(out(7007L) == ((0L, true)), s"boiler wave row: ${out(7007L)}")
+    // The healthy near-dup still bounces through its healthy buckets.
+    assert(out(7000L)._1 >= 1L && !out(7000L)._2, s"near-dup wave row: ${out(7000L)}")
+  }
+
+  test("d10 incremental ≡ recompute on a boiler corpus where the band cap binds") {
+    import spark.implicits._
+    val boiler = "the same boilerplate template page body repeats verbatim here"
+    val nBoiler = Dedup.BandBucketCap + 8
+    // Corpus: nBoiler boiler copies + one healthy doc. Delta: one more
+    // boiler copy (exact dup — caught by the fp gate even though the band
+    // cap suppresses its LSH candidates) + one novel doc. Both paths cap
+    // on corpus ∪ delta bucket population, so the verdicts must be
+    // IDENTICAL — the equivalence oracle on the corpus where the cap binds.
+    val corpus = ((0 until nBoiler).map(i => (i.toLong, boiler)) ++
+      Seq((500L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (1000L, boiler),
+      (1001L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalKeepList(corpus, delta, 0.5)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2))).toSeq
+    val expected = Dedup.keepListFrom(corpus.unionAll(delta), 0.5)
+      .filter(col("doc_id") >= 1000L).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2))).toSeq
+    assert(got == expected, s"got=$got expected=$expected")
+    assert(got.exists(r => r._3 == "exact_dup") && got.exists(_._3 == "keep"),
+      s"fixture degenerate: $got")
+  }
 }
