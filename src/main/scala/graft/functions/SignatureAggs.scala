@@ -143,13 +143,193 @@ object SignatureAggs {
     override def prettyName: String = "simhash_sig"
   }
 
-  /** Register both sketch aggregates in the session so they are usable as
-    * `expr("minhash_sig(h)")` / `expr("simhash_sig(h)")` in DataFrame aggs
-    * and in SQL text. Idempotent. */
+  /** Bounded min-k id collector: the k smallest input longs, sorted
+    * ascending — `collect_list` with a hard memory ceiling. Built for LSH
+    * band-bucket candidate generation ([[graft.operators.Dedup
+    * .BandBucketCap]]): a bucket's members are aggregated into ONE array,
+    * and the bound makes a corpus-hot bucket (millions of byte-identical
+    * boilerplate docs banding together) cost `limit` longs of buffer
+    * instead of an unbounded list — the aggregate itself is the cap's
+    * skew armor. A group with MORE than `limit − 1` members evaluates to
+    * a `limit`-sized array, which the caller's `size(ids) <= cap` filter
+    * (with limit = cap + 1) drops; a sub-cap group keeps ALL its ids, so
+    * the retained output is exact, deterministic (smallest ids win —
+    * independent of partitioning/merge order), and pre-sorted for
+    * ordered pair expansion. Map-side partial aggregation applies:
+    * buffers are bounded TreeSets that merge by union-and-trim. */
+  case class BoundedMinIds(
+      child: Expression,
+      limit: Int,
+      override val mutableAggBufferOffset: Int = 0,
+      override val inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+      with UnaryLike[Expression] {
+    require(limit > 0, s"bounded_min_ids: limit must be positive, got $limit")
+
+    override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+      new java.util.TreeSet[java.lang.Long]()
+
+    private def add(buf: java.util.TreeSet[java.lang.Long], h: Long): Unit = {
+      if (buf.size < limit) buf.add(h)
+      else if (h < buf.last()) { buf.pollLast(); buf.add(h) }
+    }
+
+    override def update(buf: java.util.TreeSet[java.lang.Long],
+        input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+      val v = child.eval(input)
+      if (v != null) add(buf, v.asInstanceOf[Long])
+      buf
+    }
+
+    override def merge(b1: java.util.TreeSet[java.lang.Long],
+        b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+      val it = b2.iterator()
+      while (it.hasNext) add(b1, it.next())
+      b1
+    }
+
+    override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+      val out = new Array[Long](buf.size)
+      val it = buf.iterator()
+      var i = 0
+      while (it.hasNext) { out(i) = it.next(); i += 1 }
+      new GenericArrayData(out)
+    }
+
+    override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(4 + buf.size * 8)
+      bb.putInt(buf.size)
+      val it = buf.iterator()
+      while (it.hasNext) bb.putLong(it.next())
+      bb.array()
+    }
+    override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+      val bb = ByteBuffer.wrap(bytes)
+      val n = bb.getInt
+      val s = new java.util.TreeSet[java.lang.Long]()
+      var i = 0
+      while (i < n) { s.add(bb.getLong); i += 1 }
+      s
+    }
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def withNewMutableAggBufferOffset(n: Int): BoundedMinIds = copy(mutableAggBufferOffset = n)
+    override def withNewInputAggBufferOffset(n: Int): BoundedMinIds = copy(inputAggBufferOffset = n)
+    override protected def withNewChildInternal(c: Expression): BoundedMinIds = copy(child = c)
+    override def prettyName: String = "bounded_min_ids"
+  }
+
+  /** Bounded top-k (score, id) collector: the k best pairs under
+    * (score DESC, id ASC) — exactly the ordering of the ANN family's
+    * `row_number() OVER (PARTITION BY query ORDER BY c DESC, neighbor)`
+    * close, as a HEAP-BOUNDED aggregate instead of a per-group sort. The
+    * window form sorts each query's entire candidate set (corpus-sized
+    * for the exact/brute-force ground truth — the one remaining
+    * super-linear-memory shape in the similarity family); this buffer
+    * holds k entries per group, merges map-side, and evaluates to the
+    * rank-ordered array<struct<id, score>> the caller posexplodes into
+    * (neighbor_id, rank) rows. Same total order as the window (Java's
+    * Double.compare places NaN largest, matching Spark's DESC ordering),
+    * ids unique within a group by construction, so the emitted top-k set
+    * AND order are value-identical to the window form. */
+  case class TopKPairs(
+      score: Expression,
+      id: Expression,
+      k: Int,
+      override val mutableAggBufferOffset: Int = 0,
+      override val inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[java.util.TreeSet[(Double, Long)]] {
+    require(k > 0, s"top_k_pairs: k must be positive, got $k")
+
+    // (score DESC, id ASC): first() is the best pair, last() the worst.
+    private val ord: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+      def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1)
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
+    }
+
+    override def createAggregationBuffer(): java.util.TreeSet[(Double, Long)] =
+      new java.util.TreeSet[(Double, Long)](ord)
+
+    private def add(buf: java.util.TreeSet[(Double, Long)], p: (Double, Long)): Unit = {
+      if (buf.size < k) buf.add(p)
+      else if (ord.compare(p, buf.last()) < 0) { buf.pollLast(); buf.add(p) }
+    }
+
+    override def update(buf: java.util.TreeSet[(Double, Long)],
+        input: InternalRow): java.util.TreeSet[(Double, Long)] = {
+      val s = score.eval(input)
+      val i = id.eval(input)
+      if (s != null && i != null)
+        add(buf, (s.asInstanceOf[Double], i.asInstanceOf[Long]))
+      buf
+    }
+
+    override def merge(b1: java.util.TreeSet[(Double, Long)],
+        b2: java.util.TreeSet[(Double, Long)]): java.util.TreeSet[(Double, Long)] = {
+      val it = b2.iterator()
+      while (it.hasNext) add(b1, it.next())
+      b1
+    }
+
+    override def eval(buf: java.util.TreeSet[(Double, Long)]): Any = {
+      val out = new Array[Any](buf.size)
+      val it = buf.iterator()
+      var i = 0
+      while (it.hasNext) {
+        val (s, id0) = it.next()
+        out(i) = InternalRow(id0, s)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override def serialize(buf: java.util.TreeSet[(Double, Long)]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(4 + buf.size * 16)
+      bb.putInt(buf.size)
+      val it = buf.iterator()
+      while (it.hasNext) { val (s, i) = it.next(); bb.putDouble(s); bb.putLong(i) }
+      bb.array()
+    }
+    override def deserialize(bytes: Array[Byte]): java.util.TreeSet[(Double, Long)] = {
+      val bb = ByteBuffer.wrap(bytes)
+      val n = bb.getInt
+      val s = new java.util.TreeSet[(Double, Long)](ord)
+      var i = 0
+      while (i < n) { s.add((bb.getDouble, bb.getLong)); i += 1 }
+      s
+    }
+
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("score", DoubleType, nullable = false))), containsNull = false)
+    override def nullable: Boolean = false
+    override def children: Seq[Expression] = Seq(score, id)
+    override protected def withNewChildrenInternal(
+        cs: IndexedSeq[Expression]): TopKPairs = copy(score = cs(0), id = cs(1))
+    override def withNewMutableAggBufferOffset(n: Int): TopKPairs = copy(mutableAggBufferOffset = n)
+    override def withNewInputAggBufferOffset(n: Int): TopKPairs = copy(inputAggBufferOffset = n)
+    override def prettyName: String = "top_k_pairs"
+  }
+
+  /** Register the sketch aggregates in the session so they are usable as
+    * `expr("minhash_sig(h)")` / `expr("simhash_sig(h)")` /
+    * `expr("bounded_min_ids(id, k)")` (k a literal) in DataFrame aggs and
+    * in SQL text. Idempotent. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig", exprs => MinHashSig(exprs.head).toAggregateExpression(), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash_sig", exprs => SimHashSig(exprs.head).toAggregateExpression(), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bounded_min_ids", exprs => BoundedMinIds(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression(),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "top_k_pairs", exprs => TopKPairs(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression(),
+      "built-in")
   }
 }

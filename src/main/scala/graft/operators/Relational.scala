@@ -1822,7 +1822,11 @@ object Relational {
       // sort-merge join HASHED ON SEGMENT — ≤ #segments reducers for the
       // corpus-sized probe side, the sharded-hot-reducer shape. Hint the
       // broadcast (structural bound: grouped-by-segment aggregates,
-      // plateauing cardinality — PlanAudit broadcastAllowlist entry).
+      // plateauing cardinality). PlanAudit's corpus-side-broadcast gate
+      // never sees this hint — the checkpoint breaks corpus lineage, so
+      // the broadcast side is a LogicalRDD leaf, not a tracked table —
+      // which is why there is no q48 allowlist entry; the structural
+      // bound above is the justification the allowlist would carry.
       val base = cum.groupBy("segment").agg((min("cum") - 1L).as("base"))
       val ranked = cum.join(broadcast(base), "segment")
         .select(col("segment"), col("cents"), (col("cum") - col("base")).as("rnk"))

@@ -24,17 +24,33 @@ object Similarity {
   def bruteForceTopK(spark: SparkSession, d: String, nQueries: Int, k: Int): DataFrame =
     bruteForceTopKFrom(Tables.embeddings(spark, d), nQueries, k)
 
+  /** The ANN family's ranked close: (query_id, neighbor_id, c) scored
+    * pairs → per-query top-k as (neighbor_id, cos_sim, rank) rows. A
+    * heap-bounded [[graft.functions.SignatureAggs.TopKPairs]] aggregate —
+    * k entries of state per query, map-side partials — NOT a
+    * `row_number` window, which would sort each query's ENTIRE candidate
+    * set (corpus-sized for brute force: the super-linear-memory shape a
+    * 10⁹-vector ground-truth pass cannot afford). Same (c DESC,
+    * neighbor_id) total order, so output is value-identical; posexplode
+    * of the rank-ordered array IS the rank column. */
+  private def topKClose(sims: DataFrame, k: Int): DataFrame = {
+    graft.functions.SignatureAggs.register(sims.sparkSession)
+    sims.groupBy("query_id")
+      .agg(expr(s"top_k_pairs(c, neighbor_id, $k)").as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("query_id"), col("p.id").as("neighbor_id"),
+        round(col("p.score"), 6).as("cos_sim"),
+        (col("pos") + 1).cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   def bruteForceTopKFrom(e: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val queries = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val corpus = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
     val sims = corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("qe"), col("ne")).as("c"))
-    val w = Window.partitionBy("query_id").orderBy(col("c").desc, col("neighbor_id"))
-    sims.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("c"), 6).as("cos_sim"), col("rank"))
-      .orderBy("query_id", "rank")
+    topKClose(sims, k)
   }
 
   val annBruteForce = Q(
@@ -359,11 +375,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("qe"), col("ne")).as("c"))
       .dropDuplicates("query_id", "neighbor_id")
-    val w = Window.partitionBy("query_id").orderBy(col("c").desc, col("neighbor_id"))
-    sims.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("c"), 6).as("cos_sim"), col("rank"))
-      .orderBy("query_id", "rank")
+    topKClose(sims, k)
   }
 
   def ivfTopK(spark: SparkSession, d: String, nQueries: Int, k: Int,
@@ -390,11 +402,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("qe"), col("ne")).as("c"))
       .dropDuplicates("query_id", "neighbor_id")
-    val w = Window.partitionBy("query_id").orderBy(col("c").desc, col("neighbor_id"))
-    sims.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("c"), 6).as("cos_sim"), col("rank"))
-      .orderBy("query_id", "rank")
+    topKClose(sims, k)
   }
 
   val annIvf = Q(
@@ -1863,22 +1871,32 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         rcPair(col("qv"), col("ne")).as("rc"),
         array_position(col("route"), col("ncell")).as("probe_rank"))
-    val wq = Window.partitionBy("query_id")
-      .orderBy(col("rc").desc, col("neighbor_id"))
-    val exact = pairs
-      .withColumn("exact_rank", row_number().over(wq).cast("long"))
-    val wl = Window.partitionBy("nprobe", "query_id")
-      .orderBy(col("rc").desc, col("neighbor_id"))
-    val ranked = exact
+    // Top-k sets via the heap-bounded aggregate, NOT rank windows: the
+    // exact ground-truth side would otherwise sort a corpus-sized
+    // partition per query (the one super-linear-memory shape left in the
+    // family — fine at 16 queries, fatal at 10⁹ vectors). hits = |ivf
+    // top-k ∩ exact top-k| per (nprobe, query), identical to the rank
+    // formulation because both orders are the same (rc DESC, neighbor)
+    // total order; scanned_rows is a plain count aggregate.
+    graft.functions.SignatureAggs.register(spark)
+    val exactTop = pairs.groupBy("query_id")
+      .agg(expr(s"top_k_pairs(rc, neighbor_id, $topK)").as("ex"))
+      .select(col("query_id"), expr("transform(ex, p -> p.id)").as("exact_ids"))
+    val candAgg = pairs
       .select(col("*"), explode(typedLit(probes)).as("nprobe"))
       .filter(col("probe_rank") <= col("nprobe"))
-      .withColumn("ivf_rank", row_number().over(wl).cast("long"))
+      .groupBy("nprobe", "query_id")
+      .agg(count(lit(1)).as("scanned"),
+        expr(s"top_k_pairs(rc, neighbor_id, $topK)").as("iv"))
     val totals = queries.agg(count(lit(1)).as("nq"))
       .crossJoin(corpus.agg(count(lit(1)).as("nc")))
-    ranked.groupBy("nprobe")
-      .agg(count(lit(1)).as("scanned_rows"),
-        sum(when(col("ivf_rank") <= topK && col("exact_rank") <= topK, 1L)
-          .otherwise(0L)).as("n_hits"))
+    candAgg
+      .join(broadcast(exactTop), Seq("query_id"))
+      .groupBy("nprobe")
+      .agg(sum("scanned").as("scanned_rows"),
+        sum(size(array_intersect(
+          expr("transform(iv, p -> p.id)"), col("exact_ids"))).cast("long"))
+          .as("n_hits"))
       .crossJoin(totals)
       .select(col("nprobe"), col("scanned_rows"),
         round(safeFrac(col("scanned_rows"), col("nq") * (col("nc") - 1)), 6)

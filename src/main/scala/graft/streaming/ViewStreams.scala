@@ -29,7 +29,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * ≥ that batch id and SKIPS — the merge is idempotent under
   * exactly-once's at-least-once reality (the batch-id-in-state design
   * [[VectorStreams.appendToIndex]] documents as the production fix,
-  * implemented). Old generations are pruned only after the new commit,
+  * implemented). Old generations are pruned only after the new commit —
+  * and the immediately-previous generation survives one extra cycle so
+  * a lazy view DataFrame resolved against it is never deleted mid-read
+  * (reader contract: valid until the SECOND commit after resolution) —
   * so there is no moment with zero durable copies.
   */
 object ViewStreams {
@@ -98,7 +101,25 @@ object ViewStreams {
     val root = new Path(statePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val gens = committedGens(fs, root)
-    if (gens.exists(_._1 >= batchId)) return
+    if (gens.exists(_._1 >= batchId)) {
+      // A replay of the LAST batch (at-least-once reality) arrives with
+      // batchId == max committed gen — silent skip is the idempotence
+      // contract. A batchId BELOW the max means the stream's checkpoint
+      // does not match this state directory (e.g. a fresh checkpoint,
+      // whose ids restart at 0, pointed at existing state): the skip
+      // would silently DROP that batch's data, so say so loudly. Not a
+      // hard failure — the caller may be intentionally replaying an old
+      // ledger — but never silent.
+      val maxGen = gens.last._1
+      if (maxGen > batchId)
+        System.err.println(
+          s"[viewstreams] $statePath: batch id $batchId is below the max " +
+          s"committed generation $maxGen — skipped as a replay, but if this " +
+          "stream runs with a FRESH checkpoint its batches will keep landing " +
+          "below the committed horizon and be dropped. A checkpoint dir and a " +
+          "state dir are a PAIR: recreate or keep both together.")
+      return
+    }
     val delta = partial(batch)
     val prev = gens.lastOption match {
       case Some((_, p)) => spark.read.parquet(p.toString)
@@ -106,13 +127,19 @@ object ViewStreams {
         spark.sparkContext.emptyRDD[Row], delta.schema)
     }
     // New generation first (overwrite clears any uncommitted debris from
-    // a crashed attempt of the SAME batch), prune predecessors after the
-    // commit — a crash between the two leaves an extra committed
-    // generation, which readers resolve by max-id and the next batch
-    // prunes.
+    // a crashed attempt of the SAME batch), prune after the commit — a
+    // crash between the two leaves extra committed generations, which
+    // readers resolve by max-id and the next batch prunes. The
+    // IMMEDIATELY-PREVIOUS generation is retained one extra cycle:
+    // pricingView/cadenceView return lazy DataFrames pinned to the
+    // newest-committed gen directory, so a reader still scanning when the
+    // NEXT batch commits must not have its files deleted mid-read. Reader
+    // contract: a view DataFrame stays valid until the second commit
+    // after it was resolved; collect within one refresh interval (or
+    // re-resolve) for longer-lived consumers.
     merge2(prev, delta)
       .write.mode("overwrite").parquet(new Path(root, s"gen=$batchId").toString)
-    gens.foreach { case (_, p) => fs.delete(p, true) }
+    gens.dropRight(1).foreach { case (_, p) => fs.delete(p, true) }
   }
 
   /** Start the maintenance loop: per micro-batch, aggregate the batch and

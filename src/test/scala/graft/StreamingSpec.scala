@@ -588,6 +588,39 @@ class StreamingSpec extends SparkSpec {
     assert(replayed == recompute, "replayed state drifted from the recompute")
   }
 
+  test("view maintenance retention: predecessor generation survives one commit so pinned readers never lose their files") {
+    import java.nio.file.Files
+    import graft.streaming.ViewStreams
+    import graft.sources.Tables
+    val li = Tables.lineitem(spark, sf)
+    val base = Files.createTempDirectory("graft-view-retain").toString
+    val state = s"$base/state"
+    val slice = (i: Int) => li.filter(col("l_orderkey") % 3 === i)
+    ViewStreams.mergeBatch(spark, slice(0), state, 0L)
+    ViewStreams.mergeBatch(spark, slice(1), state, 1L)
+    // A reader resolved NOW is pinned to gen=1's files.
+    val pinned = ViewStreams.pricingView(spark, state)
+    ViewStreams.mergeBatch(spark, slice(2), state, 2L)
+    // gen=1 must still exist (the retention window), gen=0 must be pruned.
+    val gens = new java.io.File(state).listFiles()
+      .filter(_.getName.startsWith("gen=")).map(_.getName).sorted.toSeq
+    assert(gens == Seq("gen=1", "gen=2"), s"retained generations: $gens")
+    // The pinned lazy DataFrame still collects after the commit — no
+    // FileNotFoundException mid-read.
+    val snapshot = pinned.collect()
+    assert(snapshot.nonEmpty, "pinned reader lost its generation")
+    // And the newest resolution reflects all three batches exactly.
+    val now = ViewStreams.pricingView(spark, state).collect().map(_.toString).toSeq
+    val recompute = li.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum(floor(col("l_quantity") * 100 + 0.5).cast("long"))
+          .cast("double") / 100.0, 2).as("sum_qty"),
+        count(lit(1)).as("count_rows"))
+      .orderBy("l_returnflag", "l_linestatus")
+      .collect().map(_.toString).toSeq
+    assert(now == recompute)
+  }
+
   test("streaming daily HLL == batch HLL bit-for-bit (merge order-independence)") {
     val stream = EventStreams.readEventStream(spark, sf)
     val q = EventStreams.runToMemory(
