@@ -1725,34 +1725,52 @@ object Relational {
     * exchange, AQE free to pick sides), then one (priority, band)
     * aggregate with map-side partials. Output ≤ priorities × 5 rows at
     * any scale; linear in facts, one join shuffle + one agg shuffle. */
+  /** q47's banding: enriched fulfillment facts (priority, o_orderdate,
+    * l_shipdate) → (priority, band_id, n_items) counts. The associative
+    * BIGINT partial state the streaming twin maintains — shared with the
+    * batch query so stream ≡ batch is the same code
+    * ([[graft.streaming.ViewStreams.maintainFulfillmentView]]). */
+  def fulfillmentCounts(enriched: DataFrame): DataFrame =
+    enriched
+      .select(col("priority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).as("lag_days"))
+      .select(col("priority"),
+        when(col("lag_days") < 0, lit(0))
+          .when(col("lag_days") < 30, lit(1))
+          .when(col("lag_days") < 60, lit(2))
+          .when(col("lag_days") < 90, lit(3))
+          .otherwise(lit(4)).as("band_id"))
+      .groupBy("priority", "band_id")
+      .agg(count(lit(1)).as("n_items"))
+
+  /** q47's close over a (priority, band_id, n_items) counts table —
+    * band names + per-priority shares from a window over the ≤
+    * priorities × 5 aggregate (bounded partitions). Shared by the batch
+    * query and the maintained view's read path. */
+  def fulfillmentFromCounts(counts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    counts
+      .withColumn("n_priority",
+        sum("n_items").over(Window.partitionBy("priority")))
+      .select(col("priority"), col("band_id"),
+        element_at(lit(Array("pre_order", "lt_30d", "30_60d", "60_90d",
+          "ge_90d")), col("band_id") + 1).as("band"),
+        col("n_items"),
+        round(col("n_items").cast("double") /
+          col("n_priority").cast("double"), 6).as("share"))
+      .orderBy("priority", "band_id")
+  }
+
   val q47 = Q(
     "q47_fulfillment_latency",
     (s, d) => {
       val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
       val o = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      import org.apache.spark.sql.expressions.Window
-      val counts = li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_orderpriority").as("priority"),
-          datediff(col("l_shipdate"), col("o_orderdate")).as("lag_days"))
-        .select(col("priority"),
-          when(col("lag_days") < 0, lit(0))
-            .when(col("lag_days") < 30, lit(1))
-            .when(col("lag_days") < 60, lit(2))
-            .when(col("lag_days") < 90, lit(3))
-            .otherwise(lit(4)).as("band_id"))
-        .groupBy("priority", "band_id")
-        .agg(count(lit(1)).as("n_items"))
-      counts
-        .withColumn("n_priority",
-          sum("n_items").over(Window.partitionBy("priority")))
-        .select(col("priority"), col("band_id"),
-          element_at(lit(Array("pre_order", "lt_30d", "30_60d", "60_90d",
-            "ge_90d")), col("band_id") + 1).as("band"),
-          col("n_items"),
-          round(col("n_items").cast("double") /
-            col("n_priority").cast("double"), 6).as("share"))
-        .orderBy("priority", "band_id")
+      fulfillmentFromCounts(fulfillmentCounts(
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderpriority").as("priority"),
+            col("o_orderdate"), col("l_shipdate"))))
     },
     Some("""WITH j AS (
               SELECT o.o_orderpriority AS priority,

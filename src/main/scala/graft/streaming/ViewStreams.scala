@@ -198,6 +198,50 @@ object ViewStreams {
       }
       .start()
 
+  // ------------------- the fulfillment view (q47's maintenance twin)
+
+  /** Maintain q47's fulfillment-band state per micro-batch of arriving
+    * ENRICHED fulfillment facts (priority, o_orderdate, l_shipdate — the
+    * shape a shipping-event log carries, order attributes already
+    * attached) — the THIRD maintained view on the shared generation
+    * protocol, which is the point: one more view is one (partial,
+    * merge2) pair. The partial state is q47's (priority, band_id,
+    * n_items) counts — associative BIGINTs, the literal
+    * [[graft.operators.Relational.fulfillmentCounts]] batch expression,
+    * so stream ≡ batch is the same code; the merge is a full-outer
+    * coalesce-sum keyed (priority, band_id), ≤ priorities × 5 rows. */
+  def maintainFulfillmentView(stream: DataFrame, statePath: String,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          mergeBatchWith(batch.sparkSession, batch.toDF(), statePath, batchId,
+            graft.operators.Relational.fulfillmentCounts _, mergeFulfillment)
+      }
+      .start()
+
+  private def mergeFulfillment(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("priority"), col("band_id"), col("n_items").as("an"))
+      .join(b.select(col("priority"), col("band_id"), col("n_items").as("bn")),
+        Seq("priority", "band_id"), "full_outer")
+      .select(col("priority"), col("band_id"),
+        (coalesce(col("an"), lit(0L)) + coalesce(col("bn"), lit(0L)))
+          .as("n_items"))
+
+  /** Read the maintained fulfillment view in q47's exact output shape —
+    * the state IS q47's counts table, closed by the same shared
+    * [[graft.operators.Relational.fulfillmentFromCounts]]. */
+  def fulfillmentView(spark: SparkSession, statePath: String): DataFrame = {
+    val root = new Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val latest = committedGens(fs, root).lastOption.getOrElse(
+      throw new IllegalStateException(
+        s"no committed state generation under $statePath"))
+    graft.operators.Relational.fulfillmentFromCounts(
+      spark.read.parquet(latest._2.toString))
+  }
+
   /** Read the maintained cadence view in q46's exact output shape. The
     * observation horizon of a purchase-fed view is its newest purchase
     * (max last_us in state — one #users-row aggregate), which equals

@@ -466,6 +466,39 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("maintained fulfillment view == batch q47 over the same facts under any batch slicing") {
+    import java.nio.file.Files
+    import graft.streaming.ViewStreams
+    // The enriched-fact stream a shipping log carries: order attributes
+    // already attached. Batch q47 over the same facts is the ground
+    // truth — counts via the SHARED fulfillmentCounts expression, close
+    // via the SHARED fulfillmentFromCounts, so drift has nowhere to live.
+    val li = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_shipdate"))
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val enriched = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        col("o_orderdate"), col("l_shipdate"))
+    val recompute = Relational.fulfillmentFromCounts(
+        Relational.fulfillmentCounts(enriched))
+      .collect().map(_.toString).toSeq
+    Seq(3, 7).foreach { nBatches =>
+      val base = Files.createTempDirectory(s"graft-fulfill-$nBatches").toString
+      enriched.repartition(nBatches)
+        .write.mode("overwrite").parquet(s"$base/arrivals")
+      val q = ViewStreams.maintainFulfillmentView(
+        ViewStreams.readLineitemStream(spark, s"$base/arrivals", enriched),
+        s"$base/state", s"$base/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      val maintained = ViewStreams.fulfillmentView(spark, s"$base/state")
+        .collect().map(_.toString).toSeq
+      assert(maintained == recompute,
+        s"fulfillment view drifted at $nBatches batches: " +
+          s"${maintained.diff(recompute).take(2)} vs ${recompute.diff(maintained).take(2)}")
+      assert(maintained.nonEmpty)
+    }
+  }
+
   test("streaming view maintenance converges to the recompute under any batch slicing") {
     import java.nio.file.Files
     import graft.streaming.ViewStreams
