@@ -112,7 +112,14 @@ object PlanAudit {
       // p17: two 1-row attaches over the ≤ #sources reweighting table
       // (token total, then the nano-weight normalizer — q31's shape
       // twice); the t40 kernel underneath is keyed joins only.
-      "p17_mix_reweight")
+      "p17_mix_reweight",
+      // d34: each of the 3 curve rows is four 1-row aggregates
+      // (candidates / verified / hits / truth counts) crossJoined —
+      // 1 row × 1 row, p13's verdict-row shape.
+      "d34_band_operating_curve",
+      // q49: the ≤4-row gap-band rollup crossJoins its 1-row total
+      // aggregate (q41's bounded × 1 row shape).
+      "q49_purchase_gap_bands")
       // m14 carries m13's 1-row cutoff crossJoin but needs NO entry: the
       // planner turns the attach into a broadcast hash join under the
       // composed plan (the staleness gate rejected the precautionary

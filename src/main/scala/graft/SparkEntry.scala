@@ -73,6 +73,10 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    prefix scan (a PARTITION BY segment rank window is the banned
   *    corpus-window shape sharded #segments ways) and Σ(rank·cents) in
   *    DECIMAL(38,0) so exactness survives past the BIGINT horizon.
+  *  - q49: inter-purchase gap distribution in operational bands — q46's
+  *    corpus-level companion (q46 gives each user's mean cadence; this
+  *    is the gap histogram a retention team plots), one user-keyed lag
+  *    window + a ≤4-row band rollup.
   *  - t01..t43: text query library (grep, wordcount, token counting,
   *    quality scoring, language-ID, fingerprinting, winnowing, TF-IDF,
   *    langid eval, context chunking, co-occurrence PMI, bigram LM,
@@ -113,7 +117,7 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    tokenizer fertility per (source, lang) under the t21-trained
   *    merge table — the deployment metric that completes the
   *    train/encode/measure tokenizer triple).
-  *  - d01..d32: dedup & corpus hygiene (exact, MinHash-LSH, SimHash,
+  *  - d01..d35: dedup & corpus hygiene (exact, MinHash-LSH, SimHash,
   *    n-gram Jaccard, embedding-cosine, connected-component clusters,
   *    keep-list, near-dup triangles, benchmark decontamination,
   *    incremental delta dedup, exact-substring repeated spans, near-dup
@@ -149,7 +153,16 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    d10's daily-delta move on d02's MinHash-LSH axis, wave bands
   *    probed bipartite against resident bands only, per-wave-doc
   *    verdict with best resident match — the gate that bounces the
-  *    re-crawl-with-new-footer the exact gate structurally misses).
+  *    re-crawl-with-new-footer the exact gate structurally misses;
+  *    the df-cap operating curve — candidate volume vs emitted pairs at
+  *    cap ∈ {8, 64, 256}, the evidence behind ShingleDfCap made
+  *    queryable; the LSH banding operating curve — candidates, verified
+  *    pairs, and recall against the capped-exact truth at nBands ∈
+  *    {4, 8, 16}, s19's measurement discipline on the document axis;
+  *    the decontamination n-gram sensitivity curve — qualified pairs,
+  *    contaminated docs, and burned evals at n ∈ {3, 5, 8} over the
+  *    d09/d19 kernel, the evidence for choosing the match-strictness n
+  *    per corpus).
   *  - s01..s19: similarity search (brute-force ANN, LSH-bucketed ANN,
   *    per-label centroid stats, IVF ANN, recall@k evaluation, int8
   *    quantization error audit, incremental IVF ingest serving state,

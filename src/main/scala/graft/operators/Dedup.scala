@@ -3105,10 +3105,287 @@ object Dedup {
             FROM wave w LEFT JOIN best ON best.doc_id = w.doc_id
             ORDER BY w.doc_id"""))
 
+  // ---------------------------------------- df-cap operating curve (d33)
+  /** d33: the shingle df-cap's OPERATING CURVE — candidate volume and
+    * emitted near-dup pairs (exact Jaccard ≥ 0.12, d04's contract) at
+    * cap ∈ {8, 64, 256}. This is the evidence behind `ShingleDfCap = 64`
+    * made queryable: a pipeline owner tuning the cap reads where the
+    * candidate count explodes versus where emitted pairs stop changing
+    * (on healthy corpora the pair column is FLAT across caps — every
+    * true pair shares a sub-cap shingle — while candidates grow with
+    * cap; a boilerplate-heavy corpus shows the same flat pairs over a
+    * detonating candidate column, which is the cap's whole argument).
+    *
+    * Scale shape: ONE run of the capped kernel at the LARGEST cap (256²-
+    * bounded per shingle), carrying each pair's min shared-shingle df —
+    * a pair is a candidate at cap c iff min_df ≤ c, so the three curve
+    * points are conditional counts over one pair table, not three kernel
+    * runs; Jaccard stays exact over ALL shingles (hot-set recovery at
+    * the 256 boundary, d04's arithmetic). Output exactly 3 rows. */
+  val capCurve = Q(
+    "d33_cap_operating_curve",
+    (s, d) => {
+      import s.implicits._
+      val caps = Seq(8L, 64L, 256L)
+      val maxCap = caps.max
+      val hs = materializedShingleHashes(Tables.documents(s, d))
+      val dfTab = hs.groupBy("sh_h").agg(count(lit(1)).as("df"))
+        .localCheckpoint() // read by the rare join (twice) + hot recovery
+      val rare = hs.join(dfTab.filter(col("df") <= maxCap), Seq("sh_h"))
+      val rarePairs = rare.select(col("doc_id").as("a"), col("sh_h"), col("df"))
+        .hint("merge")
+        .join(rare.select(col("doc_id").as("b"), col("sh_h")).hint("merge"), "sh_h")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("n_rare"), min("df").as("min_df"))
+      val hotSets = hs.join(dfTab.filter(col("df") > maxCap), Seq("sh_h"))
+        .groupBy("doc_id").agg(sort_array(collect_set(col("sh_h"))).as("hot_set"))
+        .localCheckpoint()
+      val sizes = hs.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val stats = rarePairs
+        .join(hotSets.select(col("doc_id").as("a"), col("hot_set").as("hot_a")),
+          Seq("a"), "left")
+        .join(hotSets.select(col("doc_id").as("b"), col("hot_set").as("hot_b")),
+          Seq("b"), "left")
+        .join(sizes.select(col("doc_id").as("a"), col("n").as("n_a")), "a")
+        .join(sizes.select(col("doc_id").as("b"), col("n").as("n_b")), "b")
+        .select(col("min_df"),
+          (col("n_rare") +
+            coalesce(size(array_intersect(col("hot_a"), col("hot_b"))), lit(0))
+              .cast("long")).as("n_common"),
+          col("n_a"), col("n_b"))
+        .select(col("min_df"),
+          round(col("n_common").cast("double") /
+            (col("n_a") + col("n_b") - col("n_common")).cast("double"), 4)
+            .as("jaccard"))
+      // 3-row base LEFT join so an empty corpus still reports zero rows
+      // per cap (the oracle's shape).
+      caps.toDF("df_cap")
+        .join(stats
+          .select(explode(typedLit(caps)).as("df_cap"), col("min_df"), col("jaccard"))
+          .filter(col("min_df") <= col("df_cap"))
+          .groupBy("df_cap")
+          .agg(count(lit(1)).as("nc"),
+            count(when(col("jaccard") >= 0.12, 1)).as("np")),
+          Seq("df_cap"), "left")
+        .select(col("df_cap"),
+          coalesce(col("nc"), lit(0L)).as("n_candidates"),
+          coalesce(col("np"), lit(0L)).as("n_pairs"))
+        .orderBy("df_cap")
+    },
+    Some(s"""WITH sh AS (
+              SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                  ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+                FROM (
+                  SELECT doc_id,
+                    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                t -> t <> '') AS ts
+                  FROM documents),
+                UNNEST(range(1, len(ts) - 1)) AS r(i))),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            dfq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+            inter AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common,
+                sum(CASE WHEN f.df <= 8 THEN 1 ELSE 0 END) AS r8,
+                sum(CASE WHEN f.df <= 64 THEN 1 ELSE 0 END) AS r64,
+                sum(CASE WHEN f.df <= 256 THEN 1 ELSE 0 END) AS r256
+              FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                        JOIN dfq f ON f.shingle = x.shingle
+              GROUP BY 1, 2),
+            j AS (
+              SELECT r8, r64, r256,
+                round(CAST(n_common AS DOUBLE)
+                  / CAST(sa.n + sb.n - n_common AS DOUBLE), 4) AS jac
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = a
+              JOIN sizes sb ON sb.doc_id = b)
+            SELECT CAST(8 AS BIGINT) AS df_cap,
+              CAST(count(*) FILTER (WHERE r8 > 0) AS BIGINT) AS n_candidates,
+              CAST(count(*) FILTER (WHERE r8 > 0 AND jac >= 0.12) AS BIGINT) AS n_pairs
+            FROM j
+            UNION ALL
+            SELECT CAST(64 AS BIGINT),
+              CAST(count(*) FILTER (WHERE r64 > 0) AS BIGINT),
+              CAST(count(*) FILTER (WHERE r64 > 0 AND jac >= 0.12) AS BIGINT)
+            FROM j
+            UNION ALL
+            SELECT CAST(256 AS BIGINT),
+              CAST(count(*) FILTER (WHERE r256 > 0) AS BIGINT),
+              CAST(count(*) FILTER (WHERE r256 > 0 AND jac >= 0.12) AS BIGINT)
+            FROM j
+            ORDER BY df_cap"""))
+
+  // ------------------------------------- LSH band operating curve (d34)
+  /** d34: the MinHash-LSH BANDING operating curve — candidate volume,
+    * verified pairs, and recall against the exact near-dup truth at
+    * nBands ∈ {4, 8, 16} (prefixes of the 16-band table). s19 is this
+    * measurement for IVF routing; this is the document-LSH twin: the
+    * banding-theory tradeoff (more bands = more candidates = higher
+    * recall) measured on THIS corpus instead of assumed from the
+    * (1−(1−J^r)^b) curve. Truth = d04's capped-exact pairs at J ≥ 0.5
+    * (the same kernel whose equivalence DedupCapSpec pins); recall at
+    * 16 bands is d02's operating point.
+    *
+    * Scale shape: ONE candidate generation over the full 16-band table —
+    * each pair carries the MIN band whose healthy (BandBucketCap'd)
+    * bucket joins it, and candidacy at prefix B is exactly `b0 < B` —
+    * plus ONE verify join and one truth-kernel run; the three curve rows
+    * are conditional counts over the checkpointed pair tables (bounded
+    * × 1 row crossJoins, PlanAudit-allowlisted). Output exactly 3 rows. */
+  val bandCurve = Q(
+    "d34_band_operating_curve",
+    (s, d) => {
+      val hs = materializedShingleHashes(Tables.documents(s, d))
+      val cand = bucketIds(bandBuckets(signaturesFromHashes(hs)), BandBucketCap)
+        .select(col("band"), explode(expr(
+          """flatten(transform(ids,
+            |  (x, i) -> transform(slice(ids, i + 2, size(ids)),
+            |            y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(min("band").as("b0"))
+        .localCheckpoint()
+      val truth = jaccardPairsCapped(hs).filter(col("jaccard") >= 0.5)
+        .select("a", "b").localCheckpoint()
+      val ver = jaccardPairsHashed(hs, Some(cand.select("a", "b")))
+        .filter(col("jaccard") >= 0.5).select("a", "b")
+        .join(cand, Seq("a", "b")).localCheckpoint()
+      val verHit = ver.join(truth, Seq("a", "b"), "leftsemi")
+      Seq(4, 8, 16).map { nb =>
+        cand.filter(col("b0") < nb).agg(count(lit(1)).as("n_candidates"))
+          .crossJoin(ver.filter(col("b0") < nb)
+            .agg(count(lit(1)).as("n_verified")))
+          .crossJoin(verHit.filter(col("b0") < nb)
+            .agg(count(lit(1)).as("n_hits")))
+          .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+          .select(lit(nb.toLong).as("n_bands"), col("n_candidates"),
+            col("n_verified"),
+            round(graft.functions.TextFns.safeFrac(
+              col("n_hits"), col("n_truth")), 6).as("recall"))
+      }.reduce(_ unionAll _).orderBy("n_bands")
+    },
+    Some(s"""WITH $minhashSigCtes,
+            dfq AS (SELECT sh_h, count(*) AS df FROM hs GROUP BY sh_h),
+            interx AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common,
+                sum(CASE WHEN f.df <= $ShingleDfCap THEN 1 ELSE 0 END) AS n_rare
+              FROM hs x JOIN hs y ON x.sh_h = y.sh_h AND x.doc_id < y.doc_id
+                        JOIN dfq f ON f.sh_h = x.sh_h
+              GROUP BY 1, 2),
+            truth AS (
+              SELECT a, b FROM interx
+              JOIN sizes sa ON sa.doc_id = a
+              JOIN sizes sb ON sb.doc_id = b
+              WHERE n_rare > 0
+                AND round(CAST(n_common AS DOUBLE)
+                  / CAST(sa.n + sb.n - n_common AS DOUBLE), 4) >= 0.5),
+            lv AS (SELECT CAST(unnest([4, 8, 16]) AS BIGINT) AS n_bands),
+            okb2 AS (SELECT band, bsig FROM bands GROUP BY band, bsig
+                     HAVING count(*) <= $BandBucketCap),
+            cand AS (
+              SELECT l.n_bands, x.doc_id AS a, y.doc_id AS b
+              FROM lv l
+              JOIN bands x ON x.band < l.n_bands
+              JOIN okb2 ON okb2.band = x.band AND okb2.bsig = x.bsig
+              JOIN bands y
+                ON y.band = x.band AND y.bsig = x.bsig AND x.doc_id < y.doc_id
+              GROUP BY 1, 2, 3),
+            ver AS (
+              SELECT c.n_bands, c.a, c.b
+              FROM cand c
+              JOIN (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+                    FROM hs x JOIN hs y ON y.sh_h = x.sh_h
+                    WHERE x.doc_id < y.doc_id GROUP BY 1, 2) i
+                ON i.a = c.a AND i.b = c.b
+              JOIN sizes sa ON sa.doc_id = c.a
+              JOIN sizes sb ON sb.doc_id = c.b
+              WHERE round(CAST(i.n_common AS DOUBLE)
+                / CAST(sa.n + sb.n - i.n_common AS DOUBLE), 4) >= 0.5)
+            SELECT l.n_bands,
+              (SELECT CAST(count(*) AS BIGINT) FROM cand c
+               WHERE c.n_bands = l.n_bands) AS n_candidates,
+              (SELECT CAST(count(*) AS BIGINT) FROM ver v
+               WHERE v.n_bands = l.n_bands) AS n_verified,
+              round(CAST((SELECT count(*) FROM ver v JOIN truth t
+                          ON t.a = v.a AND t.b = v.b
+                          WHERE v.n_bands = l.n_bands) AS DOUBLE)
+                / NULLIF(CAST((SELECT count(*) FROM truth) AS DOUBLE), 0.0), 6)
+                AS recall
+            FROM lv l ORDER BY l.n_bands"""))
+
+  // ------------------------------- contamination n-gram curve (d35)
+  /** d35: decontamination SENSITIVITY to the n-gram size — qualified
+    * (corpus, eval) pair volume, contaminated-corpus-doc count, and
+    * burned-eval count at n ∈ {3, 5, 8}, over the same df-capped kernel
+    * and `%19` eval slice as d09/d19. The n a decontamination pass keys
+    * on is its one free parameter (the classic 13-gram rule vs this
+    * corpus's 5): too small flags topic overlap as leakage, too large
+    * misses paraphrased contamination — this query is the evidence for
+    * choosing it, per corpus, instead of inheriting a constant from a
+    * paper. Monotone by construction (an n+1-gram match implies n-gram
+    * matches), so the curve reads as a survival function of match
+    * strictness.
+    *
+    * Scale shape: three runs of [[cappedContamPairs]] (each one shingle
+    * pass + a dfCap²-bounded pairing join); the n=5 leg shares
+    * [[contamSplitPairs]]' session memo with d09/d19 when they ran
+    * first. Output exactly 3 rows. */
+  val contamCurve = Q(
+    "d35_contam_ngram_curve",
+    (s, d) => {
+      Seq(3, 5, 8).map { n =>
+        contamSplitPairs(s, d, n)
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct("doc_id").as("n_contam_docs"),
+            countDistinct("eval_doc").as("n_burned_evals"))
+          .select(lit(n.toLong).as("ngram_n"), col("n_pairs"),
+            col("n_contam_docs"), col("n_burned_evals"))
+      }.reduce(_ unionAll _).orderBy("ngram_n")
+    },
+    Some {
+      // One qualified-pair block per n, mirroring the d09 oracle (df-cap
+      // qualification via `n_rare > 0`, %19 eval slice), aggregated to
+      // the three curve rows.
+      def block(n: Int): String = {
+        val slice = s"ts[i:i+${n - 1}]"
+        s"""sh$n AS (
+             SELECT DISTINCT doc_id,
+               ('0x' || substr(md5(list_aggregate($slice, 'string_agg', ' ')), 1, 15))::BIGINT AS sh_h
+             FROM toks, UNNEST(range(1, len(ts) - ${n - 2})) r(i)
+             WHERE len(ts) >= $n),
+           dfq$n AS (SELECT sh_h, count(*) AS df FROM sh$n GROUP BY sh_h),
+           pair$n AS (
+             SELECT c.doc_id, e.eval_doc,
+               sum(CASE WHEN f.df <= $ShingleDfCap THEN 1 ELSE 0 END) AS n_rare
+             FROM (SELECT * FROM sh$n WHERE doc_id % 19 <> 0) c
+             JOIN (SELECT doc_id AS eval_doc, sh_h FROM sh$n
+                   WHERE doc_id % 19 = 0) e ON e.sh_h = c.sh_h
+             JOIN dfq$n f ON f.sh_h = c.sh_h
+             GROUP BY 1, 2),
+           q$n AS (SELECT doc_id, eval_doc FROM pair$n WHERE n_rare > 0)"""
+      }
+      def row(n: Int): String =
+        s"""SELECT CAST($n AS BIGINT) AS ngram_n,
+              CAST(count(*) AS BIGINT) AS n_pairs,
+              CAST(count(DISTINCT doc_id) AS BIGINT) AS n_contam_docs,
+              CAST(count(DISTINCT eval_doc) AS BIGINT) AS n_burned_evals
+            FROM q$n"""
+      s"""WITH toks AS (
+            SELECT doc_id, list_filter(
+              regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
+            FROM documents),
+          ${block(3)},
+          ${block(5)},
+          ${block(8)}
+          ${row(3)} UNION ALL ${row(5)} UNION ALL ${row(8)}
+          ORDER BY ngram_n"""
+    })
+
   val all: Seq[Q] =
     Seq(exact, minhash, simhash, ngramJaccard, embedding, clusters, keep, triangles,
       decontam, incremental, repeated, consensus, chunkDedup, semantic, bestKeep,
       provenance, embeddingDecontam, containment, evalLeak, crossSource, splitLeak,
       calibration, hotReport, inflation, spectrum, templateScrubQ, clusterSourceMix,
-      boilerplateDriftQ, cdcDedupQ, hotChunksQ, softDedupQ, incrementalNearDupQ)
+      boilerplateDriftQ, cdcDedupQ, hotChunksQ, softDedupQ, incrementalNearDupQ,
+      capCurve, bandCurve, contamCurve)
 }

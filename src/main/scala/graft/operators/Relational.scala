@@ -1898,8 +1898,75 @@ object Relational {
                 AS top10_share
             FROM a JOIN t ON t.segment = a.segment ORDER BY 1"""))
 
+  // ---------------------------- purchase-gap bands (q49)
+  /** q49: the DISTRIBUTION of inter-purchase gaps, banded — q46 reports
+    * each user's MEAN cadence (one number per user); this is the
+    * corpus-level companion a retention team actually plots: how many
+    * consecutive-purchase gaps land under a day (bursty refills), within
+    * the week, within the month, or beyond (churn-risk territory). Gaps
+    * are per-user consecutive µs differences, banded on integer day
+    * cuts, with exact counts and round-6 shares.
+    *
+    * Determinism: purchases are ordered (ts µs, event_id) within each
+    * user, so equal-timestamp pairs band identically in both engines.
+    *
+    * Scale shape: one user-keyed lag window (partitioned — per-user
+    * purchase history is the bounded axis, q12/q33's argument), a ≤4-row
+    * band aggregate with map-side partials, and the 1-row total attach
+    * (q41's bounded × 1 row crossJoin, allowlisted). Output ≤ 4 rows at
+    * any scale. */
+  val q49 = Q(
+    "q49_purchase_gap_bands",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val us = lit(86400000000L) // µs per day
+      val p = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val counts = p
+        .withColumn("gap_us", col("us") - lag("us", 1).over(w))
+        .filter(col("gap_us").isNotNull)
+        .select(
+          when(col("gap_us") < us, lit(0))
+            .when(col("gap_us") < us * 7, lit(1))
+            .when(col("gap_us") < us * 30, lit(2))
+            .otherwise(lit(3)).as("band_id"))
+        .groupBy("band_id").agg(count(lit(1)).as("n_gaps"))
+      counts
+        .crossJoin(counts.agg(sum("n_gaps").as("n_total")))
+        .select(col("band_id"),
+          element_at(lit(Array("lt_1d", "1_7d", "7_30d", "ge_30d")),
+            col("band_id") + 1).as("band"),
+          col("n_gaps"),
+          round(col("n_gaps").cast("double") /
+            col("n_total").cast("double"), 6).as("share"))
+        .orderBy("band_id")
+    },
+    Some("""WITH p AS (
+              SELECT user_id, epoch_us(ts) AS us, event_id
+              FROM events WHERE event_type = 'purchase'),
+            g AS (
+              SELECT us - lag(us) OVER (
+                PARTITION BY user_id ORDER BY us, event_id) AS gap_us
+              FROM p),
+            b AS (
+              SELECT CASE WHEN gap_us < 86400000000 THEN 0
+                          WHEN gap_us < 7 * 86400000000 THEN 1
+                          WHEN gap_us < 30 * 86400000000 THEN 2
+                          ELSE 3 END AS band_id
+              FROM g WHERE gap_us IS NOT NULL),
+            c AS (SELECT band_id, CAST(count(*) AS BIGINT) AS n_gaps
+                  FROM b GROUP BY 1)
+            SELECT band_id,
+              ['lt_1d', '1_7d', '7_30d', 'ge_30d'][band_id + 1] AS band,
+              n_gaps,
+              round(CAST(n_gaps AS DOUBLE)
+                / CAST((SELECT sum(n_gaps) FROM c) AS DOUBLE), 6) AS share
+            FROM c ORDER BY band_id"""))
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
       q18, q19, q20, q21, q22, q25, q26, q27, q29, q30, q32, q33, q34, q36, q37,
-      q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48)
+      q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49)
 }

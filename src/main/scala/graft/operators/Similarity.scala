@@ -1527,9 +1527,17 @@ object Similarity {
     if (cents.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    // Both aggregates are checkpointed (k rows each) BEFORE the base left
+    // joins: the joins infer isnotnull(cell) on these sides and push it
+    // BENEATH each aggregate, where the key is the full k-centroid scoring
+    // expression — re-evaluated per corpus row as an interpreted Filter
+    // (s18's measured 75-second shape; the 100× rehearsal's count()
+    // shortcut eliminated the join and hid it here). Checkpointed, the
+    // join keys are materialized columns and each scan runs once.
     val stored = q
       .withColumn("c", centroidBest(cents, col("qe")).getField("c"))
       .groupBy("c").agg(count(lit(1)).as("n_stored"))
+      .localCheckpoint()
     val probes = q
       .join(q.select(col("vec_id")).orderBy("vec_id").limit(nQueries),
         Seq("vec_id"), "left_semi")
@@ -1537,6 +1545,7 @@ object Similarity {
         1, nProbe)).as("s"))
       .select(col("s.c").as("c"))
       .groupBy("c").agg(count(lit(1)).as("n_probes"))
+      .localCheckpoint()
     val base = cents.map(_._1).toDF("cell")
       .join(stored.withColumnRenamed("c", "cell"), Seq("cell"), "left")
       .join(probes.withColumnRenamed("c", "cell"), Seq("cell"), "left")
@@ -1682,6 +1691,13 @@ object Similarity {
       .withColumn("b", centroidBest(cents, col("qe")))
       .select(col("wave"), col("b.c").as("cluster_id"),
         floor(-col("b.nc") * 1e6 + 0.5).cast("long").as("cos_micro"))
+    // Checkpointed (k rows) BEFORE the base left join: the join would
+    // otherwise infer isnotnull(cluster_id) on this side and push it
+    // BENEATH the aggregate, where cluster_id is the full k-centroid
+    // scoring expression — re-evaluated per corpus row as an interpreted
+    // Filter (measured: 75 s of a 94 s run at the 100× rehearsal; the
+    // checkpoint makes the join key a materialized column and the
+    // assignment scan runs exactly once).
     val byC = asg.groupBy("cluster_id").agg(
       sum(when(col("wave") === "resident", 1L).otherwise(0L)).as("n_res"),
       sum(when(col("wave") === "delta", 1L).otherwise(0L)).as("n_delta"),
@@ -1689,6 +1705,7 @@ object Similarity {
         .as("res_cs"),
       sum(when(col("wave") === "delta", col("cos_micro")).otherwise(0L))
         .as("delta_cs"))
+      .localCheckpoint()
     // Row base = the k trained centroid ids: a cell with no members in
     // EITHER wave still reports (that emptiness is the signal).
     // Checkpointed: three consumers (the final select, the wave-totals

@@ -31,6 +31,7 @@ object Scratch {
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     if (names == Seq("d10prof")) { d10prof(spark, d); spark.stop(); return }
     if (names == Seq("d02lazy")) { d02lazy(spark, d); spark.stop(); return }
+    if (names == Seq("s18prof")) { s18prof(spark, d); spark.stop(); return }
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
       (1 to 2).foreach { i =>
@@ -44,6 +45,97 @@ object Scratch {
       }
     }
     spark.stop()
+  }
+
+  /** Stepwise s18 stage timings at the given SF dir (throwaway): where do
+    * the seconds go — the Lloyd loop, the one-field assignment (the loop's
+    * shape), or the two-field (c + cos_micro) assignment aggregate? */
+  private def s18prof(spark: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val e = graft.sources.Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"))
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[s18] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      r
+    }
+    val q = time("quant+checkpoint") {
+      e.select(col("vec_id"), Similarity.quantMilli.as("qe")).localCheckpoint()
+    }
+    val cents = time("lloyd loop (3 iters)") {
+      Similarity.kmeansCentroidsFromQuant(q, 8, 3)
+    }
+    time("assign c only (count)") {
+      q.withColumn("c", Similarity.centroidBest(cents, col("qe")).getField("c"))
+        .groupBy("c").agg(count(lit(1))).collect()
+    }
+    val asg2 = q.withColumn("b", Similarity.centroidBest(cents, col("qe")))
+      .select(col("b.c").as("cluster_id"),
+        floor(-col("b.nc") * 1e6 + 0.5).cast("long").as("cos_micro"))
+    time("assign c+cos (agg)") {
+      asg2.groupBy("cluster_id").agg(count(lit(1)), sum("cos_micro")).collect()
+    }
+    val wsc = asg2.queryExecution.executedPlan.toString
+    println(s"[s18] c+cos plan: wholeStageCodegen=" +
+      wsc.linesIterator.count(_.contains("WholeStageCodegen")) +
+      " codegenFallbackMarkers=" + wsc.linesIterator.count(_.contains("*(")) )
+    // Exact s18 construction: wave column in the checkpoint, loop trained
+    // on the resident FILTER of it, 4-sum byC aggregate.
+    val mx = e.agg(max("vec_id")).head().getLong(0)
+    val split = mx * 4 / 5
+    val q2 = time("q with wave (ckpt)") {
+      e.select(col("vec_id"),
+          when(col("vec_id") >= split, lit("delta")).otherwise(lit("resident"))
+            .as("wave"),
+          Similarity.quantMilli.as("qe"))
+        .localCheckpoint()
+    }
+    val cents2 = time("lloyd on resident filter") {
+      Similarity.kmeansCentroidsFromQuant(
+        q2.filter(col("wave") === "resident").select(col("vec_id"), col("qe")), 8, 3)
+    }
+    time("byC 4-sum agg") {
+      q2.withColumn("b", Similarity.centroidBest(cents2, col("qe")))
+        .select(col("wave"), col("b.c").as("cluster_id"),
+          floor(-col("b.nc") * 1e6 + 0.5).cast("long").as("cos_micro"))
+        .groupBy("cluster_id").agg(
+          sum(when(col("wave") === "resident", 1L).otherwise(0L)),
+          sum(when(col("wave") === "delta", 1L).otherwise(0L)),
+          sum(when(col("wave") === "resident", col("cos_micro")).otherwise(0L)),
+          sum(when(col("wave") === "delta", col("cos_micro")).otherwise(0L)))
+        .collect()
+    }
+    // The function's own tail: centsDF left-join byC, checkpointed.
+    locally {
+      import spark.implicits._
+      val byC = q2.withColumn("b", Similarity.centroidBest(cents2, col("qe")))
+        .select(col("wave"), col("b.c").as("cluster_id"),
+          floor(-col("b.nc") * 1e6 + 0.5).cast("long").as("cos_micro"))
+        .groupBy("cluster_id").agg(
+          sum(when(col("wave") === "resident", 1L).otherwise(0L)).as("n_res"),
+          sum(when(col("wave") === "delta", 1L).otherwise(0L)).as("n_delta"),
+          sum(when(col("wave") === "resident", col("cos_micro")).otherwise(0L)).as("res_cs"),
+          sum(when(col("wave") === "delta", col("cos_micro")).otherwise(0L)).as("delta_cs"))
+      time("base join + checkpoint") {
+        val b = cents2.map(_._1).toDF("cluster_id")
+          .join(byC, Seq("cluster_id"), "left")
+          .select(col("cluster_id"),
+            coalesce(col("n_res"), lit(0L)).as("n_res"),
+            coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+            coalesce(col("res_cs"), lit(0L)).as("res_cs"),
+            coalesce(col("delta_cs"), lit(0L)).as("delta_cs"))
+          .localCheckpoint()
+        println("[s18] base plan BEFORE checkpoint:")
+        cents2.map(_._1).toDF("cluster_id")
+          .join(byC, Seq("cluster_id"), "left").explain("formatted")
+        b.count()
+      }
+    }
+    time("FULL clusterPopulationDrift") {
+      Similarity.clusterPopulationDrift(e).collect()
+    }
   }
 
   /** A/B: d02 with the banded table eagerly checkpointed (current) vs left
