@@ -2533,4 +2533,44 @@ class OperatorSpec extends SparkSpec {
     // (exact whenever every cluster size divides 10⁶ — here csize = 2).
     assert(out.values.map(_._4).sum == (out.values.map(_._3).sum * 1000000L))
   }
+
+  test("round-13 operating curves: monotone in their sweep parameter, consistent with the queries they calibrate") {
+    // d33: candidates grow with the cap; emitted pairs can only grow too
+    // (candidate sets nest); at the shipped cap the pair count IS d04's.
+    val d33 = SparkEntry.queries("d33_cap_operating_curve")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(d33.map(_._1).toSeq == Seq(8L, 64L, 256L))
+    assert(d33.sliding(2).forall(w => w(0)._2 <= w(1)._2), s"d33 candidates not monotone: $d33")
+    assert(d33.sliding(2).forall(w => w(0)._3 <= w(1)._3), s"d33 pairs not monotone: $d33")
+    val d04n = SparkEntry.queries("d04_ngram_jaccard")(spark, sf).count()
+    assert(d33.find(_._1 == 64L).get._3 == d04n,
+      s"d33 at the shipped cap disagrees with d04: ${d33.toSeq} vs $d04n")
+    // d34: candidates/verified/recall grow with the band prefix (candidate
+    // sets nest); verified never exceeds candidates; recall stays in [0,1].
+    val d34 = SparkEntry.queries("d34_band_operating_curve")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sortBy(_._1)
+    assert(d34.map(_._1).toSeq == Seq(4L, 8L, 16L))
+    assert(d34.sliding(2).forall(w => w(0)._2 <= w(1)._2), s"d34 candidates not monotone: $d34")
+    assert(d34.sliding(2).forall(w => w(0)._3 <= w(1)._3), s"d34 verified not monotone: $d34")
+    assert(d34.sliding(2).forall(w => w(0)._4 <= w(1)._4), s"d34 recall not monotone: $d34")
+    assert(d34.forall(r => r._3 <= r._2 && r._4 >= 0.0 && r._4 <= 1.0))
+    // d35: an n+1-gram match implies n-gram matches, so every column is a
+    // survival function of n — non-increasing.
+    val d35 = SparkEntry.queries("d35_contam_ngram_curve")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(d35.map(_._1).toSeq == Seq(3L, 5L, 8L))
+    assert(d35.sliding(2).forall(w => w(0)._2 >= w(1)._2), s"d35 pairs not anti-monotone: $d35")
+    assert(d35.sliding(2).forall(w => w(0)._3 >= w(1)._3), s"d35 docs not anti-monotone: $d35")
+    assert(d35.sliding(2).forall(w => w(0)._4 >= w(1)._4), s"d35 evals not anti-monotone: $d35")
+    assert(d35.head._2 > 0, "vacuous curve: no contamination at n=3 on this corpus")
+  }
+
+  test("q49 purchase gaps: shares sum to 1 and gap count is purchases minus users-with-purchases") {
+    val out = SparkEntry.queries("q49_purchase_gap_bands")(spark, sf).collect()
+    val p = Tables.events(spark, sf).filter(col("event_type") === "purchase")
+    val expectGaps = p.count() - p.select("user_id").distinct().count()
+    assert(out.map(_.getLong(2)).sum == expectGaps,
+      s"gap total ${out.map(_.getLong(2)).sum} != purchases-users $expectGaps")
+    assert(math.abs(out.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+  }
 }
