@@ -156,60 +156,74 @@ object SignatureAggs {
     * the retained output is exact, deterministic (smallest ids win —
     * independent of partitioning/merge order), and pre-sorted for
     * ordered pair expansion. Map-side partial aggregation applies:
-    * buffers are bounded TreeSets that merge by union-and-trim. */
+    * buffers merge by insert-and-trim.
+    *
+    * Buffer = one primitive long[limit + 1] (slot 0 holds the size, the
+    * sorted ids follow) — a group's entire aggregation state is ~one
+    * cache line with ZERO boxing; duplicate inserts (merge replay) are
+    * dropped, a full buffer rejects a candidate ≥ its max in one
+    * compare (the overwhelmingly common path on hot buckets), and an
+    * admitted candidate costs one binary search + one bounded
+    * arraycopy. */
   case class BoundedMinIds(
       child: Expression,
       limit: Int,
       override val mutableAggBufferOffset: Int = 0,
       override val inputAggBufferOffset: Int = 0)
-      extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+      extends TypedImperativeAggregate[Array[Long]]
       with UnaryLike[Expression] {
     require(limit > 0, s"bounded_min_ids: limit must be positive, got $limit")
 
-    override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
-      new java.util.TreeSet[java.lang.Long]()
+    override def createAggregationBuffer(): Array[Long] = new Array[Long](limit + 1)
 
-    private def add(buf: java.util.TreeSet[java.lang.Long], h: Long): Unit = {
-      if (buf.size < limit) buf.add(h)
-      else if (h < buf.last()) { buf.pollLast(); buf.add(h) }
+    private def add(buf: Array[Long], h: Long): Unit = {
+      val n = buf(0).toInt
+      if (n == limit && h >= buf(n)) return
+      var lo = 1; var hi = n // insertion point in buf[1..n], ascending
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (buf(mid) < h) lo = mid + 1
+        else if (buf(mid) > h) hi = mid - 1
+        else return // already present (ids are distinct per group; merge replays aren't)
+      }
+      val keep = if (n == limit) n - 1 else n
+      if (keep + 1 - lo > 0) System.arraycopy(buf, lo, buf, lo + 1, keep + 1 - lo)
+      buf(lo) = h
+      if (n < limit) buf(0) = n + 1
     }
 
-    override def update(buf: java.util.TreeSet[java.lang.Long],
-        input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
       val v = child.eval(input)
       if (v != null) add(buf, v.asInstanceOf[Long])
       buf
     }
 
-    override def merge(b1: java.util.TreeSet[java.lang.Long],
-        b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
-      val it = b2.iterator()
-      while (it.hasNext) add(b1, it.next())
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      val n2 = b2(0).toInt
+      var i = 1
+      while (i <= n2) { add(b1, b2(i)); i += 1 }
       b1
     }
 
-    override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
-      val out = new Array[Long](buf.size)
-      val it = buf.iterator()
-      var i = 0
-      while (it.hasNext) { out(i) = it.next(); i += 1 }
-      new GenericArrayData(out)
-    }
+    override def eval(buf: Array[Long]): Any =
+      new GenericArrayData(java.util.Arrays.copyOfRange(buf, 1, buf(0).toInt + 1))
 
-    override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
-      val bb = ByteBuffer.allocate(4 + buf.size * 8)
-      bb.putInt(buf.size)
-      val it = buf.iterator()
-      while (it.hasNext) bb.putLong(it.next())
+    override def serialize(buf: Array[Long]): Array[Byte] = {
+      val n = buf(0).toInt
+      val bb = ByteBuffer.allocate(4 + n * 8)
+      bb.putInt(n)
+      var i = 1
+      while (i <= n) { bb.putLong(buf(i)); i += 1 }
       bb.array()
     }
-    override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    override def deserialize(bytes: Array[Byte]): Array[Long] = {
       val bb = ByteBuffer.wrap(bytes)
       val n = bb.getInt
-      val s = new java.util.TreeSet[java.lang.Long]()
-      var i = 0
-      while (i < n) { s.add(bb.getLong); i += 1 }
-      s
+      val buf = new Array[Long](limit + 1)
+      buf(0) = n
+      var i = 1
+      while (i <= n) { buf(i) = bb.getLong; i += 1 }
+      buf
     }
 
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -232,74 +246,93 @@ object SignatureAggs {
     * (neighbor_id, rank) rows. Same total order as the window (Java's
     * Double.compare places NaN largest, matching Spark's DESC ordering),
     * ids unique within a group by construction, so the emitted top-k set
-    * AND order are value-identical to the window form. */
+    * AND order are value-identical to the window form.
+    *
+    * Buffer = two parallel primitive arrays in rank order (best first)
+    * behind one size field — no boxing, no tree nodes. A full buffer
+    * rejects a candidate at-or-below its worst entry in ONE compare (the
+    * overwhelmingly common path once the heap warms: most of a corpus
+    * scan loses to the running top-k); an admitted candidate costs one
+    * binary search + two bounded arraycopies. */
+  final class TopKBuf(val scores: Array[Double], val ids: Array[Long]) {
+    var n: Int = 0
+  }
+
   case class TopKPairs(
       score: Expression,
       id: Expression,
       k: Int,
       override val mutableAggBufferOffset: Int = 0,
       override val inputAggBufferOffset: Int = 0)
-      extends TypedImperativeAggregate[java.util.TreeSet[(Double, Long)]] {
+      extends TypedImperativeAggregate[TopKBuf] {
     require(k > 0, s"top_k_pairs: k must be positive, got $k")
 
-    // (score DESC, id ASC): first() is the best pair, last() the worst.
-    private val ord: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
-      def compare(a: (Double, Long), b: (Double, Long)): Int = {
-        val c = java.lang.Double.compare(b._1, a._1)
-        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+    override def createAggregationBuffer(): TopKBuf =
+      new TopKBuf(new Array[Double](k), new Array[Long](k))
+
+    // (score DESC, id ASC): negative = a ranks before b.
+    private def cmp(aS: Double, aI: Long, bS: Double, bI: Long): Int = {
+      val c = java.lang.Double.compare(bS, aS)
+      if (c != 0) c else java.lang.Long.compare(aI, bI)
+    }
+
+    private def add(buf: TopKBuf, s: Double, i: Long): Unit = {
+      val n = buf.n
+      if (n == k && cmp(s, i, buf.scores(n - 1), buf.ids(n - 1)) >= 0) return
+      var lo = 0; var hi = n - 1 // insertion point in rank order
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val c = cmp(buf.scores(mid), buf.ids(mid), s, i)
+        if (c < 0) lo = mid + 1
+        else if (c > 0) hi = mid - 1
+        else return // identical (score, id): merge replay duplicate
       }
+      val keep = if (n == k) n - 1 else n
+      if (keep - lo > 0) {
+        System.arraycopy(buf.scores, lo, buf.scores, lo + 1, keep - lo)
+        System.arraycopy(buf.ids, lo, buf.ids, lo + 1, keep - lo)
+      }
+      buf.scores(lo) = s
+      buf.ids(lo) = i
+      if (n < k) buf.n = n + 1
     }
 
-    override def createAggregationBuffer(): java.util.TreeSet[(Double, Long)] =
-      new java.util.TreeSet[(Double, Long)](ord)
-
-    private def add(buf: java.util.TreeSet[(Double, Long)], p: (Double, Long)): Unit = {
-      if (buf.size < k) buf.add(p)
-      else if (ord.compare(p, buf.last()) < 0) { buf.pollLast(); buf.add(p) }
-    }
-
-    override def update(buf: java.util.TreeSet[(Double, Long)],
-        input: InternalRow): java.util.TreeSet[(Double, Long)] = {
+    override def update(buf: TopKBuf, input: InternalRow): TopKBuf = {
       val s = score.eval(input)
       val i = id.eval(input)
       if (s != null && i != null)
-        add(buf, (s.asInstanceOf[Double], i.asInstanceOf[Long]))
+        add(buf, s.asInstanceOf[Double], i.asInstanceOf[Long])
       buf
     }
 
-    override def merge(b1: java.util.TreeSet[(Double, Long)],
-        b2: java.util.TreeSet[(Double, Long)]): java.util.TreeSet[(Double, Long)] = {
-      val it = b2.iterator()
-      while (it.hasNext) add(b1, it.next())
+    override def merge(b1: TopKBuf, b2: TopKBuf): TopKBuf = {
+      var i = 0
+      while (i < b2.n) { add(b1, b2.scores(i), b2.ids(i)); i += 1 }
       b1
     }
 
-    override def eval(buf: java.util.TreeSet[(Double, Long)]): Any = {
-      val out = new Array[Any](buf.size)
-      val it = buf.iterator()
+    override def eval(buf: TopKBuf): Any = {
+      val out = new Array[Any](buf.n)
       var i = 0
-      while (it.hasNext) {
-        val (s, id0) = it.next()
-        out(i) = InternalRow(id0, s)
-        i += 1
-      }
+      while (i < buf.n) { out(i) = InternalRow(buf.ids(i), buf.scores(i)); i += 1 }
       new GenericArrayData(out)
     }
 
-    override def serialize(buf: java.util.TreeSet[(Double, Long)]): Array[Byte] = {
-      val bb = ByteBuffer.allocate(4 + buf.size * 16)
-      bb.putInt(buf.size)
-      val it = buf.iterator()
-      while (it.hasNext) { val (s, i) = it.next(); bb.putDouble(s); bb.putLong(i) }
+    override def serialize(buf: TopKBuf): Array[Byte] = {
+      val bb = ByteBuffer.allocate(4 + buf.n * 16)
+      bb.putInt(buf.n)
+      var i = 0
+      while (i < buf.n) { bb.putDouble(buf.scores(i)); bb.putLong(buf.ids(i)); i += 1 }
       bb.array()
     }
-    override def deserialize(bytes: Array[Byte]): java.util.TreeSet[(Double, Long)] = {
+    override def deserialize(bytes: Array[Byte]): TopKBuf = {
       val bb = ByteBuffer.wrap(bytes)
       val n = bb.getInt
-      val s = new java.util.TreeSet[(Double, Long)](ord)
+      val buf = new TopKBuf(new Array[Double](k), new Array[Long](k))
+      buf.n = n
       var i = 0
-      while (i < n) { s.add((bb.getDouble, bb.getLong)); i += 1 }
-      s
+      while (i < n) { buf.scores(i) = bb.getDouble; buf.ids(i) = bb.getLong; i += 1 }
+      buf
     }
 
     override def dataType: DataType = ArrayType(StructType(Seq(
