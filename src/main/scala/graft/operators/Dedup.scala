@@ -3327,13 +3327,15 @@ object Dedup {
     * strictness.
     *
     * Scale shape: three runs of [[cappedContamPairs]] (each one shingle
-    * pass + a dfCap²-bounded pairing join); the n=5 leg shares
-    * [[contamSplitPairs]]' session memo with d09/d19 when they ran
-    * first. Output exactly 3 rows. */
+    * pass + a dfCap²-bounded pairing join); the n=5 leg runs FIRST so it
+    * hits [[contamSplitPairs]]' single-entry session memo when d09/d19
+    * already ran (computing 3 first would evict their entry and then
+    * recompute 5) — output order comes from the final sort, not the
+    * evaluation order. Output exactly 3 rows. */
   val contamCurve = Q(
     "d35_contam_ngram_curve",
     (s, d) => {
-      Seq(3, 5, 8).map { n =>
+      Seq(5, 3, 8).map { n =>
         contamSplitPairs(s, d, n)
           .agg(count(lit(1)).as("n_pairs"),
             countDistinct("doc_id").as("n_contam_docs"),
