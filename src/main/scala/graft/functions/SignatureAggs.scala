@@ -347,6 +347,61 @@ object SignatureAggs {
     override def prettyName: String = "top_k_pairs"
   }
 
+  /** Elementwise sum of long-array columns — the Lloyd loop's centroid
+    * accumulator. The posexplode formulation shuffles corpus × dim rows
+    * per iteration to sum per (cell, pos); this aggregate folds each
+    * vector into one dim-sized buffer per cell (lazily sized from the
+    * first input), merges map-side, and ships k × dim longs total.
+    * Exact integer sums, order-independent — value-identical to the
+    * exploded groupBy. */
+  case class LongVecSum(
+      child: Expression,
+      override val mutableAggBufferOffset: Int = 0,
+      override val inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+    override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+
+    override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v == null) return buf
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val b = if (buf.isEmpty) new Array[Long](arr.numElements()) else buf
+      var i = 0
+      while (i < b.length) { b(i) += arr.getLong(i); i += 1 }
+      b
+    }
+
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      if (b1.isEmpty) return b2
+      if (b2.isEmpty) return b1
+      var i = 0
+      while (i < b1.length) { b1(i) += b2(i); i += 1 }
+      b1
+    }
+
+    override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+    override def serialize(buf: Array[Long]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(4 + buf.length * 8)
+      bb.putInt(buf.length)
+      buf.foreach(bb.putLong)
+      bb.array()
+    }
+    override def deserialize(bytes: Array[Byte]): Array[Long] = {
+      val bb = ByteBuffer.wrap(bytes)
+      val n = bb.getInt
+      Array.fill(n)(bb.getLong)
+    }
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def withNewMutableAggBufferOffset(n: Int): LongVecSum = copy(mutableAggBufferOffset = n)
+    override def withNewInputAggBufferOffset(n: Int): LongVecSum = copy(inputAggBufferOffset = n)
+    override protected def withNewChildInternal(c: Expression): LongVecSum = copy(child = c)
+    override def prettyName: String = "long_vec_sum"
+  }
+
   /** Register the sketch aggregates in the session so they are usable as
     * `expr("minhash_sig(h)")` / `expr("simhash_sig(h)")` /
     * `expr("bounded_min_ids(id, k)")` (k a literal) in DataFrame aggs and
@@ -363,6 +418,9 @@ object SignatureAggs {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "top_k_pairs", exprs => TopKPairs(exprs(0), exprs(1),
         exprs(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression(),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "long_vec_sum", exprs => LongVecSum(exprs.head).toAggregateExpression(),
       "built-in")
   }
 }

@@ -1235,13 +1235,16 @@ object Similarity {
       .select(col("vec_id"), col("qe")).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
     if (cents.isEmpty) return Nil
+    graft.functions.SignatureAggs.register(q.sparkSession)
     for (_ <- 1 to iters) {
+      // Per-cell sum vectors via the elementwise long_vec_sum aggregate —
+      // ONE dim-sized buffer per cell with map-side merge, instead of
+      // shuffling corpus × dim posexploded rows per iteration. Exact
+      // integer sums, order-independent, value-identical to the exploded
+      // groupBy it replaced.
       val sums = q.withColumn("c", centroidBest(cents, col("qe")).getField("c"))
-        .select(col("c"), posexplode(col("qe")))
-        .groupBy("c", "pos").agg(sum("col").as("s"))
-        .collect().groupBy(_.getLong(0))
-        .map { case (cid, rows) =>
-          cid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+        .groupBy("c").agg(expr("long_vec_sum(qe)").as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
       cents = cents.map { case (cid, old) => (cid, sums.getOrElse(cid, old)) }
     }
     cents
