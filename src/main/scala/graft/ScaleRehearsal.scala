@@ -360,7 +360,12 @@ object ScaleRehearsal {
       // is three n-sweeps of the d09 bounded kernel. All three outputs
       // are pinned at 3 rows at any scale.
       "d33_cap_operating_curve", "d34_band_operating_curve",
-      "d35_contam_ngram_curve")
+      "d35_contam_ngram_curve",
+      // s20: two Lloyd loops over one quantized checkpoint (each iters ×
+      // one corpus scan into k long_vec_sum buffers) + k rows of driver
+      // arithmetic; m16: one fp window + source attach + #sources rollup
+      // (d01's band on the byte axis).
+      "s20_codebook_retrain_shift", "m16_media_dedup_reclaim")
     def timeQuery(name: String, dir: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
       def once(): (Double, Long) = {

@@ -163,7 +163,7 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    contaminated docs, and burned evals at n ∈ {3, 5, 8} over the
   *    d09/d19 kernel, the evidence for choosing the match-strictness n
   *    per corpus).
-  *  - s01..s19: similarity search (brute-force ANN, LSH-bucketed ANN,
+  *  - s01..s20: similarity search (brute-force ANN, LSH-bucketed ANN,
   *    per-label centroid stats, IVF ANN, recall@k evaluation, int8
   *    quantization error audit, incremental IVF ingest serving state,
   *    PQ-ADC with exact rerank, exact cosine radius search, MMR
@@ -184,11 +184,15 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    that catches cells balanced in storage but hot in traffic;
   *    cluster-population drift of the newest wave under the FROZEN
   *    resident-trained codebook — the rebalance trigger read before
-  *    retraining; the nprobe operating curve — exact recall@k and
+  *    retraining; the codebook RETRAIN shift — per cell, the cosine
+  *    between the frozen resident-trained centroid and a full-retrain
+  *    centroid, the geometric follow-up to the population-drift signal
+  *    (a shifted population whose centroid barely moves needs no
+  *    retrain); the nprobe operating curve — exact recall@k and
   *    scanned-fraction per candidate nprobe over the integer-milli
   *    codebook, the first oracle-exact IVF quality curve, with the
   *    nprobe=k row as its built-in brute-force proof anchor).
-  *  - m01..m15: multimodal binary-column plumbing (metadata, stub-decode
+  *  - m01..m16: multimodal binary-column plumbing (metadata, stub-decode
   *    features, frame sampling, strided resize, windowed frame energy,
   *    perceptual-hash near-dup pairs, scene-change detection over frame
   *    energies, VAD-style voiced-segment runs, WebDataset-style

@@ -1243,8 +1243,64 @@ object Multimodal {
               round(CAST(sum(in_w) AS DOUBLE) / 2048.0, 6) AS fill_ratio
             FROM per GROUP BY w ORDER BY window_id"""))
 
+  // ------------------------------- media dedup reclaim (m16)
+  /** m16: exact media-payload dedup reclaim per source — what a
+    * content-addressed store saves. Every payload is fingerprinted
+    * byte-exact (md5 over the RAW bytes — the media grain, unlike
+    * d01/d31's normalized-text grain: two media blobs either match
+    * bit-for-bit or they don't), each distinct payload is stored once
+    * globally and attributed to its min-doc_id keeper (d31's keeper
+    * convention), and the per-source rollup reports raw vs stored bytes
+    * and the reclaimed fraction — the "how much object storage does
+    * dedup buy, and which feed pays for the duplication" capacity-
+    * planning row next to d24's document-count inflation.
+    *
+    * Scale shape: one fingerprint window (fp-keyed — dup-cluster-sized
+    * partitions, d01/d07/d31's established shape), one doc-keyed source
+    * attach, one ≤ #sources aggregate with map-side partials. */
+  val mediaDedupReclaim = Q(
+    "m16_media_dedup_reclaim",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val m = mediaTable(s, d).toDF()
+        .select(col("doc_id"), md5(col("payload")).as("fp"),
+          octet_length(col("payload")).cast("long").as("nb"))
+        .withColumn("keep_id", min("doc_id").over(Window.partitionBy("fp")))
+      m.join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_media"),
+          sum("nb").as("bytes_raw"),
+          sum(when(col("doc_id") === col("keep_id"), col("nb")).otherwise(0L))
+            .as("bytes_stored"))
+        .select(col("source"), col("n_media"), col("bytes_raw"),
+          col("bytes_stored"),
+          round(lit(1.0) - col("bytes_stored").cast("double") /
+            col("bytes_raw").cast("double"), 6).as("reclaim_frac"))
+        .orderBy("source")
+    },
+    Some("""WITH fp AS (
+              SELECT doc_id, source, md5(text) AS fp,
+                CAST(octet_length(encode(text)) AS BIGINT) AS nb
+              FROM documents),
+            k AS (
+              SELECT doc_id, source, nb,
+                min(doc_id) OVER (PARTITION BY fp) AS keep_id
+              FROM fp),
+            agg AS (
+              SELECT source,
+                CAST(count(*) AS BIGINT) AS n_media,
+                CAST(sum(nb) AS BIGINT) AS bytes_raw,
+                CAST(sum(CASE WHEN doc_id = keep_id THEN nb ELSE 0 END)
+                  AS BIGINT) AS bytes_stored
+              FROM k GROUP BY source)
+            SELECT source, n_media, bytes_raw, bytes_stored,
+              round(1.0 - CAST(bytes_stored AS DOUBLE)
+                / CAST(bytes_raw AS DOUBLE), 6) AS reclaim_frac
+            FROM agg ORDER BY source"""))
+
   val all: Seq[Q] =
     Seq(mediaMeta, mediaFeatures, frameSample, mediaResize, frameEnergy, mediaNeardup,
       scenes, voiced, shardManifestQ, shardFillQ, mediaDecontam, mediaClusters,
-      payloadEntropyQ, mediaPipelineQ, interleavePackQ)
+      payloadEntropyQ, mediaPipelineQ, interleavePackQ, mediaDedupReclaim)
 }

@@ -1315,25 +1315,32 @@ object Similarity {
     s"(CASE WHEN coalesce(isnan($raw), true) THEN -2.0 ELSE $raw END)"
   }
 
-  private val kmeansIterSql: Int => String = i => {
-    val prev = if (i == 1) "c0" else s"c${i - 1}"
-    s"""a$i AS (
+  /** One Lloyd iteration as DuckDB CTEs over source table `src`, centroid
+    * chain named `$p0 → $p1 → …` — parameterized so a query can run TWO
+    * independent chains (s20 trains resident and full codebooks side by
+    * side); `kmeansIterSql` keeps s15/s19's original chain (src = q,
+    * p = c). */
+  private def kmeansIterSqlOver(src: String, p: String)(i: Int): String = {
+    val prev = if (i == 1) s"${p}0" else s"$p${i - 1}"
+    s"""${p}a$i AS (
          SELECT vec_id, label, qe, c FROM (
            SELECT vec_id, label, qe, c,
              row_number() OVER (PARTITION BY vec_id ORDER BY rc DESC, c) AS rn
            FROM (
              SELECT v.vec_id, v.label, v.qe, cc.c,
                ${rcSql("v.qe", "cc.qe")} AS rc
-             FROM q v CROSS JOIN $prev cc)) WHERE rn = 1),
-       s$i AS (
+             FROM $src v CROSS JOIN $prev cc)) WHERE rn = 1),
+       ${p}s$i AS (
          SELECT c, pos, CAST(sum(v) AS BIGINT) AS s FROM (
            SELECT c, unnest(generate_series(1, len(qe))) AS pos,
              unnest(qe) AS v
-           FROM a$i) GROUP BY c, pos),
-       l$i AS (SELECT c, list(s ORDER BY pos) AS qe FROM s$i GROUP BY c),
-       c$i AS (SELECT p.c, coalesce(l.qe, p.qe) AS qe
-               FROM $prev p LEFT JOIN l$i l ON l.c = p.c)"""
+           FROM ${p}a$i) GROUP BY c, pos),
+       ${p}l$i AS (SELECT c, list(s ORDER BY pos) AS qe FROM ${p}s$i GROUP BY c),
+       $p$i AS (SELECT p.c, coalesce(l.qe, p.qe) AS qe
+               FROM $prev p LEFT JOIN ${p}l$i l ON l.c = p.c)"""
   }
+
+  private val kmeansIterSql: Int => String = kmeansIterSqlOver("q", "c")
 
   val kmeansCarto = Q(
     "s15_kmeans_cartography",
@@ -1989,8 +1996,92 @@ object Similarity {
                 / NULLIF(CAST(nq * 10 AS DOUBLE), 0.0), 6) AS recall
             FROM agg, tot ORDER BY nprobe"""))
 
+  // ------------------------------- codebook retrain shift (s20)
+  /** s20: codebook RETRAIN shift — per routing cell, the cosine between
+    * the FROZEN resident-trained centroid (what the index serves with
+    * today, s18's codebook) and the centroid a full retrain over
+    * resident ∪ delta would produce. s18 answers "did the POPULATION
+    * move"; this answers the follow-up the rebalance decision actually
+    * needs: "would the centroids themselves move if I retrained" — a
+    * cell whose share shifted but whose centroid barely moves needs no
+    * retrain (new mass landed where the old center already was), while
+    * a moving centroid is serving stale geometry. Both trainings seed
+    * from the k lowest ids of their inputs, which coincide under the
+    * append split (resident ids precede delta ids), so cells align by
+    * construction; cells absent from either codebook (degenerate tiny
+    * residents) drop from the report (inner join, oracle-mirrored).
+    *
+    * Exactness: centroid SUM vectors are exact integer-milli BIGINTs on
+    * both engines (the division-free Lloyd loop); the shift cosine uses
+    * the round-9 sanitized grid (rcSql's form, zero-norm pinned to −2)
+    * printed at round-6, and the driver-side fold runs index-ascending —
+    * the same accumulation order as `vec_dot` and DuckDB's
+    * list_dot_product, so the doubles agree bit-for-bit.
+    *
+    * Scale shape: TWO Lloyd loops over ONE quantized checkpoint (each
+    * iters × one corpus scan into k dim-sized long_vec_sum buffers),
+    * then k rows of driver-side codebook arithmetic (codebook-sized by
+    * construction). Output pinned at ≤ k rows at any corpus size. */
+  def codebookRetrainShift(e: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val mxRow = e.agg(max("vec_id")).head()
+    val split = if (mxRow.isNullAt(0)) 0L else mxRow.getLong(0) * 4 / 5
+    val q = e.select(col("vec_id"), quantMilli.as("qe")).localCheckpoint()
+    val frozen = kmeansCentroidsFromQuant(
+      q.filter(col("vec_id") < split), k, iters)
+    val full = kmeansCentroidsFromQuant(q, k, iters).toMap
+    def rc9(a: Seq[Long], b: Seq[Long]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val raw = dot / (math.sqrt(na) * math.sqrt(nb))
+      if (raw.isNaN) -2.0
+      else BigDecimal.decimal(raw)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val rows = frozen.flatMap { case (cid, rv) =>
+      full.get(cid).map { fv =>
+        val shift = BigDecimal.decimal(rc9(rv, fv))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (cid, shift, shift < 0.999)
+      }
+    }
+    rows.toDF("cluster_id", "shift_cos", "retrain").orderBy("cluster_id")
+  }
+
+  val retrainShiftQ = Q(
+    "s20_codebook_retrain_shift",
+    (s, d) => codebookRetrainShift(Tables.embeddings(s, d)),
+    Some(s"""WITH q AS (
+              SELECT vec_id, CAST(0 AS BIGINT) AS label,
+                list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS qe
+              FROM embeddings),
+            emx AS (SELECT max(vec_id) AS m FROM q),
+            qr AS (SELECT * FROM q
+                   WHERE vec_id < (SELECT m * 4 // 5 FROM emx)),
+            c0 AS (SELECT vec_id AS c, qe FROM q ORDER BY vec_id LIMIT 8),
+            r0 AS (SELECT vec_id AS c, qe FROM qr ORDER BY vec_id LIMIT 8),
+            ${kmeansIterSqlOver("q", "c")(1)},
+            ${kmeansIterSqlOver("q", "c")(2)},
+            ${kmeansIterSqlOver("q", "c")(3)},
+            ${kmeansIterSqlOver("qr", "r")(1)},
+            ${kmeansIterSqlOver("qr", "r")(2)},
+            ${kmeansIterSqlOver("qr", "r")(3)}
+            SELECT cluster_id, shift_cos, shift_cos < 0.999 AS retrain
+            FROM (
+              SELECT r.c AS cluster_id,
+                round(${rcSql("r.qe", "f.qe")}, 6) AS shift_cos
+              FROM r3 r JOIN c3 f ON f.c = r.c)
+            ORDER BY cluster_id"""))
+
   val all: Seq[Q] =
     Seq(annBruteForce, annLsh, centroids, annIvf, annRecall, quantError, annAppend,
       annPq, radius, mmr, filteredAnn, annDelete, knnPurity, knnConfusion,
-      kmeansCarto, drift, probeBalance, populationDrift, nprobeCurveQ)
+      kmeansCarto, drift, probeBalance, populationDrift, nprobeCurveQ,
+      retrainShiftQ)
 }
