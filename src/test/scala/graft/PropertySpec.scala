@@ -545,4 +545,73 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("bounded_min_ids == distinct-sort-take reference over random inputs, partitionings, and duplicates") {
+    // The primitive-buffer collector's binary-search/arraycopy logic vs
+    // the obvious reference: keep all distinct ids if ≤ cap, else exactly
+    // cap+1 (the over-cap sentinel the caller filters on) — always the
+    // SMALLEST, always sorted, independent of row order and partitioning.
+    import spark.implicits._
+    graft.functions.SignatureAggs.register(spark)
+    for (seed <- 1 to 12) {
+      val rng = new scala.util.Random(seed)
+      val limit = 1 + rng.nextInt(9) // the caller's cap+1
+      val n = rng.nextInt(60)
+      // Duplicates on purpose: merge replay delivers the same id twice.
+      val xs = Seq.fill(n)(rng.nextInt(30).toLong - 10L)
+      val expect = xs.distinct.sorted.take(limit)
+      if (xs.nonEmpty) {
+        val got = xs.toDF("doc_id").repartition(1 + rng.nextInt(7))
+          .agg(org.apache.spark.sql.functions.expr(s"bounded_min_ids(doc_id, $limit)"))
+          .head().getSeq[Long](0).toSeq
+        assert(got == expect, s"seed=$seed limit=$limit: $got != $expect (input $xs)")
+      }
+    }
+  }
+
+  test("top_k_pairs == sort-by-(score desc, id)-take-k reference over random inputs incl. NaN and ties") {
+    import spark.implicits._
+    graft.functions.SignatureAggs.register(spark)
+    for (seed <- 1 to 12) {
+      val rng = new scala.util.Random(seed)
+      val k = 1 + rng.nextInt(8)
+      val n = 1 + rng.nextInt(60)
+      // Distinct ids (the call sites' contract), scores drawn from a small
+      // grid so ties are common; an occasional NaN checks the Double
+      // total-order agreement with the window form (NaN largest).
+      val rows = rng.shuffle((0 until n).map(_.toLong)).map { id =>
+        val s = if (rng.nextInt(20) == 0) Double.NaN
+          else (rng.nextInt(7) - 3) / 4.0
+        (s, id)
+      }
+      // Reference via the explicit comparator matching the window's total
+      // order (a plain scala sortBy would put NaN LAST, not first).
+      val ref = rows.sorted(new Ordering[(Double, Long)] {
+        def compare(a: (Double, Long), b: (Double, Long)): Int = {
+          val c = java.lang.Double.compare(b._1, a._1)
+          if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+        }
+      }).take(k).map(_._2)
+      val got = rows.toDF("c", "neighbor_id").repartition(1 + rng.nextInt(7))
+        .agg(org.apache.spark.sql.functions.expr(s"top_k_pairs(c, neighbor_id, $k)"))
+        .head().getSeq[org.apache.spark.sql.Row](0).map(_.getLong(0)).toSeq
+      assert(got == ref, s"seed=$seed k=$k: $got != $ref (input $rows)")
+    }
+  }
+
+  test("long_vec_sum == elementwise reference over random vectors and partitionings") {
+    import spark.implicits._
+    graft.functions.SignatureAggs.register(spark)
+    for (seed <- 1 to 8) {
+      val rng = new scala.util.Random(seed)
+      val dim = 1 + rng.nextInt(16)
+      val n = 1 + rng.nextInt(40)
+      val vecs = Seq.fill(n)(Seq.fill(dim)(rng.nextLong() % 1000000L))
+      val expect = (0 until dim).map(i => vecs.map(_(i)).sum)
+      val got = vecs.map(Tuple1(_)).toDF("qe").repartition(1 + rng.nextInt(7))
+        .agg(org.apache.spark.sql.functions.expr("long_vec_sum(qe)"))
+        .head().getSeq[Long](0).toSeq
+      assert(got == expect, s"seed=$seed dim=$dim: $got != $expect")
+    }
+  }
 }
