@@ -34,24 +34,41 @@ object Bench {
       val times = if (base.nonEmpty && base.min > 3.0) base :+ once() else base
       name -> (if (times.nonEmpty) times.filter(_ >= 0).min else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    def fmtMap(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val qs = fmtMap(results)
     val total = results.map(_._2).filter(_ >= 0).sum
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The full 180-query line is ~7 KB — larger than the driver's stdout
+    // tail window, which truncated its head two rounds running and left
+    // `parsed: null`. So: full detail goes to bench_out.json (the graded
+    // artifact) and is printed EARLY for humans; the LAST stdout line is a
+    // compact (~1.2 KB) summary the tail-parse can always capture whole —
+    // same shape (metric/value/unit/queries/sf), with `queries` holding
+    // per-family totals plus the 20 slowest individual queries.
+    val families = results.filter(_._2 >= 0).groupBy(_._1.take(1)).toSeq
+      .map { case (f, rs) => s"${f}_family_total" -> rs.map(_._2).sum }.sortBy(_._1)
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(20).sortBy(_._1)
+    val compact =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${
+        fmtMap(families ++ slowest)},"sf":"$sfDir","n_queries":${results.size},"detail":"bench_out.json"}"""
     // Persist the metric to a file FIRST — the one artifact the driver
     // grades must survive whatever the JVM prints at shutdown.
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_out.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] write bench_out.json: $e") }
-    // Stop Spark BEFORE printing the metric line: `spark.stop()` can race
-    // still-in-flight noop-write/AQE futures into a RejectedExecutionException
-    // stack trace on stderr/stdout; printing last keeps the JSON line as the
-    // tail of stdout, where the driver's parser looks for it. The brief pause
-    // lets the last noop write's async cleanup futures drain first.
+    System.out.println(line)
+    // Stop Spark BEFORE printing the final metric line: `spark.stop()` can
+    // race still-in-flight noop-write/AQE futures into a
+    // RejectedExecutionException stack trace on stderr/stdout; printing last
+    // keeps the compact JSON line as the tail of stdout, where the driver's
+    // parser looks for it. The brief pause lets the last noop write's async
+    // cleanup futures drain first.
     Thread.sleep(2000)
     try spark.stop()
     catch { case e: Throwable => System.err.println(s"[bench] spark.stop: $e") }
-    System.out.println(line)
+    System.out.println(compact)
     System.out.flush()
   }
 }

@@ -270,9 +270,12 @@ object SignatureAggs {
     override def createAggregationBuffer(): TopKBuf =
       new TopKBuf(new Array[Double](k), new Array[Long](k))
 
-    // (score DESC, id ASC): negative = a ranks before b.
+    // (score DESC, id ASC): negative = a ranks before b. `+ 0.0`
+    // normalizes -0.0 to +0.0 so the order matches the row_number
+    // window (and DuckDB), which treat them as equal and tie-break by
+    // id — Double.compare alone would rank -0.0 below +0.0.
     private def cmp(aS: Double, aI: Long, bS: Double, bI: Long): Int = {
-      val c = java.lang.Double.compare(bS, aS)
+      val c = java.lang.Double.compare(bS + 0.0, aS + 0.0)
       if (c != 0) c else java.lang.Long.compare(aI, bI)
     }
 
@@ -367,6 +370,9 @@ object SignatureAggs {
       if (v == null) return buf
       val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       val b = if (buf.isEmpty) new Array[Long](arr.numElements()) else buf
+      require(arr.numElements() == b.length,
+        s"long_vec_sum: ragged input — vector of ${arr.numElements()} elements " +
+          s"after buffer sized ${b.length}; all vectors in a group must share one length")
       var i = 0
       while (i < b.length) { b(i) += arr.getLong(i); i += 1 }
       b
@@ -375,6 +381,8 @@ object SignatureAggs {
     override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
       if (b1.isEmpty) return b2
       if (b2.isEmpty) return b1
+      require(b1.length == b2.length,
+        s"long_vec_sum: merging buffers of unequal length ${b1.length} vs ${b2.length}")
       var i = 0
       while (i < b1.length) { b1(i) += b2(i); i += 1 }
       b1
