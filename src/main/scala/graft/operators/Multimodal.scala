@@ -1255,30 +1255,22 @@ object Multimodal {
     * dedup buy, and which feed pays for the duplication" capacity-
     * planning row next to d24's document-count inflation.
     *
-    * Scale shape: one fingerprint window (fp-keyed — dup-cluster-sized
-    * partitions, d01/d07/d31's established shape), one doc-keyed source
-    * attach, one ≤ #sources aggregate with map-side partials. */
+    * Scale shape: one (fp, source)-keyed aggregate with map-side partials
+    * (replacing the earlier fp window — the counts table is the view
+    * algebra's state, see below), one fp-keyed keeper argmin over that
+    * (≪ media rows) table, one ≤ #sources close.
+    *
+    * The query is expressed as `reclaimFromCounts(reclaimCounts(...))` —
+    * a (partial, close) pair over an ASSOCIATIVE state table — so the
+    * maintained streaming view ([[graft.streaming.ViewStreams
+    * .maintainReclaimView]]) is the literal same code folded per
+    * micro-batch: drift between batch m16 and the view has nowhere to
+    * live. */
   val mediaDedupReclaim = Q(
     "m16_media_dedup_reclaim",
-    (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val m = mediaTable(s, d).toDF()
-        .select(col("doc_id"), md5(col("payload")).as("fp"),
-          octet_length(col("payload")).cast("long").as("nb"))
-        .withColumn("keep_id", min("doc_id").over(Window.partitionBy("fp")))
-      m.join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
-        .groupBy("source")
-        .agg(
-          count(lit(1)).as("n_media"),
-          sum("nb").as("bytes_raw"),
-          sum(when(col("doc_id") === col("keep_id"), col("nb")).otherwise(0L))
-            .as("bytes_stored"))
-        .select(col("source"), col("n_media"), col("bytes_raw"),
-          col("bytes_stored"),
-          round(lit(1.0) - col("bytes_stored").cast("double") /
-            col("bytes_raw").cast("double"), 6).as("reclaim_frac"))
-        .orderBy("source")
-    },
+    (s, d) => reclaimFromCounts(reclaimCounts(
+      mediaTable(s, d).toDF()
+        .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id"))),
     Some("""WITH fp AS (
               SELECT doc_id, source, md5(text) AS fp,
                 CAST(octet_length(encode(text)) AS BIGINT) AS nb
@@ -1298,6 +1290,45 @@ object Multimodal {
               round(1.0 - CAST(bytes_stored AS DOUBLE)
                 / CAST(bytes_raw AS DOUBLE), 6) AS reclaim_frac
             FROM agg ORDER BY source"""))
+
+  /** m16's state algebra, partial half: fold (doc_id, source, payload)
+    * rows to the (fp, source) grain — doc count, min doc_id, and the
+    * payload byte size (constant per fp: equal md5 ⇒ equal bytes at the
+    * operator's content-addressing grain). ASSOCIATIVE + COMMUTATIVE on
+    * exact types (counts add, mins fold, nb is idempotent), so any
+    * micro-batch slicing merges to the full recompute — the q43 contract
+    * that lets the maintained view ride the generation protocol. Keeper
+    * MIGRATION is what the grain buys: when a later batch delivers a
+    * lower doc_id for a known fp, the merged min_doc moves and the close
+    * re-attributes that fp's stored bytes to the new keeper's source —
+    * no stored per-source bytes ever have to be "un-counted" because
+    * attribution happens at close, not in state. */
+  def reclaimCounts(rows: DataFrame): DataFrame =
+    rows.select(col("doc_id"), col("source"), md5(col("payload")).as("fp"),
+        octet_length(col("payload")).cast("long").as("nb"))
+      .groupBy("fp", "source")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"),
+        min("nb").as("nb"))
+
+  /** m16's close: per-source raw sums from the counts table, keeper
+    * attribution via one fp-keyed `min_by` argmin (the min-doc_id keeper
+    * convention), left-joined so a source holding media but no keepers
+    * reports bytes_stored = 0. */
+  def reclaimFromCounts(st: DataFrame): DataFrame = {
+    val perSource = st.groupBy("source").agg(
+      sum("n_docs").as("n_media"),
+      sum(col("n_docs") * col("nb")).as("bytes_raw"))
+    val stored = st.groupBy("fp")
+      .agg(expr("min_by(named_struct('source', source, 'nb', nb), min_doc)").as("k"))
+      .groupBy(col("k.source").as("source"))
+      .agg(sum(col("k.nb")).as("bytes_stored"))
+    perSource.join(stored, Seq("source"), "left")
+      .select(col("source"), col("n_media"), col("bytes_raw"),
+        coalesce(col("bytes_stored"), lit(0L)).as("bytes_stored"),
+        round(lit(1.0) - coalesce(col("bytes_stored"), lit(0L)).cast("double") /
+          col("bytes_raw").cast("double"), 6).as("reclaim_frac"))
+      .orderBy("source")
+  }
 
   val all: Seq[Q] =
     Seq(mediaMeta, mediaFeatures, frameSample, mediaResize, frameEnergy, mediaNeardup,

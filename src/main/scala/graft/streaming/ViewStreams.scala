@@ -229,6 +229,60 @@ object ViewStreams {
         (coalesce(col("an"), lit(0L)) + coalesce(col("bn"), lit(0L)))
           .as("n_items"))
 
+  // ---------------------- the reclaim view (m16's maintenance twin)
+
+  /** Merge two reclaim states — full-outer coalesce-sum on the
+    * (fp, source) key: doc counts add, keeper candidates fold by `least`
+    * (min doc_id), nb carries through (identical on both sides of a
+    * matched key by the content-addressing grain). When a batch delivers
+    * a LOWER doc_id for a known fp, the merged min_doc migrates and the
+    * close re-attributes that payload's stored bytes to the new keeper's
+    * source — the bytes_stored re-attribution requirement, satisfied
+    * structurally because state never stores per-source byte totals. */
+  private def mergeReclaim(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("fp"), col("source"), col("n_docs").as("an"),
+        col("min_doc").as("am"), col("nb").as("ab"))
+      .join(b.select(col("fp"), col("source"), col("n_docs").as("bn"),
+        col("min_doc").as("bm"), col("nb").as("bb")),
+        Seq("fp", "source"), "full_outer")
+      .select(col("fp"), col("source"),
+        (coalesce(col("an"), lit(0L)) + coalesce(col("bn"), lit(0L)))
+          .as("n_docs"),
+        least(coalesce(col("am"), col("bm")), coalesce(col("bm"), col("am")))
+          .as("min_doc"),
+        coalesce(col("ab"), col("bb")).as("nb"))
+
+  /** Maintain m16's media-dedup reclaim state per micro-batch of arriving
+    * ENRICHED media rows (doc_id, source, payload — the ingest shape,
+    * source already attached) — the FOURTH maintained view on the shared
+    * generation protocol: one more view is one (partial, merge2) pair.
+    * The partial is the literal batch [[graft.operators.Multimodal
+    * .reclaimCounts]]; crash-safety and replay-idempotence are
+    * [[mergeBatch]]'s, inherited, not re-argued. */
+  def maintainReclaimView(stream: DataFrame, statePath: String,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          mergeBatchWith(batch.sparkSession, batch.toDF(), statePath, batchId,
+            graft.operators.Multimodal.reclaimCounts _, mergeReclaim)
+      }
+      .start()
+
+  /** Read the maintained reclaim view in m16's exact output shape via the
+    * SHARED close ([[graft.operators.Multimodal.reclaimFromCounts]]) —
+    * the state IS m16's counts table. */
+  def reclaimView(spark: SparkSession, statePath: String): DataFrame = {
+    val root = new Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val latest = committedGens(fs, root).lastOption.getOrElse(
+      throw new IllegalStateException(
+        s"no committed state generation under $statePath"))
+    graft.operators.Multimodal.reclaimFromCounts(
+      spark.read.parquet(latest._2.toString))
+  }
+
   /** Read the maintained fulfillment view in q47's exact output shape —
     * the state IS q47's counts table, closed by the same shared
     * [[graft.operators.Relational.fulfillmentFromCounts]]. */

@@ -499,6 +499,72 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("maintained reclaim view == batch m16 over the same media under any batch slicing, incl. keeper migration") {
+    import java.nio.file.Files
+    import graft.streaming.ViewStreams
+    import graft.operators.Multimodal
+    // The enriched-media stream an ingest pipeline carries: source
+    // already attached (the fulfillment-view stance). Batch m16 over the
+    // same rows is ground truth — partial via the SHARED reclaimCounts,
+    // close via the SHARED reclaimFromCounts, so drift has nowhere to
+    // live.
+    val fixture = Multimodal.mediaTable(spark, sf).toDF()
+      .join(Tables.documents(spark, sf).select("doc_id", "source"), "doc_id")
+      .select("doc_id", "source", "payload")
+    // Plant one cross-half duplicate: the min-doc payload re-ingested
+    // under a fresh max id (a re-crawl of an old asset) — guarantees a
+    // keeper that MUST migrate when the low half arrives second, at any
+    // fixture SF.
+    val maxId = fixture.agg(max("doc_id")).head().getLong(0)
+    val enriched = fixture.unionAll(
+      fixture.orderBy("doc_id").limit(1)
+        .select(lit(maxId + 1).as("doc_id"), lit("recrawl").as("source"),
+          col("payload")))
+    val recompute = Multimodal.reclaimFromCounts(
+        Multimodal.reclaimCounts(enriched))
+      .collect().map(_.toString).toSeq
+    assert(recompute.nonEmpty)
+    // (a) an arbitrary slicing (associativity under any batching).
+    val base1 = Files.createTempDirectory("graft-reclaim-3").toString
+    enriched.repartition(3).write.mode("overwrite").parquet(s"$base1/arrivals")
+    val q1 = ViewStreams.maintainReclaimView(
+      ViewStreams.readLineitemStream(spark, s"$base1/arrivals", enriched),
+      s"$base1/state", s"$base1/ckpt")
+    try q1.processAllAvailable() finally q1.stop()
+    val m1 = ViewStreams.reclaimView(spark, s"$base1/state")
+      .collect().map(_.toString).toSeq
+    assert(m1 == recompute,
+      s"reclaim view drifted at 3 batches: " +
+        s"${m1.diff(recompute).take(2)} vs ${recompute.diff(m1).take(2)}")
+    // (b) the keeper-MIGRATION slicing: every higher-id copy lands a full
+    // batch BEFORE the eventual min-id keepers, so the merge must move
+    // min_doc downward and the close must re-attribute bytes_stored to
+    // the late keeper's source — the d10 move at byte grain.
+    val mid = enriched.agg(max("doc_id")).head().getLong(0) / 2
+    val spanning = enriched
+      .select(md5(col("payload")).as("fp"), col("doc_id"))
+      .groupBy("fp").agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .filter(col("lo") < mid && col("hi") >= mid).count()
+    assert(spanning > 0,
+      "fixture degenerate: no payload duplicated across the doc_id split — " +
+        "the migration slicing would not exercise keeper movement")
+    val base2 = Files.createTempDirectory("graft-reclaim-mig").toString
+    enriched.filter(col("doc_id") >= mid).coalesce(1)
+      .write.mode("append").parquet(s"$base2/arrivals")
+    Thread.sleep(1100) // distinct file mod-times => deterministic batch order
+    enriched.filter(col("doc_id") < mid).coalesce(1)
+      .write.mode("append").parquet(s"$base2/arrivals")
+    val q2 = ViewStreams.maintainReclaimView(
+      ViewStreams.readLineitemStream(spark, s"$base2/arrivals", enriched),
+      s"$base2/state", s"$base2/ckpt")
+    try q2.processAllAvailable() finally q2.stop()
+    val m2 = ViewStreams.reclaimView(spark, s"$base2/state")
+      .collect().map(_.toString).toSeq
+    assert(m2 == recompute,
+      s"reclaim view drifted under keeper migration: " +
+        s"${m2.diff(recompute).take(2)} vs ${recompute.diff(m2).take(2)}")
+  }
+
   test("streaming view maintenance converges to the recompute under any batch slicing") {
     import java.nio.file.Files
     import graft.streaming.ViewStreams
