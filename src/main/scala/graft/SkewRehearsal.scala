@@ -82,7 +82,7 @@ object SkewRehearsal {
     val k = if (args.length > 2) args(2).toInt else 10
     val sections: Set[String] =
       if (args.length > 3 && args(3) != "all") args(3).split(",").toSet
-      else Set("skew", "boiler", "salt", "boiler2", "bandcap")
+      else Set("skew", "boiler", "salt", "boiler2", "bandcap", "curves")
     val reuse = args.length > 4 && args(4) == "reuse"
     val spark = GraftSession.get("graft-skew-rehearsal")
 
@@ -155,6 +155,8 @@ object SkewRehearsal {
 
     if (sections("bandcap")) bandCapWave(spark, sfDir, outDir, reuse)
 
+    if (sections("curves")) curveWave(spark, sfDir, outDir, reuse)
+
     if (sections("salt")) {
     // ---- q35's per-key top-k window: single-window vs the two-phase
     // salted plan on the 90%-hot source (the regime where one key's sort
@@ -199,17 +201,11 @@ object SkewRehearsal {
     * shows the H² term the cap removes; walls show capped d02 and d32's
     * bipartite probe staying in-band on the corpus that detonates the
     * uncapped plan. */
-  private def bandCapWave(spark: org.apache.spark.sql.SparkSession,
-      sfDir: String, outDir: String, reuse: Boolean): Unit = {
-    def minOf2(f: => Long): (Double, Long) = {
-      def once(): (Double, Long) = {
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime(); val rows = f
-        ((System.nanoTime() - t0) / 1e9, rows)
-      }
-      val (tA, rows) = once(); val (tB, _) = once()
-      (math.min(tA, tB), rows)
-    }
+  /** The uniform 10× corpus plus H = 2048 byte-copies of one base doc
+    * (every copy minhashes to the same bucket in all bands) — written
+    * once, shared by the bandcap and curves waves. */
+  private def ensureHotdup(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, outDir: String, reuse: Boolean): String = {
     val hot = s"$outDir/hotdup"
     val H = 2048L
     if (!reuse ||
@@ -227,6 +223,57 @@ object SkewRehearsal {
       ScaleRehearsal.scaledDocs(docs, 10).unionAll(clones)
         .write.mode("overwrite").parquet(s"$hot/documents.parquet")
     }
+    hot
+  }
+
+  /** Round-14 wave: the OPERATING-CURVE queries on the adversarial
+    * corpora they characterize. d33/d35 run on the boiler corpus (every
+    * boiler n-gram's df = corpus size ≫ 256, so ALL curve points must
+    * hold flat — the df-cap family protects the whole curve, not just
+    * the shipped point; the between-64-and-256 detonation shape is
+    * pinned at spec scale in DedupCapSpec, where the planted df sits
+    * inside the curve's range); d34 runs on the hotdup corpus (the
+    * H-clone bucket is over cap in every band, so candidates stay
+    * bounded at every prefix while uncapped generation would carry
+    * Bands·H²/2 pair rows). Walls vs the 1× uniform baseline plus the
+    * full curve signatures — the SHAPE is the evidence. */
+  private def curveWave(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, outDir: String, reuse: Boolean): Unit = {
+    def minOf2(f: => Long): (Double, Long) = {
+      def once(): (Double, Long) = {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime(); val rows = f
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      val (tA, rows) = once(); val (tB, _) = once()
+      (math.min(tA, tB), rows)
+    }
+    val hot = ensureHotdup(spark, sfDir, outDir, reuse)
+    Seq(("d33_cap_operating_curve", s"$outDir/boiler"),
+        ("d35_contam_ngram_curve", s"$outDir/boiler"),
+        ("d34_band_operating_curve", hot)).foreach { case (name, dir) =>
+      val fn = SparkEntry.queries(name)
+      val (t1, _) = minOf2(fn(spark, sfDir).count())
+      val (tS, _) = minOf2(fn(spark, dir).count())
+      val tag = if (dir == hot) "hotdup" else "boiler"
+      println(f"[skew] ${name + "_" + tag}%-34s base=$t1%7.2f skew=$tS%8.2f ${tS / t1}%6.1fx")
+      fn(spark, dir).collect().foreach(r => println(s"[skew]   ${name}_$tag row: $r"))
+      fn(spark, sfDir).collect().foreach(r => println(s"[skew]   ${name}_base row: $r"))
+    }
+  }
+
+  private def bandCapWave(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, outDir: String, reuse: Boolean): Unit = {
+    def minOf2(f: => Long): (Double, Long) = {
+      def once(): (Double, Long) = {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime(); val rows = f
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      val (tA, rows) = once(); val (tB, _) = once()
+      (math.min(tA, tB), rows)
+    }
+    val hot = ensureHotdup(spark, sfDir, outDir, reuse)
     // Accounting: per-(band, bucket) population → candidate pair rows,
     // uncapped vs sub-cap. The hot cluster contributes Bands · H·(H−1)/2
     // to the uncapped term; the capped term must not carry it.

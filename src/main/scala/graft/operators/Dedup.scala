@@ -3332,13 +3332,13 @@ object Dedup {
     * points are conditional counts over one pair table, not three kernel
     * runs; Jaccard stays exact over ALL shingles (hot-set recovery at
     * the 256 boundary, d04's arithmetic). Output exactly 3 rows. */
-  val capCurve = Q(
-    "d33_cap_operating_curve",
-    (s, d) => {
-      import s.implicits._
-      val caps = Seq(8L, 64L, 256L)
+  /** d33's kernel over an already-materialized hashed shingle table (the
+    * corpus path reads the session-memoized one; SkewRehearsal and the
+    * curve-shape spec drive planted boiler corpora through it). */
+  def capOperatingCurveFromHashes(hs: DataFrame,
+      caps: Seq[Long] = Seq(8L, 64L, 256L)): DataFrame = {
+      import hs.sparkSession.implicits._
       val maxCap = caps.max
-      val hs = corpusShingleHashes(s, d)
       val dfTab = hs.groupBy("sh_h").agg(count(lit(1)).as("df"))
         .localCheckpoint() // read by the rare join (twice) + hot recovery
       val rare = hs.join(dfTab.filter(col("df") <= maxCap), Seq("sh_h"))
@@ -3382,7 +3382,11 @@ object Dedup {
           coalesce(col("nc"), lit(0L)).as("n_candidates"),
           coalesce(col("np"), lit(0L)).as("n_pairs"))
         .orderBy("df_cap")
-    },
+  }
+
+  val capCurve = Q(
+    "d33_cap_operating_curve",
+    (s, d) => capOperatingCurveFromHashes(corpusShingleHashes(s, d)),
     Some(s"""WITH sh AS (
               SELECT DISTINCT doc_id, shingle FROM (
                 SELECT doc_id,
@@ -3443,10 +3447,15 @@ object Dedup {
     * plus ONE verify join and one truth-kernel run; the three curve rows
     * are conditional counts over the checkpointed pair tables (bounded
     * × 1 row crossJoins, PlanAudit-allowlisted). Output exactly 3 rows. */
-  val bandCurve = Q(
-    "d34_band_operating_curve",
-    (s, d) => {
-      val cand = corpusBucketIds(s, d)
+  /** d34's kernel: `bids` is a capped (band, bucket, ids) table,
+    * `verify` maps the expanded candidate pair set to its Jaccard-≥-0.5
+    * verified subset (the corpus path returns the memoized verified-pair
+    * slice — it covers exactly the pairs `bids` expands, and the
+    * candidate join below restricts it; the generic path runs the verify
+    * join), `truth` the capped-exact ≥ 0.5 pair set. */
+  private def bandOperatingCurveCore(bids: DataFrame,
+      verify: DataFrame => DataFrame, truth: DataFrame): DataFrame = {
+      val cand = bids
         .select(col("band"), explode(expr(
           """flatten(transform(ids,
             |  (x, i) -> transform(slice(ids, i + 2, size(ids)),
@@ -3454,10 +3463,7 @@ object Dedup {
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(min("band").as("b0"))
         .localCheckpoint()
-      val truth = corpusCappedJaccard(s, d).filter(col("jaccard") >= 0.5)
-        .select("a", "b")
-      val ver = corpusVerifiedPairs(s, d)
-        .filter(col("jaccard") >= 0.5).select("a", "b")
+      val ver = verify(cand.select("a", "b"))
         .join(cand, Seq("a", "b")).localCheckpoint()
       val verHit = ver.join(truth, Seq("a", "b"), "leftsemi")
       Seq(4, 8, 16).map { nb =>
@@ -3472,7 +3478,28 @@ object Dedup {
             round(graft.functions.TextFns.safeFrac(
               col("n_hits"), col("n_truth")), 6).as("recall"))
       }.reduce(_ unionAll _).orderBy("n_bands")
-    },
+  }
+
+  /** d34 over an arbitrary corpus (SkewRehearsal's hot-bucket corpora and
+    * the curve-shape spec). */
+  def bandOperatingCurveFrom(docs: DataFrame): DataFrame = {
+    val hs = materializedShingleHashes(docs)
+    bandOperatingCurveCore(
+      bucketIds(bandBuckets(signaturesFromHashes(hs)), BandBucketCap),
+      cand => jaccardPairsHashed(hs, Some(cand))
+        .filter(col("jaccard") >= 0.5).select("a", "b"),
+      jaccardPairsCapped(hs).filter(col("jaccard") >= 0.5)
+        .select("a", "b").localCheckpoint())
+  }
+
+  val bandCurve = Q(
+    "d34_band_operating_curve",
+    (s, d) => bandOperatingCurveCore(
+      corpusBucketIds(s, d),
+      _ => corpusVerifiedPairs(s, d)
+        .filter(col("jaccard") >= 0.5).select("a", "b"),
+      corpusCappedJaccard(s, d).filter(col("jaccard") >= 0.5)
+        .select("a", "b")),
     Some(s"""WITH $minhashSigCtes,
             dfq AS (SELECT sh_h, count(*) AS df FROM hs GROUP BY sh_h),
             interx AS (
@@ -3542,17 +3569,32 @@ object Dedup {
     * same memoized artifact the whole LSH family reads) — output order
     * comes from the final sort, not the evaluation order. Output exactly
     * 3 rows. */
+  /** One d35 curve row from a qualified pair table. */
+  private def contamCurveRow(pairs: DataFrame, n: Int): DataFrame =
+    pairs
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct("doc_id").as("n_contam_docs"),
+        countDistinct("eval_doc").as("n_burned_evals"))
+      .select(lit(n.toLong).as("ngram_n"), col("n_pairs"),
+        col("n_contam_docs"), col("n_burned_evals"))
+
+  /** d35 over an arbitrary corpus (no session memo — SkewRehearsal's
+    * boiler corpora and the curve-shape spec). */
+  def contamNgramCurveFrom(docs: DataFrame, ns: Seq[Int] = Seq(5, 3, 8)): DataFrame =
+    ns.map { n =>
+      val sh = hashedShingles(shingleSets(docs, n)).localCheckpoint()
+      contamCurveRow(cappedContamPairs(
+        sh.filter(col("doc_id") % 19 =!= 0),
+        sh.filter(col("doc_id") % 19 === 0)
+          .select(col("doc_id").as("eval_doc"), col("sh_h")),
+        ShingleDfCap), n)
+    }.reduce(_ unionAll _).orderBy("ngram_n")
+
   val contamCurve = Q(
     "d35_contam_ngram_curve",
     (s, d) => {
-      Seq(5, 3, 8).map { n =>
-        contamSplitPairs(s, d, n)
-          .agg(count(lit(1)).as("n_pairs"),
-            countDistinct("doc_id").as("n_contam_docs"),
-            countDistinct("eval_doc").as("n_burned_evals"))
-          .select(lit(n.toLong).as("ngram_n"), col("n_pairs"),
-            col("n_contam_docs"), col("n_burned_evals"))
-      }.reduce(_ unionAll _).orderBy("ngram_n")
+      Seq(5, 3, 8).map(n => contamCurveRow(contamSplitPairs(s, d, n), n))
+        .reduce(_ unionAll _).orderBy("ngram_n")
     },
     Some {
       // One qualified-pair block per n, mirroring the d09 oracle (df-cap

@@ -319,4 +319,104 @@ class DedupCapSpec extends SparkSpec {
     assert(got.exists(r => r._3 == "exact_dup") && got.exists(_._3 == "keep"),
       s"fixture degenerate: $got")
   }
+
+  test("d33 curve on a planted boiler corpus: flat pairs over a detonating candidate column") {
+    import spark.implicits._
+    // 140 docs share a 12-token boiler tail whose internal 3-gram df
+    // (140) sits BETWEEN the curve's 64 and 256 points; bodies are
+    // 45 unique tokens each, so boiler-only overlap Jaccard ≈ 0.10 —
+    // below d04's 0.12. Five planted near-dup pairs share 43/45 body
+    // tokens (df = 2 shingles → candidates at every cap, Jaccard ≫ 0.12).
+    // Expected curve: n_pairs FLAT at 5 for all caps; n_candidates flat
+    // at 5 through cap 64, then DETONATING to ~C(140,2) at cap 256 when
+    // the boiler shingles qualify — the cap scaladoc's operating argument,
+    // pinned.
+    val boiler = "all rights reserved contact us terms of service apply here today now ok"
+    def body(tag: String) = (0 until 45).map(j => s"$tag$j").mkString(" ")
+    val base = (0 until 130).map(i => (i.toLong, s"${body(s"u${i}t")} $boiler"))
+    val dups = (0 until 5).flatMap { p =>
+      val shared = (0 until 43).map(j => s"p${p}s$j").mkString(" ")
+      Seq(
+        (1000L + 2 * p, s"$shared p${p}xa p${p}xb $boiler"),
+        (1001L + 2 * p, s"$shared p${p}ya p${p}yb $boiler"))
+    }
+    val docs = (base ++ dups).toDF("doc_id", "text")
+    val curve = Dedup.capOperatingCurveFromHashes(
+        Dedup.materializedShingleHashes(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byCap = curve.map(r => r._1 -> (r._2, r._3)).toMap
+    assert(byCap(8L)._2 == 5 && byCap(64L)._2 == 5 && byCap(256L)._2 == 5,
+      s"pair column not flat at the planted 5: $curve")
+    assert(byCap(8L)._1 == 5 && byCap(64L)._1 == 5,
+      s"sub-boiler caps should see only the 5 planted candidates: $curve")
+    assert(byCap(256L)._1 >= 100L * byCap(64L)._1,
+      s"cap 256 should detonate the candidate column (boiler df = 140): $curve")
+  }
+
+  test("d34 curve on a planted hot-bucket corpus: candidates bounded at every prefix") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val natural = Dedup.bandOperatingCurveFrom(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // H byte-copies of one base doc: every copy minhashes into the SAME
+    // bucket in ALL 16 bands, so each band's clone bucket holds H+1 > cap
+    // members and is dropped from candidate generation — uncapped, the
+    // clone cluster alone would add ≥ H·(H−1)/2 = 4950 pairs per prefix.
+    val h = 100L
+    val base = docs.orderBy("doc_id").limit(1).select("text").head().getString(0)
+    val stride = docs.agg(max("doc_id")).head().getLong(0) + 1L
+    val clones = spark.range(h).select(
+      (col("id") + lit(stride)).as("doc_id"), lit(base).as("text"))
+    val hot = docs.select("doc_id", "text").unionAll(clones)
+    val curve = Dedup.bandOperatingCurveFrom(hot)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    curve.foreach { case (nb, nc) =>
+      assert(nc <= natural(nb),
+        s"hot-bucket corpus grew candidates at $nb bands: $nc > ${natural(nb)}")
+      assert(nc < h * (h - 1) / 2,
+        s"clone-cluster pairs leaked into candidates at $nb bands: $nc")
+    }
+    // More bands only ADD banding chances: the curve is nondecreasing.
+    val sorted = curve.sortBy(_._1).map(_._2)
+    assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b },
+      s"candidate curve not monotone in n_bands: $curve")
+  }
+
+  test("d35 curve on a planted boiler corpus: boiler excluded, strictly ordered by n-gram reach") {
+    import spark.implicits._
+    // 80 base docs (eval slice = doc_id % 19 == 0) all share an 11-token
+    // boiler tail — every boiler n-gram's df ≈ 85 > cap, so uncapped the
+    // curve would report ~375 (corpus × eval) pairs at every n. Planted
+    // leaks of three strengths: 12-token sentences match at n = 3/5/8,
+    // a 6-token one at 3/5 only, a 4-token one at 3 only. Expected
+    // n_pairs: 5, 4, 3 — the survival-function reading, with zero
+    // boiler contamination.
+    val boiler = "copyright terms conditions privacy policy site map contact help about us"
+    def body(tag: String) = (0 until 30).map(j => s"$tag$j").mkString(" ")
+    val base = (0 until 80).map(i => (i.toLong, s"${body(s"b${i}w")} $boiler"))
+    def leak(p: Int, len: Int) = (0 until len).map(j => s"leak${p}w$j").mkString(" ")
+    // A doc-UNIQUE separator sits between boiler and leak so the only
+    // shared sub-cap n-grams are the leak sentence's INTERNAL ones — a
+    // boiler→leak boundary n-gram would otherwise be pair-unique-shared
+    // at every n and flatten the curve.
+    val partners = Seq(
+      (1001L, s"${body("c1w")} $boiler sepc1 ${leak(1, 12)}"),
+      (1002L, s"${body("c2w")} $boiler sepc2 ${leak(2, 12)}"),
+      (1003L, s"${body("c3w")} $boiler sepc3 ${leak(3, 12)}"),
+      (1004L, s"${body("c4w")} $boiler sepc4 ${leak(4, 6)}"),
+      (1005L, s"${body("c5w")} $boiler sepc5 ${leak(5, 4)}"))
+    val evalLeaks = Map(19L -> 1, 38L -> 2, 57L -> 3, 76L -> 4, 0L -> 5)
+    val docs = (base.map { case (id, t) =>
+      evalLeaks.get(id) match {
+        case Some(p) =>
+          val len = if (p <= 3) 12 else if (p == 4) 6 else 4
+          (id, s"$t sepe$id ${leak(p, len)}")
+        case None => (id, t)
+      }
+    } ++ partners).toDF("doc_id", "text")
+    val curve = Dedup.contamNgramCurveFrom(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(curve == Map(3L -> 5L, 5L -> 4L, 8L -> 3L),
+      s"d35 boiler curve drifted from the planted (5, 4, 3): $curve")
+  }
 }
