@@ -58,3 +58,56 @@ object NfcNormalize {
     s
   }
 }
+
+/** 37-bin symbol histogram over a string's ASCII [a-z0-9 ] characters —
+  * m13's entropy alphabet, counted in ONE byte scan inside whole-stage
+  * codegen. The composable form (`split` → per-char `explode` → a
+  * (doc, symbol)-keyed aggregate) materializes a row PER PAYLOAD BYTE —
+  * the m13/m14 doc-wave profile measured that leg at ~16 s of the 100×
+  * corpus's wall (250M symbol rows through a shuffle whose output is ≤ 37
+  * rows per doc). This expression returns the 37 counts directly
+  * (index 0–25 = 'a'–'z', 26–35 = '0'–'9', 36 = space), so the entropy
+  * rollup becomes map-side higher-order-function arithmetic over a
+  * fixed-width array: no explode, no symbol shuffle, no join-back.
+  *
+  * Byte-scan correctness on UTF-8: the counted chars are single-byte
+  * ASCII, and UTF-8 continuation/lead bytes of multi-byte characters are
+  * ≥ 0x80 (negative as signed bytes), so a byte match IS a character
+  * match — identical counts to the per-character regex filter. Callers
+  * pass `lower(...)` input, keeping Unicode lowercasing (the engine-
+  * parity contract with the oracle's `lower()`) outside the expression.
+  */
+case class AsciiSymHist(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"ascii_sym_hist requires STRING, got $t")
+  }
+  override def nullSafeEval(v: Any): Any =
+    AsciiSymHist.compute(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.AsciiSymHist.compute($c)")
+  override protected def withNewChildInternal(c: Expression): AsciiSymHist =
+    copy(child = c)
+  override def prettyName: String = "ascii_sym_hist"
+}
+
+object AsciiSymHist {
+  /** Static so generated code can call it. */
+  def compute(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val h = new Array[Long](37)
+    val n = s.numBytes()
+    var i = 0
+    while (i < n) {
+      val c = s.getByte(i)
+      if (c >= 'a' && c <= 'z') h(c - 'a') += 1
+      else if (c >= '0' && c <= '9') h(26 + (c - '0')) += 1
+      else if (c == ' ') h(36) += 1
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(h)
+  }
+}

@@ -958,33 +958,34 @@ object Multimodal {
     * by the batch query (which attaches the 50-flattest cutoff) and by
     * [[payloadEntropyCutoff]] (which freezes that cutoff for the
     * streaming gate). */
-  private[graft] def entropyBase(media: Dataset[MediaRecord]): DataFrame = {
-    val chars = media.toDF()
+  private[graft] def entropyBase(media: Dataset[MediaRecord]): DataFrame =
+    // One codegen'd byte scan per payload into a 37-bin histogram
+    // ([[graft.functions.AsciiSymHist]]), then map-side higher-order
+    // arithmetic — the earlier per-character explode shipped a row per
+    // payload byte through a (doc, symbol) shuffle (250M rows at the 100×
+    // rehearsal, the doc wave's top leg) and joined the doc grain back;
+    // this shape has NO exchange at all before the caller's rollup.
+    // Arithmetic is bin-for-bin identical: c·ln(c) micro-nat terms are
+    // summed over the same 37-symbol alphabet (c = 1 contributes
+    // floor(0.5) = 0, c = 0 bins are excluded exactly as absent
+    // (doc, sym) rows were), and a payload with no matching symbols gets
+    // (0, 0) exactly as the old left join's coalesce did.
+    media.toDF()
       .select(col("doc_id"), col("media_type"),
         octet_length(col("payload")).cast("long").as("n_bytes"),
-        explode(expr(
-          "filter(split(lower(cast(payload as string)), ''), c -> c rlike '^[a-z0-9 ]$')"))
-          .as("sym"))
-    val perSym = chars.groupBy("doc_id", "media_type", "n_bytes", "sym")
-      .agg(count(lit(1)).as("c"))
-    val perDoc = perSym.groupBy("doc_id", "media_type", "n_bytes")
-      .agg(count(lit(1)).as("n_symbols"), sum("c").as("n"),
-        sum(floor(col("c").cast("double") * log(col("c").cast("double")) * 1e6
-          + 0.5).cast("long")).as("term_micro"))
+        expr("ascii_sym_hist(lower(cast(payload as string)))").as("h"))
       .select(col("doc_id"), col("media_type"), col("n_bytes"),
-        col("n_symbols"),
-        floor((log(col("n").cast("double"))
-          - col("term_micro").cast("double") / (col("n").cast("double") * 1e6))
-          * 1e6 + 0.5).cast("long").as("entropy_micro"))
-    media.toDF().select(col("doc_id"),
-        col("media_type").as("mt"),
-        octet_length(col("payload")).cast("long").as("nb"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("mt").as("media_type"),
-        col("nb").as("n_bytes"),
-        coalesce(col("n_symbols"), lit(0L)).as("n_symbols"),
-        coalesce(col("entropy_micro"), lit(0L)).as("entropy_micro"))
-  }
+        expr("cast(size(filter(h, c -> c > 0)) as bigint)").as("n_symbols"),
+        expr("aggregate(h, 0L, (a, c) -> a + c)").as("n"),
+        expr("""aggregate(h, 0L, (a, c) -> a + IF(c > 0,
+               cast(floor(cast(c as double) * ln(cast(c as double)) * 1e6 + 0.5) as bigint),
+               0L))""").as("term_micro"))
+      .select(col("doc_id"), col("media_type"), col("n_bytes"), col("n_symbols"),
+        when(col("n") > 0L,
+          floor((log(col("n").cast("double"))
+            - col("term_micro").cast("double") / (col("n").cast("double") * 1e6))
+            * 1e6 + 0.5).cast("long"))
+          .otherwise(lit(0L)).as("entropy_micro"))
 
   /** The frozen review-queue cutoff for the streaming entropy gate: the
     * max entropy_micro among the resident corpus's 50 flattest assets —

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ByteEnergy, DotProduct, Md5Mod, NfcNormalize, RollingMinHash, SignatureAggs, Sq8Error}
+import graft.functions.{AsciiSymHist, ByteEnergy, DotProduct, Md5Mod, NfcNormalize, RollingMinHash, SignatureAggs, Sq8Error}
 
 /** SparkSessionExtensions wiring for the engine's custom Catalyst pieces.
   *
@@ -51,6 +51,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("sq8_err"),
       info("sq8_err", "sq8_err(v) - [mae, rmse] of int8 symmetric-quantization round-trip"),
       (exprs: Seq[Expression]) => Sq8Error(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("ascii_sym_hist"),
+      info("ascii_sym_hist", "ascii_sym_hist(s) - 37-bin [a-z0-9 ] symbol histogram, one codegen'd byte scan"),
+      (exprs: Seq[Expression]) => AsciiSymHist(exprs.head)))
     e.injectFunction((
       FunctionIdentifier("nfc_norm"),
       info("nfc_norm", "nfc_norm(s) - Unicode NFC normalization (codegen'd, ASCII fast path)"),

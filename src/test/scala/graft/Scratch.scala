@@ -32,6 +32,7 @@ object Scratch {
     if (names == Seq("d10prof")) { d10prof(spark, d); spark.stop(); return }
     if (names == Seq("d02lazy")) { d02lazy(spark, d); spark.stop(); return }
     if (names == Seq("s18prof")) { s18prof(spark, d); spark.stop(); return }
+    if (names == Seq("m13prof")) { m13prof(spark, d); spark.stop(); return }
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
       (1 to 2).foreach { i =>
@@ -45,6 +46,51 @@ object Scratch {
       }
     }
     spark.stop()
+  }
+
+  /** Stepwise m13/m14 leg timings at the given SF dir (throwaway — run
+    * with SPARK_GRAFT_SF_DIR=target/scale100x for the 100× attribution):
+    * which leg carries the doc wave's highest ratio — the entropy
+    * byte-scan (char explode, rows ∝ payload bytes), the m06 banded
+    * signature near-dup, or the m09 two-phase pack? Each leg is
+    * materialized through the noop sink (the s17 lesson: `count()` lets
+    * the optimizer delete the subtree under test). */
+  private def m13prof(spark: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Multimodal
+    def time[A](label: String)(f: => A): A = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[m13] $label%-34s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      r
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    val media = Multimodal.mediaTable(spark, d)
+    (1 to 2).foreach { round =>
+      println(s"[m13] -- pass $round --")
+      time("explode+perSym agg (byte scan)") {
+        noop(media.toDF()
+          .select(col("doc_id"), explode(expr(
+            "filter(split(lower(cast(payload as string)), ''), c -> c rlike '^[a-z0-9 ]$')"))
+            .as("sym"))
+          .groupBy("doc_id", "sym").agg(count(lit(1)).as("c")))
+      }
+      time("entropyBase (full doc grain)") { noop(Multimodal.entropyBase(media)) }
+      time("m13 full (base + cutoff attach)") {
+        noop(SparkEntry.queries("m13_payload_entropy")(spark, d))
+      }
+      time("m06 leg: banded neardup pairs") {
+        noop(Multimodal.mediaNeardupPairs(media, 14))
+      }
+      time("m09 leg: shardManifest (all media)") {
+        noop(Multimodal.shardManifest(media))
+      }
+      time("m14 full (composed)") {
+        noop(SparkEntry.queries("m14_media_pipeline")(spark, d))
+      }
+    }
   }
 
   /** Stepwise s18 stage timings at the given SF dir (throwaway): where do
