@@ -119,7 +119,10 @@ object PlanAudit {
       "d34_band_operating_curve",
       // q49: the ≤4-row gap-band rollup crossJoins its 1-row total
       // aggregate (q41's bounded × 1 row shape).
-      "q49_purchase_gap_bands")
+      "q49_purchase_gap_bands",
+      // d36: five 1-row artifact rollups crossJoin into the one release
+      // verdict row (p13's shape).
+      "d36_release_dedup_report")
       // m14 carries m13's 1-row cutoff crossJoin but needs NO entry: the
       // planner turns the attach into a broadcast hash join under the
       // composed plan (the staleness gate rejected the precautionary
@@ -146,6 +149,10 @@ object PlanAudit {
       "each; the hint keeps the corpus un-shuffled (the operator's core " +
       "invariant), and a pathological all-duplicates corpus degrades the " +
       "broadcast build, not the corpus scan"),
+    "d36_release_dedup_report" -> ("composes d07's keep-list tail: the hinted " +
+      "relations are the key-only (doc_id) drop lists — a small fraction of " +
+      "corpus rows at 8 bytes each (d07's argument verbatim); every other " +
+      "input is a 1-row rollup of a memoized candidate-sized artifact"),
     "d10_incremental_keep" -> ("every hinted relation derives from the DELTA " +
       "(daily ingest, structurally << corpus) or from candidate doc_ids " +
       "keyed off it; the persisted corpus index is probed map-side by " +

@@ -117,7 +117,7 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    tokenizer fertility per (source, lang) under the t21-trained
   *    merge table — the deployment metric that completes the
   *    train/encode/measure tokenizer triple).
-  *  - d01..d35: dedup & corpus hygiene (exact, MinHash-LSH, SimHash,
+  *  - d01..d36: dedup & corpus hygiene (exact, MinHash-LSH, SimHash,
   *    n-gram Jaccard, embedding-cosine, connected-component clusters,
   *    keep-list, near-dup triangles, benchmark decontamination,
   *    incremental delta dedup, exact-substring repeated spans, near-dup
@@ -162,7 +162,10 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    the decontamination n-gram sensitivity curve — qualified pairs,
   *    contaminated docs, and burned evals at n ∈ {3, 5, 8} over the
   *    d09/d19 kernel, the evidence for choosing the match-strictness n
-  *    per corpus).
+  *    per corpus; the one-row release dedup report — corpus size,
+  *    exact-dup and verified-pair and cluster mass, final keep count,
+  *    every number a 1-row rollup of the session-memoized kernel
+  *    artifacts, the release-gate readout the memo exists for).
   *  - s01..s20: similarity search (brute-force ANN, LSH-bucketed ANN,
   *    per-label centroid stats, IVF ANN, recall@k evaluation, int8
   *    quantization error audit, incremental IVF ingest serving state,
@@ -192,7 +195,7 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    scanned-fraction per candidate nprobe over the integer-milli
   *    codebook, the first oracle-exact IVF quality curve, with the
   *    nprobe=k row as its built-in brute-force proof anchor).
-  *  - m01..m16: multimodal binary-column plumbing (metadata, stub-decode
+  *  - m01..m17: multimodal binary-column plumbing (metadata, stub-decode
   *    features, frame sampling, strided resize, windowed frame energy,
   *    perceptual-hash near-dup pairs, scene-change detection over frame
   *    energies, VAD-style voiced-segment runs, WebDataset-style
@@ -207,7 +210,12 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    manifest; interleaved multimodal sample packing — text tokens +
   *    fixed media slots packed into training windows with per-window
   *    modality-mix and fill audits, the OBELICS-style loader layout;
-  *    binaryFile ingest in Multimodal).
+  *    exact media-payload dedup reclaim per source — content-addressed
+  *    bytes_raw vs bytes_stored with min-doc_id keeper attribution, also
+  *    maintained incrementally as the fourth streaming view; per-source
+  *    symbol-class profile over the codegen'd 37-bin payload histogram —
+  *    letter/digit/space mass and letter fraction, the pre-decode feed
+  *    audit; binaryFile ingest in Multimodal).
   *  - p01: the composed curation pipeline (gate → dedup-among-survivors →
   *    sequence packing) emitting every document's final disposition and
   *    packed window range — the lineage record of a training-data run.

@@ -3635,11 +3635,85 @@ object Dedup {
           ORDER BY ngram_n"""
     })
 
+  // ------------------------------- release dedup report (d36)
+  /** d36: the ONE-ROW release-gate readout a dedup pipeline publishes per
+    * corpus freeze — corpus size, exact-dup group/dropped counts, the
+    * verified near-dup pair count at the operating threshold, cluster
+    * count and mass, and the final keep count. Every number is a 1-row
+    * rollup of the session's memoized kernel artifacts ([[CorpusMemo]]),
+    * which is the query's point: a release process computes the
+    * signature / pair / cluster tables ONCE and the gate report reads
+    * them for free — the d09/d19 composition stance promoted to the
+    * whole kernel, made queryable (and oracle-checked end-to-end against
+    * DuckDB's independent fingerprint window + recursive-CTE closure).
+    *
+    * Scale shape: one fingerprint aggregate over the corpus plus 1-row
+    * rollups of candidate-sized tables, assembled by 1-row × 1-row
+    * crossJoins (p13's verdict-row shape, allowlisted). */
+  val releaseReport = Q(
+    "d36_release_dedup_report",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val fpg = docs.select(md5(normText(col("text"))).as("fp"))
+        .groupBy("fp").agg(count(lit(1)).as("c"))
+      val exactAgg = fpg.agg(
+        count(when(col("c") > 1, 1)).as("n_dup_groups"),
+        coalesce(sum(when(col("c") > 1, col("c") - 1)), lit(0L)).as("n_exact_dropped"))
+      val pairsAgg = corpusVerifiedPairs(s, d).filter(col("jaccard") >= 0.5)
+        .agg(count(lit(1)).as("n_neardup_pairs"))
+      val clustersAgg = corpusClusterTable(s, d, 0.5, 50)
+        .agg(countDistinct("cluster_rep").as("n_clusters"),
+          count(lit(1)).as("n_cluster_members"))
+      val keptAgg = keepList(s, d, 0.5)
+        .agg(coalesce(sum(when(col("keep"), 1L).otherwise(0L)), lit(0L)).as("n_keep"))
+      docs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(exactAgg).crossJoin(pairsAgg)
+        .crossJoin(clustersAgg).crossJoin(keptAgg)
+    },
+    Some(s"""WITH RECURSIVE $minhashOracleCtes,
+            pairs AS (
+              SELECT a, b
+              FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+              WHERE round(CAST(n_common AS DOUBLE) /
+                          CAST(sa.n + sb.n - n_common AS DOUBLE), 4) >= 0.5),
+            edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+            reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+            labels AS (
+              SELECT a AS doc_id, min(b) AS label
+              FROM (SELECT a, b FROM reach UNION ALL SELECT DISTINCT a, a FROM edges)
+              GROUP BY a),
+            cl AS (SELECT label, CAST(count(*) AS BIGINT) AS cs
+                   FROM labels GROUP BY label HAVING count(*) > 1),
+            fpd AS (
+              SELECT doc_id,
+                md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+              FROM documents),
+            g AS (SELECT f, CAST(count(*) AS BIGINT) AS c FROM fpd GROUP BY f),
+            ed AS (SELECT doc_id FROM (
+                     SELECT doc_id, min(doc_id) OVER (PARTITION BY f) AS k FROM fpd)
+                   WHERE doc_id <> k),
+            nd AS (SELECT doc_id FROM labels WHERE doc_id <> label),
+            dr AS (SELECT doc_id FROM ed UNION SELECT doc_id FROM nd)
+            SELECT
+              (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+              (SELECT CAST(count(*) AS BIGINT) FROM g WHERE c > 1) AS n_dup_groups,
+              (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM g WHERE c > 1)
+                AS n_exact_dropped,
+              (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_neardup_pairs,
+              (SELECT CAST(count(*) AS BIGINT) FROM cl) AS n_clusters,
+              (SELECT CAST(coalesce(sum(cs), 0) AS BIGINT) FROM cl)
+                AS n_cluster_members,
+              (SELECT CAST(count(*) AS BIGINT) FROM documents)
+                - (SELECT CAST(count(*) AS BIGINT) FROM dr) AS n_keep"""))
+
   val all: Seq[Q] =
     Seq(exact, minhash, simhash, ngramJaccard, embedding, clusters, keep, triangles,
       decontam, incremental, repeated, consensus, chunkDedup, semantic, bestKeep,
       provenance, embeddingDecontam, containment, evalLeak, crossSource, splitLeak,
       calibration, hotReport, inflation, spectrum, templateScrubQ, clusterSourceMix,
       boilerplateDriftQ, cdcDedupQ, hotChunksQ, softDedupQ, incrementalNearDupQ,
-      capCurve, bandCurve, contamCurve)
+      capCurve, bandCurve, contamCurve, releaseReport)
 }

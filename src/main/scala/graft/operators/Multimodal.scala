@@ -1331,8 +1331,64 @@ object Multimodal {
       .orderBy("source")
   }
 
+  // ------------------------------- symbol-class source profile (m17)
+  /** m17: per-source symbol-class profile over raw payloads — letter /
+    * digit / space mass and the letter fraction, the pre-decode feed
+    * audit next to m13's per-asset entropy gate ("which feed ships
+    * text-like payloads, which ships numeric dumps"). Runs on
+    * [[graft.functions.AsciiSymHist]]: ONE codegen'd byte scan per
+    * payload into a 37-bin histogram, class masses as higher-order
+    * slices of it — no per-character explode, no symbol shuffle; the
+    * only exchange is the ≤ #sources rollup with map-side partials.
+    * Exact integer masses, so the only rounded column is the final
+    * fraction (NULL on a symbol-free source in both engines). */
+  val symbolProfile = Q(
+    "m17_symbol_source_profile",
+    (s, d) => {
+      val h = mediaTable(s, d).toDF()
+        .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
+        .select(col("source"),
+          expr("ascii_sym_hist(lower(cast(payload as string)))").as("h"))
+        .select(col("source"),
+          expr("aggregate(slice(h, 1, 26), 0L, (a, c) -> a + c)").as("nl"),
+          expr("aggregate(slice(h, 27, 10), 0L, (a, c) -> a + c)").as("nd"),
+          expr("element_at(h, 37)").as("ns"))
+      h.groupBy("source")
+        .agg(count(lit(1)).as("n_media"),
+          sum("nl").as("n_letters"), sum("nd").as("n_digits"),
+          sum("ns").as("n_spaces"))
+        .withColumn("letter_frac", round(graft.functions.TextFns.safeFrac(
+          col("n_letters"),
+          col("n_letters") + col("n_digits") + col("n_spaces")), 6))
+        .orderBy("source")
+    },
+    Some("""WITH ch AS (
+              SELECT d.source, unnest(string_split(lower(d.text), '')) AS c
+              FROM documents d),
+            agg AS (
+              SELECT source,
+                CAST(sum(CASE WHEN c SIMILAR TO '[a-z]' THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_letters,
+                CAST(sum(CASE WHEN c SIMILAR TO '[0-9]' THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_digits,
+                CAST(sum(CASE WHEN c = ' ' THEN 1 ELSE 0 END) AS BIGINT) AS n_spaces
+              FROM ch GROUP BY source),
+            nm AS (SELECT source, CAST(count(*) AS BIGINT) AS n_media
+                   FROM documents GROUP BY source)
+            SELECT n.source, n.n_media,
+              CAST(coalesce(a.n_letters, 0) AS BIGINT) AS n_letters,
+              CAST(coalesce(a.n_digits, 0) AS BIGINT) AS n_digits,
+              CAST(coalesce(a.n_spaces, 0) AS BIGINT) AS n_spaces,
+              round(CAST(coalesce(a.n_letters, 0) AS DOUBLE)
+                / NULLIF(CAST(coalesce(a.n_letters, 0) + coalesce(a.n_digits, 0)
+                              + coalesce(a.n_spaces, 0) AS DOUBLE), 0.0), 6)
+                AS letter_frac
+            FROM nm n LEFT JOIN agg a USING (source)
+            ORDER BY n.source"""))
+
   val all: Seq[Q] =
     Seq(mediaMeta, mediaFeatures, frameSample, mediaResize, frameEnergy, mediaNeardup,
       scenes, voiced, shardManifestQ, shardFillQ, mediaDecontam, mediaClusters,
-      payloadEntropyQ, mediaPipelineQ, interleavePackQ, mediaDedupReclaim)
+      payloadEntropyQ, mediaPipelineQ, interleavePackQ, mediaDedupReclaim,
+      symbolProfile)
 }
