@@ -365,7 +365,14 @@ object ScaleRehearsal {
       // one corpus scan into k long_vec_sum buffers) + k rows of driver
       // arithmetic; m16: one fp window + source attach + #sources rollup
       // (d01's band on the byte axis).
-      "s20_codebook_retrain_shift", "m16_media_dedup_reclaim")
+      "s20_codebook_retrain_shift", "m16_media_dedup_reclaim",
+      // Round-14: d36 is five 1-row rollups of the session-memoized
+      // kernel artifacts + one corpus fingerprint aggregate — the
+      // measured wall is the MARGINAL (post-memo-build) cost, the
+      // production release-report reading; m17 is one codegen'd byte
+      // scan per payload (ascii_sym_hist) into a #sources rollup —
+      // m13's band without the explode.
+      "d36_release_dedup_report", "m17_symbol_source_profile")
     def timeQuery(name: String, dir: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
       def once(): (Double, Long) = {
