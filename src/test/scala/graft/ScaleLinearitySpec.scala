@@ -25,8 +25,28 @@ class ScaleLinearitySpec extends SparkSpec {
     ScaleRehearsal.scaledDocs(spark.read.parquet(s"$base/documents.parquet"), 3)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
+    // d02/d04 are timed through their GENERIC From-kernels, not the
+    // inventory registrations: round 14's CorpusMemo makes the registered
+    // forms report the session-MARGINAL (memo-hit) wall, which no longer
+    // contains the candidate-generation work this ceiling exists to
+    // guard — a pair explosion would hide inside the one-time memo build
+    // the min-of-2 discards. The From path runs the full kernel per call,
+    // so the k² regression still trips the ceiling here. Row outputs are
+    // identical to the registered queries by construction.
+    import org.apache.spark.sql.functions.col
+    val kernelForms: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame] = Map(
+      "d02_dedup_minhash_lsh" -> ((s, dir) =>
+        operators.Dedup.minhashPairsFrom(
+          s.read.parquet(s"$dir/documents.parquet"), 0.5)),
+      "d04_ngram_jaccard" -> ((s, dir) =>
+        operators.Dedup.jaccardPairsCapped(
+            operators.Dedup.materializedShingleHashes(
+              s.read.parquet(s"$dir/documents.parquet")))
+          .filter(col("jaccard") >= 0.12).orderBy("a", "b")))
+
     def minOf2(name: String, dir: String): (Double, Long) = {
-      val fn = SparkEntry.queries(name)
+      val fn = kernelForms.getOrElse(name, SparkEntry.queries(name))
       def once(): (Double, Long) = {
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
