@@ -35,7 +35,11 @@ object PlanAudit {
     *    aggregate — fixed-size × 1 row.
     */
   val bnljAllowlist: Set[String] =
-    Set("s01_ann_cosine_topk", "s09_radius_search", "s10_ann_mmr_diversify",
+    // s01 carries NO entry since round 14: it reads the session-memoized
+    // exact-top-k checkpoint (the broadcast probe scan lives inside the
+    // memo build, which the audit sees through whichever query builds it
+    // first — a checkpointed leaf thereafter).
+    Set("s09_radius_search", "s10_ann_mmr_diversify",
       // s13: s01's broadcast-probe scan carrying labels (vec_id < 20).
       "s13_knn_label_purity",
       "t08_tfidf_topterms",
@@ -157,15 +161,13 @@ object PlanAudit {
       "(daily ingest, structurally << corpus) or from candidate doc_ids " +
       "keyed off it; the persisted corpus index is probed map-side by " +
       "construction"),
-    "s01_ann_cosine_topk" -> "probe side is a LIMIT-10 query set",
+    // s01/s02/s04/s08: no entries since round 14 — their probe sides are
+    // LIMIT-10 slices of the session-memoized embeddings CHECKPOINT, so
+    // no hinted subtree reads a corpus table anymore (checkpointed
+    // leaves carry no table identity; the one-time memo build is audited
+    // through whichever query runs it first).
     "s09_radius_search" -> "probe side is a LIMIT-10 query set",
     "s10_ann_mmr_diversify" -> "probe side is a LIMIT-10 query set",
-    "s02_ann_lsh_bucketed" -> "probe side is a LIMIT-10 query set",
-    "s04_ann_ivf" -> "probe side is a LIMIT-10 query set",
-    "s08_ann_pq" -> ("hinted relation is the vec_id < nQueries query set " +
-      "(literal-bounded row count) joined to a shortlist capped at " +
-      "queries × rerank×topK rows by the ADC heap pass — both sides " +
-      "structurally bounded regardless of corpus size"),
     // s05_ann_recall: no entry — its hints broadcast probe sets derived
     // from the shared eagerly-checkpointed embeddings table (checkpointed
     // leaves carry no table identity, and each probe set is the same

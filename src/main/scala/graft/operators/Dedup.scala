@@ -1411,7 +1411,7 @@ object Dedup {
     * no-eager-unpersist policy above, legal ONLY when the caller can
     * prove no live reference to the DataFrame remains (the freed blocks
     * are unrecomputable). */
-  private def freeCheckpoint(df: DataFrame): Unit =
+  private[operators] def freeCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
       case _ => () // not a checkpoint-backed plan; nothing to free
