@@ -99,6 +99,23 @@ object Similarity {
     EmbMemo.artifact(spark, d, s"bf@$nQueries@$k")(
       bruteForceTopKFrom(corpusEmbeddings(spark, d), nQueries, k).localCheckpoint())
 
+  /** Integer-milli quantized corpus (vec_id, label, qe), memoized — the
+    * exact-parity clustering family's shared input. */
+  private def corpusQuant(spark: SparkSession, d: String): DataFrame =
+    EmbMemo.artifact(spark, d, "qlab")(
+      Tables.embeddings(spark, d)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          quantMilli.as("qe"))
+        .localCheckpoint())
+
+  /** Full-corpus exact-integer Lloyd centroids, memoized per (k, iters) —
+    * s15's cartography and s19's nprobe curve measure the SAME codebook. */
+  private def corpusCentroids(spark: SparkSession, d: String,
+      k: Int, iters: Int): Seq[(Long, Seq[Long])] =
+    EmbMemo.artifact(spark, d, s"cents@$k@$iters")(
+      kmeansCentroidsFromQuant(
+        corpusQuant(spark, d).select(col("vec_id"), col("qe")), k, iters))
+
   /** The ANN family's ranked close: (query_id, neighbor_id, c) scored
     * pairs → per-query top-k as (neighbor_id, cos_sim, rank) rows. A
     * heap-bounded [[graft.functions.SignatureAggs.TopKPairs]] aggregate —
@@ -1376,13 +1393,19 @@ object Similarity {
   }
 
   def kmeansCartography(e: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
-    val spark = e.sparkSession
     val q = e.select(
         col("vec_id"), col("label").cast("long").as("label"),
         quantMilli.as("qe"))
       .localCheckpoint()
-    val cents: Seq[(Long, Seq[Long])] =
-      kmeansCentroidsFromQuant(q.select(col("vec_id"), col("qe")), k, iters)
+    kmeansCartographyFromQuant(q,
+      kmeansCentroidsFromQuant(q.select(col("vec_id"), col("qe")), k, iters))
+  }
+
+  /** s15's readout over an ALREADY-QUANTIZED corpus and trained
+    * centroids (the session-memoized serving parts). */
+  def kmeansCartographyFromQuant(q: DataFrame,
+      cents: Seq[(Long, Seq[Long])]): DataFrame = {
+    val spark = q.sparkSession
     val outSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("cluster_id",
         org.apache.spark.sql.types.LongType),
@@ -1469,7 +1492,7 @@ object Similarity {
 
   val kmeansCarto = Q(
     "s15_kmeans_cartography",
-    (s, d) => kmeansCartography(Tables.embeddings(s, d)),
+    (s, d) => kmeansCartographyFromQuant(corpusQuant(s, d), corpusCentroids(s, d, 8, 3)),
     Some(s"""WITH q AS (
               SELECT vec_id, CAST(label AS BIGINT) AS label,
                 list_transform(embedding,
@@ -1986,9 +2009,17 @@ object Similarity {
   def nprobeCurve(e: DataFrame, k: Int = 8, iters: Int = 3,
       nQueries: Int = 16, topK: Int = 10,
       probes: Seq[Long] = Seq(1L, 2L, 4L, 8L)): DataFrame = {
-    val spark = e.sparkSession
     val q = e.select(col("vec_id"), quantMilli.as("qe")).localCheckpoint()
-    val cents = kmeansCentroidsFromQuant(q, k, iters)
+    nprobeCurveFromQuant(q, kmeansCentroidsFromQuant(q, k, iters),
+      nQueries, topK, probes)
+  }
+
+  /** s19's curve over an ALREADY-QUANTIZED corpus and trained centroids
+    * (the session-memoized serving parts — the same codebook s15 maps). */
+  def nprobeCurveFromQuant(q: DataFrame, cents: Seq[(Long, Seq[Long])],
+      nQueries: Int = 16, topK: Int = 10,
+      probes: Seq[Long] = Seq(1L, 2L, 4L, 8L)): DataFrame = {
+    val spark = q.sparkSession
     val outSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("nprobe",
         org.apache.spark.sql.types.LongType),
@@ -2061,7 +2092,9 @@ object Similarity {
 
   val nprobeCurveQ = Q(
     "s19_nprobe_curve",
-    (s, d) => nprobeCurve(Tables.embeddings(s, d)),
+    (s, d) => nprobeCurveFromQuant(
+      corpusQuant(s, d).select(col("vec_id"), col("qe")),
+      corpusCentroids(s, d, 8, 3)),
     Some(s"""WITH q AS (
               SELECT vec_id, CAST(0 AS BIGINT) AS label,
                 list_transform(embedding,
