@@ -29,11 +29,15 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * ≥ that batch id and SKIPS — the merge is idempotent under
   * exactly-once's at-least-once reality (the batch-id-in-state design
   * [[VectorStreams.appendToIndex]] documents as the production fix,
-  * implemented). Old generations are pruned only after the new commit —
-  * and the immediately-previous generation survives one extra cycle so
-  * a lazy view DataFrame resolved against it is never deleted mid-read
-  * (reader contract: valid until the SECOND commit after resolution) —
-  * so there is no moment with zero durable copies.
+  * implemented). Old generations are pruned only after the new commit,
+  * under a READER LEASE (`graft.view.readerLeaseMs`, default 0): a
+  * superseded generation lives until its commit is older than the lease,
+  * and the immediately-previous generation survives one extra cycle
+  * regardless — so a lazy view DataFrame resolved against any committed
+  * generation stays readable for the lease duration across any number of
+  * refreshes (reader contract: valid until the lease expires, with one
+  * full refresh cycle as the floor), and there is no moment with zero
+  * durable copies.
   */
 object ViewStreams {
 
@@ -139,7 +143,24 @@ object ViewStreams {
     // re-resolve) for longer-lived consumers.
     merge2(prev, delta)
       .write.mode("overwrite").parquet(new Path(root, s"gen=$batchId").toString)
-    gens.dropRight(1).foreach { case (_, p) => fs.delete(p, true) }
+    // Reader-LEASE pruning (the production form of reader isolation): a
+    // superseded generation is deleted only once its commit is older than
+    // `graft.view.readerLeaseMs`, so a lazy view DataFrame resolved within
+    // the lease keeps its files across ANY number of intervening refreshes
+    // (stale-but-consistent), not just one. The immediately-previous
+    // generation is always retained one extra cycle regardless (the
+    // lease's floor — the original contract), and state storage is bounded
+    // by refresh rate × lease. Default lease 0 ms = the original
+    // keep-one-predecessor behavior.
+    val leaseMs = spark.conf.getOption("graft.view.readerLeaseMs")
+      .map(_.toLong).getOrElse(0L)
+    val now = System.currentTimeMillis()
+    gens.dropRight(1).foreach { case (_, p) =>
+      val committedAt =
+        try fs.getFileStatus(new Path(p, "_SUCCESS")).getModificationTime
+        catch { case _: java.io.IOException => 0L }
+      if (now - committedAt >= leaseMs) fs.delete(p, true)
+    }
   }
 
   /** Start the maintenance loop: per micro-batch, aggregate the batch and

@@ -720,6 +720,50 @@ class StreamingSpec extends SparkSpec {
     assert(now == recompute)
   }
 
+  test("reader lease: generations linger for the configured lease, so long-lived readers survive many refreshes") {
+    import java.nio.file.Files
+    import graft.streaming.ViewStreams
+    import graft.sources.Tables
+    val li = Tables.lineitem(spark, sf)
+    val base = Files.createTempDirectory("graft-view-lease").toString
+    val state = s"$base/state"
+    def gens() = new java.io.File(state).listFiles()
+      .filter(_.getName.startsWith("gen=")).map(_.getName).sorted.toSeq
+    val slice = (i: Int) => li.filter(col("l_orderkey") % 4 === i)
+    spark.conf.set("graft.view.readerLeaseMs", "600000")
+    try {
+      ViewStreams.mergeBatch(spark, slice(0), state, 0L)
+      // A reader resolved NOW is pinned to gen=0's files — and must stay
+      // valid across THREE further refreshes, not one (the lease, not the
+      // single-predecessor window, is the contract here).
+      val pinned = ViewStreams.pricingView(spark, state)
+      ViewStreams.mergeBatch(spark, slice(1), state, 1L)
+      ViewStreams.mergeBatch(spark, slice(2), state, 2L)
+      ViewStreams.mergeBatch(spark, slice(3), state, 3L)
+      assert(gens() == Seq("gen=0", "gen=1", "gen=2", "gen=3"),
+        s"lease-active generations: ${gens()}")
+      assert(pinned.collect().nonEmpty,
+        "reader inside its lease lost its generation after 3 refreshes")
+      // Lease off: the next commit reverts to keep-one-predecessor —
+      // bounded storage is the other half of the contract.
+      spark.conf.set("graft.view.readerLeaseMs", "0")
+      ViewStreams.mergeBatch(spark, slice(0), state, 4L)
+      assert(gens() == Seq("gen=3", "gen=4"),
+        s"expired generations not pruned: ${gens()}")
+      // And the final view equals the recompute over everything merged.
+      val now = ViewStreams.pricingView(spark, state).collect().map(_.toString).toSeq
+      val recompute = li.unionAll(slice(0))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum(floor(col("l_quantity") * 100 + 0.5).cast("long"))
+            .cast("double") / 100.0, 2).as("sum_qty"),
+          count(lit(1)).as("count_rows"))
+        .orderBy("l_returnflag", "l_linestatus")
+        .collect().map(_.toString).toSeq
+      assert(now == recompute)
+    } finally spark.conf.unset("graft.view.readerLeaseMs")
+  }
+
   test("streaming daily HLL == batch HLL bit-for-bit (merge order-independence)") {
     val stream = EventStreams.readEventStream(spark, sf)
     val q = EventStreams.runToMemory(
