@@ -153,6 +153,10 @@ object PlanAudit {
       "each; the hint keeps the corpus un-shuffled (the operator's core " +
       "invariant), and a pathological all-duplicates corpus degrades the " +
       "broadcast build, not the corpus scan"),
+    "p18_dedup_token_ledger" -> ("composes d07's keep-list tail: the hinted " +
+      "relations are the key-only (doc_id) drop lists — a small fraction of " +
+      "corpus rows at 8 bytes each (d07's argument verbatim); the ledger " +
+      "itself is one doc-grain scan into a #sources rollup"),
     "d36_release_dedup_report" -> ("composes d07's keep-list tail: the hinted " +
       "relations are the key-only (doc_id) drop lists — a small fraction of " +
       "corpus rows at 8 bytes each (d07's argument verbatim); every other " +

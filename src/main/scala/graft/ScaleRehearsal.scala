@@ -372,7 +372,11 @@ object ScaleRehearsal {
       // production release-report reading; m17 is one codegen'd byte
       // scan per payload (ascii_sym_hist) into a #sources rollup —
       // m13's band without the explode.
-      "d36_release_dedup_report", "m17_symbol_source_profile")
+      "d36_release_dedup_report", "m17_symbol_source_profile",
+      // p18 composes the memoized keep verdict (marginal) with one
+      // doc-grain token scan into a #sources rollup — d07's band plus a
+      // linear scan.
+      "p18_dedup_token_ledger")
     def timeQuery(name: String, dir: String): (Double, Long) = {
       val fn = SparkEntry.queries(name)
       def once(): (Double, Long) = {

@@ -272,6 +272,11 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Pipeline, RangeJoin, Relati
   *    __ALL__ corpus row, an order-independent 60-bit XOR digest of the
   *    content-fingerprint set with doc/content/token counts in one
   *    ROLLUP; the O(#sources) freeze stamp compared BEFORE p15's diff.
+  *  - p18: the per-source dedup TOKEN ledger — raw vs kept word-token
+  *    mass and reclaim fraction under d07's keep verdict (the unit a
+  *    mixing decision actually budgets in; m16's byte reclaim on the
+  *    text/token axis), the keep bit read from the session-memoized
+  *    kernel, tokenization t03's oracle-exact word tokens.
   *  - p17: DoReMi-style mix reweighting — one exponentiated-gradient
   *    step over t40's novelty signal (mean transfer gap vs every other
   *    source's bigram LM): w′(s) ∝ share(s)·exp(η·novelty(s)),

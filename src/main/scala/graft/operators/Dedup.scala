@@ -3709,11 +3709,91 @@ object Dedup {
               (SELECT CAST(count(*) AS BIGINT) FROM documents)
                 - (SELECT CAST(count(*) AS BIGINT) FROM dr) AS n_keep"""))
 
+  // ------------------------------- dedup token ledger (p18)
+  /** p18: the per-source TOKEN ledger under the keep-list — raw vs kept
+    * word-token mass and the reclaim fraction, per source. Token count is
+    * the unit training runs budget in (m16 answers the same question in
+    * BYTES for media payloads; d24 in document counts); this row is what
+    * a mixing decision (q31/p17) actually consumes after dedup: a source
+    * whose token mass halves under the keep-list contributes half the
+    * epochs its document count suggests. Lives in the pipeline family —
+    * it composes d07's verdict with t03's word tokenization, and both
+    * parities are inherited: the keep bit reads the session-memoized
+    * cluster/keep kernel ([[CorpusMemo]] — marginal cost by
+    * construction), the token column is t03's oracle-exact word_tokens,
+    * and the oracle recomputes the verdict independently (fingerprint
+    * window + recursive-CTE closure, d07's SQL verbatim).
+    *
+    * Scale shape: one doc-grain scan carrying (source, tok), one
+    * doc-keyed join against the keep verdict (broadcastable drop lists —
+    * d07's shape), one ≤ #sources aggregate with map-side partials. */
+  val dedupTokenLedger = Q(
+    "p18_dedup_token_ledger",
+    (s, d) => {
+      val keepBits = keepList(s, d, 0.5).select(col("doc_id"), col("keep"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(tokens(col("text"))).cast("long").as("tok"))
+        .join(keepBits, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(col("tok")).as("tokens_raw"),
+          sum(when(col("keep"), col("tok")).otherwise(0L)).as("tokens_kept"))
+        .withColumn("token_reclaim_frac",
+          round(lit(1.0) - graft.functions.TextFns.safeFrac(
+            col("tokens_kept"), col("tokens_raw")), 6))
+        .orderBy("source")
+    },
+    Some(s"""WITH RECURSIVE $minhashOracleCtes,
+            pairs AS (
+              SELECT a, b
+              FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+              WHERE round(CAST(n_common AS DOUBLE) /
+                          CAST(sa.n + sb.n - n_common AS DOUBLE), 4) >= 0.5),
+            edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+            reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+            labels AS (
+              SELECT a AS doc_id, min(b) AS label
+              FROM (SELECT a, b FROM reach UNION ALL SELECT DISTINCT a, a FROM edges)
+              GROUP BY a),
+            fpd AS (
+              SELECT doc_id,
+                md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+              FROM documents),
+            ed AS (SELECT doc_id FROM (
+                     SELECT doc_id, min(doc_id) OVER (PARTITION BY f) AS k FROM fpd)
+                   WHERE doc_id <> k),
+            nd AS (SELECT doc_id FROM labels WHERE doc_id <> label),
+            tok AS (
+              SELECT doc_id, source,
+                CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                     t -> t <> '')) AS BIGINT) AS tok
+              FROM documents)
+            SELECT t.source,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN e.doc_id IS NULL AND n.doc_id IS NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              CAST(sum(t.tok) AS BIGINT) AS tokens_raw,
+              CAST(sum(CASE WHEN e.doc_id IS NULL AND n.doc_id IS NULL
+                            THEN t.tok ELSE 0 END) AS BIGINT) AS tokens_kept,
+              round(1.0 - CAST(sum(CASE WHEN e.doc_id IS NULL AND n.doc_id IS NULL
+                                        THEN t.tok ELSE 0 END) AS DOUBLE)
+                / NULLIF(CAST(sum(t.tok) AS DOUBLE), 0.0), 6)
+                AS token_reclaim_frac
+            FROM tok t
+            LEFT JOIN ed e ON e.doc_id = t.doc_id
+            LEFT JOIN nd n ON n.doc_id = t.doc_id
+            GROUP BY t.source ORDER BY t.source"""))
+
   val all: Seq[Q] =
     Seq(exact, minhash, simhash, ngramJaccard, embedding, clusters, keep, triangles,
       decontam, incremental, repeated, consensus, chunkDedup, semantic, bestKeep,
       provenance, embeddingDecontam, containment, evalLeak, crossSource, splitLeak,
       calibration, hotReport, inflation, spectrum, templateScrubQ, clusterSourceMix,
       boilerplateDriftQ, cdcDedupQ, hotChunksQ, softDedupQ, incrementalNearDupQ,
-      capCurve, bandCurve, contamCurve, releaseReport)
+      capCurve, bandCurve, contamCurve, releaseReport, dedupTokenLedger)
 }
