@@ -1344,24 +1344,9 @@ object Multimodal {
     * fraction (NULL on a symbol-free source in both engines). */
   val symbolProfile = Q(
     "m17_symbol_source_profile",
-    (s, d) => {
-      val h = mediaTable(s, d).toDF()
-        .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
-        .select(col("source"),
-          expr("ascii_sym_hist(lower(cast(payload as string)))").as("h"))
-        .select(col("source"),
-          expr("aggregate(slice(h, 1, 26), 0L, (a, c) -> a + c)").as("nl"),
-          expr("aggregate(slice(h, 27, 10), 0L, (a, c) -> a + c)").as("nd"),
-          expr("element_at(h, 37)").as("ns"))
-      h.groupBy("source")
-        .agg(count(lit(1)).as("n_media"),
-          sum("nl").as("n_letters"), sum("nd").as("n_digits"),
-          sum("ns").as("n_spaces"))
-        .withColumn("letter_frac", round(graft.functions.TextFns.safeFrac(
-          col("n_letters"),
-          col("n_letters") + col("n_digits") + col("n_spaces")), 6))
-        .orderBy("source")
-    },
+    (s, d) => symbolProfileFromCounts(symbolCounts(
+      mediaTable(s, d).toDF()
+        .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id"))),
     Some("""WITH ch AS (
               SELECT d.source, unnest(string_split(lower(d.text), '')) AS c
               FROM documents d),
@@ -1385,6 +1370,30 @@ object Multimodal {
                 AS letter_frac
             FROM nm n LEFT JOIN agg a USING (source)
             ORDER BY n.source"""))
+
+  /** m17's state algebra, partial half: fold (source, payload) rows to
+    * per-source symbol-class sums — plain associative BIGINTs (the
+    * simplest state any maintained view here carries), so the streamed
+    * view and batch m17 are the same code (the m16/q43 contract). */
+  def symbolCounts(rows: DataFrame): DataFrame =
+    rows
+      .select(col("source"),
+        expr("ascii_sym_hist(lower(cast(payload as string)))").as("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_media"),
+        sum(expr("aggregate(slice(h, 1, 26), 0L, (a, c) -> a + c)")).as("n_letters"),
+        sum(expr("aggregate(slice(h, 27, 10), 0L, (a, c) -> a + c)")).as("n_digits"),
+        sum(expr("element_at(h, 37)")).as("n_spaces"))
+
+  /** m17's close: the letter fraction over the summed masses. */
+  def symbolProfileFromCounts(st: DataFrame): DataFrame =
+    st.select(col("source"), col("n_media"), col("n_letters"),
+        col("n_digits"), col("n_spaces"),
+        round(graft.functions.TextFns.safeFrac(
+          col("n_letters"),
+          col("n_letters") + col("n_digits") + col("n_spaces")), 6)
+          .as("letter_frac"))
+      .orderBy("source")
 
   val all: Seq[Q] =
     Seq(mediaMeta, mediaFeatures, frameSample, mediaResize, frameEnergy, mediaNeardup,

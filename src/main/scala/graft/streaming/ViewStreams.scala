@@ -291,6 +291,51 @@ object ViewStreams {
       }
       .start()
 
+  // --------------------- the symbol view (m17's maintenance twin)
+
+  /** Merge two symbol-profile states — full-outer coalesce-sum on
+    * source: four plain BIGINT masses, the simplest state any view here
+    * carries. */
+  private def mergeSymbols(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("source"), col("n_media").as("am"), col("n_letters").as("al"),
+        col("n_digits").as("ad"), col("n_spaces").as("as_"))
+      .join(b.select(col("source"), col("n_media").as("bm"), col("n_letters").as("bl"),
+        col("n_digits").as("bd"), col("n_spaces").as("bs")),
+        Seq("source"), "full_outer")
+      .select(col("source"),
+        (coalesce(col("am"), lit(0L)) + coalesce(col("bm"), lit(0L))).as("n_media"),
+        (coalesce(col("al"), lit(0L)) + coalesce(col("bl"), lit(0L))).as("n_letters"),
+        (coalesce(col("ad"), lit(0L)) + coalesce(col("bd"), lit(0L))).as("n_digits"),
+        (coalesce(col("as_"), lit(0L)) + coalesce(col("bs"), lit(0L))).as("n_spaces"))
+
+  /** Maintain m17's per-source symbol-class state per micro-batch of
+    * arriving ENRICHED media rows (source, payload) — the FIFTH
+    * maintained view on the shared generation protocol: the partial is
+    * the literal batch [[graft.operators.Multimodal.symbolCounts]] (one
+    * codegen'd byte scan per payload), the merge four coalesce-sums. */
+  def maintainSymbolView(stream: DataFrame, statePath: String,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          mergeBatchWith(batch.sparkSession, batch.toDF(), statePath, batchId,
+            graft.operators.Multimodal.symbolCounts _, mergeSymbols)
+      }
+      .start()
+
+  /** Read the maintained symbol view in m17's exact output shape via the
+    * SHARED close. */
+  def symbolView(spark: SparkSession, statePath: String): DataFrame = {
+    val root = new Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val latest = committedGens(fs, root).lastOption.getOrElse(
+      throw new IllegalStateException(
+        s"no committed state generation under $statePath"))
+    graft.operators.Multimodal.symbolProfileFromCounts(
+      spark.read.parquet(latest._2.toString))
+  }
+
   /** Read the maintained reclaim view in m16's exact output shape via the
     * SHARED close ([[graft.operators.Multimodal.reclaimFromCounts]]) —
     * the state IS m16's counts table. */

@@ -720,6 +720,33 @@ class StreamingSpec extends SparkSpec {
     assert(now == recompute)
   }
 
+  test("maintained symbol view == batch m17 over the same media under any batch slicing") {
+    import java.nio.file.Files
+    import graft.streaming.ViewStreams
+    import graft.operators.Multimodal
+    val enriched = Multimodal.mediaTable(spark, sf).toDF()
+      .join(Tables.documents(spark, sf).select("doc_id", "source"), "doc_id")
+      .select("source", "payload")
+    val recompute = Multimodal.symbolProfileFromCounts(
+        Multimodal.symbolCounts(enriched))
+      .collect().map(_.toString).toSeq
+    assert(recompute.nonEmpty)
+    Seq(2, 5).foreach { nBatches =>
+      val base = Files.createTempDirectory(s"graft-sym-$nBatches").toString
+      enriched.repartition(nBatches)
+        .write.mode("overwrite").parquet(s"$base/arrivals")
+      val q = ViewStreams.maintainSymbolView(
+        ViewStreams.readLineitemStream(spark, s"$base/arrivals", enriched),
+        s"$base/state", s"$base/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      val maintained = ViewStreams.symbolView(spark, s"$base/state")
+        .collect().map(_.toString).toSeq
+      assert(maintained == recompute,
+        s"symbol view drifted at $nBatches batches: " +
+          s"${maintained.diff(recompute).take(2)} vs ${recompute.diff(maintained).take(2)}")
+    }
+  }
+
   test("reader lease: generations linger for the configured lease, so long-lived readers survive many refreshes") {
     import java.nio.file.Files
     import graft.streaming.ViewStreams
