@@ -14,14 +14,32 @@ object Bench {
     // JIT + parquet-footer warmup on the smallest SF so measured times are
     // steady-state query time, not first-query class-loading.
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    // Start the session memos (CorpusMemo/EmbMemo/TokMemo) from a clean
+    // slate so the build ledger below captures EVERY one-time build this
+    // run pays, and drop any ledger entries the warmup produced.
+    graft.operators.Dedup.clearCorpusMemo()
+    graft.operators.Similarity.clearEmbMemo()
+    graft.operators.TextOps.clearTokMemo()
+    MemoLedger.drain()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def storageBytes(): Long =
+      try spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
+      catch { case _: Throwable => 0L }
+    var storagePeak = 0L
+
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = sorted.zipWithIndex.map { case ((name, fn), i) =>
       // Min of two timed runs: absorbs first-run JIT/codegen cost and
-      // transient host contention. Caches are dropped between queries so
-      // timings are order-independent. If the min still looks slow, take a
-      // third sample — a contention burst can span two consecutive runs,
-      // and one extra run on a genuinely-slow query is cheap insurance
-      // against reporting a phantom regression.
+      // transient host contention. SQL caches are dropped between queries;
+      // the session MEMOS are not — a memoized query's number here is its
+      // MARGINAL (memo-hit) cost, by design: the one-time artifact builds
+      // are timed separately in MemoLedger and added to the reported total
+      // as their own line item below, so per-query timings stay
+      // order-independent WITHOUT the min() discarding the build cost.
+      // If the min still looks slow, take a third sample — a contention
+      // burst can span two consecutive runs, and one extra run on a
+      // genuinely-slow query is cheap insurance against reporting a
+      // phantom regression.
       def once(): Double = {
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
@@ -32,13 +50,42 @@ object Bench {
       }
       val base = Seq(once(), once()).filter(_ >= 0)
       val times = if (base.nonEmpty && base.min > 3.0) base :+ once() else base
+      storagePeak = math.max(storagePeak, storageBytes())
+      // Free each memo once its last consumer family completes (families
+      // run in name order): CorpusMemo serves d..p (p18 is the last
+      // consumer), EmbMemo serves s, TokMemo serves t. Bounds peak
+      // executor storage — the d- and s-family artifact sets never
+      // coexist past the s-family — and every freed result is already
+      // materialized through the noop sink.
+      val family = name.take(1)
+      val nextFamily = sorted.lift(i + 1).map(_._1.take(1))
+      if (!nextFamily.contains(family)) family match {
+        case "p" => graft.operators.Dedup.clearCorpusMemo()
+        case "s" => graft.operators.Similarity.clearEmbMemo()
+        case "t" => graft.operators.TextOps.clearTokMemo()
+        case _ => ()
+      }
       name -> (if (times.nonEmpty) times.filter(_ >= 0).min else -1.0)
     }
+    // One-time memo builds, each counted once (see MemoLedger): the
+    // honest total is marginal query costs + build costs — exactly what
+    // one release-grade pass over the inventory pays.
+    val builds = MemoLedger.drain()
+    val memoBuildSec = builds.map(_.sec).sum
+    val buildsByMemo = builds.groupBy(_.memo).toSeq
+      .map { case (m, bs) => s"memo_build_$m" -> bs.map(_.sec).sum }.sortBy(_._1)
     def fmtMap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val qs = fmtMap(results)
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val total = results.map(_._2).filter(_ >= 0).sum + memoBuildSec
+    val buildDetail = builds.sortBy(b => (b.memo, b.artifact))
+      .map(b => "\"" + b.memo + ":" + b.artifact + f"""\":${b.sec}%.3f""")
+      .mkString("{", ",", "}")
+    val storagePeakMb = storagePeak / 1e6
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+      f""""memo_build_sec":$memoBuildSec%.3f,"memo_builds":$buildDetail,""" +
+      f""""memo_storage_peak_mb":$storagePeakMb%.1f,"sf":"$sfDir"}"""
     // The full 180-query line is ~7 KB — larger than the driver's stdout
     // tail window, which truncated its head two rounds running and left
     // `parsed: null`. So: full detail goes to bench_out.json (the graded
@@ -51,7 +98,9 @@ object Bench {
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(20).sortBy(_._1)
     val compact =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${
-        fmtMap(families ++ slowest)},"sf":"$sfDir","n_queries":${results.size},"detail":"bench_out.json"}"""
+        fmtMap(families ++ buildsByMemo ++ slowest)},"sf":"$sfDir","n_queries":${
+        results.size},"memo_build_sec":$memoBuildSec%.3f,""" +
+      f""""memo_storage_peak_mb":$storagePeakMb%.1f,"detail":"bench_out.json"}"""
     // Persist the metric to a file FIRST — the one artifact the driver
     // grades must survive whatever the JVM prints at shutdown.
     try java.nio.file.Files.write(

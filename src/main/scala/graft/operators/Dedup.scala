@@ -359,20 +359,38 @@ object Dedup {
     * DIFFERENT corpus frees every retained checkpoint (see
     * [[freeCheckpoint]] — `Dataset.unpersist` is a no-op for these) and
     * rebuilds, so at most one corpus's artifact set is ever retained.
-    * Bench accounting follows the contam-memo stance: whichever query runs
-    * first pays the build; every later consumer's number is the marginal
-    * (join/rollup-only) cost — the production composition reading, since a
-    * release process runs the whole report family over one artifact set.
+    * Bench accounting: every build is timed in [[graft.MemoLedger]] and
+    * added to the bench TOTAL as an explicit line item, so each consumer
+    * query's number is its marginal (join/rollup-only) cost while the
+    * one-time kernel build is counted exactly once — the production
+    * composition reading (a release process runs the whole report family
+    * over one artifact set), with nothing hidden by min-of-N timing.
     * Generic `...From(docs)` operators are untouched: specs, streaming,
     * and rehearsals that synthesize their own corpora never touch the
     * memo. */
   private object CorpusMemo {
-    private var key: Option[(SparkSession, String)] = None
+    // Key includes the corpus CONTENT STAMP (file mtimes+sizes), so an
+    // in-session rewrite of the same path evicts instead of serving stale
+    // artifacts. Contract: ONE active corpus per session, and callers must
+    // EXECUTE results before switching corpora — eviction frees checkpoint
+    // blocks that are unrecomputable by design, so a lazy DataFrame held
+    // across a corpus switch fails with missing blocks (the eviction warns
+    // loudly for exactly this case). Builds run under the Dedup lock: a
+    // concurrent caller blocks for the build's duration — the documented
+    // single-threaded-driver assumption (Verify/Bench/PlanAudit all run
+    // queries sequentially); revisit with per-key futures if a concurrent
+    // driver ever exists.
+    private var key: Option[(SparkSession, String, Long)] = None
     private val arts = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
     def artifact(spark: SparkSession, d: String, name: String)(build: => DataFrame): DataFrame =
       Dedup.synchronized {
-        val k = (spark, d)
+        val k = (spark, d, graft.MemoLedger.dirStamp(d))
         if (!key.contains(k)) {
+          if (arts.nonEmpty)
+            System.err.println(s"[corpusmemo] corpus switch ${key.map(_._2)} -> $d: " +
+              s"freeing ${arts.size} checkpointed artifacts — any still-lazy " +
+              "DataFrame from the previous corpus is now invalid (execute " +
+              "results before switching corpora)")
           arts.valuesIterator.foreach(freeCheckpoint)
           arts.clear()
           key = Some(k)
@@ -380,30 +398,48 @@ object Dedup {
         arts.get(name) match {
           case Some(df) => df
           case None =>
-            val df = build
+            val df = graft.MemoLedger.timed("corpus", name)(build)
             arts.update(name, df)
             df
         }
       }
+    /** Install a pre-built artifact (the persisted-release read path):
+      * parquet-backed, so eviction's freeCheckpoint is a no-op on it. */
+    def install(spark: SparkSession, d: String, name: String, df: DataFrame): Unit =
+      artifact(spark, d, name)(df)
+    def clear(): Unit = Dedup.synchronized {
+      arts.valuesIterator.foreach(freeCheckpoint)
+      arts.clear()
+      key = None
+    }
   }
+
+  /** Free every CorpusMemo checkpoint (Bench calls this once the last
+    * consumer family completes, bounding peak executor storage; PlanAudit
+    * calls it so memo builds re-run under its plan hook). Callers must
+    * have EXECUTED all memo-derived results first. */
+  def clearCorpusMemo(): Unit = CorpusMemo.clear()
 
   /** The corpus's hashed word-n-gram shingle table, memoized — the widest-
     * shared artifact: every d-family kernel starts here. */
   def corpusShingleHashes(spark: SparkSession, d: String, n: Int = 3): DataFrame =
     CorpusMemo.artifact(spark, d, s"hs@$n")(
-      hashedShingles(shingleSets(Tables.documents(spark, d), n)).localCheckpoint())
+      graft.MemoLedger.audited(s"memo:hs@$n")(
+        hashedShingles(shingleSets(Tables.documents(spark, d), n))).localCheckpoint())
 
   /** MinHash signature table over [[corpusShingleHashes]], memoized
     * (read by the band build and d22's lane compare). */
   private def corpusSigs(spark: SparkSession, d: String): DataFrame =
     CorpusMemo.artifact(spark, d, "sigs")(
-      signaturesFromHashes(corpusShingleHashes(spark, d)).localCheckpoint())
+      graft.MemoLedger.audited("memo:sigs")(
+        signaturesFromHashes(corpusShingleHashes(spark, d))).localCheckpoint())
 
   /** (doc_id, band, bucket) LSH band table over the corpus, memoized —
     * the session-grade form of d10's persisted band index. */
   def corpusBanded(spark: SparkSession, d: String): DataFrame =
     CorpusMemo.artifact(spark, d, "banded")(
-      bandBuckets(corpusSigs(spark, d)).localCheckpoint())
+      graft.MemoLedger.audited("memo:banded")(
+        bandBuckets(corpusSigs(spark, d))).localCheckpoint())
 
   /** The capped band-bucket membership table (band, bucket, ids ≤ cap,
     * sorted), memoized — ONE aggregation of the band table shared by
@@ -411,26 +447,30 @@ object Dedup {
     * the per-band operating curve (d34). */
   private def corpusBucketIds(spark: SparkSession, d: String): DataFrame =
     CorpusMemo.artifact(spark, d, s"bucketIds@$BandBucketCap")(
-      bucketIds(corpusBanded(spark, d), BandBucketCap).localCheckpoint())
+      graft.MemoLedger.audited("memo:bucketIds")(
+        bucketIds(corpusBanded(spark, d), BandBucketCap)).localCheckpoint())
 
   /** BandBucketCap'd LSH candidate pairs (a < b) over the corpus,
     * memoized. */
   private def corpusCand(spark: SparkSession, d: String): DataFrame =
     CorpusMemo.artifact(spark, d, "cand")(
-      pairsFromBucketIds(corpusBucketIds(spark, d)).localCheckpoint())
+      graft.MemoLedger.audited("memo:cand")(
+        pairsFromBucketIds(corpusBucketIds(spark, d))).localCheckpoint())
 
   /** Exact Jaccard over every LSH candidate pair, UNthresholded (each
     * consumer applies its own ≥-threshold filter), memoized. */
   def corpusVerifiedPairs(spark: SparkSession, d: String): DataFrame =
     CorpusMemo.artifact(spark, d, "verified")(
-      jaccardPairsHashed(corpusShingleHashes(spark, d), Some(corpusCand(spark, d)))
+      graft.MemoLedger.audited("memo:verified")(
+        jaccardPairsHashed(corpusShingleHashes(spark, d), Some(corpusCand(spark, d))))
         .localCheckpoint())
 
   /** Exact Jaccard over the df-capped shared-shingle candidates (d04's
     * kernel; also d12's n-gram detector and d34's truth set), memoized. */
   def corpusCappedJaccard(spark: SparkSession, d: String): DataFrame =
     CorpusMemo.artifact(spark, d, "cappedJaccard")(
-      jaccardPairsCapped(corpusShingleHashes(spark, d)).localCheckpoint())
+      graft.MemoLedger.audited("memo:cappedJaccard")(
+        jaccardPairsCapped(corpusShingleHashes(spark, d))).localCheckpoint())
 
   /** Near-dup cluster component table at `threshold` (unordered — d06
     * orders it, d15/d27 re-aggregate it), memoized. */
@@ -440,13 +480,14 @@ object Dedup {
       val pairs = corpusVerifiedPairs(spark, d)
         .filter(col("jaccard") >= threshold)
         .select(col("a"), col("b")).localCheckpoint()
-      val out = connectedComponents(pairs, maxIters)
-        .groupBy("label").agg(collect_list("doc_id").as("ids"), count(lit(1)).as("cluster_size"))
-        .filter(col("cluster_size") > 1)
-        .select(
-          col("label").as("cluster_rep"),
-          explode(col("ids")).as("doc_id"),
-          col("cluster_size"))
+      val out = graft.MemoLedger.audited(s"memo:clusters@$threshold")(
+        connectedComponents(pairs, maxIters)
+          .groupBy("label").agg(collect_list("doc_id").as("ids"), count(lit(1)).as("cluster_size"))
+          .filter(col("cluster_size") > 1)
+          .select(
+            col("label").as("cluster_rep"),
+            explode(col("ids")).as("doc_id"),
+            col("cluster_size")))
         .localCheckpoint()
       // The pair edge list was only an input of the (now-materialized)
       // component table — method-local, so no consumer can re-read it.
@@ -1275,9 +1316,11 @@ object Dedup {
       val hs = corpusShingleHashes(s, d)
       val cHs = hs.filter(col("doc_id") < split)
       val cBands = CorpusMemo.artifact(s, d, s"d10bands@$split")(
-        bandBuckets(signaturesFromHashes(cHs)).localCheckpoint())
+        graft.MemoLedger.audited("memo:d10bands")(
+          bandBuckets(signaturesFromHashes(cHs))).localCheckpoint())
       val cCnts = CorpusMemo.artifact(s, d, s"d10bandCounts@$split")(
-        cBands.groupBy("band", "bucket").agg(count(lit(1)).as("cn"))
+        graft.MemoLedger.audited("memo:d10bandCounts")(
+          cBands.groupBy("band", "bucket").agg(count(lit(1)).as("cn")))
           .localCheckpoint())
       incrementalKeepListFrom(
         docs.filter(col("doc_id") < split)
@@ -1420,11 +1463,12 @@ object Dedup {
   private def contamSplitPairs(spark: SparkSession, d: String, n: Int): DataFrame =
     CorpusMemo.artifact(spark, d, s"contam@$n") {
       val sh = corpusShingleHashes(spark, d, n)
-      cappedContamPairs(
-        sh.filter(col("doc_id") % 19 =!= 0),
-        sh.filter(col("doc_id") % 19 === 0)
-          .select(col("doc_id").as("eval_doc"), col("sh_h")),
-        ShingleDfCap).localCheckpoint()
+      graft.MemoLedger.audited(s"memo:contam@$n")(
+        cappedContamPairs(
+          sh.filter(col("doc_id") % 19 =!= 0),
+          sh.filter(col("doc_id") % 19 === 0)
+            .select(col("doc_id").as("eval_doc"), col("sh_h")),
+          ShingleDfCap)).localCheckpoint()
     }
 
   /** Benchmark decontamination: find training-corpus documents sharing any

@@ -33,43 +33,67 @@ object Similarity {
     * probes it (s05's recall loop literally re-trained both codebooks it
     * was evaluating). One entry per (artifact, params), keyed (session,
     * dir); a corpus switch frees every retained checkpoint (driver-side
-    * codebook arrays just drop). Bench accounting: first consumer pays
-    * the build (the index-build cost, measured once), every later query
-    * is the marginal probe cost — the serving reading. Planted-corpus
+    * codebook arrays just drop). Bench accounting: every build is timed
+    * in [[graft.MemoLedger]] and added to the bench total as its own
+    * line item, so each query's number is the marginal probe cost and
+    * the index-build cost is counted exactly once — the serving reading
+    * with the build surfaced, not hidden. Planted-corpus
     * specs and NoOracleReport floors drive the `...From` forms and never
     * touch the memo. */
   private object EmbMemo {
-    private var key: Option[(SparkSession, String)] = None
+    // Same contract as Dedup.CorpusMemo: one active corpus per session,
+    // content-stamped key (in-session rewrite ⇒ eviction, not stale hit),
+    // execute-before-switching (eviction frees unrecomputable checkpoint
+    // blocks — warned loudly), and builds run under the Similarity lock
+    // (single-threaded-driver assumption; a concurrent same-session caller
+    // would wait out codebook training — acceptable for the sequential
+    // Verify/Bench/PlanAudit drivers this serves).
+    private var key: Option[(SparkSession, String, Long)] = None
     private val arts = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+    private def free(): Unit = {
+      arts.valuesIterator.foreach {
+        case df: DataFrame => Dedup.freeCheckpoint(df)
+        case (_, df: DataFrame) => Dedup.freeCheckpoint(df)
+        case _ => ()
+      }
+      arts.clear()
+    }
     def artifact[T](spark: SparkSession, d: String, name: String)(build: => T): T =
       Similarity.synchronized {
-        val k = (spark, d)
+        val k = (spark, d, graft.MemoLedger.dirStamp(d))
         if (!key.contains(k)) {
-          arts.valuesIterator.foreach {
-            case df: DataFrame => Dedup.freeCheckpoint(df)
-            case (_, df: DataFrame) => Dedup.freeCheckpoint(df)
-            case _ => ()
-          }
-          arts.clear()
+          if (arts.nonEmpty)
+            System.err.println(s"[embmemo] corpus switch ${key.map(_._2)} -> $d: " +
+              s"freeing ${arts.size} index artifacts — any still-lazy DataFrame " +
+              "from the previous corpus is now invalid (execute results before " +
+              "switching corpora)")
+          free()
           key = Some(k)
         }
         arts.get(name) match {
           case Some(v) => v.asInstanceOf[T]
           case None =>
-            val v = build
+            val v = graft.MemoLedger.timed("emb", name)(build)
             arts.update(name, v)
             v
         }
       }
+    def clear(): Unit = Similarity.synchronized { free(); key = None }
   }
+
+  /** Free every EmbMemo checkpoint (Bench calls this once the s-family
+    * completes; PlanAudit calls it so index builds re-run under its plan
+    * hook). Callers must have EXECUTED all memo-derived results first. */
+  def clearEmbMemo(): Unit = EmbMemo.clear()
 
   /** The corpus embeddings (vec_id, embedding), spread across all cores
     * and checkpointed once per session (the source can be a single
     * file). */
   def corpusEmbeddings(spark: SparkSession, d: String): DataFrame =
     EmbMemo.artifact(spark, d, "e")(
-      Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
-        .repartition(spark.sparkContext.defaultParallelism)
+      graft.MemoLedger.audited("memo:e")(
+        Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+          .repartition(spark.sparkContext.defaultParallelism))
         .localCheckpoint())
 
   /** Trained IVF index — codebook + cell-assigned corpus — memoized per
@@ -79,7 +103,8 @@ object Similarity {
     EmbMemo.artifact(spark, d, s"ivf@$nCells@$iters") {
       val e = corpusEmbeddings(spark, d)
       val cb = ivfCodebookOf(spark, e, nCells, iters)
-      (cb, assignCells(spark, e, cb).localCheckpoint())
+      (cb, graft.MemoLedger.audited(s"memo:ivf@$nCells")(
+        assignCells(spark, e, cb)).localCheckpoint())
     }
 
   /** Trained PQ index — per-subspace codebooks + encoded corpus —
@@ -89,7 +114,9 @@ object Similarity {
     EmbMemo.artifact(spark, d, s"pq@$m@$k@$iters") {
       val e = corpusEmbeddings(spark, d)
       val cbs = pqTrain(spark, e, m, k, iters)
-      (cbs, if (cbs.isEmpty) null else pqEncode(spark, e, cbs).localCheckpoint())
+      (cbs, if (cbs.isEmpty) null
+            else graft.MemoLedger.audited(s"memo:pq@$m")(
+              pqEncode(spark, e, cbs)).localCheckpoint())
     }
 
   /** Exact brute-force ground truth, memoized per (nQueries, k) — s01's
@@ -97,15 +124,17 @@ object Similarity {
   private def corpusBruteTopK(spark: SparkSession, d: String,
       nQueries: Int, k: Int): DataFrame =
     EmbMemo.artifact(spark, d, s"bf@$nQueries@$k")(
-      bruteForceTopKFrom(corpusEmbeddings(spark, d), nQueries, k).localCheckpoint())
+      graft.MemoLedger.audited(s"memo:bf@$nQueries@$k")(
+        bruteForceTopKFrom(corpusEmbeddings(spark, d), nQueries, k)).localCheckpoint())
 
   /** Integer-milli quantized corpus (vec_id, label, qe), memoized — the
     * exact-parity clustering family's shared input. */
   private def corpusQuant(spark: SparkSession, d: String): DataFrame =
     EmbMemo.artifact(spark, d, "qlab")(
-      Tables.embeddings(spark, d)
-        .select(col("vec_id"), col("label").cast("long").as("label"),
-          quantMilli.as("qe"))
+      graft.MemoLedger.audited("memo:qlab")(
+        Tables.embeddings(spark, d)
+          .select(col("vec_id"), col("label").cast("long").as("label"),
+            quantMilli.as("qe")))
         .localCheckpoint())
 
   /** Full-corpus exact-integer Lloyd centroids, memoized per (k, iters) —
@@ -214,7 +243,8 @@ object Similarity {
   private def corpusLshIndex(spark: SparkSession, d: String,
       bits: Int, tables: Int, seed: Long): DataFrame =
     EmbMemo.artifact(spark, d, s"lsh@$bits@$tables@$seed")(
-      lshBandedCorpus(corpusEmbeddings(spark, d), bits, tables, seed)
+      graft.MemoLedger.audited(s"memo:lsh@$bits@$tables")(
+        lshBandedCorpus(corpusEmbeddings(spark, d), bits, tables, seed))
         .localCheckpoint())
 
   def lshTopKFrom(e: DataFrame, nQueries: Int, k: Int,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Q
@@ -871,6 +871,15 @@ object TextOps {
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(expr("filter(split(w, ''), s -> s <> '')").as("syms"), col("freq"))
       .localCheckpoint()
+    // Round k's vocab is read only by round k+1's pair count and merge —
+    // free round k−1's checkpoint blocks as soon as round k exists
+    // (d06's CC-loop discipline; without this the trainer retains
+    // nMerges+1 vocabulary snapshots for the session lifetime).
+    def advance(next: DataFrame): Unit = {
+      val old = vocab
+      vocab = next
+      graft.operators.Dedup.freeCheckpoint(old)
+    }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var done = false
     for (i <- 1L to nMerges.toLong if !done) {
@@ -891,21 +900,98 @@ object TextOps {
         // Greedy left-to-right merge: fold the symbol array, collapsing
         // each adjacent (l, r) into one symbol ("aaa" + (a,a) -> [aa, a]).
         // Symbols are [a-z0-9]+ so inlining them in the expr is safe.
-        vocab = vocab.select(expr(
+        advance(vocab.select(expr(
           s"""aggregate(syms, cast(array() as array<string>), (acc, s) ->
               CASE WHEN size(acc) > 0 AND element_at(acc, size(acc)) = '$l' AND s = '$r'
                    THEN concat(slice(acc, 1, size(acc) - 1), array('$l$r'))
                    ELSE concat(acc, array(s)) END)""").as("syms"), col("freq"))
-          .localCheckpoint()
+          .localCheckpoint())
       }
     }
+    graft.operators.Dedup.freeCheckpoint(vocab)
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
       .orderBy("rank")
   }
 
+  // ------------------------------------- tokenizer artifact session memo
+  /** Session memo of the TRAINED BPE merge table per (session, corpus,
+    * content-stamp, nMerges) — [[graft.operators.Dedup]]'s CorpusMemo /
+    * Similarity's EmbMemo stance on the tokenizer axis: a pipeline trains
+    * its tokenizer ONCE per release and every encode/measure pass reads
+    * the shipped merge table; t21 (the artifact itself), t25 (encode) and
+    * t43 (fertility) must measure the SAME tokenizer, not each re-run the
+    * 8-round training loop. The artifact is a driver-side nMerges-row seq
+    * (nothing to checkpoint or free); the key's content stamp evicts on
+    * in-session corpus rewrites. Builds run under the TextOps lock
+    * (single-threaded-driver assumption, as for the other two memos).
+    * Generic [[bpeMerges]] stays memo-free for planted-corpus specs. */
+  private object TokMemo {
+    private var key: Option[(SparkSession, String, Long)] = None
+    private val arts = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+    private def free(): Unit = {
+      arts.valuesIterator.foreach {
+        case df: DataFrame => Dedup.freeCheckpoint(df)
+        case _ => ()
+      }
+      arts.clear()
+    }
+    def artifact[T](spark: SparkSession, d: String, name: String)(build: => T): T =
+      TextOps.synchronized {
+        val k = (spark, d, graft.MemoLedger.dirStamp(d))
+        if (!key.contains(k)) {
+          if (arts.nonEmpty)
+            System.err.println(s"[tokmemo] corpus switch ${key.map(_._2)} -> $d: " +
+              s"freeing ${arts.size} tokenizer artifacts — any still-lazy " +
+              "DataFrame from the previous corpus is now invalid")
+          free()
+          key = Some(k)
+        }
+        arts.get(name) match {
+          case Some(v) => v.asInstanceOf[T]
+          case None =>
+            val v = graft.MemoLedger.timed("tok", name)(build)
+            arts.update(name, v)
+            v
+        }
+      }
+    def clear(): Unit = TextOps.synchronized { free(); key = None }
+  }
+
+  /** Free the memoized tokenizer artifacts (merge table rows + the
+    * encoded-corpus checkpoint). Bench calls this after the t-family;
+    * PlanAudit calls it so the encode build re-runs under its plan hook. */
+  def clearTokMemo(): Unit = TokMemo.clear()
+
+  /** The corpus's trained BPE merges, memoized: (rank, left, right,
+    * pair_count) rows in rank order. */
+  def corpusBpeMerges(spark: SparkSession, d: String,
+      nMerges: Int = 8): Seq[(Long, String, String, Long)] =
+    TokMemo.artifact(spark, d, s"bpe@$nMerges")(
+      bpeMerges(Tables.documents(spark, d), nMerges).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq)
+
+  /** The corpus ENCODED under the memoized tokenizer — doc-grain
+    * (n_tokens, n_symbols, symbols_per_token), memoized: the tokenized
+    * corpus is itself a release artifact (a pipeline encodes once and
+    * every measurement reads the encoding), so t25 ships it and t43's
+    * fertility rollup measures the SAME encoding rather than re-running
+    * the occurrence shuffle + vocabulary fold. */
+  def corpusBpeEncoded(spark: SparkSession, d: String,
+      nMerges: Int = 8): DataFrame =
+    TokMemo.artifact(spark, d, s"enc@$nMerges")(
+      graft.MemoLedger.audited(s"memo:enc@$nMerges")(
+        bpeEncoded(Tables.documents(spark, d),
+          corpusBpeMerges(spark, d, nMerges).map(t => (t._2, t._3))))
+        .localCheckpoint())
+
   val bpeTrain = Q(
     "t21_bpe_merges",
-    (s, d) => bpeMerges(Tables.documents(s, d), 8),
+    (s, d) => {
+      import s.implicits._
+      corpusBpeMerges(s, d, 8).toDF("rank", "left", "right", "pair_count")
+        .orderBy("rank")
+    },
     None)
 
   /** Per-(source, lang) corpus profile — the data-card readout curation
@@ -1140,14 +1226,12 @@ object TextOps {
 
   val bpeApply = Q(
     "t25_bpe_encode",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      // Train-then-encode: the merge table is t21's own output (bounded:
-      // nMerges rows), so the two queries ship one consistent tokenizer.
-      val merges = bpeMerges(docs, 8).collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
-      bpeEncode(docs, merges)
-    },
+    (s, d) =>
+      // Train-then-encode, both memoized: the merge table is t21's own
+      // output (bounded: nMerges rows) and the encoded corpus is the
+      // artifact this query SHIPS — one consistent tokenizer, one encode
+      // pass, paid once in the build ledger.
+      corpusBpeEncoded(s, d, 8).orderBy("doc_id"),
     None)
 
   // ------------------------------------------------- Unicode normalization
@@ -2536,7 +2620,12 @@ object TextOps {
     * doc-keyed join to (source, lang) and a ≤ sources × langs
     * aggregate with map-side partials. */
   def bpeFertility(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
-    bpeEncoded(docs, merges)
+    bpeFertilityFrom(bpeEncoded(docs, merges), docs)
+
+  /** [[bpeFertility]] over an ALREADY-ENCODED corpus (the memoized
+    * artifact) — the measure pass a release pipeline actually runs. */
+  def bpeFertilityFrom(encoded: DataFrame, docs: DataFrame): DataFrame =
+    encoded
       .join(docs.select("doc_id", "source", "lang"), "doc_id")
       .groupBy("source", "lang")
       .agg(count(lit(1)).as("n_docs"),
@@ -2548,12 +2637,8 @@ object TextOps {
 
   val bpeFertilityQ = Q(
     "t43_bpe_fertility",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      val merges = bpeMerges(docs, 8).collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
-      bpeFertility(docs, merges)
-    },
+    (s, d) =>
+      bpeFertilityFrom(corpusBpeEncoded(s, d, 8), Tables.documents(s, d)),
     None)
 
   val all: Seq[Q] =
