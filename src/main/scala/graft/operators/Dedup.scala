@@ -1194,8 +1194,20 @@ object Dedup {
     // ---- exact stage: delta fp vs corpus fps (corpus never shuffles —
     // semi-join against the broadcast delta fp set), plus delta-internal
     // min-id-wins window over the (small) delta.
-    val dFp = delta.select(col("doc_id"), md5(normText(col("text"))).as("fp"))
-      .localCheckpoint()
+    //
+    // The two independent delta materializations — the exact gate's
+    // fingerprints and the near gate's band table — are submitted
+    // CONCURRENTLY (separate action threads; Spark schedules both job
+    // DAGs onto the same executor pool), collapsing two serial driver
+    // barriers into one. Everything downstream needs one or both, so
+    // this is the only overlap the dependency graph allows.
+    val dFpF = scala.concurrent.Future(
+      delta.select(col("doc_id"), md5(normText(col("text"))).as("fp"))
+        .localCheckpoint())(scala.concurrent.ExecutionContext.global)
+    val dHs = deltaShingles.getOrElse(hashedShingles(shingleSets(delta)))
+    val dBanded = bandBuckets(signaturesFromHashes(dHs)).localCheckpoint()
+    val dFp = scala.concurrent.Await.result(
+      dFpF, scala.concurrent.duration.Duration.Inf)
     val dupFps = cFp
       .join(broadcast(dFp.select("fp").distinct()), Seq("fp"), "leftsemi")
       .distinct()
@@ -1206,14 +1218,13 @@ object Dedup {
       .distinct()
     // ---- near stage: delta bands probe the corpus band index + delta-delta
     // LSH; exact-Jaccard verify on candidate docs' shingles only. The delta
-    // band table is materialized ONCE and serves both the corpus-index
-    // probe and the delta-delta self-join (the signature aggregate it
-    // embeds is the expensive part; checkpointing the signatures AND the
-    // bands separately was one materialization job too many). The delta
-    // shingles stay lazy — tokenizing the (small) delta twice is cheaper
-    // than a dedicated materialization job.
-    val dHs = deltaShingles.getOrElse(hashedShingles(shingleSets(delta)))
-    val dBanded = bandBuckets(signaturesFromHashes(dHs)).localCheckpoint()
+    // band table (materialized above, concurrently with dFp) is built ONCE
+    // and serves both the corpus-index probe and the delta-delta self-join
+    // (the signature aggregate it embeds is the expensive part;
+    // checkpointing the signatures AND the bands separately was one
+    // materialization job too many). The delta shingles stay lazy —
+    // tokenizing the (small) delta twice is cheaper than a dedicated
+    // materialization job.
     // BandBucketCap, incremental form: the recompute path caps on bucket
     // population over corpus ∪ delta, so the probe must too (the d10
     // oracle IS the equivalence claim). Only delta-touched buckets can
@@ -1237,9 +1248,13 @@ object Dedup {
         .join(broadcast(dCnt.select("band", "bucket")), Seq("band", "bucket"), "leftsemi")
         .groupBy("band", "bucket").agg(count(lit(1)).as("cn"))
     }
+    // okBuckets stays LAZY: its only consumers are the two dOk broadcast
+    // semi-joins inside the one `cands` materialization below, where the
+    // identical broadcast subplans collapse into a ReusedExchange — a
+    // dedicated checkpoint job bought nothing (round-15 job-count fold).
     val okBuckets = dCnt.join(cCnt, Seq("band", "bucket"), "left")
       .filter(coalesce(col("cn"), lit(0L)) + col("dn") <= lit(BandBucketCap.toLong))
-      .select("band", "bucket").localCheckpoint()
+      .select("band", "bucket")
     val dOk = dBanded.join(broadcast(okBuckets), Seq("band", "bucket"), "leftsemi")
     // One distinct AFTER the union — pre-distincting each branch would add
     // an exchange (and an AQE stage job) per branch for rows the final
@@ -1267,9 +1282,13 @@ object Dedup {
     // set sizes), and each lazy read would re-scan the corpus shingle
     // source — a full index scan per reader at 100 TB.
     val hsScore = cShingles(candCorpusDocs).unionAll(dHs).localCheckpoint()
+    // nearPairs stays LAZY: its only consumer is connectedComponents,
+    // whose size probe collects the (tiny, verify-gated) edge list in one
+    // job — a checkpoint would add a materialization job just to hand CC
+    // an RDD it reads once.
     val nearPairs = jaccardPairsHashed(hsScore, Some(cands))
       .filter(col("jaccard") >= threshold)
-      .select(col("a"), col("b")).localCheckpoint()
+      .select(col("a"), col("b"))
     // ---- decide: components of the delta-adjacent graph; corpus wins.
     val labels = connectedComponents(nearPairs)
     val corpusLabels = labels
@@ -1284,15 +1303,21 @@ object Dedup {
         col("label") === col("l"), "left")
       .filter(col("l").isNotNull || col("doc_id") =!= col("rep"))
       .select("doc_id").distinct()
-    delta.select(col("doc_id"))
-      .join(broadcast(exactDrop.withColumn("is_exact", lit(true))), Seq("doc_id"), "left")
-      .join(broadcast(nearDrop.withColumn("is_near", lit(true))), Seq("doc_id"), "left")
+    // ONE broadcast verdict table instead of two (round-15 job fold):
+    // exact-over-near precedence rides min(reason) — legal because
+    // "exact_dup" < "near_dup" in the string order (pinned by the d10
+    // oracle, whose CASE checks exact first). The final delta id list
+    // reads the already-checkpointed dFp rather than re-scanning the
+    // delta source.
+    val drops = exactDrop.select(col("doc_id"), lit("exact_dup").as("reason"))
+      .unionAll(nearDrop.select(col("doc_id"), lit("near_dup").as("reason")))
+      .groupBy("doc_id").agg(min("reason").as("reason"))
+    dFp.select(col("doc_id"))
+      .join(broadcast(drops), Seq("doc_id"), "left")
       .select(
         col("doc_id"),
-        (col("is_exact").isNull && col("is_near").isNull).as("keep"),
-        when(col("is_exact").isNotNull, lit("exact_dup"))
-          .when(col("is_near").isNotNull, lit("near_dup"))
-          .otherwise(lit("keep")).as("reason"))
+        col("reason").isNull.as("keep"),
+        coalesce(col("reason"), lit("keep")).as("reason"))
       .orderBy("doc_id")
   }
 
@@ -1322,9 +1347,17 @@ object Dedup {
         graft.MemoLedger.audited("memo:d10bandCounts")(
           cBands.groupBy("band", "bucket").agg(count(lit(1)).as("cn")))
           .localCheckpoint())
+      // The resident fingerprint table is the third persisted-index half
+      // (writeDedupIndex ships fp/bands/band_counts): memoized, so a
+      // wave's exact gate probes stored fingerprints instead of
+      // re-hashing 4/5 of the corpus text per run.
+      val cFps = CorpusMemo.artifact(s, d, s"d10fp@$split")(
+        graft.MemoLedger.audited("memo:d10fp")(
+          docs.filter(col("doc_id") < split)
+            .select(md5(normText(col("text"))).as("fp")))
+          .localCheckpoint())
       incrementalKeepListFrom(
-        docs.filter(col("doc_id") < split)
-          .select(md5(normText(col("text"))).as("fp")),
+        cFps,
         ids => cHs.join(broadcast(ids), Seq("doc_id"), "leftsemi"),
         cBands,
         docs.filter(col("doc_id") >= split), 0.5,
