@@ -36,10 +36,14 @@ object PlanAudit {
     */
   val bnljAllowlist: Set[String] =
     // s01 carries NO entry since round 14: it reads the session-memoized
-    // exact-top-k checkpoint (the broadcast probe scan lives inside the
-    // memo build, which the audit sees through whichever query builds it
-    // first — a checkpointed leaf thereafter).
-    Set("s09_radius_search", "s10_ann_mmr_diversify",
+    // exact-top-k checkpoint. Since round 15 the BUILD plan behind that
+    // checkpoint is audited explicitly (the memo plan hook) as:
+    Set(
+      // memo:bf = the exact ANN ground-truth build — s01's old shape: a
+      // broadcast of the LIMIT-10 query probe against the corpus scan,
+      // every (query, corpus) pair scored by design.
+      "memo:bf@10@5",
+      "s09_radius_search", "s10_ann_mmr_diversify",
       // s13: s01's broadcast-probe scan carrying labels (vec_id < 20).
       "s13_knn_label_purity",
       "t08_tfidf_topterms",
@@ -161,10 +165,11 @@ object PlanAudit {
       "relations are the key-only (doc_id) drop lists — a small fraction of " +
       "corpus rows at 8 bytes each (d07's argument verbatim); every other " +
       "input is a 1-row rollup of a memoized candidate-sized artifact"),
-    "d10_incremental_keep" -> ("every hinted relation derives from the DELTA " +
-      "(daily ingest, structurally << corpus) or from candidate doc_ids " +
-      "keyed off it; the persisted corpus index is probed map-side by " +
-      "construction"),
+    // d10_incremental_keep: no entry since round 15 — its hinted
+    // relations all derive from session-memoized CHECKPOINTS (resident
+    // fingerprints/bands/counts) or the delta tables keyed off them, so
+    // no hinted subtree reads a corpus table; the memoized build plans
+    // are audited explicitly as memo:d10* via the plan hook.
     // s01/s02/s04/s08: no entries since round 14 — their probe sides are
     // LIMIT-10 slices of the session-memoized embeddings CHECKPOINT, so
     // no hinted subtree reads a corpus table anymore (checkpointed
@@ -244,8 +249,19 @@ object PlanAudit {
 
   def auditOne(spark: SparkSession, sfDir: String, name: String,
       fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Audit =
+    try auditFrame(name, fn(spark, sfDir))
+    catch {
+      case e: Throwable => Audit(name, 0, 0, 0, cartesian = false, bnlj = false,
+        globalWindow = false, corpusHinted = Set.empty,
+        error = Some(String.valueOf(e.getMessage)))
+    }
+
+  /** Audit an already-constructed frame — the memo plan hook's entry
+    * point (build plans exist as DataFrames, not (session, dir)
+    * thunks). */
+  def auditFrame(name: String, df: org.apache.spark.sql.DataFrame): Audit =
     try {
-      val qe = fn(spark, sfDir).queryExecution
+      val qe = df.queryExecution
       val plan = qe.executedPlan.toString
       // An unpartitioned window moves every row to one task (t14's old
       // prefix-sum bug class) — detect on the logical plan, where the
@@ -264,10 +280,32 @@ object PlanAudit {
         error = Some(String.valueOf(e.getMessage)))
     }
 
-  def auditAll(spark: SparkSession, sfDir: String): Seq[Audit] =
-    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      auditOne(spark, sfDir, name, fn)
-    }
+  /** Audit every inventory query AND every session-memo build plan.
+    * Memo artifacts are eagerly checkpointed at query-construction time,
+    * so a consumer query's audited plan shows only a checkpoint LEAF —
+    * without this, the build's join/broadcast shape would escape the
+    * audit entirely (and WHICH query triggers the build would depend on
+    * run order). So: clear the memos, install the pre-checkpoint plan
+    * hook, and audit each build as its own `memo:<artifact>` entry —
+    * coverage is order-independent because every build re-runs under the
+    * hook. */
+  def auditAll(spark: SparkSession, sfDir: String): Seq[Audit] = {
+    graft.operators.Dedup.clearCorpusMemo()
+    graft.operators.Similarity.clearEmbMemo()
+    graft.operators.TextOps.clearTokMemo()
+    val memoAudits = scala.collection.mutable.ArrayBuffer.empty[Audit]
+    val seen = scala.collection.mutable.Set.empty[String]
+    graft.MemoLedger.planHook = Some((name, df) => {
+      if (seen.add(name)) memoAudits += auditFrame(name, df)
+      ()
+    })
+    try {
+      val qAudits = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        auditOne(spark, sfDir, name, fn)
+      }
+      qAudits ++ memoAudits.toSeq.sortBy(_.name)
+    } finally graft.MemoLedger.planHook = None
+  }
 
   /** Violation strings (empty = gate passes): plan-compile failures,
     * cartesian products anywhere, BNLJ outside the allowlist, broadcast

@@ -368,7 +368,7 @@ object Dedup {
     * Generic `...From(docs)` operators are untouched: specs, streaming,
     * and rehearsals that synthesize their own corpora never touch the
     * memo. */
-  private object CorpusMemo {
+  private[operators] object CorpusMemo {
     // Key includes the corpus CONTENT STAMP (file mtimes+sizes), so an
     // in-session rewrite of the same path evicts instead of serving stale
     // artifacts. Contract: ONE active corpus per session, and callers must
@@ -429,7 +429,7 @@ object Dedup {
 
   /** MinHash signature table over [[corpusShingleHashes]], memoized
     * (read by the band build and d22's lane compare). */
-  private def corpusSigs(spark: SparkSession, d: String): DataFrame =
+  private[operators] def corpusSigs(spark: SparkSession, d: String): DataFrame =
     CorpusMemo.artifact(spark, d, "sigs")(
       graft.MemoLedger.audited("memo:sigs")(
         signaturesFromHashes(corpusShingleHashes(spark, d))).localCheckpoint())
@@ -445,14 +445,14 @@ object Dedup {
     * sorted), memoized — ONE aggregation of the band table shared by
     * self-join candidates (d02 family), the bipartite probe (d32), and
     * the per-band operating curve (d34). */
-  private def corpusBucketIds(spark: SparkSession, d: String): DataFrame =
+  private[operators] def corpusBucketIds(spark: SparkSession, d: String): DataFrame =
     CorpusMemo.artifact(spark, d, s"bucketIds@$BandBucketCap")(
       graft.MemoLedger.audited("memo:bucketIds")(
         bucketIds(corpusBanded(spark, d), BandBucketCap)).localCheckpoint())
 
   /** BandBucketCap'd LSH candidate pairs (a < b) over the corpus,
     * memoized. */
-  private def corpusCand(spark: SparkSession, d: String): DataFrame =
+  private[operators] def corpusCand(spark: SparkSession, d: String): DataFrame =
     CorpusMemo.artifact(spark, d, "cand")(
       graft.MemoLedger.audited("memo:cand")(
         pairsFromBucketIds(corpusBucketIds(spark, d))).localCheckpoint())
@@ -474,7 +474,7 @@ object Dedup {
 
   /** Near-dup cluster component table at `threshold` (unordered — d06
     * orders it, d15/d27 re-aggregate it), memoized. */
-  private def corpusClusterTable(spark: SparkSession, d: String,
+  private[operators] def corpusClusterTable(spark: SparkSession, d: String,
       threshold: Double, maxIters: Int): DataFrame =
     CorpusMemo.artifact(spark, d, s"clusters@$threshold@$maxIters") {
       val pairs = corpusVerifiedPairs(spark, d)
@@ -3785,6 +3785,75 @@ object Dedup {
                 AS n_cluster_members,
               (SELECT CAST(count(*) AS BIGINT) FROM documents)
                 - (SELECT CAST(count(*) AS BIGINT) FROM dr) AS n_keep"""))
+
+  /** One arriving wave's persisted tables for the maintained release
+    * report ([[graft.streaming.ViewStreams.maintainReleaseView]]): the
+    * batch's fingerprints and hashed shingles — the only text-derived
+    * artifacts the view ever needs, so each document is tokenized exactly
+    * once, at ingest. */
+  def releaseWaveTables(batch: DataFrame): (DataFrame, DataFrame) = (
+    batch.select(col("doc_id"), md5(normText(col("text"))).as("fp")),
+    hashedShingles(shingleSets(batch)))
+
+  /** d36's seven-column release report recomputed from STORED tables —
+    * (doc_id, fp) and (doc_id, sh_h) — with no document text touched.
+    * The near-dup legs re-run the capped candidate kernel over the
+    * ACCUMULATED shingle index rather than delta-gating (d10's shape):
+    * the band-bucket cap is a function of TOTAL bucket population, so
+    * cap-exact global pair/cluster counts under any batch slicing
+    * require the full candidate regen — the price of slicing-exact
+    * equality with batch d36, and the cheap half of the work
+    * (index-scale shingle hashes, not text). Returns a LOCAL 1-row
+    * frame (the report is one row by construction); the intermediate
+    * checkpoints are freed before return. */
+  def releaseReportFromTables(fps: DataFrame, hs: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val spark = fps.sparkSession
+    val hsC = hs.localCheckpoint()
+    val verified = jaccardPairsHashed(hsC,
+      Some(pairsFromBucketIds(
+        bucketIds(bandBuckets(signaturesFromHashes(hsC)), BandBucketCap))))
+      .localCheckpoint()
+    val pairs = verified.filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"))
+    val clusterTable = connectedComponents(pairs, 50)
+      .groupBy("label").agg(collect_list("doc_id").as("ids"),
+        count(lit(1)).as("cluster_size"))
+      .filter(col("cluster_size") > 1)
+      .select(col("label").as("cluster_rep"), explode(col("ids")).as("doc_id"),
+        col("cluster_size"))
+      .localCheckpoint()
+    val fpg = fps.groupBy("fp").agg(count(lit(1)).as("c"))
+    val exactAgg = fpg.agg(
+      count(when(col("c") > 1, 1)).as("n_dup_groups"),
+      coalesce(sum(when(col("c") > 1, col("c") - 1)), lit(0L)).as("n_exact_dropped"))
+    val pairsAgg = verified.filter(col("jaccard") >= threshold)
+      .agg(count(lit(1)).as("n_neardup_pairs"))
+    val clustersAgg = clusterTable.agg(
+      countDistinct("cluster_rep").as("n_clusters"),
+      count(lit(1)).as("n_cluster_members"))
+    val exactDrop = fps
+      .withColumn("keep_id", min("doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"), lit(true).as("is_exact_dup"))
+    val nearDrop = clusterTable.filter(col("doc_id") =!= col("cluster_rep"))
+      .select(col("doc_id"), lit(true).as("is_near_dup"))
+    val keptAgg = fps.select(col("doc_id"))
+      .join(broadcast(exactDrop), Seq("doc_id"), "left")
+      .join(broadcast(nearDrop), Seq("doc_id"), "left")
+      .agg(coalesce(sum(when(
+        col("is_exact_dup").isNull && col("is_near_dup").isNull, 1L)
+        .otherwise(0L)), lit(0L)).as("n_keep"))
+    val report = fps.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(exactAgg).crossJoin(pairsAgg)
+      .crossJoin(clustersAgg).crossJoin(keptAgg)
+    val row = report.head()
+    val out = spark.createDataFrame(
+      java.util.Collections.singletonList(row), report.schema)
+    Seq(hsC, verified, clusterTable).foreach(freeCheckpoint)
+    out
+  }
 
   // ------------------------------- dedup token ledger (p18)
   /** p18: the per-source TOKEN ledger under the keep-list — raw vs kept

@@ -105,25 +105,7 @@ object ViewStreams {
     val root = new Path(statePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val gens = committedGens(fs, root)
-    if (gens.exists(_._1 >= batchId)) {
-      // A replay of the LAST batch (at-least-once reality) arrives with
-      // batchId == max committed gen — silent skip is the idempotence
-      // contract. A batchId BELOW the max means the stream's checkpoint
-      // does not match this state directory (e.g. a fresh checkpoint,
-      // whose ids restart at 0, pointed at existing state): the skip
-      // would silently DROP that batch's data, so say so loudly. Not a
-      // hard failure — the caller may be intentionally replaying an old
-      // ledger — but never silent.
-      val maxGen = gens.last._1
-      if (maxGen > batchId)
-        System.err.println(
-          s"[viewstreams] $statePath: batch id $batchId is below the max " +
-          s"committed generation $maxGen — skipped as a replay, but if this " +
-          "stream runs with a FRESH checkpoint its batches will keep landing " +
-          "below the committed horizon and be dropped. A checkpoint dir and a " +
-          "state dir are a PAIR: recreate or keep both together.")
-      return
-    }
+    if (alreadyCommitted(gens, batchId, statePath)) return
     val delta = partial(batch)
     val prev = gens.lastOption match {
       case Some((_, p)) => spark.read.parquet(p.toString)
@@ -143,23 +125,82 @@ object ViewStreams {
     // re-resolve) for longer-lived consumers.
     merge2(prev, delta)
       .write.mode("overwrite").parquet(new Path(root, s"gen=$batchId").toString)
-    // Reader-LEASE pruning (the production form of reader isolation): a
-    // superseded generation is deleted only once its commit is older than
-    // `graft.view.readerLeaseMs`, so a lazy view DataFrame resolved within
-    // the lease keeps its files across ANY number of intervening refreshes
-    // (stale-but-consistent), not just one. The immediately-previous
-    // generation is always retained one extra cycle regardless (the
-    // lease's floor — the original contract), and state storage is bounded
-    // by refresh rate × lease. Default lease 0 ms = the original
-    // keep-one-predecessor behavior.
+    stampCommit(fs, new Path(root, s"gen=$batchId"))
+    pruneSuperseded(spark, fs, gens)
+  }
+
+  /** True (after warning loudly when appropriate) if `batchId` is already
+    * folded into the committed state. A replay of the LAST batch
+    * (at-least-once reality) arrives with batchId == max committed gen —
+    * silent skip is the idempotence contract. A batchId BELOW the max
+    * means the stream's checkpoint does not match this state directory
+    * (e.g. a fresh checkpoint, whose ids restart at 0, pointed at
+    * existing state): the skip would silently DROP that batch's data, so
+    * say so loudly. Not a hard failure — the caller may be intentionally
+    * replaying an old ledger — but never silent. */
+  private def alreadyCommitted(gens: Seq[(Long, Path)], batchId: Long,
+      statePath: String): Boolean = {
+    if (!gens.exists(_._1 >= batchId)) return false
+    val maxGen = gens.last._1
+    if (maxGen > batchId)
+      System.err.println(
+        s"[viewstreams] $statePath: batch id $batchId is below the max " +
+        s"committed generation $maxGen — skipped as a replay, but if this " +
+        "stream runs with a FRESH checkpoint its batches will keep landing " +
+        "below the committed horizon and be dropped. A checkpoint dir and a " +
+        "state dir are a PAIR: recreate or keep both together.")
+    true
+  }
+
+  /** Record the commit time INSIDE the generation, written by the
+    * committer itself (`_COMMIT_TS`, epoch millis) — the reader lease
+    * must not trust filesystem mtimes, which object stores skew or drop
+    * (and committers configured without `_SUCCESS` markers lack
+    * entirely). */
+  private def stampCommit(fs: FileSystem, gen: Path): Unit = {
+    val out = fs.create(new Path(gen, "_COMMIT_TS"), true)
+    try out.write(System.currentTimeMillis().toString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** A generation's commit time: the committer-written `_COMMIT_TS` when
+    * present (authoritative), else the `_SUCCESS` mtime (pre-upgrade
+    * generations on a sane filesystem), else None — and None means SKIP
+    * deletion, never force it: an unreadable timestamp must degrade to
+    * retaining state, not to breaking a reader inside its lease. */
+  private def committedAtOf(fs: FileSystem, gen: Path): Option[Long] = {
+    val ts = new Path(gen, "_COMMIT_TS")
+    try {
+      if (fs.exists(ts)) {
+        val in = fs.open(ts)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+        finally in.close()
+      } else
+        Some(fs.getFileStatus(new Path(gen, "_SUCCESS")).getModificationTime)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Reader-LEASE pruning (the production form of reader isolation): a
+    * superseded generation is deleted only once its commit is older than
+    * `graft.view.readerLeaseMs`, so a lazy view DataFrame resolved within
+    * the lease keeps its files across ANY number of intervening refreshes
+    * (stale-but-consistent), not just one. The immediately-previous
+    * generation is always retained one extra cycle regardless (the
+    * lease's floor — the original contract), and state storage is bounded
+    * by refresh rate × lease. Default lease 0 ms = the original
+    * keep-one-predecessor behavior. `gens` is the committed list from
+    * BEFORE the new commit, so dropRight(1) retains the immediate
+    * predecessor. */
+  private def pruneSuperseded(spark: SparkSession, fs: FileSystem,
+      gens: Seq[(Long, Path)]): Unit = {
     val leaseMs = spark.conf.getOption("graft.view.readerLeaseMs")
       .map(_.toLong).getOrElse(0L)
     val now = System.currentTimeMillis()
     gens.dropRight(1).foreach { case (_, p) =>
-      val committedAt =
-        try fs.getFileStatus(new Path(p, "_SUCCESS")).getModificationTime
-        catch { case _: java.io.IOException => 0L }
-      if (now - committedAt >= leaseMs) fs.delete(p, true)
+      committedAtOf(fs, p) match {
+        case Some(t) if now - t >= leaseMs => fs.delete(p, true); ()
+        case _ => () // inside its lease, or timestamp unreadable: retain
+      }
     }
   }
 
@@ -323,6 +364,71 @@ object ViewStreams {
             graft.operators.Multimodal.symbolCounts _, mergeSymbols)
       }
       .start()
+
+  // ------------- the release-report view (d36's maintenance twin)
+
+  /** Fold one micro-batch of arriving DOCUMENTS into the maintained
+    * release report — the SIXTH maintained view, and the first whose
+    * state is an append-only artifact INDEX plus a derived report, not an
+    * associative aggregate. Layout under `statePath`:
+    *
+    * ```
+    * waves/batch=<id>/{fp,hs}   tokenize-at-ingest tables (append-only;
+    *                            overwrite per batch id ⇒ replay-idempotent)
+    * gen=<id>/                  the committed 1-row d36 report
+    * ```
+    *
+    * Per batch: write the wave's fingerprint + shingle-hash tables (the
+    * ONLY time this batch's text is read), then recompute the report from
+    * the accumulated index via
+    * [[graft.operators.Dedup.releaseReportFromTables]] and commit it as a
+    * new generation. Exact-dup legs are fingerprint-grain; near-dup legs
+    * re-run the capped candidate kernel over the accumulated SHINGLE
+    * index (never the text) — the full-population cap is what makes the
+    * maintained report equal batch d36 under ANY batch slicing, which the
+    * spec asserts two ways. Crash-atomic and replay-idempotent exactly
+    * like the associative views: wave writes are per-batch overwrites,
+    * the report commit is the generation marker, and a replayed batch id
+    * at-or-below the committed horizon is skipped (warned when below). */
+  def mergeReleaseBatch(spark: SparkSession, batch: DataFrame,
+      statePath: String, batchId: Long, threshold: Double = 0.5): Unit = {
+    val root = new Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens = committedGens(fs, root)
+    if (alreadyCommitted(gens, batchId, statePath)) return
+    val wave = new Path(root, s"waves/batch=$batchId")
+    val (fpW, hsW) = graft.operators.Dedup.releaseWaveTables(batch)
+    fpW.write.mode("overwrite").parquet(new Path(wave, "fp").toString)
+    hsW.write.mode("overwrite").parquet(new Path(wave, "hs").toString)
+    val fps = spark.read.parquet(s"$statePath/waves/*/fp")
+    val hs = spark.read.parquet(s"$statePath/waves/*/hs")
+    graft.operators.Dedup.releaseReportFromTables(fps, hs, threshold)
+      .write.mode("overwrite").parquet(new Path(root, s"gen=$batchId").toString)
+    stampCommit(fs, new Path(root, s"gen=$batchId"))
+    pruneSuperseded(spark, fs, gens)
+  }
+
+  /** Start the release-report maintenance loop over a document stream. */
+  def maintainReleaseView(stream: DataFrame, statePath: String,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          mergeReleaseBatch(batch.sparkSession, batch.toDF(), statePath, batchId)
+      }
+      .start()
+
+  /** Read the maintained release report in d36's exact output shape —
+    * the committed generation IS the report. */
+  def releaseView(spark: SparkSession, statePath: String): DataFrame = {
+    val root = new Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val latest = committedGens(fs, root).lastOption.getOrElse(
+      throw new IllegalStateException(
+        s"no committed state generation under $statePath"))
+    spark.read.parquet(latest._2.toString)
+  }
 
   /** Read the maintained symbol view in m17's exact output shape via the
     * SHARED close. */

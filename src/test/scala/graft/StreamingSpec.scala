@@ -791,6 +791,63 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("graft.view.readerLeaseMs")
   }
 
+  test("reader lease survives skewed filesystem mtimes (commit timestamps are committer-written)") {
+    import java.nio.file.Files
+    import graft.streaming.ViewStreams
+    import graft.sources.Tables
+    val li = Tables.lineitem(spark, sf)
+    val state = s"${Files.createTempDirectory("graft-view-lease2")}/state"
+    val slice = (i: Int) => li.filter(col("l_orderkey") % 4 === i)
+    def gens() = new java.io.File(state).listFiles()
+      .filter(_.getName.startsWith("gen=")).map(_.getName).sorted.toSeq
+    spark.conf.set("graft.view.readerLeaseMs", "600000")
+    try {
+      ViewStreams.mergeBatch(spark, slice(0), state, 0L)
+      ViewStreams.mergeBatch(spark, slice(1), state, 1L)
+      // Mock an object store with useless mtimes: every marker claims
+      // epoch 0. An mtime-based lease would expire gen=0 instantly; the
+      // committer-written _COMMIT_TS must keep it readable.
+      new java.io.File(state).listFiles().filter(_.getName.startsWith("gen="))
+        .flatMap(_.listFiles()).filter(_.getName == "_SUCCESS")
+        .foreach(f => assert(f.setLastModified(0L)))
+      ViewStreams.mergeBatch(spark, slice(2), state, 2L)
+      assert(gens() == Seq("gen=0", "gen=1", "gen=2"),
+        s"lease bypassed under skewed mtimes: ${gens()}")
+      // Lease off: prune reverts to keep-one-predecessor regardless.
+      spark.conf.set("graft.view.readerLeaseMs", "0")
+      ViewStreams.mergeBatch(spark, slice(3), state, 3L)
+      assert(gens() == Seq("gen=2", "gen=3"), s"prune failed: ${gens()}")
+    } finally spark.conf.unset("graft.view.readerLeaseMs")
+  }
+
+  test("maintained release view == batch d36 under two batch slicings (and replay-idempotent)") {
+    import java.nio.file.Files
+    import graft.streaming.ViewStreams
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sf)
+    val expected = SparkEntry.queries("d36_release_dedup_report")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val slicings: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "even-odd" -> (col("doc_id") % 2 === 0),
+      // A planted CROSS-HALF exact-dup boundary: head/tail by id splits
+      // every duplicate cluster whose members span the midpoint.
+      "head-tail" -> (col("doc_id") < 30))
+    for ((tag, cut) <- slicings) {
+      val state = s"${Files.createTempDirectory(s"graft-release-view")}/state"
+      ViewStreams.mergeReleaseBatch(spark, docs.filter(cut), state, 0L)
+      ViewStreams.mergeReleaseBatch(spark, docs.filter(!cut), state, 1L)
+      val got = ViewStreams.releaseView(spark, state)
+        .collect().map(_.toString).toSeq
+      assert(got == expected, s"release view != batch d36 under $tag slicing")
+      // Replay of the last batch: a committed generation at the id means
+      // no-op — the report must not double-count the wave.
+      ViewStreams.mergeReleaseBatch(spark, docs.filter(!cut), state, 1L)
+      assert(ViewStreams.releaseView(spark, state)
+        .collect().map(_.toString).toSeq == expected,
+        s"release view drifted after replay under $tag slicing")
+    }
+  }
+
   test("streaming daily HLL == batch HLL bit-for-bit (merge order-independence)") {
     val stream = EventStreams.readEventStream(spark, sf)
     val q = EventStreams.runToMemory(
