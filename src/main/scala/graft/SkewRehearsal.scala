@@ -82,7 +82,7 @@ object SkewRehearsal {
     val k = if (args.length > 2) args(2).toInt else 10
     val sections: Set[String] =
       if (args.length > 3 && args(3) != "all") args(3).split(",").toSet
-      else Set("skew", "boiler", "salt", "boiler2", "bandcap", "curves")
+      else Set("skew", "boiler", "salt", "boiler2", "bandcap", "curves", "vecskew")
     val reuse = args.length > 4 && args(4) == "reuse"
     val spark = GraftSession.get("graft-skew-rehearsal")
 
@@ -152,6 +152,8 @@ object SkewRehearsal {
     }
 
     if (sections("boiler2")) boilerWave2(spark, sfDir, outDir)
+
+    if (sections("vecskew")) vecSkewWave(spark, sfDir, outDir, k, reuse)
 
     if (sections("bandcap")) bandCapWave(spark, sfDir, outDir, reuse)
 
@@ -299,6 +301,105 @@ object SkewRehearsal {
       val (t1, _) = minOf2(fn(spark, sfDir).count())
       val (tB, rB) = minOf2(fn(spark, hot).count())
       println(f"[skew] ${name + "_hotdup"}%-30s $t1%7.2f ${tB}%8.2f ${tB / t1}%6.1fx (rows $rB)")
+    }
+  }
+
+  /** Hot-cell embedding corpus: the k× uniform vector corpus with HALF of
+    * all vectors re-pointed into one tight cluster around the base
+    * corpus's lowest-id vector — after IVF training, one cell ends up
+    * holding ~50% of stored vectors, the clustered-real-data shape that
+    * attacks cell-partitioned ANN serving (one cell's candidate scan
+    * dominates every probe that touches it). `exactDup = true` is the
+    * harsher variant: the re-pointed half are BYTE-IDENTICAL copies of
+    * the hot vector (mirrored embeddings of mirrored documents), which
+    * also floods top-k with cos-1.0 ties — the determinism tie-rule's
+    * stress case. Jitter is deterministic in (vec_id, dim), so corpora
+    * are rebuild-stable. */
+  def hotCellVecs(vecs: DataFrame, k: Int, exactDup: Boolean): DataFrame = {
+    val hot = vecs.orderBy("vec_id").select("embedding").head()
+      .getSeq[Float](0).toArray
+    val hotArr = array(hot.map(x => lit(x)): _*)
+    val clustered =
+      if (exactDup) hotArr.cast("array<float>")
+      else transform(hotArr, (x, i) =>
+        x + pmod(col("vec_id") * 31L + i.cast("long"), lit(1009L))
+          .cast("double") / lit(100000.0))
+        .cast("array<float>")
+    ScaleRehearsal.scaledVecs(vecs, k).withColumn("embedding",
+      when(col("vec_id") % 2 === 0, clustered).otherwise(col("embedding")))
+  }
+
+  /** Round-15 vector-skew wave: the hot-IVF-cell / duplicated-vector
+    * corpora s17 exists to measure, run against every ANN family member
+    * (s02 LSH, s04 IVF, s08 PQ) through the generic `...From` builders
+    * (train + probe on the adversarial corpus — the memo never sees
+    * synthetic corpora), with recall vs the SAME corpus's brute-force
+    * truth and s17's balance report read directly. The design claims
+    * this pins: (a) probe-side traffic is structurally bounded by
+    * nProbe — a query fans out to exactly nProbe cells no matter how hot
+    * one cell is, so probe counts can never exceed nQueries × nProbe;
+    * (b) the hot cell's cost is its candidate SCAN (≈50% of the corpus
+    * for probes that touch it) — visible as a wall ratio vs the uniform
+    * corpus of the same k, bounded by ~the hot share, never quadratic;
+    * (c) recall floors hold because the hot queries' true neighbors ARE
+    * in the hot cell they probe first. */
+  private def vecSkewWave(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, outDir: String, k: Int, reuse: Boolean): Unit = {
+    def minOf2(f: => Long): (Double, Long) = {
+      def once(): (Double, Long) = {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime(); val rows = f
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      val (tA, rows) = once(); val (tB, _) = once()
+      (math.min(tA, tB), rows)
+    }
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    if (!reuse) {
+      ScaleRehearsal.scaledVecs(vecs, k).write.mode("overwrite")
+        .parquet(s"$outDir/vecuniform/embeddings.parquet")
+      hotCellVecs(vecs, k, exactDup = false).write.mode("overwrite")
+        .parquet(s"$outDir/vechot/embeddings.parquet")
+      hotCellVecs(vecs, k, exactDup = true).write.mode("overwrite")
+        .parquet(s"$outDir/vecdup/embeddings.parquet")
+    }
+    val (nq, topK) = (10, 5)
+    for (tag <- Seq("vecuniform", "vechot", "vecdup")) {
+      val e = spark.read.parquet(s"$outDir/$tag/embeddings.parquet")
+        .select(col("vec_id"), col("embedding")).localCheckpoint()
+      val truth = operators.Similarity.bruteForceTopKFrom(e, nq, topK)
+        .localCheckpoint()
+      val truthN = truth.count()
+      def recallOf(approx: DataFrame): Double =
+        approx.select("query_id", "neighbor_id")
+          .join(truth.select("query_id", "neighbor_id"),
+            Seq("query_id", "neighbor_id"), "leftsemi")
+          .count().toDouble / truthN
+      val methods = Seq[(String, () => DataFrame)](
+        "s02_lsh" -> (() => operators.Similarity.lshTopKFrom(e, nq, topK)),
+        "s04_ivf" -> (() => operators.Similarity.ivfTopKFrom(spark, e, nq, topK)),
+        "s08_pq" -> (() => operators.Similarity.pqTopKFrom(spark, e, nq, topK)),
+        // PQ is the family member clustered corpora hurt: a tight
+        // cluster eats codebook cells, so ADC can't separate in-cluster
+        // neighbors (measured on vechot at sf0.01-4x: recall 0.52 at the
+        // default rerank=8, 0.66 @ 32, 0.96 @ 128, 1.0 @ 512). The
+        // standard fix is a deeper exact rerank — shown here as the
+        // mitigation row, still O(rerank) exact work per query.
+        "s08_pq_rerank32" -> (() =>
+          operators.Similarity.pqTopKFrom(spark, e, nq, topK, rerank = 32)))
+      methods.foreach { case (m, build) =>
+        val (t, _) = minOf2(build().count())
+        println(f"[skew] ${m + "/" + tag}%-28s $t%7.2f s recall=${recallOf(build())}%.3f")
+      }
+      // s17's balance readout on the same corpus: the hot cell must show
+      // up as a storage-share outlier while probe traffic stays
+      // nProbe-bounded.
+      val bal = operators.Similarity.probeTrafficBalance(e).localCheckpoint()
+      val top = bal.orderBy(desc("storage_share")).head()
+      val probes = bal.agg(sum("n_probes"), max("n_probes")).head()
+      println(f"[skew] s17_balance/$tag%-16s max_storage_share=${top.getDouble(2)}%.3f " +
+        f"(cell ${top.getLong(0)}) probes_total=${probes.getLong(0)} " +
+        f"probes_max_cell=${probes.getLong(1)}")
     }
   }
 

@@ -45,6 +45,42 @@ class SourcesAndSkewSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("hot-cell vector corpus: s17 balance flags the cell, probe traffic stays nProbe-bounded, recalls hold") {
+    import org.apache.spark.sql.functions._
+    // SkewRehearsal's clustered corpus at spec scale: half of an 8x
+    // sf0.001 vector corpus re-pointed into one tight cluster.
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val hot = SkewRehearsal.hotCellVecs(vecs, 8, exactDup = false)
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    val bal = Similarity.probeTrafficBalance(hot).collect()
+    // (a) the hot cell is visible: one cell holds ~half the corpus.
+    val maxStore = bal.map(_.getDouble(2)).max
+    assert(maxStore >= 0.4 && maxStore <= 0.65,
+      s"hot cell not visible in storage shares: $maxStore")
+    // (b) probe traffic is STRUCTURALLY nProbe-bounded: every query fans
+    // out to exactly nProbe cells, so totals are exact and no cell can
+    // absorb more than one probe per query — however hot its storage.
+    val (nQueries, nProbe) = (32, 2)
+    assert(bal.map(_.getLong(3)).sum == nQueries.toLong * nProbe,
+      "probe total != nQueries * nProbe")
+    assert(bal.map(_.getLong(3)).max <= nQueries.toLong,
+      "one cell absorbed more than one probe per query")
+    // (c) recall floors hold on the adversarial corpus — the hot queries'
+    // true neighbors live in the cell they probe first (IVF), and LSH's
+    // hyperplane buckets collapse the cluster into shared buckets.
+    val truth = Similarity.bruteForceTopKFrom(hot, 10, 5).localCheckpoint()
+    val tn = truth.count().toDouble
+    def recallOf(approx: org.apache.spark.sql.DataFrame): Double =
+      approx.select("query_id", "neighbor_id")
+        .join(truth.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "leftsemi").count() / tn
+    assert(recallOf(Similarity.ivfTopKFrom(spark, hot, 10, 5)) >= 0.8)
+    assert(recallOf(Similarity.lshTopKFrom(hot, 10, 5)) >= 0.6)
+    // PQ's measured clustered-corpus weakness + its mitigation (the
+    // SkewRehearsal vecskew wave carries the full rerank curve).
+    assert(recallOf(Similarity.pqTopKFrom(spark, hot, 10, 5, rerank = 128)) >= 0.8)
+  }
+
   test("IVF ANN: ranks valid and recall reasonable vs exact") {
     val exact = Similarity.bruteForceTopK(spark, sf, 10, 1).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
