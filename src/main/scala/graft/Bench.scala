@@ -52,17 +52,18 @@ object Bench {
       val times = if (base.nonEmpty && base.min > 3.0) base :+ once() else base
       storagePeak = math.max(storagePeak, storageBytes())
       // Free each memo once its last consumer family completes (families
-      // run in name order): CorpusMemo serves d..p (p18 is the last
-      // consumer), EmbMemo serves s, TokMemo serves t. Bounds peak
-      // executor storage — the d- and s-family artifact sets never
-      // coexist past the s-family — and every freed result is already
-      // materialized through the noop sink.
+      // run in name order): CorpusMemo serves d..p and t34 (so it lives
+      // to the end), EmbMemo serves s only and is freed there — the peak
+      // (both artifact sets resident) spans just the s-family and is
+      // reported below. Every freed result is already materialized
+      // through the noop sink.
       val family = name.take(1)
       val nextFamily = sorted.lift(i + 1).map(_._1.take(1))
       if (!nextFamily.contains(family)) family match {
-        case "p" => graft.operators.Dedup.clearCorpusMemo()
         case "s" => graft.operators.Similarity.clearEmbMemo()
-        case "t" => graft.operators.TextOps.clearTokMemo()
+        case "t" =>
+          graft.operators.Dedup.clearCorpusMemo()
+          graft.operators.TextOps.clearTokMemo()
         case _ => ()
       }
       name -> (if (times.nonEmpty) times.filter(_ >= 0).min else -1.0)

@@ -465,12 +465,25 @@ object Dedup {
         jaccardPairsHashed(corpusShingleHashes(spark, d), Some(corpusCand(spark, d))))
         .localCheckpoint())
 
+  /** The df-capped candidate pair-count table (a, b, n_common) over the
+    * corpus — the shared TRUNK of the capped family, memoized: d04/d12/
+    * d34 derive Jaccard from it (via [[corpusCappedJaccard]]), d18
+    * derives containment. One rare-shingle pairing join serves both
+    * score families. */
+  private[operators] def corpusCappedPairCounts(spark: SparkSession, d: String): DataFrame =
+    CorpusMemo.artifact(spark, d, s"cappedPairs@$ShingleDfCap")(
+      graft.MemoLedger.audited("memo:cappedPairs")(
+        cappedPairCounts(corpusShingleHashes(spark, d), ShingleDfCap))
+        .localCheckpoint())
+
   /** Exact Jaccard over the df-capped shared-shingle candidates (d04's
-    * kernel; also d12's n-gram detector and d34's truth set), memoized. */
+    * kernel; also d12's n-gram detector and d34's truth set), memoized —
+    * the size-attach + divide over [[corpusCappedPairCounts]]. */
   def corpusCappedJaccard(spark: SparkSession, d: String): DataFrame =
     CorpusMemo.artifact(spark, d, "cappedJaccard")(
       graft.MemoLedger.audited("memo:cappedJaccard")(
-        jaccardPairsCapped(corpusShingleHashes(spark, d))).localCheckpoint())
+        jaccardFromCounts(corpusShingleHashes(spark, d),
+          corpusCappedPairCounts(spark, d))).localCheckpoint())
 
   /** Near-dup cluster component table at `threshold` (unordered — d06
     * orders it, d15/d27 re-aggregate it), memoized. */
@@ -2134,9 +2147,16 @@ object Dedup {
     containmentPairsHashed(materializedShingleHashes(docs), threshold, dfCap)
 
   def containmentPairsHashed(hs: DataFrame, threshold: Double,
-                             dfCap: Int = ShingleDfCap): DataFrame = {
+                             dfCap: Int = ShingleDfCap): DataFrame =
+    containmentFromCounts(hs, cappedPairCounts(hs, dfCap), threshold)
+
+  /** Containment scores from an already-built (a, b, n_common) pair
+    * table — the d18 tail over the shared capped trunk
+    * ([[corpusCappedPairCounts]] on the corpus path). */
+  def containmentFromCounts(hs: DataFrame, counts: DataFrame,
+      threshold: Double): DataFrame = {
     val sizes = hs.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    cappedPairCounts(hs, dfCap)
+    counts
       .join(sizes.select(col("doc_id").as("a"), col("n").as("n_a")), "a")
       .join(sizes.select(col("doc_id").as("b"), col("n").as("n_b")), "b")
       .select(col("a"), col("b"),
@@ -2149,7 +2169,8 @@ object Dedup {
 
   val containment = Q(
     "d18_containment_pairs",
-    (s, d) => containmentPairsHashed(corpusShingleHashes(s, d), 0.5),
+    (s, d) => containmentFromCounts(
+      corpusShingleHashes(s, d), corpusCappedPairCounts(s, d), 0.5),
     // df-cap mirrored in the oracle (`dfq` + `n_rare > 0`) — see d04.
     Some(s"""WITH sh AS (
               SELECT DISTINCT doc_id, shingle FROM (

@@ -1794,8 +1794,16 @@ object TextOps {
     * joined back shingle-keyed (AQE broadcasts it when small); the
     * per-doc rollup is one doc-keyed aggregate. Nothing pairwise — this
     * is d23's linear companion, not a dedup join. */
-  def templatedDocs(docs: DataFrame, minDf: Int, flagAt: Double): DataFrame = {
-    val hs = Dedup.hashedShingles(Dedup.shingleSets(docs)).localCheckpoint()
+  def templatedDocs(docs: DataFrame, minDf: Int, flagAt: Double): DataFrame =
+    templatedDocsFromHashes(
+      Dedup.hashedShingles(Dedup.shingleSets(docs)).localCheckpoint(),
+      minDf, flagAt)
+
+  /** [[templatedDocs]] over an already-materialized hashed shingle table —
+    * the corpus path reads the session-memoized one (t34 shares d02's
+    * tokenize pass instead of re-shingling the corpus per run). */
+  def templatedDocsFromHashes(hs: DataFrame, minDf: Int,
+      flagAt: Double): DataFrame = {
     val hot = hs.groupBy("sh_h").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
       .select(col("sh_h"), lit(1L).as("is_hot"))
@@ -1811,7 +1819,7 @@ object TextOps {
 
   val templated = Q(
     "t34_templated_docs",
-    (s, d) => templatedDocs(Tables.documents(s, d), 4, 0.5),
+    (s, d) => templatedDocsFromHashes(Dedup.corpusShingleHashes(s, d), 4, 0.5),
     Some("""WITH sh AS (
               SELECT DISTINCT doc_id, shingle FROM (
                 SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
