@@ -3956,11 +3956,85 @@ object Dedup {
             LEFT JOIN nd n ON n.doc_id = t.doc_id
             GROUP BY t.source ORDER BY t.source"""))
 
+  // --------------------------- release artifact footprint (p19)
+  /** p19: the FOOTPRINT of the frozen kernel artifact set — row counts of
+    * every table [[ReleaseArtifacts.write]] persists, read from the
+    * session memo at marginal cost (eight 1-row rollups over
+    * checkpoints). This is the storage-planning readout a release freeze
+    * publishes next to d36's quality gate: at 100 TB the artifact set IS
+    * the pipeline's working state, and its growth curve (candidates and
+    * verified pairs vs corpus rows) is what the band/df caps exist to
+    * bound — a footprint row that grows superlinearly between releases
+    * is the cap regression alarm. Fully oracle-checked: DuckDB
+    * recomputes every count independently (the MinHash signature lanes
+    * in SQL, the capped band-bucket candidate join, the df-capped pair
+    * join, the recursive cluster closure). */
+  val artifactFootprint = Q(
+    "p19_release_artifact_footprint",
+    (s, d) => {
+      def rowOf(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"))
+          .select(lit(name).as("artifact"), col("n_rows"))
+      Seq(
+        rowOf("banded", corpusBanded(s, d)),
+        rowOf("bucket_ids", corpusBucketIds(s, d)),
+        rowOf("cand", corpusCand(s, d)),
+        rowOf("capped_jaccard", corpusCappedJaccard(s, d)),
+        rowOf("clusters", corpusClusterTable(s, d, 0.5, 50)),
+        rowOf("hs", corpusShingleHashes(s, d)),
+        rowOf("sigs", corpusSigs(s, d)),
+        rowOf("verified", corpusVerifiedPairs(s, d)))
+        .reduce(_ unionAll _)
+        .orderBy("artifact")
+    },
+    Some(s"""WITH RECURSIVE $minhashOracleCtes,
+            dfq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+            cpairs AS (
+              SELECT x.doc_id AS a, y.doc_id AS b,
+                sum(CASE WHEN f.df <= $ShingleDfCap THEN 1 ELSE 0 END) AS n_rare
+              FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                        JOIN dfq f ON f.shingle = x.shingle
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT a, b
+              FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+              WHERE round(CAST(n_common AS DOUBLE) /
+                          CAST(sa.n + sb.n - n_common AS DOUBLE), 4) >= 0.5),
+            edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+            reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+            labels AS (
+              SELECT a AS doc_id, min(b) AS label
+              FROM (SELECT a, b FROM reach UNION ALL SELECT DISTINCT a, a FROM edges)
+              GROUP BY a),
+            cl AS (SELECT label, CAST(count(*) AS BIGINT) AS cs
+                   FROM labels GROUP BY label HAVING count(*) > 1)
+            SELECT 'banded' AS artifact,
+              (SELECT CAST(count(*) AS BIGINT) FROM bands) AS n_rows
+            UNION ALL SELECT 'bucket_ids',
+              (SELECT CAST(count(*) AS BIGINT) FROM okb)
+            UNION ALL SELECT 'cand',
+              (SELECT CAST(count(*) AS BIGINT) FROM cand)
+            UNION ALL SELECT 'capped_jaccard',
+              (SELECT CAST(count(*) AS BIGINT) FROM cpairs WHERE n_rare > 0)
+            UNION ALL SELECT 'clusters',
+              (SELECT CAST(coalesce(sum(cs), 0) AS BIGINT) FROM cl)
+            UNION ALL SELECT 'hs',
+              (SELECT CAST(count(*) AS BIGINT) FROM sh)
+            UNION ALL SELECT 'sigs',
+              (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM sh)
+            UNION ALL SELECT 'verified',
+              (SELECT CAST(count(*) AS BIGINT) FROM inter)
+            ORDER BY artifact"""))
+
   val all: Seq[Q] =
     Seq(exact, minhash, simhash, ngramJaccard, embedding, clusters, keep, triangles,
       decontam, incremental, repeated, consensus, chunkDedup, semantic, bestKeep,
       provenance, embeddingDecontam, containment, evalLeak, crossSource, splitLeak,
       calibration, hotReport, inflation, spectrum, templateScrubQ, clusterSourceMix,
       boilerplateDriftQ, cdcDedupQ, hotChunksQ, softDedupQ, incrementalNearDupQ,
-      capCurve, bandCurve, contamCurve, releaseReport, dedupTokenLedger)
+      capCurve, bandCurve, contamCurve, releaseReport, dedupTokenLedger,
+      artifactFootprint)
 }

@@ -26,13 +26,16 @@ class ScaleLinearitySpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
     // d02/d04 are timed through their GENERIC From-kernels, not the
-    // inventory registrations: round 14's CorpusMemo makes the registered
-    // forms report the session-MARGINAL (memo-hit) wall, which no longer
-    // contains the candidate-generation work this ceiling exists to
-    // guard — a pair explosion would hide inside the one-time memo build
-    // the min-of-2 discards. The From path runs the full kernel per call,
-    // so the k² regression still trips the ceiling here. Row outputs are
-    // identical to the registered queries by construction.
+    // inventory registrations: the CorpusMemo makes the registered forms
+    // report the session-MARGINAL (memo-hit) wall, which doesn't contain
+    // the candidate-generation work this ceiling exists to guard. (Since
+    // round 15 the build cost itself is no longer discardable — Bench
+    // ledgers every memo build into its total — but a per-call wall
+    // ceiling still wants the kernel inline, deterministically, not via
+    // whichever call happens to build the memo.) The From path runs the
+    // full kernel per call, so a k² regression trips the ceiling here.
+    // Row outputs are identical to the registered queries by
+    // construction.
     import org.apache.spark.sql.functions.col
     val kernelForms: Map[String, (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame] = Map(
