@@ -3793,8 +3793,15 @@ object Dedup {
             ed AS (SELECT doc_id FROM (
                      SELECT doc_id, min(doc_id) OVER (PARTITION BY f) AS k FROM fpd)
                    WHERE doc_id <> k),
-            nd AS (SELECT doc_id FROM labels WHERE doc_id <> label),
-            dr AS (SELECT doc_id FROM ed UNION SELECT doc_id FROM nd)
+            nd AS (SELECT doc_id FROM labels WHERE doc_id <> label)
+            -- n_keep uses d07's LEFT-JOIN form rather than
+            -- count(documents) − count(ed UNION nd): at sf0.1 DuckDB's
+            -- re-evaluation of the recursive-closure CTEs under multiple
+            -- scalar-subquery references made the UNION's dedup
+            -- set-inconsistent with the join evaluated in the SAME query
+            -- (|ed∩nd| = 8 yet |ed ∪ nd| = |ed| + |nd| — measured,
+            -- round 15). The join form matches the passing d07/p18
+            -- oracles and is evaluation-order-proof.
             SELECT
               (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
               (SELECT CAST(count(*) AS BIGINT) FROM g WHERE c > 1) AS n_dup_groups,
@@ -3804,8 +3811,11 @@ object Dedup {
               (SELECT CAST(count(*) AS BIGINT) FROM cl) AS n_clusters,
               (SELECT CAST(coalesce(sum(cs), 0) AS BIGINT) FROM cl)
                 AS n_cluster_members,
-              (SELECT CAST(count(*) AS BIGINT) FROM documents)
-                - (SELECT CAST(count(*) AS BIGINT) FROM dr) AS n_keep"""))
+              (SELECT CAST(count(*) AS BIGINT)
+               FROM documents d
+               LEFT JOIN ed e ON e.doc_id = d.doc_id
+               LEFT JOIN nd n ON n.doc_id = d.doc_id
+               WHERE e.doc_id IS NULL AND n.doc_id IS NULL) AS n_keep"""))
 
   /** One arriving wave's persisted tables for the maintained release
     * report ([[graft.streaming.ViewStreams.maintainReleaseView]]): the
