@@ -32,14 +32,44 @@ object MemoLedger {
 
   private val builds = scala.collection.mutable.ArrayBuffer.empty[Build]
 
-  /** Time one memo-artifact build and record it. Named by memo family
-    * ("corpus" / "emb" / "tok") and artifact key. */
+  /** Per-thread stack of child-build wall-time accumulators for the
+    * builds currently in flight on that thread — the exclusive-time
+    * bookkeeping below. (Cross-THREAD nesting can't happen: every memo
+    * build runs under its family's build lock on the calling thread.) */
+  private val inFlight = ThreadLocal.withInitial[java.util.ArrayDeque[java.lang.Double]](
+    () => new java.util.ArrayDeque[java.lang.Double]())
+
+  /** Time one memo-artifact build and record its EXCLUSIVE wall time —
+    * elapsed minus the wall time of nested builds started inside it.
+    * Builds nest by design (e.g. the verified-pairs build re-enters
+    * `artifact()` for hs → sigs → banded → bucketIds → cand), and each
+    * nested build records its own entry; recording the parent's raw
+    * elapsed would count every child once per enclosing ancestor, so a
+    * ledger SUM (Bench's `memo_build_sec`) would exceed the true
+    * one-time-build wall. Exclusive times sum to exactly the wall spent
+    * building, which is the "counted exactly once" invariant Bench
+    * documents. Named by memo family ("corpus" / "emb" / "tok") and
+    * artifact key. */
   def timed[T](memo: String, artifact: String)(build: => T): T = {
+    val stack = inFlight.get()
+    stack.push(0.0)
     val t0 = System.nanoTime()
-    val v = build
-    val sec = (System.nanoTime() - t0) / 1e9
-    synchronized { builds += Build(memo, artifact, sec) }
-    v
+    var ok = false
+    try {
+      val v = build
+      ok = true
+      v
+    } finally {
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      val childSec = stack.pop().doubleValue()
+      // Credit the full elapsed (not just exclusive) to the enclosing
+      // build's child accumulator — the parent must subtract everything
+      // that happened inside this frame, grandchildren included.
+      if (!stack.isEmpty) stack.push(stack.pop() + elapsed)
+      if (ok) synchronized {
+        builds += Build(memo, artifact, math.max(0.0, elapsed - childSec))
+      }
+    }
   }
 
   /** Return and clear all recorded builds (Bench calls this once at end). */
@@ -65,8 +95,52 @@ object MemoLedger {
     * data read); changes whenever any file is added, removed, or
     * rewritten — the memo-key ingredient that turns an in-session corpus
     * rewrite into an eviction instead of a stale artifact hit. Missing
-    * dirs stamp to 0 (the table read will fail with its own error). */
+    * dirs stamp to 0 (the table read will fail with its own error).
+    *
+    * Limitations (documented, by design): (a) an mtime+size stamp misses
+    * a same-size rewrite that lands within one mtime tick (or on a
+    * filesystem with coarse mtime granularity, or an object store that
+    * preserves timestamps) — freeze manifests that must survive that
+    * case pair this with [[contentStamp]]; (b) the walk is cached for
+    * [[StampTtlMs]] per dir, because memo consumers re-stamp on every
+    * access (twice per benched query) and an uncached recursive walk of
+    * a wide corpus dir is measurable driver overhead — an in-session
+    * rewrite is detected at the next access AFTER the TTL, which is the
+    * between-queries timescale rewrites actually happen on. */
   def dirStamp(dir: String): Long = {
+    val nowNs = System.nanoTime()
+    stampCache.get(dir) match {
+      case Some((atNs, v)) if nowNs - atNs < StampTtlMs * 1000000L => v
+      case _ =>
+        val v = walkStamp(dir)
+        stampCache.update(dir, (nowNs, v))
+        v
+    }
+  }
+
+  /** dirStamp's cache window. Small enough that a between-queries corpus
+    * rewrite is still caught; large enough to amortize the walk across
+    * one query's repeated memo accesses. */
+  val StampTtlMs = 5000L
+
+  private val stampCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+
+  /** Drop all cached dir stamps (tests that rewrite corpora mid-session
+    * faster than the TTL call this between phases). */
+  def invalidateStamps(): Unit = stampCache.clear()
+
+  /** Uncached stamp — the freeze/open-grade accessor: a release freeze or
+    * manifest verification happens once per release and must never trust
+    * a stamp cached before an in-flight rewrite. Refreshes the cache so
+    * memo keys computed right after agree with what was verified. */
+  def freshDirStamp(dir: String): Long = {
+    val v = walkStamp(dir)
+    stampCache.update(dir, (System.nanoTime(), v))
+    v
+  }
+
+  private def walkStamp(dir: String): Long = {
     val root = java.nio.file.Paths.get(dir)
     if (!java.nio.file.Files.isDirectory(root)) return 0L
     var h = 1125899906842597L
@@ -79,6 +153,53 @@ object MemoLedger {
             mix(p.toString.hashCode.toLong)
             mix(java.nio.file.Files.getLastModifiedTime(p).toMillis)
             mix(java.nio.file.Files.size(p))
+          }
+        }
+    } finally stream.close()
+    h
+  }
+
+  /** CONTENT-HASH stamp of a corpus directory — the freeze-manifest-grade
+    * stamp: a fold of (path, size, head+tail byte hash) over every
+    * regular file. Unlike [[dirStamp]] it reads data — the first and last
+    * 64 KiB of each file — so it catches the rewrite [[dirStamp]] can
+    * miss (same path, same size, same mtime tick, different bytes: the
+    * object-store trap). Head+tail, not full content: a parquet rewrite
+    * with different data virtually always changes the footer (row-group
+    * stats, offsets), and full-file hashing of a 100 TB corpus at open()
+    * time would defeat the point of a stamp. Never cached (a freeze/open
+    * happens once per release, not per query). */
+  def contentStamp(dir: String): Long = {
+    val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(root)) return 0L
+    var h = 1125899906842597L
+    def mix(x: Long): Unit = { h = h * 31 + x }
+    val Window = 65536
+    val stream = java.nio.file.Files.walk(root)
+    try {
+      stream.sorted(java.util.Comparator.comparing[java.nio.file.Path, String](_.toString))
+        .forEach { p =>
+          if (java.nio.file.Files.isRegularFile(p)) {
+            mix(p.toString.hashCode.toLong)
+            val size = java.nio.file.Files.size(p)
+            mix(size)
+            val ch = java.nio.channels.FileChannel.open(
+              p, java.nio.file.StandardOpenOption.READ)
+            try {
+              def hashAt(pos: Long, len: Int): Unit = {
+                val buf = java.nio.ByteBuffer.allocate(len)
+                ch.position(pos)
+                while (buf.hasRemaining && ch.read(buf) >= 0) {}
+                buf.flip()
+                var x = 0L
+                while (buf.hasRemaining) x = x * 131 + (buf.get() & 0xffL)
+                mix(x)
+              }
+              hashAt(0L, math.min(size, Window.toLong).toInt)
+              if (size > Window)
+                hashAt(math.max(Window.toLong, size - Window),
+                  math.min(Window.toLong, size - Window).toInt)
+            } finally ch.close()
           }
         }
     } finally stream.close()

@@ -130,7 +130,11 @@ object PlanAudit {
       "q49_purchase_gap_bands",
       // d36: five 1-row artifact rollups crossJoin into the one release
       // verdict row (p13's shape).
-      "d36_release_dedup_report")
+      "d36_release_dedup_report",
+      // view:release_report = the maintained release view's per-batch
+      // report plan (audited via the plan hook): d36's exact shape —
+      // five 1-row rollups crossJoined into the one verdict row.
+      "view:release_report")
       // m14 carries m13's 1-row cutoff crossJoin but needs NO entry: the
       // planner turns the attach into a broadcast hash join under the
       // composed plan (the staleness gate rejected the precautionary
@@ -142,7 +146,14 @@ object PlanAudit {
     * supplier/part) are deliberately absent: broadcasting a filtered dim
     * is the standard star-join plan. */
   val corpusTables: Set[String] =
-    Set("lineitem", "orders", "events", "documents", "embeddings")
+    Set("lineitem", "orders", "events", "documents", "embeddings",
+      // The maintained views' accumulated wave indexes: append-only
+      // per-batch parquet under <state>/waves/ — they GROW with corpus
+      // size, so any subtree scanning them is corpus-scale by
+      // construction (the release view's maintenance plan reads them
+      // every batch; round 15's audit covered only the query inventory
+      // and the hinted keep-verdict legs inside that plan escaped).
+      "/waves/")
 
   /** Queries allowed to carry a broadcast HINT over a subtree that reads a
     * corpus-scale table, each with the boundedness argument. The bound
@@ -152,19 +163,14 @@ object PlanAudit {
     * hinted pattern disappears from the query's plan, the build fails
     * until the entry is removed, so the list can't rot. */
   val broadcastAllowlist: Map[String, String] = Map(
-    "d07_dedup_keep_list" -> ("drop lists are key-only (doc_id) projections " +
-      "of duplicate groups — a small fraction of corpus rows at 8 bytes " +
-      "each; the hint keeps the corpus un-shuffled (the operator's core " +
-      "invariant), and a pathological all-duplicates corpus degrades the " +
-      "broadcast build, not the corpus scan"),
-    "p18_dedup_token_ledger" -> ("composes d07's keep-list tail: the hinted " +
-      "relations are the key-only (doc_id) drop lists — a small fraction of " +
-      "corpus rows at 8 bytes each (d07's argument verbatim); the ledger " +
-      "itself is one doc-grain scan into a #sources rollup"),
-    "d36_release_dedup_report" -> ("composes d07's keep-list tail: the hinted " +
-      "relations are the key-only (doc_id) drop lists — a small fraction of " +
-      "corpus rows at 8 bytes each (d07's argument verbatim); every other " +
-      "input is a 1-row rollup of a memoized candidate-sized artifact"),
+    // d07/p18/d36: no entries since round 16 — the keep-verdict legs no
+    // longer hint at all. Round 15's entries rested on "drop sets ≪
+    // corpus", which is FALSE on dup-heavy crawls (30–50% exact dups is
+    // normal raw web data — the workload dedup exists for); at 10⁹ docs
+    // the hinted drop-list build crosses Spark's 8-GB broadcast limit and
+    // the hint bypasses AQE's size check. The exact-dup verdict is now
+    // computed inline from the fp window (no self-join); the near-dup
+    // join is un-hinted so AQE sizes it at runtime.
     // d10_incremental_keep: no entry since round 15 — its hinted
     // relations all derive from session-memoized CHECKPOINTS (resident
     // fingerprints/bands/counts) or the delta tables keyed off them, so
@@ -302,6 +308,35 @@ object PlanAudit {
     try {
       val qAudits = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         auditOne(spark, sfDir, name, fn)
+      }
+      // The maintained release view's per-batch plan runs OUTSIDE the
+      // query inventory (foreachBatch) yet carries the dirty-bucket fold
+      // and the keep-verdict leg over the accumulated wave index — drive
+      // two real maintenance batches (the second exercises the
+      // incremental path against committed state) so its plans
+      // (view:release_fold / view:release_report) land in the audit
+      // through the same hook the memo builds use. The /waves/ entry in
+      // corpusTables makes any hinted broadcast whose lineage reads the
+      // accumulated index a violation.
+      try {
+        val state = new java.io.File(
+          "target/plan-audit-release-view").getAbsolutePath
+        val statePath = new org.apache.hadoop.fs.Path(state)
+        statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(statePath, true)
+        val docs = graft.sources.Tables.documents(spark, sfDir)
+        graft.streaming.ViewStreams.mergeReleaseBatch(
+          spark, docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0),
+          state, 0L)
+        graft.streaming.ViewStreams.mergeReleaseBatch(
+          spark, docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 =!= 0),
+          state, 1L)
+      } catch {
+        case e: Throwable =>
+          memoAudits += Audit("view:release_maintenance", 0, 0, 0,
+            cartesian = false, bnlj = false, globalWindow = false,
+            corpusHinted = Set.empty,
+            error = Some(String.valueOf(e.getMessage)))
       }
       qAudits ++ memoAudits.toSeq.sortBy(_.name)
     } finally graft.MemoLedger.planHook = None

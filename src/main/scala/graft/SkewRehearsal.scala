@@ -82,7 +82,8 @@ object SkewRehearsal {
     val k = if (args.length > 2) args(2).toInt else 10
     val sections: Set[String] =
       if (args.length > 3 && args(3) != "all") args(3).split(",").toSet
-      else Set("skew", "boiler", "salt", "boiler2", "bandcap", "curves", "vecskew")
+      else Set("skew", "boiler", "salt", "boiler2", "bandcap", "curves",
+        "vecskew", "dupheavy")
     val reuse = args.length > 4 && args(4) == "reuse"
     val spark = GraftSession.get("graft-skew-rehearsal")
 
@@ -156,6 +157,8 @@ object SkewRehearsal {
     if (sections("vecskew")) vecSkewWave(spark, sfDir, outDir, k, reuse)
 
     if (sections("bandcap")) bandCapWave(spark, sfDir, outDir, reuse)
+
+    if (sections("dupheavy")) dupHeavyWave(spark, sfDir, outDir, k, reuse)
 
     if (sections("curves")) curveWave(spark, sfDir, outDir, reuse)
 
@@ -304,6 +307,79 @@ object SkewRehearsal {
     }
   }
 
+  /** 50%-exact-duplicate corpus: k copies where the first ceil(k/2)+1
+    * keep the text VERBATIM (dup groups of that size) and the rest carry
+    * tagged tokens (unique). At k=10 that is 6 verbatim copies → 5 of
+    * every 6 group members drop → exact-drop fraction = 50% of the
+    * corpus — the realistic raw-web-crawl shape (30–50% exact dups) that
+    * falsified round-15's "drop sets ≪ corpus" broadcast premise. */
+  def dupHeavyDocs(docs: DataFrame, k: Int): DataFrame = {
+    val stride = docs.agg(max("doc_id")).head().getLong(0) + 1L
+    val verbatim = k / 2 + 1
+    (0 until k).map { i =>
+      val text =
+        if (i < verbatim) col("text")
+        else regexp_replace(col("text"), "(\\S+)", "$1x" + i)
+      docs.select(
+        (col("doc_id") + lit(i * stride)).as("doc_id"),
+        text.as("text"), col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Round-16 wave: the keep-verdict legs (d07 / p18 / d36) on a corpus
+    * whose exact-drop set is HALF the corpus — the exact shape on which
+    * round 15's hinted `broadcast(exactDrop)` would have built a
+    * corpus-fraction hash relation (8-GB hard limit at ~10⁹ docs). The
+    * fixed plans compute the exact verdict inline from the fp window (no
+    * drop-list relation exists to broadcast) and leave the near-dup join
+    * to AQE. Evidence printed: the measured drop fraction + what the old
+    * hint would have broadcast, a structural zero-hint assertion on
+    * d07's analyzed plan, and walls vs the 1× base corpus. */
+  private def dupHeavyWave(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, outDir: String, k: Int, reuse: Boolean): Unit = {
+    def minOf2(f: => Long): (Double, Long) = {
+      def once(): (Double, Long) = {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime(); val rows = f
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      val (tA, rows) = once(); val (tB, _) = once()
+      (math.min(tA, tB), rows)
+    }
+    val dup = s"$outDir/dupheavy"
+    if (!reuse ||
+        !java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dup/documents.parquet"))) {
+      dupHeavyDocs(spark.read.parquet(s"$sfDir/documents.parquet"), k)
+        .write.mode("overwrite").parquet(s"$dup/documents.parquet")
+    }
+    // Accounting: the drop-set share of the corpus — the relation the
+    // round-15 hint promised was "≪ corpus".
+    val verdict = SparkEntry.queries("d07_dedup_keep_list")(spark, dup)
+    val acct = verdict.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("reason") === "exact_dup", 1L).otherwise(0L)).as("n_exact_drop"))
+      .head()
+    val frac = acct.getLong(1).toDouble / acct.getLong(0)
+    println(f"[skew] dupheavy drop-set share: ${acct.getLong(1)} of " +
+      f"${acct.getLong(0)} docs = ${100 * frac}%.1f%% — at 10^9 docs the " +
+      f"old hint would broadcast ~${frac * 1e9 * 24 / 1e9}%.1f GB of doc_ids " +
+      "(over Spark's 8-GB limit with row overhead); the fixed plan has no " +
+      "drop-list relation at all")
+    // Structural: zero broadcast hints anywhere in the verdict plan.
+    val hints = verdict.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }.size
+    assert(hints == 0, s"keep-verdict plan carries $hints broadcast hint(s)")
+    println(s"[skew] dupheavy d07 analyzed plan: $hints broadcast hints (must be 0)")
+    Seq("d07_dedup_keep_list", "p18_dedup_token_ledger",
+        "d36_release_dedup_report").foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val (t1, _) = minOf2(fn(spark, sfDir).count())
+      val (tD, rD) = minOf2(fn(spark, dup).count())
+      println(f"[skew] ${name + "_dupheavy"}%-30s $t1%7.2f ${tD}%8.2f ${tD / t1}%6.1fx (rows $rD)")
+    }
+  }
+
   /** Hot-cell embedding corpus: the k× uniform vector corpus with HALF of
     * all vectors re-pointed into one tight cluster around the base
     * corpus's lowest-id vector — after IVF training, one cell ends up
@@ -378,15 +454,18 @@ object SkewRehearsal {
       val methods = Seq[(String, () => DataFrame)](
         "s02_lsh" -> (() => operators.Similarity.lshTopKFrom(e, nq, topK)),
         "s04_ivf" -> (() => operators.Similarity.ivfTopKFrom(spark, e, nq, topK)),
+        // The SHIPPED default (AutoRerank): the tuner walks the measured
+        // recall curve at build time and picks the smallest rung ≥ 0.9 —
+        // on clustered corpora that lands at 128+ where the old fixed
+        // default sat at 8.
         "s08_pq" -> (() => operators.Similarity.pqTopKFrom(spark, e, nq, topK)),
-        // PQ is the family member clustered corpora hurt: a tight
-        // cluster eats codebook cells, so ADC can't separate in-cluster
-        // neighbors (measured on vechot at sf0.01-4x: recall 0.52 at the
-        // default rerank=8, 0.66 @ 32, 0.96 @ 128, 1.0 @ 512). The
-        // standard fix is a deeper exact rerank — shown here as the
-        // mitigation row, still O(rerank) exact work per query.
-        "s08_pq_rerank32" -> (() =>
-          operators.Similarity.pqTopKFrom(spark, e, nq, topK, rerank = 32)))
+        // The RETIRED fixed default, kept as the regression reference:
+        // a tight cluster eats codebook cells, so ADC can't separate
+        // in-cluster neighbors (round-15 measurement on vechot at
+        // sf0.01-4x: recall 0.52 @ 8, 0.66 @ 32, 0.96 @ 128, 1.0 @ 512)
+        // — the row that motivated the auto-tuner.
+        "s08_pq_rerank8" -> (() =>
+          operators.Similarity.pqTopKFrom(spark, e, nq, topK, rerank = 8)))
       methods.foreach { case (m, build) =>
         val (t, _) = minOf2(build().count())
         println(f"[skew] ${m + "/" + tag}%-28s $t%7.2f s recall=${recallOf(build())}%.3f")

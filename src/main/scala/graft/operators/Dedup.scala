@@ -206,6 +206,37 @@ object Dedup {
   def lshCandidatesFromBanded(banded: DataFrame): DataFrame =
     pairsFromBucketIds(bucketIds(banded, BandBucketCap))
 
+  /** Bounded bucket membership WITHOUT the over-cap exclusion — the
+    * maintained release view's bucket STORE ([[graft.streaming
+    * .ViewStreams.mergeReleaseBatch]]): `ids` holds each bucket's cap+1
+    * smallest member ids (the cap+1th is the over-cap sentinel the pair
+    * expansion filters on). Kept unfiltered because the store must
+    * remember that a bucket is over cap — and because bounded-min-ids is
+    * a bounded semilattice fold: the cap+1 smallest of (old ∪ new) are
+    * always contained in (cap+1 smallest of old) ∪ new, so folding each
+    * arriving wave into the stored arrays is EXACT against a full
+    * recompute, for any id order, any slicing. That identity is what
+    * makes dirty-bucket view maintenance batch-equal to d36. */
+  private[graft] def boundedBucketIds(banded: DataFrame, cap: Int): DataFrame = {
+    graft.functions.SignatureAggs.register(banded.sparkSession)
+    banded.groupBy("band", "bucket")
+      .agg(expr(s"bounded_min_ids(doc_id, ${cap + 1})").as("ids"))
+  }
+
+  /** [[pairsFromBucketIds]] keeping the (band, bucket) provenance and
+    * applying the over-cap exclusion itself — the view's per-bucket pair
+    * CONTRIBUTIONS, so a dirty bucket's prior pairs can be replaced
+    * (including dropped entirely when the bucket crosses the cap)
+    * without touching any clean bucket's rows. NOT distinct: cross-bucket
+    * dedup happens at read ([[graft.streaming.ViewStreams]]). */
+  private[graft] def pairsFromBucketIdsKeyed(bids: DataFrame, cap: Int): DataFrame =
+    bids.filter(size(col("ids")) <= cap)
+      .select(col("band"), col("bucket"), explode(expr(
+        """flatten(transform(ids,
+          |  (x, i) -> transform(slice(ids, i + 2, size(ids)),
+          |            y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+      .select(col("band"), col("bucket"), col("p.a").as("a"), col("p.b").as("b"))
+
   /** The a < b pair expansion of a capped (band, bucket, ids) table —
     * `ids` is sorted ascending, so slicing above each element's position
     * yields exactly the ordered pairs. */
@@ -404,9 +435,28 @@ object Dedup {
         }
       }
     /** Install a pre-built artifact (the persisted-release read path):
-      * parquet-backed, so eviction's freeCheckpoint is a no-op on it. */
+      * parquet-backed, so eviction's freeCheckpoint is a no-op on it.
+      * NOT a delegation to [[artifact]]: install must (a) OVERWRITE any
+      * same-key artifact the session already built — the open() contract
+      * promises the parquet-backed table, and artifact() would silently
+      * keep the session checkpoint — and (b) skip the build ledger (an
+      * install is a table registration, not a build; ledgering it would
+      * pollute Bench's memo_builds with ~0 s phantom entries). */
     def install(spark: SparkSession, d: String, name: String, df: DataFrame): Unit =
-      artifact(spark, d, name)(df)
+      Dedup.synchronized {
+        val k = (spark, d, graft.MemoLedger.dirStamp(d))
+        if (!key.contains(k)) {
+          if (arts.nonEmpty)
+            System.err.println(s"[corpusmemo] corpus switch ${key.map(_._2)} -> $d: " +
+              s"freeing ${arts.size} checkpointed artifacts — any still-lazy " +
+              "DataFrame from the previous corpus is now invalid (execute " +
+              "results before switching corpora)")
+          arts.valuesIterator.foreach(freeCheckpoint)
+          arts.clear()
+          key = Some(k)
+        } else arts.remove(name).foreach(freeCheckpoint)
+        arts.update(name, df)
+      }
     def clear(): Unit = Dedup.synchronized {
       arts.valuesIterator.foreach(freeCheckpoint)
       arts.clear()
@@ -996,9 +1046,18 @@ object Dedup {
     * non-minimal doc_id) drop first, then near-duplicate cluster members
     * that are not their cluster's representative. This is the list a
     * training run actually consumes; everything upstream (d01–d06) exists
-    * to produce it. Plan shape: the full corpus left-joins two *small*
-    * derived tables (drop sets are ≪ corpus), so at 100 TB both joins
-    * broadcast and the corpus never shuffles.
+    * to produce it. Plan shape: the exact-dup verdict is computed INLINE
+    * from the fingerprint window already being evaluated (`doc_id =!=
+    * min(doc_id) over (partition by fp)`) — no self-join, no drop-list
+    * materialization at all. Only the near-dup leg joins, un-hinted, so
+    * AQE sizes it at runtime: on typical corpora cluster members are
+    * small and AQE broadcasts; on a dup-heavy crawl (30–50% duplicates is
+    * normal for raw web data — the workload dedup exists FOR) the drop
+    * set is corpus-fraction-sized and AQE falls back to a shuffle join
+    * instead of detonating an 8-GB broadcast build. A hard `broadcast()`
+    * hint here was round 15's one scale flaw: it promised "drop sets ≪
+    * corpus" at plan time, which is false precisely on the corpora this
+    * operator targets.
     */
   def keepList(spark: SparkSession, d: String, threshold: Double): DataFrame =
     keepListCore(Tables.documents(spark, d), corpusClusterTable(spark, d, threshold, 50))
@@ -1007,21 +1066,19 @@ object Dedup {
     keepListCore(docs, dedupClustersFrom(docs, threshold))
 
   private def keepListCore(docs: DataFrame, clusters: DataFrame): DataFrame = {
-    val fp = docs.select(col("doc_id"), md5(normText(col("text"))).as("fp"))
-    val exactDrop = fp
-      .withColumn("keep_id", min("doc_id").over(
+    val verdict = docs
+      .select(col("doc_id"), md5(normText(col("text"))).as("fp"))
+      .withColumn("is_exact_dup", col("doc_id") =!= min("doc_id").over(
         org.apache.spark.sql.expressions.Window.partitionBy("fp")))
-      .filter(col("doc_id") =!= col("keep_id"))
-      .select(col("doc_id"), lit(true).as("is_exact_dup"))
+      .select(col("doc_id"), col("is_exact_dup"))
     val nearDrop = clusters
       .filter(col("doc_id") =!= col("cluster_rep"))
       .select(col("doc_id"), lit(true).as("is_near_dup"))
-    docs.select(col("doc_id"))
-      .join(broadcast(exactDrop), Seq("doc_id"), "left")
-      .join(broadcast(nearDrop), Seq("doc_id"), "left")
+    verdict
+      .join(nearDrop, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
-        when(coalesce(col("is_exact_dup"), lit(false)), lit("exact_dup"))
+        when(col("is_exact_dup"), lit("exact_dup"))
           .when(coalesce(col("is_near_dup"), lit(false)), lit("near_dup"))
           .otherwise(lit("keep")).as("reason"))
       .select(
@@ -1213,14 +1270,33 @@ object Dedup {
     // CONCURRENTLY (separate action threads; Spark schedules both job
     // DAGs onto the same executor pool), collapsing two serial driver
     // barriers into one. Everything downstream needs one or both, so
-    // this is the only overlap the dependency graph allows.
-    val dFpF = scala.concurrent.Future(
-      delta.select(col("doc_id"), md5(normText(col("text"))).as("fp"))
-        .localCheckpoint())(scala.concurrent.ExecutionContext.global)
+    // this is the only overlap the dependency graph allows. The future
+    // runs on the dedicated [[graft.ConcurrentActions]] pool (not
+    // ExecutionContext.global, whose lazily-created threads permanently
+    // inherit the first caller's Spark local properties), claims its own
+    // job group so the checkpoint job is attributed to itself and
+    // cancellable, the await is BOUNDED (a wedged job surfaces as a
+    // timeout instead of hanging the driver forever), and a failure on
+    // the main thread cancels the orphaned job instead of letting it
+    // keep consuming executors unobserved.
+    val sc = delta.sparkSession.sparkContext
+    val dFpGroup = "graft-d10-delta-fp-" + java.util.UUID.randomUUID()
+    val dFpF = scala.concurrent.Future {
+      sc.setJobGroup(dFpGroup, "d10: concurrent delta-fingerprint checkpoint",
+        interruptOnCancel = true)
+      try delta.select(col("doc_id"), md5(normText(col("text"))).as("fp"))
+        .localCheckpoint()
+      finally sc.clearJobGroup()
+    }(graft.ConcurrentActions.ec)
     val dHs = deltaShingles.getOrElse(hashedShingles(shingleSets(delta)))
-    val dBanded = bandBuckets(signaturesFromHashes(dHs)).localCheckpoint()
-    val dFp = scala.concurrent.Await.result(
-      dFpF, scala.concurrent.duration.Duration.Inf)
+    val (dBanded, dFp) = try {
+      val banded = bandBuckets(signaturesFromHashes(dHs)).localCheckpoint()
+      val fp = scala.concurrent.Await.result(dFpF,
+        scala.concurrent.duration.Duration(1, java.util.concurrent.TimeUnit.HOURS))
+      (banded, fp)
+    } catch {
+      case e: Throwable => sc.cancelJobGroup(dFpGroup); throw e
+    }
     val dupFps = cFp
       .join(broadcast(dFp.select("fp").distinct()), Seq("fp"), "leftsemi")
       .distinct()
@@ -1500,13 +1576,13 @@ object Dedup {
     * no-eager-unpersist policy above, legal ONLY when the caller can
     * prove no live reference to the DataFrame remains (the freed blocks
     * are unrecomputable). */
-  private[operators] def freeCheckpoint(df: DataFrame): Unit =
+  private[graft] def freeCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
       case _ => () // not a checkpoint-backed plan; nothing to free
     }
 
-  private def contamSplitPairs(spark: SparkSession, d: String, n: Int): DataFrame =
+  private[operators] def contamSplitPairs(spark: SparkSession, d: String, n: Int): DataFrame =
     CorpusMemo.artifact(spark, d, s"contam@$n") {
       val sh = corpusShingleHashes(spark, d, n)
       graft.MemoLedger.audited(s"memo:contam@$n")(
@@ -3828,23 +3904,45 @@ object Dedup {
 
   /** d36's seven-column release report recomputed from STORED tables —
     * (doc_id, fp) and (doc_id, sh_h) — with no document text touched.
-    * The near-dup legs re-run the capped candidate kernel over the
-    * ACCUMULATED shingle index rather than delta-gating (d10's shape):
-    * the band-bucket cap is a function of TOTAL bucket population, so
-    * cap-exact global pair/cluster counts under any batch slicing
-    * require the full candidate regen — the price of slicing-exact
-    * equality with batch d36, and the cheap half of the work
-    * (index-scale shingle hashes, not text). Returns a LOCAL 1-row
-    * frame (the report is one row by construction); the intermediate
-    * checkpoints are freed before return. */
+    * This is the FULL-REGEN form (the round-15 view's per-batch shape,
+    * retained as the bootstrap/reference path): the near-dup legs re-run
+    * the capped candidate kernel over the whole accumulated shingle
+    * index. The shipped view maintenance is the dirty-bucket incremental
+    * form ([[graft.streaming.ViewStreams.mergeReleaseBatch]]), which
+    * folds each wave into a bounded bucket store and re-derives only the
+    * touched buckets' pairs — exact against this form by the
+    * bounded-min-ids semilattice identity ([[boundedBucketIds]]).
+    * Returns a LOCAL 1-row frame (the report is one row by
+    * construction); the intermediate checkpoints are freed before
+    * return. */
   def releaseReportFromTables(fps: DataFrame, hs: DataFrame,
       threshold: Double = 0.5): DataFrame = {
     val spark = fps.sparkSession
     val hsC = hs.localCheckpoint()
-    val verified = jaccardPairsHashed(hsC,
+    val verifiedPlan = jaccardPairsHashed(hsC,
       Some(pairsFromBucketIds(
         bucketIds(bandBuckets(signaturesFromHashes(hsC)), BandBucketCap))))
-      .localCheckpoint()
+    // Surface the view-maintenance plans to PlanAudit through the same
+    // hook the memo builds use: this method runs per micro-batch inside
+    // foreachBatch — OUTSIDE the query inventory — yet carries the full
+    // candidate kernel and the keep-verdict leg over the accumulated
+    // wave index, so without the hook its join/broadcast shape would
+    // escape the audit entirely (round 15's gap).
+    graft.MemoLedger.planHook.foreach(_("view:release_kernel", verifiedPlan))
+    val verified = verifiedPlan.localCheckpoint()
+    val out = releaseReportFromVerified(fps, verified, threshold)
+    Seq(hsC, verified).foreach(freeCheckpoint)
+    out
+  }
+
+  /** The report TAIL shared by the full-regen and incremental view
+    * paths: compose d36's seven columns from the accumulated fingerprint
+    * table and an already-computed verified-pair table (a, b, jaccard).
+    * Everything here is fingerprint- or pairs-grain — the expensive
+    * shingle-grain kernel is the caller's input. */
+  def releaseReportFromVerified(fps: DataFrame, verified: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val spark = fps.sparkSession
     val pairs = verified.filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"))
     val clusterTable = connectedComponents(pairs, 50)
@@ -3863,26 +3961,29 @@ object Dedup {
     val clustersAgg = clusterTable.agg(
       countDistinct("cluster_rep").as("n_clusters"),
       count(lit(1)).as("n_cluster_members"))
-    val exactDrop = fps
-      .withColumn("keep_id", min("doc_id").over(
+    // Exact-dup verdict INLINE from the fp window (no self-join, no
+    // drop-list broadcast — the round-15 scale flaw); near-dup join
+    // un-hinted so AQE sizes it (cluster members are corpus-fraction on
+    // dup-heavy crawls; a hard broadcast hint would hit the 8-GB limit).
+    val exactFlag = fps
+      .withColumn("is_exact_dup", col("doc_id") =!= min("doc_id").over(
         org.apache.spark.sql.expressions.Window.partitionBy("fp")))
-      .filter(col("doc_id") =!= col("keep_id"))
-      .select(col("doc_id"), lit(true).as("is_exact_dup"))
+      .select(col("doc_id"), col("is_exact_dup"))
     val nearDrop = clusterTable.filter(col("doc_id") =!= col("cluster_rep"))
       .select(col("doc_id"), lit(true).as("is_near_dup"))
-    val keptAgg = fps.select(col("doc_id"))
-      .join(broadcast(exactDrop), Seq("doc_id"), "left")
-      .join(broadcast(nearDrop), Seq("doc_id"), "left")
+    val keptAgg = exactFlag
+      .join(nearDrop, Seq("doc_id"), "left")
       .agg(coalesce(sum(when(
-        col("is_exact_dup").isNull && col("is_near_dup").isNull, 1L)
+        !col("is_exact_dup") && col("is_near_dup").isNull, 1L)
         .otherwise(0L)), lit(0L)).as("n_keep"))
     val report = fps.agg(count(lit(1)).as("n_docs"))
       .crossJoin(exactAgg).crossJoin(pairsAgg)
       .crossJoin(clustersAgg).crossJoin(keptAgg)
+    graft.MemoLedger.planHook.foreach(_("view:release_report", report))
     val row = report.head()
     val out = spark.createDataFrame(
       java.util.Collections.singletonList(row), report.schema)
-    Seq(hsC, verified, clusterTable).foreach(freeCheckpoint)
+    freeCheckpoint(clusterTable)
     out
   }
 
@@ -3902,8 +4003,9 @@ object Dedup {
     * window + recursive-CTE closure, d07's SQL verbatim).
     *
     * Scale shape: one doc-grain scan carrying (source, tok), one
-    * doc-keyed join against the keep verdict (broadcastable drop lists —
-    * d07's shape), one ≤ #sources aggregate with map-side partials. */
+    * doc-keyed join against the keep verdict (d07's shape: inline
+    * fp-window exact verdict, AQE-sized near-dup join — no hinted
+    * broadcasts), one ≤ #sources aggregate with map-side partials. */
   val dedupTokenLedger = Q(
     "p18_dedup_token_ledger",
     (s, d) => {

@@ -78,8 +78,35 @@ object Similarity {
             v
         }
       }
+    /** Install a pre-built artifact (the persisted-release read path).
+      * NOT a delegation to [[artifact]]: install overwrites any same-key
+      * session artifact (the open() contract promises the parquet-backed
+      * value) and skips the build ledger (a registration, not a build). */
+    def install(spark: SparkSession, d: String, name: String, v: Any): Unit =
+      Similarity.synchronized {
+        val k = (spark, d, graft.MemoLedger.dirStamp(d))
+        if (!key.contains(k)) {
+          if (arts.nonEmpty)
+            System.err.println(s"[embmemo] corpus switch ${key.map(_._2)} -> $d: " +
+              s"freeing ${arts.size} index artifacts — any still-lazy DataFrame " +
+              "from the previous corpus is now invalid (execute results before " +
+              "switching corpora)")
+          free()
+          key = Some(k)
+        } else arts.remove(name).foreach {
+          case df: DataFrame => Dedup.freeCheckpoint(df)
+          case (_, df: DataFrame) => Dedup.freeCheckpoint(df)
+          case _ => ()
+        }
+        arts.update(name, v)
+      }
     def clear(): Unit = Similarity.synchronized { free(); key = None }
   }
+
+  /** Install a pre-built index artifact into the session memo — the
+    * persisted-release read path ([[ReleaseArtifacts.openEmbedding]]). */
+  private[operators] def installEmbArtifact(spark: SparkSession, d: String,
+      name: String, v: Any): Unit = EmbMemo.install(spark, d, name, v)
 
   /** Free every EmbMemo checkpoint (Bench calls this once the s-family
     * completes; PlanAudit calls it so index builds re-run under its plan
@@ -98,7 +125,7 @@ object Similarity {
 
   /** Trained IVF index — codebook + cell-assigned corpus — memoized per
     * (nCells, iters). */
-  private def corpusIvfIndex(spark: SparkSession, d: String,
+  private[operators] def corpusIvfIndex(spark: SparkSession, d: String,
       nCells: Int, iters: Int): (Array[(Int, Array[Double])], DataFrame) =
     EmbMemo.artifact(spark, d, s"ivf@$nCells@$iters") {
       val e = corpusEmbeddings(spark, d)
@@ -109,7 +136,7 @@ object Similarity {
 
   /** Trained PQ index — per-subspace codebooks + encoded corpus —
     * memoized per (m, k, iters). */
-  private def corpusPqIndex(spark: SparkSession, d: String,
+  private[operators] def corpusPqIndex(spark: SparkSession, d: String,
       m: Int, k: Int, iters: Int): (Array[Array[Array[Double]]], DataFrame) =
     EmbMemo.artifact(spark, d, s"pq@$m@$k@$iters") {
       val e = corpusEmbeddings(spark, d)
@@ -121,7 +148,7 @@ object Similarity {
 
   /** Exact brute-force ground truth, memoized per (nQueries, k) — s01's
     * output and s05's truth are the same table. */
-  private def corpusBruteTopK(spark: SparkSession, d: String,
+  private[operators] def corpusBruteTopK(spark: SparkSession, d: String,
       nQueries: Int, k: Int): DataFrame =
     EmbMemo.artifact(spark, d, s"bf@$nQueries@$k")(
       graft.MemoLedger.audited(s"memo:bf@$nQueries@$k")(
@@ -240,7 +267,7 @@ object Similarity {
   }
 
   /** Banded LSH corpus index, memoized per (bits, tables, seed). */
-  private def corpusLshIndex(spark: SparkSession, d: String,
+  private[operators] def corpusLshIndex(spark: SparkSession, d: String,
       bits: Int, tables: Int, seed: Long): DataFrame =
     EmbMemo.artifact(spark, d, s"lsh@$bits@$tables@$seed")(
       graft.MemoLedger.audited(s"memo:lsh@$bits@$tables")(
@@ -831,20 +858,88 @@ object Similarity {
     * deterministic seeds + tie rules make the output stable, and the
     * planted-cluster spec carries the recall floor.
     */
+  /** Sentinel rerank value: auto-tune from the measured recall curve
+    * ([[pqTuneRerank]]). The SHIPPED default — a fixed rerank is wrong
+    * for some corpus shape (round 15's skew wave measured recall 0.52 at
+    * rerank=8 on a clustered corpus whose cure was 0.96@128), and which
+    * shape a corpus has is measurable at index-build time for the price
+    * of a few probes, so the default measures instead of guessing. */
+  val AutoRerank: Int = 0
+
+  /** The rerank ladder the auto-tuner walks (ascending) and the recall
+    * target it stops at. 512×topK exact refines per query is the honest
+    * ceiling for a corpus PQ cannot resolve below it. */
+  val RerankLadder: Seq[Int] = Seq(8, 32, 128, 512)
+  val RerankRecallTarget = 0.9
+
+  /** Measure the PQ recall curve against exact ground truth on the
+    * shipped probe set and pick the smallest ladder rung with recall ≥
+    * `target` (the largest rung if none reaches it). Walks the ladder in
+    * order and STOPS at the first passing rung, so the common uniform
+    * corpus pays one probe evaluation, not four; the returned curve
+    * covers the rungs actually walked. This is a build-time index
+    * parameter (cost: ≤ |ladder| probe evaluations, each queries ×
+    * rerank×topK exact refines), not a per-query cost. */
+  def pqTuneRerank(spark: SparkSession, e: DataFrame,
+      cbs: Array[Array[Array[Double]]], codes: DataFrame, truth: DataFrame,
+      nQueries: Int, topK: Int,
+      target: Double = RerankRecallTarget): (Int, Seq[(Int, Double)]) = {
+    val truthPairs = truth.select("query_id", "neighbor_id").localCheckpoint()
+    val truthN = truthPairs.count()
+    if (truthN == 0L) return (RerankLadder.head, Seq.empty)
+    val curve = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    RerankLadder.foreach { r =>
+      if (!curve.lastOption.exists(_._2 >= target)) {
+        val hits = pqTopKFromCodes(spark, e, cbs, codes, nQueries, topK, r)
+          .select("query_id", "neighbor_id")
+          .join(truthPairs, Seq("query_id", "neighbor_id"), "leftsemi")
+          .count()
+        curve += r -> (hits.toDouble / truthN)
+      }
+    }
+    Dedup.freeCheckpoint(truthPairs)
+    val chosen = curve.find(_._2 >= target).map(_._1).getOrElse(curve.last._1)
+    (chosen, curve.toSeq)
+  }
+
+  /** The memoized (chosen rerank, measured curve) for the corpus index —
+    * tuned once per (session, corpus, index params), reused by every
+    * probe; the frozen layout persists it with the codebooks. */
+  private[operators] def corpusPqRerank(spark: SparkSession, d: String,
+      m: Int, k: Int, iters: Int,
+      nQueries: Int, topK: Int): (Int, Seq[(Int, Double)]) =
+    EmbMemo.artifact(spark, d, s"pqRerank@$m@$k@$iters@$nQueries@$topK") {
+      val (cbs, codes) = corpusPqIndex(spark, d, m, k, iters)
+      pqTuneRerank(spark, corpusEmbeddings(spark, d), cbs, codes,
+        corpusBruteTopK(spark, d, nQueries, topK), nQueries, topK)
+    }
+
   def pqTopK(spark: SparkSession, d: String, nQueries: Int, topK: Int,
-      m: Int = 8, k: Int = 64, iters: Int = 3, rerank: Int = 8): DataFrame = {
+      m: Int = 8, k: Int = 64, iters: Int = 3,
+      rerank: Int = AutoRerank): DataFrame = {
     val (cbs, codes) = corpusPqIndex(spark, d, m, k, iters)
+    val r = if (rerank == AutoRerank)
+      corpusPqRerank(spark, d, m, k, iters, nQueries, topK)._1 else rerank
     pqTopKFromCodes(spark, corpusEmbeddings(spark, d), cbs, codes,
-      nQueries, topK, rerank)
+      nQueries, topK, r)
   }
 
   def pqTopKFrom(spark: SparkSession, raw: DataFrame, nQueries: Int, topK: Int,
-      m: Int = 8, k: Int = 64, iters: Int = 3, rerank: Int = 8): DataFrame = {
+      m: Int = 8, k: Int = 64, iters: Int = 3,
+      rerank: Int = AutoRerank): DataFrame = {
     val e = raw.select(col("vec_id"), col("embedding"))
     val cbs = pqTrain(spark, e, m, k, iters)
-    pqTopKFromCodes(spark, e, cbs,
-      if (cbs.isEmpty) null else pqEncode(spark, e, cbs),
-      nQueries, topK, rerank)
+    // The tuner probes the code table up to |ladder| times — checkpoint
+    // it so the encode runs once (the corpus path's memo does the same).
+    val codes = if (cbs.isEmpty) null
+      else if (rerank == AutoRerank) pqEncode(spark, e, cbs).localCheckpoint()
+      else pqEncode(spark, e, cbs)
+    val r = if (rerank == AutoRerank && cbs.nonEmpty)
+      pqTuneRerank(spark, e, cbs, codes,
+        bruteForceTopKFrom(e, nQueries, topK), nQueries, topK)._1
+    else if (rerank == AutoRerank) RerankLadder.head
+    else rerank
+    pqTopKFromCodes(spark, e, cbs, codes, nQueries, topK, r)
   }
 
   /** The PQ-ADC probe against an ALREADY-BUILT index (trained codebooks +

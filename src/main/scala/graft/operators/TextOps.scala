@@ -954,8 +954,33 @@ object TextOps {
             v
         }
       }
+    /** Install a pre-built artifact (the persisted-release read path).
+      * NOT a delegation to [[artifact]]: install overwrites any same-key
+      * session artifact (the open() contract promises the parquet-backed
+      * value) and skips the build ledger (a registration, not a build). */
+    def install(spark: SparkSession, d: String, name: String, v: Any): Unit =
+      TextOps.synchronized {
+        val k = (spark, d, graft.MemoLedger.dirStamp(d))
+        if (!key.contains(k)) {
+          if (arts.nonEmpty)
+            System.err.println(s"[tokmemo] corpus switch ${key.map(_._2)} -> $d: " +
+              s"freeing ${arts.size} tokenizer artifacts — any still-lazy " +
+              "DataFrame from the previous corpus is now invalid")
+          free()
+          key = Some(k)
+        } else arts.remove(name).foreach {
+          case df: DataFrame => Dedup.freeCheckpoint(df)
+          case _ => ()
+        }
+        arts.update(name, v)
+      }
     def clear(): Unit = TextOps.synchronized { free(); key = None }
   }
+
+  /** Install a pre-built tokenizer artifact into the session memo — the
+    * persisted-release read path ([[ReleaseArtifacts.openTokenizer]]). */
+  private[operators] def installTokArtifact(spark: SparkSession, d: String,
+      name: String, v: Any): Unit = TokMemo.install(spark, d, name, v)
 
   /** Free the memoized tokenizer artifacts (merge table rows + the
     * encoded-corpus checkpoint). Bench calls this after the t-family;

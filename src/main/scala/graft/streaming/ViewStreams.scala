@@ -375,37 +375,112 @@ object ViewStreams {
     * ```
     * waves/batch=<id>/{fp,hs}   tokenize-at-ingest tables (append-only;
     *                            overwrite per batch id ⇒ replay-idempotent)
-    * gen=<id>/                  the committed 1-row d36 report
+    * gen=<id>/buckets/          (band, bucket, ids≤cap+1) bounded store
+    * gen=<id>/cand/             (band, bucket, a, b) sub-cap contributions
+    * gen=<id>/verified/         (a, b, jaccard) monotone pair evidence
+    * gen=<id>/report/           the committed 1-row d36 report
     * ```
     *
-    * Per batch: write the wave's fingerprint + shingle-hash tables (the
-    * ONLY time this batch's text is read), then recompute the report from
-    * the accumulated index via
-    * [[graft.operators.Dedup.releaseReportFromTables]] and commit it as a
-    * new generation. Exact-dup legs are fingerprint-grain; near-dup legs
-    * re-run the capped candidate kernel over the accumulated SHINGLE
-    * index (never the text) — the full-population cap is what makes the
-    * maintained report equal batch d36 under ANY batch slicing, which the
-    * spec asserts two ways. Crash-atomic and replay-idempotent exactly
-    * like the associative views: wave writes are per-batch overwrites,
-    * the report commit is the generation marker, and a replayed batch id
-    * at-or-below the committed horizon is skipped (warned when below). */
+    * DIRTY-BUCKET maintenance (round 16; round 15 re-ran the full
+    * candidate kernel over the accumulated shingle index every batch):
+    * per batch, tokenize ONLY the wave, band ONLY the wave's signatures,
+    * and fold its members into the stored bounded bucket arrays — exact
+    * against a full recompute because bounded-min-ids is a bounded
+    * semilattice fold (the cap+1 smallest of old ∪ new are contained in
+    * (cap+1 smallest of old) ∪ new — [[graft.operators.Dedup
+    * .boundedBucketIds]]), for any id order and any batch slicing. Only
+    * DIRTY buckets (those the wave touched) re-derive pair
+    * contributions — including dropping a bucket that crossed the cap,
+    * the non-monotone case a naive append-only candidate store gets
+    * wrong — and only pairs never seen before are Jaccard-verified
+    * (against the accumulated shingle index, semi-joined to exactly the
+    * docs involved: d10's delta-sided shape). Per-batch work is
+    * therefore wave tokenize + dirty-bucket pair regen + new-pair verify
+    * + fingerprint-grain rollups: the shingle-grain kernel (signature
+    * aggregation over the whole index — the round-15 cost that grew with
+    * accumulated corpus size) never re-runs. The spec still asserts
+    * equality with batch d36 under two slicings including a planted
+    * cross-half dup, plus replay idempotence. Crash-atomic: all four
+    * tables are written under the new generation, then the root
+    * `_SUCCESS` marker commits it (a crash mid-write leaves an
+    * uncommitted gen the next attempt overwrites); replayed batch ids
+    * at-or-below the committed horizon are skipped (warned when below). */
   def mergeReleaseBatch(spark: SparkSession, batch: DataFrame,
       statePath: String, batchId: Long, threshold: Double = 0.5): Unit = {
+    import graft.operators.Dedup
     val root = new Path(statePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val gens = committedGens(fs, root)
     if (alreadyCommitted(gens, batchId, statePath)) return
+    val cap = Dedup.BandBucketCap
     val wave = new Path(root, s"waves/batch=$batchId")
-    val (fpW, hsW) = graft.operators.Dedup.releaseWaveTables(batch)
+    val (fpW, hsW) = Dedup.releaseWaveTables(batch)
     fpW.write.mode("overwrite").parquet(new Path(wave, "fp").toString)
     hsW.write.mode("overwrite").parquet(new Path(wave, "hs").toString)
-    val fps = spark.read.parquet(s"$statePath/waves/*/fp")
-    val hs = spark.read.parquet(s"$statePath/waves/*/hs")
-    graft.operators.Dedup.releaseReportFromTables(fps, hs, threshold)
-      .write.mode("overwrite").parquet(new Path(root, s"gen=$batchId").toString)
-    stampCommit(fs, new Path(root, s"gen=$batchId"))
+    val hsWave = spark.read.parquet(s"$wave/hs")
+    val waveBanded = Dedup.bandBuckets(Dedup.signaturesFromHashes(hsWave))
+      .localCheckpoint()
+    val dirty = waveBanded.select("band", "bucket").distinct().localCheckpoint()
+    val genDir = new Path(root, s"gen=$batchId")
+    // Previous state (empty-but-typed frames on the first batch).
+    val (prevBuckets, prevCand, prevVerified) = gens.lastOption match {
+      case Some((_, p)) => (
+        spark.read.parquet(s"$p/buckets"),
+        spark.read.parquet(s"$p/cand"),
+        spark.read.parquet(s"$p/verified"))
+      case None =>
+        val eb = Dedup.boundedBucketIds(waveBanded.limit(0), cap)
+        (eb, Dedup.pairsFromBucketIdsKeyed(eb, cap),
+          Dedup.jaccardPairsHashed(hsWave.limit(0), None))
+    }
+    // Fold the wave into the dirty buckets' bounded arrays (semilattice:
+    // re-bound over stored-members ∪ wave-members).
+    val prevDirtyMembers = prevBuckets
+      .join(dirty, Seq("band", "bucket"), "leftsemi")
+      .select(col("band"), col("bucket"), explode(col("ids")).as("doc_id"))
+    val updatedDirty = Dedup.boundedBucketIds(
+      prevDirtyMembers.unionAll(
+        waveBanded.select(col("band"), col("bucket"), col("doc_id"))), cap)
+      .localCheckpoint()
+    prevBuckets.join(dirty, Seq("band", "bucket"), "leftanti")
+      .unionAll(updatedDirty)
+      .write.mode("overwrite").parquet(s"$genDir/buckets")
+    // Dirty buckets replace their pair contributions wholesale (a bucket
+    // crossing the cap contributes nothing — its old pairs vanish here).
+    val dirtyPairs = Dedup.pairsFromBucketIdsKeyed(updatedDirty, cap)
+      .localCheckpoint()
+    prevCand.join(dirty, Seq("band", "bucket"), "leftanti")
+      .unionAll(dirtyPairs)
+      .write.mode("overwrite").parquet(s"$genDir/cand")
+    // Verify only pairs never verified before, against the accumulated
+    // shingle index semi-joined to exactly the involved docs.
+    val needVerify = dirtyPairs.select(col("a"), col("b")).distinct()
+      .join(prevVerified.select("a", "b"), Seq("a", "b"), "leftanti")
+      .localCheckpoint()
+    val involved = needVerify.select(col("a").as("doc_id"))
+      .unionAll(needVerify.select(col("b").as("doc_id"))).distinct()
+    val hsInvolved = spark.read.parquet(s"$statePath/waves/*/hs")
+      .join(involved, Seq("doc_id"), "leftsemi")
+    val verifiedNew = Dedup.jaccardPairsHashed(hsInvolved, Some(needVerify))
+    graft.MemoLedger.planHook.foreach(_("view:release_fold", verifiedNew))
+    prevVerified.unionAll(verifiedNew)
+      .write.mode("overwrite").parquet(s"$genDir/verified")
+    // Report: current verified evidence restricted to CURRENT candidates
+    // (cross-bucket distinct — drops evidence whose every source bucket
+    // crossed the cap), composed with the accumulated fingerprints.
+    val fpsAll = spark.read.parquet(s"$statePath/waves/*/fp")
+    val currentVerified = spark.read.parquet(s"$genDir/verified")
+      .join(spark.read.parquet(s"$genDir/cand").select("a", "b").distinct(),
+        Seq("a", "b"), "leftsemi")
+    Dedup.releaseReportFromVerified(fpsAll, currentVerified, threshold)
+      .write.mode("overwrite").parquet(s"$genDir/report")
+    // Commit: the root _SUCCESS marker (committedGens' criterion) is
+    // written only after every table landed, then the lease timestamp.
+    val ok = fs.create(new Path(genDir, "_SUCCESS"), true); ok.close()
+    stampCommit(fs, genDir)
     pruneSuperseded(spark, fs, gens)
+    Seq(waveBanded, dirty, updatedDirty, dirtyPairs, needVerify)
+      .foreach(Dedup.freeCheckpoint)
   }
 
   /** Start the release-report maintenance loop over a document stream. */
@@ -420,14 +495,14 @@ object ViewStreams {
       .start()
 
   /** Read the maintained release report in d36's exact output shape —
-    * the committed generation IS the report. */
+    * the committed generation's `report/` table. */
   def releaseView(spark: SparkSession, statePath: String): DataFrame = {
     val root = new Path(statePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val latest = committedGens(fs, root).lastOption.getOrElse(
       throw new IllegalStateException(
         s"no committed state generation under $statePath"))
-    spark.read.parquet(latest._2.toString)
+    spark.read.parquet(new Path(latest._2, "report").toString)
   }
 
   /** Read the maintained symbol view in m17's exact output shape via the

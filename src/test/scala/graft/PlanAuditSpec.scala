@@ -10,11 +10,19 @@ class PlanAuditSpec extends SparkSpec {
 
   test("no inventory plan has a cartesian product or unannounced BNLJ") {
     val audits = PlanAudit.auditAll(spark, sf)
-    assert(audits.count(!_.name.startsWith("memo:")) == SparkEntry.queries.size)
+    assert(audits.count(a => !a.name.startsWith("memo:") &&
+      !a.name.startsWith("view:")) == SparkEntry.queries.size)
     // The memo plan hook must have produced build-plan audits of its own
     // (the order-independent coverage of the one-time kernel builds).
     assert(audits.exists(_.name.startsWith("memo:")),
       "no memo build plans were audited — is the plan hook installed?")
+    // And the maintained release view's per-batch plans (foreachBatch runs
+    // OUTSIDE the inventory — round 15's audit gap): both the dirty-bucket
+    // fold and the report leg must have been driven and audited.
+    Seq("view:release_fold", "view:release_report").foreach { n =>
+      assert(audits.exists(_.name == n),
+        s"$n missing — were the maintenance batches driven?")
+    }
     val v = PlanAudit.violations(audits)
     assert(v.isEmpty, "plan violations:\n" + v.mkString("\n") + "\n\n" +
       audits.map(_.line).mkString("\n"))

@@ -60,6 +60,99 @@ class ReleaseArtifactsSpec extends SparkSpec {
     Dedup.clearCorpusMemo()
   }
 
+  test("persisted contam tables drive d09/d19/d35 with zero contam builds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_release_c").toString
+    val names = Seq("d09_decontaminate", "d19_eval_leak_report",
+      "d35_contam_ngram_curve")
+    Dedup.clearCorpusMemo()
+    val expected = names.map(n => n -> run(n)).toMap
+    ReleaseArtifacts.write(spark, sf, dir)
+    Dedup.clearCorpusMemo()
+    ReleaseArtifacts.open(spark, sf, dir)
+    graft.MemoLedger.drain() // discard the freeze's own builds
+    names.foreach { n =>
+      assert(run(n) == expected(n), s"$n differs when read from $dir")
+    }
+    val builds = graft.MemoLedger.drain()
+    assert(builds.isEmpty,
+      s"persisted-release read path ran builds: ${builds.map(_.artifact)}")
+    Dedup.clearCorpusMemo()
+  }
+
+  test("frozen embedding indexes serve s01/s04/s08 with zero train builds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_release_e").toString
+    val names = Seq("s01_ann_cosine_topk", "s04_ann_ivf", "s08_ann_pq")
+    graft.operators.Similarity.clearEmbMemo()
+    val expected = names.map(n => n -> run(n)).toMap
+    ReleaseArtifacts.writeEmbedding(spark, sf, dir)
+    graft.operators.Similarity.clearEmbMemo()
+    ReleaseArtifacts.openEmbedding(spark, sf, dir)
+    graft.MemoLedger.drain()
+    names.foreach { n =>
+      assert(run(n) == expected(n), s"$n differs when read from $dir")
+    }
+    val builds = graft.MemoLedger.drain()
+    assert(builds.isEmpty,
+      s"frozen-index read path ran builds: ${builds.map(_.artifact)}")
+    val e = intercept[IllegalStateException](
+      ReleaseArtifacts.openEmbedding(spark, sf, dir, nCells = 32))
+    assert(e.getMessage.contains("n_cells"))
+    graft.operators.Similarity.clearEmbMemo()
+  }
+
+  test("frozen tokenizer serves t21/t25/t43 with zero train/encode builds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_release_t").toString
+    val names = Seq("t21_bpe_merges", "t25_bpe_encode", "t43_bpe_fertility")
+    graft.operators.TextOps.clearTokMemo()
+    val expected = names.map(n => n -> run(n)).toMap
+    ReleaseArtifacts.writeTokenizer(spark, sf, dir)
+    graft.operators.TextOps.clearTokMemo()
+    ReleaseArtifacts.openTokenizer(spark, sf, dir)
+    graft.MemoLedger.drain()
+    names.foreach { n =>
+      assert(run(n) == expected(n), s"$n differs when read from $dir")
+    }
+    val builds = graft.MemoLedger.drain()
+    assert(builds.isEmpty,
+      s"frozen-tokenizer read path ran builds: ${builds.map(_.artifact)}")
+    val e = intercept[IllegalStateException](
+      ReleaseArtifacts.openTokenizer(spark, sf, dir, nMerges = 4))
+    assert(e.getMessage.contains("n_merges"))
+    graft.operators.TextOps.clearTokMemo()
+  }
+
+  test("content stamp catches a same-size same-mtime rewrite") {
+    val corpus = java.nio.file.Files.createTempDirectory("graft_corpus_cs").toString
+    val src = java.nio.file.Paths.get(sf)
+    java.nio.file.Files.list(src).forEach { p =>
+      java.nio.file.Files.copy(p, java.nio.file.Paths.get(corpus, p.getFileName.toString))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_release_cs").toString
+    Dedup.clearCorpusMemo()
+    ReleaseArtifacts.write(spark, corpus, dir)
+    // The object-store trap: rewrite BYTES of one file, same size, and
+    // restore its mtime — (mtime, size) stamps cannot see this.
+    val f = java.nio.file.Files.list(java.nio.file.Paths.get(corpus))
+      .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+    val mtime = java.nio.file.Files.getLastModifiedTime(f)
+    val before = graft.MemoLedger.freshDirStamp(corpus)
+    val ch = java.nio.channels.FileChannel.open(f,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val buf = java.nio.ByteBuffer.wrap(Array[Byte](0x5a, 0x5a, 0x5a, 0x5a))
+      ch.position(64L) // inside the head window; size unchanged
+      while (buf.hasRemaining) ch.write(buf)
+    } finally ch.close()
+    java.nio.file.Files.setLastModifiedTime(f, mtime)
+    graft.MemoLedger.invalidateStamps()
+    assert(graft.MemoLedger.freshDirStamp(corpus) == before,
+      "mtime+size stamp moved — the rewrite was supposed to be invisible to it")
+    Dedup.clearCorpusMemo()
+    val e = intercept[IllegalStateException](ReleaseArtifacts.open(spark, corpus, dir))
+    assert(e.getMessage.contains("CONTENT changed"))
+    Dedup.clearCorpusMemo()
+  }
+
   test("open refuses mismatched kernel parameters and a missing manifest") {
     val dir = java.nio.file.Files.createTempDirectory("graft_release3").toString
     Dedup.clearCorpusMemo()

@@ -820,6 +820,41 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("graft.view.readerLeaseMs")
   }
 
+  test("release view dirty-bucket fold handles a bucket CROSSING the cap mid-stream") {
+    // The non-monotone case an append-only candidate store gets wrong:
+    // a bucket below cap contributes pairs in batch 0, then batch 1
+    // pushes it OVER cap — batch d36 excludes the whole bucket, so the
+    // maintained view must RETRACT batch 0's contributions. 70
+    // byte-identical docs (> BandBucketCap = 64) band to the same bucket
+    // in every band; split 32 + 38 across batches.
+    import java.nio.file.Files
+    import graft.streaming.ViewStreams
+    import spark.implicits._
+    val docs = (0L until 70L).map(i =>
+      (i, "the same boilerplate sentence repeated for banding " * 3,
+        "en", "src", 150L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val expected = graft.operators.Dedup
+      .releaseReportFromTables(
+        graft.operators.Dedup.releaseWaveTables(docs)._1,
+        graft.operators.Dedup.releaseWaveTables(docs)._2)
+      .collect().map(_.toString).toSeq
+    val state = s"${Files.createTempDirectory("graft-release-cap")}/state"
+    ViewStreams.mergeReleaseBatch(spark, docs.filter(col("doc_id") < 32), state, 0L)
+    // Mid-stream: the bucket is below cap, pairs exist.
+    val mid = ViewStreams.releaseView(spark, state).head()
+    assert(mid.getLong(3) > 0L, s"sub-cap bucket produced no pairs: $mid")
+    ViewStreams.mergeReleaseBatch(spark, docs.filter(col("doc_id") >= 32), state, 1L)
+    val got = ViewStreams.releaseView(spark, state)
+      .collect().map(_.toString).toSeq
+    assert(got == expected,
+      s"view != batch d36 after cap crossing: $got vs $expected")
+    // The crossing must actually have retracted the near-dup pairs
+    // (every doc still drops as an exact dup, but the LSH leg is empty).
+    assert(ViewStreams.releaseView(spark, state).head().getLong(3) == 0L,
+      "over-cap bucket still contributes pairs after crossing")
+  }
+
   test("maintained release view == batch d36 under two batch slicings (and replay-idempotent)") {
     import java.nio.file.Files
     import graft.streaming.ViewStreams
