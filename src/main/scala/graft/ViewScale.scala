@@ -33,7 +33,7 @@ object ViewScale {
     }
 
     println(f"[viewscale] ${"batch"}%5s ${"docs_acc"}%9s ${"inc_sec"}%8s ${"full_sec"}%9s " +
-      f"${"sig_rows_inc"}%12s ${"sig_rows_full"}%13s")
+      f"${"sig_rows_inc"}%12s ${"sig_rows_full"}%13s ${"wrote_bkt_rows"}%14s")
     var incTot = 0.0; var fullTot = 0.0
     (0 until k).foreach { i =>
       val wave = docs.filter(col("doc_id") % k === i)
@@ -46,6 +46,12 @@ object ViewScale {
       val sigInc = spark.read.parquet(s"$stateI/waves/batch=$i/hs").count()
       val sigFull = (0 to i).map(j =>
         spark.read.parquet(s"$stateI/waves/batch=$j/hs").count()).sum
+      // Write-amplification accounting (round-16 LSM state): bucket rows
+      // this generation actually persisted (delta — or full on a base)
+      // vs the full store a pre-LSM generation rewrote every batch.
+      val wroteRows = spark.read.parquet(s"$stateI/gen=$i/buckets").count()
+      val isBase = java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$stateI/gen=$i/_BASE"))
       // Full-regen contrast: write the wave, recompute from ALL waves —
       // the round-15 per-batch shape.
       val tF = wall {
@@ -59,7 +65,8 @@ object ViewScale {
       }
       incTot += tI; fullTot += tF
       val acc = docs.filter(col("doc_id") % k <= i).count()
-      println(f"[viewscale] $i%5d $acc%9d $tI%8.2f $tF%9.2f $sigInc%12d $sigFull%13d")
+      println(f"[viewscale] $i%5d $acc%9d $tI%8.2f $tF%9.2f $sigInc%12d $sigFull%13d " +
+        f"$wroteRows%11d${if (isBase) " (base)" else ""}%s")
     }
     val inc = graft.streaming.ViewStreams.releaseView(spark, stateI)
       .collect().map(_.toString).toSeq

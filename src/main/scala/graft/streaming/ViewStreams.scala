@@ -192,11 +192,17 @@ object ViewStreams {
     * BEFORE the new commit, so dropRight(1) retains the immediate
     * predecessor. */
   private def pruneSuperseded(spark: SparkSession, fs: FileSystem,
-      gens: Seq[(Long, Path)]): Unit = {
+      gens: Seq[(Long, Path)]): Unit =
+    pruneWithLease(spark, fs, gens.dropRight(1))
+
+  /** Delete each superseded generation once its commit has aged past the
+    * reader lease; retain on an unreadable timestamp (never force). */
+  private def pruneWithLease(spark: SparkSession, fs: FileSystem,
+      superseded: Seq[(Long, Path)]): Unit = {
     val leaseMs = spark.conf.getOption("graft.view.readerLeaseMs")
       .map(_.toLong).getOrElse(0L)
     val now = System.currentTimeMillis()
-    gens.dropRight(1).foreach { case (_, p) =>
+    superseded.foreach { case (_, p) =>
       committedAtOf(fs, p) match {
         case Some(t) if now - t >= leaseMs => fs.delete(p, true); ()
         case _ => () // inside its lease, or timestamp unreadable: retain
@@ -375,36 +381,57 @@ object ViewStreams {
     * ```
     * waves/batch=<id>/{fp,hs}   tokenize-at-ingest tables (append-only;
     *                            overwrite per batch id ⇒ replay-idempotent)
-    * gen=<id>/buckets/          (band, bucket, ids≤cap+1) bounded store
-    * gen=<id>/cand/             (band, bucket, a, b) sub-cap contributions
-    * gen=<id>/verified/         (a, b, jaccard) monotone pair evidence
+    * gen=<id>/buckets/          (band, bucket, ids≤cap+1) — the DIRTY
+    *                            buckets' arrays only (a delta), or every
+    *                            bucket when the gen is a BASE (_BASE)
+    * gen=<id>/verified/         (a, b, jaccard) — pairs first verified in
+    *                            this gen (delta), or all evidence (base)
     * gen=<id>/report/           the committed 1-row d36 report
     * ```
     *
-    * DIRTY-BUCKET maintenance (round 16; round 15 re-ran the full
-    * candidate kernel over the accumulated shingle index every batch):
-    * per batch, tokenize ONLY the wave, band ONLY the wave's signatures,
-    * and fold its members into the stored bounded bucket arrays — exact
+    * DIRTY-BUCKET maintenance with LSM-SHAPED state (round 16): per
+    * batch, tokenize ONLY the wave, band ONLY the wave's signatures, and
+    * fold its members into the stored bounded bucket arrays — exact
     * against a full recompute because bounded-min-ids is a bounded
     * semilattice fold (the cap+1 smallest of old ∪ new are contained in
     * (cap+1 smallest of old) ∪ new — [[graft.operators.Dedup
     * .boundedBucketIds]]), for any id order and any batch slicing. Only
-    * DIRTY buckets (those the wave touched) re-derive pair
-    * contributions — including dropping a bucket that crossed the cap,
-    * the non-monotone case a naive append-only candidate store gets
-    * wrong — and only pairs never seen before are Jaccard-verified
-    * (against the accumulated shingle index, semi-joined to exactly the
-    * docs involved: d10's delta-sided shape). Per-batch work is
-    * therefore wave tokenize + dirty-bucket pair regen + new-pair verify
-    * + fingerprint-grain rollups: the shingle-grain kernel (signature
-    * aggregation over the whole index — the round-15 cost that grew with
-    * accumulated corpus size) never re-runs. The spec still asserts
-    * equality with batch d36 under two slicings including a planted
-    * cross-half dup, plus replay idempotence. Crash-atomic: all four
-    * tables are written under the new generation, then the root
-    * `_SUCCESS` marker commits it (a crash mid-write leaves an
-    * uncommitted gen the next attempt overwrites); replayed batch ids
-    * at-or-below the committed horizon are skipped (warned when below). */
+    * pairs never seen before are Jaccard-verified (against the
+    * accumulated shingle index, semi-joined to exactly the docs
+    * involved: d10's delta-sided shape). Candidate pairs are NOT stored
+    * at all: they are a pure function of the bounded arrays
+    * ([[graft.operators.Dedup.pairsFromBucketIdsKeyed]]), so deriving
+    * them at report time replaces an index-scale parquet write with
+    * index-scale codegen'd array expansion — and makes cap-crossing
+    * retraction automatic (an over-cap bucket's array expands to no
+    * pairs; evidence whose every source bucket crossed the cap drops out
+    * of the report's semi-join).
+    *
+    * State WRITES are wave-scale, not index-scale: a generation persists
+    * only the dirty buckets' updated arrays and the newly-verified pairs
+    * (disjoint across gens by construction — needVerify is anti-joined
+    * against all prior evidence). The current state is the LATEST-WINS
+    * fold per (band, bucket) over the live generation suffix: the most
+    * recent BASE generation (full snapshot, `_BASE` marker; the first
+    * generation is trivially one) plus every delta after it. Every
+    * `graft.view.releaseCompactEvery` (default 8) generations the fold
+    * is compacted: that batch writes a new base (full current state) and
+    * its predecessors become prunable — so per-batch write cost is
+    * O(wave dirty buckets + new pairs) amortizing one O(index) snapshot
+    * per compaction window, the LSM economics, while per-batch READ of
+    * the live suffix stays bounded by index + window × wave.
+    *
+    * The spec asserts equality with batch d36 under two slicings
+    * including a planted cross-half dup, replay idempotence, cap-crossing
+    * retraction, and compaction (bounded gen count, delta ≪ base).
+    * Crash-atomic: any uncommitted debris from a crashed attempt of the
+    * same batch is deleted first, all tables (and the `_BASE` marker, when
+    * compacting) are written under the new generation, then the root
+    * `_SUCCESS` marker commits it; replayed batch ids at-or-below the
+    * committed horizon are skipped (warned when below). Generations below
+    * the latest base are pruned under the reader lease (reports are
+    * self-contained per gen, so a lazy reader pinned inside its lease
+    * keeps its files). */
   def mergeReleaseBatch(spark: SparkSession, batch: DataFrame,
       statePath: String, batchId: Long, threshold: Double = 0.5): Unit = {
     import graft.operators.Dedup
@@ -422,17 +449,40 @@ object ViewStreams {
       .localCheckpoint()
     val dirty = waveBanded.select("band", "bucket").distinct().localCheckpoint()
     val genDir = new Path(root, s"gen=$batchId")
-    // Previous state (empty-but-typed frames on the first batch).
-    val (prevBuckets, prevCand, prevVerified) = gens.lastOption match {
-      case Some((_, p)) => (
-        spark.read.parquet(s"$p/buckets"),
-        spark.read.parquet(s"$p/cand"),
-        spark.read.parquet(s"$p/verified"))
-      case None =>
-        val eb = Dedup.boundedBucketIds(waveBanded.limit(0), cap)
-        (eb, Dedup.pairsFromBucketIdsKeyed(eb, cap),
-          Dedup.jaccardPairsHashed(hsWave.limit(0), None))
+    // A crashed attempt of this same batch may have left debris —
+    // including a stale _BASE marker parquet overwrites would not clear.
+    fs.delete(genDir, true)
+    // Previous state: latest-wins fold over the live generation suffix
+    // (empty-but-typed frames on the first batch).
+    val live = releaseLiveGens(fs, gens)
+    val (prevBuckets, prevVerified) = if (live.isEmpty) {
+      (Dedup.boundedBucketIds(waveBanded.limit(0), cap),
+        Dedup.jaccardPairsHashed(hsWave.limit(0), None))
+    } else {
+      val wGen = org.apache.spark.sql.expressions.Window
+        .partitionBy("band", "bucket").orderBy(col("gen").desc)
+      // Checkpointed: the reconstruction is read three times per batch
+      // (dirty fold, clean-side write on a base, report-time candidate
+      // derivation) — materialize the latest-wins fold once instead of
+      // re-running the window per consumer.
+      val buckets = live.map { case (g, p) =>
+        spark.read.parquet(s"$p/buckets").withColumn("gen", lit(g))
+      }.reduce(_ unionAll _)
+        .withColumn("rn", row_number().over(wGen))
+        .filter(col("rn") === 1).select("band", "bucket", "ids")
+        .localCheckpoint()
+      // Verified deltas are disjoint across gens (each gen verifies only
+      // pairs unseen by ALL prior evidence) — plain union, no distinct.
+      val verified = live.map { case (_, p) =>
+        spark.read.parquet(s"$p/verified") }.reduce(_ unionAll _)
+      (buckets, verified)
     }
+    // Compaction cadence: the first generation is a base; thereafter a
+    // new base every releaseCompactEvery generations bounds the live
+    // suffix (and with it reconstruction cost and state file count).
+    val compactEvery = spark.conf.getOption("graft.view.releaseCompactEvery")
+      .map(_.toInt).getOrElse(8)
+    val isBase = live.isEmpty || live.size + 1 >= compactEvery
     // Fold the wave into the dirty buckets' bounded arrays (semilattice:
     // re-bound over stored-members ∪ wave-members).
     val prevDirtyMembers = prevBuckets
@@ -442,18 +492,15 @@ object ViewStreams {
       prevDirtyMembers.unionAll(
         waveBanded.select(col("band"), col("bucket"), col("doc_id"))), cap)
       .localCheckpoint()
-    prevBuckets.join(dirty, Seq("band", "bucket"), "leftanti")
-      .unionAll(updatedDirty)
+    val cleanPrev = prevBuckets.join(dirty, Seq("band", "bucket"), "leftanti")
+    (if (isBase) cleanPrev.unionAll(updatedDirty) else updatedDirty)
       .write.mode("overwrite").parquet(s"$genDir/buckets")
-    // Dirty buckets replace their pair contributions wholesale (a bucket
-    // crossing the cap contributes nothing — its old pairs vanish here).
-    val dirtyPairs = Dedup.pairsFromBucketIdsKeyed(updatedDirty, cap)
-      .localCheckpoint()
-    prevCand.join(dirty, Seq("band", "bucket"), "leftanti")
-      .unionAll(dirtyPairs)
-      .write.mode("overwrite").parquet(s"$genDir/cand")
     // Verify only pairs never verified before, against the accumulated
-    // shingle index semi-joined to exactly the involved docs.
+    // shingle index semi-joined to exactly the involved docs. Dirty
+    // buckets' pair contributions are derived, not stored — a bucket
+    // crossing the cap contributes nothing, its old pairs simply stop
+    // being derivable.
+    val dirtyPairs = Dedup.pairsFromBucketIdsKeyed(updatedDirty, cap)
     val needVerify = dirtyPairs.select(col("a"), col("b")).distinct()
       .join(prevVerified.select("a", "b"), Seq("a", "b"), "leftanti")
       .localCheckpoint()
@@ -463,24 +510,61 @@ object ViewStreams {
       .join(involved, Seq("doc_id"), "leftsemi")
     val verifiedNew = Dedup.jaccardPairsHashed(hsInvolved, Some(needVerify))
     graft.MemoLedger.planHook.foreach(_("view:release_fold", verifiedNew))
-    prevVerified.unionAll(verifiedNew)
+    (if (isBase) prevVerified.unionAll(verifiedNew) else verifiedNew)
       .write.mode("overwrite").parquet(s"$genDir/verified")
     // Report: current verified evidence restricted to CURRENT candidates
-    // (cross-bucket distinct — drops evidence whose every source bucket
-    // crossed the cap), composed with the accumulated fingerprints.
+    // (derived from the current bucket arrays, cross-bucket distinct —
+    // evidence whose every source bucket crossed the cap drops out),
+    // composed with the accumulated fingerprints.
+    // Current buckets = clean survivors ∪ the (checkpointed) dirty fold —
+    // algebraically what gen/buckets holds (or contributes, on a delta),
+    // without re-reading the parquet just written.
+    val curBuckets = cleanPrev.unionAll(updatedDirty)
+    val curPairs = Dedup.pairsFromBucketIdsKeyed(curBuckets, cap)
+      .select("a", "b").distinct()
+    val genVerified = spark.read.parquet(s"$genDir/verified")
+    val currentVerified =
+      (if (isBase) genVerified else prevVerified.unionAll(genVerified))
+        .join(curPairs, Seq("a", "b"), "leftsemi")
     val fpsAll = spark.read.parquet(s"$statePath/waves/*/fp")
-    val currentVerified = spark.read.parquet(s"$genDir/verified")
-      .join(spark.read.parquet(s"$genDir/cand").select("a", "b").distinct(),
-        Seq("a", "b"), "leftsemi")
     Dedup.releaseReportFromVerified(fpsAll, currentVerified, threshold)
       .write.mode("overwrite").parquet(s"$genDir/report")
-    // Commit: the root _SUCCESS marker (committedGens' criterion) is
-    // written only after every table landed, then the lease timestamp.
+    // Commit: the _BASE marker (when compacting) lands before the root
+    // _SUCCESS marker (committedGens' criterion), which is written only
+    // after every table landed, then the lease timestamp.
+    if (isBase) { val b = fs.create(new Path(genDir, "_BASE"), true); b.close() }
     val ok = fs.create(new Path(genDir, "_SUCCESS"), true); ok.close()
     stampCommit(fs, genDir)
-    pruneSuperseded(spark, fs, gens)
-    Seq(waveBanded, dirty, updatedDirty, dirtyPairs, needVerify)
+    pruneReleaseSuperseded(spark, fs, gens, isBase)
+    Seq(waveBanded, dirty, updatedDirty, needVerify, prevBuckets)
       .foreach(Dedup.freeCheckpoint)
+  }
+
+  /** The release view's LIVE generations: the latest BASE generation
+    * (full-state snapshot, `_BASE` marker) and every delta committed
+    * after it — the suffix [[mergeReleaseBatch]]'s latest-wins
+    * reconstruction folds. Generations below the base hold no live
+    * state (their reports remain readable until pruned). */
+  private def releaseLiveGens(fs: FileSystem,
+      gens: Seq[(Long, Path)]): Seq[(Long, Path)] = {
+    val lastBase = gens.lastIndexWhere { case (_, p) =>
+      fs.exists(new Path(p, "_BASE")) }
+    if (lastBase < 0) gens else gens.drop(lastBase)
+  }
+
+  /** Release-view pruning: unlike the associative views (whose latest
+    * generation is self-contained), a delta generation's state is live
+    * until a later BASE supersedes it — so only generations below the
+    * latest base are prunable. When the new commit IS a base, the whole
+    * previous live suffix became superseded too (minus the immediate
+    * predecessor, the same keep-one-cycle reader floor as
+    * [[pruneSuperseded]]); either way the reader lease applies. */
+  private def pruneReleaseSuperseded(spark: SparkSession, fs: FileSystem,
+      gens: Seq[(Long, Path)], newIsBase: Boolean): Unit = {
+    val superseded =
+      if (newIsBase) gens.dropRight(1)
+      else gens.dropRight(math.max(1, releaseLiveGens(fs, gens).size))
+    pruneWithLease(spark, fs, superseded)
   }
 
   /** Start the release-report maintenance loop over a document stream. */

@@ -883,6 +883,54 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("release view LSM compaction: deltas reconstruct exactly, bases bound the suffix") {
+    import java.nio.file.Files
+    import graft.streaming.ViewStreams
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sf)
+    val expected = SparkEntry.queries("d36_release_dedup_report")(spark, sf)
+      .collect().map(_.toString).toSeq
+    spark.conf.set("graft.view.releaseCompactEvery", "3")
+    try {
+      val state = s"${Files.createTempDirectory("graft-release-lsm")}/state"
+      val k = 7
+      (0 until k).foreach { i =>
+        ViewStreams.mergeReleaseBatch(spark, docs.filter(col("doc_id") % k === i),
+          state, i.toLong)
+      }
+      val got = ViewStreams.releaseView(spark, state)
+        .collect().map(_.toString).toSeq
+      assert(got == expected,
+        s"compacted LSM view != batch d36 after $k waves: $got vs $expected")
+      // With compactEvery=3 over 7 batches: bases at gen 0, 2, 4, 6 —
+      // after gen 6 (a base) commits, everything below it is superseded
+      // except the keep-one predecessor (gen 5). The gen count staying
+      // bounded IS the compaction claim.
+      val root = new java.io.File(state)
+      val genDirs = root.listFiles().filter(_.getName.startsWith("gen="))
+        .map(_.getName.stripPrefix("gen=").toLong).sorted.toSeq
+      assert(genDirs == Seq(5L, 6L),
+        s"pruning after compaction left unexpected generations: $genDirs")
+      assert(new java.io.File(s"$state/gen=6/_BASE").exists(),
+        "gen 6 should be a base (compactEvery=3 ⇒ live suffix of 3 compacts)")
+      assert(!new java.io.File(s"$state/gen=5/_BASE").exists(),
+        "gen 5 should be a delta")
+      // The write-amplification claim: a delta generation's bucket table
+      // is a strict subset of the base's full store (wave-scale, not
+      // index-scale writes).
+      val deltaRows = spark.read.parquet(s"$state/gen=5/buckets").count()
+      val baseRows = spark.read.parquet(s"$state/gen=6/buckets").count()
+      assert(deltaRows < baseRows,
+        s"delta buckets ($deltaRows) not smaller than the base store ($baseRows)")
+      // Replay of the compacting batch: committed ⇒ no-op, report stable.
+      ViewStreams.mergeReleaseBatch(spark, docs.filter(col("doc_id") % k === 6),
+        state, 6L)
+      assert(ViewStreams.releaseView(spark, state)
+        .collect().map(_.toString).toSeq == expected,
+        "release view drifted after replaying the compacting batch")
+    } finally spark.conf.unset("graft.view.releaseCompactEvery")
+  }
+
   test("streaming daily HLL == batch HLL bit-for-bit (merge order-independence)") {
     val stream = EventStreams.readEventStream(spark, sf)
     val q = EventStreams.runToMemory(
