@@ -586,27 +586,40 @@ object Dedup {
     * minima → band signatures + set sizes) — shared by the self-join
     * pairing tail below (d02/d06) and d32's bipartite wave-vs-resident
     * tail, so every consumer reads literally the same signature SQL. */
-  private val minhashSigCtes =
-    """sh AS (
+  /** The signature CTE chain parameterized by source relation and a
+    * CTE-name suffix, so one oracle query can run the kernel over TWO
+    * corpus slices (d37 runs it on the full corpus and on the base
+    * release). `withLanes` emits the corpus-independent lane-constant
+    * CTE — exactly once per query. */
+  private def minhashSigCtesFor(src: String, x: String,
+      withLanes: Boolean): String = {
+    val lanes = if (withLanes)
+      """lanes AS (SELECT i,
+           CASE WHEN (1103515245 * (i + 1) + 12345) % 2147483647 = 0 THEN 1
+                ELSE (1103515245 * (i + 1) + 12345) % 2147483647 END AS la,
+           (69069 * (i + 7) + 362437) % 2147483647 AS lb
+         FROM range(0, 64) r(i)),
+       """
+    else ""
+    s"""sh$x AS (
          SELECT DISTINCT doc_id, shingle FROM (
            SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
            FROM (SELECT doc_id,
                    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                                t -> t <> '') AS ts
-                 FROM documents),
+                 FROM $src),
            UNNEST(range(1, len(ts) - 1)) AS r(i))),
-       hs AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS sh_h FROM sh),
-       base AS (SELECT doc_id, sh_h % 2147483647 AS h FROM hs),
-       lanes AS (SELECT i,
-           CASE WHEN (1103515245 * (i + 1) + 12345) % 2147483647 = 0 THEN 1
-                ELSE (1103515245 * (i + 1) + 12345) % 2147483647 END AS la,
-           (69069 * (i + 7) + 362437) % 2147483647 AS lb
-         FROM range(0, 64) r(i)),
-       sig AS (SELECT doc_id, i, min((la * h + lb) % 2147483647) AS m
-               FROM base CROSS JOIN lanes GROUP BY doc_id, i),
-       bands AS (SELECT doc_id, i // 4 AS band, list(m ORDER BY i) AS bsig
-                 FROM sig GROUP BY doc_id, i // 4),
-       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)"""
+       hs$x AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS sh_h FROM sh$x),
+       base$x AS (SELECT doc_id, sh_h % 2147483647 AS h FROM hs$x),
+       ${lanes}sig$x AS (SELECT doc_id, i, min((la * h + lb) % 2147483647) AS m
+               FROM base$x CROSS JOIN lanes GROUP BY doc_id, i),
+       bands$x AS (SELECT doc_id, i // 4 AS band, list(m ORDER BY i) AS bsig
+                 FROM sig$x GROUP BY doc_id, i // 4),
+       sizes$x AS (SELECT doc_id, count(*) AS n FROM sh$x GROUP BY doc_id)"""
+  }
+
+  private val minhashSigCtes =
+    minhashSigCtesFor("documents", "", withLanes = true)
 
   // Equivalence note (here and in every consumer of these CTEs): the Scala
   // side buckets on xxhash64(band-signature) while the oracle joins on
@@ -616,20 +629,26 @@ object Dedup {
   // push a merged bucket over BandBucketCap where the oracle's separate
   // groups stay under). Accepted: the 8-byte bucket key is the scalable
   // join shape; the exact-array key would double the shuffle width.
-  private val minhashOracleCtes =
-    s"""$minhashSigCtes,
-       okb AS (SELECT band, bsig FROM bands GROUP BY band, bsig
+  /** Signature chain + the band-bucket-capped candidate/intersection
+    * tail, suffix-parameterized like [[minhashSigCtesFor]]. */
+  private def minhashKernelCtesFor(src: String, x: String,
+      withLanes: Boolean): String =
+    s"""${minhashSigCtesFor(src, x, withLanes)},
+       okb$x AS (SELECT band, bsig FROM bands$x GROUP BY band, bsig
                HAVING count(*) <= $BandBucketCap),
-       cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-                FROM bands x
-                JOIN okb ON okb.band = x.band AND okb.bsig = x.bsig
-                JOIN bands y
+       cand$x AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                FROM bands$x x
+                JOIN okb$x ON okb$x.band = x.band AND okb$x.bsig = x.bsig
+                JOIN bands$x y
                   ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
-       inter AS (SELECT c.a, c.b, count(*) AS n_common
-                 FROM cand c
-                 JOIN hs x ON x.doc_id = c.a
-                 JOIN hs y ON y.doc_id = c.b AND y.sh_h = x.sh_h
+       inter$x AS (SELECT c.a, c.b, count(*) AS n_common
+                 FROM cand$x c
+                 JOIN hs$x x ON x.doc_id = c.a
+                 JOIN hs$x y ON y.doc_id = c.b AND y.sh_h = x.sh_h
                  GROUP BY c.a, c.b)"""
+
+  private val minhashOracleCtes =
+    minhashKernelCtesFor("documents", "", withLanes = true)
 
   val minhash = Q(
     "d02_dedup_minhash_lsh",
@@ -1124,6 +1143,115 @@ object Dedup {
             LEFT JOIN exact_drop e ON e.doc_id = d.doc_id
             LEFT JOIN near_drop n ON n.doc_id = d.doc_id
             ORDER BY d.doc_id"""))
+
+  /** d07's verdict tail (verified pairs → recursive closure → labels →
+    * fp window → drop sets → per-doc reason), suffix-parameterized so
+    * d37 evaluates it for two releases in one oracle query. `reach$x` is
+    * recursive — the enclosing query must open WITH RECURSIVE. */
+  private def keepVerdictCtesFor(src: String, x: String): String =
+    s"""pairs$x AS (
+          SELECT a, b
+          FROM inter$x JOIN sizes$x sa ON sa.doc_id = a JOIN sizes$x sb ON sb.doc_id = b
+          WHERE round(CAST(n_common AS DOUBLE) /
+                      CAST(sa.n + sb.n - n_common AS DOUBLE), 4) >= 0.5),
+        edges$x AS (SELECT a, b FROM pairs$x UNION ALL SELECT b, a FROM pairs$x),
+        reach$x(a, b) AS (
+          SELECT a, b FROM edges$x
+          UNION
+          SELECT r.a, e.b FROM reach$x r JOIN edges$x e ON r.b = e.a),
+        labels$x AS (
+          SELECT a AS doc_id, min(b) AS label
+          FROM (SELECT a, b FROM reach$x UNION ALL SELECT DISTINCT a, a FROM edges$x)
+          GROUP BY a),
+        fp$x AS (
+          SELECT doc_id,
+            md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+          FROM $src),
+        exact_drop$x AS (
+          SELECT doc_id FROM (
+            SELECT doc_id, min(doc_id) OVER (PARTITION BY f) AS keep_id FROM fp$x)
+          WHERE doc_id <> keep_id),
+        near_drop$x AS (SELECT doc_id FROM labels$x WHERE doc_id <> label),
+        verdict$x AS (
+          SELECT d.doc_id,
+            CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                 WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                 ELSE 'keep' END AS reason
+          FROM $src d
+          LEFT JOIN exact_drop$x e ON e.doc_id = d.doc_id
+          LEFT JOIN near_drop$x n ON n.doc_id = d.doc_id)"""
+
+  /** d37: the release-to-release VERDICT-FLIP report — what an operator
+    * actually reviews when the next wave lands: for every document in the
+    * new release, its keep verdict now vs in the previous release
+    * (`absent` for wave documents), rolled up to the flip matrix. Flips
+    * are structural, not incidental: a wave document with a LOWER doc_id
+    * than an existing copy steals the fingerprint window's min, flipping
+    * the old `keep` to `exact_dup` (the reverse flip is impossible — the
+    * old winner stays in the corpus); near-dup clusters can grow (`keep`
+    * → `near_dup`); and the band-bucket cap is a total-population
+    * function, so a filling bucket can cross the cap and RETRACT
+    * candidates (`near_dup` → `keep`). The report makes those shifts
+    * visible and bounded instead of silent — the same cap-regression
+    * alarm role p19 plays for footprint, at verdict grain.
+    *
+    * Base release = doc_id % 10 < 8 (deterministic, engine-independent);
+    * the wave is the remaining 20%. Both verdicts run the SAME kernel
+    * (band-bucket-capped MinHash-LSH + fp window): the base side through
+    * [[keepListFrom]] (population caps computed on the base corpus — a
+    * release's caps are its own population's), the current side through
+    * the memoized [[keepList]]. Scale shape: two keep-verdict plans
+    * (d07's — inline fp-window verdict, AQE-sized near-dup join) and one
+    * doc-grain left join rolled up to ≤ 4×3 rows.
+    *
+    * Oracle: the full d07 SQL evaluated TWICE (suffix-parameterized CTE
+    * chains over `documents` and the base slice), joined on doc_id. */
+  /** The d37 composition over explicit verdict frames (both
+    * (doc_id, ..., reason)-shaped): `after` is the current release's
+    * verdict, `before` the previous release's — each computed with its
+    * OWN population's caps (a release's caps are its population's). */
+  def releaseDeltaFrom(after: DataFrame, before: DataFrame): DataFrame =
+    after.select(col("doc_id"), col("reason").as("reason_after"))
+      .join(before.select(col("doc_id"), col("reason").as("reason_before")),
+        Seq("doc_id"), "left")
+      .groupBy(
+        coalesce(col("reason_before"), lit("absent")).as("reason_before"),
+        col("reason_after"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("reason_before", "reason_after")
+
+  /** The previous release's verdict table, memoized: in production the
+    * prior release's keep list IS a stored artifact (you read it, you
+    * don't re-run its kernel), so the session memo carries it the same
+    * way — one ledgered build of the base-population kernel per (session,
+    * corpus), then d37 runs at join+rollup marginal cost. */
+  private def baseReleaseVerdict(spark: SparkSession, d: String,
+      threshold: Double): DataFrame =
+    CorpusMemo.artifact(spark, d, s"baseVerdict@$threshold") {
+      graft.MemoLedger.audited(s"memo:baseVerdict@$threshold")(
+        keepListFrom(
+          Tables.documents(spark, d).filter(col("doc_id") % 10 < 8),
+          threshold))
+        .localCheckpoint()
+    }
+
+  val releaseDelta = Q(
+    "d37_release_delta_report",
+    (s, d) => releaseDeltaFrom(
+      keepList(s, d, 0.5), baseReleaseVerdict(s, d, 0.5)),
+    Some(s"""WITH RECURSIVE
+            docs_b AS (SELECT * FROM documents WHERE doc_id % 10 < 8),
+            ${minhashKernelCtesFor("documents", "", withLanes = true)},
+            ${keepVerdictCtesFor("documents", "")},
+            ${minhashKernelCtesFor("docs_b", "_b", withLanes = false)},
+            ${keepVerdictCtesFor("docs_b", "_b")}
+            SELECT coalesce(vb.reason, 'absent') AS reason_before,
+              va.reason AS reason_after,
+              CAST(count(*) AS BIGINT) AS n_docs
+            FROM verdict va
+            LEFT JOIN verdict_b vb ON vb.doc_id = va.doc_id
+            GROUP BY 1, 2
+            ORDER BY 1, 2"""))
 
   // ------------------------------------------------------- graph analytics
   /** Triangles in the near-dup graph — three documents pairwise similar,
@@ -4148,5 +4276,5 @@ object Dedup {
       calibration, hotReport, inflation, spectrum, templateScrubQ, clusterSourceMix,
       boilerplateDriftQ, cdcDedupQ, hotChunksQ, softDedupQ, incrementalNearDupQ,
       capCurve, bandCurve, contamCurve, releaseReport, dedupTokenLedger,
-      artifactFootprint)
+      artifactFootprint, releaseDelta)
 }

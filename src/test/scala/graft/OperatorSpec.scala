@@ -620,6 +620,33 @@ class OperatorSpec extends SparkSpec {
     assert(keepD && dupD == 0.0, s"diverse doc should pass: top=$topD dup=$dupD")
   }
 
+  test("release delta report: planted verdict flips (min-steal, cluster growth)") {
+    import spark.implicits._
+    def doc(tokens: Seq[String]) = tokens.mkString(" ")
+    val t1 = (1 to 40).map(i => s"w$i")
+    val t2 = (100 to 140).map(i => s"x$i")
+    // Base release = doc_id % 10 < 8; the wave interleaves NUMERICALLY
+    // (ids ending in 8/9), so a wave copy can sit BELOW a base doc in the
+    // fingerprint window — the min-steal flip.
+    val docs = Seq(
+      8L  -> doc(t1),                                // wave: steals t1's min
+      10L -> doc(t1),                                // base: keep → exact_dup
+      20L -> doc(t2 ++ Seq("tail", "a")),            // base: keep → near_dup
+      18L -> doc(t2 ++ Seq("tail", "b")),            // wave: its new neighbor
+      30L -> doc((200 to 240).map(i => s"q$i")))     // base: keep → keep
+      .toDF("doc_id", "text")
+    val got = Dedup.releaseDeltaFrom(
+      Dedup.keepListFrom(docs, 0.5),
+      Dedup.keepListFrom(docs.filter(col("doc_id") % 10 < 8), 0.5))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("absent", "keep") -> 2L,        // wave docs 8 and 18 enter as keeps
+      ("keep", "exact_dup") -> 1L,     // doc 10: wave doc 8 stole the fp min
+      ("keep", "near_dup") -> 1L,      // doc 20: clustered with wave doc 18
+      ("keep", "keep") -> 1L),         // doc 30: untouched
+      s"flip matrix: $got")
+  }
+
   test("incremental keep-list == batch keep-list on the delta (incl. transitive chains)") {
     import spark.implicits._
     def doc(tokens: Seq[String]) = tokens.mkString(" ")
