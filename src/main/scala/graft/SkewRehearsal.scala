@@ -372,7 +372,7 @@ object SkewRehearsal {
     assert(hints == 0, s"keep-verdict plan carries $hints broadcast hint(s)")
     println(s"[skew] dupheavy d07 analyzed plan: $hints broadcast hints (must be 0)")
     Seq("d07_dedup_keep_list", "p18_dedup_token_ledger",
-        "d36_release_dedup_report").foreach { name =>
+        "d36_release_dedup_report", "d37_release_delta_report").foreach { name =>
       val fn = SparkEntry.queries(name)
       val (t1, _) = minOf2(fn(spark, sfDir).count())
       val (tD, rD) = minOf2(fn(spark, dup).count())

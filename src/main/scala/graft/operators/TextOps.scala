@@ -800,28 +800,36 @@ object TextOps {
     * no shuffle, no state, linear in corpus bytes; the t19 scrub's
     * embarrassingly-parallel shape with a wider feature row.
     */
+  /** t20's doc-grain gate frame with the `source` slice carried —
+    * (doc_id, source, n_tokens, stop_frac, mean_tok_len, flags, keep) —
+    * shared by the t20 query (which drops `source`: its output shape
+    * predates the view) and the maintained gate view's per-batch
+    * partial. One map-only projection either way. */
+  def qualityGateFrame(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs
+      .select(
+        col("doc_id"), col("source"),
+        size(toks).cast("long").as("n_tokens"),
+        stopwordHits(toks, stopwords("en")).cast("long").as("stop_hits"),
+        charClassCount(lower(col("text")), "[a-z0-9]").cast("long").as("n_word_chars"))
+      .select(
+        col("doc_id"), col("source"), col("n_tokens"),
+        safeFrac(col("stop_hits"), col("n_tokens")).as("stop_frac"),
+        safeFrac(col("n_word_chars"), col("n_tokens")).as("mean_tok_len"))
+      .withColumn("flags",
+        when(col("n_tokens") < 20, 1L).otherwise(0L) +
+          when(col("n_tokens") > 5000, 2L).otherwise(0L) +
+          when(col("stop_frac") < 0.02, 4L).otherwise(0L) +
+          when(col("mean_tok_len") < 3.0 || col("mean_tok_len") > 10.0, 8L).otherwise(0L))
+      .withColumn("keep", col("flags") === 0L)
+  }
+
   val qualityGate = Q(
     "t20_quality_gate",
-    (s, d) => {
-      val toks = tokens(col("text"))
-      Tables.documents(s, d)
-        .select(
-          col("doc_id"),
-          size(toks).cast("long").as("n_tokens"),
-          stopwordHits(toks, stopwords("en")).cast("long").as("stop_hits"),
-          charClassCount(lower(col("text")), "[a-z0-9]").cast("long").as("n_word_chars"))
-        .select(
-          col("doc_id"), col("n_tokens"),
-          safeFrac(col("stop_hits"), col("n_tokens")).as("stop_frac"),
-          safeFrac(col("n_word_chars"), col("n_tokens")).as("mean_tok_len"))
-        .withColumn("flags",
-          when(col("n_tokens") < 20, 1L).otherwise(0L) +
-            when(col("n_tokens") > 5000, 2L).otherwise(0L) +
-            when(col("stop_frac") < 0.02, 4L).otherwise(0L) +
-            when(col("mean_tok_len") < 3.0 || col("mean_tok_len") > 10.0, 8L).otherwise(0L))
-        .withColumn("keep", col("flags") === 0L)
-        .orderBy("doc_id")
-    },
+    (s, d) => qualityGateFrame(Tables.documents(s, d))
+      .drop("source")
+      .orderBy("doc_id"),
     Some(s"""WITH f AS (
               SELECT doc_id,
                 CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS BIGINT) AS n_tokens,

@@ -297,6 +297,76 @@ object ViewStreams {
         (coalesce(col("an"), lit(0L)) + coalesce(col("bn"), lit(0L)))
           .as("n_items"))
 
+  // ------------------- the quality-gate view (t20's maintenance twin)
+
+  /** One batch's gate partial: per SOURCE, document/token counts and the
+    * per-rule drop tallies from t20's flag bitmask ([[graft.operators
+    * .TextOps.qualityGateFrame]] — the literal batch expression, so
+    * stream ≡ batch is the same code). All exact BIGINT sums —
+    * associative/commutative, the q43 contract. Rates are NOT stored
+    * (a ratio is not associative); [[gateView]] derives them at read. */
+  private def partialGate(docs: DataFrame): DataFrame = {
+    def bit(b: Long, name: String) =
+      sum(when(col("flags").bitwiseAND(lit(b)) =!= 0L, 1L).otherwise(0L)).as(name)
+    graft.operators.TextOps.qualityGateFrame(docs)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_dropped"),
+        bit(1L, "n_short"), bit(2L, "n_long"),
+        bit(4L, "n_lowstop"), bit(8L, "n_toklen"),
+        sum(col("n_tokens")).as("n_tokens"))
+  }
+
+  private def mergeGate(a: DataFrame, b: DataFrame): DataFrame = {
+    val counts = Seq("n_docs", "n_dropped", "n_short", "n_long",
+      "n_lowstop", "n_toklen", "n_tokens")
+    a.select(col("source") +: counts.map(c => col(c).as(s"a_$c")): _*)
+      .join(b.select(col("source") +: counts.map(c => col(c).as(s"b_$c")): _*),
+        Seq("source"), "full_outer")
+      .select(col("source") +: counts.map(c =>
+        (coalesce(col(s"a_$c"), lit(0L)) + coalesce(col(s"b_$c"), lit(0L)))
+          .as(c)): _*)
+  }
+
+  /** Maintain the per-source quality-gate drop profile per micro-batch of
+    * arriving DOCUMENTS — the SEVENTH maintained view, and the pipeline's
+    * ingest-side observability table: which source started shipping
+    * too-short / too-long / low-stopword / token-shape outliers, visible
+    * the batch it happens instead of at the next corpus-wide t20 run.
+    * One (partial, merge2) pair on the shared generation protocol; state
+    * is ≤ #sources rows. */
+  def maintainGateView(stream: DataFrame, statePath: String,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          mergeBatchWith(batch.sparkSession, batch.toDF(), statePath, batchId,
+            partialGate, mergeGate)
+      }
+      .start()
+
+  /** The gate-view merge, exposed for direct per-batch folding (specs,
+    * PlanAudit-style drivers). */
+  def mergeGateBatch(spark: SparkSession, batch: DataFrame,
+      statePath: String, batchId: Long): Unit =
+    mergeBatchWith(spark, batch, statePath, batchId, partialGate, mergeGate)
+
+  /** Read the maintained gate view: the per-source counts plus the
+    * derived rates (read-time arithmetic over ≤ #sources rows). */
+  def gateView(spark: SparkSession, statePath: String): DataFrame = {
+    val root = new Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val latest = committedGens(fs, root).lastOption.getOrElse(
+      throw new IllegalStateException(
+        s"no committed state generation under $statePath"))
+    spark.read.parquet(latest._2.toString)
+      .withColumn("drop_rate",
+        col("n_dropped").cast("double") / col("n_docs").cast("double"))
+      .orderBy("source")
+  }
+
   // ---------------------- the reclaim view (m16's maintenance twin)
 
   /** Merge two reclaim states — full-outer coalesce-sum on the
@@ -465,12 +535,16 @@ object ViewStreams {
       // (dirty fold, clean-side write on a base, report-time candidate
       // derivation) — materialize the latest-wins fold once instead of
       // re-running the window per consumer.
-      val buckets = live.map { case (g, p) =>
+      val bucketsPlan = live.map { case (g, p) =>
         spark.read.parquet(s"$p/buckets").withColumn("gen", lit(g))
       }.reduce(_ unionAll _)
         .withColumn("rn", row_number().over(wGen))
         .filter(col("rn") === 1).select("band", "bucket", "ids")
-        .localCheckpoint()
+      // Audited BEFORE the checkpoint hides it (the memo-build lesson):
+      // the latest-wins window over the live suffix is the one
+      // reconstruction plan every downstream consumer's lineage loses.
+      graft.MemoLedger.planHook.foreach(_("view:release_reconstruct", bucketsPlan))
+      val buckets = bucketsPlan.localCheckpoint()
       // Verified deltas are disjoint across gens (each gen verifies only
       // pairs unseen by ALL prior evidence) — plain union, no distinct.
       val verified = live.map { case (_, p) =>

@@ -883,6 +883,54 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("maintained gate view == batch t20 rollup under any batch slicing (and replay)") {
+    import java.nio.file.Files
+    import graft.streaming.ViewStreams
+    import graft.operators.TextOps
+    val docs = Tables.documents(spark, sf)
+    // The batch twin: t20's doc-grain gate frame rolled to the view's
+    // per-source profile — the SAME qualityGateFrame expression, so
+    // drift has nowhere to live.
+    def bit(b: Long, name: String) =
+      sum(when(col("flags").bitwiseAND(lit(b)) =!= 0L, 1L).otherwise(0L)).as(name)
+    val recompute = TextOps.qualityGateFrame(docs)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_dropped"),
+        bit(1L, "n_short"), bit(2L, "n_long"),
+        bit(4L, "n_lowstop"), bit(8L, "n_toklen"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("drop_rate",
+        col("n_dropped").cast("double") / col("n_docs").cast("double"))
+      .orderBy("source")
+      .collect().map(_.toString).toSeq
+    Seq(3, 7).foreach { nBatches =>
+      val base = Files.createTempDirectory(s"graft-gate-$nBatches").toString
+      docs.repartition(nBatches)
+        .write.mode("overwrite").parquet(s"$base/arrivals")
+      val q = ViewStreams.maintainGateView(
+        ViewStreams.readLineitemStream(spark, s"$base/arrivals", docs),
+        s"$base/state", s"$base/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      val maintained = ViewStreams.gateView(spark, s"$base/state")
+        .collect().map(_.toString).toSeq
+      assert(maintained == recompute,
+        s"gate view drifted at $nBatches batches: " +
+          s"${maintained.diff(recompute).take(2)} vs ${recompute.diff(maintained).take(2)}")
+      assert(maintained.nonEmpty)
+    }
+    // Replay: a committed generation at the batch id means no-op.
+    val base = Files.createTempDirectory("graft-gate-replay").toString
+    ViewStreams.mergeGateBatch(spark, docs, s"$base/state", 0L)
+    val once = ViewStreams.gateView(spark, s"$base/state")
+      .collect().map(_.toString).toSeq
+    ViewStreams.mergeGateBatch(spark, docs, s"$base/state", 0L)
+    assert(ViewStreams.gateView(spark, s"$base/state")
+      .collect().map(_.toString).toSeq == once,
+      "gate view double-counted a replayed batch")
+    assert(once == recompute)
+  }
+
   test("release view LSM compaction: deltas reconstruct exactly, bases bound the suffix") {
     import java.nio.file.Files
     import graft.streaming.ViewStreams
