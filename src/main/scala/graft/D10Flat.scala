@@ -19,7 +19,10 @@ object D10Flat {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = GraftSession.get("graft-d10-flat")
-    val tenX = "target/d10flat-10x"
+    // Cache keyed on the SOURCE dir (not bare existence): a rerun against
+    // a different sfDir must not silently measure the first run's corpus.
+    val tenX = "target/d10flat-10x-" +
+      java.lang.Integer.toHexString(sfDir.hashCode)
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$tenX/documents.parquet"))) {
       ScaleRehearsal.scaledDocs(

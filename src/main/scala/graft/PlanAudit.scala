@@ -132,9 +132,10 @@ object PlanAudit {
       // verdict row (p13's shape).
       "d36_release_dedup_report",
       // view:release_report = the maintained release view's per-batch
-      // report plan (audited via the plan hook): d36's exact shape —
-      // five 1-row rollups crossJoined into the one verdict row.
-      "view:release_report")
+      // report plan (audited via the plan hook, once per driven batch —
+      // bootstrap and incremental shapes): d36's exact shape — five
+      // 1-row rollups crossJoined into the one verdict row.
+      "view:release_report@b0", "view:release_report@b1")
       // m14 carries m13's 1-row cutoff crossJoin but needs NO entry: the
       // planner turns the attach into a broadcast hash join under the
       // composed plan (the staleness gate rejected the precautionary
@@ -312,12 +313,16 @@ object PlanAudit {
       // The maintained release view's per-batch plan runs OUTSIDE the
       // query inventory (foreachBatch) yet carries the dirty-bucket fold
       // and the keep-verdict leg over the accumulated wave index — drive
-      // two real maintenance batches (the second exercises the
-      // incremental path against committed state) so its plans
-      // (view:release_fold / view:release_report) land in the audit
-      // through the same hook the memo builds use. The /waves/ entry in
-      // corpusTables makes any hinted broadcast whose lineage reads the
-      // accumulated index a violation.
+      // two real maintenance batches so its plans land in the audit
+      // through the same hook the memo builds use. The batches have
+      // DIFFERENT plan shapes (batch 0 bootstraps from empty state;
+      // batch 1 is the incremental path over committed state — the
+      // production steady state), and the hook dedups by name, so each
+      // batch's plans are recorded under a @b<id> suffix: a hinted
+      // broadcast present only in the incremental lineage cannot hide
+      // behind the bootstrap batch's plan of the same name. The /waves/
+      // entry in corpusTables makes any hinted broadcast whose lineage
+      // reads the accumulated index a violation.
       try {
         val state = new java.io.File(
           "target/plan-audit-release-view").getAbsolutePath
@@ -325,12 +330,18 @@ object PlanAudit {
         statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .delete(statePath, true)
         val docs = graft.sources.Tables.documents(spark, sfDir)
-        graft.streaming.ViewStreams.mergeReleaseBatch(
-          spark, docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0),
-          state, 0L)
-        graft.streaming.ViewStreams.mergeReleaseBatch(
-          spark, docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 =!= 0),
-          state, 1L)
+        val outer = graft.MemoLedger.planHook
+        try {
+          Seq(0L, 1L).foreach { b =>
+            graft.MemoLedger.planHook =
+              outer.map(h => (name, df) => h(s"$name@b$b", df))
+            graft.streaming.ViewStreams.mergeReleaseBatch(
+              spark,
+              docs.filter(
+                org.apache.spark.sql.functions.col("doc_id") % 2 === b),
+              state, b)
+          }
+        } finally graft.MemoLedger.planHook = outer
       } catch {
         case e: Throwable =>
           memoAudits += Audit("view:release_maintenance", 0, 0, 0,

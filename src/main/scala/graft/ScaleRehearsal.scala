@@ -34,14 +34,25 @@ object ScaleRehearsal {
     * tiny agg), so copies can NEVER collide with base ids whatever range
     * a scale-factor directory carries — a fixed literal stride would
     * silently alias ids the moment a corpus crossed it. */
-  def scaledDocs(docs: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
+  def scaledDocs(docs: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame =
+    taggedCopies(docs, k, verbatim = 1)
+
+  /** THE corpus-copy builder (shared by [[scaledDocs]] and
+    * SkewRehearsal's skewed/dup-heavy corpora): k doc_id-offset copies of
+    * the documents table; copies with index < `verbatim` keep the text
+    * byte-identical (planted exact-dup clusters of that size), the rest
+    * tag every token with a per-copy suffix — unique text with the same
+    * token/shingle statistics. */
+  def taggedCopies(docs: org.apache.spark.sql.DataFrame, k: Int,
+      verbatim: Int): org.apache.spark.sql.DataFrame = {
     val stride = docs.agg(max("doc_id")).head().getLong(0) + 1L
     (0 until k).map { i =>
-      if (i == 0) docs
-      else docs.select(
+      val text =
+        if (i < verbatim) col("text")
+        else regexp_replace(col("text"), "(\\S+)", "$1x" + i)
+      docs.select(
         (col("doc_id") + lit(i * stride)).as("doc_id"),
-        regexp_replace(col("text"), "(\\S+)", "$1x" + i).as("text"),
-        col("lang"), col("source"), col("n_chars"))
+        text.as("text"), col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionAll _)
   }
 

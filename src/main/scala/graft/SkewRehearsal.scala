@@ -54,19 +54,11 @@ object SkewRehearsal {
     * keep base text VERBATIM (every base doc → a 3-clone cluster);
     * copies 3+ are token-tagged (shingle-disjoint) as in
     * [[ScaleRehearsal.scaledDocs]]; 9 of 10 docs land in `hot_src`. */
-  def skewedDocs(docs: DataFrame, k: Int): DataFrame = {
-    val stride = docs.agg(max("doc_id")).head().getLong(0) + 1L
-    val copies = (0 until k).map { i =>
-      val text =
-        if (i <= 2) col("text") // verbatim: dup clusters of size min(k,3)
-        else regexp_replace(col("text"), "(\\S+)", "$1x" + i).as("text")
-      docs.select(
-        (col("doc_id") + lit(i * stride)).as("doc_id"),
-        text.as("text"), col("lang"), col("source"), col("n_chars"))
-    }.reduce(_ unionAll _)
-    copies.withColumn("source",
-      when(col("doc_id") % 10 < 9, lit("hot_src")).otherwise(col("source")))
-  }
+  def skewedDocs(docs: DataFrame, k: Int): DataFrame =
+    // Verbatim first 3 copies: dup clusters of size min(k, 3).
+    ScaleRehearsal.taggedCopies(docs, k, verbatim = 3)
+      .withColumn("source",
+        when(col("doc_id") % 10 < 9, lit("hot_src")).otherwise(col("source")))
 
   /** The uniform k× corpus with a fixed boilerplate sentence appended to
     * every document — df of its shingles = corpus size. */
@@ -313,18 +305,8 @@ object SkewRehearsal {
     * every 6 group members drop → exact-drop fraction = 50% of the
     * corpus — the realistic raw-web-crawl shape (30–50% exact dups) that
     * falsified round-15's "drop sets ≪ corpus" broadcast premise. */
-  def dupHeavyDocs(docs: DataFrame, k: Int): DataFrame = {
-    val stride = docs.agg(max("doc_id")).head().getLong(0) + 1L
-    val verbatim = k / 2 + 1
-    (0 until k).map { i =>
-      val text =
-        if (i < verbatim) col("text")
-        else regexp_replace(col("text"), "(\\S+)", "$1x" + i)
-      docs.select(
-        (col("doc_id") + lit(i * stride)).as("doc_id"),
-        text.as("text"), col("lang"), col("source"), col("n_chars"))
-    }.reduce(_ unionAll _)
-  }
+  def dupHeavyDocs(docs: DataFrame, k: Int): DataFrame =
+    ScaleRehearsal.taggedCopies(docs, k, verbatim = k / 2 + 1)
 
   /** Round-16 wave: the keep-verdict legs (d07 / p18 / d36) on a corpus
     * whose exact-drop set is HALF the corpus — the exact shape on which

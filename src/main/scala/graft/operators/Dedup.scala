@@ -413,19 +413,24 @@ object Dedup {
     // driver ever exists.
     private var key: Option[(SparkSession, String, Long)] = None
     private val arts = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
+    /** The one key-switch/evict path (callers hold the Dedup lock):
+      * a new (session, corpus, stamp) key frees every checkpointed
+      * artifact — loudly, because still-lazy DataFrames from the
+      * previous corpus are invalid by design. */
+    private def ensureKey(k: (SparkSession, String, Long)): Unit =
+      if (!key.contains(k)) {
+        if (arts.nonEmpty)
+          System.err.println(s"[corpusmemo] corpus switch ${key.map(_._2)} -> ${k._2}: " +
+            s"freeing ${arts.size} checkpointed artifacts — any still-lazy " +
+            "DataFrame from the previous corpus is now invalid (execute " +
+            "results before switching corpora)")
+        arts.valuesIterator.foreach(freeCheckpoint)
+        arts.clear()
+        key = Some(k)
+      }
     def artifact(spark: SparkSession, d: String, name: String)(build: => DataFrame): DataFrame =
       Dedup.synchronized {
-        val k = (spark, d, graft.MemoLedger.dirStamp(d))
-        if (!key.contains(k)) {
-          if (arts.nonEmpty)
-            System.err.println(s"[corpusmemo] corpus switch ${key.map(_._2)} -> $d: " +
-              s"freeing ${arts.size} checkpointed artifacts — any still-lazy " +
-              "DataFrame from the previous corpus is now invalid (execute " +
-              "results before switching corpora)")
-          arts.valuesIterator.foreach(freeCheckpoint)
-          arts.clear()
-          key = Some(k)
-        }
+        ensureKey((spark, d, graft.MemoLedger.dirStamp(d)))
         arts.get(name) match {
           case Some(df) => df
           case None =>
@@ -444,17 +449,8 @@ object Dedup {
       * pollute Bench's memo_builds with ~0 s phantom entries). */
     def install(spark: SparkSession, d: String, name: String, df: DataFrame): Unit =
       Dedup.synchronized {
-        val k = (spark, d, graft.MemoLedger.dirStamp(d))
-        if (!key.contains(k)) {
-          if (arts.nonEmpty)
-            System.err.println(s"[corpusmemo] corpus switch ${key.map(_._2)} -> $d: " +
-              s"freeing ${arts.size} checkpointed artifacts — any still-lazy " +
-              "DataFrame from the previous corpus is now invalid (execute " +
-              "results before switching corpora)")
-          arts.valuesIterator.foreach(freeCheckpoint)
-          arts.clear()
-          key = Some(k)
-        } else arts.remove(name).foreach(freeCheckpoint)
+        ensureKey((spark, d, graft.MemoLedger.dirStamp(d)))
+        arts.remove(name).foreach(freeCheckpoint)
         arts.update(name, df)
       }
     def clear(): Unit = Dedup.synchronized {
@@ -4050,12 +4046,12 @@ object Dedup {
     val verifiedPlan = jaccardPairsHashed(hsC,
       Some(pairsFromBucketIds(
         bucketIds(bandBuckets(signaturesFromHashes(hsC)), BandBucketCap))))
-    // Surface the view-maintenance plans to PlanAudit through the same
-    // hook the memo builds use: this method runs per micro-batch inside
-    // foreachBatch — OUTSIDE the query inventory — yet carries the full
-    // candidate kernel and the keep-verdict leg over the accumulated
-    // wave index, so without the hook its join/broadcast shape would
-    // escape the audit entirely (round 15's gap).
+    // Plan-hook surfacing for any driver that installs one. The SHIPPED
+    // view maintenance no longer calls this method (PlanAudit drives
+    // mergeReleaseBatch's incremental plans directly, per batch); this
+    // full-regen form remains the bootstrap/reference path (ViewScale's
+    // contrast column, the spec's ground truth), so the hook stays for
+    // those callers rather than guarding the production audit.
     graft.MemoLedger.planHook.foreach(_("view:release_kernel", verifiedPlan))
     val verified = verifiedPlan.localCheckpoint()
     val out = releaseReportFromVerified(fps, verified, threshold)

@@ -50,26 +50,30 @@ object Similarity {
     // Verify/Bench/PlanAudit drivers this serves).
     private var key: Option[(SparkSession, String, Long)] = None
     private val arts = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+    private def freeOne(v: Any): Unit = v match {
+      case df: DataFrame => Dedup.freeCheckpoint(df)
+      case (_, df: DataFrame) => Dedup.freeCheckpoint(df)
+      case _ => ()
+    }
     private def free(): Unit = {
-      arts.valuesIterator.foreach {
-        case df: DataFrame => Dedup.freeCheckpoint(df)
-        case (_, df: DataFrame) => Dedup.freeCheckpoint(df)
-        case _ => ()
-      }
+      arts.valuesIterator.foreach(freeOne)
       arts.clear()
     }
+    /** The one key-switch/evict path (callers hold the Similarity lock) —
+      * CorpusMemo.ensureKey's shape. */
+    private def ensureKey(k: (SparkSession, String, Long)): Unit =
+      if (!key.contains(k)) {
+        if (arts.nonEmpty)
+          System.err.println(s"[embmemo] corpus switch ${key.map(_._2)} -> ${k._2}: " +
+            s"freeing ${arts.size} index artifacts — any still-lazy DataFrame " +
+            "from the previous corpus is now invalid (execute results before " +
+            "switching corpora)")
+        free()
+        key = Some(k)
+      }
     def artifact[T](spark: SparkSession, d: String, name: String)(build: => T): T =
       Similarity.synchronized {
-        val k = (spark, d, graft.MemoLedger.dirStamp(d))
-        if (!key.contains(k)) {
-          if (arts.nonEmpty)
-            System.err.println(s"[embmemo] corpus switch ${key.map(_._2)} -> $d: " +
-              s"freeing ${arts.size} index artifacts — any still-lazy DataFrame " +
-              "from the previous corpus is now invalid (execute results before " +
-              "switching corpora)")
-          free()
-          key = Some(k)
-        }
+        ensureKey((spark, d, graft.MemoLedger.dirStamp(d)))
         arts.get(name) match {
           case Some(v) => v.asInstanceOf[T]
           case None =>
@@ -84,20 +88,8 @@ object Similarity {
       * value) and skips the build ledger (a registration, not a build). */
     def install(spark: SparkSession, d: String, name: String, v: Any): Unit =
       Similarity.synchronized {
-        val k = (spark, d, graft.MemoLedger.dirStamp(d))
-        if (!key.contains(k)) {
-          if (arts.nonEmpty)
-            System.err.println(s"[embmemo] corpus switch ${key.map(_._2)} -> $d: " +
-              s"freeing ${arts.size} index artifacts — any still-lazy DataFrame " +
-              "from the previous corpus is now invalid (execute results before " +
-              "switching corpora)")
-          free()
-          key = Some(k)
-        } else arts.remove(name).foreach {
-          case df: DataFrame => Dedup.freeCheckpoint(df)
-          case (_, df: DataFrame) => Dedup.freeCheckpoint(df)
-          case _ => ()
-        }
+        ensureKey((spark, d, graft.MemoLedger.dirStamp(d)))
+        arts.remove(name).foreach(freeOne)
         arts.update(name, v)
       }
     def clear(): Unit = Similarity.synchronized { free(); key = None }
@@ -929,14 +921,20 @@ object Similarity {
       rerank: Int = AutoRerank): DataFrame = {
     val e = raw.select(col("vec_id"), col("embedding"))
     val cbs = pqTrain(spark, e, m, k, iters)
-    // The tuner probes the code table up to |ladder| times — checkpoint
-    // it so the encode runs once (the corpus path's memo does the same).
+    // The tuner probes the code table up to |ladder| times — persist()
+    // (NOT localCheckpoint: this one-shot path has no memo to own and
+    // later free a lineage-truncated checkpoint, so a checkpoint here
+    // would pin corpus-sized blocks until the session dies) so the
+    // encode runs once across the probes, then unpersist before the
+    // final probe: lineage is intact, the result recomputes the encode
+    // exactly once more, and nothing leaks.
     val codes = if (cbs.isEmpty) null
-      else if (rerank == AutoRerank) pqEncode(spark, e, cbs).localCheckpoint()
+      else if (rerank == AutoRerank) pqEncode(spark, e, cbs).persist()
       else pqEncode(spark, e, cbs)
     val r = if (rerank == AutoRerank && cbs.nonEmpty)
-      pqTuneRerank(spark, e, cbs, codes,
+      try pqTuneRerank(spark, e, cbs, codes,
         bruteForceTopKFrom(e, nQueries, topK), nQueries, topK)._1
+      finally { codes.unpersist(false); () }
     else if (rerank == AutoRerank) RerankLadder.head
     else rerank
     pqTopKFromCodes(spark, e, cbs, codes, nQueries, topK, r)

@@ -936,24 +936,28 @@ object TextOps {
   private object TokMemo {
     private var key: Option[(SparkSession, String, Long)] = None
     private val arts = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+    private def freeOne(v: Any): Unit = v match {
+      case df: DataFrame => Dedup.freeCheckpoint(df)
+      case _ => ()
+    }
     private def free(): Unit = {
-      arts.valuesIterator.foreach {
-        case df: DataFrame => Dedup.freeCheckpoint(df)
-        case _ => ()
-      }
+      arts.valuesIterator.foreach(freeOne)
       arts.clear()
     }
+    /** The one key-switch/evict path (callers hold the TextOps lock) —
+      * CorpusMemo.ensureKey's shape. */
+    private def ensureKey(k: (SparkSession, String, Long)): Unit =
+      if (!key.contains(k)) {
+        if (arts.nonEmpty)
+          System.err.println(s"[tokmemo] corpus switch ${key.map(_._2)} -> ${k._2}: " +
+            s"freeing ${arts.size} tokenizer artifacts — any still-lazy " +
+            "DataFrame from the previous corpus is now invalid")
+        free()
+        key = Some(k)
+      }
     def artifact[T](spark: SparkSession, d: String, name: String)(build: => T): T =
       TextOps.synchronized {
-        val k = (spark, d, graft.MemoLedger.dirStamp(d))
-        if (!key.contains(k)) {
-          if (arts.nonEmpty)
-            System.err.println(s"[tokmemo] corpus switch ${key.map(_._2)} -> $d: " +
-              s"freeing ${arts.size} tokenizer artifacts — any still-lazy " +
-              "DataFrame from the previous corpus is now invalid")
-          free()
-          key = Some(k)
-        }
+        ensureKey((spark, d, graft.MemoLedger.dirStamp(d)))
         arts.get(name) match {
           case Some(v) => v.asInstanceOf[T]
           case None =>
@@ -968,18 +972,8 @@ object TextOps {
       * value) and skips the build ledger (a registration, not a build). */
     def install(spark: SparkSession, d: String, name: String, v: Any): Unit =
       TextOps.synchronized {
-        val k = (spark, d, graft.MemoLedger.dirStamp(d))
-        if (!key.contains(k)) {
-          if (arts.nonEmpty)
-            System.err.println(s"[tokmemo] corpus switch ${key.map(_._2)} -> $d: " +
-              s"freeing ${arts.size} tokenizer artifacts — any still-lazy " +
-              "DataFrame from the previous corpus is now invalid")
-          free()
-          key = Some(k)
-        } else arts.remove(name).foreach {
-          case df: DataFrame => Dedup.freeCheckpoint(df)
-          case _ => ()
-        }
+        ensureKey((spark, d, graft.MemoLedger.dirStamp(d)))
+        arts.remove(name).foreach(freeOne)
         arts.update(name, v)
       }
     def clear(): Unit = TextOps.synchronized { free(); key = None }

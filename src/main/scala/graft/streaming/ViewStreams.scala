@@ -321,12 +321,19 @@ object ViewStreams {
   private def mergeGate(a: DataFrame, b: DataFrame): DataFrame = {
     val counts = Seq("n_docs", "n_dropped", "n_short", "n_long",
       "n_lowstop", "n_toklen", "n_tokens")
-    a.select(col("source") +: counts.map(c => col(c).as(s"a_$c")): _*)
-      .join(b.select(col("source") +: counts.map(c => col(c).as(s"b_$c")): _*),
-        Seq("source"), "full_outer")
-      .select(col("source") +: counts.map(c =>
-        (coalesce(col(s"a_$c"), lit(0L)) + coalesce(col(s"b_$c"), lit(0L)))
-          .as(c)): _*)
+    // NULL-SAFE key equality (<=>), not USING: a null-source group (docs
+    // with no source attribution form one real slice) must MERGE across
+    // batches — a plain equi-join would keep both sides' null rows
+    // distinct and grow one duplicate null row per batch.
+    val l = a.select(col("source").as("a_source") +:
+      counts.map(c => col(c).as(s"a_$c")): _*)
+    val r = b.select(col("source").as("b_source") +:
+      counts.map(c => col(c).as(s"b_$c")): _*)
+    l.join(r, col("a_source") <=> col("b_source"), "full_outer")
+      .select(coalesce(col("a_source"), col("b_source")).as("source") +:
+        counts.map(c =>
+          (coalesce(col(s"a_$c"), lit(0L)) + coalesce(col(s"b_$c"), lit(0L)))
+            .as(c)): _*)
   }
 
   /** Maintain the per-source quality-gate drop profile per micro-batch of
@@ -515,7 +522,25 @@ object ViewStreams {
     fpW.write.mode("overwrite").parquet(new Path(wave, "fp").toString)
     hsW.write.mode("overwrite").parquet(new Path(wave, "hs").toString)
     val hsWave = spark.read.parquet(s"$wave/hs")
-    val waveBanded = Dedup.bandBuckets(Dedup.signaturesFromHashes(hsWave))
+    // PRE-LSM state upgrade: a round-15 generation is the report parquet
+    // directly — no buckets/ table, no _BASE marker — so its live state
+    // is unreconstructable from the gen dir. The wave INDEX is append-only
+    // and complete, so upgrade = fold THIS batch over the whole
+    // accumulated index (every bucket dirty, every pair re-verified): one
+    // full-regen pass — the old layout's ordinary per-batch cost — whose
+    // output commits as a base generation; the legacy gens become
+    // prunable history behind it.
+    val live0 = releaseLiveGens(fs, gens)
+    val upgrading = live0.exists { case (_, p) =>
+      !fs.exists(new Path(p, "buckets")) }
+    if (upgrading)
+      System.err.println(s"[viewstreams] $statePath: pre-LSM release-view " +
+        s"state (${live0.size} legacy generation(s)) — rebuilding the " +
+        "bucket store from the accumulated wave index as a base generation")
+    val live = if (upgrading) Seq.empty else live0
+    val foldHs =
+      if (upgrading) spark.read.parquet(s"$statePath/waves/*/hs") else hsWave
+    val waveBanded = Dedup.bandBuckets(Dedup.signaturesFromHashes(foldHs))
       .localCheckpoint()
     val dirty = waveBanded.select("band", "bucket").distinct().localCheckpoint()
     val genDir = new Path(root, s"gen=$batchId")
@@ -523,8 +548,8 @@ object ViewStreams {
     // including a stale _BASE marker parquet overwrites would not clear.
     fs.delete(genDir, true)
     // Previous state: latest-wins fold over the live generation suffix
-    // (empty-but-typed frames on the first batch).
-    val live = releaseLiveGens(fs, gens)
+    // (empty-but-typed frames on the first batch, and on an upgrade —
+    // where the "wave" above is the whole index and re-derives everything).
     val (prevBuckets, prevVerified) = if (live.isEmpty) {
       (Dedup.boundedBucketIds(waveBanded.limit(0), cap),
         Dedup.jaccardPairsHashed(hsWave.limit(0), None))
@@ -660,7 +685,11 @@ object ViewStreams {
     val latest = committedGens(fs, root).lastOption.getOrElse(
       throw new IllegalStateException(
         s"no committed state generation under $statePath"))
-    spark.read.parquet(new Path(latest._2, "report").toString)
+    // Pre-LSM generations ARE the report parquet (no report/ subdir) —
+    // a reader on not-yet-upgraded round-15 state reads the gen itself.
+    val reportDir = new Path(latest._2, "report")
+    if (fs.exists(reportDir)) spark.read.parquet(reportDir.toString)
+    else spark.read.parquet(latest._2.toString)
   }
 
   /** Read the maintained symbol view in m17's exact output shape via the

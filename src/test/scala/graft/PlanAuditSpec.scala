@@ -17,9 +17,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(audits.exists(_.name.startsWith("memo:")),
       "no memo build plans were audited — is the plan hook installed?")
     // And the maintained release view's per-batch plans (foreachBatch runs
-    // OUTSIDE the inventory — round 15's audit gap): both the dirty-bucket
-    // fold and the report leg must have been driven and audited.
-    Seq("view:release_fold", "view:release_report").foreach { n =>
+    // OUTSIDE the inventory — round 15's audit gap): the fold and report
+    // legs of BOTH driven batches (bootstrap @b0 and the incremental
+    // steady state @b1 — different plan shapes, each audited), plus the
+    // LSM latest-wins reconstruction, which only exists on the
+    // incremental batch.
+    Seq("view:release_fold@b0", "view:release_report@b0",
+        "view:release_fold@b1", "view:release_report@b1",
+        "view:release_reconstruct@b1").foreach { n =>
       assert(audits.exists(_.name == n),
         s"$n missing — were the maintenance batches driven?")
     }

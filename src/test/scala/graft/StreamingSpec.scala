@@ -931,6 +931,41 @@ class StreamingSpec extends SparkSpec {
     assert(once == recompute)
   }
 
+  test("pre-LSM release-view state upgrades in place to a base generation") {
+    import java.nio.file.Files
+    import graft.streaming.ViewStreams
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf)
+    val expected = SparkEntry.queries("d36_release_dedup_report")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val state = s"${Files.createTempDirectory("graft-release-legacy")}/state"
+    // Fabricate ROUND-15 state: a wave table plus the report parquet AS
+    // the generation dir — its own _SUCCESS marks it committed; no
+    // buckets/ table, no _BASE marker.
+    val (fp0, hs0) = Dedup.releaseWaveTables(docs.filter(col("doc_id") < 20))
+    fp0.write.mode("overwrite").parquet(s"$state/waves/batch=0/fp")
+    hs0.write.mode("overwrite").parquet(s"$state/waves/batch=0/hs")
+    Dedup.releaseReportFromTables(
+      spark.read.parquet(s"$state/waves/*/fp"),
+      spark.read.parquet(s"$state/waves/*/hs"))
+      .write.mode("overwrite").parquet(s"$state/gen=0")
+    // A reader on not-yet-upgraded legacy state reads the legacy report.
+    assert(ViewStreams.releaseView(spark, state).collect().length == 1)
+    // The next wave detects the legacy layout and rebuilds the bucket
+    // store from the accumulated wave index as a base generation...
+    ViewStreams.mergeReleaseBatch(spark,
+      docs.filter(col("doc_id") >= 20 && col("doc_id") < 40), state, 1L)
+    assert(new java.io.File(s"$state/gen=1/_BASE").exists(),
+      "the upgrade generation must be a base")
+    // ...and the wave after that runs the ordinary incremental path.
+    ViewStreams.mergeReleaseBatch(spark, docs.filter(col("doc_id") >= 40), state, 2L)
+    assert(!new java.io.File(s"$state/gen=2/_BASE").exists(),
+      "post-upgrade batch should be a delta")
+    val got = ViewStreams.releaseView(spark, state)
+      .collect().map(_.toString).toSeq
+    assert(got == expected, s"upgraded view != batch d36: $got vs $expected")
+  }
+
   test("release view LSM compaction: deltas reconstruct exactly, bases bound the suffix") {
     import java.nio.file.Files
     import graft.streaming.ViewStreams
