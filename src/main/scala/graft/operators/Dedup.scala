@@ -1342,6 +1342,16 @@ object Dedup {
     * touching the corpus text again. This is the production steady state:
     * the index is written once per corpus build (one tokenize pass,
     * amortized), and every day's delta probes it from disk. */
+  /** The kernel constants a persisted dedup index bakes in: a probe
+    * against an index built under DIFFERENT banding/cap constants would
+    * silently generate a different candidate set, so the index manifest
+    * pins them and [[incrementalKeepListIndexed]] refuses a mismatch. */
+  private def dedupIndexParams: Seq[(String, String)] = Seq(
+    "num_perms" -> NumPerms.toString,
+    "bands" -> Bands.toString,
+    "band_bucket_cap" -> BandBucketCap.toString,
+    "shingle_n" -> "3")
+
   def writeDedupIndex(corpus: DataFrame, path: String): Unit = {
     val cHs = materializedShingleHashes(corpus)
     corpus.select(md5(normText(col("text"))).as("fp"))
@@ -1354,6 +1364,16 @@ object Dedup {
     // (corpus-scale) band rows — the index-side half of the bucket cap.
     bands.groupBy("band", "bucket").agg(count(lit(1)).as("cn"))
       .write.mode("overwrite").parquet(s"$path/band_counts")
+    // Manifest LAST (the commit marker, the ReleaseArtifacts contract):
+    // kernel constants only — no corpus stamp, because the index is the
+    // production form where the corpus text may no longer exist.
+    val p = new org.apache.hadoop.fs.Path(path, "_manifest.json")
+    val fs = p.getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(dedupIndexParams
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+      .getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** Incremental keep-list probing a PERSISTED index (see
@@ -1364,7 +1384,32 @@ object Dedup {
     * corpus text is never read. Asserted ≡ the recompute path in
     * OperatorSpec. */
   def incrementalKeepListIndexed(spark: SparkSession, indexPath: String,
-      delta: DataFrame, threshold: Double): DataFrame =
+      delta: DataFrame, threshold: Double): DataFrame = {
+    // Refuse an index frozen under different kernel constants (a probe
+    // would silently derive a different candidate set). A manifest-less
+    // index predates the manifest: warn and proceed — the legacy-layout
+    // compromise, same as the release view's.
+    val mPath = new org.apache.hadoop.fs.Path(indexPath, "_manifest.json")
+    val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(mPath)) {
+      val in = fs.open(mPath)
+      val json =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      dedupIndexParams.foreach { case (f, want) =>
+        val got = ("\"" + f + "\":([-0-9.eE]+)").r.findFirstMatchIn(json)
+          .map(_.group(1)).getOrElse(throw new IllegalStateException(
+            s"dedup index manifest at $indexPath missing '$f': $json"))
+        if (got != want)
+          throw new IllegalStateException(
+            s"dedup index at $indexPath was built under $f=$got but the " +
+            s"current kernel uses $f=$want — rebuild the index (or pin the " +
+            "kernel) before probing")
+      }
+    } else
+      System.err.println(s"[dedup] index at $indexPath has no manifest " +
+        "(pre-manifest build) — kernel-constant match is UNCHECKED; " +
+        "rebuild with writeDedupIndex to pin it")
     incrementalKeepListFrom(
       spark.read.parquet(s"$indexPath/fp"),
       ids => spark.read.parquet(s"$indexPath/shingles")
@@ -1372,6 +1417,7 @@ object Dedup {
       spark.read.parquet(s"$indexPath/bands"),
       delta, threshold,
       cBandCounts = Some(spark.read.parquet(s"$indexPath/band_counts")))
+  }
 
   /** @param cShingles corpus shingle provider: given a (doc_id) set of
     *                  candidate docs, returns their (doc_id, sh_h) rows —

@@ -709,6 +709,25 @@ class OperatorSpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(fromIndex == recomputed)
     assert(fromIndex.nonEmpty)
+    // The manifest pins the kernel constants: an index built under a
+    // different band-bucket cap must be refused, not silently probed.
+    val mPath = java.nio.file.Paths.get(s"$idx/_manifest.json")
+    val manifest = new String(java.nio.file.Files.readAllBytes(mPath), "UTF-8")
+    assert(manifest.contains("\"band_bucket_cap\":" + Dedup.BandBucketCap))
+    java.nio.file.Files.write(mPath, manifest
+      .replace("\"band_bucket_cap\":" + Dedup.BandBucketCap,
+        "\"band_bucket_cap\":8").getBytes("UTF-8"))
+    // The raw rewrite invalidates LocalFileSystem's checksum sidecar —
+    // drop it so the read reaches the tampered JSON, not a crc error.
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$idx/._manifest.json.crc"))
+    val e = intercept[IllegalStateException](
+      Dedup.incrementalKeepListIndexed(spark, idx, delta, 0.5))
+    assert(e.getMessage.contains("band_bucket_cap=8"))
+    // A manifest-less (pre-manifest) index still probes — warned, legal.
+    java.nio.file.Files.delete(mPath)
+    assert(Dedup.incrementalKeepListIndexed(spark, idx, delta, 0.5)
+      .collect().map(_.toString).toSeq == recomputed)
   }
 
   test("exact dedup: planted duplicate collapses to one representative") {
