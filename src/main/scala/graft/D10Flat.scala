@@ -19,10 +19,12 @@ object D10Flat {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = GraftSession.get("graft-d10-flat")
-    // Cache keyed on the SOURCE dir (not bare existence): a rerun against
-    // a different sfDir must not silently measure the first run's corpus.
+    // Cache keyed on the source dir's CONTENT STAMP (the memo-key
+    // ingredient, not a path hash): a rerun against a different sfDir OR
+    // a regenerated corpus at the same path must not silently measure a
+    // stale scaled copy.
     val tenX = "target/d10flat-10x-" +
-      java.lang.Integer.toHexString(sfDir.hashCode)
+      java.lang.Long.toHexString(MemoLedger.dirStamp(sfDir))
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$tenX/documents.parquet"))) {
       ScaleRehearsal.scaledDocs(

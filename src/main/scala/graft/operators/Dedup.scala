@@ -85,6 +85,11 @@ object Dedup {
   val NumPerms = 64
   val Bands = 16
   val RowsPerBand: Int = NumPerms / Bands // 4
+  /** Default shingle width — the kernel's fourth baked-in constant; the
+    * dedup-index manifest pins it (a probe joining n'-gram delta
+    * shingles against an n-gram index would be silently wrong), so it
+    * must be THE constant [[shingleSets]] defaults to, not a literal. */
+  val ShingleN = 3
   private val MersennePrime = 2147483647L // 2^31 - 1
 
   /** doc_id, shingle (distinct word-3-gram shingles per document).
@@ -97,7 +102,7 @@ object Dedup {
     * Token semantics match TextFns.tokens (and the DuckDB oracles):
     * lowercase, split on non-alphanumeric runs, drop empties.
     */
-  def shingleSets(docs: DataFrame, n: Int = 3): DataFrame = {
+  def shingleSets(docs: DataFrame, n: Int = ShingleN): DataFrame = {
     import docs.sparkSession.implicits._
     spread(docs).as[(Long, String)]
       .flatMap { case (id, text) =>
@@ -1350,7 +1355,7 @@ object Dedup {
     "num_perms" -> NumPerms.toString,
     "bands" -> Bands.toString,
     "band_bucket_cap" -> BandBucketCap.toString,
-    "shingle_n" -> "3")
+    "shingle_n" -> ShingleN.toString)
 
   def writeDedupIndex(corpus: DataFrame, path: String): Unit = {
     val cHs = materializedShingleHashes(corpus)
