@@ -57,7 +57,7 @@ object Dedup {
         .select(col("doc_id"), md5(normText(col("text"))).as("fp"))
         .groupBy("fp")
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
-        .orderBy("keep_id"),
+        .transform(graft.Present.byNames("keep_id")),
     Some("""SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
             min(doc_id) AS keep_id, count(*) AS n_dups
             FROM documents
@@ -568,14 +568,14 @@ object Dedup {
   def minhashPairs(spark: SparkSession, d: String, threshold: Double): DataFrame =
     corpusVerifiedPairs(spark, d)
       .filter(col("jaccard") >= threshold)
-      .orderBy("a", "b")
+      .transform(graft.Present.byNames("a", "b"))
 
   def minhashPairsFrom(docs: DataFrame, threshold: Double): DataFrame = {
     val hs = materializedShingleHashes(docs)
     val cands = lshCandidates(signaturesFromHashes(hs))
     jaccardPairsHashed(hs, Some(cands))
       .filter(col("jaccard") >= threshold)
-      .orderBy("a", "b")
+      .transform(graft.Present.byNames("a", "b"))
   }
 
   /** DuckDB re-implementation of the MinHash-LSH pipeline, shared by the
@@ -695,7 +695,7 @@ object Dedup {
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
-      .orderBy("a", "b")
+      .transform(graft.Present.byNames("a", "b"))
   }
 
   val simhash = Q(
@@ -733,7 +733,7 @@ object Dedup {
     (s, d) => {
       corpusCappedJaccard(s, d)
         .filter(col("jaccard") >= 0.12)
-        .orderBy("a", "b")
+        .transform(graft.Present.byNames("a", "b"))
     },
     // The oracle mirrors the df-cap (`dfq` + `n_rare > 0`): a pair
     // qualifies only on ≥1 shared sub-cap shingle while the Jaccard stays
@@ -881,7 +881,7 @@ object Dedup {
       .select(col("a"), col("b"),
         round(VectorFns.dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
-      .orderBy("a", "b")
+      .transform(graft.Present.byNames("a", "b"))
     (result, cellPairs.size)
   }
 
@@ -1016,7 +1016,7 @@ object Dedup {
   def dedupClusters(spark: SparkSession, d: String, threshold: Double,
       maxIters: Int = 50): DataFrame =
     corpusClusterTable(spark, d, threshold, maxIters)
-      .orderBy("cluster_rep", "doc_id")
+      .transform(graft.Present.byNames("cluster_rep", "doc_id"))
 
   def dedupClustersFrom(docs: DataFrame, threshold: Double,
       maxIters: Int = 50): DataFrame = {
@@ -1030,7 +1030,7 @@ object Dedup {
         col("label").as("cluster_rep"),
         explode(col("ids")).as("doc_id"),
         col("cluster_size"))
-      .orderBy("cluster_rep", "doc_id")
+      .transform(graft.Present.byNames("cluster_rep", "doc_id"))
   }
 
   /** d06 oracle: the d02 pipeline's verified pairs, closed transitively by
@@ -1105,7 +1105,7 @@ object Dedup {
         col("doc_id"),
         (col("reason") === "keep").as("keep"),
         col("reason"))
-      .orderBy("doc_id")
+      .transform(graft.Present.byNames("doc_id"))
   }
 
   val keep = Q(
@@ -1219,7 +1219,7 @@ object Dedup {
         coalesce(col("reason_before"), lit("absent")).as("reason_before"),
         col("reason_after"))
       .agg(count(lit(1)).as("n_docs"))
-      .orderBy("reason_before", "reason_after")
+      .transform(graft.Present.byNames("reason_before", "reason_after"))
 
   /** The previous release's verdict table, memoized: in production the
     * prior release's keep list IS a stored artifact (you read it, you
@@ -1271,7 +1271,7 @@ object Dedup {
       .join(e.as("e3"),
         col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
       .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
-      .orderBy("x", "y", "z")
+      .transform(graft.Present.byNames("x", "y", "z"))
   }
 
   val triangles = Q(
@@ -1582,7 +1582,7 @@ object Dedup {
         col("doc_id"),
         col("reason").isNull.as("keep"),
         coalesce(col("reason"), lit("keep")).as("reason"))
-      .orderBy("doc_id")
+      .transform(graft.Present.byNames("doc_id"))
   }
 
   val incremental = Q(
@@ -1721,7 +1721,7 @@ object Dedup {
       .agg(
         count(lit(1)).as("n_eval_docs"),
         sum("n_shared").as("n_shared_ngrams"))
-      .orderBy("doc_id")
+      .transform(graft.Present.byNames("doc_id"))
 
   /** The shipped d09/d19 instantiation's pair table: the deterministic
     * `doc_id % 19 == 0` slice stands in for the external benchmark table;
@@ -1787,6 +1787,24 @@ object Dedup {
     val es = hashedShingles(shingleSets(evalDocs, n))
       .select(col("doc_id").as("eval_doc"), col("sh_h")).localCheckpoint()
     decontamRollup(cappedContamPairs(cs, es, dfCap))
+  }
+
+  /** p03's token leg, memo-backed (round 16): the eval/corpus split at
+    * `doc_id < nEval` derived by FILTERING the memoized [[corpusShingleHashes]]
+    * table instead of re-tokenizing each side — a document's shingles do
+    * not depend on other documents, so the filtered shared table IS the
+    * per-side shingle pass and the result is row-identical to
+    * `decontaminate(corpus, eval, n)` (p03's oracle re-proves it every
+    * run). One tokenize pass per (corpus, n) now serves d09/d19/d35 AND
+    * p03; the two per-call localCheckpoint jobs go away entirely. */
+  def decontaminateSplitAt(spark: SparkSession, d: String, nEval: Int,
+      n: Int, dfCap: Int = ShingleDfCap): DataFrame = {
+    val sh = corpusShingleHashes(spark, d, n)
+    decontamRollup(cappedContamPairs(
+      sh.filter(col("doc_id") >= nEval),
+      sh.filter(col("doc_id") < nEval)
+        .select(col("doc_id").as("eval_doc"), col("sh_h")),
+      dfCap))
   }
 
   val decontam = Q(
@@ -1863,7 +1881,7 @@ object Dedup {
       .agg(min("pos").as("span_start"),
         (max(col("pos")) - min(col("pos")) + k).as("span_tokens"))
       .select("doc_id", "span_start", "span_tokens")
-      .orderBy("doc_id", "span_start")
+      .transform(graft.Present.byNames("doc_id", "span_start"))
   }
 
   val repeated = Q(
@@ -1936,7 +1954,7 @@ object Dedup {
           count(lit(1)).as("n_methods"),
           concat_ws(",", sort_array(collect_set(col("m")))).as("methods"))
         .filter(col("n_methods") >= 2)
-        .orderBy("a", "b")
+        .transform(graft.Present.byNames("a", "b"))
     },
     Some(s"""WITH u AS (
             SELECT a, b, 'minhash' AS m FROM (${subOracle(minhash.oracle.get)})
@@ -1990,7 +2008,7 @@ object Dedup {
         expr("md5(array_join(transform(array_sort(" +
           "collect_list(CASE WHEN keep_chunk THEN struct(chunk_idx, chunk) END)" +
           "), x -> x.chunk), ' '))").as("cleaned_md5"))
-      .orderBy("doc_id")
+      .transform(graft.Present.byNames("doc_id"))
   }
 
   val chunkDedup = Q(
@@ -2073,7 +2091,7 @@ object Dedup {
       .join(dominated, Seq("vec_id"), "left")
       .select(col("vec_id"), col("bucket"), col("dominator"),
         col("dominator").isNull.as("kept"))
-      .orderBy("vec_id")
+      .transform(graft.Present.byNames("vec_id"))
   }
 
   val semantic = Q(
@@ -2145,7 +2163,7 @@ object Dedup {
         .filter(col("rn") === 1)
         .select(col("cluster_rep"), col("cluster_size"),
           col("doc_id").as("best_doc"), col("alpha_ratio").as("best_alpha"))
-        .orderBy("cluster_rep")
+        .transform(graft.Present.byNames("cluster_rep"))
     },
     Some(s"""WITH RECURSIVE $minhashOracleCtes,
             pairs AS (
@@ -2206,7 +2224,7 @@ object Dedup {
         .groupBy("src_a", "src_b")
         .agg(count(lit(1)).as("n_pairs"))
         .withColumn("cross_source", col("src_a") =!= col("src_b"))
-        .orderBy("src_a", "src_b")
+        .transform(graft.Present.byNames("src_a", "src_b"))
     },
     Some(s"""WITH $minhashOracleCtes,
             p AS (
@@ -2263,7 +2281,7 @@ object Dedup {
     // scoreAgainstEval returns the empty no-match frame — nothing can be
     // contaminated against zero eval items.
     scoreAgainstEval(e.filter(col("vec_id") >= nEval), evalSet, threshold)
-      .orderBy("vec_id")
+      .transform(graft.Present.byNames("vec_id"))
   }
 
   /** The d17 scoring pass over any (vec_id, embedding) frame — batch or
@@ -2350,7 +2368,7 @@ object Dedup {
       .agg(max(struct(col("c"), (-col("eval_id")).as("neg"))).as("b"))
       .select(col("vec_id"), col("b.c").as("max_cos"), (-col("b.neg")).as("nearest_eval"))
       .filter(col("max_cos") >= threshold)
-      .orderBy("vec_id")
+      .transform(graft.Present.byNames("vec_id"))
     (out, cellPairs.size)
   }
 
@@ -2415,7 +2433,7 @@ object Dedup {
         round(col("n_common").cast("double") / col("n_b").cast("double"), 4).as("cont_b"))
       .withColumn("max_cont", greatest(col("cont_a"), col("cont_b")))
       .filter(col("max_cont") >= threshold)
-      .orderBy("a", "b")
+      .transform(graft.Present.byNames("a", "b"))
   }
 
   val containment = Q(
@@ -2478,7 +2496,7 @@ object Dedup {
         count(lit(1)).as("n_leaking_docs"),
         sum("n_shared").as("n_shared_ngrams"),
         max("n_shared").as("max_doc_overlap"))
-      .orderBy("eval_doc")
+      .transform(graft.Present.byNames("eval_doc"))
 
   val evalLeak = Q(
     "d19_eval_leak_report",
@@ -2552,7 +2570,7 @@ object Dedup {
         round(col("n_shared").cast("double")
           / (col("n_a") + col("n_b") - col("n_shared")).cast("double"), 6)
           .as("jaccard"))
-      .orderBy("src_a", "src_b")
+      .transform(graft.Present.byNames("src_a", "src_b"))
   }
 
   val crossSource = Q(
@@ -2659,7 +2677,7 @@ object Dedup {
         sum("n_shared").as("n_shared_ngrams"),
         max("n_shared").as("max_doc_overlap"))
       .withColumn("severe", col("max_doc_overlap") >= severeAt)
-      .orderBy("val_doc")
+      .transform(graft.Present.byNames("val_doc"))
   }
 
   val splitLeak = Q(
@@ -2758,7 +2776,7 @@ object Dedup {
         col("a"), col("b"),
         coalesce(col("jaccard"), lit(0.0)).as("exact_jaccard"), col("est_jaccard"),
         round(abs(col("est_jaccard") - coalesce(col("jaccard"), lit(0.0))), 4).as("abs_err"))
-      .orderBy("a", "b")
+      .transform(graft.Present.byNames("a", "b"))
   }
 
   val calibration = Q(
@@ -2812,7 +2830,7 @@ object Dedup {
       .select(col("sh_h"), col("df"), col("n_sources"),
         round(col("df").cast("double") / col("n_docs").cast("double"), 6)
           .as("df_share"))
-      .orderBy(desc("df"), col("sh_h"))
+      .transform(graft.Present.by(desc("df"), col("sh_h")))
   }
 
   val hotReport = Q(
@@ -2870,7 +2888,7 @@ object Dedup {
         // via NULLIF in the oracle) is the honest readout, not a crash.
         round(safeFrac(col("n_docs"), col("n_docs") - col("n_redundant")), 6)
           .as("inflation"))
-      .orderBy("source")
+      .transform(graft.Present.byNames("source"))
   }
 
   val inflation = Q(
@@ -2928,7 +2946,7 @@ object Dedup {
         ((col("group_size") - lit(1L)) * col("n_groups")).as("n_redundant"),
         round((col("group_size") * col("n_groups")).cast("double") /
           col("n_total").cast("double"), 6).as("doc_share"))
-      .orderBy("group_size")
+      .transform(graft.Present.byNames("group_size"))
   }
 
   val spectrum = Q(
@@ -3013,7 +3031,7 @@ object Dedup {
         // md5("") for fully-scrubbed docs, in both engines.
         coalesce(col("kept_md5"), lit("d41d8cd98f00b204e9800998ecf8427e"))
           .as("kept_md5"))
-      .orderBy("doc_id")
+      .transform(graft.Present.byNames("doc_id"))
   }
 
   val templateScrubQ = Q(
@@ -3089,7 +3107,7 @@ object Dedup {
           countDistinct("source").as("n_sources"),
           expr("min_by(source, doc_id)").as("rep_source"))
         .withColumn("cross_source", col("n_sources") >= 2)
-        .orderBy("cluster_rep")
+        .transform(graft.Present.byNames("cluster_rep"))
     },
     Some(s"""WITH RECURSIVE $minhashOracleCtes,
             pairs AS (
@@ -3170,7 +3188,7 @@ object Dedup {
         (col("ddf") * col("resident_docs") >=
           lit(ratio.toLong) * coalesce(col("rdf"), lit(0L)) * col("delta_docs"))
           .as("emerging"))
-      .orderBy(desc("delta_df"), col("sh_h"))
+      .transform(graft.Present.by(desc("delta_df"), col("sh_h")))
   }
 
   /** d28's oracle CTE chain, ending in relation `d28_rows(sh_h,
@@ -3348,7 +3366,7 @@ object Dedup {
         coalesce(col("clean_digest"), md5(lit(""))).as("clean_digest"))
       .withColumn("drop_frac",
         round(safeFrac(col("n_dropped"), col("n_dedupable")), 6))
-      .orderBy("doc_id")
+      .transform(graft.Present.byNames("doc_id"))
   }
 
   val cdcDedupQ = Q(
@@ -3417,7 +3435,7 @@ object Dedup {
       .filter(col("n_docs") >= 2)
       .select(col("chunk"), col("n_occ"), col("n_docs"), col("n_sources"),
         (col("n_sources") >= 2).as("cross_source"))
-      .orderBy(col("n_occ").desc, col("chunk"))
+      .transform(graft.Present.by(col("n_occ").desc, col("chunk")))
   }
 
   val hotChunksQ = Q(
@@ -3489,7 +3507,7 @@ object Dedup {
         expr("tokens_soft_micro div 1000000L").as("tokens_effective"),
         round(safeFrac(col("tokens_soft_micro"),
           col("tokens_raw") * lit(1000000L)), 6).as("soft_frac"))
-      .orderBy("source")
+      .transform(graft.Present.byNames("source"))
   }
 
   val softDedupQ = Q(
@@ -3612,7 +3630,7 @@ object Dedup {
         coalesce(col("nm"), lit(0L)).as("n_matches"),
         col("best_match"), col("best_jaccard"),
         (coalesce(col("nm"), lit(0L)) === 0L).as("admit"))
-      .orderBy("doc_id")
+      .transform(graft.Present.byNames("doc_id"))
   }
 
   // Oracle equivalence rides the same xxhash64-bucket ≡ exact-band-
@@ -3730,7 +3748,7 @@ object Dedup {
         .select(col("df_cap"),
           coalesce(col("nc"), lit(0L)).as("n_candidates"),
           coalesce(col("np"), lit(0L)).as("n_pairs"))
-        .orderBy("df_cap")
+        .transform(graft.Present.byNames("df_cap"))
   }
 
   val capCurve = Q(
@@ -3826,7 +3844,7 @@ object Dedup {
             col("n_verified"),
             round(graft.functions.TextFns.safeFrac(
               col("n_hits"), col("n_truth")), 6).as("recall"))
-      }.reduce(_ unionAll _).orderBy("n_bands")
+      }.reduce(_ unionAll _).transform(graft.Present.byNames("n_bands"))
   }
 
   /** d34 over an arbitrary corpus (SkewRehearsal's hot-bucket corpora and
@@ -3937,13 +3955,13 @@ object Dedup {
         sh.filter(col("doc_id") % 19 === 0)
           .select(col("doc_id").as("eval_doc"), col("sh_h")),
         ShingleDfCap), n)
-    }.reduce(_ unionAll _).orderBy("ngram_n")
+    }.reduce(_ unionAll _).transform(graft.Present.byNames("ngram_n"))
 
   val contamCurve = Q(
     "d35_contam_ngram_curve",
     (s, d) => {
       Seq(5, 3, 8).map(n => contamCurveRow(contamSplitPairs(s, d, n), n))
-        .reduce(_ unionAll _).orderBy("ngram_n")
+        .reduce(_ unionAll _).transform(graft.Present.byNames("ngram_n"))
     },
     Some {
       // One qualified-pair block per n, mirroring the d09 oracle (df-cap
@@ -4197,7 +4215,7 @@ object Dedup {
         .withColumn("token_reclaim_frac",
           round(lit(1.0) - graft.functions.TextFns.safeFrac(
             col("tokens_kept"), col("tokens_raw")), 6))
-        .orderBy("source")
+        .transform(graft.Present.byNames("source"))
     },
     Some(s"""WITH RECURSIVE $minhashOracleCtes,
             pairs AS (
@@ -4272,7 +4290,7 @@ object Dedup {
         rowOf("sigs", corpusSigs(s, d)),
         rowOf("verified", corpusVerifiedPairs(s, d)))
         .reduce(_ unionAll _)
-        .orderBy("artifact")
+        .transform(graft.Present.byNames("artifact"))
     },
     Some(s"""WITH RECURSIVE $minhashOracleCtes,
             dfq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),

@@ -84,7 +84,7 @@ object Pipeline {
         when(col("disposition") === "kept",
           expr(s"(cum_tokens - 1) div $budget")).otherwise(-1L)
           .as("seq_last"))
-      .orderBy("doc_id")
+      .transform(graft.Present.byNames("doc_id"))
   }
 
   val pipeline = Q(
@@ -180,7 +180,7 @@ object Pipeline {
           .otherwise(-1L).as("seq_first"),
         when(col("sampled"), expr(s"(cum_tokens - 1) div $budget"))
           .otherwise(-1L).as("seq_last"))
-      .orderBy("doc_id")
+      .transform(graft.Present.byNames("doc_id"))
   }
 
   val mix = Q(
@@ -268,7 +268,10 @@ object Pipeline {
     val docs = Tables.documents(spark, d)
     val corpusDocs = docs.filter(col("doc_id") >= nEval)
     val evalDocs = docs.filter(col("doc_id") < nEval)
-    val tokHits = Dedup.decontaminate(corpusDocs, evalDocs, ngramN)
+    // Token leg via the hs@n memo (round 16): row-identical to
+    // decontaminate(corpusDocs, evalDocs, ngramN) — see
+    // [[Dedup.decontaminateSplitAt]] — at memo-hit marginal cost.
+    val tokHits = Dedup.decontaminateSplitAt(spark, d, nEval, ngramN)
       .select(col("doc_id"), col("n_shared_ngrams"))
     val e = Tables.embeddings(spark, d)
     val semScores =
@@ -300,7 +303,7 @@ object Pipeline {
         coalesce(col("max_cos"), lit(0.0)).as("sem_cos"),
         col("n_hits"), col("flags"))
       .withColumn("releasable", col("flags") === 0L)
-      .orderBy("doc_id")
+      .transform(graft.Present.byNames("doc_id"))
   }
 
   val audit = Q(
@@ -396,7 +399,7 @@ object Pipeline {
         expr(s"(cum_tokens - n_tokens) div $budget").as("seq_first"),
         expr(s"(cum_tokens - 1) div $budget").as("seq_last"))
       .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
-      .orderBy("shuffle_key", "doc_id")
+      .transform(graft.Present.byNames("shuffle_key", "doc_id"))
   }
 
   val epoch = Q(
@@ -470,7 +473,7 @@ object Pipeline {
         expr(s"(cum_tokens - 1) div $budget").as("seq_last"),
         expr(s"(cum_tokens - n_tokens) % $budget").as("offset_in_seq"))
       .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
-      .orderBy("doc_id")
+      .transform(graft.Present.byNames("doc_id"))
   }
 
   val refresh = Q(
@@ -538,7 +541,7 @@ object Pipeline {
       round(sqrt(safeFrac(col("min_raw"), col("raw_tokens"))), 6).as("raw_rate"),
       round(sqrt(safeFrac(col("min_dedup"), col("dedup_tokens"))), 6).as("dedup_rate"))
       .withColumn("rate_shift", round(col("dedup_rate") - col("raw_rate"), 6))
-      .orderBy("source")
+      .transform(graft.Present.byNames("source"))
   }
 
   val dedupMix = Q(
@@ -634,7 +637,7 @@ object Pipeline {
         sum(when(col("unique_keep"), 1L).otherwise(0L)).as("n_unique"))
       .withColumn("survival_rate",
         round(safeFrac(col("n_unique"), col("n_raw")), 6))
-      .orderBy("source")
+      .transform(graft.Present.byNames("source"))
 
   val funnel = Q(
     "p07_survival_funnel",
@@ -715,7 +718,7 @@ object Pipeline {
         round(rate, 6).as("rate"),
         round(col("src_tokens").cast("double") * round(rate, 6)).cast("long")
           .as("expected_tokens"))
-      .orderBy("epoch", "source")
+      .transform(graft.Present.byNames("epoch", "source"))
   }
 
   val curriculum = Q(
@@ -802,7 +805,7 @@ object Pipeline {
            'gate_pass_rate', round(CAST(n_gate_pass AS DOUBLE) / NULLIF(CAST(n_docs AS DOUBLE), 0.0D), 6),
            'blocklist_clean_rate', round(CAST(n_clean AS DOUBLE) / NULLIF(CAST(n_docs AS DOUBLE), 0.0D), 6)
          ) AS (metric, value)"""))
-      .orderBy("metric")
+      .transform(graft.Present.byNames("metric"))
   }
 
   val card = Q(
@@ -910,7 +913,7 @@ object Pipeline {
         round(sum(abs(col("pos_a") - col("pos_b"))).cast("double")
           / count(lit(1)).cast("double"), 6).as("mean_abs_shift"),
         max(abs(col("pos_a") - col("pos_b"))).as("max_abs_shift"))
-      .orderBy("source")
+      .transform(graft.Present.byNames("source"))
   }
 
   val seedAudit = Q(
@@ -983,7 +986,7 @@ object Pipeline {
         sum(when(col("unique_keep"), col("n_tokens")).otherwise(0L)).as("unique_tokens"))
       .withColumn("token_survival",
         round(safeFrac(col("unique_tokens"), col("raw_tokens")), 6))
-      .orderBy("source")
+      .transform(graft.Present.byNames("source"))
 
   val tokenFunnelQ = Q(
     "p11_token_funnel",
@@ -1073,7 +1076,7 @@ object Pipeline {
         min(when(col("selected"), -col("neg_score"))).as("cutoff_score"))
       .withColumn("fill_frac",
         round(safeFrac(col("selected_tokens"), col("budget_tokens")), 6))
-      .orderBy("source")
+      .transform(graft.Present.byNames("source"))
   }
 
   val budgetFillQ = Q(
@@ -1293,7 +1296,7 @@ object Pipeline {
     combos.join(totals, Seq("source"))
       .select(col("source"), col("gates"), col("n_docs"),
         round(safeFrac(col("n_docs"), col("n_source")), 6).as("share"))
-      .orderBy("source", "gates")
+      .transform(graft.Present.byNames("source", "gates"))
   }
 
   val gateAttributionQ = Q(
@@ -1409,7 +1412,7 @@ object Pipeline {
           .as("churn"),
         (col("n_churned") * col("g_total") > col("g_churned") * col("n_total"))
           .as("heavy_churn"))
-      .orderBy("source")
+      .transform(graft.Present.byNames("source"))
   }
 
   private val churnFpSql =
@@ -1521,7 +1524,7 @@ object Pipeline {
         round((col("n_docs") - col("n_contents")).cast("double") /
           col("n_docs").cast("double"), 6).as("dup_frac"),
         col("content_xor60"))
-      .orderBy("source")
+      .transform(graft.Present.byNames("source"))
   }
 
   val releaseFingerprintQ = Q(
@@ -1615,7 +1618,7 @@ object Pipeline {
         round(safeFrac(col("w_nano"), col("w_tot")), 6).as("new_share"),
         round(safeFrac(col("w_nano"), col("w_tot")) - col("base_share"), 6)
           .as("shift"))
-      .orderBy("source")
+      .transform(graft.Present.byNames("source"))
   }
 
   val mixReweightQ = Q(

@@ -92,7 +92,7 @@ object RangeJoin {
         Tables.events(s, d).select("event_id", "ts"),
         "event_id", "ts", radiusMicros = 5000000L)
         .select(col("a").as("a_id"), col("b").as("b_id"), col("dt_us"))
-        .orderBy("a_id", "b_id"),
+        .transform(graft.Present.byNames("a_id", "b_id")),
     Some("""SELECT a.event_id AS a_id, b.event_id AS b_id,
                    epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
             FROM events a JOIN events b

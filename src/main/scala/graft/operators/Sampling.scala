@@ -38,7 +38,7 @@ object Sampling {
         .withColumn("bucket", hashBucket(col("doc_id")))
         .filter(col("bucket") < 10)
         .select(col("doc_id"), col("lang"), col("n_chars"), col("bucket"))
-        .orderBy("doc_id"),
+        .transform(graft.Present.byNames("doc_id")),
     Some(s"""SELECT doc_id, lang, n_chars, $bucketSql AS bucket
              FROM documents
              WHERE $bucketSql < 10
@@ -57,7 +57,7 @@ object Sampling {
           when(col("lang") === "en", lit(25)).otherwise(lit(80)))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_sampled"))
-        .orderBy("lang"),
+        .transform(graft.Present.byNames("lang")),
     Some(s"""SELECT lang, count(*) AS n_sampled
              FROM documents
              WHERE $bucketSql < CASE WHEN lang = 'en' THEN 25 ELSE 80 END
@@ -102,7 +102,7 @@ object Sampling {
         .agg(
           count(lit(1)).as("n_emitted"),
           count_distinct(col("doc_id")).as("n_docs"))
-        .orderBy("source")
+        .transform(graft.Present.byNames("source"))
     },
     Some(s"""WITH weighted AS (
               SELECT doc_id, source,
@@ -173,7 +173,7 @@ object Sampling {
           first("src_tokens").as("src_tokens"),
           round(first("rate"), 6).as("rate"),
           sum("sampled").as("n_sampled"))
-        .orderBy("source")
+        .transform(graft.Present.byNames("source"))
     },
     Some("""WITH docs AS (
               SELECT doc_id, source,
@@ -231,7 +231,7 @@ object Sampling {
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 10)
         .select(col("doc_id"), col("source"), col("rank"))
-        .orderBy("source", "rank")
+        .transform(graft.Present.byNames("source", "rank"))
     },
     Some("""SELECT doc_id, source, rank FROM (
               SELECT doc_id, source,
@@ -270,7 +270,7 @@ object Sampling {
     survivors.withColumn("rank", row_number().over(w2).cast("long"))
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("source"), col("rank"))
-      .orderBy("source", "rank")
+      .transform(graft.Present.byNames("source", "rank"))
   }
 
   val all: Seq[Q] =

@@ -22,7 +22,7 @@ object Similarity {
 
   /** Exact top-k neighbors for each query vector (qid < nQueries). */
   def bruteForceTopK(spark: SparkSession, d: String, nQueries: Int, k: Int): DataFrame =
-    corpusBruteTopK(spark, d, nQueries, k).orderBy("query_id", "rank")
+    corpusBruteTopK(spark, d, nQueries, k).transform(graft.Present.byNames("query_id", "rank"))
 
   // ----------------------------------- embedding artifact session memo
   /** [[Dedup]]'s CorpusMemo pattern on the vector axis: the s-family
@@ -181,7 +181,7 @@ object Similarity {
       .select(col("query_id"), col("p.id").as("neighbor_id"),
         round(col("p.score"), 6).as("cos_sim"),
         (col("pos") + 1).cast("long").as("rank"))
-      .orderBy("query_id", "rank")
+      .transform(graft.Present.byNames("query_id", "rank"))
   }
 
   def bruteForceTopKFrom(e: DataFrame, nQueries: Int, k: Int): DataFrame = {
@@ -294,7 +294,7 @@ object Similarity {
     sims.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("c"), 6).as("cos_sim"), col("rank"))
-      .orderBy("query_id", "rank")
+      .transform(graft.Present.byNames("query_id", "rank"))
   }
 
   val annLsh = Q(
@@ -317,7 +317,7 @@ object Similarity {
           round(avg(sqrt(dot(col("embedding"), col("embedding")))), 6).as("avg_norm"),
           round(min(sqrt(dot(col("embedding"), col("embedding")))), 6).as("min_norm"),
           round(max(sqrt(dot(col("embedding"), col("embedding")))), 6).as("max_norm"))
-        .orderBy("label"),
+        .transform(graft.Present.byNames("label")),
     Some("""SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vecs,
             round(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 6) AS avg_norm,
             round(min(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 6) AS min_norm,
@@ -677,7 +677,7 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("c"), 6).as("cos_sim"),
         col("rank"), (col("neighbor_id") >= split).as("from_delta"))
-      .orderBy("query_id", "rank")
+      .transform(graft.Present.byNames("query_id", "rank"))
   }
 
   val annAppend = Q(
@@ -731,7 +731,7 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         round(col("c"), 6).as("cos_sim"), col("rank"),
         col("pre").isNull.as("refilled"))
-      .orderBy("query_id", "rank")
+      .transform(graft.Present.byNames("query_id", "rank"))
   }
 
   val annDelete = Q(
@@ -1007,7 +1007,7 @@ object Similarity {
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("neighbor_id"),
         round(col("c"), 6).as("cos_sim"), col("rank"))
-      .orderBy("query_id", "rank")
+      .transform(graft.Present.byNames("query_id", "rank"))
   }
   val annPq = Q(
     "s08_ann_pq",
@@ -1050,7 +1050,7 @@ object Similarity {
       .unionAll(recallOf("lsh",
         lshTopKFromIndex(e, corpusLshIndex(spark, d, 4, 8, 0L), nQueries, k)))
       .unionAll(recallOf("pq", pqTopKFromCodes(spark, e, cbs, codes, nQueries, k, 8)))
-      .orderBy("method")
+      .transform(graft.Present.byNames("method"))
   }
 
   val annRecall = Q(
@@ -1079,7 +1079,7 @@ object Similarity {
           round(avg("mae"), 6).as("avg_mae"),
           round(max("mae"), 6).as("max_mae"),
           round(max("rmse"), 6).as("max_rmse"))
-        .orderBy("label"),
+        .transform(graft.Present.byNames("label")),
     Some("""WITH s AS (
               SELECT CAST(label AS BIGINT) AS label,
                      CAST(embedding AS DOUBLE[]) AS e,
@@ -1127,7 +1127,7 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("qe"), col("ne")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= minSim)
-      .orderBy("query_id", "neighbor_id")
+      .transform(graft.Present.byNames("query_id", "neighbor_id"))
   }
 
   val radius = Q(
@@ -1175,7 +1175,7 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("label").cast("long").as("label"),
         col("neighbor_id"), round(col("c"), 6).as("cos_sim"), col("rank"))
-      .orderBy("query_id", "rank")
+      .transform(graft.Present.byNames("query_id", "rank"))
   }
 
   val filteredAnn = Q(
@@ -1271,7 +1271,7 @@ object Similarity {
     }.toDF("query_id", "neighbor_id", "cos_sim", "mmr_rank")
       .select(col("query_id"), col("neighbor_id"),
         round(col("cos_sim"), 6).as("cos_sim"), col("mmr_rank"))
-      .orderBy("query_id", "mmr_rank")
+      .transform(graft.Present.byNames("query_id", "mmr_rank"))
   }
 
   val mmr = Q(
@@ -1319,7 +1319,7 @@ object Similarity {
       .agg(sum(when(col("n_label") === col("label"), 1L).otherwise(0L)).as("n_match"))
       .select(col("query_id"), col("label"), col("n_match"),
         round(col("n_match").cast("double") / lit(k.toDouble), 6).as("purity"))
-      .orderBy("query_id")
+      .transform(graft.Present.byNames("query_id"))
   }
 
   val knnPurity = Q(
@@ -1384,7 +1384,7 @@ object Similarity {
       .select(col("label"), col("n_label").as("neighbor_label"), col("votes"),
         round(col("votes").cast("double") / col("label_votes").cast("double"), 6)
           .as("share"))
-      .orderBy("label", "neighbor_label")
+      .transform(graft.Present.byNames("label", "neighbor_label"))
   }
 
   val knnConfusion = Q(
@@ -1570,7 +1570,7 @@ object Similarity {
           .as("label_share"),
         round(col("cos_sum").cast("double") / (col("n_vecs").cast("double") * 1e6), 6)
           .as("mean_cos"))
-      .orderBy("cluster_id")
+      .transform(graft.Present.byNames("cluster_id"))
   }
 
   /** One round-9-stabilized sanitized cosine between pair columns (the
@@ -1706,7 +1706,7 @@ object Similarity {
         col("mean_resident"), col("mean_delta"), col("shift_micro"),
         coalesce(col("shift_micro") >= col("cut") && col("shift_micro") > 0L,
           lit(false)).as("drifted"))
-      .orderBy("dim")
+      .transform(graft.Present.byNames("dim"))
   }
 
   /** s16's oracle CTE chain, ending in relation `s16_rows(dim,
@@ -1843,7 +1843,7 @@ object Similarity {
         (col("n_probes") > 0L &&
          col("n_probes") * col("st_tot") > col("n_stored") * col("pr_tot"))
           .as("hot_cell"))
-      .orderBy("cell")
+      .transform(graft.Present.byNames("cell"))
   }
 
   val probeBalance = Q(
@@ -2027,7 +2027,7 @@ object Similarity {
           col("delta_cs").cast("double") / (col("n_delta").cast("double") * 1e6)), 6)
           .as("delta_mean_cos"),
         (col("xnum") >= col("xcut")).as("rebalance"))
-      .orderBy("cluster_id")
+      .transform(graft.Present.byNames("cluster_id"))
   }
 
   val populationDrift = Q(
@@ -2210,7 +2210,7 @@ object Similarity {
         col("n_hits"),
         round(safeFrac(col("n_hits"), col("nq") * lit(topK.toLong)), 6)
           .as("recall"))
-      .orderBy("nprobe")
+      .transform(graft.Present.byNames("nprobe"))
   }
 
   val nprobeCurveQ = Q(
@@ -2331,7 +2331,7 @@ object Similarity {
         (cid, shift, shift < 0.999)
       }
     }
-    rows.toDF("cluster_id", "shift_cos", "retrain").orderBy("cluster_id")
+    rows.toDF("cluster_id", "shift_cos", "retrain").transform(graft.Present.byNames("cluster_id"))
   }
 
   val retrainShiftQ = Q(

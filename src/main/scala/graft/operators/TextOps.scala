@@ -28,7 +28,7 @@ object TextOps {
       Tables.documents(s, d)
         .filter(lower(col("text")).contains("spark"))
         .select("doc_id", "text")
-        .orderBy("doc_id"),
+        .transform(graft.Present.byNames("doc_id")),
     Some("""SELECT doc_id, text FROM documents
             WHERE contains(lower(text), 'spark') ORDER BY doc_id"""))
 
@@ -44,7 +44,7 @@ object TextOps {
         .select(explode(tokens(col("text"))).as("word"))
         .groupBy("word")
         .agg(count(lit(1)).as("cnt"))
-        .orderBy("word"),
+        .transform(graft.Present.byNames("word")),
     Some("""SELECT w AS word, count(*) AS cnt FROM (
               SELECT unnest(list_filter(
                 regexp_split_to_array(lower(text), '[^a-z0-9]+'),
@@ -72,7 +72,7 @@ object TextOps {
           size(tokens(col("text"))).cast("long").as("word_tokens"),
           regexp_count(lower(col("text")), lit(BpeIshPattern)).cast("long").as("bpe_ish_tokens"),
           charClassCount(col("text"), "[^a-zA-Z0-9\\s]").cast("long").as("punct_marks"))
-        .orderBy("doc_id"),
+        .transform(graft.Present.byNames("doc_id")),
     Some("""SELECT doc_id,
             CAST(len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS BIGINT) AS ws_tokens,
             CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS BIGINT) AS word_tokens,
@@ -98,7 +98,7 @@ object TextOps {
           round(
             safeFrac(charClassCount(lower(col("text")), "[a-z]"),
               length(col("text"))), 4).as("alpha_ratio"))
-        .orderBy("doc_id")
+        .transform(graft.Present.byNames("doc_id"))
     },
     Some("""SELECT doc_id, n_chars_m, n_alpha, n_digit, n_space, n_tokens,
               round(CAST(n_alpha AS DOUBLE) / NULLIF(CAST(n_chars_m AS DOUBLE), 0), 4) AS alpha_ratio
@@ -153,7 +153,7 @@ object TextOps {
     (s, d) =>
       withLangScores(Tables.documents(s, d).select(col("doc_id"), tokens(col("text")).as("toks")))
         .select("doc_id", "score_en", "score_de", "score_es", "score_fr", "pred_lang")
-        .orderBy("doc_id"),
+        .transform(graft.Present.byNames("doc_id")),
     Some {
       val en = hitsSql(stopwords("en")); val de = hitsSql(stopwords("de"))
       val es = hitsSql(stopwords("es")); val fr = hitsSql(stopwords("fr"))
@@ -189,7 +189,7 @@ object TextOps {
       scored.withColumn("rank", row_number().over(rankW).cast("long"))
         .filter(col("rank") <= 3)
         .select(col("doc_id"), col("w").as("term"), col("rank"), col("score").as("tfidf"))
-        .orderBy("doc_id", "rank")
+        .transform(graft.Present.byNames("doc_id", "rank"))
     },
     Some("""WITH toks AS (
               SELECT doc_id, unnest(list_filter(
@@ -222,7 +222,7 @@ object TextOps {
         Tables.documents(s, d).select(col("doc_id"), col("lang"), tokens(col("text")).as("toks")))
         .groupBy("lang", "pred_lang")
         .agg(count(lit(1)).as("n_docs"))
-        .orderBy("lang", "pred_lang"),
+        .transform(graft.Present.byNames("lang", "pred_lang")),
     Some(s"""SELECT lang, $predLangSql AS pred_lang, count(*) AS n_docs
              FROM documents
              GROUP BY 1, 2 ORDER BY lang, pred_lang"""))
@@ -237,7 +237,7 @@ object TextOps {
           col("doc_id"),
           md5(normText(col("text"))).as("fp"),
           substring(md5(normText(col("text"))), 1, 4).as("fp_bucket"))
-        .orderBy("doc_id"),
+        .transform(graft.Present.byNames("doc_id")),
     Some("""SELECT doc_id,
             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
             substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 4) AS fp_bucket
@@ -257,7 +257,7 @@ object TextOps {
       graft.functions.RollingMinHash.register(s)
       Tables.documents(s, d)
         .select(col("doc_id"), expr("rolling_min_hash(text, 32)").as("winnow_fp"))
-        .orderBy("doc_id")
+        .transform(graft.Present.byNames("doc_id"))
     },
     Some("""WITH RECURSIVE pows(k, p) AS (
               SELECT 0, 1::HUGEINT
@@ -308,7 +308,7 @@ object TextOps {
         .select(
           col("doc_id"), col("start"),
           col("text").substr(col("start"), lit(200)).as("chunk"))
-        .orderBy("doc_id", "start"),
+        .transform(graft.Present.byNames("doc_id", "start")),
     Some("""SELECT doc_id, start, substr(text, start, 200) AS chunk
             FROM (SELECT doc_id, text,
                          unnest(range(1, greatest(length(text) - 50, 1) + 1, 150)) AS start
@@ -355,7 +355,7 @@ object TextOps {
             (col("n_ab") * col("n_docs")).cast("double") /
               (col("df1") * col("df2")).cast("double")), 6).as("pmi"))
         .filter(col("n_ab") >= 10)
-        .orderBy("t1", "t2")
+        .transform(graft.Present.byNames("t1", "t2"))
     },
     Some("""WITH doctoks AS (
               SELECT doc_id, unnest(list_distinct(list_filter(
@@ -404,7 +404,7 @@ object TextOps {
         .select(
           col("w1"), col("w2"), col("c12"),
           round(col("c12").cast("double") / col("c1").cast("double"), 6).as("cond_p"))
-        .orderBy("w1", "w2")
+        .transform(graft.Present.byNames("w1", "w2"))
     },
     Some("""WITH toks AS (
               SELECT doc_id, list_filter(
@@ -457,7 +457,7 @@ object TextOps {
         .agg(
           count(lit(1)).as("n_bigrams"),
           round(avg(-log(col("p"))), 6).as("avg_neg_logp"))
-        .orderBy("doc_id")
+        .transform(graft.Present.byNames("doc_id"))
     },
     Some("""WITH toks AS (
               SELECT doc_id, list_filter(
@@ -551,7 +551,7 @@ object TextOps {
       val perDoc = Tables.documents(s, d).select(col("doc_id"))
         .join(newPerDoc.withColumnRenamed("first_doc", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("n_new"), lit(0L)).as("n_new_tokens"))
-      prefixSummed(perDoc).orderBy("doc_id")
+      prefixSummed(perDoc).transform(graft.Present.byNames("doc_id"))
     },
     Some("""WITH toks AS (
               SELECT doc_id, unnest(list_filter(
@@ -598,7 +598,7 @@ object TextOps {
           sum("c").cast("double")).as("dup_bigram_frac"))
       .withColumn("keep",
         col("top_bigram_frac") <= topFracMax && col("dup_bigram_frac") <= dupFracMax)
-      .orderBy("doc_id")
+      .transform(graft.Present.byNames("doc_id"))
   }
 
   val repetition = Q(
@@ -646,7 +646,7 @@ object TextOps {
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
       .withColumn("novelty",
         col("n_novel").cast("double") / col("n_shingles").cast("double"))
-      .orderBy("doc_id")
+      .transform(graft.Present.byNames("doc_id"))
   }
 
   val novelty = Q(
@@ -698,7 +698,7 @@ object TextOps {
         expr(s"(cum_tokens - n_tokens) div $budget").as("seq_first"),
         expr(s"(cum_tokens - 1) div $budget").as("seq_last"))
       .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
-      .orderBy("doc_id")
+      .transform(graft.Present.byNames("doc_id"))
   }
 
   val pack = Q(
@@ -739,7 +739,7 @@ object TextOps {
         .select(explode(tokens(col("text"))).as("t"))
         .groupBy("t").agg(count(lit(1)).as("freq"))
         .groupBy("freq").agg(count(lit(1)).as("n_types"))
-        .orderBy("freq")
+        .transform(graft.Present.byNames("freq"))
     },
     Some("""WITH toks AS (
               SELECT unnest(list_filter(
@@ -770,7 +770,7 @@ object TextOps {
         regexp_count(col("text"), lit(pat)).cast("long").as("n_hits"),
         md5(regexp_replace(col("text"), pat, repl)).as("scrubbed_md5"))
       .withColumn("clean", col("n_hits") === 0L)
-      .orderBy("doc_id")
+      .transform(graft.Present.byNames("doc_id"))
   }
 
   val scrub = Q(
@@ -829,7 +829,7 @@ object TextOps {
     "t20_quality_gate",
     (s, d) => qualityGateFrame(Tables.documents(s, d))
       .drop("source")
-      .orderBy("doc_id"),
+      .transform(graft.Present.byNames("doc_id")),
     Some(s"""WITH f AS (
               SELECT doc_id,
                 CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS BIGINT) AS n_tokens,
@@ -871,8 +871,85 @@ object TextOps {
     * (iterative arg-max), so rows-only in the driver gate; the planted
     * spec asserts hand-computed merges and the README no-oracle table
     * carries it.
+    *
+    * Round 16: when the vocabulary fits [[BpeDriverVocabCap]], the loop
+    * runs driver-side over the collected word-frequency table
+    * ([[bpeMergesLocal]]) — ONE Spark job instead of ~2 per merge round;
+    * identical merges (twin spec). The distributed loop remains the
+    * over-cap path.
     */
+  /** Vocabulary-size guard for the driver-side BPE trainer: at or below
+    * this many distinct words the whole merge loop runs on the collected
+    * word-frequency table (the way production BPE trainers run — the
+    * vocabulary is Heaps-law sublinear in corpus size, and the loop is
+    * pure integer/string arithmetic); above it the distributed
+    * iteration below takes over unchanged. The two paths are
+    * merge-for-merge identical (spec-asserted): same pair counts, same
+    * (count desc, pair asc) arg-max, same greedy left-to-right apply.
+    * 1M words ≈ tens of MB on the driver — far under the documented
+    * bounded-collect ceiling, and the cap is what keeps a 100 TB corpus
+    * with an adversarial vocabulary on the distributed path. */
+  private val BpeDriverVocabCap = 1 << 20
+
+  /** Driver-side twin of the distributed merge loop: EXACTLY the same
+    * semantics over the collected (word, freq) table. ASCII-only symbols
+    * ([a-z0-9], the tokenizer's alphabet) make Scala string order ==
+    * Spark's UTF8 binary order, so the tie rule cannot diverge. */
+  private def bpeMergesLocal(vocab: Array[(String, Long)],
+      nMerges: Int): Seq[(Long, String, String, Long)] = {
+    var words: Array[(Array[String], Long)] =
+      vocab.map { case (w, f) => (w.split("").filter(_.nonEmpty), f) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var done = false
+    for (i <- 1L to nMerges.toLong if !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        var j = 1
+        while (j < syms.length) {
+          val k = (syms(j - 1), syms(j))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          j += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        merges += ((i, l, r, c))
+        words = words.map { case (syms, f) =>
+          val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+          syms.foreach { s =>
+            if (acc.nonEmpty && acc.last == l && s == r)
+              acc(acc.length - 1) = l + r
+            else acc += s
+          }
+          (acc.toArray, f)
+        }
+      }
+    }
+    merges.toSeq
+  }
+
   def bpeMerges(docs: DataFrame, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wordFreq = docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    // Driver fast path: ONE job collects the (bounded) word-frequency
+    // table and the merge loop runs locally — the 8-iteration
+    // shuffle+checkpoint+collect cycle below costs ~2 jobs per merge in
+    // pure orchestration, which dwarfs the arithmetic at any vocabulary
+    // this cap admits. limit(cap+1) bounds what the driver can receive.
+    val head = wordFreq.limit(BpeDriverVocabCap + 1).collect()
+    if (head.length <= BpeDriverVocabCap)
+      bpeMergesLocal(head.map(r => (r.getString(0), r.getLong(1))), nMerges)
+        .toDF("rank", "left", "right", "pair_count")
+        .orderBy("rank")
+    else bpeMergesDistributed(docs, nMerges)
+  }
+
+  /** The pre-round-16 distributed merge loop, kept verbatim as the
+    * over-cap path (and so the twin-equality spec can run both). */
+  private[graft] def bpeMergesDistributed(docs: DataFrame, nMerges: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     var vocab = docs.select(explode(tokens(col("text"))).as("w"))
@@ -1052,7 +1129,7 @@ object TextOps {
             col("stop_frac") >= 0.02 &&
             col("mean_tok_len") >= 3.0 && col("mean_tok_len") <= 10.0, 1.0)
             .otherwise(0.0)), 4).as("keep_frac"))
-        .orderBy("source", "lang")
+        .transform(graft.Present.byNames("source", "lang"))
     },
     Some(s"""WITH f AS (
               SELECT source, lang,
@@ -1100,7 +1177,7 @@ object TextOps {
       .groupBy("t").agg(count(lit(1)).as("freq"))
       .filter(col("freq") * lit(100L / supportPct) > lit(total))
       .withColumn("frac", round(col("freq").cast("double") / lit(total.toDouble), 6))
-      .orderBy(col("freq").desc, col("t"))
+      .transform(graft.Present.by(col("freq").desc, col("t")))
   }
 
   val hitters = Q(
@@ -1168,7 +1245,7 @@ object TextOps {
         .select(
           col("doc_id"), col("n_tokens"), col("score_milli"), col("score"),
           (col("score_milli") > 0L).as("keep"))
-        .orderBy("doc_id"),
+        .transform(graft.Present.byNames("doc_id")),
     Some("""WITH toks AS (
               SELECT doc_id, unnest(list_filter(
                 regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS w
@@ -1214,7 +1291,7 @@ object TextOps {
     * the number of merges applied.
     */
   def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
-    bpeEncoded(docs, merges).orderBy("doc_id")
+    bpeEncoded(docs, merges).transform(graft.Present.byNames("doc_id"))
 
   /** [[bpeEncode]] without the output ordering — for consumers that
     * re-aggregate (t43's fertility rollup), where a pre-aggregate sort
@@ -1258,7 +1335,7 @@ object TextOps {
       // output (bounded: nMerges rows) and the encoded corpus is the
       // artifact this query SHIPS — one consistent tokenizer, one encode
       // pass, paid once in the build ledger.
-      corpusBpeEncoded(s, d, 8).orderBy("doc_id"),
+      corpusBpeEncoded(s, d, 8).transform(graft.Present.byNames("doc_id")),
     None)
 
   // ------------------------------------------------- Unicode normalization
@@ -1289,7 +1366,7 @@ object TextOps {
           (expr("nfc_norm(text)") =!= col("text")).as("changed"),
           (length(expr("nfc_norm(text)")) - length(col("text")))
             .cast("long").as("len_delta"))
-        .orderBy("doc_id"),
+        .transform(graft.Present.byNames("doc_id")),
     Some("""SELECT doc_id, md5(nfc_normalize(text)) AS norm_md5,
               nfc_normalize(text) <> text AS changed,
               CAST(length(nfc_normalize(text)) - length(text) AS BIGINT) AS len_delta
@@ -1351,7 +1428,7 @@ object TextOps {
           col("doc_id"), col("n_tokens"), col("weight_milli"),
           round(col("weight_milli").cast("double")
             / (col("n_tokens").cast("double") * 1000.0), 6).as("w_per_tok"))
-        .orderBy("doc_id")
+        .transform(graft.Present.byNames("doc_id"))
     },
     Some("""WITH toks AS (
               SELECT doc_id, source,
@@ -1421,7 +1498,7 @@ object TextOps {
           col("doc_id"), col("source"), col("lang"), col("n_chars"),
           col("med2"), col("dev2"), col("mad4"),
           (lit(2L) * col("dev2") > lit(3L) * col("mad4")).as("is_outlier"))
-        .orderBy("doc_id")
+        .transform(graft.Present.byNames("doc_id"))
     },
     Some("""WITH med AS (
               SELECT source, lang,
@@ -1480,7 +1557,7 @@ object TextOps {
           round(log(col("n_tokens").cast("double"))
             - col("s_micro").cast("double") / lit(1000000.0) / col("n_tokens"), 6)
             .as("entropy"))
-        .orderBy("doc_id")
+        .transform(graft.Present.byNames("doc_id"))
     },
     Some("""WITH toks AS (
               SELECT doc_id, unnest(list_filter(
@@ -1556,7 +1633,7 @@ object TextOps {
 
   val piiScrubQ = Q(
     "t30_pii_scrub",
-    (s, d) => piiScrub(piiCorpus(Tables.documents(s, d))).orderBy("doc_id"),
+    (s, d) => piiScrub(piiCorpus(Tables.documents(s, d))).transform(graft.Present.byNames("doc_id")),
     Some("""WITH corpus AS (
               SELECT doc_id,
                 CASE WHEN doc_id % 3 <> 0 THEN
@@ -1640,7 +1717,7 @@ object TextOps {
   val encodingAuditQ = Q(
     "t31_encoding_audit",
     (s, d) => encodingAudit(corruptedCorpus(Tables.documents(s, d)))
-      .orderBy("doc_id"),
+      .transform(graft.Present.byNames("doc_id")),
     Some("""WITH corpus AS (
               SELECT doc_id,
                 CASE WHEN doc_id % 5 = 0 THEN
@@ -1730,7 +1807,7 @@ object TextOps {
                 - col("sx").cast("double") * col("sx").cast("double"),
               lit(0.0)), 6)
           .as("zipf_slope"))
-      .orderBy("source")
+      .transform(graft.Present.byNames("source"))
   }
 
   val zipfFit = Q(
@@ -1795,7 +1872,7 @@ object TextOps {
     prefixSummedBy(keyed, Seq("shuffle_key", "doc_id"), "one", "rank1")
       .select(col("doc_id"), col("shuffle_key"),
         (col("rank1") - lit(1L)).as("position"))
-      .orderBy("position")
+      .transform(graft.Present.byNames("position"))
   }
 
   val epochShuffleQ = Q(
@@ -1841,7 +1918,7 @@ object TextOps {
       .withColumn("boiler_frac",
         round(col("n_hot").cast("double") / col("n_shingles").cast("double"), 6))
       .withColumn("is_templated", col("boiler_frac") >= flagAt)
-      .orderBy("doc_id")
+      .transform(graft.Present.byNames("doc_id"))
   }
 
   val templated = Q(
@@ -1898,7 +1975,7 @@ object TextOps {
         col("n_docs"),
         round(col("n_docs").cast("double") / col("n_source").cast("double"), 6)
           .as("source_share"))
-      .orderBy("source", "lang", "pred_lang")
+      .transform(graft.Present.byNames("source", "lang", "pred_lang"))
   }
 
   val langMismatchQ = Q(
@@ -1978,7 +2055,7 @@ object TextOps {
             (col("n_docs").cast("double") * 1e6), 6).as("mean_score"),
           round(col("n_gate_pass").cast("double") / col("n_docs").cast("double"), 6)
             .as("pass_rate"))
-        .orderBy("score_bin")
+        .transform(graft.Present.byNames("score_bin"))
     },
     Some(s"""WITH toks AS (
               SELECT doc_id, unnest(list_filter(
@@ -2066,7 +2143,7 @@ object TextOps {
             nullif(col("n_tokens").cast("double"), lit(0.0)), 6))
         .withColumn("low_coverage",
           coalesce(col("oov_frac") >= 0.5, lit(false)))
-        .orderBy("doc_id")
+        .transform(graft.Present.byNames("doc_id"))
     },
     Some("""WITH toks AS (
               SELECT doc_id, list_filter(
@@ -2129,7 +2206,7 @@ object TextOps {
           round(safeFrac(col("n_tokens"), col("n_sentences")), 6))
         .withColumn("run_on_frac",
           round(safeFrac(col("n_run_on"), col("n_sentences")), 6))
-        .orderBy("doc_id")
+        .transform(graft.Present.byNames("doc_id"))
     },
     Some("""WITH s AS (
               SELECT doc_id,
@@ -2207,7 +2284,7 @@ object TextOps {
       .withColumn("share", round(
         col("n_docs").cast("double")
           / sum("n_docs").over(Window.partitionBy("source")).cast("double"), 6))
-      .orderBy("source", "band")
+      .transform(graft.Present.byNames("source", "band"))
   }
 
   val readability = Q(
@@ -2325,7 +2402,7 @@ object TextOps {
         .select(col("from_source"), col("to_source"), col("n_bigrams"),
           col("cross_entropy"),
           round(col("cross_entropy") - col("h_self"), 6).as("transfer_gap"))
-        .orderBy("from_source", "to_source")
+        .transform(graft.Present.byNames("from_source", "to_source"))
   }
 
   val lmTransfer = Q(
@@ -2447,7 +2524,7 @@ object TextOps {
           col("tp"), col("fp"), col("fn"), col("tn"),
           round(safeFrac(col("tp"), col("tp") + col("fp")), 6).as("precision"),
           round(safeFrac(col("tp"), col("tp") + col("fn")), 6).as("recall"))
-        .orderBy("tau_micro")
+        .transform(graft.Present.byNames("tau_micro"))
     },
     Some(s"""WITH toks AS (
               SELECT doc_id, unnest(list_filter(
@@ -2580,7 +2657,7 @@ object TextOps {
         .select(col("source_a"), col("source_b"),
           round(col("kl_nano").cast("double") / 1e9, 6).as("kl"),
           (col("rn") === 1).as("nearest"))
-        .orderBy("source_a", "source_b")
+        .transform(graft.Present.byNames("source_a", "source_b"))
     },
     Some(s"""WITH toks AS (
               SELECT source, unnest(list_filter(
@@ -2668,7 +2745,7 @@ object TextOps {
         sum("n_symbols").as("n_bpe_tokens"))
       .withColumn("fertility",
         round(safeFrac(col("n_bpe_tokens"), col("n_words")), 6))
-      .orderBy("source", "lang")
+      .transform(graft.Present.byNames("source", "lang"))
 
   val bpeFertilityQ = Q(
     "t43_bpe_fertility",

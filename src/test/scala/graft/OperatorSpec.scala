@@ -293,7 +293,7 @@ class OperatorSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4),
         if (r.isNullAt(5)) None else Some(r.getDouble(5)),
-        if (r.isNullAt(6)) None else Some(r.getDouble(6)))).toSeq
+        if (r.isNullAt(6)) None else Some(r.getDouble(6)))).toSeq.sortBy(_._1)
     assert(got == Seq(
       (1L, 3L, 6L, Some(3L), 0L, Some(2.0), Some(0.0)),
       (2L, 0L, 0L, None, 0L, None, None),
@@ -331,7 +331,8 @@ class OperatorSpec extends SparkSpec {
       (4L, Array(-1f, 0f), 0)
     ).toDF("vec_id", "embedding", "label")
     val got = Similarity.knnLabelConfusionFrom(e, 1, 3).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sortBy(t => (t._1, t._2))
     assert(got == Seq((1L, 0L, 1L, 0.333333), (1L, 1L, 2L, 0.666667)), got.toString)
   }
 
@@ -1002,6 +1003,25 @@ class OperatorSpec extends SparkSpec {
       .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
     assert(tri.head == (("a", "a", 4L)), s"first merge wrong: $tri")
     assert(tri(1) == (("aa", "a", 2L)), s"greedy overlap handling wrong: $tri")
+  }
+
+  test("t21 driver-side trainer == distributed trainer, merge for merge") {
+    import spark.implicits._
+    // The round-16 fast path (bpeMergesLocal under the vocab cap) must be
+    // indistinguishable from the distributed loop — same pair counts,
+    // same (count desc, pair asc) tie rule, same greedy apply — on both
+    // the real corpus and the tie-heavy planted one.
+    def runs(docs: org.apache.spark.sql.DataFrame, n: Int) = {
+      def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      (canon(TextOps.bpeMerges(docs, n)),
+        canon(TextOps.bpeMergesDistributed(docs, n)))
+    }
+    val (a1, b1) = runs(Tables.documents(spark, sf), 8)
+    assert(a1 == b1, s"corpus twin drift: ${a1.diff(b1)} vs ${b1.diff(a1)}")
+    val (a2, b2) = runs(
+      Seq((1L, "aaab aaab aab"), (2L, "ba ab ba ab")).toDF("doc_id", "text"), 6)
+    assert(a2 == b2, s"planted twin drift: $a2 vs $b2")
   }
 
   test("t25 BPE encode equals a sequential reference encoder; counts monotone in merges") {
@@ -1698,7 +1718,7 @@ class OperatorSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val rows = Dedup.clusterSpectrum(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getDouble(4)))
+        r.getDouble(4))).sortBy(_._1)
     assert(rows.toSeq == Seq(
       (1L, 3L, 3L, 0L, 0.3), (2L, 2L, 4L, 2L, 0.4), (3L, 1L, 3L, 2L, 0.3)))
   }
@@ -1741,6 +1761,7 @@ class OperatorSpec extends SparkSpec {
     val rows = TextOps.langMismatch(docs).collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2),
         r.getBoolean(3), r.getLong(4), r.getDouble(5)))
+      .sortBy(t => (t._1, t._2, t._3))
     assert(rows.toSeq == Seq(
       ("feed", "zh", "en", true, 1L, 1.0),
       ("web", "de", "de", false, 1L, 0.333333),
@@ -1850,7 +1871,7 @@ class OperatorSpec extends SparkSpec {
       .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val rows = Dedup.templateScrub(docs, 4).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
-        r.getString(4)))
+        r.getString(4))).sortBy(_._1)
     assert(rows.toSeq == Seq(
       (1L, 8L, 3L, 0.375, md5s("prefix words here suffix tail")),
       (2L, 3L, 3L, 1.0, md5s("")),
@@ -1875,7 +1896,7 @@ class OperatorSpec extends SparkSpec {
     val got = TextOps.readabilityBands(docs).collect().map { r =>
       (r.getString(0), r.getString(1), r.getLong(2),
         if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getDouble(4))
-    }
+    }.sortBy(t => (t._1, t._2))
     assert(got.toSeq == Seq(
       ("srcA", "advanced", 1L, Some(33.17), 0.333333),
       ("srcA", "elementary", 1L, Some(-2.62), 0.333333),
@@ -1893,7 +1914,7 @@ class OperatorSpec extends SparkSpec {
     val views = Seq(0L, mx / 3, mx * 4 / 5, mx + 1).map { s =>
       Relational.incrementalAgg(li, Some(s)).collect()
         .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))
-        .toSeq
+        .toSeq.sortBy(t => (t._1, t._2))
     }
     assert(views.distinct.size == 1,
       s"view drifted with the split point: ${views.map(_.take(1))}")
@@ -2080,6 +2101,7 @@ class OperatorSpec extends SparkSpec {
     ).toDF("vec_id", "embedding", "label")
     val out = Similarity.kmeansCartography(e, k = 3, iters = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(4)))
+      .sortBy(_._1)
     assert(out.toSeq == Seq((0L, 3L, 0L, 1.0), (1L, 3L, 1L, 1.0), (2L, 2L, 2L, 1.0)))
     val shares = Similarity.kmeansCartography(e, k = 3, iters = 3)
       .agg(sum("share")).head().getDouble(0)
@@ -2109,6 +2131,7 @@ class OperatorSpec extends SparkSpec {
     ).toDF("vec_id", "embedding", "label")
     val sh = Similarity.kmeansCartography(shifted, k = 3, iters = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(4)))
+      .sortBy(_._1)
     assert(sh.toSeq == Seq((100L, 3L, 0L, 1.0), (101L, 3L, 1L, 1.0), (102L, 2L, 2L, 1.0)),
       s"shifted-id corpus failed to seed: ${sh.toSeq}")
   }
@@ -2424,7 +2447,9 @@ class OperatorSpec extends SparkSpec {
   test("m15 interleave pack: per-modality token mass is conserved and every interior window is exactly full") {
     import graft.functions.TextFns
     val docs = Tables.documents(spark, sf)
+    // Sorted by window_id: Present-seam results carry no presentation order.
     val out = SparkEntry.queries("m15_interleave_pack")(spark, sf).collect()
+      .sortBy(_.getLong(0))
     // Conservation: the window rollup must hold every text token exactly
     // once and one 64-token slot per payload-bearing doc — interval
     // splitting can neither drop nor double-count a position.

@@ -7,8 +7,11 @@ import graft.operators.{Dedup, ReleaseArtifacts}
   * refuse stale corpora and mismatched kernel parameters. */
 class ReleaseArtifactsSpec extends SparkSpec {
 
+  // Sorted canon: since the Present seam (round 16) results carry no
+  // presentation order; equality claims here are on the row SET, the same
+  // canon the driver gate uses.
   private def run(name: String): Seq[String] =
-    SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq
+    SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq.sorted
 
   test("persisted artifacts drive d36/d02/d06 to batch-identical results") {
     val dir = java.nio.file.Files.createTempDirectory("graft_release").toString

@@ -363,7 +363,8 @@ class StreamingSpec extends SparkSpec {
     val twin = Similarity.ivfStaleTopK(spark, sf, 3, 4,
       nCells = 8, nProbe = 2, kmeansIters = 2)
       .select("query_id", "neighbor_id", "cos_sim", "rank").collect()
-    assert(probed.map(_.toString).toSeq == twin.map(_.toString).toSeq)
+    // Sorted canon: Present-seam results carry no presentation order.
+    assert(probed.map(_.toString).toSeq.sorted == twin.map(_.toString).toSeq.sorted)
   }
 
   test("streaming decontamination gate across micro-batches == batch d17") {
@@ -448,7 +449,7 @@ class StreamingSpec extends SparkSpec {
     // The batch twin through the SHARED close: q46 over a purchase-only
     // stream has horizon = newest purchase, exactly the view's contract.
     val recompute = Relational.purchaseCadence(purchases)
-      .collect().map(_.toString).toSeq
+      .collect().map(_.toString).toSeq.sorted
     Seq(3, 7).foreach { nBatches =>
       val base = Files.createTempDirectory(s"graft-cadence-$nBatches").toString
       purchases.repartition(nBatches)
@@ -458,7 +459,7 @@ class StreamingSpec extends SparkSpec {
         s"$base/state", s"$base/ckpt")
       try q.processAllAvailable() finally q.stop()
       val maintained = ViewStreams.cadenceView(spark, s"$base/state")
-        .collect().map(_.toString).toSeq
+        .collect().map(_.toString).toSeq.sorted
       assert(maintained == recompute,
         s"cadence view drifted at $nBatches batches: " +
           s"${maintained.diff(recompute).take(2)} vs ${recompute.diff(maintained).take(2)}")
@@ -481,7 +482,7 @@ class StreamingSpec extends SparkSpec {
         col("o_orderdate"), col("l_shipdate"))
     val recompute = Relational.fulfillmentFromCounts(
         Relational.fulfillmentCounts(enriched))
-      .collect().map(_.toString).toSeq
+      .collect().map(_.toString).toSeq.sorted
     Seq(3, 7).foreach { nBatches =>
       val base = Files.createTempDirectory(s"graft-fulfill-$nBatches").toString
       enriched.repartition(nBatches)
@@ -491,7 +492,7 @@ class StreamingSpec extends SparkSpec {
         s"$base/state", s"$base/ckpt")
       try q.processAllAvailable() finally q.stop()
       val maintained = ViewStreams.fulfillmentView(spark, s"$base/state")
-        .collect().map(_.toString).toSeq
+        .collect().map(_.toString).toSeq.sorted
       assert(maintained == recompute,
         s"fulfillment view drifted at $nBatches batches: " +
           s"${maintained.diff(recompute).take(2)} vs ${recompute.diff(maintained).take(2)}")
@@ -522,7 +523,7 @@ class StreamingSpec extends SparkSpec {
           col("payload")))
     val recompute = Multimodal.reclaimFromCounts(
         Multimodal.reclaimCounts(enriched))
-      .collect().map(_.toString).toSeq
+      .collect().map(_.toString).toSeq.sorted
     assert(recompute.nonEmpty)
     // (a) an arbitrary slicing (associativity under any batching).
     val base1 = Files.createTempDirectory("graft-reclaim-3").toString
@@ -532,7 +533,7 @@ class StreamingSpec extends SparkSpec {
       s"$base1/state", s"$base1/ckpt")
     try q1.processAllAvailable() finally q1.stop()
     val m1 = ViewStreams.reclaimView(spark, s"$base1/state")
-      .collect().map(_.toString).toSeq
+      .collect().map(_.toString).toSeq.sorted
     assert(m1 == recompute,
       s"reclaim view drifted at 3 batches: " +
         s"${m1.diff(recompute).take(2)} vs ${recompute.diff(m1).take(2)}")
@@ -559,7 +560,7 @@ class StreamingSpec extends SparkSpec {
       s"$base2/state", s"$base2/ckpt")
     try q2.processAllAvailable() finally q2.stop()
     val m2 = ViewStreams.reclaimView(spark, s"$base2/state")
-      .collect().map(_.toString).toSeq
+      .collect().map(_.toString).toSeq.sorted
     assert(m2 == recompute,
       s"reclaim view drifted under keeper migration: " +
         s"${m2.diff(recompute).take(2)} vs ${recompute.diff(m2).take(2)}")
@@ -729,7 +730,7 @@ class StreamingSpec extends SparkSpec {
       .select("source", "payload")
     val recompute = Multimodal.symbolProfileFromCounts(
         Multimodal.symbolCounts(enriched))
-      .collect().map(_.toString).toSeq
+      .collect().map(_.toString).toSeq.sorted
     assert(recompute.nonEmpty)
     Seq(2, 5).foreach { nBatches =>
       val base = Files.createTempDirectory(s"graft-sym-$nBatches").toString
@@ -740,7 +741,7 @@ class StreamingSpec extends SparkSpec {
         s"$base/state", s"$base/ckpt")
       try q.processAllAvailable() finally q.stop()
       val maintained = ViewStreams.symbolView(spark, s"$base/state")
-        .collect().map(_.toString).toSeq
+        .collect().map(_.toString).toSeq.sorted
       assert(maintained == recompute,
         s"symbol view drifted at $nBatches batches: " +
           s"${maintained.diff(recompute).take(2)} vs ${recompute.diff(maintained).take(2)}")
