@@ -2550,9 +2550,16 @@ object Dedup {
     * rows ≤ sources², structurally tiny at any corpus scale. No all-pairs
     * term anywhere: shingles shared by zero pairs never leave the join.
     */
-  def crossSourceOverlap(docs: DataFrame, n: Int = 5): DataFrame = {
+  def crossSourceOverlap(docs: DataFrame, n: Int = 5): DataFrame =
+    crossSourceOverlapFromHashes(docs, hashedShingles(shingleSets(docs, n)))
+
+  /** [[crossSourceOverlap]] over an already-materialized hashed shingle
+    * table — the corpus path reads the session-memoized hs@5 (round 16:
+    * d20 re-tokenized the corpus its own contamination family had
+    * already shingled; same d21/d35 FromHashes discipline). */
+  def crossSourceOverlapFromHashes(docs: DataFrame, hsIn: DataFrame): DataFrame = {
     val srcOf = docs.select(col("doc_id"), col("source"))
-    val sh = hashedShingles(shingleSets(docs, n))
+    val sh = hsIn
       .join(srcOf, Seq("doc_id"))
       .select(col("source"), col("sh_h"))
       .groupBy("source", "sh_h").agg(count(lit(1)).as("_n")) // distinct per source
@@ -2575,7 +2582,8 @@ object Dedup {
 
   val crossSource = Q(
     "d20_cross_source_overlap",
-    (s, d) => crossSourceOverlap(Tables.documents(s, d)),
+    (s, d) => crossSourceOverlapFromHashes(
+      Tables.documents(s, d), corpusShingleHashes(s, d, 5)),
     Some("""WITH toks AS (
               SELECT doc_id, source, list_filter(
                 regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
@@ -2819,10 +2827,15 @@ object Dedup {
     * (vocabulary-bounded output), a scalar total attached by cross-join
     * of a 1-row aggregate. Output ∝ hot vocabulary — tiny at any corpus
     * size; nothing pairwise anywhere. */
-  def hotShingleReport(docs: DataFrame, minDf: Int): DataFrame = {
-    val hs = hashedShingles(shingleSets(docs))
+  def hotShingleReport(docs: DataFrame, minDf: Int): DataFrame =
+    hotShingleReportFromHashes(docs, hashedShingles(shingleSets(docs)), minDf)
+
+  /** [[hotShingleReport]] over an already-materialized hashed shingle
+    * table (round 16: the corpus path reads the session-memoized hs@3). */
+  def hotShingleReportFromHashes(docs: DataFrame, hsIn: DataFrame,
+      minDf: Int): DataFrame = {
     val total = docs.agg(count(lit(1)).as("n_docs"))
-    hs.join(docs.select(col("doc_id"), col("source")), "doc_id")
+    hsIn.join(docs.select(col("doc_id"), col("source")), "doc_id")
       .groupBy("sh_h")
       .agg(count(lit(1)).as("df"), countDistinct("source").as("n_sources"))
       .filter(col("df") >= minDf)
@@ -2835,7 +2848,8 @@ object Dedup {
 
   val hotReport = Q(
     "d23_boilerplate_report",
-    (s, d) => hotShingleReport(Tables.documents(s, d), 4),
+    (s, d) => hotShingleReportFromHashes(
+      Tables.documents(s, d), corpusShingleHashes(s, d), 4),
     Some("""WITH sh AS (
               SELECT DISTINCT doc_id, shingle FROM (
                 SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
@@ -3159,7 +3173,15 @@ object Dedup {
     * empty resident side makes every delta-hot shingle emerging (all of
     * today's templates are new — the semantically right answer). */
   def boilerplateDrift(docs: DataFrame, minDeltaDf: Int = 3,
-      ratio: Int = 4): DataFrame = {
+      ratio: Int = 4): DataFrame =
+    boilerplateDriftFromHashes(docs, hashedShingles(shingleSets(docs)),
+      minDeltaDf, ratio)
+
+  /** [[boilerplateDrift]] over an already-materialized hashed shingle
+    * table (round 16: the d28 query and p13's template leg read the
+    * session-memoized hs@3 instead of re-tokenizing the corpus). */
+  def boilerplateDriftFromHashes(docs: DataFrame, hsIn: DataFrame,
+      minDeltaDf: Int = 3, ratio: Int = 4): DataFrame = {
     val mx = docs.agg(max("doc_id")).head()
     val split = if (mx.isNullAt(0)) 0L else mx.getLong(0) * 4 / 5
     val tagged = docs.select(col("doc_id"),
@@ -3168,7 +3190,7 @@ object Dedup {
     val waveCounts = tagged.agg(
       sum(when(col("wave") === "resident", 1L).otherwise(0L)).as("resident_docs"),
       sum(when(col("wave") === "delta", 1L).otherwise(0L)).as("delta_docs"))
-    val df = hashedShingles(shingleSets(docs))
+    val df = hsIn
       .join(tagged, "doc_id")
       .groupBy("sh_h", "wave").agg(count(lit(1)).as("df"))
     val res = df.filter(col("wave") === "resident")
@@ -3240,7 +3262,8 @@ object Dedup {
 
   val boilerplateDriftQ = Q(
     "d28_boilerplate_drift",
-    (s, d) => boilerplateDrift(Tables.documents(s, d)),
+    (s, d) => boilerplateDriftFromHashes(
+      Tables.documents(s, d), corpusShingleHashes(s, d)),
     Some(s"""WITH $boilerplateDriftSqlCtes
             SELECT sh_h, resident_df, delta_df, resident_rate, delta_rate,
               emerging
@@ -3340,8 +3363,23 @@ object Dedup {
                 count(*) >= 3 AS dedupable
               FROM cidx GROUP BY doc_id, pos)"""
 
-  def cdcDedup(docs: DataFrame, g: Int = 8, minTokens: Int = 3): DataFrame = {
-    val occ = cdcChunks(docs, g, minTokens)
+  /** The corpus's CDC chunk-occurrence table, memoized + checkpointed —
+    * round 16: d29 and d30 each re-ran the per-token-MD5 chunk walk
+    * (d29 even twice per run — `occ` had two lazy consumers), so the
+    * chunk table joins the hs/sigs/banded artifact family: built once
+    * per (session, corpus, stamp, g, minTokens), read marginally. */
+  private[operators] def corpusCdcChunks(spark: SparkSession, d: String,
+      g: Int = 8, minTokens: Int = 3): DataFrame =
+    CorpusMemo.artifact(spark, d, s"cdc@$g@$minTokens")(
+      graft.MemoLedger.audited(s"memo:cdc@$g@$minTokens")(
+        cdcChunks(Tables.documents(spark, d), g, minTokens)).localCheckpoint())
+
+  def cdcDedup(docs: DataFrame, g: Int = 8, minTokens: Int = 3): DataFrame =
+    cdcDedupFromChunks(docs, cdcChunks(docs, g, minTokens))
+
+  /** [[cdcDedup]] over an already-materialized chunk table (the corpus
+    * path reads the session-memoized one). */
+  def cdcDedupFromChunks(docs: DataFrame, occ: DataFrame): DataFrame = {
     val first = occ.filter(col("dedupable"))
       .groupBy("sk").agg(min(struct(col("doc_id"), col("pos"))).as("f"))
       .select(col("sk"), col("f.doc_id").as("f_doc"), col("f.pos").as("f_pos"))
@@ -3371,7 +3409,8 @@ object Dedup {
 
   val cdcDedupQ = Q(
     "d29_cdc_dedup",
-    (s, d) => cdcDedup(Tables.documents(s, d), 8, 3),
+    (s, d) => cdcDedupFromChunks(
+      Tables.documents(s, d), corpusCdcChunks(s, d, 8, 3)),
     Some(s"""WITH $cdcChunkSqlCtes,
             f AS (
               SELECT sk, first(doc_id ORDER BY doc_id, pos) AS f_doc,
@@ -3424,8 +3463,13 @@ object Dedup {
     * a templated one makes exactly the rows you want to read. No joins
     * beyond the source attach, no windows, no df cap needed (occurrence
     * rows never pair — d29's 1:1 argument). */
-  def hotChunks(docs: DataFrame, g: Int = 8, minTokens: Int = 3): DataFrame = {
-    val occ = cdcChunks(docs, g, minTokens).filter(col("dedupable"))
+  def hotChunks(docs: DataFrame, g: Int = 8, minTokens: Int = 3): DataFrame =
+    hotChunksFromChunks(docs, cdcChunks(docs, g, minTokens))
+
+  /** [[hotChunks]] over an already-materialized chunk table (the corpus
+    * path reads the session-memoized one). */
+  def hotChunksFromChunks(docs: DataFrame, occIn: DataFrame): DataFrame = {
+    val occ = occIn.filter(col("dedupable"))
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
     occ.groupBy("sk").agg(
         first(col("sent")).as("chunk"),
@@ -3440,7 +3484,8 @@ object Dedup {
 
   val hotChunksQ = Q(
     "d30_hot_chunks",
-    (s, d) => hotChunks(Tables.documents(s, d), 8, 3),
+    (s, d) => hotChunksFromChunks(
+      Tables.documents(s, d), corpusCdcChunks(s, d, 8, 3)),
     Some(s"""WITH $cdcChunkSqlCtes,
             occ AS (
               SELECT k.sk, k.sent, k.doc_id, d.source

@@ -1156,7 +1156,13 @@ object Pipeline {
     * Degenerates: empty corpus/embeddings → zero counts, NULL rates,
     * all gates pass (an empty delta is safe to fold — and the zero-row
     * gate proves it doesn't crash instead). */
-  def ingestAudit(docs: DataFrame, emb: DataFrame): DataFrame = {
+  /** @param hs optional pre-materialized hashed shingle table for the
+    *           template leg (round 16: the registered query passes the
+    *           session-memoized hs@3 so p13 stops re-tokenizing a corpus
+    *           its own d-family already shingled; planted-corpus specs
+    *           omit it and shingle inline). */
+  def ingestAudit(docs: DataFrame, emb: DataFrame,
+      hs: Option[DataFrame] = None): DataFrame = {
     val mx = docs.agg(max("doc_id")).head()
     val split = if (mx.isNullAt(0)) 0L else mx.getLong(0) * 4 / 5
     val tagged = docs.select(col("doc_id"),
@@ -1172,7 +1178,8 @@ object Pipeline {
       sum(when(col("is_delta"), col("n_tokens")).otherwise(0L)).as("delta_tokens"),
       sum(when(col("is_delta") && col("doc_id") =!= col("min_id"), 1L)
         .otherwise(0L)).as("n_delta_dup"))
-    val tmplLeg = Dedup.boilerplateDrift(docs).agg(
+    val tmplLeg = hs.map(Dedup.boilerplateDriftFromHashes(docs, _))
+      .getOrElse(Dedup.boilerplateDrift(docs)).agg(
       sum(when(col("emerging") && col("delta_rate") >= 0.1, 1L).otherwise(0L))
         .as("n_emerging_major"))
     val driftLeg = Similarity.embeddingDrift(emb).agg(
@@ -1201,7 +1208,8 @@ object Pipeline {
 
   val ingestAuditQ = Q(
     "p13_ingest_audit",
-    (s, d) => ingestAudit(Tables.documents(s, d), Tables.embeddings(s, d)),
+    (s, d) => ingestAudit(Tables.documents(s, d), Tables.embeddings(s, d),
+      Some(Dedup.corpusShingleHashes(s, d))),
     Some(s"""WITH ${Dedup.boilerplateDriftSqlCtes},
             ${Similarity.driftSqlCtes},
             pmx AS (SELECT max(doc_id) AS m FROM documents),
