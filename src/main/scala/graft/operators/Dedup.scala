@@ -2269,6 +2269,18 @@ object Dedup {
       nEval: Int = 25, threshold: Double = 0.35): DataFrame =
     embeddingDecontaminateFrom(Tables.embeddings(spark, d), nEval, threshold)
 
+  /** d17's evidence table memoized per (corpus, nEval, threshold) —
+    * round 16: d17 and p03's semantic leg ran the SAME 25-literal
+    * scoring scan independently; like the contam@n entries it is built
+    * once (ledgered) and both read it marginally. Checkpointed: the
+    * output is contamination-sized (flagged rows only), ≪ corpus. */
+  private[operators] def corpusSemContam(spark: SparkSession, d: String,
+      nEval: Int, threshold: Double): DataFrame =
+    CorpusMemo.artifact(spark, d, s"semContam@$nEval@$threshold")(
+      graft.MemoLedger.audited(s"memo:semContam@$nEval@$threshold")(
+        embeddingDecontaminateFrom(Tables.embeddings(spark, d), nEval, threshold))
+        .localCheckpoint())
+
   /** Core of d17 over any (vec_id, embedding) frame; eval = vec_id < nEval. */
   def embeddingDecontaminateFrom(e: DataFrame,
       nEval: Int, threshold: Double): DataFrame = {
@@ -2374,7 +2386,7 @@ object Dedup {
 
   val embeddingDecontam = Q(
     "d17_embedding_decontaminate",
-    (s, d) => embeddingDecontaminate(s, d, 25, 0.35),
+    (s, d) => corpusSemContam(s, d, 25, 0.35),
     Some("""WITH ev AS (
               SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS ee
               FROM embeddings WHERE vec_id < 25),

@@ -274,14 +274,13 @@ object Pipeline {
     val tokHits = Dedup.decontaminateSplitAt(spark, d, nEval, ngramN)
       .select(col("doc_id"), col("n_shared_ngrams"))
     val e = Tables.embeddings(spark, d)
+    // Semantic leg via the d17 evidence memo (round 16): p03 previously
+    // ran the identical 25-literal scoring scan d17 had already paid for.
+    // The bucketed path (eval too large to literal-inline) is unchanged.
     val semScores =
-      if (nEval <= inlineEvalBound) {
-        val evalSet = e.filter(col("vec_id") < nEval)
-          .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-          .collect().sortBy(_._1)
-        Dedup.scoreAgainstEval(
-          e.filter(col("vec_id") >= nEval), evalSet, semThreshold)
-      } else
+      if (nEval <= inlineEvalBound)
+        Dedup.corpusSemContam(spark, d, nEval, semThreshold)
+      else
         Dedup.embeddingDecontaminateBucketed(e, nEval, semThreshold)._1
     val sem = semScores.select(col("vec_id").as("doc_id"), col("max_cos"))
     val scrub = TextOps.scrubTerms(corpusDocs, terms)
@@ -603,6 +602,17 @@ object Pipeline {
     * representative — factored so the two funnels' "same stage
     * definitions" cross-check is one code path, not four copies to patch
     * in lockstep (the classifierDocScores/t24-p12 stance). */
+  /** [[stagedDocs]] memoized per (corpus, stamp) — round 16: p07, p11
+    * and p14 each re-ran the identical feature scan + d01 fingerprint
+    * window; one ledgered, checkpointed build now serves all three
+    * (planted-corpus specs keep passing raw frames through the generic
+    * overloads). */
+  private def corpusStagedDocs(spark: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    Dedup.CorpusMemo.artifact(spark, d, "staged")(
+      graft.MemoLedger.audited("memo:staged")(
+        stagedDocs(Tables.documents(spark, d))).localCheckpoint())
+
   private def stagedDocs(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val blockPat = "\\b(customer|supplier|order)\\b"
@@ -627,8 +637,9 @@ object Pipeline {
     feats.withColumn("unique_keep", col("gate_keep") && col("doc_id") === rep)
   }
 
-  def survivalFunnel(docs: DataFrame): DataFrame =
-    stagedDocs(docs)
+  def survivalFunnel(docs: DataFrame,
+      stagedIn: Option[DataFrame] = None): DataFrame =
+    stagedIn.getOrElse(stagedDocs(docs))
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_raw"),
@@ -641,7 +652,8 @@ object Pipeline {
 
   val funnel = Q(
     "p07_survival_funnel",
-    (s, d) => survivalFunnel(Tables.documents(s, d)),
+    (s, d) => survivalFunnel(Tables.documents(s, d),
+      Some(corpusStagedDocs(s, d))),
     Some("""WITH f AS (
               SELECT doc_id, source,
                 CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS BIGINT) AS n_tokens,
@@ -976,8 +988,9 @@ object Pipeline {
     * window, one source-keyed aggregate with map-side partials; output =
     * #sources rows. Every ratio rides safeFrac/NULLIF (an all-empty-doc
     * source has raw_tokens 0). */
-  def tokenFunnel(docs: DataFrame): DataFrame =
-    stagedDocs(docs)
+  def tokenFunnel(docs: DataFrame,
+      stagedIn: Option[DataFrame] = None): DataFrame =
+    stagedIn.getOrElse(stagedDocs(docs))
       .groupBy("source")
       .agg(
         sum("n_tokens").as("raw_tokens"),
@@ -990,7 +1003,8 @@ object Pipeline {
 
   val tokenFunnelQ = Q(
     "p11_token_funnel",
-    (s, d) => tokenFunnel(Tables.documents(s, d)),
+    (s, d) => tokenFunnel(Tables.documents(s, d),
+      Some(corpusStagedDocs(s, d))),
     Some("""WITH f AS (
               SELECT doc_id, source,
                 CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS BIGINT) AS n_tokens,
@@ -1281,8 +1295,9 @@ object Pipeline {
     * window (fp-partitioned), one (source, combo) aggregate with
     * map-side partials joined to the #sources totals — output
     * ≤ #sources × 8 rows at any corpus size. */
-  def gateAttribution(docs: DataFrame): DataFrame = {
-    val flagged = stagedDocs(docs)
+  def gateAttribution(docs: DataFrame,
+      stagedIn: Option[DataFrame] = None): DataFrame = {
+    val flagged = stagedIn.getOrElse(stagedDocs(docs))
       .withColumn("rep_all",
         min(col("doc_id")).over(Window.partitionBy("fp")))
       .select(col("source"),
@@ -1309,7 +1324,8 @@ object Pipeline {
 
   val gateAttributionQ = Q(
     "p14_gate_attribution",
-    (s, d) => gateAttribution(Tables.documents(s, d)),
+    (s, d) => gateAttribution(Tables.documents(s, d),
+      Some(corpusStagedDocs(s, d))),
     Some("""WITH f AS (
               SELECT doc_id, source,
                 CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS BIGINT) AS n_tokens,
@@ -1599,8 +1615,13 @@ object Pipeline {
     * aggregate and three bounded-×-1-row attaches over the ≤ #sources
     * table. The expensive thing is the measurement; the decision is
     * #sources rows of arithmetic. */
-  def mixReweight(docs: DataFrame, eta: Double = 0.25): DataFrame = {
-    val novelty = TextOps.lmTransferMatrix(docs)
+  /** @param matrix optional pre-built t40 transfer matrix (round 16: the
+    *              registered query passes the session-memoized one so
+    *              p17 and t40 measure the SAME matrix once; planted
+    *              specs omit it and build inline). */
+  def mixReweight(docs: DataFrame, eta: Double = 0.25,
+      matrix: Option[DataFrame] = None): DataFrame = {
+    val novelty = matrix.getOrElse(TextOps.lmTransferMatrix(docs))
       .filter(col("from_source") =!= col("to_source"))
       .groupBy(col("from_source").as("source"))
       .agg(round(safeFrac(
@@ -1631,7 +1652,8 @@ object Pipeline {
 
   val mixReweightQ = Q(
     "p17_mix_reweight",
-    (s, d) => mixReweight(Tables.documents(s, d)),
+    (s, d) => mixReweight(Tables.documents(s, d),
+      matrix = Some(TextOps.corpusLmTransferMatrix(s, d))),
     Some(s"""WITH ${TextOps.lmTransferCtes},
             gaps AS (
               SELECT a.from_source AS source,

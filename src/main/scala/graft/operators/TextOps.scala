@@ -2405,9 +2405,17 @@ object TextOps {
         .transform(graft.Present.byNames("from_source", "to_source"))
   }
 
+  /** t40's matrix memoized per (corpus, stamp) — round 16: t40 and
+    * p17's reweighting step each ran the full bigram-LM build; one
+    * ledgered build now serves both (checkpointed — #sources² rows). */
+  def corpusLmTransferMatrix(spark: SparkSession, d: String): DataFrame =
+    TokMemo.artifact(spark, d, "lmMatrix")(
+      graft.MemoLedger.audited("memo:lmMatrix")(
+        lmTransferMatrix(Tables.documents(spark, d))).localCheckpoint())
+
   val lmTransfer = Q(
     "t40_lm_transfer",
-    (s, d) => lmTransferMatrix(Tables.documents(s, d)),
+    (s, d) => corpusLmTransferMatrix(s, d),
     Some(s"""WITH $lmTransferCtes
             SELECT a.from_source, a.to_source, a.n_bigrams, a.cross_entropy,
               round(a.cross_entropy - b.cross_entropy, 6) AS transfer_gap
