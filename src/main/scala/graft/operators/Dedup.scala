@@ -321,6 +321,18 @@ object Dedup {
   def cappedPairCounts(hs: DataFrame, dfCap: Int): DataFrame = {
     val hot = hs.groupBy("sh_h").agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select("sh_h").localCheckpoint()
+    // Empty-hot fast path (round 16): on healthy corpora no shingle
+    // crosses the cap, so the anti-join is the identity and both hot-set
+    // recovery legs are empty — skip their checkpoint job and two left
+    // joins outright. One take(1) probe on the already-materialized hot
+    // checkpoint decides; result-identical either way (n_common = n_rare
+    // when no hot shingle exists), and the boiler-corpus path is
+    // unchanged (DedupCapSpec exercises it).
+    if (hot.isEmpty)
+      return hs.select(col("doc_id").as("a"), col("sh_h")).hint("merge")
+        .join(hs.select(col("doc_id").as("b"), col("sh_h")).hint("merge"), "sh_h")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
     val rare = hs.join(hot, Seq("sh_h"), "left_anti")
     val rareCounts = rare.select(col("doc_id").as("a"), col("sh_h")).hint("merge")
       .join(rare.select(col("doc_id").as("b"), col("sh_h")).hint("merge"), "sh_h")
@@ -1696,6 +1708,12 @@ object Dedup {
     val hot = corpusSh.select("sh_h").union(evalSh.select("sh_h"))
       .groupBy("sh_h").agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select("sh_h").localCheckpoint()
+    // Empty-hot fast path — see cappedPairCounts: identical result, the
+    // two hot-array checkpoints and three joins skipped when no shingle
+    // crosses the cap.
+    if (hot.isEmpty)
+      return corpusSh.hint("merge").join(evalSh.hint("merge"), Seq("sh_h"))
+        .groupBy("doc_id", "eval_doc").agg(count(lit(1)).as("n_shared"))
     val rareC = corpusSh.join(hot, Seq("sh_h"), "left_anti")
     val rareE = evalSh.join(hot, Seq("sh_h"), "left_anti")
     val rarePairs = rareC.hint("merge").join(rareE.hint("merge"), Seq("sh_h"))
@@ -2671,7 +2689,11 @@ object Dedup {
     val sh = hsIn.withColumn("bucket", Sampling.hashBucket(col("doc_id")))
     val hot = sh.groupBy("sh_h").agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select("sh_h").localCheckpoint()
-    val rare = sh.join(hot, Seq("sh_h"), "left_anti")
+    // Empty-hot fast path — see cappedPairCounts: identical result
+    // (n_shared = n_rare) with the hot-set checkpoint and two left
+    // joins skipped when no shingle crosses the cap.
+    val hotEmpty = hot.isEmpty
+    val rare = if (hotEmpty) sh else sh.join(hot, Seq("sh_h"), "left_anti")
     val train = rare.filter(col("bucket") >= valPct)
       .select(col("doc_id").as("train_doc"), col("sh_h"))
     val valSide = rare.filter(col("bucket") < valPct)
@@ -2679,18 +2701,25 @@ object Dedup {
     val rarePairs = valSide.hint("merge").join(train.hint("merge"), Seq("sh_h"))
       .groupBy("val_doc", "train_doc")
       .agg(count(lit(1)).as("n_rare"))
-    val hotSets = sh.join(hot, Seq("sh_h"))
-      .groupBy("doc_id").agg(sort_array(collect_set(col("sh_h"))).as("hot_set"))
-      .localCheckpoint()
-    rarePairs
-      .join(hotSets.select(col("doc_id").as("val_doc"), col("hot_set").as("hot_v")),
-        Seq("val_doc"), "left")
-      .join(hotSets.select(col("doc_id").as("train_doc"), col("hot_set").as("hot_t")),
-        Seq("train_doc"), "left")
-      .select(col("val_doc"), col("train_doc"),
-        (col("n_rare") +
-          coalesce(size(array_intersect(col("hot_v"), col("hot_t"))), lit(0)).cast("long"))
-          .as("n_shared"))
+    val shared =
+      if (hotEmpty)
+        rarePairs.select(col("val_doc"), col("train_doc"),
+          col("n_rare").as("n_shared"))
+      else {
+        val hotSets = sh.join(hot, Seq("sh_h"))
+          .groupBy("doc_id").agg(sort_array(collect_set(col("sh_h"))).as("hot_set"))
+          .localCheckpoint()
+        rarePairs
+          .join(hotSets.select(col("doc_id").as("val_doc"), col("hot_set").as("hot_v")),
+            Seq("val_doc"), "left")
+          .join(hotSets.select(col("doc_id").as("train_doc"), col("hot_set").as("hot_t")),
+            Seq("train_doc"), "left")
+          .select(col("val_doc"), col("train_doc"),
+            (col("n_rare") +
+              coalesce(size(array_intersect(col("hot_v"), col("hot_t"))), lit(0)).cast("long"))
+              .as("n_shared"))
+      }
+    shared
       .groupBy("val_doc")
       .agg(
         count(lit(1)).as("n_train_neighbors"),
@@ -3772,22 +3801,34 @@ object Dedup {
         .filter(col("a") < col("b"))
         .groupBy("a", "b")
         .agg(count(lit(1)).as("n_rare"), min("df").as("min_df"))
-      val hotSets = hs.join(dfTab.filter(col("df") > maxCap), Seq("sh_h"))
-        .groupBy("doc_id").agg(sort_array(collect_set(col("sh_h"))).as("hot_set"))
-        .localCheckpoint()
       val sizes = hs.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val stats = rarePairs
-        .join(hotSets.select(col("doc_id").as("a"), col("hot_set").as("hot_a")),
-          Seq("a"), "left")
-        .join(hotSets.select(col("doc_id").as("b"), col("hot_set").as("hot_b")),
-          Seq("b"), "left")
+      // Empty-hot fast path — see cappedPairCounts: no shingle above the
+      // largest cap ⇒ n_common = n_rare, hot-set checkpoint + two left
+      // joins skipped (result-identical; the boiler-corpus spec drives
+      // the non-empty arm).
+      val hotDf = dfTab.filter(col("df") > maxCap)
+      val common =
+        if (hotDf.isEmpty)
+          rarePairs.select(col("a"), col("b"), col("min_df"),
+            col("n_rare").as("n_common"))
+        else {
+          val hotSets = hs.join(hotDf, Seq("sh_h"))
+            .groupBy("doc_id").agg(sort_array(collect_set(col("sh_h"))).as("hot_set"))
+            .localCheckpoint()
+          rarePairs
+            .join(hotSets.select(col("doc_id").as("a"), col("hot_set").as("hot_a")),
+              Seq("a"), "left")
+            .join(hotSets.select(col("doc_id").as("b"), col("hot_set").as("hot_b")),
+              Seq("b"), "left")
+            .select(col("a"), col("b"), col("min_df"),
+              (col("n_rare") +
+                coalesce(size(array_intersect(col("hot_a"), col("hot_b"))), lit(0))
+                  .cast("long")).as("n_common"))
+        }
+      val stats = common
         .join(sizes.select(col("doc_id").as("a"), col("n").as("n_a")), "a")
         .join(sizes.select(col("doc_id").as("b"), col("n").as("n_b")), "b")
-        .select(col("min_df"),
-          (col("n_rare") +
-            coalesce(size(array_intersect(col("hot_a"), col("hot_b"))), lit(0))
-              .cast("long")).as("n_common"),
-          col("n_a"), col("n_b"))
+        .select(col("min_df"), col("n_common"), col("n_a"), col("n_b"))
         .select(col("min_df"),
           round(col("n_common").cast("double") /
             (col("n_a") + col("n_b") - col("n_common")).cast("double"), 4)
