@@ -353,11 +353,19 @@ object Relational {
   val q15 = Q(
     "q15_approx_distinct",
     (s, d) =>
+      // Pre-distinct once, then sketch + count the distinct rows (round
+      // 16): the multi-distinct aggregate planned an Expand that doubled
+      // every lineitem row through the shuffle. An HLL sketch is
+      // duplicate-insensitive, so approx_count_distinct over the distinct
+      // (flag, partkey) set inserts exactly the same values — identical
+      // estimate, identical exact count, no Expand (plan diff in
+      // plans/r16; the q15 NOORACLE rel-err floor re-measures it).
       Tables.lineitem(s, d)
+        .select("l_returnflag", "l_partkey").distinct()
         .groupBy("l_returnflag")
         .agg(
           approx_count_distinct("l_partkey", 0.02).as("approx_parts"),
-          countDistinct("l_partkey").as("exact_parts"))
+          count(lit(1)).as("exact_parts"))
         .transform(graft.Present.byNames("l_returnflag")),
     None)
 
