@@ -7,10 +7,31 @@ package graft
   */
 object SortProbe {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val sfDir0 = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val scale10 = args.contains("--scale10")
     val spark = GraftSession.get("graft-sort-probe")
-    val names = Seq("q01_scan_filter_project", "d01_dedup_exact",
-      "t27_dsir_importance", "t38_sentence_profile")
+    // --scale10: probe on a 10× documents corpus (D10Flat's stamp-keyed
+    // cache pattern) — evidence that the presentation-sort win GROWS
+    // with data (the range exchange + sort are output-proportional),
+    // i.e. the optimization is not a small-SF artifact. Only
+    // documents-backed probe queries run in this mode.
+    val sfDir =
+      if (!scale10) sfDir0
+      else {
+        val tenX = "target/sortprobe-10x-" +
+          java.lang.Long.toHexString(MemoLedger.dirStamp(sfDir0))
+        if (!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$tenX/documents.parquet")))
+          ScaleRehearsal.scaledDocs(
+            spark.read.parquet(s"$sfDir0/documents.parquet"), 10)
+            .write.mode("overwrite").parquet(s"$tenX/documents.parquet")
+        tenX
+      }
+    val names =
+      if (scale10) Seq("d01_dedup_exact", "t27_dsir_importance",
+        "t38_sentence_profile")
+      else Seq("q01_scan_filter_project", "d01_dedup_exact",
+        "t27_dsir_importance", "t38_sentence_profile")
     def once(name: String): Double = {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
