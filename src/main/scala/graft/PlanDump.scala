@@ -18,7 +18,12 @@ object PlanDump {
     val only = args.drop(2).toSet
     Files.createDirectories(Paths.get(outDir))
     val spark = GraftSession.get("graft-plan-dump")
-    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    val all = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Queries sorting after the last requested name cannot influence any
+    // captured plan (memos build in name order) — don't run them.
+    val sorted =
+      if (only.isEmpty) all
+      else all.takeWhile(_._1 <= only.max)
     sorted.foreach { case (name, fn) =>
       val wanted = only.isEmpty || only.contains(name)
       try {

@@ -7,7 +7,8 @@ package graft
   */
 object SortProbe {
   def main(args: Array[String]): Unit = {
-    val sfDir0 = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val sfDir0 = args.filterNot(_.startsWith("--")).headOption
+      .getOrElse("/root/testdata/sf0.1")
     val scale10 = args.contains("--scale10")
     val spark = GraftSession.get("graft-sort-probe")
     // --scale10: probe on a 10× documents corpus (D10Flat's stamp-keyed

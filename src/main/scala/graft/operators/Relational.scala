@@ -365,7 +365,9 @@ object Relational {
         .groupBy("l_returnflag")
         .agg(
           approx_count_distinct("l_partkey", 0.02).as("approx_parts"),
-          count(lit(1)).as("exact_parts"))
+          // count(col), not count(*): countDistinct excluded NULL keys,
+          // and a NULL l_partkey survives the distinct as its own row.
+          count(col("l_partkey")).as("exact_parts"))
         .transform(graft.Present.byNames("l_returnflag")),
     None)
 

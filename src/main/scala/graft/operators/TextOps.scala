@@ -932,28 +932,43 @@ object TextOps {
   def bpeMerges(docs: DataFrame, nMerges: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // The word-frequency table is materialized ONCE (checkpoint) and
+    // both paths read it: the driver fast path collects it (bounded by
+    // limit(cap+1)), the over-cap path hands the same checkpoint to the
+    // distributed loop — the aggregation never runs twice whichever arm
+    // is taken.
     val wordFreq = docs.select(explode(tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
-    // Driver fast path: ONE job collects the (bounded) word-frequency
-    // table and the merge loop runs locally — the 8-iteration
-    // shuffle+checkpoint+collect cycle below costs ~2 jobs per merge in
-    // pure orchestration, which dwarfs the arithmetic at any vocabulary
-    // this cap admits. limit(cap+1) bounds what the driver can receive.
-    val head = wordFreq.limit(BpeDriverVocabCap + 1).collect()
-    if (head.length <= BpeDriverVocabCap)
-      bpeMergesLocal(head.map(r => (r.getString(0), r.getLong(1))), nMerges)
-        .toDF("rank", "left", "right", "pair_count")
-        .orderBy("rank")
-    else bpeMergesDistributed(docs, nMerges)
+      .localCheckpoint()
+    try {
+      // Driver fast path: the merge loop runs locally over the collected
+      // table — the 8-iteration shuffle+checkpoint+collect cycle of the
+      // distributed loop costs ~2 jobs per merge in pure orchestration,
+      // which dwarfs the arithmetic at any vocabulary this cap admits.
+      val head = wordFreq.limit(BpeDriverVocabCap + 1).collect()
+      if (head.length <= BpeDriverVocabCap)
+        bpeMergesLocal(head.map(r => (r.getString(0), r.getLong(1))), nMerges)
+          .toDF("rank", "left", "right", "pair_count")
+          .orderBy("rank")
+      else bpeMergesFromWordFreq(wordFreq, nMerges)
+    } finally
+      // Both arms are fully driver-materialized by here (the distributed
+      // loop returns a DF built from the collected merge seq).
+      graft.operators.Dedup.freeCheckpoint(wordFreq)
   }
 
   /** The pre-round-16 distributed merge loop, kept verbatim as the
     * over-cap path (and so the twin-equality spec can run both). */
-  private[graft] def bpeMergesDistributed(docs: DataFrame, nMerges: Int): DataFrame = {
-    val spark = docs.sparkSession
+  private[graft] def bpeMergesDistributed(docs: DataFrame, nMerges: Int): DataFrame =
+    bpeMergesFromWordFreq(
+      docs.select(explode(tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq")),
+      nMerges)
+
+  private def bpeMergesFromWordFreq(wordFreq: DataFrame, nMerges: Int): DataFrame = {
+    val spark = wordFreq.sparkSession
     import spark.implicits._
-    var vocab = docs.select(explode(tokens(col("text"))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("freq"))
+    var vocab = wordFreq
       .select(expr("filter(split(w, ''), s -> s <> '')").as("syms"), col("freq"))
       .localCheckpoint()
     // Round k's vocab is read only by round k+1's pair count and merge —
